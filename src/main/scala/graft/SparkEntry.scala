@@ -1,13 +1,167 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` key returns a deterministic, totally-ordered
+  * DataFrame; `oracleSql` holds the DuckDB-equivalent SQL the driver
+  * hash-compares against. Column names/aliases are kept identical on
+  * both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** DuckDB view of `events` normalised to µs — matches
+    * [[graft.sources.Tables.events]] exactly (both truncate nanos). */
+  private val evCte =
+    "SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Analytics.q01PricingSummary _),
+    "q02_topk_per_group" -> (Analytics.q02TopkPerGroup _),
+    "q03_join_revenue" -> (Analytics.q03JoinRevenue _),
+    "q04_filter_pushdown" -> (Analytics.q04FilterPushdown _),
+    "q05_distinct_agg" -> (Analytics.q05DistinctAgg _),
+    "q06_rollup" -> (Analytics.q06Rollup _),
+    "q07_window_running" -> (Analytics.q07WindowRunning _),
+    "q08_semi_anti" -> (Analytics.q08SemiAnti _),
+    "q09_sessionize" -> (Analytics.q09Sessionize _),
+    "q10_pivot" -> (Analytics.q10Pivot _),
+    "q11_asof_join" -> (Analytics.q11AsofJoin _),
+    "q12_percentiles" -> (Analytics.q12Percentiles _),
+    "q13_json_extract" -> (Analytics.q13JsonExtract _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q04_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 45 AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q05_distinct_agg" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q06_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q07_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q08_semi_anti" ->
+      """SELECT 'has_f_order' AS bucket, c_nationkey, COUNT(*) AS n_cust
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT 'no_orders' AS bucket, c_nationkey, COUNT(*) AS n_cust
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY bucket, c_nationkey""".stripMargin,
+
+    "q09_sessionize" ->
+      s"""WITH ev AS ($evCte),
+        |g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s,
+        |    event_type
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS dur_s
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q10_pivot" ->
+      s"""WITH ev AS ($evCte)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q11_asof_join" ->
+      s"""WITH ev AS ($evCte),
+        |pv AS (SELECT event_id, user_id, event_type, ts FROM ev WHERE event_type IN ('purchase','view')),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    max(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+        |  FROM pv)
+        |SELECT event_id, user_id, ts AS purchase_ts, last_view_ts,
+        |  (epoch_us(ts) - epoch_us(last_view_ts)) / 1000000.0 AS gap_s
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q12_percentiles" ->
+      s"""WITH ev AS ($evCte)
+        |SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  COUNT(*) AS n
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q13_json_extract" ->
+      s"""WITH ev AS ($evCte)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS n_k
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
 }

@@ -1,0 +1,39 @@
+package graft.sources
+
+import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema'd loaders for the driver's star-schema testdata.
+  *
+  * All loaders are plain parquet scans so Catalyst pushdown (filters,
+  * column pruning) reaches the file source untouched. `events` is the
+  * one exception: its parquet carries INT64 nanosecond timestamps,
+  * which we read as raw nanos and normalise to a microsecond
+  * TimestampType column so downstream arithmetic matches the DuckDB
+  * oracle's `epoch_us` exactly (both truncate toward zero).
+  */
+object Tables {
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.prepare(spark)
+    spark.read.parquet(path(dir, name))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** events with `ts` as a microsecond TimestampType (from raw nanos). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+}
