@@ -34,10 +34,16 @@ object SparkEntry {
     "q10_pivot" -> (Analytics.q10Pivot _),
     "q11_asof_join" -> (Analytics.q11AsofJoin _),
     "q12_percentiles" -> (Analytics.q12Percentiles _),
-    "q13_json_extract" -> (Analytics.q13JsonExtract _)
+    "q13_json_extract" -> (Analytics.q13JsonExtract _),
+    "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),
+    "m02_clients" -> (MaillogOps.m02Clients _),
+    "m03_messages" -> (MaillogOps.m03Messages _),
+    "m04_deliveries" -> (MaillogOps.m04Deliveries _),
+    "m05_delivery_stats" -> (MaillogOps.m05DeliveryStats _),
+    "m06_top_clients" -> (MaillogOps.m06TopClients _)
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = MaillogOracle.oracles ++ Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.functions.MaillogParse._
+import graft.sources.Maillog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's four tables, re-expressed as distributed batch
+  * operators over a `line` corpus (synthesized from events — see
+  * [[graft.sources.Maillog]]).
+  *
+  * Semantics per /root/reference/maillog2db.go:
+  *  - logs:       distinct on the full parsed tuple    (go:283-306)
+  *  - clients:    upsert by (client, rdns, addr), keep newest
+  *                lastseen                             (go:308-330)
+  *  - messages:   merge by queueid across qmgr/smtpd/cleanup
+  *                branches, last write wins            (go:332-393)
+  *  - deliveries: distinct on the full parsed tuple    (go:395-442)
+  *
+  * The reference replays the file sequentially; graft's batch form
+  * resolves "last write" with an explicit deterministic order
+  * (timestamp, then message text) so the result is stable under any
+  * partitioning. Every operator is regex-project + at most one
+  * shuffle (the groupBy/window on its natural key) — linear scale-out.
+  */
+object MaillogOps {
+
+  private def parsedLogs(spark: SparkSession, dir: String): DataFrame =
+    Maillog.parsed(Maillog.synthesizeLines(spark, dir))
+
+  /** m01: the raw `logs` table. */
+  def m01ParseLogs(spark: SparkSession, dir: String): DataFrame =
+    parsedLogs(spark, dir).distinct()
+      .orderBy("log_timestamp", "log_mailhost", "log_process",
+               "log_processid", "log_message")
+
+  /** m02: the `clients` table (upsert → groupBy key + max lastseen). */
+  def m02Clients(spark: SparkSession, dir: String): DataFrame = {
+    val p = parsedLogs(spark, dir)
+    val cstr = regexp_extract(col("log_message"), SmtpdRe, 2)
+    p.filter(col("log_message").rlike(SmtpdRe))
+      .select(
+        col("log_timestamp"),
+        regexp_extract(cstr, ClientSplitRe, 0).as("client"),
+        regexp_extract(cstr, ClientSplitRe, 1).as("client_rdns"),
+        regexp_extract(cstr, ClientSplitRe, 2).as("client_addr"))
+      .groupBy("client", "client_rdns", "client_addr")
+      .agg(max(col("log_timestamp")).as("client_lastseen"),
+           count(lit(1)).as("n_seen"))
+      .orderBy("client")
+  }
+
+  /** Last-written row per queueid within one parse branch, plus the
+    * branch's line count — one window pass, single shuffle on qid. */
+  private def lastPerQid(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("log_timestamp").desc, col("log_message").desc)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("qid"))))
+      .filter(col("rn") === 1)
+      .select(("qid" +: "cnt" +: cols).map(col): _*)
+  }
+
+  /** m03: the `messages` table — merge-by-queueid of the qmgr, smtpd
+    * and cleanup branches via full outer joins on qid. */
+  def m03Messages(spark: SparkSession, dir: String): DataFrame = {
+    val p = parsedLogs(spark, dir)
+    val msg = col("log_message")
+
+    val qm = lastPerQid(
+      p.filter(msg.rlike(QmgrRe)).select(
+        col("log_timestamp"), msg,
+        regexp_extract(msg, QmgrRe, 1).as("qid"),
+        regexp_extract(msg, QmgrRe, 2).as("message_from"),
+        regexp_extract(msg, QmgrRe, 3).cast("long").as("message_size"),
+        regexp_extract(msg, QmgrRe, 4).cast("int").as("message_nrcpt"),
+        regexp_extract(msg, QmgrRe, 5).as("message_statusext"),
+        col("log_mailhost").as("message_mailhost"),
+        col("log_timestamp").as("message_timestamp")),
+      Seq("message_timestamp", "message_mailhost", "message_from",
+          "message_size", "message_nrcpt", "message_statusext"))
+      .withColumnRenamed("cnt", "n_qmgr")
+
+    val cl = lastPerQid(
+      p.filter(msg.rlike(SmtpdRe)).select(
+        col("log_timestamp"), msg,
+        regexp_extract(msg, SmtpdRe, 1).as("qid"),
+        regexp_extract(msg, SmtpdRe, 2).as("message_client")),
+      Seq("message_client"))
+      .withColumnRenamed("cnt", "n_smtpd")
+
+    val mid = lastPerQid(
+      p.filter(msg.rlike(CleanupRe)).select(
+        col("log_timestamp"), msg,
+        regexp_extract(msg, CleanupRe, 1).as("qid"),
+        regexp_extract(msg, CleanupRe, 2).as("message_id")),
+      Seq("message_id"))
+      .withColumnRenamed("cnt", "n_cleanup")
+
+    qm.join(cl, Seq("qid"), "full_outer")
+      .join(mid, Seq("qid"), "full_outer")
+      .select(
+        col("qid").as("message_queueid"),
+        col("message_timestamp"), col("message_mailhost"),
+        col("message_from"), col("message_size"), col("message_nrcpt"),
+        col("message_statusext"), col("message_client"), col("message_id"),
+        coalesce(col("n_qmgr"), lit(0L)).as("n_qmgr"),
+        coalesce(col("n_smtpd"), lit(0L)).as("n_smtpd"),
+        coalesce(col("n_cleanup"), lit(0L)).as("n_cleanup"))
+      .orderBy("message_queueid")
+  }
+
+  private def deliveries(spark: SparkSession, dir: String): DataFrame = {
+    val p = parsedLogs(spark, dir)
+    val msg = col("log_message")
+    p.filter(msg.rlike(SmtpRe))
+      .select(
+        col("log_timestamp").as("delivery_timestamp"),
+        regexp_extract(msg, SmtpRe, 1).as("delivery_queueid"),
+        regexp_extract(msg, SmtpRe, 2).as("delivery_to"),
+        regexp_extract(msg, SmtpRe, 3).as("delivery_relay"),
+        regexp_extract(msg, SmtpRe, 4).as("delivery_delay"),
+        regexp_extract(msg, SmtpRe, 5).as("delivery_delays"),
+        regexp_extract(msg, SmtpRe, 6).as("delivery_dsn"),
+        regexp_extract(msg, SmtpRe, 7).as("delivery_status"),
+        regexp_extract(msg, SmtpRe, 8).as("delivery_statusext"))
+      .withColumn("delivery_delay_s",
+        col("delivery_delay").cast("decimal(18,2)").cast("double"))
+      .distinct()
+  }
+
+  /** m04: the `deliveries` table (distinct on the full tuple). */
+  def m04Deliveries(spark: SparkSession, dir: String): DataFrame =
+    deliveries(spark, dir).orderBy(
+      "delivery_timestamp", "delivery_queueid", "delivery_to",
+      "delivery_relay", "delivery_delay", "delivery_delays",
+      "delivery_dsn", "delivery_status", "delivery_statusext")
+
+  /** m05: downstream analytics over deliveries. */
+  def m05DeliveryStats(spark: SparkSession, dir: String): DataFrame =
+    deliveries(spark, dir)
+      .groupBy("delivery_status", "delivery_dsn")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("delivery_delay").cast("decimal(18,2)")).cast("double").as("sum_delay_s"),
+        countDistinct(col("delivery_relay")).as("n_relays"),
+        max(col("delivery_timestamp")).as("last_seen"))
+      .orderBy("delivery_status", "delivery_dsn")
+
+  /** m06: top client rdns by messages handled (clients ⋈ messages). */
+  def m06TopClients(spark: SparkSession, dir: String): DataFrame = {
+    val clients = m02Clients(spark, dir)
+    val messages = m03Messages(spark, dir)
+      .filter(col("message_client").isNotNull)
+    val joined = messages.join(clients,
+      messages("message_client") === clients("client"))
+    val agg = joined.groupBy("client_rdns")
+      .agg(
+        count(lit(1)).as("n_messages"),
+        sum(col("message_size")).as("sum_size"),
+        max(col("client_lastseen")).as("last_seen"))
+    val w = Window.orderBy(col("n_messages").desc, col("client_rdns"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("rank", "client_rdns", "n_messages", "sum_size", "last_seen")
+      .orderBy("rank")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.functions.MaillogParse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maillog text sources.
+  *
+  * Real deployments read log files (`readLines` batch /
+  * `graft.streaming.MaillogStream` for tailing). The driver's testdata
+  * has no maillog, so `synthesizeLines` renders deterministic
+  * Postfix-format lines FROM the events table — one line per event,
+  * branch chosen by event_type — exercising every parse branch of the
+  * reference. The DuckDB oracle reproduces the identical rendering
+  * (`MaillogOps.linesCte`), so synthesize→parse→aggregate is exactly
+  * comparable across engines.
+  */
+object Maillog {
+
+  /** Batch read of an existing maillog file/directory. */
+  def readLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", "line")
+
+  /** One deterministic Postfix line per event. Queue ids are taken
+    * mod 311 so ids recur across events and the message-merge
+    * semantics (reference's upsert-by-queueid) actually merge. */
+  def synthesizeLines(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val qid = lpad(hex(col("event_id") % 311), 6, "0")
+    val host = concat(lit("mx"), (col("user_id") % 4).cast("string"))
+    val pid = (lit(100) + col("user_id") % 50).cast("string")
+    val tsStr = date_format(col("ts"), "MMM dd HH:mm:ss")
+    val size = round(col("value") * 100).cast("long")
+    val cents = round(col("value") * 7).cast("long")
+    val delay = concat(floor(cents / 100).cast("long").cast("string"), lit("."),
+      lpad((cents % 100).cast("string"), 2, "0"))
+    val dsn = when(col("event_id") % 7 === 0, "4.0.0").otherwise("2.0.0")
+    val status = when(col("event_id") % 7 === 0, "deferred").otherwise("sent")
+
+    val process = concat(lit("postfix/"),
+      when(col("event_type") === "signup", "smtpd")
+        .when(col("event_type") === "purchase", "qmgr")
+        .when(col("event_type") === "view", "smtp")
+        .when(col("event_type") === "click", "cleanup")
+        .otherwise("local"))
+
+    val rest =
+      when(col("event_type") === "signup",
+        concat(qid, lit(": client=host"), col("user_id").cast("string"),
+          lit(".example.com[10.0."), (col("user_id") % 256).cast("string"),
+          lit("."), (col("event_id") % 256).cast("string"), lit("]")))
+      .when(col("event_type") === "purchase",
+        concat(qid, lit(": from=<user"), (col("user_id") % 20).cast("string"),
+          lit("@example.com>, size="), size.cast("string"),
+          lit(", nrcpt="), (lit(1) + col("event_id") % 3).cast("string"),
+          lit(" (queue active)")))
+      .when(col("event_type") === "view",
+        concat(qid, lit(": to=<dest"), (col("user_id") % 30).cast("string"),
+          lit("@example.org>, relay=relay"), (col("user_id") % 5).cast("string"),
+          lit(".example.net[10.1.0."), (col("user_id") % 5).cast("string"),
+          lit("]:25, delay="), delay,
+          lit(", delays=0.01/0.02/0.03/0.04, dsn="), dsn,
+          lit(", status="), status,
+          lit(" (250 2.0.0 Ok: queued as "), qid, lit(")")))
+      .when(col("event_type") === "click",
+        concat(qid, lit(": message-id=<"), qid, lit("."),
+          col("event_id").cast("string"), lit("@"), host, lit(">")))
+      .otherwise(
+        concat(lit("warning: process failed code="),
+          (col("event_id") % 17).cast("string")))
+
+    ev.select(concat(tsStr, lit(" "), host, lit(" "), process,
+      lit("["), pid, lit("]: "), rest).as("line"))
+  }
+
+  /** Header-parse a `line` DataFrame; non-matching lines dropped
+    * (reference skips them, maillog2db.go:181). Pure projection —
+    * no shuffle, fully codegen'd. */
+  def parsed(lines: DataFrame, year: Int = 2024): DataFrame =
+    lines.filter(col("line").rlike(MaillogParse.HeaderRe))
+      .select(MaillogParse.header(col("line"), year): _*)
+}
