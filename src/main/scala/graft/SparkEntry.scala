@@ -40,10 +40,24 @@ object SparkEntry {
     "m03_messages" -> (MaillogOps.m03Messages _),
     "m04_deliveries" -> (MaillogOps.m04Deliveries _),
     "m05_delivery_stats" -> (MaillogOps.m05DeliveryStats _),
-    "m06_top_clients" -> (MaillogOps.m06TopClients _)
+    "m06_top_clients" -> (MaillogOps.m06TopClients _),
+    "t01_token_stats" -> (TextAnalysis.t01TokenStats _),
+    "t02_quality" -> (TextAnalysis.t02Quality _),
+    "t03_langid" -> (TextAnalysis.t03LangId _),
+    "t04_fingerprint" -> (TextAnalysis.t04Fingerprint _),
+    "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
+    "d02_minhash_lsh" -> (Dedup.d02MinhashLsh _),
+    "d03_simhash" -> (Dedup.d03Simhash _),
+    "d04_ngram_jaccard" -> (Dedup.d04NgramJaccard _),
+    "d05_embedding_neardup" -> (Dedup.d05EmbeddingNeardup _),
+    "s01_ann_brute" -> (Similarity.s01AnnBrute _),
+    "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _)
   )
 
-  def oracleSql: Map[String, String] = MaillogOracle.oracles ++ Map(
+  def oracleSql: Map[String, String] = MaillogOracle.oracles ++
+    TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+    Multimodal.oracles ++ Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text/dedup building blocks shared by TextAnalysis, Dedup and
+  * Similarity operators.
+  *
+  * Everything here is pure `Column` algebra (whole-stage codegen) and
+  * deliberately restricted to operations DuckDB can replicate
+  * bit-for-bit:
+  *  - token ids come from a rank-vocabulary (deterministic in any
+  *    engine), not an engine-specific hash;
+  *  - the minhash/simhash/LSH family is affine-mod arithmetic
+  *    `(a_i·x + b_i) mod P` over those ids — exact int64 math.
+  *
+  * Scale note: the rank vocabulary needs a global sort of the
+  * *distinct* term set — at 100 TB that's a large but shuffle-bounded
+  * job (distinct terms ≪ corpus). Production callers that don't need
+  * cross-engine determinism can swap `vocab` for `xxhash64(term)` and
+  * skip the join entirely; every downstream operator only assumes
+  * "term → int64 id".
+  */
+object TextFns {
+
+  val HashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles of a token array (1-based element_at,
+    * mirroring the oracle's 1-based list indexing). */
+  def shingleArray(t: Column, n: Int = 3): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, term) distinct shingle set per document. */
+  def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        explode(shingleArray(tokens(col("text")), n)).as("term"))
+      .distinct()
+
+  /** Rank vocabulary: term → dense 1-based id, ordered by term.
+    * Deterministic across engines; see scale note above. */
+  def vocab(terms: DataFrame): DataFrame =
+    terms.select("term").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("term")).cast("long"))
+
+  /** i-th member of the affine hash family applied to id x:
+    * ((1103515245(i+1)+12345 mod P) · x + (69069(i+1)+1234567 mod P)) mod P */
+  def affineHash(i: Column, x: Column): Column =
+    (((lit(1103515245L) * (i + 1) + 12345L) % HashP) * x +
+      ((lit(69069L) * (i + 1) + 1234567L) % HashP)) % HashP
+
+  /** Embedding quantization: float array → exact int64 array at 1e4
+    * scale. Float is cast to double *before* scaling so both engines
+    * round the same value. Integer dot products / norms built on this
+    * are order-independent and bit-exact. */
+  def quantize(embedding: Column): Column =
+    transform(embedding, x => round(x.cast("double") * 10000).cast("long"))
+
+  /** Exact int64 dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact int64 squared norm. */
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Cosine from exact integer dot/norms — identical double ops in
+    * both engines: dot / (sqrt(na) * sqrt(nb)). */
+  def qcos(dot: Column, na: Column, nb: Column): Column =
+    dot / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+}

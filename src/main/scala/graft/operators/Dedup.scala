@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.functions.TextFns._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: none of these enumerate the O(n²) pair space.
+  *  - d01 is a hash groupBy (one shuffle).
+  *  - d02 generates candidates through MinHash-LSH banding: only
+  *    documents sharing a band bucket are joined.
+  *  - d03 band-buckets SimHash by the pigeonhole principle: hamming
+  *    ≤ 3 on 32 bits ⟹ one of 4 byte-bands equal, so the bucket
+  *    join finds every qualifying pair without a cross join.
+  *  - d04/d05 restrict the quadratic verify to small blocking groups
+  *    (source / label) — the standard blocked-verification shape.
+  */
+object Dedup {
+
+  /** d01: exact dedup by content hash; keeper = min doc_id. */
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+           count(lit(1)).as("n_copies"),
+           min(col("n_chars")).as("n_chars"))
+      .orderBy("h")
+
+  /** MinHash signatures: 16 hash functions over the shingle-id set. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(Tables.documents(spark, dir))
+    val st = sh.join(vocab(sh), "term").select("doc_id", "tid")
+    st.crossJoin(spark.range(16).select(col("id").cast("int").as("i")))
+      .groupBy("doc_id", "i")
+      .agg(min(affineHash(col("i"), col("tid"))).as("sig"))
+  }
+
+  /** d02: MinHash-LSH near-dup candidates (8 bands × 2 rows) with
+    * estimated Jaccard from signature agreement. */
+  def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val bands = sig
+      .withColumn("band", expr("i div 2"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
+          x => x.getField("sig").cast("string")), ",").as("bandkey"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("i"), col("sig").as("sig_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("i"), col("sig").as("sig_b"))
+    cand.join(sa, "doc_a").join(sb, Seq("doc_b", "i"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)) / 16.0).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash per document over its shingle set. */
+  private def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(Tables.documents(spark, dir))
+    val st = sh.join(vocab(sh), "term").select("doc_id", "tid")
+    st.crossJoin(spark.range(32).select(col("id").cast("int").as("j")))
+      .groupBy("doc_id", "j")
+      .agg(sum((affineHash(col("j"), col("tid")) % 2) * 2 - 1).as("s"))
+      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(col("bit") * expr("CAST(pow(2, j) AS BIGINT)")).as("simhash"))
+  }
+
+  /** d03: SimHash near-dup pairs (hamming ≤ 3) found via pigeonhole
+    * byte-band bucketing — no cross join. */
+  def d03Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val simh = simhashes(spark, dir)
+    val bb = simh.crossJoin(spark.range(4).select(col("id").cast("int").as("band")))
+      .select(col("doc_id"), col("band"),
+        expr("(simhash div CAST(pow(2, 8 * band) AS BIGINT)) % 256").as("bandval"))
+    val cand = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ha = simh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val hb = simh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d04: exact word-3-gram Jaccard for same-source pairs sharing at
+    * least one shingle (blocked verification). */
+  def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docShingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("term"), col("source"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("term"), col("source"))
+    val inter = a.join(b, Seq("term", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("un"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d05: embedding near-dup — exact quantized-integer cosine ≥ 0.3
+    * within label blocks. */
+  def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", qnorm2(col("qv")))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("qv").as("qv_a"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("qv").as("qv_b"), col("nrm").as("nb"))
+    a.join(b, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        qcos(qdot(col("qv_a"), col("qv_b")), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val oracles: Map[String, String] = {
+    val shCte =
+      """sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents) d0
+        |        WHERE len(t) >= 3) d),
+        |v AS (SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+        |      FROM (SELECT DISTINCT term FROM sh) x),
+        |st AS (SELECT doc_id, tid FROM sh JOIN v USING (term))""".stripMargin
+    val sigCte =
+      """sig AS (SELECT doc_id, i,
+        |  min((((1103515245 * (i + 1) + 12345) % 2147483647) * tid + ((69069 * (i + 1) + 1234567) % 2147483647)) % 2147483647) AS sig
+        |  FROM st, generate_series(0, 15) g(i) GROUP BY doc_id, i)""".stripMargin
+    val simhCte =
+      """simh AS (SELECT doc_id, CAST(SUM(bit * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+        |  FROM (SELECT doc_id, j,
+        |    CASE WHEN SUM(2 * (((((1103515245 * (j + 1) + 12345) % 2147483647) * tid + ((69069 * (j + 1) + 1234567) % 2147483647)) % 2147483647) % 2) - 1) > 0
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |    FROM st, generate_series(0, 31) g(j) GROUP BY doc_id, j) b
+        |  GROUP BY doc_id)""".stripMargin
+    Map(
+      "d01_exact_dedup" ->
+        """SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
+          |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+      "d02_minhash_lsh" ->
+        ("WITH " + shCte + ",\n" + sigCte + """,
+          |bands AS (SELECT doc_id, i // 2 AS band, string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bandkey
+          |          FROM sig GROUP BY doc_id, i // 2),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id)
+          |SELECT doc_a, doc_b,
+          |  CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) / 16.0 AS est_jaccard
+          |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin),
+
+      "d03_simhash" ->
+        ("WITH " + shCte + ",\n" + simhCte + """,
+          |bb AS (SELECT doc_id, simhash, band, (simhash // CAST(pow(2, 8 * band) AS BIGINT)) % 256 AS bandval
+          |       FROM simh, generate_series(0, 3) g(band)),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |         FROM bb a JOIN bb b ON a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id)
+          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+          |FROM cand JOIN simh sa ON sa.doc_id = doc_a JOIN simh sb ON sb.doc_id = doc_b
+          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+          |ORDER BY doc_a, doc_b""".stripMargin),
+
+      "d04_ngram_jaccard" ->
+        ("WITH " + shCte + """,
+          |shs AS (SELECT sh.doc_id, term, source FROM sh JOIN documents USING (doc_id)),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          |          FROM shs a JOIN shs b ON a.term = b.term AND a.source = b.source AND a.doc_id < b.doc_id
+          |          GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS un,
+          |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+          |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+          |ORDER BY doc_a, doc_b""".stripMargin),
+
+      "d05_embedding_neardup" ->
+        """WITH q AS (SELECT vec_id, label,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, label, qv,
+          |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM q)
+          |SELECT vec_a, vec_b, label, cos FROM (
+          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+          |    CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) t
+          |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media as opaque binary + typed
+  * metadata, with decode/feature steps as per-partition batch
+  * transforms.
+  *
+  * The container has no image/audio codecs, so `fakeDecode` is a
+  * deterministic stand-in (clearly marked); the Spark-side plumbing —
+  * binary columns, schema, partition-wise batching, frame sampling —
+  * is real and is what matters at 100 TB: media bytes never leave
+  * their partition, metadata travels in columns, and decode is a
+  * narrow (shuffle-free) transformation.
+  */
+object Multimodal {
+
+  /** mm01: typed metadata over a binary media column (here: utf-8
+    * document bytes standing in for media blobs): byte length,
+    * checksum, stride-sampled "frames". */
+  def mm01BinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text")).as("checksum"),
+        ceil(col("n_chars") / lit(32.0)).cast("long").as("n_frames"),
+        expr("concat_ws('', transform(sequence(1, CAST(ceil(n_chars / 32.0) AS BIGINT)), i -> substring(text, CAST((i - 1) * 32 + 1 AS INT), 1)))")
+          .as("frame_sample"))
+      .orderBy("doc_id")
+
+  /** Decoded-media record produced by the (stubbed) decoder. */
+  case class DecodedMedia(docId: Long, width: Int, height: Int,
+                          nFrames: Int, meanLuma: Double)
+
+  /** STUB — deterministic fake decode standing in for a real codec
+    * (no media libraries in this container). Derives pseudo
+    * dimensions/luma from the bytes so tests are stable. A real
+    * deployment swaps only this function; the partition-wise plumbing
+    * in [[decodeBatch]] is unchanged. */
+  def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    val n = bytes.length
+    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    DecodedMedia(id, 16 + (n % 64), 16 + ((n / 64) % 64),
+      1 + (n / 32), if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** Partition-wise media decode: (id, binary) → typed features.
+    * `mapPartitions` keeps the heavy bytes on their partition and
+    * amortises per-batch decoder setup — the Scala analog of a
+    * Pandas-UDF-over-mapInPandas media stage. */
+  def decodeBatch(media: DataFrame, idCol: String = "doc_id",
+                  binCol: String = "media"): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodedSchema)
+    media.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (real codec handle)
+        rows.map { r =>
+          val d = fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1))
+          org.apache.spark.sql.Row(d.docId, d.width, d.height, d.nFrames, d.meanLuma)
+        }
+      }(enc)
+  }
+
+  /** Documents rendered as a binary media column — the shape a real
+    * media table would have (id, bytes, metadata columns). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+        col("source"), col("n_chars"))
+
+  val oracles: Map[String, String] = Map(
+    "mm01_binary_meta" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST(ceil(n_chars / 32.0) AS BIGINT) AS n_frames,
+        |  array_to_string(list_transform(generate_series(1, CAST(ceil(n_chars / 32.0) AS BIGINT)), i -> substr(text, CAST((i - 1) * 32 + 1 AS INT), 1)), '') AS frame_sample
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

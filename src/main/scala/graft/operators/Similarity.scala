@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.TextFns._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * s01 is the exact brute-force baseline: the (small) query set is
+  * broadcast against the corpus, so the corpus is scanned once with
+  * no shuffle of the big side — the right shape when queries ≪ corpus.
+  * s02 is the scale path: random-hyperplane LSH buckets the corpus
+  * (one shuffle on bucket id) and only same-bucket candidates are
+  * scored. Cosines use exact integer arithmetic (see TextFns) so
+  * rankings are bit-deterministic.
+  */
+object Similarity {
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", qnorm2(col("qv")))
+
+  /** s01: brute-force cosine top-5 for every 20th vector as query. */
+  def s01AnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val qs = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"), col("nrm").as("nc"))
+    val scored = cands.join(broadcast(qs), col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "cand_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Random-hyperplane bucket id (4 planes → 16 buckets). Plane
+    * component (j,i) = ((1103515245·(j·64+i) + 12345) mod 197) − 98,
+    * pure int64 math shared with the oracle. */
+  private def bucketCol(qv: Column): Column = {
+    val planes = (0 until 4).map { j =>
+      val dot = aggregate(sequence(lit(1), lit(64)), lit(0L),
+        (acc, i) => acc + element_at(qv, i) *
+          ((lit(1103515245L) * (lit(j) * 64 + i) + 12345L) % 197 - 98))
+      when(dot > 0, 1L << j).otherwise(0L)
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** s02: LSH-bucketed ANN — candidates share the query's bucket. */
+  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).withColumn("bucket", bucketCol(col("qv")))
+    val qs = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qv_q"),
+        col("nrm").as("nq"), col("bucket"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"),
+      col("nrm").as("nc"), col("bucket"))
+    val scored = cands.join(broadcast(qs), Seq("bucket"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("bucket"), col("cand_id"),
+        qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "bucket", "rank", "cand_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  val oracles: Map[String, String] = {
+    val qCte =
+      """q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, qv,
+        |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM q)""".stripMargin
+    Map(
+      "s01_ann_brute" ->
+        ("WITH " + qCte + """,
+          |qs AS (SELECT vec_id AS q_id, qv, nrm FROM n WHERE vec_id % 20 = 0),
+          |scored AS (SELECT a.q_id, b.vec_id AS cand_id,
+          |    CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM qs a JOIN n b ON a.q_id <> b.vec_id)
+          |SELECT q_id, rank, cand_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM scored) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      "s02_ann_lsh" ->
+        ("WITH " + qCte + """,
+          |bk AS (SELECT vec_id, qv, nrm,
+          |    (SELECT CAST(SUM(CASE WHEN
+          |       (SELECT SUM(n.qv[i] * (((1103515245 * (j * 64 + i) + 12345) % 197) - 98))
+          |        FROM generate_series(1, 64) g(i)) > 0
+          |       THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+          |     FROM generate_series(0, 3) h(j)) AS bucket
+          |  FROM n),
+          |qs AS (SELECT vec_id AS q_id, qv, nrm, bucket FROM bk WHERE vec_id % 20 = 0),
+          |scored AS (SELECT a.q_id, a.bucket, b.vec_id AS cand_id,
+          |    CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM qs a JOIN bk b ON a.bucket = b.bucket AND a.q_id <> b.vec_id)
+          |SELECT q_id, bucket, rank, cand_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM scored) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+    )
+  }
+}

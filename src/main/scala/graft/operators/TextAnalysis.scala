@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.functions.TextFns._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: token stats,
+  * quality scoring, language-ID heuristic, order-sensitive
+  * fingerprinting. All per-row Column algebra (no shuffle except the
+  * fingerprint vocabulary join) — embarrassingly parallel at scale.
+  */
+object TextAnalysis {
+
+  private val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** t01: token counting — whitespace tokens + BPE-ish regex pieces. */
+  def t01TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    d.select(
+        col("doc_id"), col("n_chars"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        sumLen.cast("long").as("sum_len"),
+        (sumLen.cast("double") / size(t)).as("avg_token_len"),
+        size(regexp_extract_all(col("text"), lit(BpeRe), lit(0))).cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** t02: quality scoring from length/stopword/dup/punctuation ratios. */
+  def t02Quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val m = d.select(
+      col("doc_id"), col("n_chars"),
+      size(t).cast("long").as("nt"),
+      size(array_distinct(t)).cast("long").as("nd"),
+      size(filter(t, x => array_contains(stopArr, x))).cast("long").as("nstop"),
+      length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("npunct"))
+    m.select(
+        col("doc_id"), col("n_chars"), col("nt"), col("nd"), col("nstop"),
+        (col("nstop").cast("double") / col("nt")).as("stop_ratio"),
+        (lit(1.0) - col("nd").cast("double") / col("nt")).as("dup_ratio"),
+        (col("npunct").cast("double") / col("n_chars")).as("punct_ratio"),
+        (lit(0.4) * (col("nd").cast("double") / col("nt")) +
+         lit(0.3) * (lit(1.0) - col("nstop").cast("double") / col("nt")) +
+         lit(0.3) * least(lit(1.0), col("nt") / lit(100.0))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "les", "une"))
+
+  /** t03: marker-token language-ID heuristic with a deterministic
+    * priority tie-break (en > es > de > fr). */
+  def t03LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    val scored = Markers.foldLeft(d.select(col("doc_id"), col("lang").as("claimed_lang"), t.as("t"))) {
+      case (df, (l, ms)) =>
+        val arr = array(ms.map(lit): _*)
+        df.withColumn(s"s_$l",
+          size(filter(col("t"), x => array_contains(arr, x))).cast("long"))
+    }
+    scored.select(
+        col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr").as("pred_lang"),
+        col("claimed_lang"))
+      .withColumn("is_match", col("pred_lang") === col("claimed_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** t04: order-sensitive document fingerprint —
+    * (Σ_k tid_k · k) mod 1e9+7 over the rank vocabulary. */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .withColumn("k", (col("pos") + 1).cast("long")).drop("pos")
+    val v = vocab(tok)
+    tok.join(v, "term")
+      .groupBy("doc_id")
+      .agg(
+        (sum(col("tid") * col("k")) % 1000000007L).as("fp"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = {
+    val dCte = "d AS (SELECT doc_id, n_chars, lang, text, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
+    Map(
+      "t01_token_stats" ->
+        ("WITH " + dCte + """
+          |SELECT doc_id, n_chars,
+          |  len(t) AS n_tokens,
+          |  len(list_distinct(t)) AS n_distinct,
+          |  CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+          |  CAST(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS DOUBLE) / len(t) AS avg_token_len,
+          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+          |FROM d ORDER BY doc_id""".stripMargin),
+
+      "t02_quality" ->
+        ("WITH " + dCte + """,
+          |m AS (SELECT doc_id, n_chars, len(t) AS nt, len(list_distinct(t)) AS nd,
+          |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS nstop,
+          |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS npunct
+          |FROM d)
+          |SELECT doc_id, n_chars, nt, nd, nstop,
+          |  CAST(nstop AS DOUBLE) / nt AS stop_ratio,
+          |  1.0 - CAST(nd AS DOUBLE) / nt AS dup_ratio,
+          |  CAST(npunct AS DOUBLE) / n_chars AS punct_ratio,
+          |  0.4 * (CAST(nd AS DOUBLE) / nt) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / nt) + 0.3 * least(1.0, nt / 100.0) AS quality
+          |FROM m ORDER BY doc_id""".stripMargin),
+
+      "t03_langid" ->
+        ("WITH " + dCte + """,
+          |m AS (SELECT doc_id, lang AS claimed_lang,
+          |  len(list_filter(t, x -> list_contains(['the','a','of'], x))) AS s_en,
+          |  len(list_filter(t, x -> list_contains(['el','la','de'], x))) AS s_es,
+          |  len(list_filter(t, x -> list_contains(['der','die','das'], x))) AS s_de,
+          |  len(list_filter(t, x -> list_contains(['le','les','une'], x))) AS s_fr
+          |FROM d)
+          |SELECT doc_id, s_en, s_es, s_de, s_fr,
+          |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+          |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+          |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+          |  claimed_lang,
+          |  (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+          |        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+          |        WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = claimed_lang AS is_match
+          |FROM m ORDER BY doc_id""".stripMargin),
+
+      "t04_fingerprint" ->
+        ("WITH " + dCte + """,
+          |tok AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS k FROM d),
+          |v AS (SELECT term, row_number() OVER (ORDER BY term) AS tid FROM (SELECT DISTINCT term FROM tok) x)
+          |SELECT doc_id, CAST(SUM(tid * k) AS BIGINT) % 1000000007 AS fp, COUNT(*) AS n_tokens
+          |FROM tok JOIN v USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    )
+  }
+}
