@@ -1,23 +1,43 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times the headline queries on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line. */
 object Bench {
+
+  /** Representative mix: scan-agg, fact-fact join, window, sessionize,
+    * maillog parse+merge, dedup (exact + LSH), ANN, text stats. */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_join_revenue", "q07_window_running",
+    "q09_sessionize", "m01_parse_logs", "m03_messages",
+    "d01_exact_dedup", "d02_minhash_lsh", "d05_embedding_neardup",
+    "s01_ann_brute", "t01_token_stats")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    GraftSession.prepare(spark)
+
+    // JVM/codegen warm-up outside the timed region
+    SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

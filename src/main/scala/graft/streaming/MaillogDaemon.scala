@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.GraftSession
+import graft.functions.MaillogParse._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Drop-in replacement for the reference daemon's CLI
+  * (maillog2db.go:115-128): watch a maillog location, keep the four
+  * tables up to date in MySQL (or parquet when no DB is configured).
+  *
+  * Flags mirror the reference: -maillog -dbhost -dbport -dbuser
+  * -dbpass -dbname -debug; graft adds -out (parquet sink dir),
+  * -checkpoint and -state-ttl-ms. A maillog2db user can run:
+  *
+  *   spark-submit --class graft.streaming.MaillogDaemon graft.jar \
+  *     -maillog /var/log/maillog-dir -dbhost 10.0.0.1 -dbname maillog2db \
+  *     -dbuser u -dbpass p
+  *
+  * Four streams share one source scan: logs (append), clients
+  * (stateful upsert by client key), messages (stateful merge by
+  * queueid), deliveries (append); DB-side PRIMARY/UNIQUE keys give
+  * the reference's insert-if-absent semantics on the append tables.
+  */
+object MaillogDaemon {
+
+  case class ClientRow(client: String, client_rdns: String,
+                       client_addr: String,
+                       client_lastseen: java.sql.Timestamp, n_seen: Long)
+
+  /** Stateful client upsert: newest lastseen per (client, rdns, addr)
+    * — streaming form of the reference's recordClientEntry
+    * (maillog2db.go:308-330). */
+  def clientUpdates(parsed: DataFrame): Dataset[ClientRow] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val cstr = regexp_extract(col("log_message"), SmtpdRe, 2)
+    val clients = parsed.filter(col("log_message").rlike(SmtpdRe))
+      .select(
+        regexp_extract(cstr, ClientSplitRe, 0).as("client"),
+        regexp_extract(cstr, ClientSplitRe, 1).as("client_rdns"),
+        regexp_extract(cstr, ClientSplitRe, 2).as("client_addr"),
+        col("log_timestamp").as("client_lastseen"),
+        lit(1L).as("n_seen"))
+      .as[ClientRow]
+    clients.groupByKey(c => (c.client, c.client_rdns, c.client_addr))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (_: (String, String, String), rows: Iterator[ClientRow],
+         state: GroupState[ClientRow]) => {
+          val rs = rows.toSeq
+          val latest = (state.getOption.toSeq ++ rs).maxBy(_.client_lastseen.getTime)
+          val merged = latest.copy(
+            n_seen = state.getOption.map(_.n_seen).getOrElse(0L) + rs.size)
+          state.update(merged)
+          merged
+        })
+  }
+
+  /** Stateless delivery parse — append; DB unique key dedups
+    * (maillog2db.go:395-442). */
+  def deliveryRows(parsed: DataFrame): DataFrame = {
+    val msg = col("log_message")
+    parsed.filter(msg.rlike(SmtpRe))
+      .select(
+        col("log_timestamp").as("delivery_timestamp"),
+        regexp_extract(msg, SmtpRe, 1).as("delivery_queueid"),
+        regexp_extract(msg, SmtpRe, 2).as("delivery_to"),
+        regexp_extract(msg, SmtpRe, 3).as("delivery_relay"),
+        regexp_extract(msg, SmtpRe, 4).as("delivery_delay"),
+        regexp_extract(msg, SmtpRe, 5).as("delivery_delays"),
+        regexp_extract(msg, SmtpRe, 6).as("delivery_dsn"),
+        regexp_extract(msg, SmtpRe, 7).as("delivery_status"),
+        regexp_extract(msg, SmtpRe, 8).as("delivery_statusext"))
+  }
+
+  case class Conf(
+      maillog: String = "/var/log/maillog",
+      out: String = "/tmp/graft-maillog",
+      checkpoint: String = "/tmp/graft-maillog-ckpt",
+      dbhost: String = "", dbport: Int = 3306, dbuser: String = "username",
+      dbpass: String = "password", dbname: String = "databasename",
+      stateTtlMs: Long = 0L, debug: Boolean = false)
+
+  private def parseArgs(args: Array[String]): Conf =
+    args.sliding(2, 2).foldLeft(Conf()) {
+      case (c, Array("-maillog", v)) => c.copy(maillog = v)
+      case (c, Array("-out", v)) => c.copy(out = v)
+      case (c, Array("-checkpoint", v)) => c.copy(checkpoint = v)
+      case (c, Array("-dbhost", v)) => c.copy(dbhost = v)
+      case (c, Array("-dbport", v)) => c.copy(dbport = v.toInt)
+      case (c, Array("-dbuser", v)) => c.copy(dbuser = v)
+      case (c, Array("-dbpass", v)) => c.copy(dbpass = v)
+      case (c, Array("-dbname", v)) => c.copy(dbname = v)
+      case (c, Array("-state-ttl-ms", v)) => c.copy(stateTtlMs = v.toLong)
+      case (c, Array("-debug", v)) => c.copy(debug = v.toBoolean)
+      case (c, _) => c
+    }
+
+  /** Sink factory: JDBC upsert when a db host is configured, parquet
+    * append otherwise. */
+  private def sinkFor(c: Conf, table: String, keys: Seq[String]): (DataFrame, Long) => Unit =
+    if (c.dbhost.nonEmpty) {
+      val url = s"jdbc:mysql://${c.dbhost}:${c.dbport}/${c.dbname}"
+      new JdbcUpsertSink(url, table, keys, c.dbuser, c.dbpass).write _
+    } else ParquetSink(s"${c.out}/$table")
+
+  /** Starts the four table streams; returns them (caller awaits). */
+  def start(spark: SparkSession, c0: Conf = Conf(), args: Array[String] = Array(),
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] = {
+    val c = if (args.nonEmpty) parseArgs(args) else c0
+    val parsed = MaillogStream.parsedStream(spark, c.maillog).toDF()
+    def ckpt(t: String) = s"${c.checkpoint}/$t"
+
+    val logs = parsed.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt("logs")).trigger(trigger)
+      .foreachBatch(sinkFor(c, "pfmaillog2db_logs",
+        Seq("log_timestamp", "log_mailhost", "log_process", "log_processid", "log_message")))
+      .start()
+
+    val clients = clientUpdates(parsed).toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt("clients")).trigger(trigger)
+      .foreachBatch(sinkFor(c, "pfmaillog2db_clients",
+        Seq("client", "client_rdns", "client_addr")))
+      .start()
+
+    val messages = MaillogStream
+      .messageUpdates(MaillogStream.patches(parsed), c.stateTtlMs).toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt("messages")).trigger(trigger)
+      .foreachBatch(sinkFor(c, "pfmaillog2db_messages", Seq("message_queueid")))
+      .start()
+
+    val deliveries = deliveryRows(parsed)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt("deliveries")).trigger(trigger)
+      .foreachBatch(sinkFor(c, "pfmaillog2db_deliveries",
+        Seq("delivery_timestamp", "delivery_queueid", "delivery_to", "delivery_relay",
+          "delivery_delay", "delivery_delays", "delivery_dsn", "delivery_status",
+          "delivery_statusext")))
+      .start()
+
+    Seq(logs, clients, messages, deliveries)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
+      appName = "graft-maillog-daemon")
+    start(spark, args = args)
+    spark.streams.awaitAnyTermination()
+  }
+}

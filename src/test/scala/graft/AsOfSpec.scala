@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.AsOf
+import java.sql.Timestamp
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("asofJoin picks latest strictly-earlier right row per key") {
+    val left = Seq(
+      (1L, "u1", ts(100)), (2L, "u1", ts(200)), (3L, "u2", ts(150)))
+      .toDF("id", "user", "t")
+    val right = Seq(
+      (10L, "u1", ts(50)), (11L, "u1", ts(150)), (12L, "u1", ts(250)),
+      (13L, "u2", ts(150)))
+      .toDF("id", "user", "t")
+
+    val out = AsOf.asofJoin(left, right, Seq("user"), "t", "id", Seq("t", "id"))
+      .select("id", "asof_id").as[(Long, Option[Long])].collect().toMap
+
+    assert(out(1L).contains(10L)) // only ts(50) precedes ts(100)
+    assert(out(2L).contains(11L)) // ts(150) latest before ts(200)
+    // u2: right row shares ts(150); right sorts before left on tie
+    // (id 13 < id 3 is false — tie broken by id: 3 < 13 so right is AFTER)
+    assert(out(3L).isEmpty)
+  }
+
+  test("asofJoin keeps every left row (no inner-join loss)") {
+    val left = Seq((1L, "x", ts(10))).toDF("id", "user", "t")
+    val right = spark.emptyDataset[(Long, String, Timestamp)]
+      .toDF("id", "user", "t")
+    val out = AsOf.asofJoin(left, right, Seq("user"), "t", "id", Seq("id"))
+    assert(out.count() === 1)
+    assert(out.select("asof_id").first().isNullAt(0))
+  }
+}

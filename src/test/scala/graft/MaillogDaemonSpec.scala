@@ -1,0 +1,46 @@
+package graft
+
+import graft.streaming.MaillogDaemon
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+
+/** Drives the full four-table daemon on real files with parquet
+  * sinks (no DB in this container). */
+class MaillogDaemonSpec extends SparkSpec {
+
+  test("daemon materialises all four reference tables") {
+    val dir = Files.createTempDirectory("maillog").toString
+    val out = Files.createTempDirectory("out").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    Files.write(java.nio.file.Paths.get(dir, "maillog"),
+      Seq(
+        "Jan 02 03:04:05 mx1 postfix/smtpd[101]: AB1: client=host1.example.com[10.0.0.1]",
+        "Jan 02 03:04:06 mx1 postfix/qmgr[102]: AB1: from=<a@example.com>, size=100, nrcpt=1 (queue active)",
+        "Jan 02 03:04:07 mx1 postfix/smtp[103]: AB1: to=<b@example.org>, relay=r.example.net[10.1.0.1]:25, delay=1.5, delays=0.1/0.2/0.3/0.4, dsn=2.0.0, status=sent (250 ok)",
+        "Jan 02 03:04:08 mx1 postfix/smtpd[101]: AB1: client=host1.example.com[10.0.0.1]"
+      ).mkString("\n").getBytes)
+
+    val qs = MaillogDaemon.start(spark,
+      args = Array("-maillog", dir, "-out", out, "-checkpoint", ckpt),
+      trigger = Trigger.AvailableNow())
+    qs.foreach(_.awaitTermination())
+
+    val logs = spark.read.parquet(s"$out/pfmaillog2db_logs")
+    assert(logs.count() === 4)
+    assert(logs.columns.contains("log_processid"))
+
+    val clients = spark.read.parquet(s"$out/pfmaillog2db_clients")
+    val c = clients.orderBy(org.apache.spark.sql.functions.col("n_seen").desc).first()
+    assert(c.getAs[String]("client_rdns") === "host1.example.com")
+    assert(c.getAs[Long]("n_seen") === 2L, "two smtpd lines for the same client")
+
+    val messages = spark.read.parquet(s"$out/pfmaillog2db_messages")
+    val m = messages.orderBy(org.apache.spark.sql.functions.col("n_lines").desc).first()
+    assert(m.getAs[String]("message_queueid") === "AB1")
+    assert(m.getAs[Long]("message_size") === 100L)
+
+    val deliveries = spark.read.parquet(s"$out/pfmaillog2db_deliveries")
+    assert(deliveries.count() === 1)
+    assert(deliveries.first().getAs[String]("delivery_status") === "sent")
+  }
+}
