@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.TextFns._
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch stage-timing for operator tuning (not part of the driver
+  * contract). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.prepare(spark)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+
+    val docs = Tables.documents(spark, dir)
+    time("docs.count")(docs.count())
+    val sh = docShingles(docs)
+    time("shingles.count")(sh.count())
+    val sh2 = sh.persist()
+    sh2.count()
+    val v = vocab(sh2)
+    time("vocab.count")(v.count())
+    val st = sh2.join(v, "term").select("doc_id", "tid")
+    time("st.count")(st.count())
+    val sig = st.crossJoin(spark.range(16).select(col("id").cast("int").as("i")))
+      .groupBy("doc_id", "i")
+      .agg(min(affineHash(col("i"), col("tid"))).as("sig"))
+    time("sig.count")(sig.count())
+    val sigP = sig.persist()
+    sigP.count()
+    val bands = sigP.withColumn("band", expr("i div 2"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("sig")))),
+        x => x.getField("sig").cast("string")), ",").as("bandkey"))
+    time("bands.count")(bands.count())
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    time("cand.count")(cand.count())
+    val sa = sigP.select(col("doc_id").as("doc_a"), col("i"), col("sig").as("sig_a"))
+    val sb = sigP.select(col("doc_id").as("doc_b"), col("i"), col("sig").as("sig_b"))
+    val est = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "i"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)) / 16.0).as("est_jaccard"))
+    time("est.count")(est.count())
+    spark.stop()
+  }
+}

@@ -37,10 +37,13 @@ object TextFns {
         i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc_id, term) distinct shingle set per document. */
+  /** (doc_id, term) distinct shingle set per document.
+    * The token array is projected to an attribute first — inlining
+    * `tokens(text)` into the shingle lambda would re-split the text
+    * for every element_at reference (O(tokens²) per doc). */
   def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-        explode(shingleArray(tokens(col("text")), n)).as("term"))
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingleArray(col("t"), n)).as("term"))
       .distinct()
 
   /** Rank vocabulary: term → dense 1-based id, ordered by term.

@@ -29,59 +29,69 @@ object Dedup {
            min(col("n_chars")).as("n_chars"))
       .orderBy("h")
 
-  /** MinHash signatures: 16 hash functions over the shingle-id set. */
+  /** MinHash signatures, one wide row per doc (sig_0..sig_15): all 16
+    * mins fall out of a single groupBy over the shingle-id set — no
+    * 16× row explosion, one shuffle. Persisted: consumed by banding
+    * and both pair sides. */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(Tables.documents(spark, dir))
     val st = sh.join(vocab(sh), "term").select("doc_id", "tid")
-    st.crossJoin(spark.range(16).select(col("id").cast("int").as("i")))
-      .groupBy("doc_id", "i")
-      .agg(min(affineHash(col("i"), col("tid"))).as("sig"))
+    val aggs = (0 until 16).map(i => min(affineHash(lit(i), col("tid"))).as(s"sig_$i"))
+    st.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).persist()
   }
 
   /** d02: MinHash-LSH near-dup candidates (8 bands × 2 rows) with
-    * estimated Jaccard from signature agreement. */
+    * estimated Jaccard from signature agreement. Band keys and the
+    * agreement count are computed straight off the wide signature
+    * row; only the 8-per-doc band table is exploded. */
   def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = signatures(spark, dir)
-    val bands = sig
-      .withColumn("band", expr("i div 2"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
-          x => x.getField("sig").cast("string")), ",").as("bandkey"))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    val cand = a.join(b,
+    val bandStructs = array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", col(s"sig_${2 * b}").cast("string"),
+          col(s"sig_${2 * b + 1}").cast("string")).as("bandkey"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bandkey").as("bandkey"))
+    val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sa = sig.select(col("doc_id").as("doc_a"), col("i"), col("sig").as("sig_a"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("i"), col("sig").as("sig_b"))
-    cand.join(sa, "doc_a").join(sb, Seq("doc_b", "i"))
-      .groupBy("doc_a", "doc_b")
-      .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)) / 16.0).as("est_jaccard"))
+    val sa = sig.toDF("doc_a" +: (0 until 16).map(i => s"a_sig_$i"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until 16).map(i => s"b_sig_$i"): _*)
+    val agree = (0 until 16)
+      .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), (agree / 16.0).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 32-bit SimHash per document over its shingle set. */
+  /** 32-bit SimHash per document over its shingle set: all 32 bit
+    * sums in one wide groupBy (no 32× explosion), then the hash is
+    * assembled from the signs. Persisted: banding + both pair sides. */
   private def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(Tables.documents(spark, dir))
     val st = sh.join(vocab(sh), "term").select("doc_id", "tid")
-    st.crossJoin(spark.range(32).select(col("id").cast("int").as("j")))
-      .groupBy("doc_id", "j")
-      .agg(sum((affineHash(col("j"), col("tid")) % 2) * 2 - 1).as("s"))
-      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(col("bit") * expr("CAST(pow(2, j) AS BIGINT)")).as("simhash"))
+    val aggs = (0 until 32).map(j =>
+      sum((affineHash(lit(j), col("tid")) % 2) * 2 - 1).as(s"s_$j"))
+    val bits = (0 until 32).map(j => when(col(s"s_$j") > 0, lit(1L << j)).otherwise(0L))
+    st.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .persist()
   }
 
   /** d03: SimHash near-dup pairs (hamming ≤ 3) found via pigeonhole
     * byte-band bucketing — no cross join. */
   def d03Simhash(spark: SparkSession, dir: String): DataFrame = {
     val simh = simhashes(spark, dir)
-    val bb = simh.crossJoin(spark.range(4).select(col("id").cast("int").as("band")))
-      .select(col("doc_id"), col("band"),
-        expr("(simhash div CAST(pow(2, 8 * band) AS BIGINT)) % 256").as("bandval"))
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        ((col("simhash") / lit(1L << (8 * b))).cast("long") % 256).as("bandval"))
+    }: _*)
+    val bb = simh.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bandval").as("bandval"))
     val cand = bb.as("a").join(bb.as("b"),
         col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -102,6 +112,7 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val sh = docShingles(docs)
       .join(docs.select("doc_id", "source"), "doc_id")
+      .persist() // consumed by per-doc counts + both pair sides
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("term"), col("source"))
     val b = sh.select(col("doc_id").as("doc_b"), col("term"), col("source"))
@@ -124,6 +135,7 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", qnorm2(col("qv")))
+      .persist() // both pair sides
     val a = e.select(col("vec_id").as("vec_a"), col("label"), col("qv").as("qv_a"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"), col("qv").as("qv_b"), col("nrm").as("nb"))
     a.join(b, "label")

@@ -29,6 +29,12 @@ object MaillogOps {
   private def parsedLogs(spark: SparkSession, dir: String): DataFrame =
     Maillog.parsed(Maillog.synthesizeLines(spark, dir))
 
+  /** Parsed corpus persisted for operators that feed several regex
+    * branches from it (each branch would otherwise re-synthesize and
+    * re-parse the whole corpus). */
+  private def parsedLogsCached(spark: SparkSession, dir: String): DataFrame =
+    parsedLogs(spark, dir).persist()
+
   /** m01: the raw `logs` table. */
   def m01ParseLogs(spark: SparkSession, dir: String): DataFrame =
     parsedLogs(spark, dir).distinct()
@@ -65,36 +71,42 @@ object MaillogOps {
   /** m03: the `messages` table — merge-by-queueid of the qmgr, smtpd
     * and cleanup branches via full outer joins on qid. */
   def m03Messages(spark: SparkSession, dir: String): DataFrame = {
-    val p = parsedLogs(spark, dir)
+    import graft.plans.RegexpExtractGroups.regexpGroups
+    val p = parsedLogsCached(spark, dir)
     val msg = col("log_message")
 
     val qm = lastPerQid(
-      p.filter(msg.rlike(QmgrRe)).select(
-        col("log_timestamp"), msg,
-        regexp_extract(msg, QmgrRe, 1).as("qid"),
-        regexp_extract(msg, QmgrRe, 2).as("message_from"),
-        regexp_extract(msg, QmgrRe, 3).cast("long").as("message_size"),
-        regexp_extract(msg, QmgrRe, 4).cast("int").as("message_nrcpt"),
-        regexp_extract(msg, QmgrRe, 5).as("message_statusext"),
-        col("log_mailhost").as("message_mailhost"),
-        col("log_timestamp").as("message_timestamp")),
+      p.select(col("log_timestamp"), msg, col("log_mailhost"),
+          regexpGroups(msg, QmgrRe).as("g"))
+        .filter(col("g").isNotNull)
+        .select(
+          col("log_timestamp"), msg,
+          col("g").getItem(1).as("qid"),
+          col("g").getItem(2).as("message_from"),
+          col("g").getItem(3).cast("long").as("message_size"),
+          col("g").getItem(4).cast("int").as("message_nrcpt"),
+          col("g").getItem(5).as("message_statusext"),
+          col("log_mailhost").as("message_mailhost"),
+          col("log_timestamp").as("message_timestamp")),
       Seq("message_timestamp", "message_mailhost", "message_from",
           "message_size", "message_nrcpt", "message_statusext"))
       .withColumnRenamed("cnt", "n_qmgr")
 
     val cl = lastPerQid(
-      p.filter(msg.rlike(SmtpdRe)).select(
-        col("log_timestamp"), msg,
-        regexp_extract(msg, SmtpdRe, 1).as("qid"),
-        regexp_extract(msg, SmtpdRe, 2).as("message_client")),
+      p.select(col("log_timestamp"), msg, regexpGroups(msg, SmtpdRe).as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("log_timestamp"), msg,
+          col("g").getItem(1).as("qid"),
+          col("g").getItem(2).as("message_client")),
       Seq("message_client"))
       .withColumnRenamed("cnt", "n_smtpd")
 
     val mid = lastPerQid(
-      p.filter(msg.rlike(CleanupRe)).select(
-        col("log_timestamp"), msg,
-        regexp_extract(msg, CleanupRe, 1).as("qid"),
-        regexp_extract(msg, CleanupRe, 2).as("message_id")),
+      p.select(col("log_timestamp"), msg, regexpGroups(msg, CleanupRe).as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("log_timestamp"), msg,
+          col("g").getItem(1).as("qid"),
+          col("g").getItem(2).as("message_id")),
       Seq("message_id"))
       .withColumnRenamed("cnt", "n_cleanup")
 
@@ -112,19 +124,20 @@ object MaillogOps {
   }
 
   private def deliveries(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.RegexpExtractGroups.regexpGroups
     val p = parsedLogs(spark, dir)
-    val msg = col("log_message")
-    p.filter(msg.rlike(SmtpRe))
+    p.select(col("log_timestamp"), regexpGroups(col("log_message"), SmtpRe).as("g"))
+      .filter(col("g").isNotNull)
       .select(
         col("log_timestamp").as("delivery_timestamp"),
-        regexp_extract(msg, SmtpRe, 1).as("delivery_queueid"),
-        regexp_extract(msg, SmtpRe, 2).as("delivery_to"),
-        regexp_extract(msg, SmtpRe, 3).as("delivery_relay"),
-        regexp_extract(msg, SmtpRe, 4).as("delivery_delay"),
-        regexp_extract(msg, SmtpRe, 5).as("delivery_delays"),
-        regexp_extract(msg, SmtpRe, 6).as("delivery_dsn"),
-        regexp_extract(msg, SmtpRe, 7).as("delivery_status"),
-        regexp_extract(msg, SmtpRe, 8).as("delivery_statusext"))
+        col("g").getItem(1).as("delivery_queueid"),
+        col("g").getItem(2).as("delivery_to"),
+        col("g").getItem(3).as("delivery_relay"),
+        col("g").getItem(4).as("delivery_delay"),
+        col("g").getItem(5).as("delivery_delays"),
+        col("g").getItem(6).as("delivery_dsn"),
+        col("g").getItem(7).as("delivery_status"),
+        col("g").getItem(8).as("delivery_statusext"))
       .withColumn("delivery_delay_s",
         col("delivery_delay").cast("decimal(18,2)").cast("double"))
       .distinct()

@@ -22,6 +22,7 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", qnorm2(col("qv")))
+      .persist() // query side + candidate side
 
   /** s01: brute-force cosine top-5 for every 20th vector as query. */
   def s01AnnBrute(spark: SparkSession, dir: String): DataFrame = {

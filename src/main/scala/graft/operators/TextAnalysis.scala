@@ -16,8 +16,10 @@ object TextAnalysis {
 
   /** t01: token counting — whitespace tokens + BPE-ish regex pieces. */
   def t01TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    // tokens projected to an attribute once — see TextFns.docShingles
     val d = Tables.documents(spark, dir)
-    val t = tokens(col("text"))
+      .select(col("doc_id"), col("n_chars"), col("text"), tokens(col("text")).as("t"))
+    val t = col("t")
     val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
     d.select(
         col("doc_id"), col("n_chars"),
@@ -34,7 +36,8 @@ object TextAnalysis {
   /** t02: quality scoring from length/stopword/dup/punctuation ratios. */
   def t02Quality(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val t = tokens(col("text"))
+      .select(col("doc_id"), col("n_chars"), col("text"), tokens(col("text")).as("t"))
+    val t = col("t")
     val stopArr = array(Stopwords.map(lit): _*)
     val m = d.select(
       col("doc_id"), col("n_chars"),

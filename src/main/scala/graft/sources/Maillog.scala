@@ -74,9 +74,18 @@ object Maillog {
   }
 
   /** Header-parse a `line` DataFrame; non-matching lines dropped
-    * (reference skips them, maillog2db.go:181). Pure projection —
-    * no shuffle, fully codegen'd. */
-  def parsed(lines: DataFrame, year: Int = 2024): DataFrame =
-    lines.filter(col("line").rlike(MaillogParse.HeaderRe))
-      .select(MaillogParse.header(col("line"), year): _*)
+    * (reference skips them, maillog2db.go:181). Pure projection, one
+    * regex pass per line via [[graft.plans.RegexpExtractGroups]]. */
+  def parsed(lines: DataFrame, year: Int = 2024): DataFrame = {
+    import graft.plans.RegexpExtractGroups.regexpGroups
+    lines
+      .select(regexpGroups(col("line"), MaillogParse.HeaderRe).as("g"))
+      .filter(col("g").isNotNull)
+      .select(
+        MaillogParse.pfTimestamp(col("g").getItem(1), year).as("log_timestamp"),
+        col("g").getItem(2).as("log_mailhost"),
+        col("g").getItem(3).as("log_process"),
+        col("g").getItem(4).as("log_processid"),
+        col("g").getItem(5).as("log_message"))
+  }
 }
