@@ -35,6 +35,12 @@ object SparkEntry {
     "q11_asof_join" -> (Analytics.q11AsofJoin _),
     "q12_percentiles" -> (Analytics.q12Percentiles _),
     "q13_json_extract" -> (Analytics.q13JsonExtract _),
+    "q14_tumbling_window" -> (Analytics2.q14TumblingWindow _),
+    "q15_interval_join" -> (Analytics2.q15IntervalJoin _),
+    "q16_set_ops" -> (Analytics2.q16SetOps _),
+    "q17_sample" -> (Analytics2.q17Sample _),
+    "qa01_approx_sketches" -> (Analytics2.qa01ApproxSketches _),
+    "t05_tfidf" -> (TextAnalysis.t05TfIdf _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),
     "m02_clients" -> (MaillogOps.m02Clients _),
     "m03_messages" -> (MaillogOps.m03Messages _),
@@ -55,9 +61,11 @@ object SparkEntry {
     "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _)
   )
 
+  /** qa01 is intentionally absent (sketch internals have no
+    * cross-engine oracle; the driver records a rows-only check). */
   def oracleSql: Map[String, String] = MaillogOracle.oracles ++
     TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-    Multimodal.oracles ++ Map(
+    Multimodal.oracles ++ Analytics2.oracles ++ Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.functions.Fns._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second batch of core operators: time windows, range joins, set
+  * operations, deterministic sampling, approximate sketches. */
+object Analytics2 {
+
+  /** q14: tumbling 1-hour window aggregation (batch form of the
+    * streaming windowed agg — same grouping `window()` produces). */
+  def q14TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** q15: interval join — click → purchase by the same user within
+    * 10 minutes. Implemented as a *banded* equi-join: each left row
+    * lands in its 10-minute bucket and the next, the join runs on
+    * (user, bucket), and the exact predicate filters after. This
+    * bounds candidates per row and shuffles on a compound key —
+    * the scalable shape of a range join (the oracle states the naive
+    * inequality join; results are identical). */
+  def q15IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bucketUs = 600L * 1000000
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("user_id"),
+        unix_micros(col("ts")).as("a_us"))
+      .withColumn("b0", floor(col("a_us") / bucketUs).cast("long"))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("b_id"), col("user_id"),
+        unix_micros(col("ts")).as("b_us"))
+      .withColumn("bucket", floor(col("b_us") / bucketUs).cast("long"))
+    clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("b_us") > col("a_us") && col("b_us") - col("a_us") <= bucketUs)
+      .select(col("a_id"), col("b_id"), col("user_id"),
+        ((col("b_us") - col("a_us")) / lit(1000000.0)).as("gap_s"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q16: set operations — INTERSECT / EXCEPT as a tagged union. */
+  def q16SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bigSpenders = o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("c_custkey"))
+    val withOrders = o.select(col("o_custkey").as("c_custkey"))
+    val both = building.intersect(bigSpenders.distinct())
+      .withColumn("bucket", lit("building_big_spender"))
+    val never = c.select("c_custkey").except(withOrders)
+      .withColumn("bucket", lit("never_ordered"))
+    both.unionByName(never)
+      .select("bucket", "c_custkey")
+      .orderBy("bucket", "c_custkey")
+  }
+
+  /** q17: deterministic stratified sampling via a multiplicative
+    * hash — reproducible across engines and runs (no RNG), the way a
+    * training-data pipeline pins its samples. ~20% per segment. */
+  def q17Sample(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("h", (col("c_custkey") * 2654435761L) % 4294967296L)
+      .filter(col("h") % 100 < 20)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+      .orderBy("c_custkey")
+
+  /** qa01: approximate sketches — HLL distinct + quantile sketch per
+    * event_type. No cross-engine oracle exists for sketch internals
+    * (rows-only check); the exact counterparts are q05/q12. */
+  def qa01ApproxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val oracles: Map[String, String] = {
+    val evCte =
+      "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
+    Map(
+      "q14_tumbling_window" ->
+        s"""WITH $evCte
+          |SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q15_interval_join" ->
+        s"""WITH $evCte,
+          |a AS (SELECT event_id AS a_id, user_id, epoch_us(ts) AS a_us FROM ev WHERE event_type = 'click'),
+          |b AS (SELECT event_id AS b_id, user_id, epoch_us(ts) AS b_us FROM ev WHERE event_type = 'purchase')
+          |SELECT a_id, b_id, user_id, (b_us - a_us) / 1000000.0 AS gap_s
+          |FROM a JOIN b USING (user_id)
+          |WHERE b_us > a_us AND b_us - a_us <= 600000000
+          |ORDER BY a_id, b_id""".stripMargin,
+
+      "q16_set_ops" ->
+        """SELECT 'building_big_spender' AS bucket, c_custkey FROM (
+          |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          |  INTERSECT
+          |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000) i
+          |UNION ALL
+          |SELECT 'never_ordered' AS bucket, c_custkey FROM (
+          |  SELECT c_custkey FROM customer
+          |  EXCEPT
+          |  SELECT o_custkey FROM orders) e
+          |ORDER BY bucket, c_custkey""".stripMargin,
+
+      "q17_sample" ->
+        """SELECT c_custkey, c_mktsegment, c_nationkey
+          |FROM customer
+          |WHERE ((c_custkey * 2654435761) % 4294967296) % 100 < 20
+          |ORDER BY c_custkey""".stripMargin
+    )
+  }
+}

@@ -99,6 +99,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t05: TF-IDF-style term weighting, top-3 terms per doc. The
+    * weight is the rational tf·(N+1)/(df+1) rather than a log-idf —
+    * same ranking monotonicity, but exactly reproducible across
+    * engines (libm log() may differ in the last ulp). */
+  def t05TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // single scalar, becomes a plan literal
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, "term")
+      .withColumn("weight", (col("tf") * (lit(n) + 1)).cast("double") / (col("df") + 1))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("weight").desc, col("term"))
+    w.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df", "weight")
+      .orderBy("doc_id", "rank")
+  }
+
   val oracles: Map[String, String] = {
     val dCte = "d AS (SELECT doc_id, n_chars, lang, text, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
     Map(
@@ -142,6 +162,18 @@ object TextAnalysis {
           |        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
           |        WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = claimed_lang AS is_match
           |FROM m ORDER BY doc_id""".stripMargin),
+
+      "t05_tfidf" ->
+        ("WITH " + dCte + """,
+          |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT COUNT(*) AS n FROM documents),
+          |w AS (SELECT doc_id, term, tf, df, CAST(tf * (n + 1) AS DOUBLE) / (df + 1) AS weight
+          |      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+          |SELECT doc_id, rank, term, tf, df, weight FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rank FROM w) t
+          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
 
       "t04_fingerprint" ->
         ("WITH " + dCte + """,

@@ -1,0 +1,36 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.EventStream
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming windowed aggregation replays the events table as a file
+  * stream and must converge to the batch answer. */
+class EventStreamSpec extends SparkSpec {
+
+  test("streaming windowed agg equals batch windowed agg") {
+    // stage the events parquet as a streamed directory
+    val dir = Files.createTempDirectory("evstream").toString
+    val batchEvents = Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+
+    val q = EventStream.windowedAgg(streamed)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winagg")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("winagg")
+      .orderBy("w_start", "event_type").collect()
+    val want = EventStream.windowedAgg(batchEvents)
+      .orderBy("w_start", "event_type").collect()
+    assert(got.length === want.length)
+    assert(got.sameElements(want))
+  }
+}
