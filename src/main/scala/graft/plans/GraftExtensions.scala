@@ -1,0 +1,25 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's custom expressions for SQL
+  * callers:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions …
+  *   SELECT regexp_extract_groups(line, '^(\\S+) (\\S+)$') FROM logs
+  *
+  * (Scala callers use `RegexpExtractGroups.regexpGroups` directly.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("regexp_extract_groups"),
+      new ExpressionInfo(classOf[RegexpExtractGroups].getName, "regexp_extract_groups"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "regexp_extract_groups(subject, pattern)")
+        RegexpExtractGroups(children.head, children(1))
+      }))
+  }
+}

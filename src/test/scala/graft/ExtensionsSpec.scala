@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .appName("ExtensionsSpec")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftSession.prepare(s)
+  }
+
+  test("regexp_extract_groups is callable from SQL") {
+    import spark.implicits._
+    val out = spark.sql(
+      """SELECT regexp_extract_groups('Jan 02 03:04:05 mx1 postfix/smtpd[9]: hi',
+        |  '^([a-zA-Z]{1,3}\\s[0-9]{2}\\s[0-9]{2}:[0-9]{2}:[0-9]{2})\\s([\\S]+)\\s([\\S]+)\\[([0-9]+)\\]:\\s?(.*)$') AS g
+        |""".stripMargin)
+      .selectExpr("g[2]", "g[4]", "g[5]").as[(String, String, String)].first()
+    assert(out === (("mx1", "9", "hi")))
+    val miss = spark.sql("SELECT regexp_extract_groups('nope', '^([0-9]+)$') AS g")
+      .selectExpr("g IS NULL").first().getBoolean(0)
+    assert(miss)
+  }
+
+  test("saltedJoin equals plain join") {
+    import spark.implicits._
+    // skewed big side: 90% of rows share key 1
+    val big = (1 to 1000).map(i => (if (i <= 900) 1 else i, s"v$i")).toDF("k", "v")
+    val small = Seq((1, "one"), (50, "fifty"), (999, "nn")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toString).sorted
+    val salted = Skew.saltedJoin(big, small, "k", buckets = 8)
+      .select("k", "v", "name").collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+    assert(salted.length === 901) // 900 hot key-1 rows + key 999 (key 50 absent from big)
+  }
+}
