@@ -58,6 +58,7 @@ object SparkEntry {
     "d05_embedding_neardup" -> (Dedup.d05EmbeddingNeardup _),
     "s01_ann_brute" -> (Similarity.s01AnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _)
   )
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.MaillogParse._
 import graft.sources.Maillog
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,11 +29,6 @@ object MaillogOps {
   private def parsedLogs(spark: SparkSession, dir: String): DataFrame =
     Maillog.parsed(Maillog.synthesizeLines(spark, dir))
 
-  /** Parsed corpus persisted for operators that feed several regex
-    * branches from it (each branch would otherwise re-synthesize and
-    * re-parse the whole corpus). */
-  private def parsedLogsCached(spark: SparkSession, dir: String): DataFrame =
-    parsedLogs(spark, dir).persist()
 
   /** m01: the raw `logs` table. */
   def m01ParseLogs(spark: SparkSession, dir: String): DataFrame =
@@ -57,69 +52,55 @@ object MaillogOps {
       .orderBy("client")
   }
 
-  /** Last-written row per queueid within one parse branch, plus the
-    * branch's line count — one window pass, single shuffle on qid. */
-  private def lastPerQid(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("log_timestamp").desc, col("log_message").desc)
-    df.withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("qid"))))
-      .filter(col("rn") === 1)
-      .select(("qid" +: "cnt" +: cols).map(col): _*)
-  }
 
   /** m03: the `messages` table — merge-by-queueid of the qmgr, smtpd
-    * and cleanup branches via full outer joins on qid. */
+    * and cleanup branches.
+    *
+    * Single-pass plan: one projection evaluates all three branch
+    * regexes, then ONE groupBy(qid) resolves every branch's
+    * last-write-wins via `max_by` ordered by (timestamp, message)
+    * (null ordering keys — rows from other branches — are ignored by
+    * max_by, which is exactly the per-branch window semantics). One
+    * shuffle total, versus three windows + two full-outer joins. */
   def m03Messages(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.RegexpExtractGroups.regexpGroups
-    val p = parsedLogsCached(spark, dir)
+    val p = parsedLogs(spark, dir)
     val msg = col("log_message")
+    val withG = p.select(
+        col("log_timestamp"), col("log_mailhost"), msg,
+        regexpGroups(msg, QmgrRe).as("gq"),
+        regexpGroups(msg, SmtpdRe).as("gc"),
+        regexpGroups(msg, CleanupRe).as("gm"))
+      .withColumn("qid", coalesce(col("gq").getItem(1),
+        col("gc").getItem(1), col("gm").getItem(1)))
+      .filter(col("qid").isNotNull)
 
-    val qm = lastPerQid(
-      p.select(col("log_timestamp"), msg, col("log_mailhost"),
-          regexpGroups(msg, QmgrRe).as("g"))
-        .filter(col("g").isNotNull)
-        .select(
-          col("log_timestamp"), msg,
-          col("g").getItem(1).as("qid"),
-          col("g").getItem(2).as("message_from"),
-          col("g").getItem(3).cast("long").as("message_size"),
-          col("g").getItem(4).cast("int").as("message_nrcpt"),
-          col("g").getItem(5).as("message_statusext"),
-          col("log_mailhost").as("message_mailhost"),
-          col("log_timestamp").as("message_timestamp")),
-      Seq("message_timestamp", "message_mailhost", "message_from",
-          "message_size", "message_nrcpt", "message_statusext"))
-      .withColumnRenamed("cnt", "n_qmgr")
+    val ord = struct(col("log_timestamp"), col("log_message"))
+    def branchOrd(g: Column) = when(g.isNotNull, ord)
+    def cnt(g: Column) = sum(when(g.isNotNull, 1L).otherwise(0L))
 
-    val cl = lastPerQid(
-      p.select(col("log_timestamp"), msg, regexpGroups(msg, SmtpdRe).as("g"))
-        .filter(col("g").isNotNull)
-        .select(col("log_timestamp"), msg,
-          col("g").getItem(1).as("qid"),
-          col("g").getItem(2).as("message_client")),
-      Seq("message_client"))
-      .withColumnRenamed("cnt", "n_smtpd")
+    val qmStruct = struct(
+      col("log_timestamp").as("message_timestamp"),
+      col("log_mailhost").as("message_mailhost"),
+      col("gq").getItem(2).as("message_from"),
+      col("gq").getItem(3).cast("long").as("message_size"),
+      col("gq").getItem(4).cast("int").as("message_nrcpt"),
+      col("gq").getItem(5).as("message_statusext"))
 
-    val mid = lastPerQid(
-      p.select(col("log_timestamp"), msg, regexpGroups(msg, CleanupRe).as("g"))
-        .filter(col("g").isNotNull)
-        .select(col("log_timestamp"), msg,
-          col("g").getItem(1).as("qid"),
-          col("g").getItem(2).as("message_id")),
-      Seq("message_id"))
-      .withColumnRenamed("cnt", "n_cleanup")
-
-    qm.join(cl, Seq("qid"), "full_outer")
-      .join(mid, Seq("qid"), "full_outer")
+    withG.groupBy("qid")
+      .agg(
+        max_by(when(col("gq").isNotNull, qmStruct), branchOrd(col("gq"))).as("qm"),
+        cnt(col("gq")).as("n_qmgr"),
+        max_by(when(col("gc").isNotNull, col("gc").getItem(2)), branchOrd(col("gc"))).as("message_client"),
+        cnt(col("gc")).as("n_smtpd"),
+        max_by(when(col("gm").isNotNull, col("gm").getItem(2)), branchOrd(col("gm"))).as("message_id"),
+        cnt(col("gm")).as("n_cleanup"))
       .select(
         col("qid").as("message_queueid"),
-        col("message_timestamp"), col("message_mailhost"),
-        col("message_from"), col("message_size"), col("message_nrcpt"),
-        col("message_statusext"), col("message_client"), col("message_id"),
-        coalesce(col("n_qmgr"), lit(0L)).as("n_qmgr"),
-        coalesce(col("n_smtpd"), lit(0L)).as("n_smtpd"),
-        coalesce(col("n_cleanup"), lit(0L)).as("n_cleanup"))
+        col("qm.message_timestamp"), col("qm.message_mailhost"),
+        col("qm.message_from"), col("qm.message_size"), col("qm.message_nrcpt"),
+        col("qm.message_statusext"), col("message_client"), col("message_id"),
+        col("n_qmgr"), col("n_smtpd"), col("n_cleanup"))
       .orderBy("message_queueid")
   }
 

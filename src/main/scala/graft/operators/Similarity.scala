@@ -72,6 +72,38 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s03: IVF-style ANN — every 50th vector serves as a centroid
+    * (deterministic "training"), vectors are assigned to their
+    * best-cosine cell, queries probe their top-2 cells and rank the
+    * exact cosine only within probed cells. Assignment costs n×k
+    * broadcast cosines (no shuffle of the corpus); the candidate
+    * join shuffles on cell id — the IVF scale shape. */
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("qv"), col("nrm"), col("c_id"),
+        qcos(qdot(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")).as("c_cos"))
+    val byCell = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val ranked = scored.withColumn("crn", row_number().over(byCell))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("c_id").as("cell"))
+      .persist()
+    val probes = ranked.filter(col("vec_id") % 20 === 0 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("qv").as("qv_q"),
+        col("nrm").as("nq"), col("c_id").as("cell"))
+    val scoredCands = assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("cand_id"),
+        qcos(qdot(col("qv_q"), col("qv")), col("nq"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    scoredCands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "cand_id", "cell", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   val oracles: Map[String, String] = {
     val qCte =
       """q AS (SELECT vec_id, label,
@@ -89,6 +121,24 @@ object Similarity {
           |  FROM qs a JOIN n b ON a.q_id <> b.vec_id)
           |SELECT q_id, rank, cand_id, cos FROM (
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM scored) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      "s03_ann_ivf" ->
+        ("WITH " + qCte + """,
+          |cents AS (SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_nrm FROM n WHERE vec_id % 50 = 0),
+          |scored AS (SELECT v.vec_id, v.qv, v.nrm, c.c_id,
+          |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+          |  FROM n v CROSS JOIN cents c),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn FROM scored),
+          |assign AS (SELECT vec_id, qv, nrm, c_id AS cell FROM ranked WHERE crn = 1),
+          |probes AS (SELECT vec_id AS q_id, qv AS qv_q, nrm AS nq, c_id AS cell FROM ranked WHERE vec_id % 20 = 0 AND crn <= 2),
+          |cands AS (SELECT p.q_id, p.cell, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(p.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(p.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id <> a.vec_id)
+          |SELECT q_id, rank, cand_id, cell, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM cands) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
       "s02_ann_lsh" ->

@@ -17,9 +17,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("regexp_extract_groups"),
       new ExpressionInfo(classOf[RegexpExtractGroups].getName, "regexp_extract_groups"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "regexp_extract_groups(subject, pattern)")
-        RegexpExtractGroups(children.head, children(1))
-      }))
+      GraftExtensions.builder))
   }
+}
+
+object GraftExtensions {
+  private val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "regexp_extract_groups(subject, pattern)")
+    RegexpExtractGroups(children.head, children(1))
+  }
+
+  /** Register into an already-built session (the extensions conf only
+    * applies at session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "regexp_extract_groups", builder, "built-in")
 }

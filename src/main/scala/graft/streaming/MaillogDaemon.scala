@@ -112,10 +112,16 @@ object MaillogDaemon {
     val parsed = MaillogStream.parsedStream(spark, c.maillog).toDF()
     def ckpt(t: String) = s"${c.checkpoint}/$t"
 
-    val logs = parsed.writeStream.outputMode(OutputMode.Append)
+    // insert-if-absent (maillog2db.go:283-306) done in-stream: keyed
+    // dedup state, bounded by the event-time watermark
+    val logCols = Seq("log_timestamp", "log_mailhost", "log_process",
+      "log_processid", "log_message")
+    val logs = parsed
+      .withWatermark("log_timestamp", "1 hour")
+      .dropDuplicates(logCols)
+      .writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt("logs")).trigger(trigger)
-      .foreachBatch(sinkFor(c, "pfmaillog2db_logs",
-        Seq("log_timestamp", "log_mailhost", "log_process", "log_processid", "log_message")))
+      .foreachBatch(sinkFor(c, "pfmaillog2db_logs", logCols))
       .start()
 
     val clients = clientUpdates(parsed).toDF()

@@ -6,16 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ExtensionsSpec extends AnyFunSuite {
 
+  // Suites share one JVM/session, so the spark.sql.extensions conf of a
+  // fresh builder wouldn't apply; register into the live session. (The
+  // conf path itself is exercised from an external pyspark session —
+  // see .claude/skills/verify/SKILL.md.)
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .appName("ExtensionsSpec")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    GraftSession.prepare(s)
+    val s = GraftSession.local(cores = 4, appName = "ExtensionsSpec")
+    graft.plans.GraftExtensions.register(s)
+    s
   }
 
   test("regexp_extract_groups is callable from SQL") {

@@ -17,7 +17,10 @@ class MaillogDaemonSpec extends SparkSpec {
         "Jan 02 03:04:05 mx1 postfix/smtpd[101]: AB1: client=host1.example.com[10.0.0.1]",
         "Jan 02 03:04:06 mx1 postfix/qmgr[102]: AB1: from=<a@example.com>, size=100, nrcpt=1 (queue active)",
         "Jan 02 03:04:07 mx1 postfix/smtp[103]: AB1: to=<b@example.org>, relay=r.example.net[10.1.0.1]:25, delay=1.5, delays=0.1/0.2/0.3/0.4, dsn=2.0.0, status=sent (250 ok)",
-        "Jan 02 03:04:08 mx1 postfix/smtpd[101]: AB1: client=host1.example.com[10.0.0.1]"
+        "Jan 02 03:04:08 mx1 postfix/smtpd[101]: AB1: client=host1.example.com[10.0.0.1]",
+        // exact duplicate of the first line: logs must dedup it,
+        // clients must still count it (reference semantics)
+        "Jan 02 03:04:05 mx1 postfix/smtpd[101]: AB1: client=host1.example.com[10.0.0.1]"
       ).mkString("\n").getBytes)
 
     val qs = MaillogDaemon.start(spark,
@@ -26,13 +29,14 @@ class MaillogDaemonSpec extends SparkSpec {
     qs.foreach(_.awaitTermination())
 
     val logs = spark.read.parquet(s"$out/pfmaillog2db_logs")
-    assert(logs.count() === 4)
+    assert(logs.count() === 4, "duplicate raw line deduped in-stream")
     assert(logs.columns.contains("log_processid"))
 
     val clients = spark.read.parquet(s"$out/pfmaillog2db_clients")
     val c = clients.orderBy(org.apache.spark.sql.functions.col("n_seen").desc).first()
     assert(c.getAs[String]("client_rdns") === "host1.example.com")
-    assert(c.getAs[Long]("n_seen") === 2L, "two smtpd lines for the same client")
+    assert(c.getAs[Long]("n_seen") === 3L,
+      "all three smtpd lines count toward the client (dup only skips logs)")
 
     val messages = spark.read.parquet(s"$out/pfmaillog2db_messages")
     val m = messages.orderBy(org.apache.spark.sql.functions.col("n_lines").desc).first()
