@@ -39,6 +39,8 @@ object SparkEntry {
     "q15_interval_join" -> (Analytics2.q15IntervalJoin _),
     "q16_set_ops" -> (Analytics2.q16SetOps _),
     "q17_sample" -> (Analytics2.q17Sample _),
+    "q18_cube" -> (Analytics2.q18Cube _),
+    "q19_above_avg" -> (Analytics2.q19AboveAvg _),
     "qa01_approx_sketches" -> (Analytics2.qa01ApproxSketches _),
     "t05_tfidf" -> (TextAnalysis.t05TfIdf _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),

@@ -71,6 +71,33 @@ object Analytics2 {
       .select("c_custkey", "c_mktsegment", "c_nationkey")
       .orderBy("c_custkey")
 
+  /** q18: CUBE over two dimensions (all grouping-set combinations). */
+  def q18Cube(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy("nation", "segment")
+  }
+
+  /** q19: correlated-aggregate filter — customers above their
+    * nation's average balance (decorrelated to agg + join, the plan
+    * Catalyst produces for the subquery form). */
+  def q19AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val na = c.groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    c.join(broadcast(na), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select("c_custkey", "c_nationkey", "c_acctbal", "avg_bal")
+      .orderBy("c_custkey")
+  }
+
   /** qa01: approximate sketches — HLL distinct + quantile sketch per
     * event_type. No cross-engine oracle exists for sketch internals
     * (rows-only check); the exact counterparts are q05/q12. */
@@ -114,6 +141,24 @@ object Analytics2 {
           |  EXCEPT
           |  SELECT o_custkey FROM orders) e
           |ORDER BY bucket, c_custkey""".stripMargin,
+
+      "q18_cube" ->
+        """SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(c_mktsegment, 'ALL') AS segment,
+          |  COUNT(*) AS n_cust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY CUBE(n_name, c_mktsegment)
+          |ORDER BY nation, segment""".stripMargin,
+
+      "q19_above_avg" ->
+        """WITH na AS (
+          |  SELECT c_nationkey AS nk,
+          |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+          |  FROM customer GROUP BY c_nationkey)
+          |SELECT c_custkey, c_nationkey, c_acctbal, avg_bal
+          |FROM customer JOIN na ON c_nationkey = nk
+          |WHERE c_acctbal > avg_bal
+          |ORDER BY c_custkey""".stripMargin,
 
       "q17_sample" ->
         """SELECT c_custkey, c_mktsegment, c_nationkey

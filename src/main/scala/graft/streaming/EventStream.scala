@@ -20,4 +20,25 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
   }
+
+  /** Stream-stream interval join: clicks matched to the same user's
+    * purchases within the next 10 minutes. Watermarks on both sides
+    * bound the join state; the event-time range condition lets Spark
+    * evict rows once the other side's watermark passes. Works on
+    * batch DataFrames too (same rows as the banded q15 operator). */
+  def clickPurchaseJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    def side(t: String, idCol: String, tsCol: String): DataFrame = {
+      val s = events.filter(col("event_type") === t)
+        .select(col("event_id").as(idCol), col("user_id"), col("ts").as(tsCol))
+      if (s.isStreaming) s.withWatermark(tsCol, watermark) else s
+    }
+    val clicks = side("click", "a_id", "a_ts")
+    val purchases = side("purchase", "b_id", "b_ts").withColumnRenamed("user_id", "b_user")
+    clicks.join(purchases,
+        col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("a_id"), col("b_id"), col("user_id"),
+        ((unix_micros(col("b_ts")) - unix_micros(col("a_ts"))) / lit(1000000.0)).as("gap_s"))
+  }
 }

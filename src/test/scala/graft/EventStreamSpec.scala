@@ -33,4 +33,30 @@ class EventStreamSpec extends SparkSpec {
     assert(got.length === want.length)
     assert(got.sameElements(want))
   }
+
+  test("stream-stream interval join equals batch and the banded q15") {
+    val dir = Files.createTempDirectory("evjoin").toString
+    val batchEvents = Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+
+    val q = EventStream.clickPurchaseJoin(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("ssjoin").orderBy("a_id", "b_id").collect()
+    val batch = EventStream.clickPurchaseJoin(batchEvents)
+      .orderBy("a_id", "b_id").collect()
+    assert(got.sameElements(batch), "stream replay == batch")
+
+    val banded = graft.operators.Analytics2.q15IntervalJoin(spark, sf)
+      .select("a_id", "b_id", "user_id", "gap_s")
+      .orderBy("a_id", "b_id").collect()
+    assert(batch.sameElements(banded), "interval-join == banded q15 operator")
+  }
 }
