@@ -65,9 +65,10 @@ object TextFns {
   def quantize(embedding: Column): Column =
     transform(embedding, x => round(x.cast("double") * 10000).cast("long"))
 
-  /** Exact int64 dot product of two quantized vectors. */
+  /** Exact int64 dot product of two quantized vectors (codegen'd
+    * native expression; see [[graft.plans.LongArrayDot]]). */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.plans.LongArrayDot(a, b)
 
   /** Exact int64 squared norm. */
   def qnorm2(a: Column): Column = qdot(a, a)

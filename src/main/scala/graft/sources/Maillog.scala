@@ -17,9 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Maillog {
 
-  /** Batch read of an existing maillog file/directory. */
+  /** Batch read of an existing maillog file/directory. Compressed
+    * rotations (.gz etc.) are decoded transparently by the text
+    * source. */
   def readLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).withColumnRenamed("value", "line")
+
+  /** JSON-lines-shipped logs (filebeat/journald export style): the
+    * raw syslog line travels in `field`. */
+  def readJsonLines(spark: SparkSession, path: String,
+                    field: String = "message"): DataFrame =
+    spark.read.json(path).select(col(field).as("line"))
+
+  /** CSV-shipped logs with a header; the raw line in `field`. */
+  def readCsvLines(spark: SparkSession, path: String,
+                   field: String = "message"): DataFrame =
+    spark.read.option("header", "true").csv(path).select(col(field).as("line"))
 
   /** One deterministic Postfix line per event. Queue ids are taken
     * mod 311 so ids recur across events and the message-merge
