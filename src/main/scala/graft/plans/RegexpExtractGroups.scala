@@ -3,7 +3,7 @@ package graft.plans
 import java.util.regex.Pattern
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * once per task, like the built-in regexp expressions.
   */
 case class RegexpExtractGroups(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true
@@ -30,7 +30,8 @@ case class RegexpExtractGroups(left: Expression, right: Expression)
   @transient private lazy val pattern: Pattern =
     Pattern.compile(right.eval().toString)
 
-  override protected def nullSafeEval(subject: Any, regex: Any): Any = {
+  /** Shared by interpreted and generated paths. */
+  def extract(subject: UTF8String): GenericArrayData = {
     val m = pattern.matcher(subject.toString)
     if (m.find()) {
       val out = new Array[Any](m.groupCount() + 1)
@@ -42,6 +43,23 @@ case class RegexpExtractGroups(left: Expression, right: Expression)
       }
       new GenericArrayData(out)
     } else null
+  }
+
+  override protected def nullSafeEval(subject: Any, regex: Any): Any =
+    extract(subject.asInstanceOf[UTF8String])
+
+  /** Stays inside whole-stage codegen: the generated code calls back
+    * into [[extract]] through a bound reference (the regex work
+    * dominates; what matters is not collapsing the whole projection
+    * out of the codegen stage the way CodegenFallback does). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftRegexGroups", this,
+      classOf[RegexpExtractGroups].getName)
+    nullSafeCodeGen(ctx, ev, (subject, _) =>
+      s"""
+         |${ev.value} = $ref.extract($subject);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(
