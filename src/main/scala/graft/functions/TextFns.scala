@@ -47,10 +47,13 @@ object TextFns {
       .distinct()
 
   /** Rank vocabulary: term → dense 1-based id, ordered by term.
-    * Deterministic across engines; see scale note above. */
+    * Deterministic across engines; see scale note above. Broadcast
+    * hint: the distinct-term set is orders of magnitude smaller than
+    * the corpus it joins back onto (drop the hint if a corpus's
+    * vocabulary outgrows the broadcast threshold). */
   def vocab(terms: DataFrame): DataFrame =
-    terms.select("term").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("term")).cast("long"))
+    broadcast(terms.select("term").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("term")).cast("long")))
 
   /** i-th member of the affine hash family applied to id x:
     * ((1103515245(i+1)+12345 mod P) · x + (69069(i+1)+1234567 mod P)) mod P */
