@@ -1,0 +1,53 @@
+package graft.api
+
+import graft.GraftSession
+import graft.operators._
+import graft.sources.{Maillog, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Typed records for the user-facing API. */
+case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+case class Embedding(vec_id: Long, embedding: Seq[Float], label: Int)
+case class DupGroup(h: String, keep_doc_id: Long, n_copies: Long, n_chars: Long)
+case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+case class Neighbor(q_id: Long, rank: Int, cand_id: Long, cos: Double)
+
+/** The front door for library users: typed `Dataset` views of the
+  * tables plus the operator families, bound to a session + data dir.
+  *
+  * A maillog2db user migrates like this:
+  *  - daemon: `graft.streaming.MaillogDaemon` (same flags);
+  *  - batch replay of an existing log: `maillogTables("/logs/dir")`;
+  *  - everything else (dedup/ANN/text/analytics) is gravy the Go
+  *    daemon never had.
+  */
+class Graft(val spark: SparkSession, dir: String) {
+  GraftSession.prepare(spark)
+  import spark.implicits._
+
+  def documents: Dataset[Doc] = Tables.documents(spark, dir).as[Doc]
+  def embeddings: Dataset[Embedding] = Tables.embeddings(spark, dir).as[Embedding]
+  def events: DataFrame = Tables.events(spark, dir)
+
+  /** The reference's four tables from a real maillog file/dir. */
+  def maillogTables(logPath: String): Map[String, DataFrame] = {
+    val parsed = Maillog.parsed(Maillog.readLines(spark, logPath))
+    Map(
+      "logs" -> parsed.distinct(),
+      "clients" -> graft.streaming.MaillogDaemon.clientUpdates(parsed).toDF(),
+      "messages" -> graft.streaming.MaillogStream
+        .messageUpdates(graft.streaming.MaillogStream.patches(parsed)).toDF(),
+      "deliveries" -> graft.streaming.MaillogDaemon.deliveryRows(parsed).distinct())
+  }
+
+  def exactDuplicates: Dataset[DupGroup] =
+    Dedup.d01ExactDedup(spark, dir).as[DupGroup]
+
+  def nearDuplicates: Dataset[NearDupPair] =
+    Dedup.d02MinhashLsh(spark, dir).as[NearDupPair]
+
+  def nearestNeighbors: Dataset[Neighbor] =
+    Similarity.s01AnnBrute(spark, dir).as[Neighbor]
+
+  def textQuality: DataFrame = TextAnalysis.t02Quality(spark, dir)
+}

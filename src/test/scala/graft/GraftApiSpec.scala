@@ -1,0 +1,38 @@
+package graft
+
+import graft.api.Graft
+import java.nio.file.Files
+
+class GraftApiSpec extends SparkSpec {
+
+  lazy val g = new Graft(spark, sf)
+
+  test("typed table views decode") {
+    assert(g.documents.head().text.nonEmpty)
+    assert(g.embeddings.head().embedding.length === 64)
+    assert(g.events.count() > 0)
+  }
+
+  test("operator families are reachable through the facade") {
+    assert(g.exactDuplicates.count() > 0)
+    assert(g.nearestNeighbors.filter(_.rank == 1).count() > 0)
+    assert(g.textQuality.columns.contains("quality"))
+  }
+
+  test("maillogTables replays a real log file into the four tables") {
+    val f = Files.createTempFile("maillog", ".log")
+    Files.write(f, Seq(
+      "Jan 02 03:04:05 mx1 postfix/smtpd[101]: AB1: client=h1.example.com[10.0.0.1]",
+      "Jan 02 03:04:06 mx1 postfix/qmgr[102]: AB1: from=<a@x.com>, size=9, nrcpt=1 (ok)",
+      "Jan 02 03:04:07 mx1 postfix/smtp[103]: AB1: to=<b@y.org>, relay=r[1.2.3.4]:25, delay=0.5, delays=0.1/0.1/0.1/0.2, dsn=2.0.0, status=sent (250 ok)"
+    ).mkString("\n").getBytes)
+    val t = g.maillogTables(f.toString)
+    assert(t("logs").count() === 3)
+    assert(t("clients").count() === 1)
+    assert(t("messages").count() === 1)
+    assert(t("deliveries").count() === 1)
+    val m = t("messages").first()
+    assert(m.getAs[String]("message_client") === "h1.example.com[10.0.0.1]")
+    assert(m.getAs[Long]("message_size") === 9L)
+  }
+}
