@@ -30,15 +30,27 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
     // best of two passes per query: first pass also warms that
-    // query's codegen/broadcast paths, min damps machine noise
-    def timeOnce(name: String): Double = {
+    // query's codegen/broadcast paths, min damps machine noise.
+    // A failing query reports -1 (and stderr), never a fake time.
+    def timeOnce(name: String): Option[Double] = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+      }
     }
     val results = headline.map { name =>
-      name -> math.min(timeOnce(name), timeOnce(name))
+      val t = (timeOnce(name).toSeq ++ timeOnce(name).toSeq)
+        .minOption.getOrElse(-1.0)
+      // operators persist() self-join inputs; drop them so later
+      // queries aren't timed against a polluted block manager
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -29,9 +29,12 @@ class Graft(val spark: SparkSession, dir: String) {
   def embeddings: Dataset[Embedding] = Tables.embeddings(spark, dir).as[Embedding]
   def events: DataFrame = Tables.events(spark, dir)
 
-  /** The reference's four tables from a real maillog file/dir. */
-  def maillogTables(logPath: String): Map[String, DataFrame] = {
-    val parsed = Maillog.parsed(Maillog.readLines(spark, logPath))
+  /** The reference's four tables from a real maillog file/dir.
+    * `year` fills the year Postfix timestamps omit (defaults to the
+    * wall clock, like the reference daemon). */
+  def maillogTables(logPath: String,
+                    year: Int = java.time.Year.now.getValue): Map[String, DataFrame] = {
+    val parsed = Maillog.parsed(Maillog.readLines(spark, logPath), year)
     Map(
       "logs" -> parsed.distinct(),
       "clients" -> graft.streaming.MaillogDaemon.clientUpdates(parsed).toDF(),

@@ -38,16 +38,9 @@ object MaillogParse {
   val CleanupRe: String = "^([a-zA-Z0-9]+):\\smessage-id=(.*)$"
 
   /** Postfix timestamps carry no year (maillog2db.go:444 injects the
-    * current year); graft takes it as a parameter for determinism. */
+    * current year); graft takes it as a parameter for determinism.
+    * The live header parse is [[graft.sources.Maillog.parsed]] (one
+    * regex pass via RegexpExtractGroups). */
   def pfTimestamp(tsStr: Column, year: Int): Column =
     to_timestamp(concat(lit(s"$year "), tsStr), "yyyy MMM dd HH:mm:ss")
-
-  /** line → (log_timestamp, log_mailhost, log_process, log_processid,
-    * log_message); rows not matching the header are dropped upstream. */
-  def header(line: Column, year: Int = 2024): Seq[Column] = Seq(
-    pfTimestamp(regexp_extract(line, HeaderRe, 1), year).as("log_timestamp"),
-    regexp_extract(line, HeaderRe, 2).as("log_mailhost"),
-    regexp_extract(line, HeaderRe, 3).as("log_process"),
-    regexp_extract(line, HeaderRe, 4).as("log_processid"),
-    regexp_extract(line, HeaderRe, 5).as("log_message"))
 }

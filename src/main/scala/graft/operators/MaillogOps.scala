@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object MaillogOps {
 
   private def parsedLogs(spark: SparkSession, dir: String): DataFrame =
-    Maillog.parsed(Maillog.synthesizeLines(spark, dir))
+    Maillog.parsed(Maillog.synthesizeLines(spark, dir), Maillog.SynthYear)
 
 
   /** m01: the raw `logs` table. */

@@ -18,9 +18,16 @@ object Skew {
     * `small` is replicated `buckets`× — keep it the dimension side.
     * Deterministic: salt is a hash of the big side's whole row key
     * context, not an RNG. */
+  private val BigSidePreserving =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // the small side is replicated buckets×, so any join type that
+    // preserves unmatched small-side rows would emit them per salt
+    require(BigSidePreserving(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(buckets)).cast("int"))
     val replicated = small

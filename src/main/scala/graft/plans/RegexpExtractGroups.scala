@@ -2,6 +2,7 @@ package graft.plans
 
 import java.util.regex.Pattern
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -26,6 +27,19 @@ case class RegexpExtractGroups(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true
   override def prettyName: String = "regexp_extract_groups"
+
+  /** Analysis-time validation — a non-foldable or NULL pattern must
+    * fail cleanly, not as an executor-side eval error. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != StringType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got (${left.dataType}, ${right.dataType})")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName pattern must be a literal")
+    else if (right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName pattern must not be NULL")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   @transient private lazy val pattern: Pattern =
     Pattern.compile(right.eval().toString)

@@ -86,10 +86,17 @@ object Maillog {
       lit("["), pid, lit("]: "), rest).as("line"))
   }
 
+  /** Year the synthesized benchmark corpus lives in (events data is
+    * 2024) — the oracle pins it for determinism. */
+  val SynthYear = 2024
+
   /** Header-parse a `line` DataFrame; non-matching lines dropped
     * (reference skips them, maillog2db.go:181). Pure projection, one
-    * regex pass per line via [[graft.plans.RegexpExtractGroups]]. */
-  def parsed(lines: DataFrame, year: Int = 2024): DataFrame = {
+    * regex pass per line via [[graft.plans.RegexpExtractGroups]].
+    * `year` fills the year Postfix omits; defaults to the wall clock
+    * like the reference (maillog2db.go:444). */
+  def parsed(lines: DataFrame,
+             year: Int = java.time.Year.now.getValue): DataFrame = {
     import graft.plans.RegexpExtractGroups.regexpGroups
     lines
       .select(regexpGroups(col("line"), MaillogParse.HeaderRe).as("g"))

@@ -80,22 +80,36 @@ object MaillogDaemon {
       checkpoint: String = "/tmp/graft-maillog-ckpt",
       dbhost: String = "", dbport: Int = 3306, dbuser: String = "username",
       dbpass: String = "password", dbname: String = "databasename",
-      stateTtlMs: Long = 0L, debug: Boolean = false)
+      stateTtlMs: Long = 0L, debug: Boolean = false,
+      // reference injects the wall-clock year (maillog2db.go:444);
+      // override for replaying archived logs deterministically
+      year: Int = java.time.Year.now.getValue)
 
-  private def parseArgs(args: Array[String]): Conf =
-    args.sliding(2, 2).foldLeft(Conf()) {
-      case (c, Array("-maillog", v)) => c.copy(maillog = v)
-      case (c, Array("-out", v)) => c.copy(out = v)
-      case (c, Array("-checkpoint", v)) => c.copy(checkpoint = v)
-      case (c, Array("-dbhost", v)) => c.copy(dbhost = v)
-      case (c, Array("-dbport", v)) => c.copy(dbport = v.toInt)
-      case (c, Array("-dbuser", v)) => c.copy(dbuser = v)
-      case (c, Array("-dbpass", v)) => c.copy(dbpass = v)
-      case (c, Array("-dbname", v)) => c.copy(dbname = v)
-      case (c, Array("-state-ttl-ms", v)) => c.copy(stateTtlMs = v.toLong)
-      case (c, Array("-debug", v)) => c.copy(debug = v.toBoolean)
-      case (c, _) => c
+  /** Go-flag-style parsing: `-debug` may appear bare (like the
+    * reference CLI); value flags consume the next token. */
+  private[streaming] def parseArgs(args: Array[String]): Conf = {
+    @annotation.tailrec
+    def go(rest: List[String], c: Conf): Conf = rest match {
+      case "-debug" :: v :: t if v == "true" || v == "false" =>
+        go(t, c.copy(debug = v.toBoolean))
+      case "-debug" :: t => go(t, c.copy(debug = true))
+      case "-maillog" :: v :: t => go(t, c.copy(maillog = v))
+      case "-out" :: v :: t => go(t, c.copy(out = v))
+      case "-checkpoint" :: v :: t => go(t, c.copy(checkpoint = v))
+      case "-dbhost" :: v :: t => go(t, c.copy(dbhost = v))
+      case "-dbport" :: v :: t => go(t, c.copy(dbport = v.toInt))
+      case "-dbuser" :: v :: t => go(t, c.copy(dbuser = v))
+      case "-dbpass" :: v :: t => go(t, c.copy(dbpass = v))
+      case "-dbname" :: v :: t => go(t, c.copy(dbname = v))
+      case "-state-ttl-ms" :: v :: t => go(t, c.copy(stateTtlMs = v.toLong))
+      case "-year" :: v :: t => go(t, c.copy(year = v.toInt))
+      case unknown :: t =>
+        System.err.println(s"[maillog-daemon] ignoring unknown flag: $unknown")
+        go(t, c)
+      case Nil => c
     }
+    go(args.toList, Conf())
+  }
 
   /** Sink factory: JDBC upsert when a db host is configured, parquet
     * append otherwise. */
@@ -109,7 +123,7 @@ object MaillogDaemon {
   def start(spark: SparkSession, c0: Conf = Conf(), args: Array[String] = Array(),
             trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] = {
     val c = if (args.nonEmpty) parseArgs(args) else c0
-    val parsed = MaillogStream.parsedStream(spark, c.maillog).toDF()
+    val parsed = MaillogStream.parsedStream(spark, c.maillog, c.year).toDF()
     def ckpt(t: String) = s"${c.checkpoint}/$t"
 
     // insert-if-absent (maillog2db.go:283-306) done in-stream: keyed

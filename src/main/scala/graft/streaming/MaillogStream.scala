@@ -51,11 +51,14 @@ object MaillogStream {
       message_statusext: Option[String], message_client: Option[String],
       message_id: Option[String], n_lines: Long)
 
-  /** Streaming source: follow `path` for new log files. */
-  def parsedStream(spark: SparkSession, path: String): Dataset[ParsedLine] = {
+  /** Streaming source: follow `path` for new log files. `year` fills
+    * the year Postfix timestamps omit (reference uses the wall clock,
+    * maillog2db.go:444 — same default here). */
+  def parsedStream(spark: SparkSession, path: String,
+                   year: Int = java.time.Year.now.getValue): Dataset[ParsedLine] = {
     import spark.implicits._
     Maillog.parsed(
-      spark.readStream.text(path).withColumnRenamed("value", "line"))
+      spark.readStream.text(path).withColumnRenamed("value", "line"), year)
       .as[ParsedLine]
   }
 

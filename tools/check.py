@@ -39,12 +39,16 @@ def values_equal(a, b):
             return False
     except (TypeError, ValueError):
         pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            return float(a) == float(b) or (math.isnan(float(a)) and math.isnan(float(b)))
-        except (TypeError, ValueError):
-            return False
-    return a == b or str(a) == str(b)
+    import numbers
+    if isinstance(a, numbers.Number) and isinstance(b, numbers.Number):
+        fa, fb = float(a), float(b)
+        return fa == fb or (math.isnan(fa) and math.isnan(fb))
+    # cross-type equality (e.g. "42" vs 42) must FAIL: type drift
+    # between engines is exactly what this gate exists to catch
+    if type(a).__name__ != type(b).__name__ and not (
+            hasattr(a, "isoformat") and hasattr(b, "isoformat")):
+        return False
+    return a == b
 
 
 def main():
