@@ -41,6 +41,7 @@ object SparkEntry {
     "q17_sample" -> (Analytics2.q17Sample _),
     "q18_cube" -> (Analytics2.q18Cube _),
     "q19_above_avg" -> (Analytics2.q19AboveAvg _),
+    "q20_dataset_split" -> (Analytics2.q20DatasetSplit _),
     "qa01_approx_sketches" -> (Analytics2.qa01ApproxSketches _),
     "t05_tfidf" -> (TextAnalysis.t05TfIdf _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),

@@ -98,6 +98,21 @@ object Analytics2 {
       .orderBy("c_custkey")
   }
 
+  /** q20: deterministic stratified train/val/test split (80/10/10 by
+    * multiplicative hash of the stable id) — reproducible across
+    * engines, runs, and cluster sizes; counted per (source, split). */
+  def q20DatasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", (col("doc_id") * 2654435761L) % 4294967296L)
+      .withColumn("split",
+        when(col("h") % 10 === 0, "test")
+          .when(col("h") % 10 === 1, "val")
+          .otherwise("train"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n"),
+           sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "split")
+
   /** qa01: approximate sketches — HLL distinct + quantile sketch per
     * event_type. No cross-engine oracle exists for sketch internals
     * (rows-only check); the exact counterparts are q05/q12. */
@@ -159,6 +174,15 @@ object Analytics2 {
           |FROM customer JOIN na ON c_nationkey = nk
           |WHERE c_acctbal > avg_bal
           |ORDER BY c_custkey""".stripMargin,
+
+      "q20_dataset_split" ->
+        """SELECT source,
+          |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 0 THEN 'test'
+          |       WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 1 THEN 'val'
+          |       ELSE 'train' END AS split,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
       "q17_sample" ->
         """SELECT c_custkey, c_mktsegment, c_nationkey

@@ -76,6 +76,7 @@ object MaillogDaemon {
 
   case class Conf(
       maillog: String = "/var/log/maillog",
+      logfile: String = "", // reference: program log next to binary
       out: String = "/tmp/graft-maillog",
       checkpoint: String = "/tmp/graft-maillog-ckpt",
       dbhost: String = "", dbport: Int = 3306, dbuser: String = "username",
@@ -84,6 +85,24 @@ object MaillogDaemon {
       // reference injects the wall-clock year (maillog2db.go:444);
       // override for replaying archived logs deterministically
       year: Int = java.time.Year.now.getValue)
+
+  /** The reference's `-logfile` program log, streaming-native: one
+    * JSON line per micro-batch progress event plus lifecycle events
+    * (maillog2db.go:119,130-140). */
+  private class ProgressLogger(path: String)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private def log(line: String): Unit = synchronized {
+      val w = new java.io.FileWriter(path, true)
+      try w.write(line + "\n") finally w.close()
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      log(s"""{"event":"started","query":"${e.name}","id":"${e.id}"}""")
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      log(e.progress.json)
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      log(s"""{"event":"terminated","id":"${e.id}","exception":${e.exception.map("\"" + _ + "\"").getOrElse("null")}}""")
+  }
 
   /** Go-flag-style parsing: `-debug` may appear bare (like the
     * reference CLI); value flags consume the next token. */
@@ -94,6 +113,7 @@ object MaillogDaemon {
         go(t, c.copy(debug = v.toBoolean))
       case "-debug" :: t => go(t, c.copy(debug = true))
       case "-maillog" :: v :: t => go(t, c.copy(maillog = v))
+      case "-logfile" :: v :: t => go(t, c.copy(logfile = v))
       case "-out" :: v :: t => go(t, c.copy(out = v))
       case "-checkpoint" :: v :: t => go(t, c.copy(checkpoint = v))
       case "-dbhost" :: v :: t => go(t, c.copy(dbhost = v))
@@ -123,6 +143,8 @@ object MaillogDaemon {
   def start(spark: SparkSession, c0: Conf = Conf(), args: Array[String] = Array(),
             trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] = {
     val c = if (args.nonEmpty) parseArgs(args) else c0
+    if (c.logfile.nonEmpty)
+      spark.streams.addListener(new ProgressLogger(c.logfile))
     val parsed = MaillogStream.parsedStream(spark, c.maillog, c.year).toDF()
     def ckpt(t: String) = s"${c.checkpoint}/$t"
 
@@ -133,13 +155,15 @@ object MaillogDaemon {
     val logs = parsed
       .withWatermark("log_timestamp", "1 hour")
       .dropDuplicates(logCols)
-      .writeStream.outputMode(OutputMode.Append)
+      .writeStream.queryName("pfmaillog2db_logs")
+      .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt("logs")).trigger(trigger)
       .foreachBatch(sinkFor(c, "pfmaillog2db_logs", logCols))
       .start()
 
     val clients = clientUpdates(parsed).toDF()
-      .writeStream.outputMode(OutputMode.Update)
+      .writeStream.queryName("pfmaillog2db_clients")
+      .outputMode(OutputMode.Update)
       .option("checkpointLocation", ckpt("clients")).trigger(trigger)
       .foreachBatch(sinkFor(c, "pfmaillog2db_clients",
         Seq("client", "client_rdns", "client_addr")))
@@ -147,13 +171,15 @@ object MaillogDaemon {
 
     val messages = MaillogStream
       .messageUpdates(MaillogStream.patches(parsed), c.stateTtlMs).toDF()
-      .writeStream.outputMode(OutputMode.Update)
+      .writeStream.queryName("pfmaillog2db_messages")
+      .outputMode(OutputMode.Update)
       .option("checkpointLocation", ckpt("messages")).trigger(trigger)
       .foreachBatch(sinkFor(c, "pfmaillog2db_messages", Seq("message_queueid")))
       .start()
 
     val deliveries = deliveryRows(parsed)
-      .writeStream.outputMode(OutputMode.Append)
+      .writeStream.queryName("pfmaillog2db_deliveries")
+      .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt("deliveries")).trigger(trigger)
       .foreachBatch(sinkFor(c, "pfmaillog2db_deliveries",
         Seq("delivery_timestamp", "delivery_queueid", "delivery_to", "delivery_relay",

@@ -23,10 +23,18 @@ class MaillogDaemonSpec extends SparkSpec {
         "Jan 02 03:04:05 mx1 postfix/smtpd[101]: AB1: client=host1.example.com[10.0.0.1]"
       ).mkString("\n").getBytes)
 
+    val logfile = Files.createTempFile("daemon", ".log").toString
     val qs = MaillogDaemon.start(spark,
-      args = Array("-maillog", dir, "-out", out, "-checkpoint", ckpt),
+      args = Array("-maillog", dir, "-out", out, "-checkpoint", ckpt,
+        "-logfile", logfile, "-year", "2024"),
       trigger = Trigger.AvailableNow())
     qs.foreach(_.awaitTermination())
+
+    val progressLog = scala.io.Source.fromFile(logfile).getLines().toSeq
+    assert(progressLog.count(_.contains("\"event\":\"started\"")) === 4,
+      "one started event per table stream in the -logfile program log")
+    assert(progressLog.exists(_.contains("numInputRows")),
+      "micro-batch progress lines present")
 
     val logs = spark.read.parquet(s"$out/pfmaillog2db_logs")
     assert(logs.count() === 4, "duplicate raw line deduped in-stream")
