@@ -59,6 +59,7 @@ object SparkEntry {
     "d03_simhash" -> (Dedup.d03Simhash _),
     "d04_ngram_jaccard" -> (Dedup.d04NgramJaccard _),
     "d05_embedding_neardup" -> (Dedup.d05EmbeddingNeardup _),
+    "d06_contamination" -> (Dedup.d06Contamination _),
     "s01_ann_brute" -> (Similarity.s01AnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),

@@ -146,6 +146,32 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** d06: train/test contamination — test-split documents sharing
+    * enough 3-gram shingles with any train-split document (the
+    * decontamination check run before training). Uses the q20 split
+    * hash; the shingle equi-join bounds candidates exactly like d04. */
+  def d06Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("split",
+        when((col("doc_id") * 2654435761L) % 4294967296L % 10 === 0, "test")
+          .when((col("doc_id") * 2654435761L) % 4294967296L % 10 === 1, "val")
+          .otherwise("train"))
+    val sh = docShingles(docs).join(docs.select("doc_id", "split"), "doc_id")
+    val test = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("term"))
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("term"))
+    val testSize = test.groupBy("test_doc").agg(count(lit(1)).as("n_test"))
+    test.join(train, "term")
+      .groupBy("test_doc", "train_doc")
+      .agg(count(lit(1)).as("overlap"))
+      .join(testSize, "test_doc")
+      .withColumn("contamination", col("overlap").cast("double") / col("n_test"))
+      .filter(col("contamination") >= 0.5)
+      .select("test_doc", "train_doc", "overlap", "n_test", "contamination")
+      .orderBy("test_doc", "train_doc")
+  }
+
   val oracles: Map[String, String] = {
     val shCte =
       """sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
@@ -204,6 +230,25 @@ object Dedup {
           |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
           |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
           |ORDER BY doc_a, doc_b""".stripMargin),
+
+      "d06_contamination" ->
+        ("WITH " + shCte + """,
+          |ds AS (SELECT doc_id,
+          |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 0 THEN 'test'
+          |       WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 1 THEN 'val'
+          |       ELSE 'train' END AS split
+          |  FROM documents),
+          |shs AS (SELECT sh.doc_id, term, split FROM sh JOIN ds USING (doc_id)),
+          |tst AS (SELECT doc_id AS test_doc, term FROM shs WHERE split = 'test'),
+          |trn AS (SELECT doc_id AS train_doc, term FROM shs WHERE split = 'train'),
+          |sz AS (SELECT test_doc, COUNT(*) AS n_test FROM tst GROUP BY 1),
+          |ov AS (SELECT test_doc, train_doc, COUNT(*) AS overlap
+          |       FROM tst JOIN trn USING (term) GROUP BY 1, 2)
+          |SELECT test_doc, train_doc, overlap, n_test,
+          |  CAST(overlap AS DOUBLE) / n_test AS contamination
+          |FROM ov JOIN sz USING (test_doc)
+          |WHERE CAST(overlap AS DOUBLE) / n_test >= 0.5
+          |ORDER BY test_doc, train_doc""".stripMargin),
 
       "d05_embedding_neardup" ->
         """WITH q AS (SELECT vec_id, label,
