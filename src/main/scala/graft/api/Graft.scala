@@ -33,7 +33,7 @@ class Graft(val spark: SparkSession, dir: String) {
     * `year` fills the year Postfix timestamps omit (defaults to the
     * wall clock, like the reference daemon). */
   def maillogTables(logPath: String,
-                    year: Int = java.time.Year.now.getValue): Map[String, DataFrame] = {
+                    year: Int = 0): Map[String, DataFrame] = {
     val parsed = Maillog.parsed(Maillog.readLines(spark, logPath), year)
     Map(
       "logs" -> parsed.distinct(),

@@ -66,7 +66,7 @@ object Analytics2 {
     * training-data pipeline pins its samples. ~20% per segment. */
   def q17Sample(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .withColumn("h", (col("c_custkey") * 2654435761L) % 4294967296L)
+      .withColumn("h", pmod(col("c_custkey") * 2654435761L, lit(4294967296L)))
       .filter(col("h") % 100 < 20)
       .select("c_custkey", "c_mktsegment", "c_nationkey")
       .orderBy("c_custkey")
@@ -103,7 +103,7 @@ object Analytics2 {
     * engines, runs, and cluster sizes; counted per (source, split). */
   def q20DatasetSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("h", (col("doc_id") * 2654435761L) % 4294967296L)
+      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
       .withColumn("split",
         when(col("h") % 10 === 0, "test")
           .when(col("h") % 10 === 1, "val")

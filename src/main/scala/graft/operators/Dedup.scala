@@ -153,8 +153,8 @@ object Dedup {
   def d06Contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("split",
-        when((col("doc_id") * 2654435761L) % 4294967296L % 10 === 0, "test")
-          .when((col("doc_id") * 2654435761L) % 4294967296L % 10 === 1, "val")
+        when(pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 10 === 0, "test")
+          .when(pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 10 === 1, "val")
           .otherwise("train"))
     val sh = docShingles(docs).join(docs.select("doc_id", "split"), "doc_id")
     val test = sh.filter(col("split") === "test")

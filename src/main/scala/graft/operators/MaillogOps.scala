@@ -66,11 +66,17 @@ object MaillogOps {
     import graft.plans.RegexpExtractGroups.regexpGroups
     val p = parsedLogs(spark, dir)
     val msg = col("log_message")
+    // substring pre-filters are necessary conditions of each branch
+    // regex ("from=" must appear for QmgrRe to match — markers omit
+    // the separator, which the regex allows to be any \s), so the
+    // expensive regex runs only on candidate lines, semantics intact
+    def gated(marker: String, re: String) =
+      when(instr(msg, marker) > 0, regexpGroups(msg, re))
     val withG = p.select(
         col("log_timestamp"), col("log_mailhost"), msg,
-        regexpGroups(msg, QmgrRe).as("gq"),
-        regexpGroups(msg, SmtpdRe).as("gc"),
-        regexpGroups(msg, CleanupRe).as("gm"))
+        gated("from=", QmgrRe).as("gq"),
+        gated("client=", SmtpdRe).as("gc"),
+        gated("message-id=", CleanupRe).as("gm"))
       .withColumn("qid", coalesce(col("gq").getItem(1),
         col("gc").getItem(1), col("gm").getItem(1)))
       .filter(col("qid").isNotNull)
@@ -107,7 +113,9 @@ object MaillogOps {
   private def deliveries(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.RegexpExtractGroups.regexpGroups
     val p = parsedLogs(spark, dir)
-    p.select(col("log_timestamp"), regexpGroups(col("log_message"), SmtpRe).as("g"))
+    val msg = col("log_message")
+    p.select(col("log_timestamp"),
+        when(instr(msg, "to=") > 0, regexpGroups(msg, SmtpRe)).as("g"))
       .filter(col("g").isNotNull)
       .select(
         col("log_timestamp").as("delivery_timestamp"),

@@ -19,7 +19,7 @@ object Skew {
     * Deterministic: salt is a hash of the big side's whole row key
     * context, not an RNG. */
   private val BigSidePreserving =
-    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int, joinType: String = "inner"): DataFrame = {

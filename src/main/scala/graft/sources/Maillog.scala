@@ -93,16 +93,24 @@ object Maillog {
   /** Header-parse a `line` DataFrame; non-matching lines dropped
     * (reference skips them, maillog2db.go:181). Pure projection, one
     * regex pass per line via [[graft.plans.RegexpExtractGroups]].
-    * `year` fills the year Postfix omits; defaults to the wall clock
-    * like the reference (maillog2db.go:444). */
-  def parsed(lines: DataFrame,
-             year: Int = java.time.Year.now.getValue): DataFrame = {
+    *
+    * `year` fills the year Postfix omits. `0` (the default) means
+    * "wall clock at parse time" — like the reference
+    * (maillog2db.go:444), and evaluated per micro-batch in streaming
+    * so a long-running daemon rolls over New Year correctly instead
+    * of freezing on its startup year. */
+  def parsed(lines: DataFrame, year: Int = 0): DataFrame = {
     import graft.plans.RegexpExtractGroups.regexpGroups
+    val yearCol =
+      if (year > 0) lit(year.toString)
+      else date_format(current_timestamp(), "yyyy")
     lines
       .select(regexpGroups(col("line"), MaillogParse.HeaderRe).as("g"))
       .filter(col("g").isNotNull)
       .select(
-        MaillogParse.pfTimestamp(col("g").getItem(1), year).as("log_timestamp"),
+        to_timestamp(
+          concat(yearCol, lit(" "), col("g").getItem(1)),
+          "yyyy MMM dd HH:mm:ss").as("log_timestamp"),
         col("g").getItem(2).as("log_mailhost"),
         col("g").getItem(3).as("log_process"),
         col("g").getItem(4).as("log_processid"),

@@ -82,9 +82,10 @@ object MaillogDaemon {
       dbhost: String = "", dbport: Int = 3306, dbuser: String = "username",
       dbpass: String = "password", dbname: String = "databasename",
       stateTtlMs: Long = 0L, debug: Boolean = false,
+      maxFilesPerTrigger: Int = 0,
       // reference injects the wall-clock year (maillog2db.go:444);
       // override for replaying archived logs deterministically
-      year: Int = java.time.Year.now.getValue)
+      year: Int = 0)
 
   /** The reference's `-logfile` program log, streaming-native: one
     * JSON line per micro-batch progress event plus lifecycle events
@@ -92,17 +93,39 @@ object MaillogDaemon {
   private class ProgressLogger(path: String)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     private def log(line: String): Unit = synchronized {
       val w = new java.io.FileWriter(path, true)
       try w.write(line + "\n") finally w.close()
     }
     override def onQueryStarted(e: QueryStartedEvent): Unit =
-      log(s"""{"event":"started","query":"${e.name}","id":"${e.id}"}""")
+      log(s"""{"event":"started","query":${jstr(String.valueOf(e.name))},"id":"${e.id}"}""")
     override def onQueryProgress(e: QueryProgressEvent): Unit =
       log(e.progress.json)
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-      log(s"""{"event":"terminated","id":"${e.id}","exception":${e.exception.map("\"" + _ + "\"").getOrElse("null")}}""")
+      log(s"""{"event":"terminated","id":"${e.id}","exception":${e.exception.map(jstr).getOrElse("null")}}""")
   }
+
+  // one logger per (session, logfile): a restart of start() must not
+  // stack listeners (duplicated lines, stale files held forever)
+  private val loggers =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ProgressLogger]
+
+  private def installLogger(spark: SparkSession, path: String): Unit =
+    loggers.synchronized {
+      loggers.remove((spark, path)).foreach(spark.streams.removeListener)
+      val l = new ProgressLogger(path)
+      loggers((spark, path)) = l
+      spark.streams.addListener(l)
+    }
 
   /** Go-flag-style parsing: `-debug` may appear bare (like the
     * reference CLI); value flags consume the next token. */
@@ -123,9 +146,16 @@ object MaillogDaemon {
       case "-dbname" :: v :: t => go(t, c.copy(dbname = v))
       case "-state-ttl-ms" :: v :: t => go(t, c.copy(stateTtlMs = v.toLong))
       case "-year" :: v :: t => go(t, c.copy(year = v.toInt))
-      case unknown :: t =>
-        System.err.println(s"[maillog-daemon] ignoring unknown flag: $unknown")
-        go(t, c)
+      case "-max-files-per-trigger" :: v :: t => go(t, c.copy(maxFilesPerTrigger = v.toInt))
+      case flag :: Nil if flag.startsWith("-") =>
+        // value flag with its argument missing
+        throw new IllegalArgumentException(
+          s"flag $flag requires a value (usage: see MaillogDaemon scaladoc)")
+      case unknown :: _ =>
+        // fail loudly like the reference's Go flag package — a typo'd
+        // -maillog must not silently watch the default path
+        throw new IllegalArgumentException(
+          s"unknown flag: $unknown (usage: see MaillogDaemon scaladoc)")
       case Nil => c
     }
     go(args.toList, Conf())
@@ -144,8 +174,8 @@ object MaillogDaemon {
             trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] = {
     val c = if (args.nonEmpty) parseArgs(args) else c0
     if (c.logfile.nonEmpty)
-      spark.streams.addListener(new ProgressLogger(c.logfile))
-    val parsed = MaillogStream.parsedStream(spark, c.maillog, c.year).toDF()
+      installLogger(spark, c.logfile)
+    val parsed = MaillogStream.parsedStream(spark, c.maillog, c.year, c.maxFilesPerTrigger).toDF()
     def ckpt(t: String) = s"${c.checkpoint}/$t"
 
     // insert-if-absent (maillog2db.go:283-306) done in-stream: keyed

@@ -55,10 +55,16 @@ object MaillogStream {
     * the year Postfix timestamps omit (reference uses the wall clock,
     * maillog2db.go:444 — same default here). */
   def parsedStream(spark: SparkSession, path: String,
-                   year: Int = java.time.Year.now.getValue): Dataset[ParsedLine] = {
+                   year: Int = 0,
+                   maxFilesPerTrigger: Int = 0): Dataset[ParsedLine] = {
     import spark.implicits._
+    val reader = spark.readStream
+    // backpressure for large backlogs (first start against months of
+    // rotated logs): bound each micro-batch instead of one huge batch
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     Maillog.parsed(
-      spark.readStream.text(path).withColumnRenamed("value", "line"), year)
+      reader.text(path).withColumnRenamed("value", "line"), year)
       .as[ParsedLine]
   }
 

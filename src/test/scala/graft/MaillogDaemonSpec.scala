@@ -30,7 +30,12 @@ class MaillogDaemonSpec extends SparkSpec {
       trigger = Trigger.AvailableNow())
     qs.foreach(_.awaitTermination())
 
-    val progressLog = scala.io.Source.fromFile(logfile).getLines().toSeq
+    // progress events arrive on the async listener bus — poll briefly
+    def logLines() = scala.io.Source.fromFile(logfile).getLines().toSeq
+    val deadline = System.nanoTime() + 15L * 1000000000
+    while (!logLines().exists(_.contains("numInputRows")) &&
+           System.nanoTime() < deadline) Thread.sleep(200)
+    val progressLog = logLines()
     assert(progressLog.count(_.contains("\"event\":\"started\"")) === 4,
       "one started event per table stream in the -logfile program log")
     assert(progressLog.exists(_.contains("numInputRows")),

@@ -40,6 +40,12 @@ def values_equal(a, b):
     except (TypeError, ValueError):
         pass
     import numbers
+    is_bool = lambda x: isinstance(x, (bool,)) or type(x).__name__ == "bool_"
+    if is_bool(a) or is_bool(b):
+        return is_bool(a) and is_bool(b) and bool(a) == bool(b)
+    is_int = lambda x: isinstance(x, numbers.Integral)
+    if is_int(a) and is_int(b):
+        return int(a) == int(b)  # exact — no float round-trip past 2^53
     if isinstance(a, numbers.Number) and isinstance(b, numbers.Number):
         fa, fb = float(a), float(b)
         return fa == fb or (math.isnan(fa) and math.isnan(fb))
