@@ -42,6 +42,8 @@ object SparkEntry {
     "q18_cube" -> (Analytics2.q18Cube _),
     "q19_above_avg" -> (Analytics2.q19AboveAvg _),
     "q20_dataset_split" -> (Analytics2.q20DatasetSplit _),
+    "q21_sliding_window" -> (Analytics2.q21SlidingWindow _),
+    "m07_queue_latency" -> (MaillogOps.m07QueueLatency _),
     "qa01_approx_sketches" -> (Analytics2.qa01ApproxSketches _),
     "t05_tfidf" -> (TextAnalysis.t05TfIdf _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),

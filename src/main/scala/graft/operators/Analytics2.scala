@@ -45,6 +45,18 @@ object Analytics2 {
       .orderBy("a_id", "b_id")
   }
 
+  /** q21: sliding 1-hour windows every 30 minutes — each event lands
+    * in exactly two overlapping windows (Spark's `window(ts, 1h,
+    * 30m)`; the oracle reproduces the window set by exploding each
+    * event into its two covering window starts). */
+  def q21SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
   /** q16: set operations — INTERSECT / EXCEPT as a tagged union. */
   def q16SetOps(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -144,6 +156,16 @@ object Analytics2 {
           |FROM a JOIN b USING (user_id)
           |WHERE b_us > a_us AND b_us - a_us <= 600000000
           |ORDER BY a_id, b_id""".stripMargin,
+
+      "q21_sliding_window" ->
+        s"""WITH $evCte,
+          |w AS (SELECT event_type, value,
+          |    unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+          |            time_bucket(INTERVAL '30 minutes', ts)]) AS w_start
+          |  FROM ev)
+          |SELECT w_start, event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q16_set_ops" ->
         """SELECT 'building_big_spender' AS bucket, c_custkey FROM (

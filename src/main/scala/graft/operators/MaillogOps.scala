@@ -150,6 +150,27 @@ object MaillogOps {
         max(col("delivery_timestamp")).as("last_seen"))
       .orderBy("delivery_status", "delivery_dsn")
 
+  /** m07: queue latency — per-queueid delay between the qmgr message
+    * record and each delivery attempt (messages ⋈ deliveries), the
+    * end-to-end mail-flow metric the reference's tables enable. */
+  def m07QueueLatency(spark: SparkSession, dir: String): DataFrame = {
+    val msgs = m03Messages(spark, dir)
+      .filter(col("message_timestamp").isNotNull)
+      .select(col("message_queueid"), col("message_timestamp"))
+    val dl = deliveries(spark, dir)
+      .select(col("delivery_queueid").as("message_queueid"),
+        col("delivery_timestamp"), col("delivery_status"))
+    msgs.join(dl, "message_queueid")
+      .groupBy("delivery_status")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((unix_micros(col("delivery_timestamp")) -
+             unix_micros(col("message_timestamp"))).cast("decimal(18,0)"))
+          .cast("double").as("sum_latency_us"),
+        countDistinct(col("message_queueid")).as("n_queues"))
+      .orderBy("delivery_status")
+  }
+
   /** m06: top client rdns by messages handled (clients ⋈ messages). */
   def m06TopClients(spark: SparkSession, dir: String): DataFrame = {
     val clients = m02Clients(spark, dir)

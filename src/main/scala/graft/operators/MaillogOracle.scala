@@ -124,6 +124,15 @@ object MaillogOracle {
       "  COUNT(DISTINCT delivery_relay) AS n_relays, max(delivery_timestamp) AS last_seen\n" +
       "FROM dl GROUP BY 1, 2 ORDER BY 1, 2"),
 
+    "m07_queue_latency" -> (prefix + ",\n" + messagesCtes + ",\n" +
+      deliveriesCte + ",\n" +
+      "msgs AS (SELECT qid AS message_queueid, message_timestamp FROM qm WHERE message_timestamp IS NOT NULL)\n" +
+      "SELECT delivery_status, COUNT(*) AS n,\n" +
+      "  CAST(SUM(CAST(epoch_us(delivery_timestamp) - epoch_us(message_timestamp) AS DECIMAL(18,0))) AS DOUBLE) AS sum_latency_us,\n" +
+      "  COUNT(DISTINCT message_queueid) AS n_queues\n" +
+      "FROM msgs JOIN dl ON dl.delivery_queueid = msgs.message_queueid\n" +
+      "GROUP BY delivery_status ORDER BY delivery_status"),
+
     "m06_top_clients" -> (prefix + ",\n" + messagesCtes + ",\n" +
       "msgs AS (" + messagesSelect + "),\n" +
       "clients AS (SELECT regexp_extract(cstr, " + re(ClientSplitRe) + ", 0) AS client,\n" +
