@@ -31,8 +31,10 @@ object MaillogDaemon {
 
   /** Stateful client upsert: newest lastseen per (client, rdns, addr)
     * — streaming form of the reference's recordClientEntry
-    * (maillog2db.go:308-330). */
-  def clientUpdates(parsed: DataFrame): Dataset[ClientRow] = {
+    * (maillog2db.go:308-330). `stateTtlMs > 0` evicts idle client
+    * keys (same bounded-state contract as the message merge); the
+    * DB row keeps the last upserted values. */
+  def clientUpdates(parsed: DataFrame, stateTtlMs: Long = 0L): Dataset[ClientRow] = {
     val spark = parsed.sparkSession
     import spark.implicits._
     val cstr = regexp_extract(col("log_message"), SmtpdRe, 2)
@@ -44,16 +46,25 @@ object MaillogDaemon {
         col("log_timestamp").as("client_lastseen"),
         lit(1L).as("n_seen"))
       .as[ClientRow]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     clients.groupByKey(c => (c.client, c.client_rdns, c.client_addr))
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         (_: (String, String, String), rows: Iterator[ClientRow],
          state: GroupState[ClientRow]) => {
-          val rs = rows.toSeq
-          val latest = (state.getOption.toSeq ++ rs).maxBy(_.client_lastseen.getTime)
-          val merged = latest.copy(
-            n_seen = state.getOption.map(_.n_seen).getOrElse(0L) + rs.size)
-          state.update(merged)
-          merged
+          if (stateTtlMs > 0 && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val latest = (state.getOption.toSeq ++ rs).maxBy(_.client_lastseen.getTime)
+            val merged = latest.copy(
+              n_seen = state.getOption.map(_.n_seen).getOrElse(0L) + rs.size)
+            state.update(merged)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            Iterator.single(merged)
+          }
         })
   }
 
@@ -191,7 +202,7 @@ object MaillogDaemon {
       .foreachBatch(sinkFor(c, "pfmaillog2db_logs", logCols))
       .start()
 
-    val clients = clientUpdates(parsed).toDF()
+    val clients = clientUpdates(parsed, c.stateTtlMs).toDF()
       .writeStream.queryName("pfmaillog2db_clients")
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", ckpt("clients")).trigger(trigger)
