@@ -92,6 +92,8 @@ object MaillogDaemon {
       checkpoint: String = "/tmp/graft-maillog-ckpt",
       dbhost: String = "", dbport: Int = 3306, dbuser: String = "username",
       dbpass: String = "password", dbname: String = "databasename",
+      dbDialect: String = "mysql",
+      dbUrl: String = "", // overrides the mysql:// URL for other JDBC DBs
       stateTtlMs: Long = 0L, debug: Boolean = false,
       maxFilesPerTrigger: Int = 0,
       // reference injects the wall-clock year (maillog2db.go:444);
@@ -155,6 +157,8 @@ object MaillogDaemon {
       case "-dbuser" :: v :: t => go(t, c.copy(dbuser = v))
       case "-dbpass" :: v :: t => go(t, c.copy(dbpass = v))
       case "-dbname" :: v :: t => go(t, c.copy(dbname = v))
+      case "-db-dialect" :: v :: t => go(t, c.copy(dbDialect = v))
+      case "-db-url" :: v :: t => go(t, c.copy(dbUrl = v))
       case "-state-ttl-ms" :: v :: t => go(t, c.copy(stateTtlMs = v.toLong))
       case "-year" :: v :: t => go(t, c.copy(year = v.toInt))
       case "-max-files-per-trigger" :: v :: t => go(t, c.copy(maxFilesPerTrigger = v.toInt))
@@ -175,9 +179,11 @@ object MaillogDaemon {
   /** Sink factory: JDBC upsert when a db host is configured, parquet
     * append otherwise. */
   private def sinkFor(c: Conf, table: String, keys: Seq[String]): (DataFrame, Long) => Unit =
-    if (c.dbhost.nonEmpty) {
-      val url = s"jdbc:mysql://${c.dbhost}:${c.dbport}/${c.dbname}"
-      new JdbcUpsertSink(url, table, keys, c.dbuser, c.dbpass).write _
+    if (c.dbUrl.nonEmpty || c.dbhost.nonEmpty) {
+      val url =
+        if (c.dbUrl.nonEmpty) c.dbUrl
+        else s"jdbc:mysql://${c.dbhost}:${c.dbport}/${c.dbname}"
+      new JdbcUpsertSink(url, table, keys, c.dbuser, c.dbpass, c.dbDialect).write _
     } else ParquetSink(s"${c.out}/$table")
 
   /** Starts the four table streams; returns them (caller awaits). */

@@ -22,6 +22,14 @@ class ParseArgsSpec extends AnyFunSuite {
     assert(c.logfile === "/tmp/x.log")
   }
 
+  test("db url/dialect overrides") {
+    val c = parse("-db-url", "jdbc:derby:/tmp/db", "-db-dialect", "generic",
+      "-dbuser", "APP")
+    assert(c.dbUrl === "jdbc:derby:/tmp/db")
+    assert(c.dbDialect === "generic")
+    assert(c.dbuser === "APP")
+  }
+
   test("-debug with explicit boolean (Go style)") {
     assert(parse("-debug", "true", "-maillog", "/x").debug)
     assert(!parse("-debug", "false").debug)
