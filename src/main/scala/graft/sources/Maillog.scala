@@ -108,12 +108,16 @@ object Maillog {
       .select(regexpGroups(col("line"), MaillogParse.HeaderRe).as("g"))
       .filter(col("g").isNotNull)
       .select(
-        to_timestamp(
+        // try_: an impossible date ("Sep 31") must not throw under
+        // ANSI mode — it parses to null and is dropped below (the
+        // reference log.Fatal-s the whole daemon here, go:448)
+        try_to_timestamp(
           concat(yearCol, lit(" "), col("g").getItem(1)),
-          "yyyy MMM dd HH:mm:ss").as("log_timestamp"),
+          lit("yyyy MMM dd HH:mm:ss")).as("log_timestamp"),
         col("g").getItem(2).as("log_mailhost"),
         col("g").getItem(3).as("log_process"),
         col("g").getItem(4).as("log_processid"),
         col("g").getItem(5).as("log_message"))
+      .filter(col("log_timestamp").isNotNull)
   }
 }

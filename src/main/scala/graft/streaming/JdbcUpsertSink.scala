@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
-import java.sql.{Connection, DriverManager, PreparedStatement}
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLIntegrityConstraintViolationException}
 
 /** JDBC upsert sink for `foreachBatch` — the Spark analog of the
   * reference's gorm Save-or-update (maillog2db.go:142-166, 332-358).
@@ -9,15 +9,19 @@ import java.sql.{Connection, DriverManager, PreparedStatement}
   * Plain `DataFrameWriter.jdbc` can only append/overwrite; upsert
   * semantics need dialect SQL, executed here per partition so each
   * executor writes its own split (the sink scales with the cluster
-  * rather than funnelling through the driver).
+  * rather than funnelling through the driver). Batches are
+  * repartitioned by the key columns first, so one key is only ever
+  * written by one partition of a micro-batch — no cross-connection
+  * races on fresh keys.
   *
   * Dialects:
   *  - `mysql` (default, the reference's DB): single-statement
-  *    `INSERT … ON DUPLICATE KEY UPDATE` with JDBC batching.
-  *  - `generic`: ANSI update-then-insert per row (exists-check when
-  *    every column is a key) — works on any JDBC database; used by
-  *    the Derby-backed integration test since no MySQL ships in the
-  *    test container.
+  *    `INSERT … ON DUPLICATE KEY UPDATE` with JDBC batching (a no-op
+  *    self-assignment when every column is a key, so duplicates are
+  *    absorbed rather than raised).
+  *  - `generic`: ANSI exists-check then update/insert per row, with a
+  *    duplicate-key fallback to update for replayed batches — works
+  *    on any JDBC database; integration-tested against Derby.
   */
 class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                      user: String, password: String,
@@ -27,89 +31,96 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
   /** MySQL upsert statement for the given column set. */
   def upsertSql(cols: Seq[String]): String = {
     require(keyCols.forall(cols.contains), s"key columns $keyCols must be in $cols")
-    val updates = cols.filterNot(keyCols.contains)
-      .map(c => s"$c=VALUES($c)").mkString(", ")
+    val nonKeys = cols.filterNot(keyCols.contains)
+    // all-columns-key tables still need the upsert clause: a plain
+    // INSERT would raise on the duplicates it exists to absorb
+    val updates =
+      if (nonKeys.isEmpty) s"${keyCols.head}=${keyCols.head}"
+      else nonKeys.map(c => s"$c=VALUES($c)").mkString(", ")
     s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})" +
-      (if (updates.nonEmpty) s" ON DUPLICATE KEY UPDATE $updates" else "")
+      s" ON DUPLICATE KEY UPDATE $updates"
   }
 
-  /** ANSI statements for the generic dialect. */
-  def genericSql(cols: Seq[String]): (Option[String], String, Option[String]) = {
+  /** ANSI statements for the generic dialect:
+    * (exists, update-or-None, insert). */
+  def genericSql(cols: Seq[String]): (String, Option[String], String) = {
     require(keyCols.forall(cols.contains), s"key columns $keyCols must be in $cols")
     val nonKeys = cols.filterNot(keyCols.contains)
     val where = keyCols.map(k => s"$k = ?").mkString(" AND ")
+    val exists = s"SELECT 1 FROM $table WHERE $where"
     val update =
       if (nonKeys.isEmpty) None
       else Some(s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} WHERE $where")
     val insert =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
-    val exists =
-      if (nonKeys.isEmpty) Some(s"SELECT 1 FROM $table WHERE $where") else None
-    (update, insert, exists)
+    (exists, update, insert)
   }
 
-  private def bindAll(ps: PreparedStatement, row: Row, idx: Seq[Int]): Unit = {
-    var i = 0
-    while (i < idx.length) {
-      ps.setObject(i + 1, row.get(idx(i)))
-      i += 1
-    }
-  }
-
-  private def writeMysql(conn: Connection, cols: Seq[String], rows: Iterator[Row]): Unit = {
-    val ps = conn.prepareStatement(upsertSql(cols))
-    val all = cols.indices
-    var n = 0
-    rows.foreach { r =>
-      bindAll(ps, r, all)
-      ps.addBatch()
-      n += 1
-      if (n % 1000 == 0) ps.executeBatch()
-    }
-    ps.executeBatch()
-  }
-
-  private def writeGeneric(conn: Connection, cols: Seq[String], rows: Iterator[Row]): Unit = {
-    val (updateSql, insertSql, existsSql) = genericSql(cols)
-    val keyIdx = keyCols.map(cols.indexOf)
-    val nonKeyIdx = cols.indices.filterNot(keyIdx.contains)
-    val update = updateSql.map(conn.prepareStatement)
-    val exists = existsSql.map(conn.prepareStatement)
-    val insert = conn.prepareStatement(insertSql)
-    rows.foreach { r =>
-      val present = update match {
-        case Some(u) =>
-          bindAll(u, r, nonKeyIdx ++ keyIdx)
-          u.executeUpdate() > 0
-        case None =>
-          val e = exists.get
-          bindAll(e, r, keyIdx)
-          val rs = e.executeQuery()
-          try rs.next() finally rs.close()
-      }
-      if (!present) {
-        bindAll(insert, r, cols.indices)
-        insert.executeUpdate()
-      }
-    }
-  }
-
-  /** foreachBatch entry point. */
+  /** foreachBatch entry point. SQL is built (and key columns
+    * validated) on the driver; the closure ships only strings and
+    * index arrays. */
   def write(batch: DataFrame, batchId: Long): Unit = {
     val cols = batch.columns.toSeq
-    val (u, p, t, d) = (user, password, url, dialect)
-    val self = this
-    batch.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
-        val conn: Connection = DriverManager.getConnection(t, u, p)
-        try {
-          conn.setAutoCommit(false)
-          if (d == "mysql") self.writeMysql(conn, cols, rows)
-          else self.writeGeneric(conn, cols, rows)
-          conn.commit()
-        } finally conn.close()
+    val keyIdx: Seq[Int] = keyCols.map(cols.indexOf)
+    val nonKeyIdx: Seq[Int] = cols.indices.filterNot(keyIdx.contains)
+    val allIdx: Seq[Int] = cols.indices
+    val mysqlSql = upsertSql(cols)
+    val (existsSql, updateSql, insertSql) = genericSql(cols)
+    val (jdbcUrl, jdbcUser, jdbcPass, d) = (url, user, password, dialect)
+
+    def bind(ps: PreparedStatement, row: Row, idx: Seq[Int]): Unit = {
+      var i = 0
+      while (i < idx.length) {
+        ps.setObject(i + 1, row.get(idx(i)))
+        i += 1
       }
     }
+
+    // same key -> same partition: no cross-connection insert races
+    batch.repartition(keyCols.map(batch.col): _*)
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.nonEmpty) {
+          val conn: Connection = DriverManager.getConnection(jdbcUrl, jdbcUser, jdbcPass)
+          try {
+            conn.setAutoCommit(false)
+            if (d == "mysql") {
+              val ps = conn.prepareStatement(mysqlSql)
+              var n = 0
+              rows.foreach { r =>
+                bind(ps, r, allIdx)
+                ps.addBatch()
+                n += 1
+                if (n % 1000 == 0) ps.executeBatch()
+              }
+              ps.executeBatch()
+            } else {
+              val exists = conn.prepareStatement(existsSql)
+              val update = updateSql.map(conn.prepareStatement)
+              val insert = conn.prepareStatement(insertSql)
+              rows.foreach { r =>
+                bind(exists, r, keyIdx)
+                val rs = exists.executeQuery()
+                val present = try rs.next() finally rs.close()
+                def doUpdate(): Unit = update.foreach { u =>
+                  bind(u, r, nonKeyIdx ++ keyIdx)
+                  u.executeUpdate()
+                }
+                if (present) doUpdate()
+                else {
+                  bind(insert, r, allIdx)
+                  try insert.executeUpdate()
+                  catch {
+                    // lost a race with a replayed/concurrent writer:
+                    // the row exists now, so apply the update instead
+                    case _: SQLIntegrityConstraintViolationException => doUpdate()
+                  }
+                }
+              }
+            }
+            conn.commit()
+          } finally conn.close()
+        }
+      }
   }
 }
 

@@ -58,7 +58,8 @@ object MaillogDaemon {
             Iterator.empty
           } else {
             val rs = rows.toSeq
-            val latest = (state.getOption.toSeq ++ rs).maxBy(_.client_lastseen.getTime)
+            val latest = (state.getOption.toSeq ++ rs)
+              .maxBy(r => Option(r.client_lastseen).map(_.getTime).getOrElse(Long.MinValue))
             val merged = latest.copy(
               n_seen = state.getOption.map(_.n_seen).getOrElse(0L) + rs.size)
             state.update(merged)
@@ -140,6 +141,11 @@ object MaillogDaemon {
       spark.streams.addListener(l)
     }
 
+  private val ValueFlags = Set(
+    "-maillog", "-logfile", "-out", "-checkpoint", "-dbhost", "-dbport",
+    "-dbuser", "-dbpass", "-dbname", "-db-dialect", "-db-url",
+    "-state-ttl-ms", "-year", "-max-files-per-trigger")
+
   /** Go-flag-style parsing: `-debug` may appear bare (like the
     * reference CLI); value flags consume the next token. */
   private[streaming] def parseArgs(args: Array[String]): Conf = {
@@ -162,8 +168,7 @@ object MaillogDaemon {
       case "-state-ttl-ms" :: v :: t => go(t, c.copy(stateTtlMs = v.toLong))
       case "-year" :: v :: t => go(t, c.copy(year = v.toInt))
       case "-max-files-per-trigger" :: v :: t => go(t, c.copy(maxFilesPerTrigger = v.toInt))
-      case flag :: Nil if flag.startsWith("-") =>
-        // value flag with its argument missing
+      case flag :: Nil if ValueFlags(flag) =>
         throw new IllegalArgumentException(
           s"flag $flag requires a value (usage: see MaillogDaemon scaladoc)")
       case unknown :: _ =>

@@ -38,6 +38,9 @@ class ParseArgsSpec extends AnyFunSuite {
   test("unknown flag fails loudly") {
     val e = intercept[IllegalArgumentException] { parse("-mailog", "/x") }
     assert(e.getMessage.contains("-mailog"))
+    // trailing typo must be diagnosed as unknown, not missing-value
+    val t = intercept[IllegalArgumentException] { parse("-mailog") }
+    assert(t.getMessage.contains("unknown flag"))
   }
 
   test("value flag missing its value fails loudly") {
