@@ -155,7 +155,7 @@ object SparkEntry {
         |    event_type
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
-        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
         |  FROM g)
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         |  COUNT(DISTINCT event_type) AS n_types,

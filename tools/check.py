@@ -46,6 +46,12 @@ def values_equal(a, b):
     is_int = lambda x: isinstance(x, numbers.Integral)
     if is_int(a) and is_int(b):
         return int(a) == int(b)  # exact — no float round-trip past 2^53
+    if is_int(a) != is_int(b) and isinstance(a, numbers.Number) \
+            and isinstance(b, numbers.Number):
+        # int-vs-float type drift (e.g. DuckDB HUGEINT → float64 vs
+        # Spark bigint) breaks the driver's type-sensitive hash — fail
+        # here so the local gate is as strict as the real one.
+        return False
     if isinstance(a, numbers.Number) and isinstance(b, numbers.Number):
         fa, fb = float(a), float(b)
         return fa == fb or (math.isnan(fa) and math.isnan(fb))
