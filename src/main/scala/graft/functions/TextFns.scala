@@ -47,13 +47,37 @@ object TextFns {
       .distinct()
 
   /** Rank vocabulary: term → dense 1-based id, ordered by term.
-    * Deterministic across engines; see scale note above. Broadcast
-    * hint: the distinct-term set is orders of magnitude smaller than
-    * the corpus it joins back onto (drop the hint if a corpus's
-    * vocabulary outgrows the broadcast threshold). */
-  def vocab(terms: DataFrame): DataFrame =
-    broadcast(terms.select("term").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("term")).cast("long")))
+    * Deterministic across engines; see scale note above.
+    *
+    * The rank is computed WITHOUT a global (unpartitioned) window:
+    * terms are bucketed by their 2-char prefix — prefix order is
+    * consistent with full lexicographic order, so
+    * global_rank(term) = rank_within_bucket(term) + #terms in
+    * strictly-smaller buckets. The within-bucket rank is a window
+    * partitioned by bucket (parallel), and the per-bucket offsets
+    * come from a non-equi self-join over the tiny bucket-count
+    * aggregate (≤ a few thousand rows at any corpus size) — no
+    * single-partition sort anywhere, identical ids to
+    * `row_number() OVER (ORDER BY term)`.
+    *
+    * Broadcast hint on the result: the distinct-term set is orders
+    * of magnitude smaller than the corpus it joins back onto (drop
+    * the hint if a corpus's vocabulary outgrows the broadcast
+    * threshold). */
+  def vocab(terms: DataFrame): DataFrame = {
+    val t = terms.select("term").distinct()
+      .withColumn("b", substring(col("term"), 1, 2))
+    val counts = t.groupBy("b").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.select(col("b"), col("cnt")).alias("x")
+      .join(broadcast(counts.select(col("b").as("pb"), col("cnt").as("pcnt"))),
+        col("pb") < col("x.b"), "left")
+      .groupBy(col("x.b").as("b"))
+      .agg(coalesce(sum("pcnt"), lit(0L)).as("off"))
+    val ranked = t.withColumn("r",
+      row_number().over(Window.partitionBy("b").orderBy("term")))
+    broadcast(ranked.join(broadcast(offsets), "b")
+      .select(col("term"), (col("off") + col("r")).cast("long").as("tid")))
+  }
 
   /** i-th member of the affine hash family applied to id x:
     * ((1103515245(i+1)+12345 mod P) · x + (69069(i+1)+1234567 mod P)) mod P */

@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.MaillogParse._
 import graft.sources.Maillog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's four tables, re-expressed as distributed batch
@@ -183,9 +182,20 @@ object MaillogOps {
         count(lit(1)).as("n_messages"),
         sum(col("message_size")).as("sum_size"),
         max(col("client_lastseen")).as("last_seen"))
-    val w = Window.orderBy(col("n_messages").desc, col("client_rdns"))
-    agg.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+    // Global top-10 via orderBy+limit → TakeOrderedAndProject
+    // (per-partition heaps, no single-partition rank window). The
+    // rank is then recovered on the 10-row result with a broadcast
+    // non-equi self-join (count of rows sorting strictly before),
+    // keeping the plan window-free.
+    val top = agg.orderBy(col("n_messages").desc, col("client_rdns")).limit(10)
+      .persist() // both sides of the rank self-join
+    val before = top.select(col("n_messages").as("b_n"), col("client_rdns").as("b_r"))
+    top.join(broadcast(before),
+        col("b_n") > col("n_messages") ||
+          (col("b_n") === col("n_messages") && col("b_r") < col("client_rdns")),
+        "left")
+      .groupBy("client_rdns", "n_messages", "sum_size", "last_seen")
+      .agg((count(col("b_r")) + 1).cast("int").as("rank"))
       .select("rank", "client_rdns", "n_messages", "sum_size", "last_seen")
       .orderBy("rank")
   }
