@@ -37,14 +37,20 @@ object MaillogOps {
 
   /** m02: the `clients` table (upsert → groupBy key + max lastseen). */
   def m02Clients(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.RegexpExtractGroups.regexpGroups
     val p = parsedLogs(spark, dir)
-    val cstr = regexp_extract(col("log_message"), SmtpdRe, 2)
-    p.filter(col("log_message").rlike(SmtpdRe))
+    val msg = col("log_message")
+    // two regex passes per candidate line (smtpd parse + client-string
+    // split), matching the streaming projection (MaillogDaemon)
+    p.select(col("log_timestamp"),
+        when(instr(msg, "client=") > 0, regexpGroups(msg, SmtpdRe)).as("g"))
+      .filter(col("g").isNotNull)
+      .withColumn("cs", regexpGroups(col("g").getItem(2), ClientSplitRe))
       .select(
         col("log_timestamp"),
-        regexp_extract(cstr, ClientSplitRe, 0).as("client"),
-        regexp_extract(cstr, ClientSplitRe, 1).as("client_rdns"),
-        regexp_extract(cstr, ClientSplitRe, 2).as("client_addr"))
+        coalesce(col("cs").getItem(0), lit("")).as("client"),
+        coalesce(col("cs").getItem(1), lit("")).as("client_rdns"),
+        coalesce(col("cs").getItem(2), lit("")).as("client_addr"))
       .groupBy("client", "client_rdns", "client_addr")
       .agg(max(col("log_timestamp")).as("client_lastseen"),
            count(lit(1)).as("n_seen"))

@@ -35,14 +35,21 @@ object MaillogDaemon {
     * keys (same bounded-state contract as the message merge); the
     * DB row keeps the last upserted values. */
   def clientUpdates(parsed: DataFrame, stateTtlMs: Long = 0L): Dataset[ClientRow] = {
+    import graft.plans.RegexpExtractGroups.regexpGroups
     val spark = parsed.sparkSession
     import spark.implicits._
-    val cstr = regexp_extract(col("log_message"), SmtpdRe, 2)
-    val clients = parsed.filter(col("log_message").rlike(SmtpdRe))
+    // two regex passes per candidate line (smtpd parse + client-string
+    // split) instead of rlike + one pass per capture group
+    val msg = col("log_message")
+    val clients = parsed
+      .select(col("log_timestamp"),
+        when(instr(msg, "client=") > 0, regexpGroups(msg, SmtpdRe)).as("g"))
+      .filter(col("g").isNotNull)
+      .withColumn("cs", regexpGroups(col("g").getItem(2), ClientSplitRe))
       .select(
-        regexp_extract(cstr, ClientSplitRe, 0).as("client"),
-        regexp_extract(cstr, ClientSplitRe, 1).as("client_rdns"),
-        regexp_extract(cstr, ClientSplitRe, 2).as("client_addr"),
+        coalesce(col("cs").getItem(0), lit("")).as("client"),
+        coalesce(col("cs").getItem(1), lit("")).as("client_rdns"),
+        coalesce(col("cs").getItem(2), lit("")).as("client_addr"),
         col("log_timestamp").as("client_lastseen"),
         lit(1L).as("n_seen"))
       .as[ClientRow]
@@ -72,18 +79,24 @@ object MaillogDaemon {
   /** Stateless delivery parse — append; DB unique key dedups
     * (maillog2db.go:395-442). */
   def deliveryRows(parsed: DataFrame): DataFrame = {
+    import graft.plans.RegexpExtractGroups.regexpGroups
+    // one regex pass per candidate line, all groups at once — same
+    // projection as the batch deliveries (MaillogOps)
     val msg = col("log_message")
-    parsed.filter(msg.rlike(SmtpRe))
+    parsed
+      .select(col("log_timestamp"),
+        when(instr(msg, "to=") > 0, regexpGroups(msg, SmtpRe)).as("g"))
+      .filter(col("g").isNotNull)
       .select(
         col("log_timestamp").as("delivery_timestamp"),
-        regexp_extract(msg, SmtpRe, 1).as("delivery_queueid"),
-        regexp_extract(msg, SmtpRe, 2).as("delivery_to"),
-        regexp_extract(msg, SmtpRe, 3).as("delivery_relay"),
-        regexp_extract(msg, SmtpRe, 4).as("delivery_delay"),
-        regexp_extract(msg, SmtpRe, 5).as("delivery_delays"),
-        regexp_extract(msg, SmtpRe, 6).as("delivery_dsn"),
-        regexp_extract(msg, SmtpRe, 7).as("delivery_status"),
-        regexp_extract(msg, SmtpRe, 8).as("delivery_statusext"))
+        col("g").getItem(1).as("delivery_queueid"),
+        col("g").getItem(2).as("delivery_to"),
+        col("g").getItem(3).as("delivery_relay"),
+        col("g").getItem(4).as("delivery_delay"),
+        col("g").getItem(5).as("delivery_delays"),
+        col("g").getItem(6).as("delivery_dsn"),
+        col("g").getItem(7).as("delivery_status"),
+        col("g").getItem(8).as("delivery_statusext"))
   }
 
   case class Conf(

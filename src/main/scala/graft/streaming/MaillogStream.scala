@@ -68,27 +68,41 @@ object MaillogStream {
       .as[ParsedLine]
   }
 
-  /** Branch extraction shared by streaming and batch replay. */
+  /** Branch extraction shared by streaming and batch replay.
+    *
+    * Single regex pass per (line, branch) via the codegen'd
+    * [[graft.plans.RegexpExtractGroups]], mirroring the batch merge
+    * (MaillogOps.m03Messages): the substring pre-filter is a
+    * necessary condition of each branch regex, so the expensive
+    * pattern runs only on candidate lines, and one execution yields
+    * all capture groups at once. */
   def patches(parsed: DataFrame): Dataset[MsgPatch] = {
+    import graft.plans.RegexpExtractGroups.regexpGroups
     val spark = parsed.sparkSession
     import spark.implicits._
     val msg = col("log_message")
+    def gated(marker: String, re: String) =
+      when(instr(msg, marker) > 0, regexpGroups(msg, re))
     parsed
-      .withColumn("queueid",
-        when(msg.rlike(QmgrRe), regexp_extract(msg, QmgrRe, 1))
-          .when(msg.rlike(SmtpdRe), regexp_extract(msg, SmtpdRe, 1))
-          .when(msg.rlike(CleanupRe), regexp_extract(msg, CleanupRe, 1)))
+      .select(
+        col("log_timestamp").as("ts"),
+        col("log_mailhost").as("host"),
+        gated("from=", QmgrRe).as("gq"),
+        gated("client=", SmtpdRe).as("gc"),
+        gated("message-id=", CleanupRe).as("gm"))
+      .withColumn("queueid", coalesce(col("gq").getItem(1),
+        col("gc").getItem(1), col("gm").getItem(1)))
       .filter(col("queueid").isNotNull)
       .select(
         col("queueid"),
-        col("log_timestamp").as("ts"),
-        col("log_mailhost").as("host"),
-        when(msg.rlike(QmgrRe), regexp_extract(msg, QmgrRe, 2)).as("from"),
-        when(msg.rlike(QmgrRe), regexp_extract(msg, QmgrRe, 3).cast("long")).as("size"),
-        when(msg.rlike(QmgrRe), regexp_extract(msg, QmgrRe, 4).cast("int")).as("nrcpt"),
-        when(msg.rlike(QmgrRe), regexp_extract(msg, QmgrRe, 5)).as("statusext"),
-        when(msg.rlike(SmtpdRe), regexp_extract(msg, SmtpdRe, 2)).as("client"),
-        when(msg.rlike(CleanupRe), regexp_extract(msg, CleanupRe, 2)).as("messageId"))
+        col("ts"),
+        col("host"),
+        col("gq").getItem(2).as("from"),
+        col("gq").getItem(3).cast("long").as("size"),
+        col("gq").getItem(4).cast("int").as("nrcpt"),
+        col("gq").getItem(5).as("statusext"),
+        col("gc").getItem(2).as("client"),
+        col("gm").getItem(2).as("messageId"))
       .as[MsgPatch]
   }
 
