@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
-import java.sql.{Connection, DriverManager, PreparedStatement, SQLIntegrityConstraintViolationException}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, StructType, TimestampType}
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException, SQLIntegrityConstraintViolationException}
 
 /** JDBC upsert sink for `foreachBatch` — the Spark analog of the
   * reference's gorm Save-or-update (maillog2db.go:142-166, 332-358).
@@ -14,21 +15,50 @@ import java.sql.{Connection, DriverManager, PreparedStatement, SQLIntegrityConst
   * written by one partition of a micro-batch — no cross-connection
   * races on fresh keys.
   *
-  * Dialects:
-  *  - `mysql` (default, the reference's DB): single-statement
-  *    `INSERT … ON DUPLICATE KEY UPDATE` with JDBC batching (a no-op
-  *    self-assignment when every column is a key, so duplicates are
-  *    absorbed rather than raised).
-  *  - `generic`: ANSI exists-check then update/insert per row, with a
-  *    duplicate-key fallback to update for replayed batches — works
-  *    on any JDBC database; integration-tested against Derby.
+  * Schema management (maillog2db.go:163-166 auto-migrates on start;
+  * README: "schema is automatically created"): with `autoCreate`
+  * (default), the first write issues a dialect-aware CREATE TABLE
+  * carrying the reference's bookkeeping columns (go:61-110) —
+  * auto-increment `id`, `row_created_at`, `row_updated_at` — plus
+  * `row_key_hash`, a sha-256 of the logical key tuple with a UNIQUE
+  * constraint. The hash column is what makes the upsert batchable on
+  * ANY JDBC database: wide natural keys (the logs/deliveries tables
+  * key on their full tuple, several VARCHAR(500)s) exceed index
+  * length limits as a composite unique index, while a 64-char hash
+  * never does, and a single-column equality match keeps the
+  * update/insert statements trivially portable.
+  *
+  * Write paths:
+  *  - managed table (has `row_key_hash`) + `mysql`: single-statement
+  *    `INSERT … ON DUPLICATE KEY UPDATE` on the hash, JDBC-batched.
+  *  - managed + `generic`: batched update-first upsert — one batched
+  *    UPDATE on the hash, then one batched INSERT of the rows whose
+  *    update count was 0; a lost race with a replayed/concurrent
+  *    writer (unique violation, SQLState 23xxx) rolls the group back
+  *    and re-applies it per-row under savepoints. Works on any ANSI
+  *    database; integration-tested against Derby.
+  *  - external table (pre-existing, no hash column): the original
+  *    behavior — `mysql` batched ON DUPLICATE KEY UPDATE on the
+  *    table's own keys, `generic` exists-check then update/insert
+  *    per row with a savepoint-guarded duplicate-key fallback (the
+  *    savepoint matters on databases that abort the transaction on
+  *    constraint violation, e.g. PostgreSQL).
   */
 class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                      user: String, password: String,
-                     dialect: String = "mysql") extends Serializable {
+                     dialect: String = "mysql",
+                     autoCreate: Boolean = true,
+                     createTypes: Map[String, String] = Map.empty)
+    extends Serializable {
   require(Seq("mysql", "generic").contains(dialect), s"unknown dialect $dialect")
 
-  /** MySQL upsert statement for the given column set. */
+  import JdbcUpsertSink.{isDuplicateKey, keyHash, BatchSize}
+
+  // ---------------------------------------------------------------
+  // SQL builders (driver side; also unit-tested directly)
+  // ---------------------------------------------------------------
+
+  /** MySQL upsert statement for an external (pre-existing) table. */
   def upsertSql(cols: Seq[String]): String = {
     require(keyCols.forall(cols.contains), s"key columns $keyCols must be in $cols")
     val nonKeys = cols.filterNot(keyCols.contains)
@@ -41,7 +71,7 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
       s" ON DUPLICATE KEY UPDATE $updates"
   }
 
-  /** ANSI statements for the generic dialect:
+  /** ANSI statements for the external generic dialect:
     * (exists, update-or-None, insert). */
   def genericSql(cols: Seq[String]): (String, Option[String], String) = {
     require(keyCols.forall(cols.contains), s"key columns $keyCols must be in $cols")
@@ -56,23 +86,169 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     (exists, update, insert)
   }
 
-  /** foreachBatch entry point. SQL is built (and key columns
-    * validated) on the driver; the closure ships only strings and
-    * index arrays. */
+  /** Managed-table statements keyed on the hash column:
+    * (mysqlUpsert, genericUpdate, insert). Bind order: insert = data
+    * cols then hash; update = non-keys then hash. */
+  def managedSql(cols: Seq[String]): (String, String, String) = {
+    val nonKeys = cols.filterNot(keyCols.contains)
+    val insCols = cols ++ Seq("row_key_hash", "row_created_at", "row_updated_at")
+    val insVals = cols.map(_ => "?") ++ Seq("?", "CURRENT_TIMESTAMP", "CURRENT_TIMESTAMP")
+    val insert =
+      s"INSERT INTO $table (${insCols.mkString(", ")}) VALUES (${insVals.mkString(", ")})"
+    val mysqlUpdates =
+      (nonKeys.map(c => s"$c=VALUES($c)") :+ "row_updated_at=CURRENT_TIMESTAMP").mkString(", ")
+    val mysql = s"$insert ON DUPLICATE KEY UPDATE $mysqlUpdates"
+    val genericSets =
+      (nonKeys.map(c => s"$c = ?") :+ "row_updated_at = CURRENT_TIMESTAMP").mkString(", ")
+    val update = s"UPDATE $table SET $genericSets WHERE row_key_hash = ?"
+    (mysql, update, insert)
+  }
+
+  /** Dialect-aware CREATE TABLE with the reference's bookkeeping
+    * columns (maillog2db.go:61-110) and the unique key hash. */
+  def createDdl(schema: StructType): String = {
+    val mysql = dialect == "mysql"
+    val id =
+      if (mysql) "id BIGINT AUTO_INCREMENT PRIMARY KEY"
+      else "id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY"
+    val ts = if (mysql) "DATETIME(6)" else "TIMESTAMP"
+    def sqlType(f: org.apache.spark.sql.types.StructField): String =
+      createTypes.getOrElse(f.name, f.dataType match {
+        case TimestampType => ts
+        case LongType => "BIGINT"
+        case IntegerType => "INTEGER"
+        case DoubleType | FloatType => "DOUBLE PRECISION"
+        case _ => "VARCHAR(500)"
+      })
+    val dataCols = schema.fields.map(f => s"${f.name} ${sqlType(f)}")
+    val book = Seq(
+      "row_key_hash VARCHAR(64) NOT NULL",
+      s"row_created_at $ts",
+      s"row_updated_at $ts",
+      s"CONSTRAINT uk_${table}_key UNIQUE (row_key_hash)")
+    val ifNotExists = if (mysql) "IF NOT EXISTS " else ""
+    s"CREATE TABLE $ifNotExists$table (${(id +: dataCols.toSeq) ++ book mkString ", "})"
+  }
+
+  // ---------------------------------------------------------------
+  // Schema management (driver side, once per sink instance)
+  // ---------------------------------------------------------------
+
+  /** None = not probed yet; Some(true) = managed (hash column
+    * present); Some(false) = external pre-existing table. */
+  @transient @volatile private var managedMode: Option[Boolean] = None
+
+  private def tableExists(conn: Connection): Boolean =
+    try {
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+      finally st.close()
+    } catch { case _: SQLException => false }
+
+  private def hasHashColumn(conn: Connection): Boolean =
+    try {
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT row_key_hash FROM $table WHERE 1=0").close(); true }
+      finally st.close()
+    } catch { case _: SQLException => false }
+
+  /** Create the table if requested and absent, then record whether
+    * the managed write path applies. Idempotent; races with another
+    * creator resolve via the exists re-probe. */
+  private def ensureSchema(schema: StructType): Boolean = {
+    managedMode.getOrElse {
+      val conn = DriverManager.getConnection(url, user, password)
+      try {
+        if (autoCreate && !tableExists(conn)) {
+          try {
+            val st = conn.createStatement()
+            try st.execute(createDdl(schema)) finally st.close()
+          } catch {
+            // lost a create race, or dialect without IF NOT EXISTS:
+            // fine as long as the table is there now
+            case e: SQLException if tableExists(conn) => ()
+          }
+        }
+        val m = tableExists(conn) && hasHashColumn(conn)
+        managedMode = Some(m)
+        m
+      } finally conn.close()
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // foreachBatch entry point
+  // ---------------------------------------------------------------
+
+  /** SQL is built (and key columns validated) on the driver; the
+    * closure ships only strings and index arrays. */
   def write(batch: DataFrame, batchId: Long): Unit = {
     val cols = batch.columns.toSeq
     val keyIdx: Seq[Int] = keyCols.map(cols.indexOf)
     val nonKeyIdx: Seq[Int] = cols.indices.filterNot(keyIdx.contains)
     val allIdx: Seq[Int] = cols.indices
-    val mysqlSql = upsertSql(cols)
-    val (existsSql, updateSql, insertSql) = genericSql(cols)
+    val managed = ensureSchema(batch.schema)
+    val mysqlSql = if (managed) managedSql(cols)._1 else upsertSql(cols)
+    val (existsSql, updateSqlOpt, insertSql) =
+      if (managed) {
+        val (_, u, i) = managedSql(cols); ("", Some(u), i)
+      } else genericSql(cols)
     val (jdbcUrl, jdbcUser, jdbcPass, d) = (url, user, password, dialect)
+    val isManaged = managed
 
     def bind(ps: PreparedStatement, row: Row, idx: Seq[Int]): Unit = {
       var i = 0
       while (i < idx.length) {
         ps.setObject(i + 1, row.get(idx(i)))
         i += 1
+      }
+    }
+
+    /** Managed generic path, one group of ≤ BatchSize rows: batched
+      * update-first upsert, committed per group so a constraint-abort
+      * rollback (PostgreSQL semantics) only redoes this group. */
+    def writeManagedGroup(conn: Connection, update: PreparedStatement,
+                          insert: PreparedStatement, group: Seq[(Row, String)]): Unit = {
+      group.foreach { case (r, h) =>
+        bind(update, r, nonKeyIdx)
+        update.setObject(nonKeyIdx.length + 1, h)
+        update.addBatch()
+      }
+      val counts = update.executeBatch()
+      // SUCCESS_NO_INFO counts as "missing" — the insert's duplicate
+      // fallback corrects the guess; treating it as "updated" could
+      // silently drop a row
+      val missing = group.zip(counts.toSeq).collect {
+        case (rh, c) if c == 0 || c == java.sql.Statement.SUCCESS_NO_INFO => rh
+      }
+      try {
+        missing.foreach { case (r, h) =>
+          bind(insert, r, allIdx)
+          insert.setObject(allIdx.length + 1, h)
+          insert.addBatch()
+        }
+        insert.executeBatch()
+        conn.commit()
+      } catch {
+        case e if isDuplicateKey(e) =>
+          // replay/concurrent-writer race: redo this group per-row
+          // under savepoints (the batch may have aborted the txn)
+          conn.rollback()
+          group.foreach { case (r, h) =>
+            val sp = conn.setSavepoint()
+            try {
+              bind(insert, r, allIdx)
+              insert.setObject(allIdx.length + 1, h)
+              insert.executeUpdate()
+            } catch {
+              case e2 if isDuplicateKey(e2) =>
+                conn.rollback(sp)
+                bind(update, r, nonKeyIdx)
+                update.setObject(nonKeyIdx.length + 1, h)
+                update.executeUpdate()
+            }
+          }
+          conn.commit()
       }
     }
 
@@ -88,14 +264,23 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
               var n = 0
               rows.foreach { r =>
                 bind(ps, r, allIdx)
+                if (isManaged)
+                  ps.setObject(allIdx.length + 1, keyHash(r, keyIdx))
                 ps.addBatch()
                 n += 1
-                if (n % 1000 == 0) ps.executeBatch()
+                if (n % BatchSize == 0) ps.executeBatch()
               }
               ps.executeBatch()
+              conn.commit()
+            } else if (isManaged) {
+              val update = conn.prepareStatement(updateSqlOpt.get)
+              val insert = conn.prepareStatement(insertSql)
+              rows.map(r => (r, keyHash(r, keyIdx)))
+                .grouped(BatchSize)
+                .foreach(g => writeManagedGroup(conn, update, insert, g.toSeq))
             } else {
               val exists = conn.prepareStatement(existsSql)
-              val update = updateSql.map(conn.prepareStatement)
+              val update = updateSqlOpt.map(conn.prepareStatement)
               val insert = conn.prepareStatement(insertSql)
               rows.foreach { r =>
                 bind(exists, r, keyIdx)
@@ -107,20 +292,62 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                 }
                 if (present) doUpdate()
                 else {
+                  // savepoint so a constraint violation doesn't abort
+                  // the whole transaction (PostgreSQL semantics)
+                  val sp = conn.setSavepoint()
                   bind(insert, r, allIdx)
                   try insert.executeUpdate()
                   catch {
                     // lost a race with a replayed/concurrent writer:
                     // the row exists now, so apply the update instead
-                    case _: SQLIntegrityConstraintViolationException => doUpdate()
+                    case e if isDuplicateKey(e) =>
+                      conn.rollback(sp)
+                      doUpdate()
                   }
                 }
               }
+              conn.commit()
             }
-            conn.commit()
           } finally conn.close()
         }
       }
+  }
+}
+
+object JdbcUpsertSink {
+
+  private[graft] val BatchSize = 1000
+
+  /** Duplicate-key detection across drivers: the standard exception
+    * subclass, or any SQLException in SQLState class 23 (integrity
+    * constraint violation — PostgreSQL throws a plain SQLException
+    * subclass with state 23505, not the Integrity subclass). Batch
+    * failures surface as BatchUpdateException, also SQLState-coded. */
+  private[graft] def isDuplicateKey(e: Throwable): Boolean = e match {
+    case _: SQLIntegrityConstraintViolationException => true
+    case s: SQLException =>
+      val state = s.getSQLState
+      (state != null && state.startsWith("23")) ||
+        (s.getNextException != null && s.getNextException.ne(s) &&
+          isDuplicateKey(s.getNextException))
+    case _ => false
+  }
+
+  /** Hex sha-256 of the logical key tuple. NULL and the string
+    * "null" must hash differently, so nulls map to a \\u0000 sentinel
+    * (which cannot appear in log data); fields join on \\u0001. */
+  private[graft] def keyHash(row: Row, keyIdx: Seq[Int]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < keyIdx.length) {
+      if (i > 0) sb.append('\u0001')
+      val v = row.get(keyIdx(i))
+      if (v == null) sb.append('\u0000') else sb.append(v.toString)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(sb.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
   }
 }
 

@@ -194,14 +194,37 @@ object MaillogDaemon {
     go(args.toList, Conf())
   }
 
+  /** Reference column sizes for the auto-created schema
+    * (maillog2db.go:61-110 gorm sql tags; untagged strings get gorm's
+    * default VARCHAR(255)). */
+  private[streaming] val ColumnTypes: Map[String, Map[String, String]] = Map(
+    "pfmaillog2db_logs" -> Map(
+      "log_mailhost" -> "VARCHAR(100)", "log_process" -> "VARCHAR(100)",
+      "log_processid" -> "VARCHAR(100)", "log_message" -> "VARCHAR(500)"),
+    "pfmaillog2db_clients" -> Map(
+      "client" -> "VARCHAR(500)", "client_rdns" -> "VARCHAR(255)",
+      "client_addr" -> "VARCHAR(50)"),
+    "pfmaillog2db_messages" -> Map(
+      "message_mailhost" -> "VARCHAR(255)", "message_queueid" -> "VARCHAR(16)",
+      "message_from" -> "VARCHAR(100)", "message_client" -> "VARCHAR(500)",
+      "message_statusext" -> "VARCHAR(255)", "message_id" -> "VARCHAR(500)"),
+    "pfmaillog2db_deliveries" -> Map(
+      "delivery_queueid" -> "VARCHAR(16)", "delivery_to" -> "VARCHAR(100)",
+      "delivery_relay" -> "VARCHAR(100)", "delivery_delay" -> "VARCHAR(50)",
+      "delivery_delays" -> "VARCHAR(50)", "delivery_dsn" -> "VARCHAR(25)",
+      "delivery_status" -> "VARCHAR(50)", "delivery_statusext" -> "VARCHAR(255)"))
+
   /** Sink factory: JDBC upsert when a db host is configured, parquet
-    * append otherwise. */
+    * append otherwise. The JDBC sink auto-creates the reference
+    * schema (tables + bookkeeping columns) on first write, like the
+    * reference's AutoMigrate (maillog2db.go:163-166). */
   private def sinkFor(c: Conf, table: String, keys: Seq[String]): (DataFrame, Long) => Unit =
     if (c.dbUrl.nonEmpty || c.dbhost.nonEmpty) {
       val url =
         if (c.dbUrl.nonEmpty) c.dbUrl
         else s"jdbc:mysql://${c.dbhost}:${c.dbport}/${c.dbname}"
-      new JdbcUpsertSink(url, table, keys, c.dbuser, c.dbpass, c.dbDialect).write _
+      new JdbcUpsertSink(url, table, keys, c.dbuser, c.dbpass, c.dbDialect,
+        createTypes = ColumnTypes.getOrElse(table, Map.empty)).write _
     } else ParquetSink(s"${c.out}/$table")
 
   /** Starts the four table streams; returns them (caller awaits). */

@@ -55,4 +55,76 @@ class JdbcSinkSpec extends SparkSpec {
     assert(sink.upsertSql(Seq("h", "m")) ===
       "INSERT INTO logs (h, m) VALUES (?, ?) ON DUPLICATE KEY UPDATE h=h")
   }
+
+  test("empty database: schema auto-created with bookkeeping columns, batched upsert") {
+    // no CREATE TABLE here — the sink must do it (reference
+    // AutoMigrate parity, maillog2db.go:163-166)
+    val sink = new JdbcUpsertSink(url, "mgd_messages", Seq("qid"), "", "",
+      dialect = "generic",
+      createTypes = Map("qid" -> "VARCHAR(16)", "sender" -> "VARCHAR(64)"))
+
+    sink.write(Seq(("AB1", "a@x.com", 100L), ("CD2", "b@y.com", 200L))
+      .toDF("qid", "sender", "size_b"), 0L)
+    sink.write(Seq(("AB1", "a@x.com", 150L), ("EF3", "c@z.com", 300L))
+      .toDF("qid", "sender", "size_b"), 1L)
+
+    val got = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "mgd_messages").load()
+    assert(got.columns.map(_.toLowerCase).toSet ===
+      Set("id", "qid", "sender", "size_b",
+        "row_key_hash", "row_created_at", "row_updated_at"))
+    val rows = got.collect().map(r => (
+      r.getAs[String]("QID"), r.getAs[Long]("SIZE_B"),
+      r.getAs[Long]("ID"), r.getAs[java.sql.Timestamp]("ROW_CREATED_AT"),
+      r.getAs[java.sql.Timestamp]("ROW_UPDATED_AT")))
+      .sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2)) ===
+      Array(("AB1", 150L), ("CD2", 200L), ("EF3", 300L)),
+      "second batch updates AB1 in place and inserts EF3")
+    assert(rows.map(_._3).distinct.length === 3, "auto-increment ids distinct")
+    assert(rows.forall(t => t._4 != null && t._5 != null),
+      "bookkeeping timestamps populated")
+    val ab1 = rows.find(_._1 == "AB1").get
+    assert(!ab1._5.before(ab1._4),
+      "row_updated_at advances (or equals) row_created_at on update")
+  }
+
+  test("managed all-columns-key table absorbs replays and in-batch duplicates") {
+    val sink = new JdbcUpsertSink(url, "mgd_logs", Seq("host", "msg"), "", "",
+      dialect = "generic",
+      createTypes = Map("host" -> "VARCHAR(32)", "msg" -> "VARCHAR(128)"))
+    // in-batch duplicate + cross-batch replay must both be absorbed
+    val rows = Seq(("mx1", "hello"), ("mx1", "hello"), ("mx2", "world"))
+      .toDF("host", "msg")
+    sink.write(rows, 0L)
+    sink.write(rows, 1L)
+    val n = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "mgd_logs").load().count()
+    assert(n === 2)
+  }
+
+  test("key hash distinguishes NULL from the string null and permuted tuples") {
+    import org.apache.spark.sql.RowFactory
+    val a = JdbcUpsertSink.keyHash(RowFactory.create(null, "x"), Seq(0, 1))
+    val b = JdbcUpsertSink.keyHash(RowFactory.create("null", "x"), Seq(0, 1))
+    val c = JdbcUpsertSink.keyHash(RowFactory.create("x", null), Seq(0, 1))
+    val d = JdbcUpsertSink.keyHash(RowFactory.create("ab", "c"), Seq(0, 1))
+    val e = JdbcUpsertSink.keyHash(RowFactory.create("a", "bc"), Seq(0, 1))
+    assert(Set(a, b, c, d, e).size === 5)
+    assert(a.length === 64 && a.forall(ch => ch.isDigit || ('a' to 'f').contains(ch)))
+  }
+
+  test("duplicate-key detection matches SQLState class 23 across drivers") {
+    import java.sql.{BatchUpdateException, SQLException, SQLIntegrityConstraintViolationException}
+    assert(JdbcUpsertSink.isDuplicateKey(new SQLIntegrityConstraintViolationException("dup")))
+    // PostgreSQL throws a plain SQLException subclass with state 23505
+    assert(JdbcUpsertSink.isDuplicateKey(new SQLException("dup", "23505")))
+    assert(JdbcUpsertSink.isDuplicateKey(
+      new BatchUpdateException("dup", "23505", 0, Array[Int](), null)))
+    assert(!JdbcUpsertSink.isDuplicateKey(new SQLException("syntax", "42X01")))
+    // chained: outer exception generic, cause carried via next
+    val outer = new SQLException("batch failed", "HY000")
+    outer.setNextException(new SQLException("dup", "23505"))
+    assert(JdbcUpsertSink.isDuplicateKey(outer))
+  }
 }

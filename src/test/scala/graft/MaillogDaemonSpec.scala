@@ -60,4 +60,55 @@ class MaillogDaemonSpec extends SparkSpec {
     assert(deliveries.count() === 1)
     assert(deliveries.first().getAs[String]("delivery_status") === "sent")
   }
+
+  test("daemon against an EMPTY database auto-creates and fills all four tables") {
+    val dir = Files.createTempDirectory("maillog-db").toString
+    val ckpt = Files.createTempDirectory("ckpt-db").toString
+    Files.write(java.nio.file.Paths.get(dir, "maillog"),
+      Seq(
+        "Jan 02 03:04:05 mx1 postfix/smtpd[101]: AB1: client=host1.example.com[10.0.0.1]",
+        "Jan 02 03:04:06 mx1 postfix/qmgr[102]: AB1: from=<a@example.com>, size=100, nrcpt=1 (queue active)",
+        "Jan 02 03:04:07 mx1 postfix/smtp[103]: AB1: to=<b@example.org>, relay=r.example.net[10.1.0.1]:25, delay=1.5, delays=0.1/0.2/0.3/0.4, dsn=2.0.0, status=sent (250 ok)",
+        "Jan 02 03:04:07 mx1 postfix/smtp[103]: AB1: to=<b@example.org>, relay=r.example.net[10.1.0.1]:25, delay=1.5, delays=0.1/0.2/0.3/0.4, dsn=2.0.0, status=sent (250 ok)"
+      ).mkString("\n").getBytes)
+
+    // fresh in-memory database: NO tables exist — the daemon must
+    // create the reference schema itself (maillog2db.go:163-166)
+    val dburl = "jdbc:derby:memory:daemonfresh;create=true"
+    val qs = MaillogDaemon.start(spark,
+      args = Array("-maillog", dir, "-checkpoint", ckpt,
+        "-db-url", dburl, "-db-dialect", "generic",
+        "-dbuser", "APP", "-dbpass", "APP", "-year", "2024"),
+      trigger = Trigger.AvailableNow())
+    qs.foreach(_.awaitTermination())
+
+    def readTable(t: String) = spark.read.format("jdbc")
+      .option("url", dburl).option("dbtable", t)
+      .option("user", "APP").option("password", "APP").load()
+
+    val logs = readTable("pfmaillog2db_logs")
+    // the duplicated smtp line is removed by the in-stream
+    // full-tuple dedup before it reaches the logs sink
+    assert(logs.count() === 3)
+    // reference bookkeeping columns (maillog2db.go:61-110) present
+    val lcols = logs.columns.map(_.toLowerCase).toSet
+    assert(Set("id", "row_created_at", "row_updated_at").subsetOf(lcols), lcols.toString)
+
+    val clients = readTable("pfmaillog2db_clients")
+    assert(clients.count() === 1)
+    val c = clients.first()
+    assert(c.getAs[String]("CLIENT_RDNS") === "host1.example.com")
+    assert(c.getAs[java.sql.Timestamp]("ROW_CREATED_AT") != null)
+
+    val messages = readTable("pfmaillog2db_messages")
+    assert(messages.count() === 1)
+    val m = messages.first()
+    assert(m.getAs[String]("MESSAGE_QUEUEID") === "AB1")
+    assert(m.getAs[Long]("MESSAGE_SIZE") === 100L)
+    assert(m.getAs[String]("MESSAGE_CLIENT") === "host1.example.com[10.0.0.1]")
+
+    val deliveries = readTable("pfmaillog2db_deliveries")
+    assert(deliveries.count() === 1, "duplicate delivery absorbed by the unique key hash")
+    assert(deliveries.first().getAs[String]("DELIVERY_STATUS") === "sent")
+  }
 }
