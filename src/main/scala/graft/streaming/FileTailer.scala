@@ -1,0 +1,164 @@
+package graft.streaming
+
+import java.io.RandomAccessFile
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+/** `tail -F` for Structured Streaming: follow ONE growing file — the
+  * reference's primary deployment shape (`-maillog /var/log/maillog`,
+  * maillog2db.go:168, `tail.Config{Follow: true, ReOpen: true}`) —
+  * which Spark's file source cannot do (it only ever sees NEW files,
+  * never appends to an existing one).
+  *
+  * Design: rather than a custom DataSource, the tailer bridges the
+  * append-only file into the file source's contract. It tracks a byte
+  * offset into the followed file and, on each poll, moves every newly
+  * completed line into a fresh spool file (atomic tmp+rename, so the
+  * stream never lists a half-written file); `readStream.text(spool)`
+  * then drives the unchanged pipeline with full checkpoint/replay
+  * semantics. Tailing one file is inherently a single-reader job (the
+  * reference has the same property); the parallelism lives downstream.
+  *
+  * Rotation (`ReOpen`): the file handle is kept open, so when the
+  * path is re-created with a new inode the old handle is drained to
+  * EOF first — including a final unterminated line — then the new
+  * file is followed from offset 0. In-place truncation
+  * (copytruncate-style rotation) resets the offset.
+  *
+  * Restart: `(fileKey, offset, seq)` is persisted to a state file in
+  * the spool dir after every emit (tmp+rename). A restarted tailer on
+  * the same inode resumes at the stored offset, so spooled-and-
+  * checkpointed lines are not re-emitted.
+  *
+  * Partial lines are never emitted while the file may still grow:
+  * the offset only advances past the last `\n` seen.
+  */
+class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
+    extends AutoCloseable {
+
+  private val spool: Path = Paths.get(spoolDir)
+  Files.createDirectories(spool)
+  private val stateFile: Path = spool.resolve(".tail-state")
+
+  private var handle: Option[RandomAccessFile] = None
+  private var handleKey: String = ""
+  private var offset: Long = 0L
+  private var seq: Long = 0L
+  @volatile private var closed = false
+  private var thread: Option[Thread] = None
+
+  loadState()
+
+  private def fileKey(p: Path): Option[String] =
+    try Some(String.valueOf(
+      Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        .fileKey()))
+    catch { case _: java.io.IOException => None }
+
+  private def loadState(): Unit =
+    if (Files.exists(stateFile)) {
+      val parts = new String(Files.readAllBytes(stateFile), "UTF-8").trim.split("\t")
+      if (parts.length == 3) {
+        seq = parts(2).toLong
+        // resume the offset only if the followed file is still the
+        // same inode; a rotated/replaced file restarts at 0
+        if (fileKey(Paths.get(path)).contains(parts(0))) {
+          handleKey = parts(0)
+          offset = parts(1).toLong
+        }
+      }
+    }
+
+  private def saveState(): Unit = {
+    val tmp = spool.resolve(".tail-state.tmp")
+    Files.write(tmp, s"$handleKey\t$offset\t$seq\n".getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, stateFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Atomically publish one spool file with the given bytes. */
+  private def emit(bytes: Array[Byte]): Unit = {
+    seq += 1
+    val tmp = spool.resolve(f".tmp-$seq%012d")
+    Files.write(tmp, bytes, StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, spool.resolve(f"$seq%012d.log"),
+      StandardCopyOption.ATOMIC_MOVE)
+    saveState()
+  }
+
+  /** Read [offset, raf.length) from the handle; emit up to the last
+    * complete line (or everything when `drainAll`, for a rotated-away
+    * file that will never grow again). */
+  private def readNew(raf: RandomAccessFile, drainAll: Boolean): Unit = {
+    val len = raf.length()
+    if (len < offset) offset = 0L // truncated in place (copytruncate)
+    if (len > offset) {
+      val n = (len - offset).min(Int.MaxValue.toLong).toInt
+      val buf = new Array[Byte](n)
+      raf.seek(offset)
+      raf.readFully(buf)
+      val cut =
+        if (drainAll) n
+        else {
+          var i = n - 1
+          while (i >= 0 && buf(i) != '\n') i -= 1
+          i + 1 // 0 when no newline yet: withhold the partial line
+        }
+      if (cut > 0) {
+        val out =
+          if (drainAll && buf(cut - 1) != '\n') buf.take(cut) ++ Array[Byte]('\n')
+          else buf.take(cut)
+        offset += cut
+        emit(out)
+      }
+    }
+  }
+
+  /** One follow step. Synchronized so an explicit test-driven poll
+    * and the background thread never interleave. */
+  def poll(): Unit = synchronized {
+    val p = Paths.get(path)
+    (handle, fileKey(p)) match {
+      case (None, Some(k)) => // first sight of the file
+        handle = Some(new RandomAccessFile(path, "r"))
+        if (k != handleKey) { handleKey = k; offset = 0L }
+        handle.foreach(readNew(_, drainAll = false))
+      case (Some(raf), cur) if cur.exists(_ != handleKey) || cur.isEmpty =>
+        // rotated: drain the old inode fully, then re-open (ReOpen)
+        readNew(raf, drainAll = true)
+        raf.close()
+        handle = None
+        offset = 0L
+        cur.foreach { k =>
+          handleKey = k
+          handle = Some(new RandomAccessFile(path, "r"))
+          handle.foreach(readNew(_, drainAll = false))
+        }
+      case (Some(raf), _) =>
+        readNew(raf, drainAll = false)
+      case (None, None) => () // file not created yet: keep waiting
+    }
+  }
+
+  /** Spawn the background follow thread (daemon: dies with the JVM). */
+  def start(): FileTailer = {
+    val t = new Thread(() => {
+      while (!closed) {
+        try poll()
+        catch { case _: java.io.IOException => () } // transient FS race; retry next poll
+        Thread.sleep(pollMs)
+      }
+    }, s"graft-file-tailer-$path")
+    t.setDaemon(true)
+    t.start()
+    thread = Some(t)
+    this
+  }
+
+  override def close(): Unit = {
+    closed = true
+    thread.foreach(_.join(5000))
+    synchronized { handle.foreach(_.close()); handle = None }
+  }
+}

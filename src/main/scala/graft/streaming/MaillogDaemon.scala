@@ -227,13 +227,26 @@ object MaillogDaemon {
         createTypes = ColumnTypes.getOrElse(table, Map.empty)).write _
     } else ParquetSink(s"${c.out}/$table")
 
-  /** Starts the four table streams; returns them (caller awaits). */
+  /** Starts the four table streams; returns them (caller awaits).
+    *
+    * When `-maillog` points at a REGULAR FILE — the reference's
+    * default deployment, one growing `/var/log/maillog`
+    * (maillog2db.go:168, tail -F with re-open) — a [[FileTailer]] is
+    * started to follow appends and rotations, spooling completed
+    * lines under the checkpoint dir for the file source. A directory
+    * input keeps the plain new-files-in-dir semantics. */
   def start(spark: SparkSession, c0: Conf = Conf(), args: Array[String] = Array(),
             trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] = {
     val c = if (args.nonEmpty) parseArgs(args) else c0
     if (c.logfile.nonEmpty)
       installLogger(spark, c.logfile)
-    val parsed = MaillogStream.parsedStream(spark, c.maillog, c.year, c.maxFilesPerTrigger).toDF()
+    val inputPath =
+      if (new java.io.File(c.maillog).isFile) {
+        val spoolDir = s"${c.checkpoint}/tail-spool"
+        new FileTailer(c.maillog, spoolDir).start()
+        spoolDir
+      } else c.maillog
+    val parsed = MaillogStream.parsedStream(spark, inputPath, c.year, c.maxFilesPerTrigger).toDF()
     def ckpt(t: String) = s"${c.checkpoint}/$t"
 
     // insert-if-absent (maillog2db.go:283-306) done in-stream: keyed

@@ -1,0 +1,100 @@
+package graft
+
+import graft.streaming.FileTailer
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic (no-thread) tests of the single-file follow logic:
+  * each case drives `poll()` by hand and reads the spool directly. */
+class FileTailerSpec extends AnyFunSuite {
+
+  private def setup() = {
+    val dir = Files.createTempDirectory("tail").toString
+    (s"$dir/maillog", s"$dir/spool")
+  }
+
+  private def append(path: String, s: String): Unit =
+    Files.write(Paths.get(path), s.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  private def spooled(spool: String): String = {
+    val d = Paths.get(spool)
+    if (!Files.exists(d)) ""
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".log")).sortBy(_.getFileName.toString)
+        .map(p => new String(Files.readAllBytes(p), "UTF-8")).mkString
+    }
+  }
+
+  test("emits only completed lines; appended data flows on later polls") {
+    val (file, spool) = setup()
+    append(file, "line one\nline two\npartial")
+    val t = new FileTailer(file, spool)
+    t.poll()
+    assert(spooled(spool) === "line one\nline two\n",
+      "the unterminated tail line is withheld")
+    t.poll()
+    assert(spooled(spool) === "line one\nline two\n", "no growth, no emission")
+    append(file, " completed\nline three\n")
+    t.poll()
+    assert(spooled(spool) ===
+      "line one\nline two\npartial completed\nline three\n")
+    t.close()
+  }
+
+  test("restart resumes at the stored offset without re-emitting") {
+    val (file, spool) = setup()
+    append(file, "a\nb\n")
+    val t1 = new FileTailer(file, spool)
+    t1.poll(); t1.close()
+    assert(spooled(spool) === "a\nb\n")
+    append(file, "c\n")
+    val t2 = new FileTailer(file, spool)
+    t2.poll(); t2.close()
+    assert(spooled(spool) === "a\nb\nc\n", "only the new line after restart")
+  }
+
+  test("rotation: old inode drained (even unterminated), new file followed") {
+    val (file, spool) = setup()
+    append(file, "old1\nold2 no newline")
+    val t = new FileTailer(file, spool)
+    t.poll()
+    assert(spooled(spool) === "old1\n")
+    // rotate: move the file away and create a fresh one at the path
+    Files.move(Paths.get(file), Paths.get(file + ".1"),
+      StandardCopyOption.ATOMIC_MOVE)
+    append(file, "new1\n")
+    t.poll()
+    assert(spooled(spool) === "old1\nold2 no newline\nnew1\n",
+      "rotation drains the old file's last partial line, then re-opens")
+    append(file, "new2\n")
+    t.poll()
+    assert(spooled(spool) === "old1\nold2 no newline\nnew1\nnew2\n")
+    t.close()
+  }
+
+  test("in-place truncation (copytruncate) restarts from offset zero") {
+    val (file, spool) = setup()
+    append(file, "aaa\nbbb\n")
+    val t = new FileTailer(file, spool)
+    t.poll()
+    Files.write(Paths.get(file), "x\n".getBytes("UTF-8"),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    t.poll()
+    assert(spooled(spool) === "aaa\nbbb\nx\n")
+    t.close()
+  }
+
+  test("file created after the tailer starts is picked up") {
+    val (file, spool) = setup()
+    val t = new FileTailer(file, spool)
+    t.poll() // nothing there yet
+    assert(spooled(spool) === "")
+    append(file, "late\n")
+    t.poll()
+    assert(spooled(spool) === "late\n")
+    t.close()
+  }
+}

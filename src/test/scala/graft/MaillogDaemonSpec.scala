@@ -61,6 +61,47 @@ class MaillogDaemonSpec extends SparkSpec {
     assert(deliveries.first().getAs[String]("delivery_status") === "sent")
   }
 
+  test("single growing file: mid-stream appends land in all four tables") {
+    val dir = Files.createTempDirectory("tailrun").toString
+    val file = s"$dir/maillog"
+    val out = Files.createTempDirectory("tailout").toString
+    val ckpt = Files.createTempDirectory("tailckpt").toString
+    Files.write(java.nio.file.Paths.get(file),
+      ("Jan 02 03:04:05 mx1 postfix/smtpd[101]: AB1: client=host1.example.com[10.0.0.1]\n" +
+       "Jan 02 03:04:06 mx1 postfix/qmgr[102]: AB1: from=<a@example.com>, size=100, nrcpt=1 (queue active)\n").getBytes)
+
+    // -maillog is a FILE, the reference's default deployment — the
+    // daemon must follow appends, not just new files in a directory
+    val qs = MaillogDaemon.start(spark,
+      args = Array("-maillog", file, "-out", out, "-checkpoint", ckpt, "-year", "2024"),
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      def count(t: String): Long =
+        try spark.read.parquet(s"$out/$t").count() catch { case _: Exception => 0L }
+      def waitFor(cond: => Boolean): Boolean = {
+        val deadline = System.nanoTime() + 60L * 1000000000
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(250)
+        cond
+      }
+      assert(waitFor(count("pfmaillog2db_logs") >= 2 &&
+        count("pfmaillog2db_clients") >= 1 && count("pfmaillog2db_messages") >= 1),
+        "initial file contents ingested")
+
+      // append mid-stream: the smtp delivery line plus a second client
+      Files.write(java.nio.file.Paths.get(file),
+        ("Jan 02 03:04:07 mx1 postfix/smtp[103]: AB1: to=<b@example.org>, relay=r.example.net[10.1.0.1]:25, delay=1.5, delays=0.1/0.2/0.3/0.4, dsn=2.0.0, status=sent (250 ok)\n" +
+         "Jan 02 03:04:08 mx2 postfix/smtpd[104]: CD2: client=host2.example.com[10.0.0.2]\n").getBytes,
+        java.nio.file.StandardOpenOption.APPEND)
+
+      assert(waitFor(count("pfmaillog2db_logs") >= 4 &&
+        count("pfmaillog2db_deliveries") >= 1 && count("pfmaillog2db_messages") >= 2),
+        s"appended lines reach all four tables " +
+          s"(logs=${count("pfmaillog2db_logs")}, deliveries=${count("pfmaillog2db_deliveries")}, " +
+          s"messages=${count("pfmaillog2db_messages")}, clients=${count("pfmaillog2db_clients")})")
+      assert(waitFor(count("pfmaillog2db_clients") >= 2), "appended client upserted")
+    } finally qs.foreach(_.stop())
+  }
+
   test("daemon against an EMPTY database auto-creates and fills all four tables") {
     val dir = Files.createTempDirectory("maillog-db").toString
     val ckpt = Files.createTempDirectory("ckpt-db").toString
