@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.GraftSession
 import graft.functions.MaillogParse._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Drop-in replacement for the reference daemon's CLI
   * (maillog2db.go:115-128): watch a maillog location, keep the four
@@ -28,6 +28,35 @@ object MaillogDaemon {
   case class ClientRow(client: String, client_rdns: String,
                        client_addr: String,
                        client_lastseen: java.sql.Timestamp, n_seen: Long)
+
+  /** Client upsert as a `StatefulProcessor`: keyed
+    * `ValueState[ClientRow]` with native TTL (see
+    * [[MaillogStream.MessageMergeProcessor]] for why this replaced
+    * `flatMapGroupsWithState` + ProcessingTimeTimeout). */
+  private[streaming] class ClientUpsertProcessor(stateTtlMs: Long)
+      extends StatefulProcessor[(String, String, String), ClientRow, ClientRow] {
+    @transient private var state: ValueState[ClientRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (stateTtlMs > 0) TTLConfig(java.time.Duration.ofMillis(stateTtlMs))
+        else TTLConfig.NONE
+      state = getHandle.getValueState("client", Encoders.product[ClientRow], ttl)
+    }
+
+    override def handleInputRows(key: (String, String, String),
+                                 rows: Iterator[ClientRow],
+                                 timerValues: TimerValues): Iterator[ClientRow] = {
+      val rs = rows.toSeq
+      val prev = Option(state.get())
+      val latest = (prev.toSeq ++ rs)
+        .maxBy(r => Option(r.client_lastseen).map(_.getTime).getOrElse(Long.MinValue))
+      val merged = latest.copy(
+        n_seen = prev.map(_.n_seen).getOrElse(0L) + rs.size)
+      state.update(merged)
+      Iterator.single(merged)
+    }
+  }
 
   /** Stateful client upsert: newest lastseen per (client, rdns, addr)
     * — streaming form of the reference's recordClientEntry
@@ -53,27 +82,11 @@ object MaillogDaemon {
         col("log_timestamp").as("client_lastseen"),
         lit(1L).as("n_seen"))
       .as[ClientRow]
-    val timeoutConf =
-      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
+    // TimeMode.None unless TTL is on — see MaillogStream.messageUpdates
+    val mode = if (stateTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
     clients.groupByKey(c => (c.client, c.client_rdns, c.client_addr))
-      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
-        (_: (String, String, String), rows: Iterator[ClientRow],
-         state: GroupState[ClientRow]) => {
-          if (stateTtlMs > 0 && state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val rs = rows.toSeq
-            val latest = (state.getOption.toSeq ++ rs)
-              .maxBy(r => Option(r.client_lastseen).map(_.getTime).getOrElse(Long.MinValue))
-            val merged = latest.copy(
-              n_seen = state.getOption.map(_.n_seen).getOrElse(0L) + rs.size)
-            state.update(merged)
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
-            Iterator.single(merged)
-          }
-        })
+      .transformWithState(new ClientUpsertProcessor(stateTtlMs),
+        mode, OutputMode.Update())
   }
 
   /** Stateless delivery parse — append; DB unique key dedups
@@ -240,6 +253,7 @@ object MaillogDaemon {
     val c = if (args.nonEmpty) parseArgs(args) else c0
     if (c.logfile.nonEmpty)
       installLogger(spark, c.logfile)
+    MaillogStream.useRocksDbStateStore(spark)
     val inputPath =
       if (new java.io.File(c.maillog).isFile) {
         val spoolDir = s"${c.checkpoint}/tail-spool"
@@ -288,7 +302,13 @@ object MaillogDaemon {
           "delivery_statusext")))
       .start()
 
-    Seq(logs, clients, messages, deliveries)
+    val qs = Seq(logs, clients, messages, deliveries)
+    // TTL-enabled stateful queries never quiesce on their own under
+    // AvailableNow (processing-time mode schedules empty batches
+    // forever); enforce AvailableNow's process-then-stop contract
+    if (c.stateTtlMs > 0 && trigger == Trigger.AvailableNow())
+      MaillogStream.stopWhenDrained(Seq(clients, messages))
+    qs
   }
 
   def main(args: Array[String]): Unit = {

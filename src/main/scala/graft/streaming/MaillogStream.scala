@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.functions.MaillogParse._
 import graft.sources.Maillog
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured-Streaming re-expression of the reference daemon
   * (maillog2db.go:115-281): follow a log directory, parse each line,
@@ -17,14 +17,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    only new data)
   *  - per-line regex cascade (go:180-280) → the same shuffle-free
   *    projection used by the batch operators
-  *  - upsert-by-queueid (go:332-393)      → `flatMapGroupsWithState`
-  *    keyed on queueid: state is partitioned across executors,
-  *    spill-safe, and emits one updated row per key per micro-batch
+  *  - upsert-by-queueid (go:332-393)      → `transformWithState`
+  *    (Spark 4 StatefulProcessor) keyed on queueid: state is
+  *    partitioned across executors, RocksDB-backed (spills to disk),
+  *    and emits one updated row per key per micro-batch
   *  - MySQL sink (go:142)                 → `foreachBatch` into
   *    [[JdbcUpsertSink]] (or parquet for environments without a DB)
   *
-  * State is bounded with an event-time timeout: a queue id that has
-  * seen no activity for `stateTtl` is finalized and evicted — the
+  * State is bounded with a native state-store TTL: a queue id that
+  * has seen no activity for `stateTtl` is evicted by the store — the
   * property that keeps state size O(active queue ids), not O(history),
   * on an unbounded 100 TB/day stream.
   */
@@ -117,45 +118,101 @@ object MaillogStream {
     message_id = p.messageId.orElse(cur.message_id),
     n_lines = cur.n_lines + 1)
 
+  /** The merge-by-queueid as a Spark 4 `StatefulProcessor`
+    * (`transformWithState`): keyed `ValueState[MessageRow]` with a
+    * native TTL — expired keys are dropped by the state store itself,
+    * no timer callbacks or per-key timeout bookkeeping needed (the
+    * old `flatMapGroupsWithState` + ProcessingTimeTimeout form
+    * re-invoked the function for every idle key). Bounded runs with
+    * TTL still need [[stopWhenDrained]] — see [[messageUpdates]]. */
+  private[streaming] class MessageMergeProcessor(stateTtlMs: Long)
+      extends StatefulProcessor[String, MsgPatch, MessageRow] {
+    @transient private var state: ValueState[MessageRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (stateTtlMs > 0) TTLConfig(java.time.Duration.ofMillis(stateTtlMs))
+        else TTLConfig.NONE
+      state = getHandle.getValueState("message", Encoders.product[MessageRow], ttl)
+    }
+
+    override def handleInputRows(qid: String, rows: Iterator[MsgPatch],
+                                 timerValues: TimerValues): Iterator[MessageRow] = {
+      val init = Option(state.get()).getOrElse(
+        MessageRow(qid, None, None, None, None, None, None, None, None, 0L))
+      // reference applies lines in file order; micro-batch replay
+      // uses (ts, patch) order for a deterministic equivalent
+      val merged = rows.toSeq.sortBy(p => (p.ts.getTime, p.toString))
+        .foldLeft(init)(applyPatch)
+      state.update(merged)
+      Iterator.single(merged)
+    }
+  }
+
   /** Stateful merge-by-queueid. Emits the updated row for every key
     * touched in the micro-batch. With `stateTtlMs > 0`, idle keys are
     * evicted after that much processing time — the knob that bounds
-    * state to O(active queue ids) on an unbounded stream. (TTL mode
-    * schedules timeout micro-batches on every trigger, so tests that
-    * wait for quiescence use the default NoTimeout.) */
+    * state to O(active queue ids) on an unbounded stream. Requires
+    * the RocksDB state store provider (set by [[run]] /
+    * [[MaillogDaemon.start]]). */
   def messageUpdates(patches: Dataset[MsgPatch],
                      stateTtlMs: Long = 0L): Dataset[MessageRow] = {
     import patches.sparkSession.implicits._
-    val timeoutConf =
-      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
+    // TTL needs the processing-time clock; without TTL use
+    // TimeMode.None — Spark schedules extra (empty) micro-batches
+    // for EVERY ProcessingTime-mode stateful operator
+    // (TransformWithStateExecBase.shouldRunAnotherBatch is
+    // unconditionally true in that mode), so the cheaper mode also
+    // lets availability-bounded runs quiesce on their own
+    val mode = if (stateTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
     patches.groupByKey(_.queueid)
-      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
-        (qid: String, rows: Iterator[MsgPatch], state: GroupState[MessageRow]) => {
-          if (stateTtlMs > 0 && state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val init = state.getOption.getOrElse(
-              MessageRow(qid, None, None, None, None, None, None, None, None, 0L))
-            // reference applies lines in file order; micro-batch replay
-            // uses (ts, patch) order for a deterministic equivalent
-            val merged = rows.toSeq.sortBy(p => (p.ts.getTime, p.toString))
-              .foldLeft(init)(applyPatch)
-            state.update(merged)
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
-            Iterator.single(merged)
-          }
-        })
+      .transformWithState(new MessageMergeProcessor(stateTtlMs),
+        mode, OutputMode.Update())
   }
+
+  /** Bounded-run helper for TTL-enabled queries: in processing-time
+    * mode Spark keeps constructing empty micro-batches after the
+    * source is drained (see note in [[messageUpdates]]), so
+    * `Trigger.AvailableNow` alone never terminates. This watchdog
+    * implements AvailableNow's contract — process everything
+    * available, then stop — by stopping each query once it commits a
+    * batch with zero input rows (the file source latches its end
+    * offsets at start, so an empty batch proves the backlog is
+    * drained, even under maxFilesPerTrigger backpressure). */
+  private[streaming] def stopWhenDrained(qs: Seq[StreamingQuery]): Unit = {
+    val t = new Thread(() => {
+      val remaining = scala.collection.mutable.Set(qs: _*)
+      while (remaining.nonEmpty) {
+        remaining.toSeq.foreach { q =>
+          if (!q.isActive) remaining -= q
+          else if (Option(q.lastProgress).exists(_.numInputRows == 0)) {
+            q.stop()
+            remaining -= q
+          }
+        }
+        Thread.sleep(200)
+      }
+    }, "graft-availablenow-drain-watchdog")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  /** `transformWithState` runs only on the RocksDB state store
+    * provider — also the provider you'd pick for a large deployment
+    * (state spills to disk instead of living on the JVM heap).
+    * Session-wide and idempotent; applies to queries started after. */
+  private[streaming] def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** Full pipeline: follow `inputDir`, maintain message state, deliver
     * each micro-batch of updates to `sink`. */
   def run(spark: SparkSession, inputDir: String, checkpointDir: String,
           sink: (DataFrame, Long) => Unit,
           trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-          stateTtlMs: Long = 0L): StreamingQuery =
-    messageUpdates(patches(parsedStream(spark, inputDir).toDF()), stateTtlMs)
+          stateTtlMs: Long = 0L): StreamingQuery = {
+    useRocksDbStateStore(spark)
+    val q = messageUpdates(patches(parsedStream(spark, inputDir).toDF()), stateTtlMs)
       .toDF()
       .writeStream
       .outputMode(OutputMode.Update)
@@ -163,4 +220,8 @@ object MaillogStream {
       .trigger(trigger)
       .foreachBatch(sink)
       .start()
+    if (stateTtlMs > 0 && trigger == Trigger.AvailableNow())
+      stopWhenDrained(Seq(q))
+    q
+  }
 }

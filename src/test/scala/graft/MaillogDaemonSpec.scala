@@ -24,9 +24,11 @@ class MaillogDaemonSpec extends SparkSpec {
       ).mkString("\n").getBytes)
 
     val logfile = Files.createTempFile("daemon", ".log").toString
+    // -state-ttl-ms on: native state TTL must not keep an
+    // AvailableNow run alive (the old ProcessingTimeTimeout did)
     val qs = MaillogDaemon.start(spark,
       args = Array("-maillog", dir, "-out", out, "-checkpoint", ckpt,
-        "-logfile", logfile, "-year", "2024"),
+        "-logfile", logfile, "-year", "2024", "-state-ttl-ms", "3600000"),
       trigger = Trigger.AvailableNow())
     qs.foreach(_.awaitTermination())
 

@@ -29,16 +29,21 @@ class MaillogStreamSpec extends SparkSpec {
     def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
       batch.write.mode("append").parquet(out)
 
+    // state TTL enabled: with the native state-store TTL this
+    // composes with AvailableNow (no timeout batches scheduled, the
+    // run still terminates)
     Files.write(new java.io.File(dir, "maillog.1").toPath,
       lines1.mkString("\n").getBytes)
-    val q1 = MaillogStream.run(spark, dir.getAbsolutePath, ckpt, sink, avail)
+    val q1 = MaillogStream.run(spark, dir.getAbsolutePath, ckpt, sink, avail,
+      stateTtlMs = 3600000L)
     q1.awaitTermination()
 
     // second file + a fresh query on the same checkpoint: keyed state
     // must survive the restart (the daemon-restart scenario)
     Files.write(new java.io.File(dir, "maillog.2").toPath,
       lines2.mkString("\n").getBytes)
-    val q2 = MaillogStream.run(spark, dir.getAbsolutePath, ckpt, sink, avail)
+    val q2 = MaillogStream.run(spark, dir.getAbsolutePath, ckpt, sink, avail,
+      stateTtlMs = 3600000L)
     q2.awaitTermination()
 
     // last update per queueid is the merged row
