@@ -46,6 +46,7 @@ object SparkEntry {
     "m07_queue_latency" -> (MaillogOps.m07QueueLatency _),
     "qa01_approx_sketches" -> (Analytics2.qa01ApproxSketches _),
     "t05_tfidf" -> (TextAnalysis.t05TfIdf _),
+    "t06_pii_redact" -> (TextAnalysis.t06PiiRedact _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),
     "m02_clients" -> (MaillogOps.m02Clients _),
     "m03_messages" -> (MaillogOps.m03Messages _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "t04_fingerprint" -> (TextAnalysis.t04Fingerprint _),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_minhash_lsh" -> (Dedup.d02MinhashLsh _),
+    "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d03_simhash" -> (Dedup.d03Simhash _),
     "d04_ngram_jaccard" -> (Dedup.d04NgramJaccard _),
     "d05_embedding_neardup" -> (Dedup.d05EmbeddingNeardup _),

@@ -172,6 +172,54 @@ object Dedup {
       .orderBy("test_doc", "train_doc")
   }
 
+  /** d07: near-duplicate CLUSTERS — connected components over the
+    * MinHash-LSH candidate pairs (d02), so a pipeline can keep one
+    * canonical document per cluster instead of reasoning about raw
+    * pairs. cluster_id = min doc_id reachable through the pair graph.
+    *
+    * Plan: iterative min-label propagation — each round is one
+    * equi-join + groupBy over the pair-graph node set (orders of
+    * magnitude smaller than the corpus: only docs with ≥1 near-dup
+    * candidate appear). Rounds = component diameter, bounded at 25;
+    * near-dup components are shallow stars in practice. The driver
+    * loop only orchestrates distributed rounds (Pregel-style) and
+    * moves one Boolean per round, not data. At extreme scale the
+    * same contract can be served by the alternating large-star/
+    * small-star CC algorithm; the output (doc → min reachable id)
+    * is identical. */
+  def d07DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d02MinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label").as("nlabel"))
+        .groupBy("node").agg(min("nlabel").as("nlabel"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      next.count() // materialize before comparing
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = {
     val shCte =
       """sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
@@ -185,6 +233,11 @@ object Dedup {
       """sig AS (SELECT doc_id, i,
         |  min((((1103515245 * (i + 1) + 12345) % 2147483647) * tid + ((69069 * (i + 1) + 1234567) % 2147483647)) % 2147483647) AS sig
         |  FROM st, generate_series(0, 15) g(i) GROUP BY doc_id, i)""".stripMargin
+    val candCte =
+      """bands AS (SELECT doc_id, i // 2 AS band, string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bandkey
+        |          FROM sig GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id)""".stripMargin
     val simhCte =
       """simh AS (SELECT doc_id, CAST(SUM(bit * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
         |  FROM (SELECT doc_id, j,
@@ -198,15 +251,27 @@ object Dedup {
           |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
 
       "d02_minhash_lsh" ->
-        ("WITH " + shCte + ",\n" + sigCte + """,
-          |bands AS (SELECT doc_id, i // 2 AS band, string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bandkey
-          |          FROM sig GROUP BY doc_id, i // 2),
-          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id)
+        ("WITH " + shCte + ",\n" + sigCte + ",\n" + candCte + """
           |SELECT doc_a, doc_b,
           |  CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) / 16.0 AS est_jaccard
           |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
           |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin),
+
+      // reachability closure over the candidate-pair graph; MIN over
+      // the reachable set = the same min-label fixpoint the Spark
+      // side converges to
+      "d07_dedup_clusters" ->
+        ("WITH RECURSIVE " + shCte + ",\n" + sigCte + ",\n" + candCte + """,
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          |          UNION ALL SELECT doc_b, doc_a FROM cand),
+          |walk(node, reach) AS (
+          |  SELECT DISTINCT src, src AS reach FROM edges
+          |  UNION
+          |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+          |lab AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+          |SELECT doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)
+          |ORDER BY doc_id""".stripMargin),
 
       "d03_simhash" ->
         ("WITH " + shCte + ",\n" + simhCte + """,

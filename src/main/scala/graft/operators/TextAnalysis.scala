@@ -105,12 +105,15 @@ object TextAnalysis {
     * engines (libm log() may differ in the last ulp). */
   def t05TfIdf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count() // single scalar, becomes a plan literal
+    // corpus size as a broadcast 1-row aggregate folded into the plan
+    // (a driver-side count() would cost one extra full scan per call)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = tf.join(dfreq, "term")
-      .withColumn("weight", (col("tf") * (lit(n) + 1)).cast("double") / (col("df") + 1))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("weight", (col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("weight").desc, col("term"))
     w.withColumn("rank", row_number().over(win))
@@ -119,9 +122,78 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Synthetic-PII regexes. Restricted to the regex subset with
+    * identical semantics in Java (Spark) and RE2 (DuckDB): character
+    * classes, bounded repetition, alternation — no backrefs, no
+    * lookaround, no \b. */
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[operators] val PhoneRe = "555-[0-9]{4}"
+
+  /** t06: PII detection + redaction — the scrub pass a training-data
+    * pipeline runs before releasing a corpus. The testdata documents
+    * carry no PII, so deterministic synthetic PII (an email / IPv4 /
+    * phone derived from doc_id) is appended by the SAME expression in
+    * both engines; the operator then counts and redacts it. Pure
+    * per-row Column algebra — embarrassingly parallel, no shuffle
+    * until the final oracle sort. */
+  def t06PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com now."))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" Origin host 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit("."), ((col("doc_id") * 13) % 256).cast("string"),
+          lit("."))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" Call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit("."))).otherwise(lit("")))
+    docs.select(col("doc_id"), aug.as("t"))
+      .withColumn("r",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(col("r")).as("red_hash"),
+        length(col("r")).cast("long").as("n_red_chars"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = {
     val dCte = "d AS (SELECT doc_id, n_chars, lang, text, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
     Map(
+      "t06_pii_redact" ->
+        """WITH aug AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com now.' ELSE '' END ||
+          |    CASE WHEN doc_id % 4 = 0 THEN ' Origin host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) || '.' ELSE '' END ||
+          |    CASE WHEN doc_id % 5 = 0 THEN ' Call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' ELSE '' END AS t
+          |  FROM documents),
+          |red AS (
+          |  SELECT doc_id, t,
+          |    regexp_replace(regexp_replace(regexp_replace(t,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+          |      '555-[0-9]{4}', '<PHONE>', 'g') AS r
+          |  FROM aug)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+          |  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+          |  md5(r) AS red_hash,
+          |  CAST(length(r) AS BIGINT) AS n_red_chars
+          |FROM red ORDER BY doc_id""".stripMargin,
+
       "t01_token_stats" ->
         ("WITH " + dCte + """
           |SELECT doc_id, n_chars,
