@@ -189,11 +189,16 @@ object Dedup {
     * is identical. */
   def d07DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = d02MinhashLsh(spark, dir).select("doc_a", "doc_b")
+    // localCheckpoint (not persist): each round's plan references the
+    // previous labels twice (neighbor-min join + left join), so
+    // without truncating lineage the logical plan DOUBLES per round —
+    // exponential analyzer/driver cost that OOMs long before the data
+    // does. Checkpointing pins the rounds to materialized partitions.
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+      .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
@@ -203,12 +208,10 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
-      next.count() // materialize before comparing
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
