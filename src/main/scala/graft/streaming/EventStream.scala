@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.functions.Fns._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
 
 /** Streaming analytics over an event stream: watermarked tumbling
   * windows. The aggregation body is identical to the batch
@@ -40,5 +41,103 @@ object EventStream {
         col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
       .select(col("a_id"), col("b_id"), col("user_id"),
         ((unix_micros(col("b_ts")) - unix_micros(col("a_ts"))) / lit(1000000.0)).as("gap_s"))
+  }
+
+  case class SessEvent(user_id: Long, event_id: Long,
+                       ts: java.sql.Timestamp, event_type: String)
+
+  case class SessionRow(user_id: Long, sess_id: Long, n_events: Long,
+                        n_types: Long, dur_s: Double)
+
+  /** Open-session state: per-user session counter plus the running
+    * aggregates of the not-yet-closed session (timestamps in µs —
+    * `Timestamp.getTime` alone would drop the sub-ms component the
+    * batch q09 duration math keeps). */
+  case class OpenSess(seq: Long, startUs: Long, lastUs: Long,
+                      n: Long, types: Seq[String])
+
+  private val GapUs = 30L * 60 * 1000000 // 30-minute session gap
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000 + t.getNanos / 1000
+
+  /** Event-time sessionization as a `StatefulProcessor` — the
+    * streaming twin of the batch `Analytics.q09Sessionize` (30-minute
+    * gap). In-batch gaps close sessions immediately inside
+    * `handleInputRows`; the final open session is parked in state
+    * with an EVENT-TIME TIMER at last_ts+gap, and
+    * `handleExpiredTimer` emits it once the watermark passes — the
+    * state never outlives its session, which is what bounds it on an
+    * unbounded stream. A timer made stale by a session extension is
+    * ignored via the watermark guard rather than deleted (one fewer
+    * state-store round trip; correctness is the guard's). */
+  private[streaming] class SessionizeProcessor
+      extends StatefulProcessor[Long, SessEvent, SessionRow] {
+    @transient private var state: ValueState[OpenSess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("open", Encoders.product[OpenSess],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def close(user: Long, s: OpenSess): SessionRow =
+      SessionRow(user, s.seq, s.n, s.types.distinct.size.toLong,
+        (s.lastUs - s.startUs) / 1000000.0)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+                                 timerValues: TimerValues): Iterator[SessionRow] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var open = Option(state.get())
+      val out = Seq.newBuilder[SessionRow]
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        open match {
+          case Some(s) if us - s.lastUs <= GapUs =>
+            // keep `types` a distinct set: state must stay O(#types),
+            // not O(#events), for a long session
+            val ts2 =
+              if (s.types.contains(e.event_type)) s.types
+              else s.types :+ e.event_type
+            open = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1,
+              types = ts2))
+          case cur =>
+            cur.foreach(s => out += close(user, s)) // gap exceeded
+            val seq = cur.map(_.seq + 1).getOrElse(1L)
+            open = Some(OpenSess(seq, us, us, 1L, Seq(e.event_type)))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(s.lastUs / 1000 + GapUs / 1000)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionRow] = {
+      val s = state.get()
+      // stale-timer guard: the session may have been extended (or
+      // already closed in-batch) since this timer was registered
+      if (s != null && s.lastUs / 1000 + GapUs / 1000 <= timerValues.getCurrentWatermarkInMs) {
+        state.clear()
+        Iterator.single(close(user, s))
+      } else Iterator.empty
+    }
+  }
+
+  /** Sessionize an event stream: emits each CLOSED session (append
+    * semantics). `watermark` bounds lateness; a session closes when
+    * the watermark passes its last event + 30 min. Batch inputs
+    * should use the batch q09 operator instead. */
+  def sessionize(events: DataFrame, watermark: String = "0 seconds"): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    MaillogStream.useRocksDbStateStore(spark)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts"), col("event_type"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

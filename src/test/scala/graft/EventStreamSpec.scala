@@ -59,4 +59,44 @@ class EventStreamSpec extends SparkSpec {
       .orderBy("a_id", "b_id").collect()
     assert(batch.sameElements(banded), "interval-join == banded q15 operator")
   }
+
+  test("streaming sessionization (event-time timers) equals batch q09") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evsess").toString
+    val batchEvents = Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+    // a far-future sentinel event for a dummy user pushes the GLOBAL
+    // watermark 2h past every real event, so every real session's
+    // close timer fires — no boundary ambiguity in the comparison
+    val maxTs = batchEvents.agg(max("ts")).first().getTimestamp(0)
+    batchEvents.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)))
+      .write.mode("append").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.sessionize(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("sess").filter($"user_id" >= 0)
+      .select($"user_id".cast("long"), $"sess_id".cast("long"),
+        $"n_events".cast("long"), $"n_types".cast("long"), $"dur_s")
+      .as[(Long, Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    val want = graft.operators.Analytics.q09Sessionize(spark, sf)
+      .select(col("user_id").cast("long"), col("sess_id").cast("long"),
+        col("n_events").cast("long"), col("n_types").cast("long"), col("dur_s"))
+      .as[(Long, Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.length === want.length,
+      s"all ${want.length} batch sessions must close and emit (got ${got.length})")
+    assert(got.sameElements(want), "streamed sessions == batch q09")
+  }
 }
