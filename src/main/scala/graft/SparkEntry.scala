@@ -67,14 +67,15 @@ object SparkEntry {
     "s01_ann_brute" -> (Similarity.s01AnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
-    "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _)
+    "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _),
+    "p01_curation" -> (Pipeline.p01Curation _)
   )
 
   /** qa01 is intentionally absent (sketch internals have no
     * cross-engine oracle; the driver records a rows-only check). */
   def oracleSql: Map[String, String] = MaillogOracle.oracles ++
     TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-    Multimodal.oracles ++ Analytics2.oracles ++ Map(
+    Multimodal.oracles ++ Analytics2.oracles ++ Pipeline.oracles ++ Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

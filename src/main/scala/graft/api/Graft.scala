@@ -11,6 +11,10 @@ case class Embedding(vec_id: Long, embedding: Seq[Float], label: Int)
 case class DupGroup(h: String, keep_doc_id: Long, n_copies: Long, n_chars: Long)
 case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
 case class Neighbor(q_id: Long, rank: Int, cand_id: Long, cos: Double)
+case class DupCluster(doc_id: Long, cluster_id: Long, cluster_size: Long)
+case class RedactedDoc(doc_id: Long, n_emails: Long, n_ips: Long,
+                       n_phones: Long, red_hash: String, n_red_chars: Long)
+case class CuratedDoc(doc_id: Long, n_chars: Long, quality: Double, split: String)
 
 /** The front door for library users: typed `Dataset` views of the
   * tables plus the operator families, bound to a session + data dir.
@@ -53,4 +57,17 @@ class Graft(val spark: SparkSession, dir: String) {
     Similarity.s01AnnBrute(spark, dir).as[Neighbor]
 
   def textQuality: DataFrame = TextAnalysis.t02Quality(spark, dir)
+
+  /** Near-duplicate clusters (one canonical doc per cluster). */
+  def dedupClusters: Dataset[DupCluster] =
+    Dedup.d07DedupClusters(spark, dir).as[DupCluster]
+
+  /** PII counts + redacted-text digests. */
+  def piiRedacted: Dataset[RedactedDoc] =
+    TextAnalysis.t06PiiRedact(spark, dir).as[RedactedDoc]
+
+  /** The full curation pipeline: quality-gated, exact- and near-dup
+    * canonicalized, split-assigned corpus. */
+  def curated: Dataset[CuratedDoc] =
+    Pipeline.p01Curation(spark, dir).as[CuratedDoc]
 }

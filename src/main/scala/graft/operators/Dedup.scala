@@ -223,8 +223,8 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val oracles: Map[String, String] = {
-    val shCte =
+  // Oracle CTE fragments shared with the pipeline oracle (Pipeline.scala)
+  private[operators] val shCte =
       """sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
         |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents) d0
@@ -232,22 +232,35 @@ object Dedup {
         |v AS (SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
         |      FROM (SELECT DISTINCT term FROM sh) x),
         |st AS (SELECT doc_id, tid FROM sh JOIN v USING (term))""".stripMargin
-    val sigCte =
+  private[operators] val sigCte =
       """sig AS (SELECT doc_id, i,
         |  min((((1103515245 * (i + 1) + 12345) % 2147483647) * tid + ((69069 * (i + 1) + 1234567) % 2147483647)) % 2147483647) AS sig
         |  FROM st, generate_series(0, 15) g(i) GROUP BY doc_id, i)""".stripMargin
-    val candCte =
+  private[operators] val candCte =
       """bands AS (SELECT doc_id, i // 2 AS band, string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bandkey
         |          FROM sig GROUP BY doc_id, i // 2),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id)""".stripMargin
-    val simhCte =
+  private[operators] val simhCte =
       """simh AS (SELECT doc_id, CAST(SUM(bit * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
         |  FROM (SELECT doc_id, j,
         |    CASE WHEN SUM(2 * (((((1103515245 * (j + 1) + 12345) % 2147483647) * tid + ((69069 * (j + 1) + 1234567) % 2147483647)) % 2147483647) % 2) - 1) > 0
         |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
         |    FROM st, generate_series(0, 31) g(j) GROUP BY doc_id, j) b
         |  GROUP BY doc_id)""".stripMargin
+
+  /** min-reachable-label closure over the candidate-pair graph
+    * (requires WITH RECURSIVE). */
+  private[operators] val clusterCte =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+      |          UNION ALL SELECT doc_b, doc_a FROM cand),
+      |walk(node, reach) AS (
+      |  SELECT DISTINCT src, src AS reach FROM edges
+      |  UNION
+      |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+      |lab AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node)""".stripMargin
+
+  val oracles: Map[String, String] = {
     Map(
       "d01_exact_dedup" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
@@ -264,14 +277,7 @@ object Dedup {
       // the reachable set = the same min-label fixpoint the Spark
       // side converges to
       "d07_dedup_clusters" ->
-        ("WITH RECURSIVE " + shCte + ",\n" + sigCte + ",\n" + candCte + """,
-          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-          |          UNION ALL SELECT doc_b, doc_a FROM cand),
-          |walk(node, reach) AS (
-          |  SELECT DISTINCT src, src AS reach FROM edges
-          |  UNION
-          |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
-          |lab AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+        ("WITH RECURSIVE " + shCte + ",\n" + sigCte + ",\n" + candCte + ",\n" + clusterCte + """,
           |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
           |SELECT doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)
           |ORDER BY doc_id""".stripMargin),

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a real training-data
+  * pipeline runs before a corpus ships, proving the individual
+  * operators compose into one DataFrame plan.
+  *
+  * p01 stages (all semantics identical to the standalone operators):
+  *  1. quality gate  — t02's score, keep `quality >= 0.5`;
+  *  2. exact dedup   — keep the min doc_id of each md5(text) group
+  *                     (d01's keeper rule);
+  *  3. near-dup canonicalization — keep a document iff it is its
+  *     d07 cluster's canonical (cluster_id == doc_id) or it has no
+  *     near-dup candidate at all;
+  *  4. split assignment — q20's multiplicative-hash 80/10/10.
+  *
+  * Scale shape: stages 1–2 are one projection + one hash groupBy;
+  * stage 3 joins against the (tiny) cluster-membership table; stage
+  * 4 is per-row arithmetic. No stage widens the data — the pipeline
+  * is exactly as scalable as its narrowest operator (d07's label
+  * propagation over the pair graph).
+  */
+object Pipeline {
+
+  def p01Curation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qual = TextAnalysis.t02Quality(spark, dir).select("doc_id", "quality")
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val clusters = Dedup.d07DedupClusters(spark, dir)
+      .select("doc_id", "cluster_id")
+    docs.select("doc_id", "n_chars")
+      .join(qual, "doc_id")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .filter(col("quality") >= 0.5)
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
+      .withColumn("split",
+        when(col("h") % 10 === 0, "test")
+          .when(col("h") % 10 === 1, "val")
+          .otherwise("train"))
+      .select("doc_id", "n_chars", "quality", "split")
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "p01_curation" ->
+      ("WITH RECURSIVE " + Dedup.shCte + ",\n" + Dedup.sigCte + ",\n" +
+        Dedup.candCte + ",\n" + Dedup.clusterCte + """,
+        |dd AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |mm AS (SELECT doc_id, n_chars, len(t) AS nt, len(list_distinct(t)) AS nd,
+        |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS nstop
+        |FROM dd),
+        |qq AS (SELECT doc_id,
+        |  0.4 * (CAST(nd AS DOUBLE) / nt) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / nt) + 0.3 * least(1.0, nt / 100.0) AS quality
+        |FROM mm),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT d0.doc_id, d0.n_chars, qq.quality,
+        |  CASE WHEN (d0.doc_id * 2654435761) % 4294967296 % 10 = 0 THEN 'test'
+        |       WHEN (d0.doc_id * 2654435761) % 4294967296 % 10 = 1 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents d0
+        |JOIN qq USING (doc_id)
+        |JOIN keep USING (doc_id)
+        |LEFT JOIN lab ON lab.doc_id = d0.doc_id
+        |WHERE qq.quality >= 0.5
+        |  AND (lab.cluster_id IS NULL OR lab.cluster_id = d0.doc_id)
+        |ORDER BY doc_id""".stripMargin))
+}
