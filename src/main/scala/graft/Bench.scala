@@ -45,7 +45,7 @@ object Bench {
     // outside the timed region so the bench measures the operator,
     // not the fixture generator
     def prepare(name: String): Unit =
-      if (name.startsWith("m"))
+      if (name.startsWith("m0")) // maillog m01–m07; NOT the mm* multimodal queries
         graft.operators.MaillogOps.materializeCorpus(spark, sfDir)
     // median of 3 timed passes after one warm pass (±30% run-to-run
     // variance on this box makes single timings meaningless). A

@@ -201,7 +201,8 @@ object Dedup {
       .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 25) {
+    val maxIter = 64
+    while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label").as("nlabel"))
         .groupBy("node").agg(min("nlabel").as("nlabel"))
@@ -216,6 +217,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // no silent caps: a truncated fixpoint would return intermediate
+    // labels that LOOK like clusters — fail loudly instead (a real
+    // corpus with component diameter > 64 wants the large-star/
+    // small-star variant, not a quietly wrong answer)
+    if (!converged)
+      throw new IllegalStateException(
+        s"d07 label propagation did not converge within $maxIter rounds")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),

@@ -73,10 +73,20 @@ object EventStream {
   private[streaming] class SessionizeProcessor
       extends StatefulProcessor[Long, SessEvent, SessionRow] {
     @transient private var state: ValueState[OpenSess] = _
+    // the per-user session counter must OUTLIVE each session (batch
+    // q09's sess_id is cumulative over the user's history): a
+    // timer-close clears the session payload but not this counter,
+    // else the next session would restart at sess_id=1 and collide
+    // with an already-emitted row. O(users) × 8 bytes, vs the
+    // payload state which stays O(open sessions).
+    @transient private var seqState: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState("open", Encoders.product[OpenSess],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seqState = getHandle.getValueState("seq", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
 
     private def close(user: Long, s: OpenSess): SessionRow =
       SessionRow(user, s.seq, s.n, s.types.distinct.size.toLong,
@@ -100,7 +110,8 @@ object EventStream {
               types = ts2))
           case cur =>
             cur.foreach(s => out += close(user, s)) // gap exceeded
-            val seq = cur.map(_.seq + 1).getOrElse(1L)
+            val seq = (if (seqState.exists()) seqState.get() else 0L) + 1
+            seqState.update(seq)
             open = Some(OpenSess(seq, us, us, 1L, Seq(e.event_type)))
         }
       }
@@ -117,7 +128,7 @@ object EventStream {
       // stale-timer guard: the session may have been extended (or
       // already closed in-batch) since this timer was registered
       if (s != null && s.lastUs / 1000 + GapUs / 1000 <= timerValues.getCurrentWatermarkInMs) {
-        state.clear()
+        state.clear() // payload only; seqState survives the session
         Iterator.single(close(user, s))
       } else Iterator.empty
     }

@@ -54,7 +54,7 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
         .fileKey()))
     catch { case _: java.io.IOException => None }
 
-  private def loadState(): Unit =
+  private def loadState(): Unit = {
     if (Files.exists(stateFile)) {
       val parts = new String(Files.readAllBytes(stateFile), "UTF-8").trim.split("\t")
       if (parts.length == 3) {
@@ -67,6 +67,18 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
         }
       }
     }
+    // a crash between emit() and saveState() leaves a spool file the
+    // stream may already have consumed but a stale persisted seq —
+    // reusing that name would atomically REPLACE a processed file the
+    // source never re-reads (silent data loss). Recover the true max
+    // from the spool listing.
+    import scala.jdk.CollectionConverters._
+    val onDisk = Files.list(spool).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".log") => n.stripSuffix(".log").toLong }
+      .maxOption.getOrElse(0L)
+    seq = math.max(seq, onDisk)
+  }
 
   private def saveState(): Unit = {
     val tmp = spool.resolve(".tail-state.tmp")

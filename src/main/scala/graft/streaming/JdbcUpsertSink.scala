@@ -90,6 +90,7 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     * (mysqlUpsert, genericUpdate, insert). Bind order: insert = data
     * cols then hash; update = non-keys then hash. */
   def managedSql(cols: Seq[String]): (String, String, String) = {
+    require(keyCols.forall(cols.contains), s"key columns $keyCols must be in $cols")
     val nonKeys = cols.filterNot(keyCols.contains)
     val insCols = cols ++ Seq("row_key_hash", "row_created_at", "row_updated_at")
     val insVals = cols.map(_ => "?") ++ Seq("?", "CURRENT_TIMESTAMP", "CURRENT_TIMESTAMP")
@@ -245,7 +246,12 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                 conn.rollback(sp)
                 bind(update, r, nonKeyIdx)
                 update.setObject(nonKeyIdx.length + 1, h)
-                update.executeUpdate()
+                // SQLState class 23 also covers NOT NULL/FK/CHECK
+                // violations; those rows match no existing key, so a
+                // 0-row update means the row was neither inserted nor
+                // updated — surface the original failure rather than
+                // silently dropping the row
+                if (update.executeUpdate() == 0) throw e2
             }
           }
           conn.commit()
@@ -286,10 +292,12 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                 bind(exists, r, keyIdx)
                 val rs = exists.executeQuery()
                 val present = try rs.next() finally rs.close()
-                def doUpdate(): Unit = update.foreach { u =>
+                // returns rows touched (all-columns-key tables have
+                // no update statement: the row existing IS the upsert)
+                def doUpdate(): Int = update.map { u =>
                   bind(u, r, nonKeyIdx ++ keyIdx)
                   u.executeUpdate()
-                }
+                }.getOrElse(1)
                 if (present) doUpdate()
                 else {
                   // savepoint so a constraint violation doesn't abort
@@ -299,10 +307,14 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                   try insert.executeUpdate()
                   catch {
                     // lost a race with a replayed/concurrent writer:
-                    // the row exists now, so apply the update instead
+                    // the row exists now, so apply the update instead.
+                    // SQLState class 23 also covers NOT NULL/FK/CHECK:
+                    // if the update then touches nothing, the row was
+                    // neither inserted nor updated — rethrow rather
+                    // than silently dropping it
                     case e if isDuplicateKey(e) =>
                       conn.rollback(sp)
-                      doUpdate()
+                      if (doUpdate() == 0) throw e
                   }
                 }
               }

@@ -254,8 +254,13 @@ object MaillogDaemon {
     if (c.logfile.nonEmpty)
       installLogger(spark, c.logfile)
     MaillogStream.useRocksDbStateStore(spark)
+    // a path that is not (yet) a directory gets the tailer: the
+    // reference's -maillog names a file that may not exist at boot
+    // (tail -F waits for creation — FileTailer's no-file poll case);
+    // only an existing directory keeps new-files-in-dir semantics
+    val maillogFile = new java.io.File(c.maillog)
     val inputPath =
-      if (new java.io.File(c.maillog).isFile) {
+      if (maillogFile.isFile || !maillogFile.exists()) {
         val spoolDir = s"${c.checkpoint}/tail-spool"
         new FileTailer(c.maillog, spoolDir).start()
         spoolDir

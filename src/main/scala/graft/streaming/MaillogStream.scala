@@ -184,8 +184,13 @@ object MaillogStream {
       val remaining = scala.collection.mutable.Set(qs: _*)
       while (remaining.nonEmpty) {
         remaining.toSeq.foreach { q =>
+          // TWO consecutive empty batches: a single zero-input batch
+          // can occur mid-backlog (e.g. a zero-byte rotated file
+          // under maxFilesPerTrigger); two in a row cannot, because
+          // a drained-then-refilled source would show rows in between
+          val recent = q.recentProgress.takeRight(2)
           if (!q.isActive) remaining -= q
-          else if (Option(q.lastProgress).exists(_.numInputRows == 0)) {
+          else if (recent.length == 2 && recent.forall(_.numInputRows == 0)) {
             q.stop()
             remaining -= q
           }

@@ -99,4 +99,48 @@ class EventStreamSpec extends SparkSpec {
       s"all ${want.length} batch sessions must close and emit (got ${got.length})")
     assert(got.sameElements(want), "streamed sessions == batch q09")
   }
+
+  test("session counter survives a timer-closed session and a restart") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sessseq").toString
+    val ckpt = Files.createTempDirectory("sessseq-ckpt").toString
+    val out = Files.createTempDirectory("sessseq-out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(Long, Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = graft.streaming.EventStream.sessionize(streamed).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1: one session for user 7, closed by the sentinel-advanced
+    // watermark (timer path — the path that clears session state)
+    writeBatch(Seq(
+      (7L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (7L, 2L, ts("2024-01-01 00:10:00"), "click"),
+      (-1L, 3L, ts("2024-01-01 02:00:00"), "view")))
+    runOnce()
+    // run 2 (same checkpoint): a NEW session for user 7 hours later
+    writeBatch(Seq(
+      (7L, 4L, ts("2024-01-01 03:00:00"), "view"),
+      (-1L, 5L, ts("2024-01-01 06:00:00"), "view")))
+    runOnce()
+
+    val sessions = spark.read.parquet(out)
+      .filter($"user_id" === 7L)
+      .select($"sess_id".cast("long"), $"n_events".cast("long"))
+      .as[(Long, Long)].collect().sorted
+    assert(sessions === Array((1L, 2L), (2L, 1L)),
+      "second session must be numbered 2, not restart at 1")
+  }
 }

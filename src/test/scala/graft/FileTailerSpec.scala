@@ -87,6 +87,24 @@ class FileTailerSpec extends AnyFunSuite {
     t.close()
   }
 
+  test("stale persisted seq cannot overwrite an already-published spool file") {
+    val (file, spool) = setup()
+    append(file, "a\n")
+    val t1 = new FileTailer(file, spool)
+    t1.poll(); t1.close()
+    // simulate a crash between emit() and saveState(): spool file 1
+    // exists but the state file still carries the previous seq
+    val st = Paths.get(spool, ".tail-state")
+    val Array(ino, off, _) =
+      new String(Files.readAllBytes(st), "UTF-8").trim.split("\t")
+    Files.write(st, s"$ino\t$off\t0\n".getBytes("UTF-8"))
+    append(file, "b\n")
+    val t2 = new FileTailer(file, spool)
+    t2.poll(); t2.close()
+    assert(spooled(spool) === "a\nb\n",
+      "the published spool file must stay intact; new data goes to a NEW file")
+  }
+
   test("file created after the tailer starts is picked up") {
     val (file, spool) = setup()
     val t = new FileTailer(file, spool)
