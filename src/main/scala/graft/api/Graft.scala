@@ -35,15 +35,20 @@ class Graft(val spark: SparkSession, dir: String) {
 
   /** The reference's four tables from a real maillog file/dir.
     * `year` fills the year Postfix timestamps omit (defaults to the
-    * wall clock, like the reference daemon). */
+    * wall clock, like the reference daemon).
+    *
+    * Batch replay uses the batch merge operators (one groupBy per
+    * table) — the stateful streaming processors are the wrong tool
+    * here: batch `transformWithState` drags in a per-task RocksDB
+    * store and requires streaming-side RPC plumbing, where a plain
+    * aggregation gives the same answer in one shuffle. */
   def maillogTables(logPath: String,
                     year: Int = 0): Map[String, DataFrame] = {
     val parsed = Maillog.parsed(Maillog.readLines(spark, logPath), year)
     Map(
       "logs" -> parsed.distinct(),
-      "clients" -> graft.streaming.MaillogDaemon.clientUpdates(parsed).toDF(),
-      "messages" -> graft.streaming.MaillogStream
-        .messageUpdates(graft.streaming.MaillogStream.patches(parsed)).toDF(),
+      "clients" -> MaillogOps.clientsFrom(parsed),
+      "messages" -> MaillogOps.messagesFrom(parsed),
       "deliveries" -> graft.streaming.MaillogDaemon.deliveryRows(parsed).distinct())
   }
 

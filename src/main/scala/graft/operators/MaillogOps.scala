@@ -50,10 +50,10 @@ object MaillogOps {
       .orderBy("log_timestamp", "log_mailhost", "log_process",
                "log_processid", "log_message")
 
-  /** m02: the `clients` table (upsert → groupBy key + max lastseen). */
-  def m02Clients(spark: SparkSession, dir: String): DataFrame = {
+  /** Batch client upsert from any parsed-line frame (shared by m02
+    * and the library's batch log replay). */
+  def clientsFrom(p: DataFrame): DataFrame = {
     import graft.plans.RegexpExtractGroups.regexpGroups
-    val p = parsedLogs(spark, dir)
     val msg = col("log_message")
     // two regex passes per candidate line (smtpd parse + client-string
     // split), matching the streaming projection (MaillogDaemon)
@@ -69,8 +69,11 @@ object MaillogOps {
       .groupBy("client", "client_rdns", "client_addr")
       .agg(max(col("log_timestamp")).as("client_lastseen"),
            count(lit(1)).as("n_seen"))
-      .orderBy("client")
   }
+
+  /** m02: the `clients` table (upsert → groupBy key + max lastseen). */
+  def m02Clients(spark: SparkSession, dir: String): DataFrame =
+    clientsFrom(parsedLogs(spark, dir)).orderBy("client")
 
 
   /** m03: the `messages` table — merge-by-queueid of the qmgr, smtpd
@@ -82,9 +85,13 @@ object MaillogOps {
     * (null ordering keys — rows from other branches — are ignored by
     * max_by, which is exactly the per-branch window semantics). One
     * shuffle total, versus three windows + two full-outer joins. */
-  def m03Messages(spark: SparkSession, dir: String): DataFrame = {
+  def m03Messages(spark: SparkSession, dir: String): DataFrame =
+    messagesFrom(parsedLogs(spark, dir)).orderBy("message_queueid")
+
+  /** Batch merge-by-queueid from any parsed-line frame (shared by m03
+    * and the library's batch log replay). */
+  def messagesFrom(p: DataFrame): DataFrame = {
     import graft.plans.RegexpExtractGroups.regexpGroups
-    val p = parsedLogs(spark, dir)
     val msg = col("log_message")
     // substring pre-filters are necessary conditions of each branch
     // regex ("from=" must appear for QmgrRe to match — markers omit
@@ -127,7 +134,6 @@ object MaillogOps {
         col("qm.message_from"), col("qm.message_size"), col("qm.message_nrcpt"),
         col("qm.message_statusext"), col("message_client"), col("message_id"),
         col("n_qmgr"), col("n_smtpd"), col("n_cleanup"))
-      .orderBy("message_queueid")
   }
 
   private def deliveries(spark: SparkSession, dir: String): DataFrame = {

@@ -19,6 +19,19 @@ class GraftApiSpec extends SparkSpec {
     assert(g.textQuality.columns.contains("quality"))
   }
 
+  test("round-2 operators are reachable through the facade") {
+    val clusters = g.dedupClusters.collect()
+    assert(clusters.nonEmpty)
+    assert(clusters.forall(c => c.cluster_id <= c.doc_id),
+      "cluster id is the min doc id of the component")
+    val red = g.piiRedacted.head()
+    assert(red.red_hash.length === 32, "md5 digest of the redacted text")
+    val curated = g.curated.collect()
+    assert(curated.nonEmpty)
+    assert(curated.forall(c => Set("train", "val", "test")(c.split)))
+    assert(curated.forall(_.quality >= 0.5))
+  }
+
   test("maillogTables replays a real log file into the four tables") {
     val f = Files.createTempFile("maillog", ".log")
     Files.write(f, Seq(
