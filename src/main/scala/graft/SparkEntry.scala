@@ -67,6 +67,7 @@ object SparkEntry {
     "s01_ann_brute" -> (Similarity.s01AnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
+    "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _),
     "p01_curation" -> (Pipeline.p01Curation _)
   )

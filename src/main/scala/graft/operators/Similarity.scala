@@ -104,6 +104,70 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Exact int64 squared L2 between two quantized subvectors. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** s04: product-quantization ANN — the memory-compression scale
+    * path (a PQ code is M bytes per vector vs d floats, which is what
+    * makes billion-vector indexes fit a cluster's RAM).
+    *
+    *  - Codebook: per subspace (4 × 16 dims), the codewords are the
+    *    subvectors of every 50th vector — deterministic, shared with
+    *    the oracle, tiny (broadcast).
+    *  - Encoding: argmin exact int64 L2 per (vector, subspace) —
+    *    `min(struct(d2, cw_id))` in one map-side-combinable groupBy,
+    *    deterministic tie-break, no window.
+    *  - Search: asymmetric distance (ADC) — the query's distance to
+    *    each codeword is precomputed (queries × M × K rows,
+    *    broadcast), so a candidate's approx distance is an M-term
+    *    sum of table lookups, never a d-dim dot.
+    *  - Rerank: exact integer cosine on the top-20 ADC candidates,
+    *    emit top-5.
+    */
+  def s04AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val M = 4
+    val sub = 16
+    val e = quantized(spark, dir)
+    def subviews(src: DataFrame, idCol: String, vecCol: String): DataFrame =
+      (0 until M).map(m =>
+        src.select(col(idCol), lit(m).as("m"),
+          slice(col(vecCol), m * sub + 1, sub).as("v")))
+        .reduce(_ union _)
+    val cbm = subviews(e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cw_id"), col("qv")), "cw_id", "qv")
+      .withColumnRenamed("v", "cw")
+    val vm = subviews(e.select("vec_id", "qv"), "vec_id", "qv")
+    val d2 = vm.join(broadcast(cbm), "m")
+      .select(col("vec_id"), col("m"), col("cw_id"),
+        l2sq(col("v"), col("cw")).as("d2"))
+    val codes = d2.groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cw_id").as("code"))
+    // queries' distances to every codeword: the ADC lookup table
+    val adcTab = d2.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))
+    val approx = codes.join(broadcast(adcTab),
+        codes("m") === adcTab("m") && codes("code") === adcTab("cw_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("qd2").as("adc"))
+    val cw20 = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val cands = approx.withColumn("crn", row_number().over(cw20))
+      .filter(col("crn") <= 20)
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("adc"))
+    val qSide = e.select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
+    val cSide = e.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"), col("nrm").as("nc"))
+    val reranked = cands.join(broadcast(qSide), "q_id").join(cSide, "cand_id")
+      .select(col("q_id"), col("cand_id"), col("adc"),
+        qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "cand_id", "adc", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   val oracles: Map[String, String] = {
     val qCte =
       """q AS (SELECT vec_id, label,
@@ -121,6 +185,32 @@ object Similarity {
           |  FROM qs a JOIN n b ON a.q_id <> b.vec_id)
           |SELECT q_id, rank, cand_id, cos FROM (
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM scored) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      "s04_ann_pq" ->
+        ("WITH " + qCte + """,
+          |sv AS (SELECT vec_id, m, qv[(m*16+1):(m*16+16)] AS v FROM n, generate_series(0, 3) g(m)),
+          |cbm AS (SELECT m, vec_id AS cw_id, qv[(m*16+1):(m*16+16)] AS cw
+          |        FROM n, generate_series(0, 3) g(m) WHERE vec_id % 50 = 0),
+          |d2 AS (SELECT sv.vec_id, sv.m, cbm.cw_id,
+          |    CAST((SELECT SUM((sv.v[i] - cbm.cw[i]) * (sv.v[i] - cbm.cw[i])) FROM generate_series(1, 16) gi(i)) AS BIGINT) AS d2
+          |  FROM sv JOIN cbm USING (m)),
+          |codes AS (SELECT vec_id, m, cw_id AS code FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cw_id) AS rn FROM d2) t
+          |  WHERE rn = 1),
+          |adct AS (SELECT vec_id AS q_id, m, cw_id, d2 AS qd2 FROM d2 WHERE vec_id % 20 = 0),
+          |approx AS (SELECT a.q_id, c.vec_id, CAST(SUM(a.qd2) AS BIGINT) AS adc
+          |  FROM codes c JOIN adct a ON a.m = c.m AND a.cw_id = c.code AND a.q_id <> c.vec_id
+          |  GROUP BY a.q_id, c.vec_id),
+          |cands AS (SELECT q_id, vec_id AS cand_id, adc FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS crn FROM approx) t
+          |  WHERE crn <= 20),
+          |rr AS (SELECT cd.q_id, cd.cand_id, cd.adc,
+          |    CAST((SELECT SUM(q.qv[i] * c.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+          |  FROM cands cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.cand_id)
+          |SELECT q_id, rank, cand_id, adc, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM rr) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
       "s03_ann_ivf" ->
