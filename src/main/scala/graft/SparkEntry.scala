@@ -47,6 +47,7 @@ object SparkEntry {
     "qa01_approx_sketches" -> (Analytics2.qa01ApproxSketches _),
     "t05_tfidf" -> (TextAnalysis.t05TfIdf _),
     "t06_pii_redact" -> (TextAnalysis.t06PiiRedact _),
+    "t07_boilerplate" -> (TextAnalysis.t07Boilerplate _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),
     "m02_clients" -> (MaillogOps.m02Clients _),
     "m03_messages" -> (MaillogOps.m03Messages _),

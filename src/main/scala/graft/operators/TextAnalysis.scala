@@ -169,9 +169,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t07: boilerplate detection — shingles that recur across a large
+    * fraction of the corpus (headers, footers, licence blurbs) and
+    * each document's share of them, the standard removal signal in a
+    * web-scale cleanup pass. The threshold compare is integer
+    * arithmetic (df·100 ≥ 8·N) so no engine ever rounds a double.
+    * Plan: one shingle groupBy for document frequency, a broadcast
+    * semi-join back onto the (already grouped) doc shingle counts —
+    * the boilerplate term set is tiny by construction. */
+  def t07Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val sh = docShingles(docs).persist() // df pass + per-doc counts
+    val dfreq = sh.groupBy("term").agg(count(lit(1)).as("df"))
+    val boiler = dfreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 >= col("n_docs") * 8)
+      .select("term")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val perDocBoiler = sh.join(broadcast(boiler), "term")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(perDocBoiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = {
     val dCte = "d AS (SELECT doc_id, n_chars, lang, text, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
     Map(
+      "t07_boilerplate" ->
+        """WITH sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+          |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents) d0
+          |        WHERE len(t) >= 3) d),
+          |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |dfreq AS (SELECT term, COUNT(*) AS df FROM sh GROUP BY term),
+          |boiler AS (SELECT term FROM dfreq, nd WHERE df * 100 >= n_docs * 8),
+          |pd AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+          |pb AS (SELECT sh.doc_id, COUNT(*) AS n_boiler FROM sh JOIN boiler USING (term) GROUP BY sh.doc_id)
+          |SELECT pd.doc_id, pd.n_shingles,
+          |  CAST(COALESCE(pb.n_boiler, 0) AS BIGINT) AS n_boiler,
+          |  CAST(COALESCE(pb.n_boiler, 0) AS DOUBLE) / pd.n_shingles AS boiler_ratio
+          |FROM pd LEFT JOIN pb ON pb.doc_id = pd.doc_id
+          |ORDER BY pd.doc_id""".stripMargin,
+
       "t06_pii_redact" ->
         """WITH aug AS (
           |  SELECT doc_id, text ||
