@@ -41,7 +41,11 @@ class Graft(val spark: SparkSession, dir: String) {
     * table) — the stateful streaming processors are the wrong tool
     * here: batch `transformWithState` drags in a per-task RocksDB
     * store and requires streaming-side RPC plumbing, where a plain
-    * aggregation gives the same answer in one shuffle. */
+    * aggregation merges in one shuffle. Same merge semantics
+    * (last-write-wins per field, deterministic (timestamp, raw line)
+    * order); the messages schema reports per-branch counts
+    * (n_qmgr/n_smtpd/n_cleanup) instead of the daemon's single
+    * n_lines. */
   def maillogTables(logPath: String,
                     year: Int = 0): Map[String, DataFrame] = {
     val parsed = Maillog.parsed(Maillog.readLines(spark, logPath), year)

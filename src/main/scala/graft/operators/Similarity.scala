@@ -156,7 +156,9 @@ object Similarity {
     val cands = approx.withColumn("crn", row_number().over(cw20))
       .filter(col("crn") <= 20)
       .select(col("q_id"), col("vec_id").as("cand_id"), col("adc"))
-    val qSide = e.select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
+    // broadcast only the 1-in-20 query vectors, not the whole corpus
+    val qSide = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
     val cSide = e.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"), col("nrm").as("nc"))
     val reranked = cands.join(broadcast(qSide), "q_id").join(cSide, "cand_id")
       .select(col("q_id"), col("cand_id"), col("adc"),

@@ -185,14 +185,15 @@ object TextAnalysis {
     val boiler = dfreq.crossJoin(broadcast(nDocs))
       .filter(col("df") * 100 >= col("n_docs") * 8)
       .select("term")
-    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val perDocBoiler = sh.join(broadcast(boiler), "term")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-    perDoc.join(perDocBoiler, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        (coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_shingles"))
-          .as("boiler_ratio"))
+    // one groupBy over the shingle set: tag boilerplate shingles with
+    // a broadcast left join, then count total and tagged together
+    // (two separate aggregations would shuffle the full shingle set
+    // twice and need a join afterwards)
+    sh.join(broadcast(boiler.withColumn("b", lit(1))), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("b")).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_ratio"))
       .orderBy("doc_id")
   }
 
