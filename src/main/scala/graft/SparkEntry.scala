@@ -70,7 +70,8 @@ object SparkEntry {
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _),
-    "p01_curation" -> (Pipeline.p01Curation _)
+    "p01_curation" -> (Pipeline.p01Curation _),
+    "p02_sequence_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p02SequencePack(s, d))
   )
 
   /** qa01 is intentionally absent (sketch internals have no

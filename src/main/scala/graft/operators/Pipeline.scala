@@ -47,7 +47,47 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** p02: sequence packing — lay documents head-to-tail into
+    * fixed-size token windows (the batch-construction step of an LLM
+    * training pipeline; documents span bin boundaries, GPT-style).
+    * Packing order is (source, doc_id): a partitioned running sum
+    * gives each document its global token offset within its source
+    * stream, and integer division by the context length yields the
+    * bin. One partitioned window, pure integer arithmetic — scales
+    * as one shuffle on `source` and reproduces bit-for-bit in the
+    * oracle. */
+  def p02SequencePack(spark: SparkSession, dir: String,
+                      contextLen: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        // integer division (`div`), not double-divide-then-cast:
+        // exact at any magnitude and identical to DuckDB's `//`
+        expr(s"start_tok div $contextLen").as("bin_id"),
+        (col("start_tok") % contextLen).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p02_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |  start_tok // 2048 AS bin_id,
+        |  start_tok % 2048 AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "p01_curation" ->
       ("WITH RECURSIVE " + Dedup.shCte + ",\n" + Dedup.sigCte + ",\n" +
         Dedup.candCte + ",\n" + Dedup.clusterCte + """,
