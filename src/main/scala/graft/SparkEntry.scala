@@ -48,6 +48,8 @@ object SparkEntry {
     "t05_tfidf" -> (TextAnalysis.t05TfIdf _),
     "t06_pii_redact" -> (TextAnalysis.t06PiiRedact _),
     "t07_boilerplate" -> (TextAnalysis.t07Boilerplate _),
+    "t08_unigram_lm" -> (Quality.t08UnigramLm _),
+    "t09_rep_ngrams" -> (Quality.t09RepNgrams _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),
     "m02_clients" -> (MaillogOps.m02Clients _),
     "m03_messages" -> (MaillogOps.m03Messages _),
@@ -69,16 +71,19 @@ object SparkEntry {
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
+    "s05_ann_recall" -> (Similarity.s05AnnRecall _),
     "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _),
     "p01_curation" -> (Pipeline.p01Curation _),
-    "p02_sequence_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p02SequencePack(s, d))
+    "p02_sequence_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p02SequencePack(s, d)),
+    "p03_token_budget" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p03TokenBudget(s, d))
   )
 
   /** qa01 is intentionally absent (sketch internals have no
     * cross-engine oracle; the driver records a rows-only check). */
   def oracleSql: Map[String, String] = MaillogOracle.oracles ++
     TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-    Multimodal.oracles ++ Analytics2.oracles ++ Pipeline.oracles ++ Map(
+    Multimodal.oracles ++ Analytics2.oracles ++ Pipeline.oracles ++
+    Quality.oracles ++ Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -74,7 +74,52 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** p03: token-budget selection — keep the highest-quality documents
+    * of each source until that source's running token count exceeds
+    * the budget (the mixture-construction step: every source gets a
+    * fixed token allowance, filled best-first).
+    *
+    * Plan shape: t02's per-row quality scores (no shuffle) feed ONE
+    * window partitioned by source ordered by (quality desc, doc_id)
+    * — a single shuffle on `source`; the cumulative token count is a
+    * running sum inside that window and the budget test is a per-row
+    * filter. Sources are the natural parallelism unit; a pathological
+    * single mega-source would call for the p02-style bucketed
+    * prefix-sum instead.
+    */
+  def p03TokenBudget(spark: SparkSession, dir: String,
+                     budget: Long = 500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val qual = TextAnalysis.t02Quality(spark, dir)
+      .select(col("doc_id"), col("nt").as("n_tokens"), col("quality"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"))
+      .join(qual, "doc_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p03_token_budget" ->
+      """WITH d AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |m AS (SELECT doc_id, n_chars, len(t) AS nt, len(list_distinct(t)) AS nd,
+        |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS nstop
+        |FROM d),
+        |q AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  0.4 * (CAST(nd AS DOUBLE) / nt) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / nt) + 0.3 * least(1.0, nt / 100.0) AS quality
+        |FROM m),
+        |c AS (SELECT q.doc_id, source, n_tokens, quality,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, q.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |FROM q JOIN documents USING (doc_id))
+        |SELECT doc_id, source, n_tokens, quality, cum_tokens
+        |FROM c WHERE cum_tokens <= 500 ORDER BY doc_id""".stripMargin,
+
     "p02_sequence_pack" ->
       """WITH d AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.TextFns._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics quality signals — the two filters a web-scale
+  * pipeline runs after the per-document heuristics (t02) and before
+  * dedup: a unigram language-model score and a repeated-n-gram
+  * profile (the CCNet-LM / Gopher-repetition pair, re-expressed as
+  * exact integer/rational arithmetic so the DuckDB oracle reproduces
+  * every bit — no log(), no engine-specific float ordering).
+  */
+object Quality {
+
+  /** t08: unigram corpus-frequency score. A document whose tokens
+    * are corpus-rare is "surprising" under the corpus unigram LM;
+    * mean token probability is the monotone inverse of mean surprisal
+    * without the cross-engine log() hazard.
+    *
+    * Plan shape (100 TB): one map-side-combinable groupBy over the
+    * exploded token stream builds the corpus frequency table (vocab ≪
+    * corpus → broadcast back), the per-doc pass is a second groupBy
+    * on doc_id; the corpus total folds in as a broadcast 1-row agg —
+    * two shuffles, no window, no driver-side count.
+    */
+  def t08UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val cf = tok.groupBy("term").agg(count(lit(1)).as("cf")).persist()
+    val total = cf.agg(sum(col("cf")).as("total_tokens"))
+    tok.join(broadcast(cf), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_cf"),
+        (col("sum_cf").cast("double") / col("n_tokens")).as("mean_cf"),
+        (col("sum_cf").cast("double") / col("n_tokens") / col("total_tokens"))
+          .as("mean_prob"))
+      .orderBy("doc_id")
+  }
+
+  /** t09: repeated-n-gram profile (word bigrams) — the repetition
+    * signal used to drop degenerate/templated documents: the share of
+    * bigram instances that occur more than once within the document
+    * and the single most-repeated bigram (max count, then smallest
+    * bigram — a deterministic argmax via one `min(struct)` agg, no
+    * window).
+    *
+    * Plan shape: explode to the non-distinct bigram stream, ONE
+    * groupBy (doc_id, bigram) with map-side combine, one groupBy
+    * doc_id. Both aggregations are partial-aggregated; nothing is
+    * quadratic and no window touches the corpus.
+    */
+  def t09RepNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bi = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingleArray(col("t"), 2)).as("term"))
+    val cnt = bi.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    cnt.groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        max(col("cnt")).as("top_count"),
+        min(struct((lit(0L) - col("cnt")).as("nc"), col("term").as("t")))
+          .as("m"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup_inst"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+        col("m.t").as("top_bigram"),
+        col("dup_inst"),
+        (col("dup_inst").cast("double") / col("n_bigrams")).as("dup_share"))
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "t08_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |cf AS (SELECT term, COUNT(*) AS cf FROM tok GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total_tokens FROM cf),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(cf) AS BIGINT) AS sum_cf
+        |       FROM tok JOIN cf USING (term) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_cf,
+        |  CAST(sum_cf AS DOUBLE) / n_tokens AS mean_cf,
+        |  CAST(sum_cf AS DOUBLE) / n_tokens / total_tokens AS mean_prob
+        |FROM pd CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+
+    "t09_rep_ngrams" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS term
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM d WHERE len(t) >= 2) x),
+        |cnt AS (SELECT doc_id, term, COUNT(*) AS cnt FROM bi GROUP BY doc_id, term),
+        |top AS (SELECT doc_id, term AS top_bigram FROM (
+        |          SELECT doc_id, term,
+        |            row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, term) AS rn
+        |          FROM cnt) r WHERE rn = 1),
+        |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |          CAST(MAX(cnt) AS BIGINT) AS top_count,
+        |          CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup_inst
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT agg.doc_id, n_bigrams, top_count, top_bigram, dup_inst,
+        |  CAST(dup_inst AS DOUBLE) / n_bigrams AS dup_share
+        |FROM agg JOIN top ON top.doc_id = agg.doc_id
+        |ORDER BY agg.doc_id""".stripMargin
+  )
+}

@@ -170,6 +170,34 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s05: ANN recall evaluation — recall@5 of the LSH (s02) and IVF
+    * (s03) indexes against the exact brute-force top-5 (s01), the
+    * measurement an ANN deployment runs before trading exactness for
+    * speed. Output is per (query, method).
+    *
+    * Plan shape: the three ANN results are tiny (queries × 5 rows);
+    * the truth set broadcasts into a left join and one groupBy
+    * produces the per-query hit counts. All heavy lifting is inside
+    * the underlying index queries; identical cached `quantized`
+    * plans are shared through Spark's cache manager.
+    */
+  def s05AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = s01AnnBrute(spark, dir).select(col("q_id"), col("cand_id"))
+      .withColumn("hit", lit(1))
+    val approx =
+      s02AnnLsh(spark, dir).select(col("q_id"), col("cand_id"))
+        .withColumn("method", lit("lsh"))
+        .union(
+          s03AnnIvf(spark, dir).select(col("q_id"), col("cand_id"))
+            .withColumn("method", lit("ivf")))
+    approx.join(broadcast(truth), Seq("q_id", "cand_id"), "left")
+      .groupBy("q_id", "method")
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("q_id"), col("method"), col("n_hit"),
+        (col("n_hit").cast("double") / 5.0).as("recall"))
+      .orderBy("q_id", "method")
+  }
+
   val oracles: Map[String, String] = {
     val qCte =
       """q AS (SELECT vec_id, label,
@@ -232,6 +260,55 @@ object Similarity {
           |SELECT q_id, rank, cand_id, cell, cos FROM (
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM cands) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      // recall@5: the three index oracles composed with disjoint CTE
+      // names; hit counting is a left join onto the brute-force set
+      "s05_ann_recall" ->
+        ("WITH " + qCte + """,
+          |bscored AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+          |    CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM n a JOIN n b ON a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id),
+          |btop AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM bscored) t
+          |  WHERE rank <= 5),
+          |bk AS (SELECT vec_id, qv, nrm,
+          |    (SELECT CAST(SUM(CASE WHEN
+          |       (SELECT SUM(n.qv[i] * (((1103515245 * (j * 64 + i) + 12345) % 197) - 98))
+          |        FROM generate_series(1, 64) g(i)) > 0
+          |       THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+          |     FROM generate_series(0, 3) h(j)) AS bucket
+          |  FROM n),
+          |lscored AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+          |    CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM bk a JOIN bk b ON a.vec_id % 20 = 0 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          |ltop AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM lscored) t
+          |  WHERE rank <= 5),
+          |cents AS (SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_nrm FROM n WHERE vec_id % 50 = 0),
+          |iscored AS (SELECT v.vec_id, v.qv, v.nrm, c.c_id,
+          |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+          |  FROM n v CROSS JOIN cents c),
+          |iranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn FROM iscored),
+          |iassign AS (SELECT vec_id, qv, nrm, c_id AS cell FROM iranked WHERE crn = 1),
+          |iprobes AS (SELECT vec_id AS q_id, qv AS qv_q, nrm AS nq, c_id AS cell FROM iranked WHERE vec_id % 20 = 0 AND crn <= 2),
+          |icands AS (SELECT p.q_id, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(p.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(p.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM iprobes p JOIN iassign a ON p.cell = a.cell AND p.q_id <> a.vec_id),
+          |itop AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM icands) t
+          |  WHERE rank <= 5),
+          |ap AS (SELECT q_id, cand_id, 'lsh' AS method FROM ltop
+          |       UNION ALL
+          |       SELECT q_id, cand_id, 'ivf' AS method FROM itop)
+          |SELECT ap.q_id, ap.method, COUNT(b.cand_id) AS n_hit,
+          |  CAST(COUNT(b.cand_id) AS DOUBLE) / 5.0 AS recall
+          |FROM ap LEFT JOIN btop b ON b.q_id = ap.q_id AND b.cand_id = ap.cand_id
+          |GROUP BY ap.q_id, ap.method
+          |ORDER BY ap.q_id, ap.method""".stripMargin),
 
       "s02_ann_lsh" ->
         ("WITH " + qCte + """,
