@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected pair list —
+  * the clustering engine behind d07 (near-dup clusters).
+  *
+  * Two interchangeable algorithms with the same contract
+  * (`pairs(doc_a, doc_b)` → `(node, label)` where label = min node id
+  * reachable in the pair graph):
+  *
+  *  - [[propagate]]: Pregel-style min-label propagation. One
+  *    equi-join + groupBy per round, rounds = component DIAMETER.
+  *    The right default for near-dup graphs, whose components are
+  *    shallow stars (a handful of rounds).
+  *  - [[starContraction]]: alternating large-star/small-star
+  *    contraction (Kiveris et al., "Connected Components in
+  *    MapReduce and Beyond", SoCC'14 — public algorithm). Rounds =
+  *    O(log n) regardless of diameter, so a pathological chain-shaped
+  *    component (e.g. a template family where A≈B≈C≈… but A̸≈C) that
+  *    would blow propagation's round cap converges in ~log₂ rounds.
+  *
+  * Both loops are driver-orchestrated but move only a per-round
+  * Boolean to the driver; every round's data stays distributed, and
+  * `localCheckpoint` pins each round to materialized partitions so
+  * the logical plan doesn't double per iteration.
+  */
+object Components {
+
+  /** Min-label propagation to a fixpoint. Throws (loudly, not
+    * silently-wrong) if the fixpoint needs more than `maxIter`
+    * rounds — switch to [[starContraction]] for such graphs. */
+  def propagate(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label").as("nlabel"))
+        .groupBy("node").agg(min("nlabel").as("nlabel"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge within $maxIter rounds")
+    labels
+  }
+
+  /** One large-star round: every node connects its strictly-larger
+    * neighbors to the minimum of its closed neighborhood. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u")
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node connects its smaller neighbors
+    * (and itself) to the smallest of them. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val o = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val m = o.groupBy("u").agg(min(col("v")).as("m"))
+    val rewired = o.join(m, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val parent = m.select(col("u"), col("m").as("v"))
+    rewired.union(parent).filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Alternating large-star/small-star contraction to a fixpoint.
+    * At convergence the edge set is a forest of depth-1 stars rooted
+    * at each component's min node; labels read straight off it. */
+  def starContraction(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = pairs.select(col("doc_a").as("node"))
+      .union(pairs.select(col("doc_b").as("node")))
+      .distinct().localCheckpoint(true)
+    var edges = pairs.toDF("u", "v")
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint test on the canonical orientation: same count and
+      // no edge outside the previous set (both sides distinct)
+      val changed = next.count() != edges.count() ||
+        next.except(edges).limit(1).count() > 0
+      edges = next
+      converged = !changed
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge within $maxIter rounds")
+    // stars point u -> root v; roots (and isolated-in-star nodes)
+    // label themselves
+    nodes.join(edges.select(col("u").as("node"), col("v").as("root")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("label"))
+  }
+}

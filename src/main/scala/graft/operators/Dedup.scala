@@ -189,41 +189,13 @@ object Dedup {
     * is identical. */
   def d07DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = d02MinhashLsh(spark, dir).select("doc_a", "doc_b")
-    // localCheckpoint (not persist): each round's plan references the
-    // previous labels twice (neighbor-min join + left join), so
-    // without truncating lineage the logical plan DOUBLES per round —
-    // exponential analyzer/driver cost that OOMs long before the data
-    // does. Checkpointing pins the rounds to materialized partitions.
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    val maxIter = 64
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label").as("nlabel"))
-        .groupBy("node").agg(min("nlabel").as("nlabel"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    // no silent caps: a truncated fixpoint would return intermediate
-    // labels that LOOK like clusters — fail loudly instead (a real
-    // corpus with component diameter > 64 wants the large-star/
-    // small-star variant, not a quietly wrong answer)
-    if (!converged)
-      throw new IllegalStateException(
-        s"d07 label propagation did not converge within $maxIter rounds")
+    // Components.propagate: rounds = component diameter, fails loudly
+    // past its cap rather than returning a truncated fixpoint that
+    // LOOKS like clusters. Near-dup components are shallow stars;
+    // a chain-shaped corpus would swap in
+    // Components.starContraction (O(log n) rounds, same contract,
+    // equivalence-tested in ComponentsSpec).
+    val labels = Components.propagate(pairs)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),

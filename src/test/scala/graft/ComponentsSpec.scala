@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.DataFrame
+import scala.util.Random
+
+/** Both connected-components algorithms agree with each other and
+  * with a single-machine union-find reference, including on graphs
+  * whose diameter exceeds what propagation could ever finish. */
+class ComponentsSpec extends SparkSpec {
+
+  private def pairsDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("doc_a", "doc_b")
+  }
+
+  /** Single-machine reference: union-find with min-id roots. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def collectLabels(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("random graphs: propagate == starContraction == union-find") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 40 + trial * 30
+      val pairs = Seq.fill(n)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(pairs)
+      val df = pairsDf(pairs)
+      assert(collectLabels(Components.propagate(df)) == expected,
+        s"propagate diverged on trial $trial")
+      assert(collectLabels(Components.starContraction(df)) == expected,
+        s"starContraction diverged on trial $trial")
+    }
+  }
+
+  test("chain of diameter 200: starContraction converges in O(log n) rounds") {
+    val pairs = (0L until 200L).map(i => (i, i + 1))
+    val labels = collectLabels(Components.starContraction(pairsDf(pairs)))
+    assert(labels.size == 201)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("propagate fails loudly past its round cap instead of truncating") {
+    val pairs = (0L until 30L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Components.propagate(pairsDf(pairs), maxIter = 5)
+    }
+  }
+
+  test("two components keep distinct labels") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L))
+    val labels = collectLabels(Components.starContraction(pairsDf(pairs)))
+    assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+}
