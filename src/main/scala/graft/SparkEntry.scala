@@ -43,6 +43,7 @@ object SparkEntry {
     "q19_above_avg" -> (Analytics2.q19AboveAvg _),
     "q20_dataset_split" -> (Analytics2.q20DatasetSplit _),
     "q21_sliding_window" -> (Analytics2.q21SlidingWindow _),
+    "q22_grouping_sets" -> (Analytics2.q22GroupingSets _),
     "m07_queue_latency" -> (MaillogOps.m07QueueLatency _),
     "qa01_approx_sketches" -> (Analytics2.qa01ApproxSketches _),
     "t05_tfidf" -> (TextAnalysis.t05TfIdf _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "s05_ann_recall" -> (Similarity.s05AnnRecall _),
+    "s06_label_centroids" -> (Similarity.s06LabelCentroids _),
     "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _),
     "p01_curation" -> (Pipeline.p01Curation _),
     "p02_sequence_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p02SequencePack(s, d)),

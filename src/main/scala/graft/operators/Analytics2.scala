@@ -57,6 +57,30 @@ object Analytics2 {
         col("n"), col("sum_value"))
       .orderBy("w_start", "event_type")
 
+  /** q22: GROUPING SETS — the non-hierarchical grouping shape
+    * ROLLUP (q06) and CUBE (q18) can't express: per-region totals,
+    * per-segment totals, and the grand total, WITHOUT the
+    * (region, segment) cross cells. One pass; Spark expands the sets
+    * through the same Expand operator as rollup/cube (rows are
+    * replicated once per set before one hash aggregate — no re-scan
+    * per set). */
+  def q22GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name")), Seq(col("c_mktsegment")), Seq.empty),
+        col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy("region", "segment")
+  }
+
   /** q16: set operations — INTERSECT / EXCEPT as a tagged union. */
   def q16SetOps(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -141,6 +165,17 @@ object Analytics2 {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
     Map(
+      "q22_grouping_sets" ->
+        """SELECT COALESCE(r_name, 'ALL') AS region,
+          |  COALESCE(c_mktsegment, 'ALL') AS segment,
+          |  COUNT(*) AS n_cust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+          |ORDER BY region, segment""".stripMargin,
+
       "q14_tumbling_window" ->
         s"""WITH $evCte
           |SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,

@@ -198,6 +198,34 @@ object Similarity {
       .orderBy("q_id", "method")
   }
 
+  /** s06: per-label centroids + each vector's cosine to its own
+    * label centroid — the embedding-space QA pass that surfaces
+    * mislabeled/outlier vectors before they poison a training run.
+    *
+    * Exactness trick: cosine to the MEAN is identical to cosine to
+    * the SUM (the 1/n factor cancels in the ratio), so the centroid
+    * stays an exact int64 per-dimension sum — no division, no float
+    * drift, bit-equal in DuckDB.
+    *
+    * Plan shape: the per-dimension sums are 64 agg columns of ONE
+    * groupBy(label) — map-side combinable, no row explosion, no
+    * window; the tiny centroid table broadcasts back onto the corpus
+    * for a per-row codegen'd dot product. Two narrow passes over the
+    * embeddings at any scale. */
+  def s06LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val dimSums = (1 to 64).map(i => sum(element_at(col("qv"), i)).as(s"c_$i"))
+    val cents = e.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), dimSums: _*)
+      .select(col("label"), col("n_vecs"),
+        array((1 to 64).map(i => col(s"c_$i")): _*).as("cv"))
+      .withColumn("cnrm", qnorm2(col("cv")))
+    e.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"), col("n_vecs"),
+        qcos(qdot(col("qv"), col("cv")), col("nrm"), col("cnrm")).as("cos_centroid"))
+      .orderBy("vec_id")
+  }
+
   val oracles: Map[String, String] = {
     val qCte =
       """q AS (SELECT vec_id, label,
@@ -260,6 +288,19 @@ object Similarity {
           |SELECT q_id, rank, cand_id, cell, cos FROM (
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM cands) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      "s06_label_centroids" ->
+        ("WITH " + qCte + """,
+          |cd AS (SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s
+          |       FROM n, generate_series(1, 64) g(i) GROUP BY label, i),
+          |cn AS (SELECT label, COUNT(*) AS n_vecs FROM n GROUP BY label),
+          |cv AS (SELECT label, list(s ORDER BY i) AS cv FROM cd GROUP BY label),
+          |cm AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS cnrm FROM cd GROUP BY label)
+          |SELECT vec_id, n.label, n_vecs,
+          |  CAST((SELECT SUM(n.qv[i] * cv.cv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |    / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(cm.cnrm AS DOUBLE))) AS cos_centroid
+          |FROM n JOIN cv USING (label) JOIN cm USING (label) JOIN cn USING (label)
+          |ORDER BY vec_id""".stripMargin),
 
       // recall@5: the three index oracles composed with disjoint CTE
       // names; hit counting is a left join onto the brute-force set

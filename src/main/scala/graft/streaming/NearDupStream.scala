@@ -128,6 +128,18 @@ object NearDupStream {
       .transformWithState(new BucketProcessor(stateTtlMs), mode, OutputMode.Append())
   }
 
+  /** Incremental EXACT dedup: emit each content hash's first-seen
+    * document, suppressing every later copy against all history (the
+    * streaming twin of batch d01). `dropDuplicates` keys the state
+    * store on the hash — partitioned, RocksDB-backed, restart-safe
+    * via the checkpoint. On an unbounded stream, bound the state with
+    * `withWatermark` + `dropDuplicatesWithinWatermark` instead (exact
+    * dedup over ALL history fundamentally needs O(distinct) state). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    MaillogStream.useRocksDbStateStore(docs.sparkSession)
+    docs.withColumn("h", md5(col("text"))).dropDuplicates("h")
+  }
+
   /** Batch twin on the same hash path (xxhash64 ids): the ground
     * truth an incremental run must reproduce. Returns distinct
     * (doc_a, doc_b). */

@@ -73,4 +73,40 @@ class NearDupStreamSpec extends SparkSpec {
       assert(e == expect, s"pair ($a,$b) est_jaccard $e != $expect")
     }
   }
+
+  test("streaming exact dedup suppresses copies across runs") {
+    val dir = Files.createTempDirectory("ed-in").toFile
+    val ckpt = Files.createTempDirectory("ed-ckpt").toString
+    val out = Files.createTempDirectory("ed-out").toString
+
+    def writeChunk(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.json(new java.io.File(dir, name).toString)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .json(dir.getAbsolutePath + "/*")
+      val q = NearDupStream.exactDedup(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+
+    writeChunk("c1", Seq(1L -> "alpha beta", 2L -> "alpha beta", 3L -> "gamma"))
+    runOnce()
+    writeChunk("c2", Seq(4L -> "alpha beta", 5L -> "gamma", 6L -> "delta"))
+    runOnce()
+
+    val emitted = spark.read.parquet(out)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val texts = emitted.map(_._2)
+    assert(texts == Set("alpha beta", "gamma", "delta"),
+      s"one emission per distinct text, got $emitted")
+    // second-run copies of first-run texts were served from state
+    assert(!emitted.exists(e => e._1 == 4L || e._1 == 5L))
+    assert(emitted.exists(_._1 == 6L))
+  }
 }
