@@ -44,6 +44,8 @@ object SparkEntry {
     "q20_dataset_split" -> (Analytics2.q20DatasetSplit _),
     "q21_sliding_window" -> (Analytics2.q21SlidingWindow _),
     "q22_grouping_sets" -> (Analytics2.q22GroupingSets _),
+    "q23_window_ranks" -> (Analytics2.q23WindowRanks _),
+    "d09_edit_distance" -> (Dedup.d09EditDistance _),
     "m07_queue_latency" -> (MaillogOps.m07QueueLatency _),
     "qa01_approx_sketches" -> (Analytics2.qa01ApproxSketches _),
     "t05_tfidf" -> (TextAnalysis.t05TfIdf _),

@@ -79,4 +79,23 @@ class Graft(val spark: SparkSession, dir: String) {
     * canonicalized, split-assigned corpus. */
   def curated: Dataset[CuratedDoc] =
     Pipeline.p01Curation(spark, dir).as[CuratedDoc]
+
+  /** Per-source best-first selection under a token budget. */
+  def tokenBudget(budget: Long = 500L): DataFrame =
+    Pipeline.p03TokenBudget(spark, dir, budget)
+
+  /** Unigram corpus-frequency quality scores. */
+  def unigramLmScores: DataFrame = Quality.t08UnigramLm(spark, dir)
+
+  /** ANN index quality: recall@5 of LSH/IVF vs brute force. */
+  def annRecall: DataFrame = Similarity.s05AnnRecall(spark, dir)
+
+  /** Embedding outlier scores: cosine to own-label centroid. */
+  def centroidCosines: DataFrame = Similarity.s06LabelCentroids(spark, dir)
+
+  /** Incremental near-dup candidates over a (doc_id, text) STREAM —
+    * see [[graft.streaming.NearDupStream]]. */
+  def streamingNearDup(docStream: DataFrame,
+                       stateTtlMs: Long = 0L): Dataset[graft.streaming.NearDupStream.CandPair] =
+    graft.streaming.NearDupStream.candidates(docStream, stateTtlMs)
 }

@@ -81,6 +81,25 @@ object Analytics2 {
       .orderBy("region", "segment")
   }
 
+  /** q23: rank-family window functions — ntile quartiles,
+    * percent_rank, cume_dist, dense_rank over each order-priority
+    * partition. One partitioned window sort (the partition key is
+    * the shuffle key; no global ordering anywhere); the ordering is
+    * total (price desc, orderkey) so every rank is deterministic and
+    * the two engines' rational rank arithmetic matches bit-for-bit. */
+  def q23WindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        dense_rank().over(w).as("d_rank"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** q16: set operations — INTERSECT / EXCEPT as a tagged union. */
   def q16SetOps(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -165,6 +184,16 @@ object Analytics2 {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
     Map(
+      "q23_window_ranks" ->
+        """SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |  ntile(4) OVER w AS quartile,
+          |  dense_rank() OVER w AS d_rank,
+          |  percent_rank() OVER w AS pct_rank,
+          |  cume_dist() OVER w AS cume
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+          |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
       "q22_grouping_sets" ->
         """SELECT COALESCE(r_name, 'ALL') AS region,
           |  COALESCE(c_mktsegment, 'ALL') AS segment,

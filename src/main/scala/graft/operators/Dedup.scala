@@ -203,6 +203,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d09: fuzzy nearest neighbor by edit distance — for each document,
+    * the closest other document of its (source, length-band) block by
+    * Levenshtein distance on the 120-char prefix. The char-level
+    * fuzzy-match stage that catches OCR/typo near-dups token shingles
+    * miss.
+    *
+    * Scale shape: candidate pairs exist only within (source,
+    * n_chars÷32) blocks — the standard length-band blocking that
+    * keeps the quadratic verify bounded per block (edit distance ≤
+    * band width is impossible to satisfy across distant bands for
+    * full texts; the prefix distance inherits the blocking as its
+    * candidate policy). The per-doc argmin is one map-side
+    * min(struct) groupBy, no window. */
+  def d09EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") / 32).cast("long").as("band"),
+        substring(col("text"), 1, 120).as("pfx"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("source"),
+      col("band"), col("pfx").as("pfx_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("source"),
+      col("band"), col("pfx").as("pfx_b"))
+    a.join(b, Seq("source", "band"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"),
+        struct(levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("d"),
+          col("doc_b").as("n")).as("cand"))
+      .groupBy("doc_a")
+      .agg(min(col("cand")).as("m"))
+      .select(col("doc_a"), col("m.n").as("nn_doc"), col("m.d").as("edit_dist"))
+      .orderBy("doc_a")
+  }
+
   // Oracle CTE fragments shared with the pipeline oracle (Pipeline.scala)
   private[operators] val shCte =
       """sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
@@ -242,6 +275,17 @@ object Dedup {
 
   val oracles: Map[String, String] = {
     Map(
+      "d09_edit_distance" ->
+        """WITH d AS (SELECT doc_id, source, n_chars // 32 AS band,
+          |             substr(text, 1, 120) AS pfx FROM documents),
+          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |        CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS d
+          |      FROM d a JOIN d b ON a.source = b.source AND a.band = b.band
+          |        AND a.doc_id <> b.doc_id)
+          |SELECT doc_a, doc_b AS nn_doc, d AS edit_dist FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY d, doc_b) AS rn FROM p) t
+          |WHERE rn = 1 ORDER BY doc_a""".stripMargin,
+
       "d01_exact_dedup" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
           |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
