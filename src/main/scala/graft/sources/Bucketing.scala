@@ -33,4 +33,19 @@ object Bucketing {
     * catalog; a plain `read.parquet` of the files would lose it). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Hive-style partitioned layout for low-cardinality filter
+    * columns (source, language, date): `partitionBy` writes one
+    * directory per value, and any later read that filters on the
+    * column prunes whole directories at PLANNING time (the scan's
+    * `PartitionFilters` — zero I/O for excluded partitions, where a
+    * row-group filter still reads footers). The complement to
+    * `bucketBy`: bucketing kills the JOIN shuffle, partitioning
+    * kills the SCAN. Keep partition cardinality ≤ a few thousand —
+    * a per-doc-id layout would drown the driver in file listings. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

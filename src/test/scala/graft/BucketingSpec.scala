@@ -44,4 +44,26 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("partitioned layout prunes directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val docs = Tables.documents(spark, sf)
+    Bucketing.writePartitioned(docs, dir, "source")
+
+    val filtered = Bucketing.readPartitioned(spark, dir)
+      .filter(col("source") === "src3")
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("src3"),
+      "source predicate must reach PartitionFilters, not PushedFilters")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"exactly one of ${docs.select("source").distinct().count()} " +
+        "directories may be read")
+
+    val expected = docs.filter(col("source") === "src3")
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(filtered.select("doc_id").orderBy("doc_id").collect().toSeq
+      === expected)
+  }
 }
