@@ -176,6 +176,22 @@ object MaillogOps {
         max(col("delivery_timestamp")).as("last_seen"))
       .orderBy("delivery_status", "delivery_dsn")
 
+  /** m08: hourly delivery volume — the mail-dashboard time series
+    * (deliveries per hour per status, delay mass, distinct queues).
+    * One groupBy on (hour, status): date_trunc is per-row arithmetic,
+    * partial aggregation combines map-side, and the hour key keeps
+    * the shuffle uniformly spread at any retention window. */
+  def m08HourlyVolume(spark: SparkSession, dir: String): DataFrame =
+    deliveries(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("delivery_timestamp")).as("hour"),
+        col("delivery_status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("delivery_delay").cast("decimal(18,2)")).cast("double").as("sum_delay_s"),
+        countDistinct(col("delivery_queueid")).as("n_queues"))
+      .orderBy("hour", "delivery_status")
+
   /** m07: queue latency — per-queueid delay between the qmgr message
     * record and each delivery attempt (messages ⋈ deliveries), the
     * end-to-end mail-flow metric the reference's tables enable. */

@@ -124,6 +124,12 @@ object MaillogOracle {
       "  COUNT(DISTINCT delivery_relay) AS n_relays, max(delivery_timestamp) AS last_seen\n" +
       "FROM dl GROUP BY 1, 2 ORDER BY 1, 2"),
 
+    "m08_hourly_volume" -> (prefix + ",\n" + deliveriesCte + "\n" +
+      "SELECT date_trunc('hour', delivery_timestamp) AS hour, delivery_status, COUNT(*) AS n,\n" +
+      "  CAST(SUM(CAST(delivery_delay AS DECIMAL(18,2))) AS DOUBLE) AS sum_delay_s,\n" +
+      "  COUNT(DISTINCT delivery_queueid) AS n_queues\n" +
+      "FROM dl GROUP BY 1, 2 ORDER BY 1, 2"),
+
     "m07_queue_latency" -> (prefix + ",\n" + messagesCtes + ",\n" +
       deliveriesCte + ",\n" +
       "msgs AS (SELECT qid AS message_queueid, message_timestamp FROM qm WHERE message_timestamp IS NOT NULL)\n" +
