@@ -78,6 +78,7 @@ object SparkEntry {
     "s05_ann_recall" -> (Similarity.s05AnnRecall _),
     "s06_label_centroids" -> (Similarity.s06LabelCentroids _),
     "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _),
+    "mm02_modality_stats" -> (Multimodal.mm02ModalityStats _),
     "p01_curation" -> (Pipeline.p01Curation _),
     "p02_sequence_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p02SequencePack(s, d)),
     "p03_token_budget" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p03TokenBudget(s, d))

@@ -32,6 +32,26 @@ object Multimodal {
           .as("frame_sample"))
       .orderBy("doc_id")
 
+  /** mm02: per-(source, modality) media-corpus inventory — item
+    * count, byte mass, frame mass, distinct-content count: the
+    * capacity-planning aggregate a multimodal dataset build starts
+    * with. The testdata carries one real modality, so modality is a
+    * deterministic synthetic assignment (doc_id mod 3 → image/audio/
+    * video) applied identically in the oracle. One groupBy, all
+    * measures map-side combinable except the distinct (two-phase). */
+  def mm02ModalityStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("modality",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      .groupBy("source", "modality")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(octet_length(col("text"))).cast("long").as("total_bytes"),
+        sum(ceil(col("n_chars") / lit(32.0)).cast("long")).as("total_frames"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .orderBy("source", "modality")
+
   /** Decoded-media record produced by the (stubbed) decoder. */
   case class DecodedMedia(docId: Long, width: Int, height: Int,
                           nFrames: Int, meanLuma: Double)
@@ -82,6 +102,15 @@ object Multimodal {
         col("source"), col("n_chars"))
 
   val oracles: Map[String, String] = Map(
+    "mm02_modality_stats" ->
+      """SELECT source,
+        |  (CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS modality,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(CAST(ceil(n_chars / 32.0) AS BIGINT)) AS BIGINT) AS total_frames,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "mm01_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
