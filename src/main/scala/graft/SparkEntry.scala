@@ -66,6 +66,7 @@ object SparkEntry {
     "t04_fingerprint" -> (TextAnalysis.t04Fingerprint _),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_minhash_lsh" -> (Dedup.d02MinhashLsh _),
+    "d02_production" -> (Dedup.d02Production _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d03_simhash" -> (Dedup.d03Simhash _),
     "d04_ngram_jaccard" -> (Dedup.d04NgramJaccard _),

@@ -203,6 +203,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d02 on the PRODUCTION id path: xxhash64 term ids instead of the
+    * rank vocabulary — no distinct-term join, no rank window, pure
+    * per-row signature algebra before the band join (the plan a
+    * 100 TB deployment runs; the rank vocabulary exists only for
+    * cross-engine oracle parity). No DuckDB oracle (xxhash64 is
+    * Spark-specific); the banding math is the oracle-checked d02's,
+    * and NearDupStreamSpec ties this exact pipeline to the streaming
+    * operator's state-based replay. */
+  def d02Production(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.NearDupStream.batchCandidates(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+      .orderBy("doc_a", "doc_b")
+
   /** d09: fuzzy nearest neighbor by edit distance — for each document,
     * the closest other document of its (source, length-band) block by
     * Levenshtein distance on the 120-char prefix. The char-level

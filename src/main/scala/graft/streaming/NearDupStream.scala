@@ -144,7 +144,10 @@ object NearDupStream {
     * truth an incremental run must reproduce. Returns distinct
     * (doc_a, doc_b). */
   def batchCandidates(docs: DataFrame): DataFrame = {
-    val b = banded(withSignatures(docs)).toDF()
+    // persist: both self-join sides — without it the per-row
+    // signature algebra (16 array_min∘transform passes over the
+    // shingle ids) runs twice
+    val b = banded(withSignatures(docs)).toDF().persist()
     b.as("a").join(b.as("x"),
         col("a.band") === col("x.band") && col("a.bandkey") === col("x.bandkey") &&
         col("a.doc_id") < col("x.doc_id"))
