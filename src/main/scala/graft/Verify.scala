@@ -27,7 +27,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators persist() self-join inputs; drop them so 39
+      // operators persist() self-join inputs; drop them so 60
       // sequential queries don't accumulate cached partitions
       finally spark.catalog.clearCache()
       }

@@ -72,7 +72,40 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** t10: per-source vocabulary statistics — token mass, type count,
+    * hapax count (terms seen once) and type/token ratio: the
+    * vocabulary-health profile used to spot synthetic/templated
+    * sources (low TTR) and OCR noise (hapax explosion).
+    *
+    * Plan shape: one groupBy (source, term) with map-side combine,
+    * then one groupBy source over the (already tiny) per-term counts.
+    */
+  def t10VocabStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cf"))
+    tf.groupBy("source")
+      .agg(
+        sum(col("cf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("cf") === 1, 1L)), lit(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("type_token_ratio"))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t10_vocab_stats" ->
+      """WITH tf AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |c AS (SELECT source, term, COUNT(*) AS cf FROM tf GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(cf) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(COALESCE(SUM(CASE WHEN cf = 1 THEN 1 END), 0) AS BIGINT) AS n_hapax,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cf) AS BIGINT) AS type_token_ratio
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
     "t08_unigram_lm" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
         |cf AS (SELECT term, COUNT(*) AS cf FROM tok GROUP BY term),

@@ -60,6 +60,14 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("self-loops and duplicate edges don't perturb either algorithm") {
+    val pairs = Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L), (8L, 9L))
+    val expected = Map(5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L)
+    assert(collectLabels(Components.starContraction(pairsDf(pairs))) == expected)
+    // propagate sees 5 via the (5,5) self-edge's symmetrization only
+    assert(collectLabels(Components.propagate(pairsDf(pairs))) == expected)
+  }
+
   test("two components keep distinct labels") {
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L))
     val labels = collectLabels(Components.starContraction(pairsDf(pairs)))
