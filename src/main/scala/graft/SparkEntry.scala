@@ -46,6 +46,7 @@ object SparkEntry {
     "q22_grouping_sets" -> (Analytics2.q22GroupingSets _),
     "q23_window_ranks" -> (Analytics2.q23WindowRanks _),
     "d09_edit_distance" -> (Dedup.d09EditDistance _),
+    "d10_dup_spans" -> (Dedup.d10DupSpans _),
     "m07_queue_latency" -> (MaillogOps.m07QueueLatency _),
     "qa01_approx_sketches" -> (Analytics2.qa01ApproxSketches _),
     "t05_tfidf" -> (TextAnalysis.t05TfIdf _),

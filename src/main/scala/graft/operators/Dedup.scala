@@ -249,6 +249,31 @@ object Dedup {
       .orderBy("doc_a")
   }
 
+  /** d10: exact duplicated-span coverage — the share of each
+    * document's 8-token spans that appear verbatim in at least one
+    * other span occurrence corpus-wide (the exact-substring
+    * duplication signal; a full suffix-array pass generalizes the
+    * span length, the fixed-n profile is the scalable screen run
+    * first).
+    *
+    * Scale shape: span df is one groupBy over the distinct span set;
+    * the spans⋈df join shuffles on `term` and reuses the aggregate's
+    * partitioning (NO broadcast — unlike t07's df≥8% boilerplate set,
+    * the df≥2 span set grows with the corpus); the per-doc rollup is
+    * a second groupBy. */
+  def d10DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(Tables.documents(spark, dir), 8).persist()
+    val dfreq = sh.groupBy("term").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "term")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        coalesce(sum(when(col("df") >= 2, 1L)), lit(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_span_ratio"))
+      .orderBy("doc_id")
+  }
+
   // Oracle CTE fragments shared with the pipeline oracle (Pipeline.scala)
   private[operators] val shCte =
       """sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
@@ -298,6 +323,20 @@ object Dedup {
           |SELECT doc_a, doc_b AS nn_doc, d AS edit_dist FROM (
           |  SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY d, doc_b) AS rn FROM p) t
           |WHERE rn = 1 ORDER BY doc_a""".stripMargin,
+
+      "d10_dup_spans" ->
+        """WITH sh AS (SELECT DISTINCT doc_id,
+          |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS term
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+          |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents) d0
+          |        WHERE len(t) >= 8) d),
+          |dfreq AS (SELECT term, COUNT(*) AS df FROM sh GROUP BY term)
+          |SELECT doc_id, COUNT(*) AS n_spans,
+          |  CAST(COALESCE(SUM(CASE WHEN df >= 2 THEN 1 END), 0) AS BIGINT) AS n_dup_spans,
+          |  CAST(CAST(COALESCE(SUM(CASE WHEN df >= 2 THEN 1 END), 0) AS BIGINT) AS DOUBLE) / COUNT(*) AS dup_span_ratio
+          |FROM sh JOIN dfreq USING (term)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "d01_exact_dedup" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
