@@ -128,6 +128,13 @@ object NearDupStream {
       .transformWithState(new BucketProcessor(stateTtlMs), mode, OutputMode.Append())
   }
 
+  /** TTL-enabled runs are in processing-time mode, where Spark
+    * schedules empty micro-batches forever — bounded runs need the
+    * same drain watchdog as the maillog daemon (see
+    * [[MaillogStream.stopWhenDrained]]). */
+  def stopWhenDrained(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit =
+    MaillogStream.stopWhenDrained(qs)
+
   /** Incremental EXACT dedup: emit each content hash's first-seen
     * document, suppressing every later copy against all history (the
     * streaming twin of batch d01). `dropDuplicates` keys the state

@@ -74,6 +74,47 @@ class NearDupStreamSpec extends SparkSpec {
     }
   }
 
+  test("state TTL evicts bucket history between increments") {
+    val dir = Files.createTempDirectory("ttl-in").toFile
+    val ckpt = Files.createTempDirectory("ttl-ckpt").toString
+    val out = Files.createTempDirectory("ttl-out").toString
+
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").filter($"doc_id" < 250)
+    val half1 = docs.filter($"doc_id" < 125)
+    val half2 = docs.filter($"doc_id" >= 125)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .json(dir.getAbsolutePath + "/*")
+      val q = NearDupStream.candidates(stream, stateTtlMs = 100L).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      NearDupStream.stopWhenDrained(Seq(q))
+      q.awaitTermination()
+    }
+
+    half1.coalesce(1).write.json(new java.io.File(dir, "chunk1").toString)
+    runOnce()
+    Thread.sleep(1000) // let every chunk1 entry age past the 100ms TTL
+    half2.coalesce(1).write.json(new java.io.File(dir, "chunk2").toString)
+    runOnce()
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    // cross-increment pairs are gone (history evicted) …
+    assert(streamed.forall { case (a, b) => (a < 125) == (b < 125) },
+      s"TTL must evict chunk1 state: ${streamed.filter { case (a, b) => (a < 125) != (b < 125) }}")
+    // … while within-increment pairs of BOTH halves were still found
+    val batchPerHalf = NearDupStream.batchCandidates(half1)
+      .union(NearDupStream.batchCandidates(half2))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batchPerHalf)
+  }
+
   test("streaming exact dedup suppresses copies across runs") {
     val dir = Files.createTempDirectory("ed-in").toFile
     val ckpt = Files.createTempDirectory("ed-ckpt").toString
