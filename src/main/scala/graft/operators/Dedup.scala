@@ -257,10 +257,12 @@ object Dedup {
     * first).
     *
     * Scale shape: span df is one groupBy over the distinct span set;
-    * the spans⋈df join shuffles on `term` and reuses the aggregate's
-    * partitioning (NO broadcast — unlike t07's df≥8% boilerplate set,
-    * the df≥2 span set grows with the corpus); the per-doc rollup is
-    * a second groupBy. */
+    * the spans⋈df join carries NO broadcast hint — unlike t07's
+    * df≥8% boilerplate set, the span-frequency table grows with the
+    * corpus, so the hint is left to Catalyst: it broadcasts at small
+    * scale and falls back to a shuffle join on `term` (reusing the
+    * aggregate's partitioning) when the table outgrows the
+    * threshold. The per-doc rollup is a second groupBy. */
   def d10DupSpans(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(Tables.documents(spark, dir), 8).persist()
     val dfreq = sh.groupBy("term").agg(count(lit(1)).as("df"))
