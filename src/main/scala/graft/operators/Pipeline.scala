@@ -104,7 +104,41 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** p04: output-shard manifest — deterministic multiplicative-hash
+    * assignment of documents to 16 output shards (the WebDataset/
+    * tar-shard layout step after packing) plus the per-shard manifest
+    * a loader needs: doc count, token mass, byte mass, id range.
+    * Per-row hash + ONE groupBy(shard); the same hash family as the
+    * q20 split keeps shard membership stable across reruns. */
+  def p04ShardManifest(spark: SparkSession, dir: String,
+                       shards: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % shards)
+    docs.groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p04_shard_manifest" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
     "p03_token_budget" ->
       """WITH d AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |m AS (SELECT doc_id, n_chars, len(t) AS nt, len(list_distinct(t)) AS nd,
