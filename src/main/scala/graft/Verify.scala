@@ -27,8 +27,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators persist() self-join inputs; drop them so 60
-      // sequential queries don't accumulate cached partitions
+      // operators persist() self-join inputs; drop them so the full
+      // sequential query map doesn't accumulate cached partitions
       finally spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -234,6 +234,7 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         (col("n_chars") / 32).cast("long").as("band"),
         substring(col("text"), 1, 120).as("pfx"))
+      .persist() // both self-join sides
     val a = docs.select(col("doc_id").as("doc_a"), col("source"),
       col("band"), col("pfx").as("pfx_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("source"),

@@ -140,19 +140,13 @@ object Pipeline {
         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
 
     "p03_token_budget" ->
-      """WITH d AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |m AS (SELECT doc_id, n_chars, len(t) AS nt, len(list_distinct(t)) AS nd,
-        |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS nstop
-        |FROM d),
-        |q AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
-        |  0.4 * (CAST(nd AS DOUBLE) / nt) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / nt) + 0.3 * least(1.0, nt / 100.0) AS quality
-        |FROM m),
-        |c AS (SELECT q.doc_id, source, n_tokens, quality,
-        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, q.doc_id
+      ("WITH " + TextAnalysis.qualityCtes + """,
+        |c AS (SELECT qq.doc_id, source, CAST(mq.nt AS BIGINT) AS n_tokens, quality,
+        |  CAST(SUM(mq.nt) OVER (PARTITION BY source ORDER BY quality DESC, qq.doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-        |FROM q JOIN documents USING (doc_id))
+        |FROM qq JOIN mq USING (doc_id) JOIN documents USING (doc_id))
         |SELECT doc_id, source, n_tokens, quality, cum_tokens
-        |FROM c WHERE cum_tokens <= 500 ORDER BY doc_id""".stripMargin,
+        |FROM c WHERE cum_tokens <= 500 ORDER BY doc_id""".stripMargin),
 
     "p02_sequence_pack" ->
       """WITH d AS (SELECT doc_id, source,
@@ -169,14 +163,8 @@ object Pipeline {
 
     "p01_curation" ->
       ("WITH RECURSIVE " + Dedup.shCte + ",\n" + Dedup.sigCte + ",\n" +
-        Dedup.candCte + ",\n" + Dedup.clusterCte + """,
-        |dd AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |mm AS (SELECT doc_id, n_chars, len(t) AS nt, len(list_distinct(t)) AS nd,
-        |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS nstop
-        |FROM dd),
-        |qq AS (SELECT doc_id,
-        |  0.4 * (CAST(nd AS DOUBLE) / nt) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / nt) + 0.3 * least(1.0, nt / 100.0) AS quality
-        |FROM mm),
+        Dedup.candCte + ",\n" + Dedup.clusterCte + ",\n" +
+        TextAnalysis.qualityCtes + """,
         |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
         |SELECT d0.doc_id, d0.n_chars, qq.quality,
         |  CASE WHEN (d0.doc_id * 2654435761) % 4294967296 % 10 = 0 THEN 'test'

@@ -197,6 +197,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shared oracle CTE chain for the t02 quality metrics — the ONE
+    * place the quality formula and stopword list exist on the oracle
+    * side (consumed by t02, p01 and p03):
+    * mq(doc_id, n_chars, nt, nd, nstop, npunct), qq(doc_id, quality). */
+  private[operators] val qualityCtes =
+    """dq AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |mq AS (SELECT doc_id, n_chars, len(t) AS nt, len(list_distinct(t)) AS nd,
+      |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS nstop,
+      |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS npunct
+      |FROM dq),
+      |qq AS (SELECT doc_id,
+      |  0.4 * (CAST(nd AS DOUBLE) / nt) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / nt) + 0.3 * least(1.0, nt / 100.0) AS quality
+      |FROM mq)""".stripMargin
+
   val oracles: Map[String, String] = {
     val dCte = "d AS (SELECT doc_id, n_chars, lang, text, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
     Map(
@@ -249,17 +263,13 @@ object TextAnalysis {
           |FROM d ORDER BY doc_id""".stripMargin),
 
       "t02_quality" ->
-        ("WITH " + dCte + """,
-          |m AS (SELECT doc_id, n_chars, len(t) AS nt, len(list_distinct(t)) AS nd,
-          |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS nstop,
-          |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS npunct
-          |FROM d)
+        ("WITH " + qualityCtes + """
           |SELECT doc_id, n_chars, nt, nd, nstop,
           |  CAST(nstop AS DOUBLE) / nt AS stop_ratio,
           |  1.0 - CAST(nd AS DOUBLE) / nt AS dup_ratio,
           |  CAST(npunct AS DOUBLE) / n_chars AS punct_ratio,
-          |  0.4 * (CAST(nd AS DOUBLE) / nt) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / nt) + 0.3 * least(1.0, nt / 100.0) AS quality
-          |FROM m ORDER BY doc_id""".stripMargin),
+          |  quality
+          |FROM mq JOIN qq USING (doc_id) ORDER BY doc_id""".stripMargin),
 
       "t03_langid" ->
         ("WITH " + dCte + """,

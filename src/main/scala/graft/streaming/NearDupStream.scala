@@ -135,16 +135,43 @@ object NearDupStream {
   def stopWhenDrained(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit =
     MaillogStream.stopWhenDrained(qs)
 
+  case class HashedDoc(h: String, doc_id: Long, text: String)
+
+  /** Keyed by content hash: the first batch to present a hash emits
+    * its MINIMUM doc_id (the batch-d01 keeper rule, so the surviving
+    * representative is deterministic even when copies share a
+    * micro-batch); every later copy is suppressed by the state bit. */
+  private[streaming] class FirstSeenProcessor
+      extends StatefulProcessor[String, HashedDoc, HashedDoc] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState("seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(h: String, rows: Iterator[HashedDoc],
+                                 timerValues: TimerValues): Iterator[HashedDoc] =
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single(rows.minBy(_.doc_id))
+      }
+  }
+
   /** Incremental EXACT dedup: emit each content hash's first-seen
-    * document, suppressing every later copy against all history (the
-    * streaming twin of batch d01). `dropDuplicates` keys the state
-    * store on the hash — partitioned, RocksDB-backed, restart-safe
-    * via the checkpoint. On an unbounded stream, bound the state with
-    * `withWatermark` + `dropDuplicatesWithinWatermark` instead (exact
-    * dedup over ALL history fundamentally needs O(distinct) state). */
-  def exactDedup(docs: DataFrame): DataFrame = {
+    * document — min doc_id within the first micro-batch that carries
+    * the hash, exactly batch d01's keeper rule — suppressing every
+    * later copy against all history. Hash state is partitioned,
+    * RocksDB-backed and restart-safe via the checkpoint. Exact dedup
+    * over ALL history fundamentally needs O(distinct) state; an
+    * unbounded deployment bounds it with a TTLConfig on the state
+    * (accepting re-emission past the horizon). */
+  def exactDedup(docs: DataFrame): Dataset[HashedDoc] = {
+    import docs.sparkSession.implicits._
     MaillogStream.useRocksDbStateStore(docs.sparkSession)
-    docs.withColumn("h", md5(col("text"))).dropDuplicates("h")
+    docs.select(md5(col("text")).as("h"), col("doc_id"), col("text"))
+      .as[HashedDoc]
+      .groupByKey(_.h)
+      .transformWithState(new FirstSeenProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** Batch twin on the same hash path (xxhash64 ids): the ground

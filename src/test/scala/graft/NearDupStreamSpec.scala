@@ -143,11 +143,9 @@ class NearDupStreamSpec extends SparkSpec {
 
     val emitted = spark.read.parquet(out)
       .select("doc_id", "text").as[(Long, String)].collect().toSet
-    val texts = emitted.map(_._2)
-    assert(texts == Set("alpha beta", "gamma", "delta"),
-      s"one emission per distinct text, got $emitted")
-    // second-run copies of first-run texts were served from state
-    assert(!emitted.exists(e => e._1 == 4L || e._1 == 5L))
-    assert(emitted.exists(_._1 == 6L))
+    // deterministic keeper: the MIN doc_id of each hash's first batch
+    // (1 beats its in-batch copy 2; 4/5 are cross-run copies served
+    // from state; 6 is genuinely new)
+    assert(emitted == Set(1L -> "alpha beta", 3L -> "gamma", 6L -> "delta"))
   }
 }
