@@ -98,4 +98,19 @@ class Graft(val spark: SparkSession, dir: String) {
   def streamingNearDup(docStream: DataFrame,
                        stateTtlMs: Long = 0L): Dataset[graft.streaming.NearDupStream.CandPair] =
     graft.streaming.NearDupStream.candidates(docStream, stateTtlMs)
+
+  /** Incremental exact dedup over a (doc_id, text) STREAM — emits
+    * each content hash's first-seen (min doc_id) document. */
+  def streamingExactDedup(docStream: DataFrame): Dataset[graft.streaming.NearDupStream.HashedDoc] =
+    graft.streaming.NearDupStream.exactDedup(docStream)
+
+  /** Output-shard assignment + per-shard manifest. */
+  def shardManifest(shards: Int = 16): DataFrame =
+    Pipeline.p04ShardManifest(spark, dir, shards)
+
+  /** Verbatim duplicated-span coverage per document. */
+  def dupSpans: DataFrame = Dedup.d10DupSpans(spark, dir)
+
+  /** Per-source vocabulary health (token/type/hapax, TTR). */
+  def vocabStats: DataFrame = Quality.t10VocabStats(spark, dir)
 }

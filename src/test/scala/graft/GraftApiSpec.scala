@@ -32,6 +32,16 @@ class GraftApiSpec extends SparkSpec {
     assert(curated.forall(_.quality >= 0.5))
   }
 
+  test("round-2b operators are reachable through the facade") {
+    assert(g.tokenBudget().columns.contains("cum_tokens"))
+    assert(g.unigramLmScores.columns.contains("mean_prob"))
+    assert(g.annRecall.count() > 0)
+    assert(g.centroidCosines.columns.contains("cos_centroid"))
+    assert(g.shardManifest().count() === 16)
+    assert(g.dupSpans.columns.contains("dup_span_ratio"))
+    assert(g.vocabStats.columns.contains("type_token_ratio"))
+  }
+
   test("maillogTables replays a real log file into the four tables") {
     val f = Files.createTempFile("maillog", ".log")
     Files.write(f, Seq(
