@@ -115,6 +115,32 @@ class NearDupStreamSpec extends SparkSpec {
     assert(streamed == batchPerHalf)
   }
 
+  test("malformed and null-text rows are dropped, not crashed on") {
+    val dir = Files.createTempDirectory("bad-in").toFile
+    val ckpt = Files.createTempDirectory("bad-ckpt").toString
+    val out = Files.createTempDirectory("bad-out").toString
+    // two real near-dup docs, a null text, a short doc (no 3-shingle),
+    // and a line that isn't JSON at all
+    Files.write(new java.io.File(dir, "chunk.json").toPath,
+      ("""{"doc_id": 1, "text": "a b c d e f g h"}""" + "\n" +
+       """{"doc_id": 2, "text": "a b c d e f g h"}""" + "\n" +
+       """{"doc_id": 3, "text": null}""" + "\n" +
+       """{"doc_id": 4, "text": "xy"}""" + "\n" +
+       """this is not json""").getBytes)
+    val q = NearDupStream.candidates(
+        spark.readStream.schema(schema).json(dir.getAbsolutePath)).toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    val pairs = spark.read.parquet(out)
+      .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs == Set(1L -> 2L),
+      "identical docs pair up; null/short/corrupt rows are dropped")
+  }
+
   test("streaming exact dedup suppresses copies across runs") {
     val dir = Files.createTempDirectory("ed-in").toFile
     val ckpt = Files.createTempDirectory("ed-ckpt").toString
