@@ -55,6 +55,7 @@ object SparkEntry {
     "t08_unigram_lm" -> (Quality.t08UnigramLm _),
     "t09_rep_ngrams" -> (Quality.t09RepNgrams _),
     "t10_vocab_stats" -> (Quality.t10VocabStats _),
+    "t11_bigram_lm" -> (Quality.t11BigramLm _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),
     "m02_clients" -> (MaillogOps.m02Clients _),
     "m03_messages" -> (MaillogOps.m03Messages _),

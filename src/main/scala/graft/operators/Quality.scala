@@ -95,7 +95,53 @@ object Quality {
       .orderBy("source")
   }
 
+  /** t11: bigram-LM novelty profile — per document, the extremes of
+    * the corpus bigram conditional probability P(w2|w1) =
+    * cf(w1 w2)/cf(w1) and the count of corpus-unique bigrams. A
+    * sharper LM signal than t08's unigram score: templated text has
+    * high min-probability, garbled text has many novel bigrams.
+    *
+    * Determinism: a MEAN of double ratios would depend on Spark's
+    * partial-sum order — min/max/count are order-independent, so the
+    * profile stays bit-exact cross-engine. cf tables carry no
+    * broadcast hint (the bigram vocabulary grows with the corpus;
+    * Catalyst broadcasts while it fits). */
+  def t11BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val cf1 = tok.groupBy("term").agg(count(lit(1)).as("cf1"))
+    val bi = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingleArray(col("t"), 2)).as("big"))
+      .withColumn("w1", substring_index(col("big"), " ", 1))
+    val cf2 = bi.groupBy("big").agg(count(lit(1)).as("cf2"))
+    bi.join(cf2, "big")
+      .join(cf1, col("w1") === col("term"))
+      .withColumn("p", col("cf2").cast("double") / col("cf1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        coalesce(sum(when(col("cf2") === 1, 1L)), lit(0L)).as("n_novel"),
+        min(col("p")).as("min_p"),
+        max(col("p")).as("max_p"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t11_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+        |cf1 AS (SELECT term, COUNT(*) AS cf1 FROM tok GROUP BY term),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS big
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM d WHERE len(t) >= 2) x),
+        |cf2 AS (SELECT big, COUNT(*) AS cf2 FROM bi GROUP BY big)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(COALESCE(SUM(CASE WHEN cf2 = 1 THEN 1 END), 0) AS BIGINT) AS n_novel,
+        |  MIN(CAST(cf2 AS DOUBLE) / cf1) AS min_p,
+        |  MAX(CAST(cf2 AS DOUBLE) / cf1) AS max_p
+        |FROM bi JOIN cf2 USING (big) JOIN cf1 ON cf1.term = bi.w1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t10_vocab_stats" ->
       """WITH tf AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
         |            FROM documents),
