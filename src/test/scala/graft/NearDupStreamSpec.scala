@@ -115,6 +115,52 @@ class NearDupStreamSpec extends SparkSpec {
     assert(streamed == batchPerHalf)
   }
 
+  test("one growing JSONL corpus file feeds incremental near-dup via FileTailer") {
+    val src = Files.createTempFile("docs", ".jsonl")
+    val spool = Files.createTempDirectory("nd-spool").toString
+    val ckpt = Files.createTempDirectory("ndt-ckpt").toString
+    val out = Files.createTempDirectory("ndt-out").toString
+
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").filter($"doc_id" < 120).orderBy("doc_id")
+    val lines = docs.toJSON.collect()
+    val (first, rest) = lines.splitAt(60)
+
+    // first append ends mid-line: the tailer must withhold the
+    // incomplete JSON document instead of spooling a corrupt row
+    Files.write(src, (first.mkString("\n") + "\n" + rest.head.take(10)).getBytes)
+    val tailer = new graft.streaming.FileTailer(src.toString, spool)
+    tailer.poll()
+    assert(spark.read.text(spool + "/*.log").count() === 60,
+      "partial trailing line must not be spooled")
+
+    def runOnce(): Unit = {
+      val q = NearDupStream.candidates(
+          spark.readStream.schema(schema).json(spool + "/*.log")).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+
+    // complete the partial line and append the remainder
+    Files.write(src,
+      (rest.head.drop(10) + "\n" + rest.tail.mkString("\n") + "\n").getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    tailer.poll()
+    tailer.close()
+    runOnce()
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    val batch = NearDupStream.batchCandidates(docs).as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      "no line lost or duplicated across the partial-line boundary")
+  }
+
   test("malformed and null-text rows are dropped, not crashed on") {
     val dir = Files.createTempDirectory("bad-in").toFile
     val ckpt = Files.createTempDirectory("bad-ckpt").toString
