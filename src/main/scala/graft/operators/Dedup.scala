@@ -180,7 +180,7 @@ object Dedup {
     * Plan: iterative min-label propagation — each round is one
     * equi-join + groupBy over the pair-graph node set (orders of
     * magnitude smaller than the corpus: only docs with ≥1 near-dup
-    * candidate appear). Rounds = component diameter, bounded at 25;
+    * candidate appear). Rounds = component diameter, bounded at 64;
     * near-dup components are shallow stars in practice. The driver
     * loop only orchestrates distributed rounds (Pregel-style) and
     * moves one Boolean per round, not data. At extreme scale the

@@ -30,13 +30,24 @@ object MaillogOps {
     * synthesize→parse projection, so materializing it once means the
     * operators are measured on their own work, not on re-running the
     * fixture generator. A `clearCache()` between queries simply
-    * reverts to recompute — results are unaffected. */
+    * reverts to recompute — results are unaffected.
+    *
+    * ONE entry per dir, owned by the session that last used it: an
+    * unbounded (session, dir) map would pin every STOPPED session's
+    * plan tree for the JVM lifetime (test harnesses create a session
+    * per suite); replacing the entry on access from a different
+    * session bounds the cache at #dirs entries. */
   private val parsedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
   private def parsedLogs(spark: SparkSession, dir: String): DataFrame =
-    parsedCache.getOrElseUpdate((spark, dir),
-      Maillog.parsed(Maillog.synthesizeLines(spark, dir), Maillog.SynthYear))
+    parsedCache.get(dir) match {
+      case Some((owner, df)) if owner eq spark => df
+      case _ =>
+        val df = Maillog.parsed(Maillog.synthesizeLines(spark, dir), Maillog.SynthYear)
+        parsedCache.put(dir, (spark, df))
+        df
+    }
 
   /** Re-persist and materialize the shared corpus (benchmark warm-up
     * hook: keeps fixture synthesis out of the timed region). */

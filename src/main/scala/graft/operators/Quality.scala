@@ -20,17 +20,20 @@ object Quality {
     * without the cross-engine log() hazard.
     *
     * Plan shape (100 TB): one map-side-combinable groupBy over the
-    * exploded token stream builds the corpus frequency table (vocab ≪
-    * corpus → broadcast back), the per-doc pass is a second groupBy
-    * on doc_id; the corpus total folds in as a broadcast 1-row agg —
-    * two shuffles, no window, no driver-side count.
+    * exploded token stream builds the corpus frequency table, joined
+    * back WITHOUT a broadcast hint — the unigram vocabulary grows
+    * with the corpus (Heaps' law), so Catalyst broadcasts while it
+    * fits and falls back to a shuffle join on `term` beyond that
+    * (same rule as t11/d10). The per-doc pass is a second groupBy on
+    * doc_id; the corpus total folds in as a broadcast 1-row agg —
+    * no window, no driver-side count.
     */
   def t08UnigramLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val cf = tok.groupBy("term").agg(count(lit(1)).as("cf")).persist()
     val total = cf.agg(sum(col("cf")).as("total_tokens"))
-    tok.join(broadcast(cf), "term")
+    tok.join(cf, "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"))
       .crossJoin(broadcast(total))

@@ -73,10 +73,13 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
     // source never re-reads (silent data loss). Recover the true max
     // from the spool listing.
     import scala.jdk.CollectionConverters._
-    val onDisk = Files.list(spool).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.endsWith(".log") => n.stripSuffix(".log").toLong }
-      .maxOption.getOrElse(0L)
+    val listing = Files.list(spool) // must close: holds a directory fd
+    val onDisk =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.endsWith(".log") => n.stripSuffix(".log").toLong }
+        .maxOption.getOrElse(0L)
+      finally listing.close()
     seq = math.max(seq, onDisk)
   }
 

@@ -353,8 +353,16 @@ object JdbcUpsertSink {
     var i = 0
     while (i < keyIdx.length) {
       if (i > 0) sb.append('\u0001')
-      val v = row.get(keyIdx(i))
-      if (v == null) sb.append('\u0000') else sb.append(v.toString)
+      row.get(keyIdx(i)) match {
+        case null => sb.append('\u0000')
+        case t: java.sql.Timestamp =>
+          // epoch nanos, NOT toString: toString renders in the JVM
+          // default timezone, so the same instant would hash
+          // differently across hosts and the unique-key dedup would
+          // silently re-insert replayed rows
+          sb.append("ts:").append(t.getTime / 1000L * 1000000000L + t.getNanos)
+        case v => sb.append(v.toString)
+      }
       i += 1
     }
     val md = java.security.MessageDigest.getInstance("SHA-256")

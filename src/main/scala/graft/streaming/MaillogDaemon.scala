@@ -259,10 +259,11 @@ object MaillogDaemon {
     // (tail -F waits for creation — FileTailer's no-file poll case);
     // only an existing directory keeps new-files-in-dir semantics
     val maillogFile = new java.io.File(c.maillog)
+    var tailer: Option[FileTailer] = None
     val inputPath =
       if (maillogFile.isFile || !maillogFile.exists()) {
         val spoolDir = s"${c.checkpoint}/tail-spool"
-        new FileTailer(c.maillog, spoolDir).start()
+        tailer = Some(new FileTailer(c.maillog, spoolDir).start())
         spoolDir
       } else c.maillog
     val parsed = MaillogStream.parsedStream(spark, inputPath, c.year, c.maxFilesPerTrigger).toDF()
@@ -308,6 +309,26 @@ object MaillogDaemon {
       .start()
 
     val qs = Seq(logs, clients, messages, deliveries)
+    // the tailer outlives nothing: when the last daemon query
+    // terminates, close it — otherwise the poll thread follows the
+    // file forever, and a restarted daemon on the same checkpoint
+    // would race TWO tailers on one spool/state file (overlapping
+    // seq numbers, clobbered offsets)
+    tailer.foreach { t =>
+      val remaining = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[java.util.UUID]()
+      qs.foreach(q => remaining.add(q.id))
+      val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+          remaining.remove(e.id)
+          if (remaining.isEmpty) { t.close(); spark.streams.removeListener(this) }
+        }
+      }
+      spark.streams.addListener(l)
+    }
     // TTL-enabled stateful queries never quiesce on their own under
     // AvailableNow (processing-time mode schedules empty batches
     // forever); enforce AvailableNow's process-then-stop contract

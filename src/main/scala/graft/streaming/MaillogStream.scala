@@ -184,13 +184,18 @@ object MaillogStream {
       val remaining = scala.collection.mutable.Set(qs: _*)
       while (remaining.nonEmpty) {
         remaining.toSeq.foreach { q =>
-          // TWO consecutive empty batches: a single zero-input batch
-          // can occur mid-backlog (e.g. a zero-byte rotated file
-          // under maxFilesPerTrigger); two in a row cannot, because
-          // a drained-then-refilled source would show rows in between
+          // TWO consecutive empty batches AND the source reporting no
+          // more data: a single zero-input batch can occur
+          // mid-backlog (a zero-byte rotated file under
+          // maxFilesPerTrigger), and even two in a row can when
+          // consecutive admitted file groups are all empty — but the
+          // AvailableNow wrapper keeps isDataAvailable true until the
+          // latched end offsets are fully consumed, so requiring it
+          // false cannot strand unprocessed backlog
           val recent = q.recentProgress.takeRight(2)
           if (!q.isActive) remaining -= q
-          else if (recent.length == 2 && recent.forall(_.numInputRows == 0)) {
+          else if (recent.length == 2 && recent.forall(_.numInputRows == 0) &&
+                   !q.status.isDataAvailable) {
             q.stop()
             remaining -= q
           }
