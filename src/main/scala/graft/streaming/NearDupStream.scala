@@ -174,6 +174,21 @@ object NearDupStream {
       .transformWithState(new FirstSeenProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Watermark-bounded exact dedup for UNBOUNDED streams: duplicates
+    * are suppressed only within `delay` of the copy's event time, so
+    * the hash state stays O(distinct hashes per horizon) instead of
+    * O(all history). A copy arriving past the horizon is re-emitted —
+    * the standard trade: long-range duplicates are absorbed by the
+    * batch dedup at rest (d01), the stream handles the near-term
+    * burst. `docs` must carry an event-time column `tsCol`. */
+  def exactDedupWithinWatermark(docs: DataFrame, tsCol: String,
+                                delay: String): DataFrame = {
+    MaillogStream.useRocksDbStateStore(docs.sparkSession)
+    docs.withColumn("h", md5(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("h")
+  }
+
   /** Batch twin on the same hash path (xxhash64 ids): the ground
     * truth an incremental run must reproduce. Returns distinct
     * (doc_a, doc_b). */

@@ -187,6 +187,52 @@ class NearDupStreamSpec extends SparkSpec {
       "identical docs pair up; null/short/corrupt rows are dropped")
   }
 
+  test("watermark-bounded dedup: near-term copies suppressed, horizon-old copies re-emitted") {
+    import org.apache.spark.sql.types.TimestampType
+    val tsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val dir = Files.createTempDirectory("wm-in").toFile
+    val ckpt = Files.createTempDirectory("wm-ckpt").toString
+    val out = Files.createTempDirectory("wm-out").toString
+
+    def iso(s: Long) = java.time.Instant.ofEpochSecond(s).toString
+    def writeChunk(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      Files.write(new java.io.File(dir, name).toPath,
+        rows.map { case (id, t, s) =>
+          s"""{"doc_id": $id, "text": "$t", "ts": "${iso(s)}"}"""
+        }.mkString("\n").getBytes)
+
+    def runOnce(): Unit = {
+      val q = NearDupStream.exactDedupWithinWatermark(
+          spark.readStream.schema(tsSchema).json(dir.getAbsolutePath),
+          "ts", "10 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+
+    // two copies of A inside one horizon -> one emission (times sit
+    // above epoch 0: the INITIAL watermark is the epoch, and events
+    // at-or-before the watermark are discarded as late)
+    writeChunk("c1", Seq((1L, "alpha", 100L), (2L, "alpha", 101L), (3L, "beta", 100L)))
+    runOnce()
+    // advances the watermark far past A's entry
+    writeChunk("c2", Seq((4L, "gamma", 1100L)))
+    runOnce()
+    // A returns long past the horizon: state was evicted -> re-emit
+    writeChunk("c3", Seq((5L, "alpha", 2100L)))
+    runOnce()
+
+    val counts = spark.read.parquet(out).groupBy("text").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("alpha" -> 2L, "beta" -> 1L, "gamma" -> 1L),
+      s"alpha once per horizon, others once: $counts")
+  }
+
   test("streaming exact dedup suppresses copies across runs") {
     val dir = Files.createTempDirectory("ed-in").toFile
     val ckpt = Files.createTempDirectory("ed-ckpt").toString
