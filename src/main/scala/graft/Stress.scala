@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Components
+import graft.streaming.NearDupStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe (not part of the driver contract): replicate
+  * the documents corpus N× with fresh ids — every replica is an exact
+  * near-dup of its original, so clusters grow N× denser while the
+  * corpus grows N× larger — and time the production near-dup path
+  * (xxhash64 signatures → banding → candidate pairs) plus
+  * star-contraction clustering over the resulting pair graph.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.Stress [multiplier]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.prepare(spark)
+
+    val base = graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+    val docs = (0 until mult).map { k =>
+      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text"))
+    }.reduce(_ union _).persist()
+    val n = docs.count()
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+
+    val pairs = NearDupStream.batchCandidates(docs).persist()
+    val nPairs = time("near-dup candidates")(pairs.count())
+    val labels = time("star contraction")(
+      Components.starContraction(pairs.toDF("doc_a", "doc_b")).persist())
+    val nNodes = labels.count()
+    val nClusters = labels.select("label").distinct().count()
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"mult":$mult}""")
+    spark.stop()
+  }
+}
