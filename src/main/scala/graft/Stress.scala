@@ -46,7 +46,16 @@ object Stress {
       Components.starContraction(pairs.toDF("doc_a", "doc_b")).persist())
     val nNodes = labels.count()
     val nClusters = labels.select("label").distinct().count()
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"mult":$mult}""")
+
+    // pipeline-ordering lesson: running EXACT dedup first (p01's
+    // stage order) removes the replicas before banding, so the pair
+    // output stops being quadratic in the duplication factor
+    val keepers = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text").persist()
+    val nKeep = keepers.count()
+    val dedupFirst = NearDupStream.batchCandidates(keepers)
+    val nPairs2 = time("dedup-first candidates")(dedupFirst.count())
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"mult":$mult}""")
     spark.stop()
   }
 }
