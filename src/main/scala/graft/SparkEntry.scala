@@ -86,7 +86,8 @@ object SparkEntry {
     "p01_curation" -> (Pipeline.p01Curation _),
     "p02_sequence_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p02SequencePack(s, d)),
     "p03_token_budget" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p03TokenBudget(s, d)),
-    "p04_shard_manifest" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p04ShardManifest(s, d))
+    "p04_shard_manifest" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p04ShardManifest(s, d)),
+    "p05_packing_stats" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p05PackingStats(s, d))
   )
 
   /** qa01 is intentionally absent (sketch internals have no

@@ -127,7 +127,42 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** p05: packing-efficiency report over p02's bins — per source:
+    * bin count, mean fill (tokens per full 2048-token window), and
+    * the tail bin's waste. The diagnostic that tells a pipeline
+    * whether its packing order wastes context windows. One groupBy
+    * over p02's (already single-shuffle) output. */
+  def p05PackingStats(spark: SparkSession, dir: String,
+                      contextLen: Long = 2048L): DataFrame = {
+    val packed = p02SequencePack(spark, dir, contextLen)
+    packed.groupBy("source")
+      .agg(sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("bin_id")).as("n_bins"))
+      .select(col("source"), col("total_tokens"), col("n_bins"),
+        expr(s"total_tokens div $contextLen").as("full_bins"),
+        (col("total_tokens") % contextLen).as("tail_tokens"),
+        (col("total_tokens").cast("double") / (col("n_bins") * contextLen))
+          .as("fill_ratio"))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p05_packing_stats" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM d),
+        |p AS (SELECT doc_id, source, n_tokens, start_tok // 2048 AS bin_id FROM c)
+        |SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT bin_id) AS n_bins,
+        |  CAST(SUM(n_tokens) AS BIGINT) // 2048 AS full_bins,
+        |  CAST(SUM(n_tokens) AS BIGINT) % 2048 AS tail_tokens,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(DISTINCT bin_id) * 2048) AS fill_ratio
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
     "p04_shard_manifest" ->
       """WITH d AS (SELECT doc_id, n_chars,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
