@@ -45,6 +45,7 @@ object SparkEntry {
     "q21_sliding_window" -> (Analytics2.q21SlidingWindow _),
     "q22_grouping_sets" -> (Analytics2.q22GroupingSets _),
     "q23_window_ranks" -> (Analytics2.q23WindowRanks _),
+    "q24_range_window" -> (Analytics2.q24RangeWindow _),
     "d09_edit_distance" -> (Dedup.d09EditDistance _),
     "d10_dup_spans" -> (Dedup.d10DupSpans _),
     "m07_queue_latency" -> (MaillogOps.m07QueueLatency _),
@@ -56,6 +57,7 @@ object SparkEntry {
     "t09_rep_ngrams" -> (Quality.t09RepNgrams _),
     "t10_vocab_stats" -> (Quality.t10VocabStats _),
     "t11_bigram_lm" -> (Quality.t11BigramLm _),
+    "t12_char_profile" -> (Quality.t12CharProfile _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),
     "m02_clients" -> (MaillogOps.m02Clients _),
     "m03_messages" -> (MaillogOps.m03Messages _),
@@ -83,11 +85,13 @@ object SparkEntry {
     "s06_label_centroids" -> (Similarity.s06LabelCentroids _),
     "mm01_binary_meta" -> (Multimodal.mm01BinaryMeta _),
     "mm02_modality_stats" -> (Multimodal.mm02ModalityStats _),
+    "mm03_frame_index" -> (Multimodal.mm03FrameIndex _),
     "p01_curation" -> (Pipeline.p01Curation _),
     "p02_sequence_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p02SequencePack(s, d)),
     "p03_token_budget" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p03TokenBudget(s, d)),
     "p04_shard_manifest" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p04ShardManifest(s, d)),
-    "p05_packing_stats" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p05PackingStats(s, d))
+    "p05_packing_stats" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p05PackingStats(s, d)),
+    "p06_mixture_resample" -> (Pipeline.p06MixtureResample _)
   )
 
   /** qa01 is intentionally absent (sketch internals have no

@@ -100,6 +100,29 @@ object Analytics2 {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** q24: time-RANGE window frames — for every event, the count and
+    * value mass of the same user's events in the PRECEDING HOUR
+    * (`RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW` over epoch
+    * seconds). The frame that ROWS windows (q07) and fixed buckets
+    * (q14/q21) can't express: each row's window is anchored at its
+    * own timestamp. Tie-safe by construction — RANGE frames include
+    * all peers of the boundary value in both engines, so no
+    * secondary ordering is needed; the value mass is a decimal sum
+    * (order-independent). ONE shuffle on user_id; frames are
+    * evaluated in a single pass over each sorted partition. */
+  def q24RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    ev.select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(dec2(col("value"))).over(w).cast("double").as("sum_1h"))
+      .orderBy("event_id")
+  }
+
   /** q16: set operations — INTERSECT / EXCEPT as a tagged union. */
   def q16SetOps(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -211,6 +234,16 @@ object Analytics2 {
           |  COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q24_range_window" ->
+        s"""WITH $evCte
+          |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          |  COUNT(*) OVER w AS n_1h,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+          |FROM ev
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
 
       "q15_interval_join" ->
         s"""WITH $evCte,

@@ -52,6 +52,35 @@ object Multimodal {
         countDistinct(md5(col("text"))).as("n_distinct"))
       .orderBy("source", "modality")
 
+  /** mm03: frame-extraction index — explode each media item into its
+    * 32-byte "frames" (the video-pipeline step that turns one blob
+    * row into per-frame rows ready for batched decode/embedding):
+    * frame number, byte offset, frame payload hash and length. The
+    * explode is a narrow transformation — frames stay on their
+    * parent's partition, output size is the corpus's frame mass, and
+    * downstream per-frame stages (decode, embed, dedup by frame_md5)
+    * start from here without reshuffling the bytes. */
+  def mm03FrameIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        ceil(col("n_chars") / lit(32.0)).cast("long").as("n_frames"))
+      .withColumn("frame_no", explode(sequence(lit(1L), col("n_frames"))))
+      .select(col("doc_id"), col("frame_no"),
+        ((col("frame_no") - 1) * 32).as("byte_off"),
+        substring_col(col("text"), (col("frame_no") - 1) * 32 + 1, 32)
+          .as("frame_text"))
+      .select(col("doc_id"), col("frame_no"), col("byte_off"),
+        md5(col("frame_text")).as("frame_md5"),
+        length(col("frame_text")).cast("long").as("frame_len"))
+      .orderBy("doc_id", "frame_no")
+
+  /** `substring` with a Column start (the functions.substring overload
+    * takes only literal ints). */
+  private def substring_col(str: org.apache.spark.sql.Column,
+                            pos: org.apache.spark.sql.Column,
+                            len: Int): org.apache.spark.sql.Column =
+    substr(str, pos.cast("int"), lit(len))
+
   /** Decoded-media record produced by the (stubbed) decoder. */
   case class DecodedMedia(docId: Long, width: Int, height: Int,
                           nFrames: Int, meanLuma: Double)
@@ -102,6 +131,16 @@ object Multimodal {
         col("source"), col("n_chars"))
 
   val oracles: Map[String, String] = Map(
+    "mm03_frame_index" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, CAST(ceil(n_chars / 32.0) AS BIGINT))) AS frame_no
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST((frame_no - 1) * 32 AS BIGINT) AS byte_off,
+        |  md5(substr(text, CAST((frame_no - 1) * 32 + 1 AS INT), 32)) AS frame_md5,
+        |  CAST(length(substr(text, CAST((frame_no - 1) * 32 + 1 AS INT), 32)) AS BIGINT) AS frame_len
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
     "mm02_modality_stats" ->
       """SELECT source,
         |  (CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS modality,

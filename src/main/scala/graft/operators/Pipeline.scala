@@ -146,7 +146,47 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** p06: mixture resampling — materialize a training mixture whose
+    * per-source weights differ from the raw corpus: weight < 1
+    * downsamples (deterministic multiplicative-hash acceptance, the
+    * q17/q20 family), weight > 1 upsamples by emitting integer
+    * epochs (the "2.3 epochs of books" construction: every doc gets
+    * floor(w) copies, a hash-chosen fraction gets one more).
+    *
+    * Weights are derived deterministically from the source name
+    * (w×100 = 50 + 37·len(source) mod 200, i.e. 0.5×–2.49×) so both
+    * engines compute them from the data alone. Scale shape: per-row
+    * arithmetic + an explode whose output size is exactly the target
+    * mixture's token mass — no shuffle, no window, no driver state. */
+  def p06MixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"), col("source"),
+        (lit(50) + (length(col("source")) * 37) % 200).cast("long").as("w100"),
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)).as("h"))
+      .withColumn("n_reps",
+        expr("w100 div 100") +
+          when(col("h") % 100 < col("w100") % 100, 1L).otherwise(0L))
+      .filter(col("n_reps") >= 1) // Spark sequence(1,0) would DESCEND
+      .withColumn("epoch", explode(sequence(lit(1L), col("n_reps"))))
+      .select("doc_id", "source", "w100", "n_reps", "epoch")
+      .orderBy("doc_id", "epoch")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p06_mixture_resample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(50 + (length(source) * 37) % 200 AS BIGINT) AS w100,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, w100,
+        |    w100 // 100 + CASE WHEN h % 100 < w100 % 100 THEN 1 ELSE 0 END AS n_reps
+        |  FROM d),
+        |e AS (SELECT doc_id, source, w100, CAST(n_reps AS BIGINT) AS n_reps,
+        |    unnest(generate_series(1, CAST(n_reps AS BIGINT))) AS epoch
+        |  FROM r WHERE n_reps >= 1)
+        |SELECT doc_id, source, w100, n_reps, CAST(epoch AS BIGINT) AS epoch
+        |FROM e ORDER BY doc_id, epoch""".stripMargin,
+
     "p05_packing_stats" ->
       """WITH d AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

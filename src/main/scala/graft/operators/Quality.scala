@@ -129,7 +129,53 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** t12: character-class profile — the Gopher-family character-level
+    * filters that catch what token-level heuristics (t02) miss:
+    * OCR noise (low alpha share), tables/code (digit + symbol share),
+    * SHOUTING (upper share), and mid-sentence truncation (terminal
+    * punctuation test). Counts are length-after-strip integer
+    * arithmetic over explicit character classes (identical in Java
+    * and RE2 — no \s, whose class differs between the engines by
+    * \x0B), ratios divide the same operands in both engines, and the
+    * truncation test is a substring compare, not a `$` anchor (Java
+    * lets `$` match before a final newline; RE2 does not).
+    * Pure per-row Column algebra — embarrassingly parallel. */
+  def t12CharProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def nOf(cls: String): org.apache.spark.sql.Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), cls, ""))).cast("long")
+    docs.select(col("doc_id"), col("n_chars"), col("text"),
+        nOf("[A-Za-z]").as("n_alpha"),
+        nOf("[0-9]").as("n_digit"),
+        nOf("[A-Z]").as("n_upper"),
+        nOf("[ \\t\\n\\r]").as("n_ws"))
+      .select(col("doc_id"), col("n_chars"), col("n_alpha"), col("n_digit"),
+        col("n_upper"), col("n_ws"),
+        (col("n_chars") - col("n_alpha") - col("n_digit") - col("n_ws"))
+          .as("n_other"),
+        (col("n_alpha").cast("double") / col("n_chars")).as("alpha_ratio"),
+        ((col("n_chars") - col("n_alpha") - col("n_digit") - col("n_ws"))
+          .cast("double") / col("n_chars")).as("symbol_ratio"),
+        expr("right(trim(text), 1)").isin(".", "!", "?").as("ends_sentence"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t12_char_profile" ->
+      """WITH c AS (SELECT doc_id, n_chars, text,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+        |    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS n_ws
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_alpha, n_digit, n_upper, n_ws,
+        |  n_chars - n_alpha - n_digit - n_ws AS n_other,
+        |  CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+        |  CAST(n_chars - n_alpha - n_digit - n_ws AS DOUBLE) / n_chars AS symbol_ratio,
+        |  right(trim(text), 1) IN ('.', '!', '?') AS ends_sentence
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "t11_bigram_lm" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
