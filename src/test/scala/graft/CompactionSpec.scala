@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.{Compaction, Tables}
+import org.apache.spark.sql.functions._
+
+/** Compaction: target-sized non-overlapping files; z-order clustering
+  * keeps file bounding boxes compact in BOTH dimensions. */
+class CompactionSpec extends SparkSpec {
+
+  test("zorderKey interleaves bits (Morton order)") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (2L, 3L), (3L, 3L),
+        (0xffffffffL, 0L), (0L, 0xffffffffL))
+      .toDF("a", "b")
+      .select(Compaction.zorderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // reference morton: spread via bit loop
+    def spreadRef(x: Long): Long =
+      (0 until 32).foldLeft(0L)((acc, i) => acc | (((x >> i) & 1L) << (2 * i)))
+    val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (2L, 3L), (3L, 3L),
+        (0xffffffffL, 0L), (0L, 0xffffffffL))
+      .map { case (a, b) => spreadRef(a) | (spreadRef(b) << 1) }
+    assert(got == want)
+  }
+
+  test("compact writes capped, range-disjoint, lossless files") {
+    val out = java.nio.file.Files.createTempDirectory("compact").toString + "/orders"
+    val orders = Tables.orders(spark, sf)
+    Compaction.compact(orders, out, Seq("o_orderkey"), targetRecordsPerFile = 256L)
+    val back = spark.read.parquet(out)
+    // lossless round trip
+    assert(back.count() == orders.count())
+    assert(back.select("o_orderkey").except(orders.select("o_orderkey")).isEmpty)
+    // per-file: capped size, disjoint key ranges
+    val stats = back
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect()
+    assert(stats.length >= 6, s"expected >=6 files, got ${stats.length}")
+    assert(stats.forall(_.getAs[Long]("n") <= 256L))
+    val ranges = stats.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, "file key ranges overlap")
+      case _ =>
+    }
+  }
+
+  test("z-order clustering bounds BOTH dimensions' per-file spans") {
+    import spark.implicits._
+    // 64x64 grid, 16 files of ~256 points each
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), expr("id div 64").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    Compaction.compactZOrdered(grid, s"$base/z", "x", "y", 256L, expectedRows = 4096L)
+    Compaction.compact(grid, s"$base/lin", Seq("y", "x"), 256L, expectedRows = 4096L)
+    def maxSpan(path: String, dim: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(dim) - min(dim)).as("s"))
+        .agg(max("s")).as[Long].head()
+    // linear layout is perfect on its leading key but each file spans
+    // the ENTIRE trailing dimension; z-order bounds both
+    val zx = maxSpan(s"$base/z", "x"); val zy = maxSpan(s"$base/z", "y")
+    val lx = maxSpan(s"$base/lin", "x")
+    assert(lx == 63L, s"linear trailing-dim span should be full, got $lx")
+    assert(zx < 32L, s"z-order x-span too wide: $zx")
+    assert(zy < 32L, s"z-order y-span too wide: $zy")
+  }
+}
