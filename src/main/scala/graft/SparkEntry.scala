@@ -73,6 +73,7 @@ object SparkEntry {
     "d02_minhash_lsh" -> (Dedup.d02MinhashLsh _),
     "d02_production" -> (Dedup.d02Production _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
+    "d08_semantic_dedup" -> (Dedup.d08SemanticDedup _),
     "d03_simhash" -> (Dedup.d03Simhash _),
     "d04_ngram_jaccard" -> (Dedup.d04NgramJaccard _),
     "d05_embedding_neardup" -> (Dedup.d05EmbeddingNeardup _),

@@ -216,6 +216,52 @@ object Dedup {
       Tables.documents(spark, dir).select("doc_id", "text"))
       .orderBy("doc_a", "doc_b")
 
+  /** d08: SEMANTIC dedup (SemDeDup-style) — embedding-space
+    * near-duplicate clusters: vectors are blocked into their nearest
+    * IVF cell (s03's deterministic every-50th centroids), exact
+    * cosine pairs ≥ 0.3 are enumerated only WITHIN a cell, and
+    * connected components over those pairs yield one keeper per
+    * semantic cluster. The method that catches paraphrase/translation
+    * duplicates exact and token-shingle dedup (d01/d02) cannot see.
+    *
+    * Scale shape: cell assignment is n×k broadcast cosines (no corpus
+    * shuffle) with the argmax as ONE map-side `min(struct)` groupBy —
+    * no window over the corpus; the quadratic verify is bounded per
+    * cell (cells ~ n/50 keep occupancy flat as the corpus grows, the
+    * IVF property); clustering runs over the tiny pair graph only.
+    * Cosines are exact int64 arithmetic (LongArrayDot), bit-equal in
+    * the oracle. */
+  def d08SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", qnorm2(col("qv")))
+      .persist() // assignment + both pair sides
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct((lit(0.0) - qcos(qdot(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+          .as("nc"), col("c_id").as("c")).as("cand"))
+      .groupBy("vec_id")
+      .agg(min(col("cand")).as("m"))
+      .select(col("vec_id"), col("m.c").as("cell"))
+      .join(e, "vec_id")
+    val a = assign.select(col("vec_id").as("vec_a"), col("cell"),
+      col("qv").as("qv_a"), col("nrm").as("na"))
+    val b = assign.select(col("vec_id").as("vec_b"), col("cell"),
+      col("qv").as("qv_b"), col("nrm").as("nb"))
+    val pairs = a.join(b, "cell")
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(qcos(qdot(col("qv_a"), col("qv_b")), col("na"), col("nb")) >= 0.3)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = Components.propagate(pairs)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("label")).as("is_keeper"))
+      .orderBy("vec_id")
+  }
+
   /** d09: fuzzy nearest neighbor by edit distance — for each document,
     * the closest other document of its (source, length-band) block by
     * Levenshtein distance on the 120-char prefix. The char-level
@@ -316,6 +362,35 @@ object Dedup {
 
   val oracles: Map[String, String] = {
     Map(
+      "d08_semantic_dedup" ->
+        """WITH RECURSIVE q AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, qv,
+          |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM q),
+          |cents AS (SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_nrm FROM n WHERE vec_id % 50 = 0),
+          |scored AS (SELECT v.vec_id, v.qv, v.nrm, c.c_id,
+          |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+          |  FROM n v CROSS JOIN cents c),
+          |assign AS (SELECT vec_id, qv, nrm, c_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn FROM scored) t
+          |  WHERE crn = 1),
+          |cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          |  WHERE CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.3),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          |          UNION ALL SELECT doc_b, doc_a FROM cand),
+          |walk(node, reach) AS (
+          |  SELECT DISTINCT src, src AS reach FROM edges
+          |  UNION
+          |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+          |lab AS (SELECT node AS vec_id, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+          |SELECT vec_id, cluster_id, cluster_size, vec_id = cluster_id AS is_keeper
+          |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+
       "d09_edit_distance" ->
         """WITH d AS (SELECT doc_id, source, n_chars // 32 AS band,
           |             substr(text, 1, 120) AS pfx FROM documents),
