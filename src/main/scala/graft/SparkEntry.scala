@@ -65,6 +65,7 @@ object SparkEntry {
     "m05_delivery_stats" -> (MaillogOps.m05DeliveryStats _),
     "m06_top_clients" -> (MaillogOps.m06TopClients _),
     "m08_hourly_volume" -> (MaillogOps.m08HourlyVolume _),
+    "m09_sender_scorecard" -> (MaillogOps.m09SenderScorecard _),
     "t01_token_stats" -> (TextAnalysis.t01TokenStats _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_langid" -> (TextAnalysis.t03LangId _),
