@@ -15,6 +15,8 @@ case class DupCluster(doc_id: Long, cluster_id: Long, cluster_size: Long)
 case class RedactedDoc(doc_id: Long, n_emails: Long, n_ips: Long,
                        n_phones: Long, red_hash: String, n_red_chars: Long)
 case class CuratedDoc(doc_id: Long, n_chars: Long, quality: Double, split: String)
+case class SemCluster(vec_id: Long, cluster_id: Long, cluster_size: Long, is_keeper: Boolean)
+case class PackedDoc(doc_id: Long, source: String, n_tokens: Long, bin_id: Long, bin_offset: Long)
 
 /** The front door for library users: typed `Dataset` views of the
   * tables plus the operator families, bound to a session + data dir.
@@ -113,4 +115,26 @@ class Graft(val spark: SparkSession, dir: String) {
 
   /** Per-source vocabulary health (token/type/hapax, TTR). */
   def vocabStats: DataFrame = Quality.t10VocabStats(spark, dir)
+
+  /** Semantic (embedding-space) dedup clusters with one keeper per
+    * cluster — the SemDeDup pass (d08). */
+  def semanticDedup: Dataset[SemCluster] =
+    Dedup.d08SemanticDedup(spark, dir).as[SemCluster]
+
+  /** Documents packed head-to-tail into fixed context-length bins. */
+  def sequencePack(contextLen: Long = 2048L): Dataset[PackedDoc] =
+    Pipeline.p02SequencePack(spark, dir, contextLen).as[PackedDoc]
+
+  /** Packing-efficiency report over [[sequencePack]]'s bins. */
+  def packingStats(contextLen: Long = 2048L): DataFrame =
+    Pipeline.p05PackingStats(spark, dir, contextLen)
+
+  /** Weighted training mixture (hash-downsample / epoch-upsample). */
+  def mixtureResample: DataFrame = Pipeline.p06MixtureResample(spark, dir)
+
+  /** Gopher-style character-class quality profile. */
+  def charProfile: DataFrame = Quality.t12CharProfile(spark, dir)
+
+  /** Per-frame index of the (binary) media column. */
+  def frameIndex: DataFrame = Multimodal.mm03FrameIndex(spark, dir)
 }

@@ -42,6 +42,22 @@ class GraftApiSpec extends SparkSpec {
     assert(g.vocabStats.columns.contains("type_token_ratio"))
   }
 
+  test("round-2d operators are reachable through the facade") {
+    val sem = g.semanticDedup.collect()
+    assert(sem.nonEmpty)
+    assert(sem.forall(c => c.cluster_id <= c.vec_id))
+    assert(sem.forall(c => c.is_keeper == (c.cluster_id == c.vec_id)))
+    val packed = g.sequencePack().collect()
+    assert(packed.nonEmpty)
+    assert(packed.forall(p => p.bin_offset >= 0 && p.bin_offset < 2048))
+    assert(g.packingStats().columns.contains("fill_ratio"))
+    val mix = g.mixtureResample.collect()
+    assert(mix.nonEmpty)
+    assert(mix.forall(_.getAs[Long]("epoch") >= 1L))
+    assert(g.charProfile.columns.contains("alpha_ratio"))
+    assert(g.frameIndex.columns.contains("frame_md5"))
+  }
+
   test("maillogTables replays a real log file into the four tables") {
     val f = Files.createTempFile("maillog", ".log")
     Files.write(f, Seq(
