@@ -52,6 +52,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zorderKey equals the bit-loop Morton reference on random pairs") {
+    def spreadRef(x: Long): Long =
+      (0 until 32).foldLeft(0L)((acc, i) => acc | (((x >> i) & 1L) << (2 * i)))
+    val cases = (1 to 200).map { _ =>
+      (rnd.nextLong().abs % 4294967296L, rnd.nextLong().abs % 4294967296L)
+    }
+    val got = cases.toDF("a", "b")
+      .select(graft.sources.Compaction.zorderKey($"a", $"b").as("z"))
+      .as[Long].collect()
+    cases.zip(got).foreach { case ((a, b), z) =>
+      assert(z === (spreadRef(a) | (spreadRef(b) << 1)), s"morton($a, $b)")
+    }
+  }
+
+  test("p06 mixture resample equals the per-doc weight reference") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val out = operators.Pipeline.p06MixtureResample(spark, sf)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("epoch").as("maxe"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    docs.foreach { case (id, src) =>
+      val w100 = 50L + (src.length * 37) % 200
+      val h = (id * 2654435761L) % 4294967296L
+      val reps = w100 / 100 + (if (h % 100 < w100 % 100) 1L else 0L)
+      if (reps == 0) assert(!out.contains(id), s"doc $id should be dropped")
+      else assert(out(id) === ((reps, reps)),
+        s"doc $id: ${reps} epochs expected (w100=$w100)")
+    }
+  }
+
+  test("q24 range window equals the naive per-row reference") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val got = operators.Analytics2.q24RangeWindow(spark, sf)
+      .select("event_id", "n_1h", "sum_1h")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_EVEN))).toMap
+    val byUser = ev.groupBy(_._2)
+    ev.foreach { case (eid, uid, us, _) =>
+      val frame = byUser(uid).filter(e => e._3 >= us - 3600000000L && e._3 <= us)
+      val wantSum = frame.map(e => BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_EVEN)).sum
+      assert(got(eid) === ((frame.length.toLong, wantSum)), s"event $eid")
+    }
+  }
+
   test("LongArrayDot equals BigInt reference incl. negatives and length skew") {
     val cases = (1 to 50).map { _ =>
       val n = 1 + rnd.nextInt(80)
