@@ -93,7 +93,9 @@ object SparkEntry {
     "p03_token_budget" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p03TokenBudget(s, d)),
     "p04_shard_manifest" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p04ShardManifest(s, d)),
     "p05_packing_stats" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p05PackingStats(s, d)),
-    "p06_mixture_resample" -> (Pipeline.p06MixtureResample _)
+    "p06_mixture_resample" -> (Pipeline.p06MixtureResample _),
+    "p07_shuffle_order" -> (Pipeline.p07ShuffleOrder _),
+    "q25_histogram" -> (Analytics2.q25Histogram _)
   )
 
   /** qa01 is intentionally absent (sketch internals have no

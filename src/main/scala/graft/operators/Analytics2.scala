@@ -123,6 +123,26 @@ object Analytics2 {
       .orderBy("event_id")
   }
 
+  /** q25: equi-width histogram — the value distribution per event
+    * type in fixed $50 buckets (the profiling aggregate behind every
+    * dashboard distribution plot). Bucketing is integer arithmetic on
+    * exact cents (`round(value*100)` — the same cross-engine-proven
+    * rounding the maillog synthesis uses) so no bucket boundary ever
+    * depends on float division. One two-phase hash agg on
+    * (event_type, bucket); cardinality is #types × #buckets
+    * regardless of row count. */
+  def q25Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT) div 5000").as("bucket"),
+        col("value"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("event_type"), col("bucket"),
+        (col("bucket") * 50).cast("double").as("bucket_lo"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "bucket")
+
   /** q16: set operations — INTERSECT / EXCEPT as a tagged union. */
   def q16SetOps(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -263,6 +283,14 @@ object Analytics2 {
           |SELECT w_start, event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q25_histogram" ->
+        s"""WITH $evCte
+          |SELECT event_type, CAST(round(value * 100) AS BIGINT) // 5000 AS bucket,
+          |  CAST((CAST(round(value * 100) AS BIGINT) // 5000) * 50 AS DOUBLE) AS bucket_lo,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q16_set_ops" ->
         """SELECT 'building_big_spender' AS bucket, c_custkey FROM (

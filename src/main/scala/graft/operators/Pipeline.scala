@@ -172,7 +172,40 @@ object Pipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  /** p07: training-order shuffle — a reproducible random READ ORDER
+    * for the corpus without any global sort rank: an affine hash
+    * sends each document to one of 64 "shuffle shards", and the
+    * within-shard position is a rank over the hash. A loader
+    * consuming shards in (shard, pos) order sees a deterministic
+    * permutation that is decorrelated from doc_id (and from the q20
+    * split hash — different hash family).
+    *
+    * Scale shape: the only wide operation is a window PARTITIONED BY
+    * shard — 64-way parallel rank, never a single global sort (the
+    * "shuffled shards" trick every epoch-shuffling data loader
+    * uses). */
+  def p07ShuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ((col("doc_id") * 1103515245L + 12345L) % 2147483647L).as("h"))
+      .withColumn("shard", col("h") % 64)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "h", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p07_shuffle_order" ->
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id * 1103515245 + 12345) % 2147483647 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, h, h % 64 AS shard FROM d)
+        |SELECT doc_id, h, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
     "p06_mixture_resample" ->
       """WITH d AS (SELECT doc_id, source,
         |    CAST(50 + (length(source) * 37) % 200 AS BIGINT) AS w100,
