@@ -55,7 +55,23 @@ object Stress {
     val nKeep = keepers.count()
     val dedupFirst = NearDupStream.batchCandidates(keepers)
     val nPairs2 = time("dedup-first candidates")(dedupFirst.count())
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"mult":$mult}""")
+
+    // semantic (embedding-space) dedup under the same replication:
+    // every replica is cosine-1.0 identical to its original, so cell
+    // occupancy grows mult× and the within-cell verify must absorb a
+    // mult²× pair blowup — the worst case for the IVF blocking
+    val ebase = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val evecs = (0 until mult).map { k =>
+      ebase.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), col("embedding"))
+    }.reduce(_ union _).persist()
+    val nVecs = evecs.count()
+    val sem = time("semantic dedup (d08)")(
+      graft.operators.Dedup.semanticClustersFrom(evecs).persist())
+    val nSemNodes = sem.count()
+    val nSemKeep = sem.filter(col("is_keeper")).count()
+
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"mult":$mult}""")
     spark.stop()
   }
 }

@@ -231,8 +231,14 @@ object Dedup {
     * IVF property); clustering runs over the tiny pair graph only.
     * Cosines are exact int64 arithmetic (LongArrayDot), bit-equal in
     * the oracle. */
-  def d08SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  def d08SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticClustersFrom(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  /** d08's core over any (vec_id, embedding) frame — also driven at
+    * replicated scale by [[graft.Stress]]. */
+  def semanticClustersFrom(vecs: DataFrame): DataFrame = {
+    val e = vecs
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", qnorm2(col("qv")))
       .persist() // assignment + both pair sides
