@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Analytics, Analytics2, Multimodal, Pipeline, Quality}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape regression tests: the properties that make each
+  * operator scale (shuffle count, pushdown, window partitioning) are
+  * asserted on the physical plan, so a refactor that silently
+  * degrades the plan — an extra exchange, a lost PushedFilter, an
+  * unpartitioned window — fails a test, not a 100 TB run. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def shuffles(df: DataFrame): Int =
+    physical(df).collect { case e: ShuffleExchangeExec => e }.size
+
+  private def windows(df: DataFrame): Seq[WindowExec] =
+    physical(df).collect { case w: WindowExec => w }
+
+  test("q04/q01: filters reach the parquet scan (PushedFilters)") {
+    for (df <- Seq(Analytics.q04FilterPushdown(spark, sf),
+                   Analytics.q01PricingSummary(spark, sf))) {
+      val scans = physical(df).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      assert(scans.exists(_.metadata("PushedFilters") != "[]"),
+        "data filters must be pushed to the scan")
+    }
+  }
+
+  test("q24: one data shuffle + one two-frame window, partitioned") {
+    val df = Analytics2.q24RangeWindow(spark, sf)
+    // user_id hash partitioning + the final presentation sort
+    assert(shuffles(df) == 2, "q24 must shuffle exactly twice")
+    val ws = windows(df)
+    assert(ws.size == 1, "both RANGE aggregates must share one Window")
+    assert(ws.forall(_.partitionSpec.nonEmpty), "window must be partitioned")
+  }
+
+  test("p06/t12/mm03: narrow plans — no shuffle before the final sort") {
+    for ((name, df) <- Seq(
+        "p06" -> Pipeline.p06MixtureResample(spark, sf),
+        "t12" -> Quality.t12CharProfile(spark, sf),
+        "mm03" -> Multimodal.mm03FrameIndex(spark, sf))) {
+      assert(shuffles(df) == 1, s"$name: only the presentation sort may shuffle")
+      assert(windows(df).isEmpty, s"$name must not use windows")
+    }
+  }
+
+  test("p07: the shuffle-order rank window is partitioned (64-way)") {
+    val df = Pipeline.p07ShuffleOrder(spark, sf)
+    val ws = windows(df)
+    assert(ws.size == 1)
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "a global-rank window would serialize the corpus")
+  }
+
+  test("no query plans an unpartitioned window over table data") {
+    // the round-1 scale-killers (m06 global rank, vocab row_number)
+    // must stay dead: sweep every registered batch query
+    for ((name, fn) <- SparkEntry.queries if name != "qa01_approx_sketches") {
+      val bad = windows(fn(spark, sf)).filter(_.partitionSpec.isEmpty)
+      assert(bad.isEmpty, s"$name plans an unpartitioned window")
+    }
+  }
+}
