@@ -123,6 +123,29 @@ object Analytics2 {
       .orderBy("event_id")
   }
 
+  /** q26: navigation windows — first/last/nth event per user journey
+    * (first touch, latest touch, second touch) via first_value /
+    * last_value / nth_value over the FULL partition frame, collapsed
+    * to one row per user by a rank filter on the same sort. One
+    * shuffle on user_id; all four window functions share a single
+    * partitioned sort (the ordering is total, so every navigation
+    * value is deterministic). */
+  def q26FirstLast(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("first_type", first(col("event_type")).over(wf))
+      .withColumn("last_type", last(col("event_type")).over(wf))
+      .withColumn("second_type", nth_value(col("event_type"), 2).over(wf))
+      .withColumn("n_events", count(lit(1)).over(wf))
+      .filter(col("rn") === 1)
+      .select("user_id", "first_type", "last_type", "second_type", "n_events")
+      .orderBy("user_id")
+  }
+
   /** q25: equi-width histogram — the value distribution per event
     * type in fixed $50 buckets (the profiling aggregate behind every
     * dashboard distribution plot). Bucketing is integer arithmetic on
@@ -283,6 +306,21 @@ object Analytics2 {
           |SELECT w_start, event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q26_first_last" ->
+        s"""WITH $evCte,
+          |w AS (SELECT user_id,
+          |    row_number() OVER win AS rn,
+          |    first_value(event_type) OVER winf AS first_type,
+          |    last_value(event_type) OVER winf AS last_type,
+          |    nth_value(event_type, 2) OVER winf AS second_type,
+          |    COUNT(*) OVER winf AS n_events
+          |  FROM ev
+          |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+          |    winf AS (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+          |SELECT user_id, first_type, last_type, second_type, n_events
+          |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
       "q25_histogram" ->
         s"""WITH $evCte
