@@ -172,6 +172,31 @@ object Pipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  /** End-to-end SHIP step: curate (p01), keep the train split, assign
+    * p04's hash shards, and materialize one Hive partition directory
+    * per shard (the WebDataset-style layout a loader mounts), plus a
+    * read-back manifest. Returns the manifest (shard → doc/char
+    * mass) computed from the files actually written — the
+    * write-audit a production pipeline stores next to the output.
+    * The write is one narrow pass over the curated survivors; the
+    * partitionBy column has fixed cardinality (`shards`), so the
+    * directory fan-out stays flat no matter the corpus size. */
+  def writeTrainingShards(spark: SparkSession, dir: String, outPath: String,
+                          shards: Int = 16): DataFrame = {
+    val train = p01Curation(spark, dir)
+      .filter(col("split") === "train").select("doc_id")
+    Tables.documents(spark, dir)
+      .join(train, Seq("doc_id"), "left_semi")
+      .withColumn("shard",
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % shards)
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+    spark.read.parquet(outPath)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+
   /** p07: training-order shuffle — a reproducible random READ ORDER
     * for the corpus without any global sort rank: an affine hash
     * sends each document to one of 64 "shuffle shards", and the
