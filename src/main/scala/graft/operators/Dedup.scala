@@ -260,7 +260,11 @@ object Dedup {
       .filter(col("vec_a") < col("vec_b"))
       .filter(qcos(qdot(col("qv_a"), col("qv_b")), col("na"), col("nb")) >= 0.3)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val labels = Components.propagate(pairs)
+    // star contraction, not propagation: a cosine-threshold graph is
+    // chain-prone (A≈B≈C without A≈C), so rounds must be O(log n),
+    // not O(diameter) — same (node → min reachable id) contract,
+    // equivalence-tested in ComponentsSpec
+    val labels = Components.starContraction(pairs)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("vec_id"), col("label").as("cluster_id"),

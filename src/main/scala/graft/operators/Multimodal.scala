@@ -53,9 +53,12 @@ object Multimodal {
       .orderBy("source", "modality")
 
   /** mm03: frame-extraction index — explode each media item into its
-    * 32-byte "frames" (the video-pipeline step that turns one blob
+    * 32-unit "frames" (the video-pipeline step that turns one blob
     * row into per-frame rows ready for batched decode/embedding):
-    * frame number, byte offset, frame payload hash and length. The
+    * frame number, offset, frame payload hash and length. Units are
+    * chars here (== bytes for this ASCII fixture); a binary
+    * deployment swaps `substr` for a blob slice, plumbing unchanged.
+    * The
     * explode is a narrow transformation — frames stay on their
     * parent's partition, output size is the corpus's frame mass, and
     * downstream per-frame stages (decode, embed, dedup by frame_md5)
