@@ -67,6 +67,7 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         ceil(col("n_chars") / lit(32.0)).cast("long").as("n_frames"))
+      .filter(col("n_frames") >= 1) // Spark sequence(1,0) would DESCEND
       .withColumn("frame_no", explode(sequence(lit(1L), col("n_frames"))))
       .select(col("doc_id"), col("frame_no"),
         ((col("frame_no") - 1) * 32).as("byte_off"),
