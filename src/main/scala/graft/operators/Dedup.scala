@@ -252,6 +252,7 @@ object Dedup {
       .agg(min(col("cand")).as("m"))
       .select(col("vec_id"), col("m.c").as("cell"))
       .join(e, "vec_id")
+      .persist() // both pair sides: the n×k assignment runs ONCE
     val a = assign.select(col("vec_id").as("vec_a"), col("cell"),
       col("qv").as("qv_a"), col("nrm").as("na"))
     val b = assign.select(col("vec_id").as("vec_b"), col("cell"),

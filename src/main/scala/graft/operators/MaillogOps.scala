@@ -226,12 +226,14 @@ object MaillogOps {
 
   /** m09: sender deliverability scorecard — per envelope sender, the
     * delivery outcome mix (sent vs deferred counts, defer ratio,
-    * delay mass) across all of the sender's queued messages: the
+    * delay mass) across ALL of the sender's queued messages: the
     * reputation/health view a mail operator reads off the reference's
-    * messages+deliveries tables. Join key is the queueid (both sides
-    * shuffle on it once — the merge already produced messages grouped
-    * by qid); the scorecard groupBy is on the (low-cardinality)
-    * sender. */
+    * messages+deliveries tables. Messages LEFT-join deliveries so a
+    * sender whose mail is stuck in the queue (zero delivery attempts
+    * — the unhealthiest case) still appears, with n_deliv = 0 and a
+    * NULL defer ratio. Join key is the queueid (both sides shuffle on
+    * it once — the merge already produced messages grouped by qid);
+    * the scorecard groupBy is on the (low-cardinality) sender. */
   def m09SenderScorecard(spark: SparkSession, dir: String): DataFrame = {
     val msgs = messagesFrom(parsedLogs(spark, dir))
       .filter(col("message_from").isNotNull)
@@ -239,16 +241,17 @@ object MaillogOps {
     val dl = deliveries(spark, dir)
       .select(col("delivery_queueid").as("message_queueid"),
         col("delivery_status"), col("delivery_delay"))
-    msgs.join(dl, "message_queueid")
+    msgs.join(dl, Seq("message_queueid"), "left")
       .groupBy(col("message_from").as("sender"))
       .agg(
         countDistinct(col("message_queueid")).as("n_msgs"),
-        count(lit(1)).as("n_deliv"),
+        count(col("delivery_status")).as("n_deliv"),
         coalesce(sum(when(col("delivery_status") === "sent", 1L)), lit(0L)).as("n_sent"),
         coalesce(sum(when(col("delivery_status") === "deferred", 1L)), lit(0L)).as("n_deferred"),
         sum(col("delivery_delay").cast("decimal(18,2)")).cast("double").as("sum_delay_s"))
       .withColumn("defer_ratio",
-        col("n_deferred").cast("double") / col("n_deliv"))
+        when(col("n_deliv") > 0,
+          col("n_deferred").cast("double") / col("n_deliv")))
       .select("sender", "n_msgs", "n_deliv", "n_sent", "n_deferred",
         "defer_ratio", "sum_delay_s")
       .orderBy("sender")

@@ -142,12 +142,15 @@ object MaillogOracle {
     "m09_sender_scorecard" -> (prefix + ",\n" + messagesCtes + ",\n" +
       deliveriesCte + ",\n" +
       "m9 AS (SELECT qid, message_from FROM qm WHERE message_from IS NOT NULL)\n" +
-      "SELECT message_from AS sender, COUNT(DISTINCT qid) AS n_msgs, COUNT(*) AS n_deliv,\n" +
+      "SELECT message_from AS sender, COUNT(DISTINCT qid) AS n_msgs,\n" +
+      "  COUNT(delivery_status) AS n_deliv,\n" +
       "  CAST(COALESCE(SUM(CASE WHEN delivery_status = 'sent' THEN 1 END), 0) AS BIGINT) AS n_sent,\n" +
       "  CAST(COALESCE(SUM(CASE WHEN delivery_status = 'deferred' THEN 1 END), 0) AS BIGINT) AS n_deferred,\n" +
-      "  CAST(COALESCE(SUM(CASE WHEN delivery_status = 'deferred' THEN 1 END), 0) AS DOUBLE) / COUNT(*) AS defer_ratio,\n" +
+      "  CASE WHEN COUNT(delivery_status) > 0 THEN\n" +
+      "    CAST(COALESCE(SUM(CASE WHEN delivery_status = 'deferred' THEN 1 END), 0) AS DOUBLE) / COUNT(delivery_status)\n" +
+      "  END AS defer_ratio,\n" +
       "  CAST(SUM(CAST(delivery_delay AS DECIMAL(18,2))) AS DOUBLE) AS sum_delay_s\n" +
-      "FROM m9 JOIN dl ON dl.delivery_queueid = m9.qid\n" +
+      "FROM m9 LEFT JOIN dl ON dl.delivery_queueid = m9.qid\n" +
       "GROUP BY message_from ORDER BY sender"),
 
     "m06_top_clients" -> (prefix + ",\n" + messagesCtes + ",\n" +

@@ -128,20 +128,25 @@ object Pipeline {
   }
 
   /** p05: packing-efficiency report over p02's bins — per source:
-    * bin count, mean fill (tokens per full 2048-token window), and
-    * the tail bin's waste. The diagnostic that tells a pipeline
-    * whether its packing order wastes context windows. One groupBy
-    * over p02's (already single-shuffle) output. */
+    * bin count, full-bin count, the tail bin's occupancy, and the
+    * fill ratio (tokens per provisioned context window). Because p02
+    * packs head-to-tail, a source's occupied bins are EXACTLY
+    * 0..ceil(total/L)-1, so n_bins is integer arithmetic on the token
+    * total (a countDistinct(bin_id) would undercount when one long
+    * document spans a bin no other document starts in, pushing
+    * fill_ratio past 1.0). One groupBy over p02's (already
+    * single-shuffle) output. */
   def p05PackingStats(spark: SparkSession, dir: String,
                       contextLen: Long = 2048L): DataFrame = {
     val packed = p02SequencePack(spark, dir, contextLen)
     packed.groupBy("source")
-      .agg(sum(col("n_tokens")).as("total_tokens"),
-        countDistinct(col("bin_id")).as("n_bins"))
-      .select(col("source"), col("total_tokens"), col("n_bins"),
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("total_tokens"),
+        expr(s"(total_tokens + $contextLen - 1) div $contextLen").as("n_bins"),
         expr(s"total_tokens div $contextLen").as("full_bins"),
         (col("total_tokens") % contextLen).as("tail_tokens"),
-        (col("total_tokens").cast("double") / (col("n_bins") * contextLen))
+        (col("total_tokens").cast("double") /
+          (expr(s"(total_tokens + $contextLen - 1) div $contextLen") * contextLen))
           .as("fill_ratio"))
       .orderBy("source")
   }
@@ -208,7 +213,15 @@ object Pipeline {
     * Scale shape: the only wide operation is a window PARTITIONED BY
     * shard — 64-way parallel rank, never a single global sort (the
     * "shuffled shards" trick every epoch-shuffling data loader
-    * uses). */
+    * uses).
+    *
+    * Id domain: the multiplicative-hash family used across the
+    * split/sample/shard operators (q17/q20/p01/p04/p06/p07) computes
+    * `id · C` in int64, which bounds ids to |id| < 2^63 / C ≈ 3.5e9
+    * (8.4e9 here) — beyond that the product overflows (ANSI error on
+    * Spark, out-of-range in DuckDB). Catalogs with wider ids should
+    * hash `xxhash64(id)`'s low 32 bits first; the rational-constant
+    * form exists for cross-engine oracle parity. */
   def p07ShuffleOrder(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
@@ -249,17 +262,14 @@ object Pipeline {
       """WITH d AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
-        |c AS (SELECT doc_id, source, n_tokens,
-        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
-        |  FROM d),
-        |p AS (SELECT doc_id, source, n_tokens, start_tok // 2048 AS bin_id FROM c)
-        |SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-        |  COUNT(DISTINCT bin_id) AS n_bins,
-        |  CAST(SUM(n_tokens) AS BIGINT) // 2048 AS full_bins,
-        |  CAST(SUM(n_tokens) AS BIGINT) % 2048 AS tail_tokens,
-        |  CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(DISTINCT bin_id) * 2048) AS fill_ratio
-        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+        |t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |      FROM d GROUP BY source)
+        |SELECT source, total_tokens,
+        |  (total_tokens + 2047) // 2048 AS n_bins,
+        |  total_tokens // 2048 AS full_bins,
+        |  total_tokens % 2048 AS tail_tokens,
+        |  CAST(total_tokens AS DOUBLE) / (((total_tokens + 2047) // 2048) * 2048) AS fill_ratio
+        |FROM t ORDER BY source""".stripMargin,
 
     "p04_shard_manifest" ->
       """WITH d AS (SELECT doc_id, n_chars,

@@ -53,16 +53,20 @@ class CompactionSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("zorder").toString
     Compaction.compactZOrdered(grid, s"$base/z", "x", "y", 256L, expectedRows = 4096L)
     Compaction.compact(grid, s"$base/lin", Seq("y", "x"), 256L, expectedRows = 4096L)
-    def maxSpan(path: String, dim: String): Long =
+    // MEAN per-file span, not max: a file that legitimately straddles
+    // a Morton quadrant boundary can span one full dimension, so a
+    // max assertion would hinge on where RangePartitioner's sampled
+    // boundaries happen to land
+    def meanSpan(path: String, dim: String): Double =
       spark.read.parquet(path)
         .groupBy(input_file_name()).agg((max(dim) - min(dim)).as("s"))
-        .agg(max("s")).as[Long].head()
+        .agg(avg("s")).as[Double].head()
     // linear layout is perfect on its leading key but each file spans
-    // the ENTIRE trailing dimension; z-order bounds both
-    val zx = maxSpan(s"$base/z", "x"); val zy = maxSpan(s"$base/z", "y")
-    val lx = maxSpan(s"$base/lin", "x")
-    assert(lx == 63L, s"linear trailing-dim span should be full, got $lx")
-    assert(zx < 32L, s"z-order x-span too wide: $zx")
-    assert(zy < 32L, s"z-order y-span too wide: $zy")
+    // the ENTIRE trailing dimension; z-order bounds both on average
+    val zx = meanSpan(s"$base/z", "x"); val zy = meanSpan(s"$base/z", "y")
+    val lx = meanSpan(s"$base/lin", "x")
+    assert(lx == 63.0, s"linear trailing-dim span should be full, got $lx")
+    assert(zx < 32.0, s"z-order mean x-span too wide: $zx")
+    assert(zy < 32.0, s"z-order mean y-span too wide: $zy")
   }
 }
