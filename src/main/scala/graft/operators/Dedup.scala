@@ -334,6 +334,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d11: LSH estimate quality — for every d02 candidate pair, the
+    * MinHash-estimated Jaccard next to the EXACT shingle Jaccard and
+    * the signed estimation error: the calibration measurement that
+    * tells a pipeline where to put its banding threshold (the dedup
+    * analog of s05's ANN recall).
+    *
+    * Plan shape: the expensive parts are reused — d02's persisted
+    * signatures produce the candidates and estimates; the exact
+    * verify joins the shingle table ONLY through the candidate pair
+    * list (two semi-join-shaped hash joins on doc id + one groupBy
+    * per pair), so the exact Jaccard is computed for |candidates|
+    * pairs, never the O(n²) pair space. */
+  def d11LshQuality(spark: SparkSession, dir: String): DataFrame = {
+    val est = d02MinhashLsh(spark, dir)
+    val sh = docShingles(Tables.documents(spark, dir)).persist()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = est.select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("term")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("term")), Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("exact_jaccard"))
+      .withColumn("err", col("est_jaccard") - col("exact_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // Oracle CTE fragments shared with the pipeline oracle (Pipeline.scala)
   private[operators] val shCte =
       """sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
@@ -373,6 +405,24 @@ object Dedup {
 
   val oracles: Map[String, String] = {
     Map(
+      "d11_lsh_quality" ->
+        ("WITH " + shCte + ",\n" + sigCte + ",\n" + candCte + """,
+          |est AS (SELECT doc_a, doc_b,
+          |    CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) / 16.0 AS est_jaccard
+          |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+          |  GROUP BY doc_a, doc_b),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |itr AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+          |        FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+          |          JOIN sh b ON b.doc_id = c.doc_b AND b.term = a.term
+          |        GROUP BY c.doc_a, c.doc_b)
+          |SELECT e.doc_a, e.doc_b, est_jaccard,
+          |  CAST(COALESCE(itr.inter, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(itr.inter, 0)) AS exact_jaccard,
+          |  est_jaccard - CAST(COALESCE(itr.inter, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(itr.inter, 0)) AS err
+          |FROM est e LEFT JOIN itr ON itr.doc_a = e.doc_a AND itr.doc_b = e.doc_b
+          |JOIN cnt ca ON ca.doc_id = e.doc_a JOIN cnt cb ON cb.doc_id = e.doc_b
+          |ORDER BY e.doc_a, e.doc_b""".stripMargin),
+
       "d08_semantic_dedup" ->
         """WITH RECURSIVE q AS (SELECT vec_id,
           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
