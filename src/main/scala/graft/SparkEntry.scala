@@ -67,6 +67,7 @@ object SparkEntry {
     "m06_top_clients" -> (MaillogOps.m06TopClients _),
     "m08_hourly_volume" -> (MaillogOps.m08HourlyVolume _),
     "m09_sender_scorecard" -> (MaillogOps.m09SenderScorecard _),
+    "m10_parse_coverage" -> (MaillogOps.m10ParseCoverage _),
     "t01_token_stats" -> (TextAnalysis.t01TokenStats _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_langid" -> (TextAnalysis.t03LangId _),

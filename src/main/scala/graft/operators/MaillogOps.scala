@@ -224,6 +224,29 @@ object MaillogOps {
       .orderBy("delivery_status")
   }
 
+  /** m10: parse-coverage report — per postfix process: line count and
+    * how many lines each branch regex (qmgr/smtpd/cleanup/smtp)
+    * claimed, plus the unmatched remainder. The ingest-observability
+    * view that catches a log-format drift (a postfix upgrade changing
+    * a message shape silently drops rows from the four tables; this
+    * report makes the drop visible per process). One projection of
+    * four boolean flags + one groupBy on the (tiny) process set. */
+  def m10ParseCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val msg = col("log_message")
+    def hit(re: String) = when(msg.rlike(re), 1L).otherwise(0L)
+    parsedLogs(spark, dir)
+      .select(col("log_process"),
+        hit(QmgrRe).as("q"), hit(SmtpdRe).as("c"),
+        hit(CleanupRe).as("m"), hit(SmtpRe).as("s"))
+      .groupBy("log_process")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("q")).as("n_qmgr"), sum(col("c")).as("n_smtpd"),
+        sum(col("m")).as("n_cleanup"), sum(col("s")).as("n_smtp"),
+        sum(when(col("q") + col("c") + col("m") + col("s") === 0, 1L)
+          .otherwise(0L)).as("n_unmatched"))
+      .orderBy("log_process")
+  }
+
   /** m09: sender deliverability scorecard — per envelope sender, the
     * delivery outcome mix (sent vs deferred counts, defer ratio,
     * delay mass) across ALL of the sender's queued messages: the

@@ -139,6 +139,19 @@ object MaillogOracle {
       "FROM msgs JOIN dl ON dl.delivery_queueid = msgs.message_queueid\n" +
       "GROUP BY delivery_status ORDER BY delivery_status"),
 
+    "m10_parse_coverage" -> (prefix + ",\n" +
+      "f AS (SELECT log_process,\n" +
+      "  CASE WHEN regexp_matches(log_message, " + re(QmgrRe) + ") THEN 1 ELSE 0 END AS q,\n" +
+      "  CASE WHEN regexp_matches(log_message, " + re(SmtpdRe) + ") THEN 1 ELSE 0 END AS c,\n" +
+      "  CASE WHEN regexp_matches(log_message, " + re(CleanupRe) + ") THEN 1 ELSE 0 END AS m,\n" +
+      "  CASE WHEN regexp_matches(log_message, " + re(SmtpRe) + ") THEN 1 ELSE 0 END AS s\n" +
+      "FROM parsed)\n" +
+      "SELECT log_process, COUNT(*) AS n_lines,\n" +
+      "  CAST(SUM(q) AS BIGINT) AS n_qmgr, CAST(SUM(c) AS BIGINT) AS n_smtpd,\n" +
+      "  CAST(SUM(m) AS BIGINT) AS n_cleanup, CAST(SUM(s) AS BIGINT) AS n_smtp,\n" +
+      "  CAST(SUM(CASE WHEN q + c + m + s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched\n" +
+      "FROM f GROUP BY log_process ORDER BY log_process"),
+
     "m09_sender_scorecard" -> (prefix + ",\n" + messagesCtes + ",\n" +
       deliveriesCte + ",\n" +
       "m9 AS (SELECT qid, message_from FROM qm WHERE message_from IS NOT NULL)\n" +
