@@ -59,6 +59,7 @@ object SparkEntry {
     "t10_vocab_stats" -> (Quality.t10VocabStats _),
     "t11_bigram_lm" -> (Quality.t11BigramLm _),
     "t12_char_profile" -> (Quality.t12CharProfile _),
+    "t13_lang_mix" -> (TextAnalysis.t13LangMix _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),
     "m02_clients" -> (MaillogOps.m02Clients _),
     "m03_messages" -> (MaillogOps.m03Messages _),

@@ -84,6 +84,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t13: per-source language mix — the corpus-level langid QA view:
+    * how many documents of each source the t03 heuristic assigns to
+    * each language, and how often that agrees with the claimed lang
+    * column (a mislabeled source shows up as one row with a low
+    * match rate). Reuses t03's per-row scoring; one groupBy on the
+    * tiny (source, lang) key space. */
+  def t13LangMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    t03LangId(spark, dir)
+      .join(d.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("is_match"), 1L)), lit(0L)).as("n_match"))
+      .select(col("source"), col("pred_lang"), col("n_docs"), col("n_match"),
+        (col("n_match").cast("double") / col("n_docs")).as("match_rate"))
+      .orderBy("source", "pred_lang")
+  }
+
   /** t04: order-sensitive document fingerprint —
     * (Σ_k tid_k · k) mod 1e9+7 over the rank vocabulary. */
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -288,6 +306,28 @@ object TextAnalysis {
           |        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
           |        WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = claimed_lang AS is_match
           |FROM m ORDER BY doc_id""".stripMargin),
+
+      "t13_lang_mix" ->
+        ("WITH " + dCte + """,
+          |m AS (SELECT doc_id, lang AS claimed_lang,
+          |  len(list_filter(t, x -> list_contains(['the','a','of'], x))) AS s_en,
+          |  len(list_filter(t, x -> list_contains(['el','la','de'], x))) AS s_es,
+          |  len(list_filter(t, x -> list_contains(['der','die','das'], x))) AS s_de,
+          |  len(list_filter(t, x -> list_contains(['le','les','une'], x))) AS s_fr
+          |FROM d),
+          |p AS (SELECT doc_id,
+          |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+          |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+          |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+          |  (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+          |        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+          |        WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = claimed_lang AS is_match
+          |FROM m)
+          |SELECT source, pred_lang, COUNT(*) AS n_docs,
+          |  CAST(COALESCE(SUM(CASE WHEN is_match THEN 1 END), 0) AS BIGINT) AS n_match,
+          |  CAST(COALESCE(SUM(CASE WHEN is_match THEN 1 END), 0) AS DOUBLE) / COUNT(*) AS match_rate
+          |FROM p JOIN documents USING (doc_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
       "t05_tfidf" ->
         ("WITH " + dCte + """,
