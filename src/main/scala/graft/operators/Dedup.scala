@@ -33,8 +33,10 @@ object Dedup {
     * mins fall out of a single groupBy over the shingle-id set — no
     * 16× row explosion, one shuffle. Persisted: consumed by banding
     * and both pair sides. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(Tables.documents(spark, dir))
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFrom(docShingles(Tables.documents(spark, dir)))
+
+  private def signaturesFrom(sh: DataFrame): DataFrame = {
     val st = sh.join(vocab(sh), "term").select("doc_id", "tid")
     val aggs = (0 until 16).map(i => min(affineHash(lit(i), col("tid"))).as(s"sig_$i"))
     st.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).persist()
@@ -44,8 +46,10 @@ object Dedup {
     * estimated Jaccard from signature agreement. Band keys and the
     * agreement count are computed straight off the wide signature
     * row; only the 8-per-doc band table is exploded. */
-  def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir)
+  def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    d02From(signatures(spark, dir))
+
+  private def d02From(sig: DataFrame): DataFrame = {
     val bandStructs = array((0 until 8).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", col(s"sig_${2 * b}").cast("string"),
@@ -347,8 +351,14 @@ object Dedup {
     * per pair), so the exact Jaccard is computed for |candidates|
     * pairs, never the O(n²) pair space. */
   def d11LshQuality(spark: SparkSession, dir: String): DataFrame = {
-    val est = d02MinhashLsh(spark, dir)
+    // ONE shingle pass feeds both the signature path (candidates +
+    // estimates) and the exact verify — not a second corpus scan
     val sh = docShingles(Tables.documents(spark, dir)).persist()
+    val est = d02From(signaturesFrom(sh))
+    // exact-verify shape shared with d04 (cnt + bounded pair
+    // intersection + inter/(na+nb-inter)); the pair source differs:
+    // d04 enumerates blocked pairs from the shingle self-join, d11
+    // restricts to the LSH candidate list
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = est.select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("term")), "doc_a")
