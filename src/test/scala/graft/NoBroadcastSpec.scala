@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Broadcast-independence: at 100 TB the frequency/dimension tables
+  * outgrow the broadcast threshold and Catalyst must fall back to
+  * shuffle joins. The queries that deliberately carry NO broadcast
+  * hint (d10's span-df, t08/t11's term frequencies, q03's dims under
+  * explicit broadcast()) must return IDENTICAL results either way —
+  * this pins the "Catalyst picks the join strategy" claim with an
+  * actual strategy flip, not just a comment. */
+class NoBroadcastSpec extends SparkSpec {
+
+  private def withNoBroadcast[A](f: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try f finally spark.conf.set(key, prev)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  for (name <- Seq("d10_dup_spans", "t08_unigram_lm", "t11_bigram_lm",
+                   "q03_join_revenue", "d08_semantic_dedup")) {
+    test(s"$name: identical results with broadcasting disabled") {
+      val fn = SparkEntry.queries(name)
+      val default = rows(fn(spark, sf))
+      val shuffled = withNoBroadcast {
+        // fresh plan under the changed conf (cached persisted frames
+        // keep their original plans — that is fine, the conf governs
+        // join-strategy choice at planning time for this run)
+        rows(fn(spark, sf))
+      }
+      assert(default == shuffled, s"$name diverges without broadcast joins")
+    }
+  }
+}
