@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Partition-count invariance: a distributed operator's RESULT must
+  * not depend on how the data happens to be split — the property
+  * that separates "works on my 32 partitions" from correct-anywhere.
+  * Re-running order-sensitive queries (stacked windows, merges,
+  * banding, packing) under a prime shuffle-partition count must
+  * reproduce the default-run rows exactly. */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private def withShufflePartitions[A](n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  for (name <- Seq("q07_window_running", "q09_sessionize",
+                   "d02_minhash_lsh", "p02_sequence_pack",
+                   "m03_messages", "q24_range_window")) {
+    test(s"$name: identical results under 7 shuffle partitions") {
+      val fn = SparkEntry.queries(name)
+      val default = rows(fn(spark, sf))
+      val reshuffled = withShufflePartitions(7)(rows(fn(spark, sf)))
+      assert(default == reshuffled, s"$name depends on the partition count")
+    }
+  }
+}
