@@ -49,6 +49,7 @@ object SparkEntry {
     "d09_edit_distance" -> (Dedup.d09EditDistance _),
     "d10_dup_spans" -> (Dedup.d10DupSpans _),
     "d11_lsh_quality" -> (Dedup.d11LshQuality _),
+    "d12_decontaminate" -> (Dedup.d12Decontaminate _),
     "m07_queue_latency" -> (MaillogOps.m07QueueLatency _),
     "qa01_approx_sketches" -> (Analytics2.qa01ApproxSketches _),
     "t05_tfidf" -> (TextAnalysis.t05TfIdf _),

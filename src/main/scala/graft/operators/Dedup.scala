@@ -176,6 +176,21 @@ object Dedup {
       .orderBy("test_doc", "train_doc")
   }
 
+  /** d12: decontamination EXECUTION — d06 measures train/test
+    * contamination; this emits the train-side removal list a pipeline
+    * actually acts on: every train document that contaminates at
+    * least one test document (≥ 0.5 shingle overlap), with how many
+    * test documents it hits and its worst overlap. The removal is
+    * `train EXCEPT this list` — one more semi-join. Same bounded
+    * candidate generation as d06 (shingle equi-join); one extra
+    * groupBy on the (small) contaminated-pair set. */
+  def d12Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    d06Contamination(spark, dir)
+      .groupBy(col("train_doc"))
+      .agg(count(lit(1)).as("n_test_hits"),
+        max(col("contamination")).as("worst_overlap"))
+      .orderBy("train_doc")
+
   /** d07: near-duplicate CLUSTERS — connected components over the
     * MinHash-LSH candidate pairs (d02), so a pipeline can keep one
     * canonical document per cluster instead of reasoning about raw
@@ -529,6 +544,27 @@ object Dedup {
           |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
           |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
           |ORDER BY doc_a, doc_b""".stripMargin),
+
+      "d12_decontaminate" ->
+        ("WITH " + shCte + """,
+          |ds AS (SELECT doc_id,
+          |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 0 THEN 'test'
+          |       WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 1 THEN 'val'
+          |       ELSE 'train' END AS split
+          |  FROM documents),
+          |shs AS (SELECT sh.doc_id, term, split FROM sh JOIN ds USING (doc_id)),
+          |tst AS (SELECT doc_id AS test_doc, term FROM shs WHERE split = 'test'),
+          |trn AS (SELECT doc_id AS train_doc, term FROM shs WHERE split = 'train'),
+          |sz AS (SELECT test_doc, COUNT(*) AS n_test FROM tst GROUP BY 1),
+          |ov AS (SELECT test_doc, train_doc, COUNT(*) AS overlap
+          |       FROM tst JOIN trn USING (term) GROUP BY 1, 2),
+          |cont AS (SELECT test_doc, train_doc,
+          |    CAST(overlap AS DOUBLE) / n_test AS contamination
+          |  FROM ov JOIN sz USING (test_doc)
+          |  WHERE CAST(overlap AS DOUBLE) / n_test >= 0.5)
+          |SELECT train_doc, COUNT(*) AS n_test_hits,
+          |  MAX(contamination) AS worst_overlap
+          |FROM cont GROUP BY train_doc ORDER BY train_doc""".stripMargin),
 
       "d06_contamination" ->
         ("WITH " + shCte + """,
