@@ -99,6 +99,7 @@ object SparkEntry {
     "p05_packing_stats" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p05PackingStats(s, d)),
     "p06_mixture_resample" -> (Pipeline.p06MixtureResample _),
     "p07_shuffle_order" -> (Pipeline.p07ShuffleOrder _),
+    "p08_source_datasheet" -> (Pipeline.p08SourceDatasheet _),
     "q25_histogram" -> (Analytics2.q25Histogram _),
     "q26_first_last" -> (Analytics2.q26FirstLast _)
   )

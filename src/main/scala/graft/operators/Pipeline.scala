@@ -177,6 +177,40 @@ object Pipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  /** p08: source datasheet — the one-row-per-source "dataset card" a
+    * corpus release ships with: document/char/token mass, vocabulary
+    * health (types, TTR), exact-duplicate count, majority predicted
+    * language, and the low-quality share. A composition of t10, t13,
+    * t02 and d01 signals joined on the tiny source key.
+    *
+    * Determinism note: every aggregate here is integer-derived (or a
+    * division of identical integer operands) — a MEAN over the double
+    * quality scores would depend on Spark's partial-sum order, so the
+    * datasheet reports the (order-independent) below-threshold COUNT
+    * instead. */
+  def p08SourceDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
+    val vocabStats = Quality.t10VocabStats(spark, dir)
+      .select("source", "n_tokens", "n_types", "type_token_ratio")
+    val topLang = TextAnalysis.t13LangMix(spark, dir)
+      .groupBy("source")
+      .agg(min(struct((lit(0L) - col("n_docs")).as("neg"),
+        col("pred_lang").as("l"))).as("m"))
+      .select(col("source"), col("m.l").as("top_lang"))
+    val lowq = TextAnalysis.t02Quality(spark, dir)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(coalesce(sum(when(col("quality") < 0.5, 1L)), lit(0L)).as("n_low_quality"))
+    base.join(vocabStats, "source").join(topLang, "source").join(lowq, "source")
+      .select("source", "n_docs", "sum_chars", "n_tokens", "n_types",
+        "type_token_ratio", "n_exact_dups", "top_lang", "n_low_quality")
+      .orderBy("source")
+  }
+
   /** End-to-end SHIP step: curate (p01), keep the train split, assign
     * p04's hash shards, and materialize one Hive partition directory
     * per shard (the WebDataset-style layout a loader mounts), plus a
@@ -235,6 +269,42 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "p08_source_datasheet" ->
+      ("WITH " + TextAnalysis.qualityCtes + """,
+        |base AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+        |  FROM documents GROUP BY source),
+        |tf8 AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |c8 AS (SELECT source, term, COUNT(*) AS cf FROM tf8 GROUP BY 1, 2),
+        |vs8 AS (SELECT source, CAST(SUM(cf) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+        |    CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cf) AS BIGINT) AS type_token_ratio
+        |  FROM c8 GROUP BY source),
+        |d8 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |m8 AS (SELECT doc_id,
+        |  len(list_filter(t, x -> list_contains(['the','a','of'], x))) AS s_en,
+        |  len(list_filter(t, x -> list_contains(['el','la','de'], x))) AS s_es,
+        |  len(list_filter(t, x -> list_contains(['der','die','das'], x))) AS s_de,
+        |  len(list_filter(t, x -> list_contains(['le','les','une'], x))) AS s_fr
+        |FROM d8),
+        |p8 AS (SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |FROM m8),
+        |lm8 AS (SELECT source, pred_lang, COUNT(*) AS n
+        |  FROM p8 JOIN documents USING (doc_id) GROUP BY 1, 2),
+        |tl8 AS (SELECT source, pred_lang AS top_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, pred_lang) AS rn
+        |    FROM lm8) t WHERE rn = 1),
+        |lq8 AS (SELECT source,
+        |    CAST(COALESCE(SUM(CASE WHEN quality < 0.5 THEN 1 END), 0) AS BIGINT) AS n_low_quality
+        |  FROM qq JOIN documents USING (doc_id) GROUP BY source)
+        |SELECT source, n_docs, sum_chars, n_tokens, n_types, type_token_ratio,
+        |  CAST(n_exact_dups AS BIGINT) AS n_exact_dups, top_lang, n_low_quality
+        |FROM base JOIN vs8 USING (source) JOIN tl8 USING (source) JOIN lq8 USING (source)
+        |ORDER BY source""".stripMargin),
+
     "p07_shuffle_order" ->
       """WITH d AS (SELECT doc_id,
         |    (doc_id * 1103515245 + 12345) % 2147483647 AS h
