@@ -70,6 +70,7 @@ object SparkEntry {
     "m08_hourly_volume" -> (MaillogOps.m08HourlyVolume _),
     "m09_sender_scorecard" -> (MaillogOps.m09SenderScorecard _),
     "m10_parse_coverage" -> (MaillogOps.m10ParseCoverage _),
+    "m11_relay_health" -> (MaillogOps.m11RelayHealth _),
     "t01_token_stats" -> (TextAnalysis.t01TokenStats _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_langid" -> (TextAnalysis.t03LangId _),

@@ -224,6 +224,26 @@ object MaillogOps {
       .orderBy("delivery_status")
   }
 
+  /** m11: relay health — per delivery relay: attempt counts, outcome
+    * mix, delay mass and distinct queues: the remote-side counterpart
+    * to m09's sender view (a deferring relay is the other root cause
+    * a mail operator chases). One groupBy on the low-cardinality
+    * relay key, straight off the deliveries projection. */
+  def m11RelayHealth(spark: SparkSession, dir: String): DataFrame =
+    deliveries(spark, dir)
+      .groupBy(col("delivery_relay").as("relay"))
+      .agg(
+        count(lit(1)).as("n_attempts"),
+        coalesce(sum(when(col("delivery_status") === "sent", 1L)), lit(0L)).as("n_sent"),
+        coalesce(sum(when(col("delivery_status") === "deferred", 1L)), lit(0L)).as("n_deferred"),
+        sum(col("delivery_delay").cast("decimal(18,2)")).cast("double").as("sum_delay_s"),
+        countDistinct(col("delivery_queueid")).as("n_queues"))
+      .withColumn("defer_ratio",
+        col("n_deferred").cast("double") / col("n_attempts"))
+      .select("relay", "n_attempts", "n_sent", "n_deferred", "defer_ratio",
+        "sum_delay_s", "n_queues")
+      .orderBy("relay")
+
   /** m10: parse-coverage report — per postfix process: line count and
     * how many lines each branch regex (qmgr/smtpd/cleanup/smtp)
     * claimed, plus the unmatched remainder. The ingest-observability

@@ -139,6 +139,15 @@ object MaillogOracle {
       "FROM msgs JOIN dl ON dl.delivery_queueid = msgs.message_queueid\n" +
       "GROUP BY delivery_status ORDER BY delivery_status"),
 
+    "m11_relay_health" -> (prefix + ",\n" + deliveriesCte + "\n" +
+      "SELECT delivery_relay AS relay, COUNT(*) AS n_attempts,\n" +
+      "  CAST(COALESCE(SUM(CASE WHEN delivery_status = 'sent' THEN 1 END), 0) AS BIGINT) AS n_sent,\n" +
+      "  CAST(COALESCE(SUM(CASE WHEN delivery_status = 'deferred' THEN 1 END), 0) AS BIGINT) AS n_deferred,\n" +
+      "  CAST(COALESCE(SUM(CASE WHEN delivery_status = 'deferred' THEN 1 END), 0) AS DOUBLE) / COUNT(*) AS defer_ratio,\n" +
+      "  CAST(SUM(CAST(delivery_delay AS DECIMAL(18,2))) AS DOUBLE) AS sum_delay_s,\n" +
+      "  COUNT(DISTINCT delivery_queueid) AS n_queues\n" +
+      "FROM dl GROUP BY delivery_relay ORDER BY relay"),
+
     "m10_parse_coverage" -> (prefix + ",\n" +
       "f AS (SELECT log_process,\n" +
       "  CASE WHEN regexp_matches(log_message, " + re(QmgrRe) + ") THEN 1 ELSE 0 END AS q,\n" +
