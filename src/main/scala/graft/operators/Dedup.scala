@@ -261,7 +261,9 @@ object Dedup {
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", qnorm2(col("qv")))
       .persist() // assignment + both pair sides
-    val cents = e.filter(col("vec_id") % 50 === 0)
+    // same deterministic every-Nth "training" rule as s03/s04 — keep
+    // the constant in ONE place (the DuckDB oracles encode it too)
+    val cents = e.filter(col("vec_id") % Similarity.CentroidStride === 0)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
     val assign = e.crossJoin(broadcast(cents))
       .select(col("vec_id"),
@@ -285,6 +287,12 @@ object Dedup {
     // not O(diameter) — same (node → min reachable id) contract,
     // equivalence-tested in ComponentsSpec
     val labels = Components.starContraction(pairs)
+    // the contraction loop localCheckpoints eagerly, so nothing lazy
+    // references e/assign anymore — release their executor storage
+    // (a long-lived session calling this repeatedly must not pin one
+    // corpus copy per call)
+    assign.unpersist()
+    e.unpersist()
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("vec_id"), col("label").as("cluster_id"),

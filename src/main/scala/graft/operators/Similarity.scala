@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Deterministic "training" rule shared by s03/s04/d08: every Nth
+    * vector serves as a centroid/codeword. Also hardcoded in those
+    * queries' DuckDB oracles (`vec_id % 50 = 0`) — change BOTH. */
+  private[operators] val CentroidStride = 50
+
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
@@ -80,7 +85,7 @@ object Similarity {
     * join shuffles on cell id — the IVF scale shape. */
   def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir)
-    val cents = e.filter(col("vec_id") % 50 === 0)
+    val cents = e.filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("qv"), col("nrm"), col("c_id"),
@@ -134,7 +139,7 @@ object Similarity {
         src.select(col(idCol), lit(m).as("m"),
           slice(col(vecCol), m * sub + 1, sub).as("v")))
         .reduce(_ union _)
-    val cbm = subviews(e.filter(col("vec_id") % 50 === 0)
+    val cbm = subviews(e.filter(col("vec_id") % CentroidStride === 0)
         .select(col("vec_id").as("cw_id"), col("qv")), "cw_id", "qv")
       .withColumnRenamed("v", "cw")
     val vm = subviews(e.select("vec_id", "qv"), "vec_id", "qv")

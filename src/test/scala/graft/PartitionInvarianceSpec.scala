@@ -26,6 +26,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
+      // drop every cached frame first: otherwise the rerun would read
+      // the default run's InMemoryRelation bytes (e.g. d02's persisted
+      // signatures) instead of re-executing the stage under the new
+      // partition count — comparing a cache against itself proves
+      // nothing
+      spark.sharedState.cacheManager.clearCache()
       val reshuffled = withShufflePartitions(7)(rows(fn(spark, sf)))
       assert(default == reshuffled, s"$name depends on the partition count")
     }

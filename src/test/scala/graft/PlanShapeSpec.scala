@@ -20,11 +20,23 @@ class PlanShapeSpec extends SparkSpec {
       case p => p
     }
 
+  /** The plan plus every cached subtree: `collect` alone stops at
+    * InMemoryTableScan, which would hide any operator living under a
+    * .persist()ed frame (e.g. d02's signatures, d08's assignment)
+    * from the assertions below. */
+  private def expanded(p: SparkPlan): Seq[SparkPlan] = {
+    val cached = p.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }
+    p +: cached.flatMap(expanded)
+  }
+
   private def shuffles(df: DataFrame): Int =
-    physical(df).collect { case e: ShuffleExchangeExec => e }.size
+    expanded(physical(df)).flatMap(_.collect { case e: ShuffleExchangeExec => e }).size
 
   private def windows(df: DataFrame): Seq[WindowExec] =
-    physical(df).collect { case w: WindowExec => w }
+    expanded(physical(df)).flatMap(_.collect { case w: WindowExec => w })
 
   test("q04/q01: filters reach the parquet scan (PushedFilters)") {
     for (df <- Seq(Analytics.q04FilterPushdown(spark, sf),

@@ -53,8 +53,6 @@ class PropertySpec extends SparkSpec {
   }
 
   test("zorderKey equals the bit-loop Morton reference on random pairs") {
-    def spreadRef(x: Long): Long =
-      (0 until 32).foldLeft(0L)((acc, i) => acc | (((x >> i) & 1L) << (2 * i)))
     val cases = (1 to 200).map { _ =>
       (rnd.nextLong().abs % 4294967296L, rnd.nextLong().abs % 4294967296L)
     }
@@ -62,7 +60,7 @@ class PropertySpec extends SparkSpec {
       .select(graft.sources.Compaction.zorderKey($"a", $"b").as("z"))
       .as[Long].collect()
     cases.zip(got).foreach { case ((a, b), z) =>
-      assert(z === (spreadRef(a) | (spreadRef(b) << 1)), s"morton($a, $b)")
+      assert(z === MortonRef.morton(a, b), s"morton($a, $b)")
     }
   }
 
