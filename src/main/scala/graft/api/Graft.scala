@@ -137,4 +137,22 @@ class Graft(val spark: SparkSession, dir: String) {
 
   /** Per-frame index of the (binary) media column. */
   def frameIndex: DataFrame = Multimodal.mm03FrameIndex(spark, dir)
+
+  /** LSH calibration: estimated vs exact Jaccard per candidate pair. */
+  def lshCalibration: DataFrame = Dedup.d11LshQuality(spark, dir)
+
+  /** Train-side decontamination removal list (acts on d06's signal). */
+  def decontaminationList: DataFrame = Dedup.d12Decontaminate(spark, dir)
+
+  /** Reproducible shuffled-shard training read order. */
+  def shuffleOrder: DataFrame = Pipeline.p07ShuffleOrder(spark, dir)
+
+  /** Per-source dataset card (mass, vocab health, dups, language,
+    * low-quality share). */
+  def sourceDatasheet: DataFrame = Pipeline.p08SourceDatasheet(spark, dir)
+
+  /** Curate → train split → hash shards → Hive dirs; returns the
+    * read-back manifest. */
+  def shipTrainingShards(outPath: String, shards: Int = 16): DataFrame =
+    Pipeline.writeTrainingShards(spark, dir, outPath, shards)
 }

@@ -58,6 +58,19 @@ class GraftApiSpec extends SparkSpec {
     assert(g.frameIndex.columns.contains("frame_md5"))
   }
 
+  test("round-2e operators are reachable through the facade") {
+    val cal = g.lshCalibration.collect()
+    assert(cal.nonEmpty)
+    assert(cal.forall(r => math.abs(r.getAs[Double]("err")) <= 1.0))
+    assert(g.decontaminationList.columns.contains("worst_overlap"))
+    val ord = g.shuffleOrder.collect()
+    assert(ord.map(_.getAs[Long]("doc_id")).distinct.length == ord.length)
+    val card = g.sourceDatasheet.collect()
+    assert(card.length == 20)
+    assert(card.forall(r =>
+      r.getAs[Long]("n_low_quality") <= r.getAs[Long]("n_docs")))
+  }
+
   test("maillogTables replays a real log file into the four tables") {
     val f = Files.createTempFile("maillog", ".log")
     Files.write(f, Seq(
@@ -73,5 +86,20 @@ class GraftApiSpec extends SparkSpec {
     val m = t("messages").first()
     assert(m.getAs[String]("message_client") === "h1.example.com[10.0.0.1]")
     assert(m.getAs[Long]("message_size") === 9L)
+  }
+
+  test("NOQUEUE rejected deliveries land in the deliveries table") {
+    // reference: SmtpRe's qid alternation is `([a-zA-Z0-9]+|NOQUEUE)`
+    // (maillog2db.go:52) — a rejected delivery has no queue id but is
+    // still recorded
+    val f = Files.createTempFile("maillog-noq", ".log")
+    Files.write(f, Seq(
+      "Jan 02 03:04:07 mx1 postfix/smtp[103]: NOQUEUE: to=<b@y.org>, relay=r[1.2.3.4]:25, delay=0.1, delays=0.0/0.0/0.0/0.1, dsn=5.7.1, status=rejected (554 denied)"
+    ).mkString("\n").getBytes)
+    val dl = g.maillogTables(f.toString)("deliveries").collect()
+    assert(dl.length === 1)
+    assert(dl.head.getAs[String]("delivery_queueid") === "NOQUEUE")
+    assert(dl.head.getAs[String]("delivery_status") === "rejected")
+    assert(dl.head.getAs[String]("delivery_dsn") === "5.7.1")
   }
 }
