@@ -102,7 +102,8 @@ object SparkEntry {
     "p07_shuffle_order" -> (Pipeline.p07ShuffleOrder _),
     "p08_source_datasheet" -> (Pipeline.p08SourceDatasheet _),
     "q25_histogram" -> (Analytics2.q25Histogram _),
-    "q26_first_last" -> (Analytics2.q26FirstLast _)
+    "q26_first_last" -> (Analytics2.q26FirstLast _),
+    "q27_funnel" -> (Analytics2.q27Funnel _)
   )
 
   /** qa01 is intentionally absent (sketch internals have no

@@ -146,6 +146,42 @@ object Analytics2 {
       .orderBy("user_id")
   }
 
+  /** q27: session conversion funnel — sessions (q09's 30-min-gap
+    * rule) rolled up to the view → view+click → view+click+purchase
+    * ladder with conversion rates: the product-analytics composite
+    * that chains sessionization, per-session flag aggregation and a
+    * one-row funnel summary. Two aggregations after the single
+    * user_id window shuffle; the final global agg sees one row per
+    * session (map-side combinable), never raw events. */
+  def q27Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(seq))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sess_id",
+        sum(col("new_s")).over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def has(t: String) =
+      max(when(col("event_type") === t, 1).otherwise(0)).as(s"has_$t")
+    val per = sess.groupBy("user_id", "sess_id")
+      .agg(has("view"), has("click"), has("purchase"))
+    per.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("has_view")).cast("long").as("n_view"),
+        sum(col("has_view") * col("has_click")).cast("long").as("n_view_click"),
+        sum(col("has_view") * col("has_click") * col("has_purchase"))
+          .cast("long").as("n_funnel"))
+      .select(col("n_sessions"), col("n_view"), col("n_view_click"), col("n_funnel"),
+        (col("n_view").cast("double") / col("n_sessions")).as("view_rate"),
+        (col("n_view_click").cast("double") / col("n_sessions")).as("click_rate"),
+        (col("n_funnel").cast("double") / col("n_sessions")).as("funnel_rate"))
+  }
+
   /** q25: equi-width histogram — the value distribution per event
     * type in fixed $50 buckets (the profiling aggregate behind every
     * dashboard distribution plot). Bucketing is integer arithmetic on
@@ -306,6 +342,29 @@ object Analytics2 {
           |SELECT w_start, event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q27_funnel" ->
+        s"""WITH $evCte,
+          |g AS (SELECT event_id, user_id, ts, event_type,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id FROM g),
+          |per AS (SELECT user_id, sess_id,
+          |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+          |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+          |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+          |  FROM s GROUP BY user_id, sess_id)
+          |SELECT COUNT(*) AS n_sessions,
+          |  CAST(SUM(has_view) AS BIGINT) AS n_view,
+          |  CAST(SUM(has_view * has_click) AS BIGINT) AS n_view_click,
+          |  CAST(SUM(has_view * has_click * has_purchase) AS BIGINT) AS n_funnel,
+          |  CAST(SUM(has_view) AS DOUBLE) / COUNT(*) AS view_rate,
+          |  CAST(SUM(has_view * has_click) AS DOUBLE) / COUNT(*) AS click_rate,
+          |  CAST(SUM(has_view * has_click * has_purchase) AS DOUBLE) / COUNT(*) AS funnel_rate
+          |FROM per""".stripMargin,
 
       "q26_first_last" ->
         s"""WITH $evCte,
