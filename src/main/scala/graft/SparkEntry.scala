@@ -103,7 +103,8 @@ object SparkEntry {
     "p08_source_datasheet" -> (Pipeline.p08SourceDatasheet _),
     "q25_histogram" -> (Analytics2.q25Histogram _),
     "q26_first_last" -> (Analytics2.q26FirstLast _),
-    "q27_funnel" -> (Analytics2.q27Funnel _)
+    "q27_funnel" -> (Analytics2.q27Funnel _),
+    "q28_share_of_total" -> (Analytics2.q28ShareOfTotal _)
   )
 
   /** qa01 is intentionally absent (sketch internals have no

@@ -146,6 +146,36 @@ object Analytics2 {
       .orderBy("user_id")
   }
 
+  /** q28: percent-of-total (ratio-to-report) — each nation's share of
+    * global revenue. Deliberately NOT a full-frame window over the
+    * fact table: the per-nation aggregate (one shuffle) cross-joins
+    * the single-row total back in (broadcast) — the scale shape for
+    * share-of-total at any fact-table size. Both operands of the
+    * share division are the same decimal-exact sums surfaced as
+    * DOUBLE, so the ratio is bit-identical cross-engine. */
+  def q28ShareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    // decimal-exact revenue, same operand shape as q03's oracle
+    val revExpr = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revExpr).as("rev_dec")) // keep DECIMAL: the grand total
+    // must also be an exact sum (a double re-sum over the per-nation
+    // rows would depend on partial-aggregation order)
+    val total = rev.agg(sum(col("rev_dec")).cast("double").as("total_revenue"))
+    rev.crossJoin(broadcast(total))
+      .select(col("n_name"), col("rev_dec").cast("double").as("revenue"),
+        col("total_revenue"),
+        (col("rev_dec").cast("double") / col("total_revenue")).as("share"))
+      .orderBy("n_name")
+  }
+
   /** q27: session conversion funnel — sessions (q09's 30-min-gap
     * rule) rolled up to the view → view+click → view+click+purchase
     * ladder with conversion rates: the product-analytics composite
@@ -342,6 +372,20 @@ object Analytics2 {
           |SELECT w_start, event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q28_share_of_total" ->
+        """WITH rev AS (
+          |  SELECT n_name,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY n_name),
+          |tot AS (SELECT CAST(SUM(rev_dec) AS DOUBLE) AS total_revenue FROM rev)
+          |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue, total_revenue,
+          |  CAST(rev_dec AS DOUBLE) / total_revenue AS share
+          |FROM rev CROSS JOIN tot ORDER BY n_name""".stripMargin,
 
       "q27_funnel" ->
         s"""WITH $evCte,
