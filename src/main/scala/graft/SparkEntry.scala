@@ -101,6 +101,7 @@ object SparkEntry {
     "p06_mixture_resample" -> (Pipeline.p06MixtureResample _),
     "p07_shuffle_order" -> (Pipeline.p07ShuffleOrder _),
     "p08_source_datasheet" -> (Pipeline.p08SourceDatasheet _),
+    "p09_curation_strict" -> (Pipeline.p09CurationStrict _),
     "q25_histogram" -> (Analytics2.q25Histogram _),
     "q26_first_last" -> (Analytics2.q26FirstLast _),
     "q27_funnel" -> (Analytics2.q27Funnel _),

@@ -177,6 +177,22 @@ object Pipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  /** p09: STRICT curation — p01's curated corpus minus the d12
+    * decontamination removal list: quality gate → exact dedup →
+    * near-dup canonicalization → split → drop every train document
+    * that contaminates a test document. The corpus that actually
+    * ships. The removal list is tiny (contaminating train docs), so
+    * the anti join broadcasts; d12's list contains only train-split
+    * ids by construction, so a plain left-anti is exactly
+    * "decontaminate the train split". */
+  def p09CurationStrict(spark: SparkSession, dir: String): DataFrame = {
+    val removal = Dedup.d12Decontaminate(spark, dir)
+      .select(col("train_doc").as("doc_id"))
+    p01Curation(spark, dir)
+      .join(broadcast(removal), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** p08: source datasheet — the one-row-per-source "dataset card" a
     * corpus release ships with: document/char/token mass, vocabulary
     * health (types, TTR), exact-duplicate count, majority predicted
@@ -373,6 +389,37 @@ object Pipeline {
         |  start_tok // 2048 AS bin_id,
         |  start_tok % 2048 AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "p09_curation_strict" ->
+      ("WITH RECURSIVE " + Dedup.shCte + ",\n" + Dedup.sigCte + ",\n" +
+        Dedup.candCte + ",\n" + Dedup.clusterCte + ",\n" +
+        TextAnalysis.qualityCtes + """,
+        |ds9 AS (SELECT doc_id,
+        |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 0 THEN 'test'
+        |       WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 1 THEN 'val'
+        |       ELSE 'train' END AS split
+        |  FROM documents),
+        |shs9 AS (SELECT sh.doc_id, term, split FROM sh JOIN ds9 USING (doc_id)),
+        |tst9 AS (SELECT doc_id AS test_doc, term FROM shs9 WHERE split = 'test'),
+        |trn9 AS (SELECT doc_id AS train_doc, term FROM shs9 WHERE split = 'train'),
+        |sz9 AS (SELECT test_doc, COUNT(*) AS n_test FROM tst9 GROUP BY 1),
+        |ov9 AS (SELECT test_doc, train_doc, COUNT(*) AS overlap
+        |       FROM tst9 JOIN trn9 USING (term) GROUP BY 1, 2),
+        |rm9 AS (SELECT DISTINCT train_doc AS doc_id FROM ov9 JOIN sz9 USING (test_doc)
+        |        WHERE CAST(overlap AS DOUBLE) / n_test >= 0.5),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT d0.doc_id, d0.n_chars, qq.quality,
+        |  CASE WHEN (d0.doc_id * 2654435761) % 4294967296 % 10 = 0 THEN 'test'
+        |       WHEN (d0.doc_id * 2654435761) % 4294967296 % 10 = 1 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents d0
+        |JOIN qq USING (doc_id)
+        |JOIN keep USING (doc_id)
+        |LEFT JOIN lab ON lab.doc_id = d0.doc_id
+        |WHERE qq.quality >= 0.5
+        |  AND (lab.cluster_id IS NULL OR lab.cluster_id = d0.doc_id)
+        |  AND d0.doc_id NOT IN (SELECT doc_id FROM rm9)
+        |ORDER BY doc_id""".stripMargin),
 
     "p01_curation" ->
       ("WITH RECURSIVE " + Dedup.shCte + ",\n" + Dedup.sigCte + ",\n" +
