@@ -46,8 +46,12 @@ object EventStream {
   case class SessEvent(user_id: Long, event_id: Long,
                        ts: java.sql.Timestamp, event_type: String)
 
+  /** `types` is the session's distinct event-type set (sorted for
+    * determinism) — downstream composites (e.g. the q27 funnel) read
+    * their stage flags straight off the closed session, no second
+    * pass over raw events. */
   case class SessionRow(user_id: Long, sess_id: Long, n_events: Long,
-                        n_types: Long, dur_s: Double)
+                        n_types: Long, dur_s: Double, types: Seq[String])
 
   /** Open-session state: per-user session counter plus the running
     * aggregates of the not-yet-closed session (timestamps in µs —
@@ -88,9 +92,11 @@ object EventStream {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
 
-    private def close(user: Long, s: OpenSess): SessionRow =
-      SessionRow(user, s.seq, s.n, s.types.distinct.size.toLong,
-        (s.lastUs - s.startUs) / 1000000.0)
+    private def close(user: Long, s: OpenSess): SessionRow = {
+      val ts = s.types.distinct.sorted
+      SessionRow(user, s.seq, s.n, ts.size.toLong,
+        (s.lastUs - s.startUs) / 1000000.0, ts)
+    }
 
     override def handleInputRows(user: Long, rows: Iterator[SessEvent],
                                  timerValues: TimerValues): Iterator[SessionRow] = {

@@ -100,6 +100,39 @@ class EventStreamSpec extends SparkSpec {
     assert(got.sameElements(want), "streamed sessions == batch q09")
   }
 
+  test("streamed sessions reproduce the batch funnel (q27)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evfunnel").toString
+    val batchEvents = Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val maxTs = batchEvents.agg(max("ts")).first().getTimestamp(0)
+    batchEvents.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)))
+      .write.mode("append").parquet(dir)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.sessionize(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessfunnel")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // stage flags straight off each closed session's type set
+    def flag(t: String) = when(array_contains($"types", t), 1).otherwise(0)
+    val got = spark.table("sessfunnel").filter($"user_id" >= 0)
+      .select(flag("view").as("v"), flag("click").as("c"), flag("purchase").as("p"))
+      .agg(count(lit(1)), sum($"v"), sum($"v" * $"c"), sum($"v" * $"c" * $"p"))
+      .as[(Long, Long, Long, Long)].first()
+    val want = graft.operators.Analytics2.q27Funnel(spark, sf)
+      .select($"n_sessions", $"n_view", $"n_view_click", $"n_funnel")
+      .as[(Long, Long, Long, Long)].first()
+    assert(got === want, "streamed funnel == batch q27")
+  }
+
   test("session counter survives a timer-closed session and a restart") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
