@@ -21,7 +21,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     df.collect().map(_.toString).toSeq
 
   for (name <- Seq("q07_window_running", "q09_sessionize",
-                   "d02_minhash_lsh", "p02_sequence_pack",
+                   "d02_minhash_lsh", "d02_production",
+                   "d08_semantic_dedup", "p02_sequence_pack",
                    "m03_messages", "q24_range_window")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
