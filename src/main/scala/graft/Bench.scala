@@ -54,10 +54,11 @@ object Bench {
       prepare(name)
       timeOnce(name) // warm this query's codegen/broadcast paths
       val times = Seq(timeOnce(name), timeOnce(name), timeOnce(name)).flatten
-      // lower median: with all 3 samples this is the true median;
-      // with one failed pass it keeps the BETTER survivor instead of
-      // silently reporting the pessimistic max
-      val t = if (times.isEmpty) -1.0 else times.sorted.apply((times.length - 1) / 2)
+      // median of exactly 3 passes; ANY failed pass reports -1 rather
+      // than a statistic over the survivors (a min-of-two would let a
+      // flaky-slow query masquerade as fast and break cross-round
+      // comparability)
+      val t = if (times.length < 3) -1.0 else times.sorted.apply(1)
       // operators persist() self-join inputs; drop them so later
       // queries aren't timed against a polluted block manager
       spark.catalog.clearCache()

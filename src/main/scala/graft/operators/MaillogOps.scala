@@ -32,20 +32,27 @@ object MaillogOps {
     * fixture generator. A `clearCache()` between queries simply
     * reverts to recompute — results are unaffected.
     *
-    * ONE entry per dir, owned by the session that last used it: an
-    * unbounded (session, dir) map would pin every STOPPED session's
-    * plan tree for the JVM lifetime (test harnesses create a session
-    * per suite); replacing the entry on access from a different
-    * session bounds the cache at #dirs entries. */
+    * Keyed by (session, dir) so two live sessions sharing a dir each
+    * keep their own entry (no rebuild thrash on alternating access).
+    * Growth is bounded by sweeping entries whose owner session has
+    * stopped on every miss: the evicted DataFrame is unpersisted —
+    * its blocks can outlive the session when sessions share one
+    * SparkContext — and the dead session's plan tree is released. */
   private val parsedCache =
-    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def parsedLogs(spark: SparkSession, dir: String): DataFrame =
-    parsedCache.get(dir) match {
-      case Some((owner, df)) if owner eq spark => df
+    parsedCache.get((spark, dir)) match {
+      case Some(df) => df
       case _ =>
+        parsedCache.snapshot().foreach { case (k @ (owner, _), old) =>
+          val dead = try owner.sparkContext.isStopped catch { case _: Throwable => true }
+          if (dead && parsedCache.remove(k).isDefined) {
+            try old.unpersist(blocking = false) catch { case _: Throwable => () }
+          }
+        }
         val df = Maillog.parsed(Maillog.synthesizeLines(spark, dir), Maillog.SynthYear)
-        parsedCache.put(dir, (spark, df))
+        parsedCache.put((spark, dir), df)
         df
     }
 

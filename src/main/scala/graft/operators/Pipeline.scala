@@ -35,7 +35,8 @@ object Pipeline {
     docs.select("doc_id", "n_chars")
       .join(qual, "doc_id")
       .join(keepers, Seq("doc_id"), "left_semi")
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      // hint-free: the cluster map is O(near-dup docs), data-dependent
+      .join(clusters, Seq("doc_id"), "left")
       .filter(col("quality") >= 0.5)
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
@@ -181,15 +182,18 @@ object Pipeline {
     * decontamination removal list: quality gate → exact dedup →
     * near-dup canonicalization → split → drop every train document
     * that contaminates a test document. The corpus that actually
-    * ships. The removal list is tiny (contaminating train docs), so
-    * the anti join broadcasts; d12's list contains only train-split
-    * ids by construction, so a plain left-anti is exactly
-    * "decontaminate the train split". */
+    * ships. The removal list is hint-free: it is O(contaminating
+    * train docs) and data-dependent, so a forced broadcast would OOM
+    * the driver on a heavily contaminated corpus — Catalyst
+    * broadcasts while the list fits and shuffles past the threshold
+    * (same convention as d10/t08/t11, pinned by NoBroadcastSpec);
+    * d12's list contains only train-split ids by construction, so a
+    * plain left-anti is exactly "decontaminate the train split". */
   def p09CurationStrict(spark: SparkSession, dir: String): DataFrame = {
     val removal = Dedup.d12Decontaminate(spark, dir)
       .select(col("train_doc").as("doc_id"))
     p01Curation(spark, dir)
-      .join(broadcast(removal), Seq("doc_id"), "left_anti")
+      .join(removal, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

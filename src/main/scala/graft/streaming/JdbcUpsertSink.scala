@@ -43,6 +43,13 @@ import java.sql.{Connection, DriverManager, PreparedStatement, SQLException, SQL
   *    per row with a savepoint-guarded duplicate-key fallback (the
   *    savepoint matters on databases that abort the transaction on
   *    constraint violation, e.g. PostgreSQL).
+  *
+  * Hash-format stability: `row_key_hash` is derived from the key
+  * encoding in [[JdbcUpsertSink.keyHash]]. Changing that encoding
+  * (as the pre-1970 floorDiv fix did once) means rows replayed into
+  * a sink table written under the OLD encoding no longer match their
+  * stored hashes and re-insert one extra copy each; drain or rebuild
+  * managed tables when upgrading across a hash-format change.
   */
 class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                      user: String, password: String,
@@ -359,8 +366,13 @@ object JdbcUpsertSink {
           // epoch nanos, NOT toString: toString renders in the JVM
           // default timezone, so the same instant would hash
           // differently across hosts and the unique-key dedup would
-          // silently re-insert replayed rows
-          sb.append("ts:").append(t.getTime / 1000L * 1000000000L + t.getNanos)
+          // silently re-insert replayed rows. floorDiv, not /: for
+          // pre-1970 instants getTime is negative and truncation
+          // toward zero would fold -0.5s and +0.5s onto the same
+          // encoding (getNanos is always non-negative), colliding
+          // distinct keys in the UNIQUE row_key_hash index
+          sb.append("ts:")
+            .append(Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos)
         case v => sb.append(v.toString)
       }
       i += 1

@@ -328,6 +328,12 @@ object MaillogDaemon {
         }
       }
       spark.streams.addListener(l)
+      // a query that died before addListener ran (e.g. failed at its
+      // first batch) never delivers its terminated event — sweep for
+      // already-dead queries after registration so `remaining` still
+      // drains and the tailer is not leaked
+      qs.filterNot(_.isActive).foreach(q => remaining.remove(q.id))
+      if (remaining.isEmpty) { t.close(); spark.streams.removeListener(l) }
     }
     // TTL-enabled stateful queries never quiesce on their own under
     // AvailableNow (processing-time mode schedules empty batches

@@ -114,6 +114,18 @@ class JdbcSinkSpec extends SparkSpec {
     assert(a.length === 64 && a.forall(ch => ch.isDigit || ('a' to 'f').contains(ch)))
   }
 
+  test("key hash separates mirrored pre/post-1970 fractional-second instants") {
+    import org.apache.spark.sql.RowFactory
+    // -0.5s and +0.5s around the epoch: truncating division would
+    // encode both as ts:500000000 and collide them in the UNIQUE index
+    def ts(millis: Long) = new java.sql.Timestamp(millis)
+    val neg = JdbcUpsertSink.keyHash(RowFactory.create(ts(-500L)), Seq(0))
+    val pos = JdbcUpsertSink.keyHash(RowFactory.create(ts(500L)), Seq(0))
+    assert(neg !== pos)
+    // and the encoding stays instant-based, not object-based
+    assert(JdbcUpsertSink.keyHash(RowFactory.create(ts(500L)), Seq(0)) === pos)
+  }
+
   test("duplicate-key detection matches SQLState class 23 across drivers") {
     import java.sql.{BatchUpdateException, SQLException, SQLIntegrityConstraintViolationException}
     assert(JdbcUpsertSink.isDuplicateKey(new SQLIntegrityConstraintViolationException("dup")))

@@ -22,7 +22,8 @@ class NoBroadcastSpec extends SparkSpec {
     df.collect().map(_.toString).toSeq
 
   for (name <- Seq("d10_dup_spans", "t08_unigram_lm", "t11_bigram_lm",
-                   "q03_join_revenue", "d08_semantic_dedup")) {
+                   "q03_join_revenue", "d08_semantic_dedup",
+                   "p01_curation", "p09_curation_strict")) {
     test(s"$name: identical results with broadcasting disabled") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
