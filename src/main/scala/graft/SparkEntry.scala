@@ -105,14 +105,22 @@ object SparkEntry {
     "q25_histogram" -> (Analytics2.q25Histogram _),
     "q26_first_last" -> (Analytics2.q26FirstLast _),
     "q27_funnel" -> (Analytics2.q27Funnel _),
-    "q28_share_of_total" -> (Analytics2.q28ShareOfTotal _)
+    "q28_share_of_total" -> (Analytics2.q28ShareOfTotal _),
+    "q29_retention" -> (Analytics3.q29Retention _),
+    "q30_gap_fill" -> (Analytics3.q30GapFill _),
+    "q31_mad_outliers" -> (Analytics3.q31MadOutliers _),
+    "q32_scd2" -> (Analytics3.q32Scd2 _),
+    "d13_norm_dedup" -> (Dedup.d13NormDedup _),
+    "p10_pack_boundaries" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p10PackBoundaries(s, d)),
+    "m12_queue_aging" -> (MaillogOps.m12QueueAging _)
   )
 
   /** qa01 is intentionally absent (sketch internals have no
     * cross-engine oracle; the driver records a rows-only check). */
   def oracleSql: Map[String, String] = MaillogOracle.oracles ++
     TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-    Multimodal.oracles ++ Analytics2.oracles ++ Pipeline.oracles ++
+    Multimodal.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++
+    Pipeline.oracles ++
     Quality.oracles ++ Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.functions.Fns._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third batch of core operators: cohort/retention analytics,
+  * time-series gap filling, robust (median/MAD) outlier detection,
+  * and slowly-changing-dimension reconstruction — the event-table
+  * classics a product-analytics deployment runs daily.
+  */
+object Analytics3 {
+
+  /** q29: cohort retention — users cohorted by their first-seen day,
+    * then each cohort's distinct-active count and retention rate per
+    * day offset (0..14).
+    *
+    * Scale shape: two hash groupBys (first-seen per user, distinct
+    * actives per cohort cell) + one fact⋈cohort join shuffling on
+    * user_id; the final join against per-cohort sizes is
+    * cells⋈days — both post-aggregation tiny, Catalyst broadcasts
+    * unhinted. The offset cap bounds output at days×15 rows
+    * regardless of corpus size. */
+  def q29Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
+    ev.join(cohorts, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .filter(col("day_offset") <= 14)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort_day")
+      // single double division of exact longs — deterministic
+      .withColumn("retention", col("n_active") / col("n_cohort"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_active"), col("n_cohort"), col("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** q30: time-series gap filling — hourly (hour, event_type) counts
+    * over the corpus's full hour span with missing cells zero-filled
+    * (the densification step before charting/forecasting).
+    *
+    * Scale shape: the fact side collapses to one hash agg first; the
+    * spine is generated from a SINGLE-ROW min/max agg (sequence +
+    * explode — never a driver-side loop) crossed with the distinct
+    * type set, so spine size = hours×types, independent of row
+    * count; the left join then runs post-aggregation small⋈small. */
+  def q30GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"),
+        col("event_type"), col("value"))
+    val counts = ev.groupBy("h", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val spine = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+      .crossJoin(ev.select("event_type").distinct())
+    spine.join(counts, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("h", "event_type")
+  }
+
+  /** q31: robust outlier detection — per event type, the median, the
+    * median absolute deviation (MAD), and the count of values beyond
+    * 3·MAD. All decision arithmetic is EXACT integer: values become
+    * cents, and doubling a median of integers restores an integer
+    * (percentile at 0.5 interpolates (a+b)/2, exact in binary), so
+    * `2·adev2 > 3·mad4` never rides on a float rounding edge — the
+    * outlier COUNT is bit-stable across engines, not just the
+    * displayed median.
+    *
+    * Scale shape: exact percentiles need the group's values — two
+    * shuffles on event_type (median, then deviation median), the
+    * final count is one more hash agg; group count is tiny so the
+    * joins broadcast. At petabyte scale swap `percentile` for
+    * `approx_percentile` and keep the shape. */
+  def q31MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
+    val med = ev.groupBy("event_type")
+      .agg((expr("percentile(cents, 0.5)") * 2).cast("long").as("med2"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("adev2", abs(col("cents") * 2 - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg((expr("percentile(adev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med2")).as("med2"), // constant within the group
+        max(col("mad4")).as("mad4"),
+        sum(when(col("adev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        (col("med2") / lit(200.0)).as("median"),
+        (col("mad4") / lit(400.0)).as("mad"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** q32: slowly-changing-dimension (type 2) reconstruction — the
+    * event stream collapsed to each user's state history: consecutive
+    * same-type events merge, each surviving state carries
+    * [valid_from, valid_to) with valid_to = next state's start and
+    * NULL marking the current state. The standard
+    * change-log → dimension-table derivation.
+    *
+    * Scale shape: one shuffle on user_id; the dedup lag and the
+    * valid_to lead share the same partitioning (the second window
+    * re-sorts the filtered partition but never re-shuffles). */
+  def q32Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val oracles: Map[String, String] = {
+    val evCte =
+      "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
+    Map(
+      "q29_retention" ->
+        s"""WITH $evCte,
+          |b AS (SELECT user_id, CAST(ts AS DATE) AS d FROM ev),
+          |coh AS (SELECT user_id, MIN(d) AS cohort_day FROM b GROUP BY user_id),
+          |sz AS (SELECT cohort_day, COUNT(*) AS n_cohort FROM coh GROUP BY 1),
+          |act AS (SELECT c.cohort_day,
+          |    CAST(date_diff('day', c.cohort_day, b.d) AS BIGINT) AS day_offset,
+          |    COUNT(DISTINCT b.user_id) AS n_active
+          |  FROM b JOIN coh c USING (user_id)
+          |  WHERE date_diff('day', c.cohort_day, b.d) <= 14 GROUP BY 1, 2)
+          |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day, a.day_offset,
+          |  a.n_active, s.n_cohort,
+          |  CAST(a.n_active AS DOUBLE) / s.n_cohort AS retention
+          |FROM act a JOIN sz s USING (cohort_day)
+          |ORDER BY cohort_day, day_offset""".stripMargin,
+
+      "q30_gap_fill" ->
+        s"""WITH $evCte,
+          |e AS (SELECT date_trunc('hour', ts) AS h, event_type, value FROM ev),
+          |c AS (SELECT h, event_type, COUNT(*) AS n,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |  FROM e GROUP BY 1, 2),
+          |span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+          |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+          |ty AS (SELECT DISTINCT event_type FROM e)
+          |SELECT s.h, ty.event_type, COALESCE(c.n, 0) AS n,
+          |  COALESCE(c.sum_value, 0.0) AS sum_value
+          |FROM spine s CROSS JOIN ty
+          |LEFT JOIN c ON c.h = s.h AND c.event_type = ty.event_type
+          |ORDER BY s.h, ty.event_type""".stripMargin,
+
+      "q31_mad_outliers" ->
+        s"""WITH $evCte,
+          |e AS (SELECT event_type,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM ev),
+          |med AS (SELECT event_type,
+          |    CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2 FROM e GROUP BY 1),
+          |dev AS (SELECT e.event_type, m.med2,
+          |    ABS(e.cents * 2 - m.med2) AS adev2 FROM e JOIN med m USING (event_type)),
+          |mad AS (SELECT event_type,
+          |    CAST(quantile_cont(adev2, 0.5) * 2 AS BIGINT) AS mad4 FROM dev GROUP BY 1)
+          |SELECT d.event_type, COUNT(*) AS n,
+          |  CAST(MAX(d.med2) AS DOUBLE) / 200.0 AS median,
+          |  CAST(MAX(m2.mad4) AS DOUBLE) / 400.0 AS mad,
+          |  CAST(SUM(CASE WHEN d.adev2 * 2 > m2.mad4 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM dev d JOIN mad m2 USING (event_type)
+          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+      "q32_scd2" ->
+        s"""WITH $evCte,
+          |ch AS (SELECT user_id, event_id, ts, event_type FROM (
+          |    SELECT user_id, event_id, ts, event_type,
+          |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          |    FROM ev) t
+          |  WHERE prev_type IS NULL OR prev_type <> event_type)
+          |SELECT user_id,
+          |  CAST(row_number() OVER w AS BIGINT) AS version,
+          |  event_type AS state, ts AS valid_from,
+          |  lead(ts) OVER w AS valid_to,
+          |  (lead(ts) OVER w IS NULL) AS is_current
+          |FROM ch
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY user_id, version""".stripMargin)
+  }
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,25 @@ object Dedup {
            count(lit(1)).as("n_copies"),
            min(col("n_chars")).as("n_chars"))
       .orderBy("h")
+
+  /** d13: normalization-based "fuzzy-exact" dedup (the CCNet/Gopher
+    * pre-pass): lowercase, strip non-alphanumerics, collapse runs of
+    * whitespace, THEN hash — so case, punctuation and spacing
+    * variants of the same document collapse to one group where d01's
+    * raw-byte hash keeps them apart. Same single-hash-groupBy scale
+    * shape as d01 (per-row normalization is free inside codegen;
+    * one shuffle on the 16-byte hash). */
+  /** The d13 normalization, exposed for the spec's variant test. */
+  private[graft] def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), "  *", " "))
+
+  def d13NormDedup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("norm_hash")
+  }
 
   /** MinHash signatures, one wide row per doc (sig_0..sig_15): all 16
     * mins fall out of a single groupBy over the shingle-id set — no
@@ -513,6 +532,13 @@ object Dedup {
       "d01_exact_dedup" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
           |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+      "d13_norm_dedup" ->
+        """WITH n AS (SELECT doc_id,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '  *', ' ', 'g'))) AS norm_hash
+          |  FROM documents)
+          |SELECT norm_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+          |FROM n GROUP BY norm_hash ORDER BY norm_hash""".stripMargin,
 
       "d02_minhash_lsh" ->
         ("WITH " + shCte + ",\n" + sigCte + ",\n" + candCte + """

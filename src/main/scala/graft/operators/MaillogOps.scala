@@ -251,6 +251,30 @@ object MaillogOps {
         "sum_delay_s", "n_queues")
       .orderBy("relay")
 
+  /** m12: queue aging — per queue id, the delivery lifecycle: attempt
+    * and deferral counts, first/last attempt, retry span, and the
+    * FINAL status (outcome of the chronologically last attempt, full
+    * tuple as the deterministic tie-break). One groupBy on queueid;
+    * the final-status argmax is a map-side-combinable max(struct) —
+    * no window, no second pass over deliveries. */
+  def m12QueueAging(spark: SparkSession, dir: String): DataFrame =
+    deliveries(spark, dir)
+      .groupBy(col("delivery_queueid"))
+      .agg(
+        count(lit(1)).as("n_attempts"),
+        coalesce(sum(when(col("delivery_status") === "deferred", 1L)), lit(0L)).as("n_deferred"),
+        min(col("delivery_timestamp")).as("first_ts"),
+        max(col("delivery_timestamp")).as("last_ts"),
+        max(struct(col("delivery_timestamp"), col("delivery_to"),
+          col("delivery_relay"), col("delivery_dsn"),
+          col("delivery_status"))).as("fin"))
+      .select(col("delivery_queueid"), col("n_attempts"), col("n_deferred"),
+        col("first_ts"), col("last_ts"),
+        col("fin.delivery_status").as("final_status"),
+        ((unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
+          / lit(1000000.0)).as("span_s"))
+      .orderBy("delivery_queueid")
+
   /** m10: parse-coverage report — per postfix process: line count and
     * how many lines each branch regex (qmgr/smtpd/cleanup/smtp)
     * claimed, plus the unmatched remainder. The ingest-observability

@@ -148,6 +148,20 @@ object MaillogOracle {
       "  COUNT(DISTINCT delivery_queueid) AS n_queues\n" +
       "FROM dl GROUP BY delivery_relay ORDER BY relay"),
 
+    "m12_queue_aging" -> (prefix + ",\n" + deliveriesCte + ",\n" +
+      "fin AS (SELECT delivery_queueid, delivery_status AS final_status FROM (\n" +
+      "    SELECT delivery_queueid, delivery_status, row_number() OVER (\n" +
+      "      PARTITION BY delivery_queueid ORDER BY delivery_timestamp DESC,\n" +
+      "        delivery_to DESC, delivery_relay DESC, delivery_dsn DESC,\n" +
+      "        delivery_status DESC) AS rn FROM dl) t WHERE rn = 1)\n" +
+      "SELECT d.delivery_queueid, COUNT(*) AS n_attempts,\n" +
+      "  CAST(COALESCE(SUM(CASE WHEN d.delivery_status = 'deferred' THEN 1 END), 0) AS BIGINT) AS n_deferred,\n" +
+      "  MIN(d.delivery_timestamp) AS first_ts, MAX(d.delivery_timestamp) AS last_ts,\n" +
+      "  MIN(f.final_status) AS final_status,\n" +
+      "  (epoch_us(MAX(d.delivery_timestamp)) - epoch_us(MIN(d.delivery_timestamp))) / 1000000.0 AS span_s\n" +
+      "FROM dl d JOIN fin f USING (delivery_queueid)\n" +
+      "GROUP BY d.delivery_queueid ORDER BY delivery_queueid"),
+
     "m10_parse_coverage" -> (prefix + ",\n" +
       "f AS (SELECT log_process,\n" +
       "  CASE WHEN regexp_matches(log_message, " + re(QmgrRe) + ") THEN 1 ELSE 0 END AS q,\n" +

@@ -288,7 +288,54 @@ object Pipeline {
       .orderBy("shard", "pos")
   }
 
+  /** p10: packed-bin boundary index — for every (source, bin) of
+    * p02's packing, the token spans each document occupies in
+    * BIN-LOCAL coordinates, with start/end flags for documents that
+    * span bin boundaries. This is the attention-mask / loss-mask
+    * input a trainer needs to keep cross-document attention off
+    * inside a packed context window.
+    *
+    * Scale shape: p02's partitioned running sum + a per-row explode
+    * over the (usually 1) bins a document touches — output rows =
+    * segments, never tokens; no extra shuffle beyond p02's window. */
+  def p10PackBoundaries(spark: SparkSession, dir: String,
+                        contextLen: Long = 2048L): DataFrame = {
+    val packed = p02SequencePack(spark, dir, contextLen)
+      .filter(col("n_tokens") >= 1)
+      .withColumn("start_tok", col("bin_id") * contextLen + col("bin_offset"))
+      .withColumn("end_tok", col("start_tok") + col("n_tokens") - 1)
+    packed
+      .withColumn("bin",
+        explode(sequence(col("bin_id"), expr(s"end_tok div $contextLen"))))
+      .select(col("source"), col("bin").as("bin_id"), col("doc_id"),
+        (greatest(col("start_tok"), col("bin") * contextLen)
+          - col("bin") * contextLen).as("seg_start"),
+        (least(col("end_tok"), col("bin") * contextLen + (contextLen - 1))
+          - greatest(col("start_tok"), col("bin") * contextLen) + 1).as("seg_len"),
+        (col("start_tok") >= col("bin") * contextLen).as("starts_here"),
+        (col("end_tok") <= col("bin") * contextLen + (contextLen - 1)).as("ends_here"))
+      .orderBy("source", "bin_id", "seg_start")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p10_pack_boundaries" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM d),
+        |s AS (SELECT doc_id, source, start_tok,
+        |    start_tok + n_tokens - 1 AS end_tok FROM c WHERE n_tokens >= 1),
+        |x AS (SELECT *, unnest(generate_series(start_tok // 2048, end_tok // 2048)) AS bin FROM s)
+        |SELECT source, bin AS bin_id, doc_id,
+        |  GREATEST(start_tok, bin * 2048) - bin * 2048 AS seg_start,
+        |  LEAST(end_tok, bin * 2048 + 2047) - GREATEST(start_tok, bin * 2048) + 1 AS seg_len,
+        |  (start_tok >= bin * 2048) AS starts_here,
+        |  (end_tok <= bin * 2048 + 2047) AS ends_here
+        |FROM x ORDER BY source, bin_id, seg_start""".stripMargin,
+
     "p08_source_datasheet" ->
       ("WITH " + TextAnalysis.qualityCtes + """,
         |base AS (SELECT source, COUNT(*) AS n_docs,

@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.{Analytics3, Dedup, MaillogOps, Pipeline}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-3 batch (value-level parity is
+  * the DuckDB oracle; these pin the properties the oracle can't
+  * express as a hash match). */
+class Analytics3Spec extends SparkSpec {
+
+  test("q29: every cohort is fully retained at offset 0") {
+    val r = Analytics3.q29Retention(spark, sf)
+      .filter(col("day_offset") === 0).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_active") === row.getAs[Long]("n_cohort"))
+      assert(row.getAs[Double]("retention") === 1.0)
+    }
+  }
+
+  test("q29: retention never exceeds 1 and cohort sizes are constant per cohort") {
+    val r = Analytics3.q29Retention(spark, sf)
+    assert(r.filter(col("retention") > 1.0).count() === 0)
+    val sizes = r.groupBy("cohort_day")
+      .agg(countDistinct(col("n_cohort")).as("k")).collect()
+    sizes.foreach(row => assert(row.getAs[Long]("k") === 1L))
+  }
+
+  test("q30: dense spine — hours x types rows, counts conserved") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val hours = ev.select(countDistinct(col("h"))).head.getLong(0)
+    val span = ev.agg((floor(unix_micros(max(col("h"))) / 3600000000L)
+      - floor(unix_micros(min(col("h"))) / 3600000000L) + 1).as("s"))
+      .head.getLong(0)
+    val types = ev.select("event_type").distinct().count()
+    val g = Analytics3.q30GapFill(spark, sf)
+    assert(g.count() === span * types)
+    // zero-filling adds rows, never events
+    assert(g.agg(sum(col("n"))).head.getLong(0) ===
+      graft.sources.Tables.events(spark, sf).count())
+    assert(hours <= span)
+  }
+
+  test("q31: median/MAD/outlier count match a naive local reference") {
+    val rows = Analytics3.q31MadOutliers(spark, sf).collect()
+    val local = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1)
+    def med2(xs: Seq[Long]): Long = { // 2x the interpolated median
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) * 2
+      else s(s.length / 2 - 1) + s(s.length / 2)
+    }
+    rows.foreach { r =>
+      val cents = local(r.getAs[String]("event_type")).map(_._2).toSeq
+      val m2 = med2(cents)
+      val adev2 = cents.map(c => math.abs(c * 2 - m2))
+      val mad4 = med2(adev2)
+      assert(r.getAs[Long]("n") === cents.length)
+      assert(r.getAs[Double]("median") === m2 / 200.0)
+      assert(r.getAs[Double]("mad") === mad4 / 400.0)
+      assert(r.getAs[Long]("n_outliers") === adev2.count(_ * 2 > 3 * mad4))
+    }
+  }
+
+  test("q32: state intervals are contiguous, alternating, single-current") {
+    val byUser = Analytics3.q32Scd2(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ===
+        (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // contiguity: next state starts exactly where this one ends
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ===
+            b.getAs[java.sql.Timestamp]("valid_from"))
+          // consecutive-dup collapse: the state actually changed
+          assert(a.getAs[String]("state") !== b.getAs[String]("state"))
+        case _ => ()
+      }
+      assert(sorted.count(_.getAs[Boolean]("is_current")) === 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+    }
+  }
+
+  test("d13: case/punctuation/whitespace variants collapse to one group") {
+    import spark.implicits._
+    val variants = Seq(
+      "Hello, World! This is FINE.",
+      "hello world    this is fine",
+      "HELLO WORLD: this; is - fine",
+      "a genuinely different document").toDF("text")
+    val h = variants.select(md5(Dedup.normText(col("text"))).as("h"))
+      .collect().map(_.getString(0))
+    assert(h(0) === h(1) && h(1) === h(2))
+    assert(h(3) !== h(0))
+  }
+
+  test("p10: segments tile each document and never cross bin edges") {
+    val segs = Pipeline.p10PackBoundaries(spark, sf).collect()
+    assert(segs.nonEmpty)
+    // bin-local bounds
+    segs.foreach { s =>
+      val start = s.getAs[Long]("seg_start")
+      val len = s.getAs[Long]("seg_len")
+      assert(start >= 0 && len >= 1 && start + len <= 2048)
+    }
+    // per doc: segment lengths sum to the doc's token count
+    val byDoc = segs.groupBy(_.getAs[Long]("doc_id"))
+    val tok = Pipeline.p02SequencePack(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    byDoc.foreach { case (doc, ss) =>
+      assert(ss.map(_.getAs[Long]("seg_len")).sum === tok(doc))
+      assert(ss.count(_.getAs[Boolean]("starts_here")) === 1)
+      assert(ss.count(_.getAs[Boolean]("ends_here")) === 1)
+    }
+    // per (source, bin): disjoint tiling
+    segs.groupBy(s => (s.getAs[String]("source"), s.getAs[Long]("bin_id")))
+      .foreach { case (_, ss) =>
+        val spans = ss.map(s =>
+          (s.getAs[Long]("seg_start"),
+           s.getAs[Long]("seg_start") + s.getAs[Long]("seg_len"))).sorted
+        spans.sliding(2).foreach {
+          case Array((_, e1), (s2, _)) => assert(e1 <= s2)
+          case _ => ()
+        }
+      }
+  }
+
+  test("m12: final status is the last attempt's status; counts conserved") {
+    val aging = MaillogOps.m12QueueAging(spark, sf).collect()
+    val dl = SparkEntry.queries("m04_deliveries")(spark, sf).collect()
+      .groupBy(_.getAs[String]("delivery_queueid"))
+    assert(aging.length === dl.size)
+    aging.foreach { r =>
+      val qs = dl(r.getAs[String]("delivery_queueid"))
+      assert(r.getAs[Long]("n_attempts") === qs.length)
+      val last = qs.maxBy(q => (
+        q.getAs[java.sql.Timestamp]("delivery_timestamp").getTime,
+        q.getAs[String]("delivery_to"),
+        q.getAs[String]("delivery_relay"),
+        q.getAs[String]("delivery_dsn"),
+        q.getAs[String]("delivery_status")))
+      assert(r.getAs[String]("final_status") ===
+        last.getAs[String]("delivery_status"))
+    }
+  }
+}
