@@ -157,4 +157,80 @@ object EventStream {
       .transformWithState(new SessionizeProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** A closed SCD2 validity interval (valid_to = the next state's
+    * start — exactly the batch q32 rows whose valid_to is non-null). */
+  case class ScdRow(user_id: Long, version: Long, state: String,
+                    valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
+
+  /** Open interval per user: version counter rides in the same state
+    * value — unlike sessionization there is no timer-close, so the
+    * counter and the payload share a lifetime. */
+  case class OpenScd(version: Long, state: String, startUs: Long)
+
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000) * 1000)
+    t.setNanos((Math.floorMod(us, 1000000) * 1000).toInt)
+    t
+  }
+
+  /** Incremental SCD2 (type-2 dimension maintenance) — the streaming
+    * twin of the batch `Analytics3.q32Scd2`: per user, consecutive
+    * same-type events merge into one open interval; a state CHANGE
+    * closes the previous interval (emitted, append semantics) and
+    * opens the next. The currently-open interval lives only in keyed
+    * state — it is not emittable under Append until its close
+    * arrives, which is the CDC contract (emit on change).
+    *
+    * State is O(users) × one small tuple; no timers, so the
+    * processor runs in TimeMode.None and never blocks an
+    * AvailableNow drain. In-batch disorder is absorbed by the
+    * (ts, event_id) sort; cross-batch disorder follows the source's
+    * watermark discipline (same caveat as sessionize). */
+  private[streaming] class Scd2Processor
+      extends StatefulProcessor[Long, SessEvent, ScdRow] {
+    @transient private var open: ValueState[OpenScd] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState("open", Encoders.product[OpenScd],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+                                 timerValues: TimerValues): Iterator[ScdRow] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur = Option(open.get())
+      val out = Seq.newBuilder[ScdRow]
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        cur match {
+          case Some(s) if s.state == e.event_type => () // consecutive dup
+          case Some(s) =>
+            out += ScdRow(user, s.version, s.state,
+              tsOfMicros(s.startUs), tsOfMicros(us))
+            cur = Some(OpenScd(s.version + 1, e.event_type, us))
+          case None =>
+            cur = Some(OpenScd(1L, e.event_type, us))
+        }
+      }
+      cur.foreach(open.update)
+      out.result().iterator
+    }
+  }
+
+  /** Maintain a type-2 dimension from an event stream: emits each
+    * interval as it CLOSES. Replaying a stream yields exactly the
+    * batch q32 rows with non-null valid_to (spec-asserted). */
+  def scd2(events: DataFrame): Dataset[ScdRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    MaillogStream.useRocksDbStateStore(spark)
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts"), col("event_type"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -176,4 +176,75 @@ class EventStreamSpec extends SparkSpec {
     assert(sessions === Array((1L, 2L), (2L, 1L)),
       "second session must be numbered 2, not restart at 1")
   }
+
+  test("streaming SCD2 replay equals the batch q32 closed intervals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evscd").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.scd2(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("scd")
+      .select($"user_id", $"version", $"state", $"valid_from", $"valid_to")
+      .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(r => (r._1, r._2))
+    val want = graft.operators.Analytics3.q32Scd2(spark, sf)
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"))
+      .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.length === want.length)
+    assert(got.sameElements(want), "streamed SCD2 == batch q32 closed rows")
+  }
+
+  test("SCD2 state merges consecutive dups across batches and restarts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("scdinc").toString
+    val ckpt = Files.createTempDirectory("scdinc-ckpt").toString
+    val out = Files.createTempDirectory("scdinc-out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(Long, Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .repartition(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = EventStream.scd2(streamed).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: open a 'view' interval
+    writeBatch(Seq(
+      (9L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (9L, 2L, ts("2024-01-01 00:05:00"), "view")))
+    runOnce()
+    assert(spark.read.parquet(out).count() === 0,
+      "no state change yet — nothing may be emitted")
+    // run 2 (same checkpoint): another dup, THEN a change — the
+    // closed interval must span back to the FIRST batch's open
+    writeBatch(Seq(
+      (9L, 3L, ts("2024-01-01 00:10:00"), "view"),
+      (9L, 4L, ts("2024-01-01 00:20:00"), "click")))
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .select($"user_id", $"version", $"state", $"valid_from", $"valid_to")
+      .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect()
+    assert(rows.toSeq === Seq(
+      (9L, 1L, "view", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:20:00"))),
+      "one closed interval, version 1, spanning both batches")
+  }
 }
