@@ -17,6 +17,13 @@ case class RedactedDoc(doc_id: Long, n_emails: Long, n_ips: Long,
 case class CuratedDoc(doc_id: Long, n_chars: Long, quality: Double, split: String)
 case class SemCluster(vec_id: Long, cluster_id: Long, cluster_size: Long, is_keeper: Boolean)
 case class PackedDoc(doc_id: Long, source: String, n_tokens: Long, bin_id: Long, bin_offset: Long)
+case class ScdState(user_id: Long, version: Long, state: String,
+                    valid_from: java.sql.Timestamp,
+                    valid_to: Option[java.sql.Timestamp], is_current: Boolean)
+case class NormDupGroup(norm_hash: String, keep_doc_id: Long, n_copies: Long)
+case class PackSegment(source: String, bin_id: Long, doc_id: Long,
+                       seg_start: Long, seg_len: Long,
+                       starts_here: Boolean, ends_here: Boolean)
 
 /** The front door for library users: typed `Dataset` views of the
   * tables plus the operator families, bound to a session + data dir.
@@ -155,4 +162,37 @@ class Graft(val spark: SparkSession, dir: String) {
     * read-back manifest. */
   def shipTrainingShards(outPath: String, shards: Int = 16): DataFrame =
     Pipeline.writeTrainingShards(spark, dir, outPath, shards)
+
+  /** Cohort retention matrix (first-seen-day cohorts, offsets 0–14). */
+  def retention: DataFrame = Analytics3.q29Retention(spark, dir)
+
+  /** Zero-filled hourly (hour, type) series over the full span. */
+  def gapFilledHourly: DataFrame = Analytics3.q30GapFill(spark, dir)
+
+  /** Per-type median/MAD + robust outlier counts (exact integer
+    * decision arithmetic). */
+  def madOutliers: DataFrame = Analytics3.q31MadOutliers(spark, dir)
+
+  /** Type-2 state history per user (batch reconstruction). */
+  def scd2History: Dataset[ScdState] =
+    Analytics3.q32Scd2(spark, dir).as[ScdState]
+
+  /** Incremental SCD2 over a streaming event frame: emits each
+    * interval as it closes (see `EventStream.scd2`). */
+  def streamingScd2(eventStream: DataFrame): Dataset[graft.streaming.EventStream.ScdRow] =
+    graft.streaming.EventStream.scd2(eventStream)
+
+  /** Normalization-based fuzzy-exact duplicate groups (case /
+    * punctuation / whitespace variants collapse). */
+  def normDuplicates: Dataset[NormDupGroup] =
+    Dedup.d13NormDedup(spark, dir).as[NormDupGroup]
+
+  /** Bin-local document spans of the packed corpus (attention-mask
+    * input; docs spanning bins appear once per touched bin). */
+  def packBoundaries(contextLen: Long = 2048L): Dataset[PackSegment] =
+    Pipeline.p10PackBoundaries(spark, dir, contextLen).as[PackSegment]
+
+  /** Per-queue delivery lifecycle (attempts, deferrals, retry span,
+    * final status). */
+  def queueAging: DataFrame = MaillogOps.m12QueueAging(spark, dir)
 }

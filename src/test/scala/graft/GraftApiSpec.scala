@@ -71,6 +71,21 @@ class GraftApiSpec extends SparkSpec {
       r.getAs[Long]("n_low_quality") <= r.getAs[Long]("n_docs")))
   }
 
+  test("round-3 operators are reachable through the facade") {
+    assert(g.retention.columns.contains("retention"))
+    assert(g.gapFilledHourly.count() > 0)
+    assert(g.madOutliers.columns.contains("n_outliers"))
+    val hist = g.scd2History.collect()
+    assert(hist.nonEmpty)
+    assert(hist.count(_.is_current) ===
+      hist.map(_.user_id).distinct.length,
+      "exactly one current state per user")
+    assert(g.normDuplicates.head().n_copies >= 1)
+    val seg = g.packBoundaries().head()
+    assert(seg.seg_start + seg.seg_len <= 2048)
+    assert(g.queueAging.columns.contains("final_status"))
+  }
+
   test("maillogTables replays a real log file into the four tables") {
     val f = Files.createTempFile("maillog", ".log")
     Files.write(f, Seq(
