@@ -111,6 +111,8 @@ object SparkEntry {
     "q31_mad_outliers" -> (Analytics3.q31MadOutliers _),
     "q32_scd2" -> (Analytics3.q32Scd2 _),
     "d13_norm_dedup" -> (Dedup.d13NormDedup _),
+    "s07_range_search" -> (Similarity.s07RangeSearch _),
+    "mm04_frame_dedup" -> (Multimodal.mm04FrameDedup _),
     "p10_pack_boundaries" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p10PackBoundaries(s, d)),
     "m12_queue_aging" -> (MaillogOps.m12QueueAging _)
   )

@@ -52,6 +52,32 @@ object Multimodal {
         countDistinct(md5(col("text"))).as("n_distinct"))
       .orderBy("source", "modality")
 
+  /** mm04: frame-level storage dedup — the content-addressed-store
+    * measurement over mm03's frame index: every frame payload seen
+    * more than once (across or within items), its occurrence/item
+    * counts, the canonical (doc, frame) keeper, and the byte mass a
+    * CAS blob store would reclaim. Video corpora are dominated by
+    * repeated frames (stills, intros, re-uploads) — this is the
+    * report that sizes that win.
+    *
+    * Scale shape: one hash groupBy on the 16-byte frame hash (the
+    * keeper argmin is a map-side min(struct), no window); the ≥2
+    * filter keeps output to the duplicated subset. */
+  def mm04FrameDedup(spark: SparkSession, dir: String): DataFrame =
+    mm03FrameIndex(spark, dir)
+      .groupBy("frame_md5")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("frame_no"))).as("keep"),
+        max(col("frame_len")).as("frame_len")) // constant per hash
+      .filter(col("n_occurrences") >= 2)
+      .select(col("frame_md5"), col("n_occurrences"), col("n_docs"),
+        col("keep.doc_id").as("keep_doc_id"),
+        col("keep.frame_no").as("keep_frame_no"),
+        ((col("n_occurrences") - 1) * col("frame_len")).as("reclaimable_bytes"))
+      .orderBy("frame_md5")
+
   /** mm03: frame-extraction index — explode each media item into its
     * 32-unit "frames" (the video-pipeline step that turns one blob
     * row into per-frame rows ready for batched decode/embedding):
@@ -144,6 +170,26 @@ object Multimodal {
         |  md5(substr(text, CAST((frame_no - 1) * 32 + 1 AS INT), 32)) AS frame_md5,
         |  CAST(length(substr(text, CAST((frame_no - 1) * 32 + 1 AS INT), 32)) AS BIGINT) AS frame_len
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
+    "mm04_frame_dedup" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, CAST(ceil(n_chars / 32.0) AS BIGINT))) AS frame_no
+        |  FROM documents),
+        |fr AS (SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |    md5(substr(text, CAST((frame_no - 1) * 32 + 1 AS INT), 32)) AS frame_md5,
+        |    CAST(length(substr(text, CAST((frame_no - 1) * 32 + 1 AS INT), 32)) AS BIGINT) AS frame_len
+        |  FROM f),
+        |g AS (SELECT frame_md5, COUNT(*) AS n_occurrences,
+        |    COUNT(DISTINCT doc_id) AS n_docs, MAX(frame_len) AS frame_len
+        |  FROM fr GROUP BY 1),
+        |k AS (SELECT frame_md5, doc_id AS keep_doc_id, frame_no AS keep_frame_no FROM (
+        |    SELECT frame_md5, doc_id, frame_no,
+        |      row_number() OVER (PARTITION BY frame_md5 ORDER BY doc_id, frame_no) AS rn
+        |    FROM fr) t WHERE rn = 1)
+        |SELECT g.frame_md5, g.n_occurrences, g.n_docs, k.keep_doc_id, k.keep_frame_no,
+        |  (g.n_occurrences - 1) * g.frame_len AS reclaimable_bytes
+        |FROM g JOIN k USING (frame_md5)
+        |WHERE g.n_occurrences >= 2 ORDER BY frame_md5""".stripMargin,
 
     "mm02_modality_stats" ->
       """SELECT source,

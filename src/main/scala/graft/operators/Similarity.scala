@@ -186,6 +186,24 @@ object Similarity {
     * the underlying index queries; identical cached `quantized`
     * plans are shared through Spark's cache manager.
     */
+  /** s07: cosine RANGE search — everything within the threshold, not
+    * a fixed top-k (the dedup/recall-sweep companion to s01: "give me
+    * every candidate at least this similar"). Same broadcast-query
+    * scan shape as s01 but with NO window at all — the per-row
+    * threshold filter runs inside the scan's codegen stage, so output
+    * size is the only data-dependent part. */
+  def s07RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val qs = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
+    e.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"), col("nrm").as("nc"))
+      .join(broadcast(qs), col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .orderBy("q_id", "cand_id")
+  }
+
   def s05AnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = s01AnnBrute(spark, dir).select(col("q_id"), col("cand_id"))
       .withColumn("hit", lit(1))
@@ -239,6 +257,17 @@ object Similarity {
         |n AS (SELECT vec_id, label, qv,
         |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM q)""".stripMargin
     Map(
+      "s07_range_search" ->
+        ("WITH " + qCte + """,
+          |qs AS (SELECT vec_id AS q_id, qv, nrm FROM n WHERE vec_id % 20 = 0)
+          |SELECT q_id, b.vec_id AS cand_id,
+          |  CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |FROM qs a JOIN n b ON a.q_id <> b.vec_id
+          |WHERE CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.25
+          |ORDER BY q_id, cand_id""".stripMargin),
+
       "s01_ann_brute" ->
         ("WITH " + qCte + """,
           |qs AS (SELECT vec_id AS q_id, qv, nrm FROM n WHERE vec_id % 20 = 0),
