@@ -130,6 +130,40 @@ object Analytics3 {
       .orderBy("user_id", "version")
   }
 
+  /** q33: snapshot diff — reconcile two versions of a keyed dataset
+    * into added/removed/changed rows (the dataset-versioning audit an
+    * incremental corpus refresh runs before shipping). Snapshots are
+    * derived deterministically from `orders` (A drops keys ≡0 mod 13,
+    * B drops ≡0 mod 11 and bumps the price of keys ≡0 mod 7) so both
+    * engines diff identical inputs; prices stay DECIMAL until the
+    * final display cast, so 'changed' is an exact comparison.
+    *
+    * Scale shape: ONE shuffle — the full outer join on the key; both
+    * snapshot projections and the status arithmetic are per-row, and
+    * the 'same' rows are dropped before the sink so output is the
+    * delta, not the corpus. */
+  def q33SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("p"))
+    val a = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"), col("p").as("price_a"))
+    val b = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("p") + lit(1)).otherwise(col("p"))
+          .as("price_b"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .withColumn("status",
+        when(col("price_a").isNull, "added")
+          .when(col("price_b").isNull, "removed")
+          .when(col("price_a") =!= col("price_b"), "changed")
+          .otherwise("same"))
+      .filter(col("status") =!= "same")
+      .select(col("o_orderkey"), col("status"),
+        col("price_a").cast("double").as("price_a"),
+        col("price_b").cast("double").as("price_b"))
+      .orderBy("o_orderkey")
+  }
+
   val oracles: Map[String, String] = {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
@@ -181,6 +215,22 @@ object Analytics3 {
           |  CAST(SUM(CASE WHEN d.adev2 * 2 > m2.mad4 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM dev d JOIN mad m2 USING (event_type)
           |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+      "q33_snapshot_diff" ->
+        """WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+          |a AS (SELECT o_orderkey, p AS price_a FROM o WHERE o_orderkey % 13 <> 0),
+          |b AS (SELECT o_orderkey,
+          |    CASE WHEN o_orderkey % 7 = 0 THEN p + 1 ELSE p END AS price_b
+          |  FROM o WHERE o_orderkey % 11 <> 0),
+          |d AS (SELECT o_orderkey,
+          |    CASE WHEN price_a IS NULL THEN 'added'
+          |         WHEN price_b IS NULL THEN 'removed'
+          |         WHEN price_a <> price_b THEN 'changed'
+          |         ELSE 'same' END AS status,
+          |    CAST(price_a AS DOUBLE) AS price_a,
+          |    CAST(price_b AS DOUBLE) AS price_b
+          |  FROM a FULL OUTER JOIN b USING (o_orderkey))
+          |SELECT * FROM d WHERE status <> 'same' ORDER BY o_orderkey""".stripMargin,
 
       "q32_scd2" ->
         s"""WITH $evCte,
