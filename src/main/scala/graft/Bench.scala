@@ -12,7 +12,9 @@ object Bench {
     "q01_pricing_summary", "q03_join_revenue", "q07_window_running",
     "q09_sessionize", "m01_parse_logs", "m03_messages",
     "d01_exact_dedup", "d02_minhash_lsh", "d02_production",
-    "d05_embedding_neardup", "s01_ann_brute", "t01_token_stats")
+    "d05_embedding_neardup", "s01_ann_brute", "t01_token_stats",
+    // round 3: stacked partitioned windows + full-outer SMJ diff
+    "q32_scd2", "q33_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -71,7 +71,24 @@ object Stress {
     val nSemNodes = sem.count()
     val nSemKeep = sem.filter(col("is_keeper")).count()
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"mult":$mult}""")
+    // event-table window ops under user-space replication: user_id
+    // shifts keep partitions independent, so the SCD2 windows and the
+    // retention groupBys should scale linearly with the corpus (the
+    // per-user work is constant; only the shuffle volume grows)
+    val evb = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    val evrep = (0 until mult).map { k =>
+      evb.select((col("user_id") + lit(k * 10000000L)).as("user_id"),
+        (col("event_id") + lit(k * 100000000L)).as("event_id"),
+        col("ts"), col("event_type"))
+    }.reduce(_ union _).persist()
+    val nEv = evrep.count()
+    val nScd = time("scd2 windows (q32)")(
+      graft.operators.Analytics3.scd2From(evrep).count())
+    val nRet = time("retention (q29)")(
+      graft.operators.Analytics3.retentionFrom(evrep).count())
+
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

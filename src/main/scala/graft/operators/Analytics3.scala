@@ -23,9 +23,12 @@ object Analytics3 {
     * cells⋈days — both post-aggregation tiny, Catalyst broadcasts
     * unhinted. The offset cap bounds output at days×15 rows
     * regardless of corpus size. */
-  def q29Retention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("d"))
+  def q29Retention(spark: SparkSession, dir: String): DataFrame =
+    retentionFrom(Tables.events(spark, dir))
+
+  /** q29 over any (user_id, ts) frame — shared with the scale probe. */
+  def retentionFrom(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), to_date(col("ts")).as("d"))
     val cohorts = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
     val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
     ev.join(cohorts, "user_id")
@@ -116,9 +119,13 @@ object Analytics3 {
     * Scale shape: one shuffle on user_id; the dedup lag and the
     * valid_to lead share the same partitioning (the second window
     * re-sorts the filtered partition but never re-shuffles). */
-  def q32Scd2(spark: SparkSession, dir: String): DataFrame = {
+  def q32Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2From(Tables.events(spark, dir))
+
+  /** q32 over any event frame — shared with the scale probe. */
+  def scd2From(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
