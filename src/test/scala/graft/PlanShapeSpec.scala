@@ -77,6 +77,39 @@ class PlanShapeSpec extends SparkSpec {
       "a global-rank window would serialize the corpus")
   }
 
+  test("q32: one user_id shuffle feeds both stacked windows") {
+    val df = graft.operators.Analytics3.q32Scd2(spark, sf)
+    // user_id hash partitioning + the final presentation sort; the
+    // lag-filter-lead stack re-sorts but must never re-shuffle
+    assert(shuffles(df) == 2, "q32 must shuffle exactly twice")
+    assert(windows(df).forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("q33: the full-outer diff joins via one logical shuffle pair") {
+    val df = graft.operators.Analytics3.q33SnapshotDiff(spark, sf)
+    // two join-input exchanges + the presentation sort; a plan that
+    // pre-aggregated or windowed would add more
+    assert(shuffles(df) <= 3, "q33 grew an unexpected exchange")
+    assert(windows(df).isEmpty)
+    val smj = expanded(physical(df)).flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    })
+    assert(smj.exists(_.joinType.sql == "FULL OUTER"),
+      "the diff must be a single full-outer join")
+  }
+
+  test("d13/mm04: hash-groupBy dedups — no windows, bounded shuffles") {
+    // d13: agg exchange + presentation sort. mm04 adds one more:
+    // countDistinct(doc_id) plans the standard two-phase distinct
+    // (re-key by (frame_md5, doc_id), then by frame_md5).
+    for ((name, df, n) <- Seq(
+        ("d13", graft.operators.Dedup.d13NormDedup(spark, sf), 2),
+        ("mm04", graft.operators.Multimodal.mm04FrameDedup(spark, sf), 3))) {
+      assert(shuffles(df) == n, s"$name: expected $n exchanges")
+      assert(windows(df).isEmpty, s"$name must not use windows")
+    }
+  }
+
   test("no query plans an unpartitioned window over table data") {
     // the round-1 scale-killers (m06 global rank, vocab row_number)
     // must stay dead: sweep every registered batch query

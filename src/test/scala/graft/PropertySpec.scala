@@ -96,6 +96,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2From equals the naive sequential reference on random streams") {
+    // ts collisions ON PURPOSE (coarse second grid): the (ts,
+    // event_id) tie-break must produce one deterministic history
+    val ev = (1 to 400).map { i =>
+      (i.toLong, (1 + rnd.nextInt(12)).toLong,
+        new Timestamp(rnd.nextInt(50).toLong * 1000),
+        s"s${rnd.nextInt(3)}")
+    }
+    val got = operators.Analytics3.scd2From(
+        ev.toDF("event_id", "user_id", "ts", "event_type"))
+      .select("user_id", "version", "state", "valid_from", "valid_to")
+      .as[(Long, Long, String, Timestamp, Option[Timestamp])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+    val want = ev.groupBy(_._2).toSeq.flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(e => (e._3.getTime, e._1))
+      // sequential fold: keep only state changes
+      val changes = ordered.foldLeft(Vector.empty[(Timestamp, String)]) {
+        case (acc, (_, _, ts, st)) =>
+          if (acc.nonEmpty && acc.last._2 == st) acc else acc :+ (ts, st)
+      }
+      changes.zipWithIndex.map { case ((ts, st), i) =>
+        (uid, (i + 1).toLong, st, ts,
+          changes.lift(i + 1).map(_._1): Option[Timestamp])
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === want)
+  }
+
+  test("q31's doubled-median trick is exact for any integer multiset") {
+    // the operator's correctness rests on percentile(xs, 0.5) * 2
+    // being EXACTLY the integer a+b — check across sizes incl. ties
+    for (_ <- 1 to 30) {
+      val n = 1 + rnd.nextInt(50)
+      val xs = Seq.fill(n)((rnd.nextInt(20000) - 10000).toLong)
+      val med2 = xs.toDF("x")
+        .select((expr("percentile(x, 0.5)") * 2).cast("long")).as[Long].head()
+      val s = xs.sorted
+      val want = if (n % 2 == 1) s(n / 2) * 2 else s(n / 2 - 1) + s(n / 2)
+      assert(med2 === want, s"n=$n")
+    }
+  }
+
   test("LongArrayDot equals BigInt reference incl. negatives and length skew") {
     val cases = (1 to 50).map { _ =>
       val n = 1 + rnd.nextInt(80)
