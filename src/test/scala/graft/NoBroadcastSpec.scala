@@ -23,7 +23,11 @@ class NoBroadcastSpec extends SparkSpec {
 
   for (name <- Seq("d10_dup_spans", "t08_unigram_lm", "t11_bigram_lm",
                    "q03_join_revenue", "d08_semantic_dedup",
-                   "p01_curation", "p09_curation_strict")) {
+                   "p01_curation", "p09_curation_strict",
+                   // round 3: q29's cohort map is O(users), q30's
+                   // spine cross-join degrades to a cartesian, q31's
+                   // median/MAD joins flip to shuffles
+                   "q29_retention", "q30_gap_fill", "q31_mad_outliers")) {
     test(s"$name: identical results with broadcasting disabled") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
