@@ -23,7 +23,10 @@ class PartitionInvarianceSpec extends SparkSpec {
   for (name <- Seq("q07_window_running", "q09_sessionize",
                    "d02_minhash_lsh", "d02_production",
                    "d08_semantic_dedup", "p02_sequence_pack",
-                   "m03_messages", "q24_range_window")) {
+                   "m03_messages", "q24_range_window",
+                   // round 3: stacked lag/lead windows with tie-break,
+                   // running-sum packing + explode, max(struct) argmax
+                   "q32_scd2", "p10_pack_boundaries", "m12_queue_aging")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
