@@ -17,19 +17,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("regexp_extract_groups"),
       new ExpressionInfo(classOf[RegexpExtractGroups].getName, "regexp_extract_groups"),
-      GraftExtensions.builder))
+      GraftExtensions.regexpBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("long_array_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+      GraftExtensions.dotBuilder))
   }
 }
 
 object GraftExtensions {
-  private val builder: Seq[Expression] => Expression = { children =>
+  private val regexpBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2, "regexp_extract_groups(subject, pattern)")
     RegexpExtractGroups(children.head, children(1))
   }
 
+  private val dotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "long_array_dot(array<bigint>, array<bigint>)")
+    LongArrayDot(children.head, children(1))
+  }
+
   /** Register into an already-built session (the extensions conf only
     * applies at session construction). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "regexp_extract_groups", builder, "built-in")
+      "regexp_extract_groups", regexpBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_array_dot", dotBuilder, "built-in")
+  }
 }

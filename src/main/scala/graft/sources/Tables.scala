@@ -17,7 +17,7 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.prepare(spark)
     spark.read.parquet(path(dir, name))
   }

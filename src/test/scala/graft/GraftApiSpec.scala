@@ -86,6 +86,28 @@ class GraftApiSpec extends SparkSpec {
     assert(g.queueAging.columns.contains("final_status"))
   }
 
+  test("registerSql exposes views + custom expressions to pure SQL") {
+    g.registerSql()
+    val n = spark.sql(
+      "SELECT count(*) FROM graft_documents WHERE source = 'src0'").head.getLong(0)
+    assert(n > 0)
+    // the custom codegen'd dot product, from SQL, on a view
+    val dot = spark.sql(
+      """SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d""")
+      .head.getLong(0)
+    assert(dot === 32L)
+    val g2 = spark.sql(
+      "SELECT regexp_extract_groups('ab 12', '^([a-z]+) ([0-9]+)$') AS g")
+      .head.getSeq[String](0)
+    assert(g2 === Seq("ab 12", "ab", "12")) // group 0 = full match
+    // pushdown survives the view: filters reach the parquet scan
+    val plan = spark.sql(
+      "SELECT doc_id FROM graft_documents WHERE doc_id = 7").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      "SQL over the view must keep scan pushdown")
+  }
+
   test("maillogTables replays a real log file into the four tables") {
     val f = Files.createTempFile("maillog", ".log")
     Files.write(f, Seq(
