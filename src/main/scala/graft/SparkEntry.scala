@@ -111,6 +111,7 @@ object SparkEntry {
     "q31_mad_outliers" -> (Analytics3.q31MadOutliers _),
     "q32_scd2" -> (Analytics3.q32Scd2 _),
     "q33_snapshot_diff" -> (Analytics3.q33SnapshotDiff _),
+    "qa02_approx_robust" -> (Analytics3.qa02ApproxRobust _),
     "d13_norm_dedup" -> (Dedup.d13NormDedup _),
     "s07_range_search" -> (Similarity.s07RangeSearch _),
     "mm04_frame_dedup" -> (Multimodal.mm04FrameDedup _),

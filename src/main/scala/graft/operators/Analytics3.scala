@@ -109,6 +109,37 @@ object Analytics3 {
       .orderBy("event_type")
   }
 
+  /** qa02: q31's documented petabyte path made concrete — the same
+    * robust-outlier report on `approx_percentile` sketches (KLL-style
+    * mergeable summaries; one map-side-combinable pass per percentile
+    * instead of a full value shuffle). No cross-engine oracle for
+    * sketch internals (rows-only, like qa01); the spec bounds its
+    * drift against the exact q31 instead. */
+  def qa02ApproxRobust(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
+    val med = ev.groupBy("event_type")
+      .agg((expr("approx_percentile(cents, 0.5, 10000)") * 2)
+        .cast("long").as("med2"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("adev2", abs(col("cents") * 2 - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg((expr("approx_percentile(adev2, 0.5, 10000)") * 2)
+        .cast("long").as("mad4"))
+    dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med2")).as("med2"),
+        max(col("mad4")).as("mad4"),
+        sum(when(col("adev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        (col("med2") / lit(200.0)).as("median"),
+        (col("mad4") / lit(400.0)).as("mad"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** q32: slowly-changing-dimension (type 2) reconstruction — the
     * event stream collapsed to each user's state history: consecutive
     * same-type events merge, each surviving state carries

@@ -65,6 +65,24 @@ class Analytics3Spec extends SparkSpec {
     }
   }
 
+  test("qa02: sketch-based robust outliers track the exact q31") {
+    val exact = Analytics3.q31MadOutliers(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("median"), r.getAs[Double]("mad"),
+         r.getAs[Long]("n_outliers"), r.getAs[Long]("n"))).toMap
+    val approx = Analytics3.qa02ApproxRobust(spark, sf).collect()
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val (m, mad, out, n) = exact(r.getAs[String]("event_type"))
+      // accuracy 10000 over ≤10k distinct cents: the sketch is
+      // near-exact here; allow small rank drift anyway
+      assert(math.abs(r.getAs[Double]("median") - m) <= math.max(0.02 * m, 0.05))
+      assert(math.abs(r.getAs[Double]("mad") - mad) <= math.max(0.05 * mad, 0.05))
+      assert(math.abs(r.getAs[Long]("n_outliers") - out) <= math.max(0.1 * out, 2).toLong)
+      assert(r.getAs[Long]("n") === n)
+    }
+  }
+
   test("q32: state intervals are contiguous, alternating, single-current") {
     val byUser = Analytics3.q32Scd2(spark, sf).collect()
       .groupBy(_.getAs[Long]("user_id"))

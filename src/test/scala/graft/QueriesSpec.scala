@@ -10,11 +10,13 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is documented rows-only") {
-    // qa01: sketch internals have no cross-engine oracle;
+    // qa01/qa02: sketch internals have no cross-engine oracle (qa02
+    // is drift-bounded against the exact q31 in Analytics3Spec);
     // d02_production: xxhash64 ids are Spark-specific (the banding
     // math is oracle-checked via d02_minhash_lsh, the pipeline via
     // NearDupStreamSpec)
-    val rowsOnly = Set("qa01_approx_sketches", "d02_production")
+    val rowsOnly = Set("qa01_approx_sketches", "qa02_approx_robust",
+      "d02_production")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
   }
