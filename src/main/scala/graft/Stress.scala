@@ -77,6 +77,15 @@ object Stress {
     // per-user work is constant; only the shuffle volume grows)
     val evb = graft.sources.Tables.events(spark, dir)
       .select("user_id", "event_id", "ts", "event_type")
+    // the shifts below only keep replicas disjoint while the base ids
+    // stay under the stride — a silent overflow would merge users
+    // across replicas and report a broken invariant as a datapoint
+    val (maxUid, maxEid) = {
+      val r = evb.agg(max("user_id"), max("event_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(maxUid < 10000000L && maxEid < 100000000L,
+      s"replication stride too small for base ids (user $maxUid, event $maxEid)")
     val evrep = (0 until mult).map { k =>
       evb.select((col("user_id") + lit(k * 10000000L)).as("user_id"),
         (col("event_id") + lit(k * 100000000L)).as("event_id"),

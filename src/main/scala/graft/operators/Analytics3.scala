@@ -86,15 +86,22 @@ object Analytics3 {
     * final count is one more hash agg; group count is tiny so the
     * joins broadcast. At petabyte scale swap `percentile` for
     * `approx_percentile` and keep the shape. */
-  def q31MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+  def q31MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    robustOutliers(spark, dir, c => s"percentile($c, 0.5)")
+
+  /** Shared q31/qa02 body — the correctness-critical exact-integer
+    * decision arithmetic lives ONCE; only the median estimator
+    * (exact percentile vs mergeable approx_percentile) varies. */
+  private def robustOutliers(spark: SparkSession, dir: String,
+                             median: String => String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
     val med = ev.groupBy("event_type")
-      .agg((expr("percentile(cents, 0.5)") * 2).cast("long").as("med2"))
+      .agg((expr(median("cents")) * 2).cast("long").as("med2"))
     val dev = ev.join(med, "event_type")
       .withColumn("adev2", abs(col("cents") * 2 - col("med2")))
     val mad = dev.groupBy("event_type")
-      .agg((expr("percentile(adev2, 0.5)") * 2).cast("long").as("mad4"))
+      .agg((expr(median("adev2")) * 2).cast("long").as("mad4"))
     dev.join(mad, "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -115,30 +122,8 @@ object Analytics3 {
     * instead of a full value shuffle). No cross-engine oracle for
     * sketch internals (rows-only, like qa01); the spec bounds its
     * drift against the exact q31 instead. */
-  def qa02ApproxRobust(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
-    val med = ev.groupBy("event_type")
-      .agg((expr("approx_percentile(cents, 0.5, 10000)") * 2)
-        .cast("long").as("med2"))
-    val dev = ev.join(med, "event_type")
-      .withColumn("adev2", abs(col("cents") * 2 - col("med2")))
-    val mad = dev.groupBy("event_type")
-      .agg((expr("approx_percentile(adev2, 0.5, 10000)") * 2)
-        .cast("long").as("mad4"))
-    dev.join(mad, "event_type")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        max(col("med2")).as("med2"),
-        max(col("mad4")).as("mad4"),
-        sum(when(col("adev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
-          .as("n_outliers"))
-      .select(col("event_type"), col("n"),
-        (col("med2") / lit(200.0)).as("median"),
-        (col("mad4") / lit(400.0)).as("mad"),
-        col("n_outliers"))
-      .orderBy("event_type")
-  }
+  def qa02ApproxRobust(spark: SparkSession, dir: String): DataFrame =
+    robustOutliers(spark, dir, c => s"approx_percentile($c, 0.5, 10000)")
 
   /** q32: slowly-changing-dimension (type 2) reconstruction — the
     * event stream collapsed to each user's state history: consecutive

@@ -34,25 +34,42 @@ object MaillogOps {
     *
     * Keyed by (session, dir) so two live sessions sharing a dir each
     * keep their own entry (no rebuild thrash on alternating access).
-    * Growth is bounded by sweeping entries whose owner session has
-    * stopped on every miss: the evicted DataFrame is unpersisted —
-    * its blocks can outlive the session when sessions share one
-    * SparkContext — and the dead session's plan tree is released. */
-  private val parsedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * Growth is bounded two ways on every miss: (a) entries whose
+    * owner's SparkContext has stopped are swept; (b) per dir, at most
+    * [[MaxSessionsPerDir]] entries survive — sessions can be
+    * abandoned without their (shared) context ever stopping (job
+    * server / notebook pattern, `newSession()` per job), so a
+    * dead-context sweep alone would grow unboundedly there. Evicted
+    * DataFrames are unpersisted: their blocks live in the (possibly
+    * shared, still-running) context's block manager, not the
+    * session. */
+  private val parsedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Long)]
+  private val cacheTick = new java.util.concurrent.atomic.AtomicLong()
+  private val MaxSessionsPerDir = 4
+
+  private def dropEntry(k: (SparkSession, String)): Unit =
+    parsedCache.remove(k).foreach { case (old, _) =>
+      try old.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
 
   private def parsedLogs(spark: SparkSession, dir: String): DataFrame =
     parsedCache.get((spark, dir)) match {
-      case Some(df) => df
+      case Some((df, _)) => df
       case _ =>
-        parsedCache.snapshot().foreach { case (k @ (owner, _), old) =>
+        parsedCache.snapshot().foreach { case (k @ (owner, _), _) =>
           val dead = try owner.sparkContext.isStopped catch { case _: Throwable => true }
-          if (dead && parsedCache.remove(k).isDefined) {
-            try old.unpersist(blocking = false) catch { case _: Throwable => () }
-          }
+          if (dead) dropEntry(k)
         }
         val df = Maillog.parsed(Maillog.synthesizeLines(spark, dir), Maillog.SynthYear)
-        parsedCache.put((spark, dir), df)
+        parsedCache.put((spark, dir), (df, cacheTick.incrementAndGet()))
+        // cap survivors for this dir, oldest (lowest tick) first
+        val forDir = parsedCache.snapshot().filter(_._1._2 == dir).toSeq
+        if (forDir.size > MaxSessionsPerDir)
+          forDir.sortBy(_._2._2)
+            .dropRight(MaxSessionsPerDir)
+            .filterNot(_._1._1 eq spark)
+            .foreach(e => dropEntry(e._1))
         df
     }
 

@@ -57,8 +57,12 @@ object Pipeline {
     * bin. One partitioned window, pure integer arithmetic — scales
     * as one shuffle on `source` and reproduces bit-for-bit in the
     * oracle. */
-  def p02SequencePack(spark: SparkSession, dir: String,
-                      contextLen: Long = 2048L): DataFrame = {
+  /** p02's packing WITHOUT the presentation sort — consumed by p10
+    * (EliminateSorts cannot remove a Sort below p10's explode
+    * Generate, so inheriting p02's orderBy would range-shuffle the
+    * whole packed table for nothing). */
+  private def packCore(spark: SparkSession, dir: String,
+                       contextLen: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -72,8 +76,11 @@ object Pipeline {
         // exact at any magnitude and identical to DuckDB's `//`
         expr(s"start_tok div $contextLen").as("bin_id"),
         (col("start_tok") % contextLen).as("bin_offset"))
-      .orderBy("doc_id")
   }
+
+  def p02SequencePack(spark: SparkSession, dir: String,
+                      contextLen: Long = 2048L): DataFrame =
+    packCore(spark, dir, contextLen).orderBy("doc_id")
 
   /** p03: token-budget selection — keep the highest-quality documents
     * of each source until that source's running token count exceeds
@@ -139,7 +146,9 @@ object Pipeline {
     * single-shuffle) output. */
   def p05PackingStats(spark: SparkSession, dir: String,
                       contextLen: Long = 2048L): DataFrame = {
-    val packed = p02SequencePack(spark, dir, contextLen)
+    // EliminateSorts would drop p02's orderBy under this Aggregate
+    // anyway; consume the sortless core for clarity
+    val packed = packCore(spark, dir, contextLen)
     packed.groupBy("source")
       .agg(sum(col("n_tokens")).as("total_tokens"))
       .select(col("source"), col("total_tokens"),
@@ -300,7 +309,7 @@ object Pipeline {
     * segments, never tokens; no extra shuffle beyond p02's window. */
   def p10PackBoundaries(spark: SparkSession, dir: String,
                         contextLen: Long = 2048L): DataFrame = {
-    val packed = p02SequencePack(spark, dir, contextLen)
+    val packed = packCore(spark, dir, contextLen)
       .filter(col("n_tokens") >= 1)
       .withColumn("start_tok", col("bin_id") * contextLen + col("bin_offset"))
       .withColumn("end_tok", col("start_tok") + col("n_tokens") - 1)

@@ -62,7 +62,12 @@ object EventStream {
 
   private val GapUs = 30L * 60 * 1000000 // 30-minute session gap
   private def micros(t: java.sql.Timestamp): Long =
-    (t.getTime / 1000) * 1000000 + t.getNanos / 1000
+    // floorDiv, not /: getTime truncates toward zero for pre-1970
+    // instants while getNanos stays non-negative, so -0.5s would
+    // otherwise encode as +0.5s — mis-sorting the batch and
+    // corrupting every µs round-trip (same defect class as the
+    // JdbcUpsertSink.keyHash fix)
+    Math.floorDiv(t.getTime, 1000) * 1000000 + t.getNanos / 1000
 
   /** Event-time sessionization as a `StatefulProcessor` — the
     * streaming twin of the batch `Analytics.q09Sessionize` (30-minute
@@ -123,7 +128,7 @@ object EventStream {
       }
       open.foreach { s =>
         state.update(s)
-        getHandle.registerTimer(s.lastUs / 1000 + GapUs / 1000)
+        getHandle.registerTimer(Math.floorDiv(s.lastUs, 1000) + GapUs / 1000)
       }
       out.result().iterator
     }
@@ -133,7 +138,7 @@ object EventStream {
       val s = state.get()
       // stale-timer guard: the session may have been extended (or
       // already closed in-batch) since this timer was registered
-      if (s != null && s.lastUs / 1000 + GapUs / 1000 <= timerValues.getCurrentWatermarkInMs) {
+      if (s != null && Math.floorDiv(s.lastUs, 1000) + GapUs / 1000 <= timerValues.getCurrentWatermarkInMs) {
         state.clear() // payload only; seqState survives the session
         Iterator.single(close(user, s))
       } else Iterator.empty

@@ -247,4 +247,32 @@ class EventStreamSpec extends SparkSpec {
       (9L, 1L, "view", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:20:00"))),
       "one closed interval, version 1, spanning both batches")
   }
+
+  test("SCD2 orders and round-trips pre-1970 fractional-second instants") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("scdneg").toString
+    // -0.5s sorts BEFORE +0.5s; truncating epoch math would mirror it
+    // to +0.5s, swap the two states and corrupt both interval bounds
+    def tsMs(ms: Long) = new java.sql.Timestamp(ms)
+    Seq(
+      (3L, 1L, tsMs(-500L), "view"),
+      (3L, 2L, tsMs(500L), "click"),
+      (3L, 3L, tsMs(1500L), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .repartition(1).write.mode("append").parquet(dir)
+    val q = EventStream.scd2(spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scdneg")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("scdneg")
+      .select($"version", $"state", $"valid_from", $"valid_to")
+      .as[(Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, "view", tsMs(-500L), tsMs(500L)),
+      (2L, "click", tsMs(500L), tsMs(1500L))))
+  }
 }

@@ -110,6 +110,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("p10 consumes the sortless packing core (no inherited range sort)") {
+    val df = Pipeline.p10PackBoundaries(spark, sf)
+    // p02's window exchange + the final presentation sort; inheriting
+    // p02's orderBy would add a third (range) exchange under the
+    // explode, which EliminateSorts cannot remove
+    assert(shuffles(df) == 2, "p10 re-inherited p02's presentation sort")
+  }
+
   test("no query plans an unpartitioned window over table data") {
     // the round-1 scale-killers (m06 global rank, vocab row_number)
     // must stay dead: sweep every registered batch query
