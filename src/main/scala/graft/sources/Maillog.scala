@@ -98,13 +98,20 @@ object Maillog {
     * "wall clock at parse time" — like the reference
     * (maillog2db.go:444), and evaluated per micro-batch in streaming
     * so a long-running daemon rolls over New Year correctly instead
-    * of freezing on its startup year. */
+    * of freezing on its startup year. Unlike the reference, the
+    * rollover is applied per LINE with the standard syslog
+    * heuristic: a stamped time more than 2 days in the FUTURE of the
+    * wall clock gets the previous year. Without this, a Dec 31 line
+    * parsed in a micro-batch that runs just after midnight Jan 1
+    * would be stamped ~a year ahead — and one such line poisons the
+    * daemon's event-time watermark a year forward, silently dropping
+    * every subsequent on-time line for months. */
   def parsed(lines: DataFrame, year: Int = 0): DataFrame = {
     import graft.plans.RegexpExtractGroups.regexpGroups
     val yearCol =
       if (year > 0) lit(year.toString)
       else date_format(current_timestamp(), "yyyy")
-    lines
+    val stamped = lines
       .select(regexpGroups(col("line"), MaillogParse.HeaderRe).as("g"))
       .filter(col("g").isNotNull)
       .select(
@@ -113,11 +120,19 @@ object Maillog {
         // reference log.Fatal-s the whole daemon here, go:448)
         try_to_timestamp(
           concat(yearCol, lit(" "), col("g").getItem(1)),
-          lit("yyyy MMM dd HH:mm:ss")).as("log_timestamp"),
+          lit("yyyy MMM dd HH:mm:ss")).as("ts0"),
         col("g").getItem(2).as("log_mailhost"),
         col("g").getItem(3).as("log_process"),
         col("g").getItem(4).as("log_processid"),
         col("g").getItem(5).as("log_message"))
+    val rolled =
+      if (year > 0) stamped.withColumn("log_timestamp", col("ts0"))
+      else stamped.withColumn("log_timestamp",
+        when(col("ts0") > current_timestamp() + expr("INTERVAL 2 DAYS"),
+          col("ts0") - expr("INTERVAL 1 YEAR")).otherwise(col("ts0")))
+    rolled
+      .select("log_timestamp", "log_mailhost", "log_process",
+        "log_processid", "log_message")
       .filter(col("log_timestamp").isNotNull)
   }
 }

@@ -53,13 +53,6 @@ object EventStream {
   case class SessionRow(user_id: Long, sess_id: Long, n_events: Long,
                         n_types: Long, dur_s: Double, types: Seq[String])
 
-  /** Open-session state: per-user session counter plus the running
-    * aggregates of the not-yet-closed session (timestamps in µs —
-    * `Timestamp.getTime` alone would drop the sub-ms component the
-    * batch q09 duration math keeps). */
-  case class OpenSess(seq: Long, startUs: Long, lastUs: Long,
-                      n: Long, types: Seq[String])
-
   private val GapUs = 30L * 60 * 1000000 // 30-minute session gap
   private def micros(t: java.sql.Timestamp): Long =
     // floorDiv, not /: getTime truncates toward zero for pre-1970
@@ -69,78 +62,92 @@ object EventStream {
     // JdbcUpsertSink.keyHash fix)
     Math.floorDiv(t.getTime, 1000) * 1000000 + t.getNanos / 1000
 
+  /** A buffered event of a not-yet-closable session. */
+  private[streaming] case class BufEvent(us: Long, event_id: Long,
+                                         event_type: String)
+
   /** Event-time sessionization as a `StatefulProcessor` — the
     * streaming twin of the batch `Analytics.q09Sessionize` (30-minute
-    * gap). In-batch gaps close sessions immediately inside
-    * `handleInputRows`; the final open session is parked in state
-    * with an EVENT-TIME TIMER at last_ts+gap, and
-    * `handleExpiredTimer` emits it once the watermark passes — the
-    * state never outlives its session, which is what bounds it on an
-    * unbounded stream. A timer made stale by a session extension is
-    * ignored via the watermark guard rather than deleted (one fewer
-    * state-store round trip; correctness is the guard's). */
+    * gap), correct under ALLOWED LATENESS: events are only BUFFERED
+    * in `handleInputRows` (keyed ListState), and sessions close
+    * exclusively in `handleExpiredTimer` once the watermark proves no
+    * in-flight event can extend OR MERGE them — an eager in-batch
+    * close would mis-split when a late-but-on-time event later lands
+    * in an apparent gap and bridges two sessions. A session with last
+    * event L is closable iff L + gap < watermark: any still-possible
+    * event has t ≥ watermark, hence t − L > gap. Closable sessions
+    * always form a time-prefix of the buffer, so the buffer is
+    * rewritten to the open tail and state stays O(events within
+    * gap+lateness of the frontier) per user. A timer made stale by a
+    * session extension is ignored via the watermark guard rather than
+    * deleted (one fewer state-store round trip). */
   private[streaming] class SessionizeProcessor
       extends StatefulProcessor[Long, SessEvent, SessionRow] {
-    @transient private var state: ValueState[OpenSess] = _
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
     // the per-user session counter must OUTLIVE each session (batch
-    // q09's sess_id is cumulative over the user's history): a
-    // timer-close clears the session payload but not this counter,
-    // else the next session would restart at sess_id=1 and collide
-    // with an already-emitted row. O(users) × 8 bytes, vs the
-    // payload state which stays O(open sessions).
+    // q09's sess_id is cumulative over the user's history): a close
+    // clears the session's events but not this counter, else the next
+    // session would restart at sess_id=1 and collide with an
+    // already-emitted row. O(users) × 8 bytes.
     @transient private var seqState: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState("open", Encoders.product[OpenSess],
+      buf = getHandle.getListState("buf", Encoders.product[BufEvent],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       seqState = getHandle.getValueState("seq", Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
 
-    private def close(user: Long, s: OpenSess): SessionRow = {
-      val ts = s.types.distinct.sorted
-      SessionRow(user, s.seq, s.n, ts.size.toLong,
-        (s.lastUs - s.startUs) / 1000000.0, ts)
+    private def close(user: Long, events: Seq[BufEvent]): SessionRow = {
+      val seq = (if (seqState.exists()) seqState.get() else 0L) + 1
+      seqState.update(seq)
+      val ts = events.map(_.event_type).distinct.sorted
+      SessionRow(user, seq, events.size.toLong, ts.size.toLong,
+        (events.last.us - events.head.us) / 1000000.0, ts)
     }
 
     override def handleInputRows(user: Long, rows: Iterator[SessEvent],
                                  timerValues: TimerValues): Iterator[SessionRow] = {
-      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      var open = Option(state.get())
-      val out = Seq.newBuilder[SessionRow]
-      sorted.foreach { e =>
+      var maxUs = Long.MinValue
+      rows.foreach { e =>
         val us = micros(e.ts)
-        open match {
-          case Some(s) if us - s.lastUs <= GapUs =>
-            // keep `types` a distinct set: state must stay O(#types),
-            // not O(#events), for a long session
-            val ts2 =
-              if (s.types.contains(e.event_type)) s.types
-              else s.types :+ e.event_type
-            open = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1,
-              types = ts2))
-          case cur =>
-            cur.foreach(s => out += close(user, s)) // gap exceeded
-            val seq = (if (seqState.exists()) seqState.get() else 0L) + 1
-            seqState.update(seq)
-            open = Some(OpenSess(seq, us, us, 1L, Seq(e.event_type)))
-        }
+        maxUs = math.max(maxUs, us)
+        buf.appendValue(BufEvent(us, e.event_id, e.event_type))
       }
-      open.foreach { s =>
-        state.update(s)
-        getHandle.registerTimer(Math.floorDiv(s.lastUs, 1000) + GapUs / 1000)
-      }
-      out.result().iterator
+      // +1 ms: closable is STRICT (an event exactly at the watermark
+      // with t − L == gap still extends the session)
+      if (maxUs != Long.MinValue)
+        getHandle.registerTimer(Math.floorDiv(maxUs, 1000) + GapUs / 1000 + 1)
+      Iterator.empty
     }
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,
                                     expired: ExpiredTimerInfo): Iterator[SessionRow] = {
-      val s = state.get()
-      // stale-timer guard: the session may have been extended (or
-      // already closed in-batch) since this timer was registered
-      if (s != null && Math.floorDiv(s.lastUs, 1000) + GapUs / 1000 <= timerValues.getCurrentWatermarkInMs) {
-        state.clear() // payload only; seqState survives the session
-        Iterator.single(close(user, s))
+      val wmUs = timerValues.getCurrentWatermarkInMs * 1000
+      val events = {
+        val it = buf.get()
+        val b = Seq.newBuilder[BufEvent]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }.sortBy(e => (e.us, e.event_id))
+      if (events.isEmpty) return Iterator.empty
+      // split into sessions on the 30-minute gap
+      val sessions = Seq.newBuilder[Seq[BufEvent]]
+      var cur = Seq.newBuilder[BufEvent]
+      var last = events.head.us
+      events.foreach { e =>
+        if (e.us - last > GapUs) { sessions += cur.result(); cur = Seq.newBuilder }
+        cur += e
+        last = math.max(last, e.us)
+      }
+      sessions += cur.result()
+      val all = sessions.result()
+      // closable sessions form a prefix (ordered by time)
+      val (closed, open) = all.partition(s => s.last.us + GapUs < wmUs)
+      if (closed.nonEmpty) {
+        buf.clear()
+        if (open.nonEmpty) buf.put(open.flatten.toArray)
+        closed.iterator.map(close(user, _))
       } else Iterator.empty
     }
   }

@@ -22,18 +22,35 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
   * path is re-created with a new inode the old handle is drained to
   * EOF first — including a final unterminated line — then the new
   * file is followed from offset 0. In-place truncation
-  * (copytruncate-style rotation) resets the offset.
+  * (copytruncate-style rotation) resets the offset. Re-opens re-stat
+  * the path after opening and retry if the inode changed in between,
+  * so a rotation racing the open cannot pair the new handle with the
+  * old inode's key (which would re-emit the whole file next poll).
   *
   * Restart: `(fileKey, offset, seq)` is persisted to a state file in
   * the spool dir after every emit (tmp+rename). A restarted tailer on
   * the same inode resumes at the stored offset, so spooled-and-
   * checkpointed lines are not re-emitted.
   *
+  * Memory: reads are chunked at [[FileTailer.MaxChunk]] — first start
+  * against a multi-GB existing log drains it in bounded buffers
+  * instead of one giant allocation. A single LINE larger than a chunk
+  * (broken input for a line protocol) is force-split with a warning
+  * rather than livelocking.
+  *
+  * Disk: spool files duplicate the tailed data, so each poll sweeps
+  * spool files older than `retentionMs` (default 24 h). The retention
+  * must exceed the longest stop-the-daemon-then-restart gap you want
+  * replayable; the streaming checkpoint is normally seconds behind.
+  *
   * Partial lines are never emitted while the file may still grow:
   * the offset only advances past the last `\n` seen.
   */
-class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
+class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L,
+                 retentionMs: Long = 24L * 3600 * 1000)
     extends AutoCloseable {
+
+  import FileTailer.MaxChunk
 
   private val spool: Path = Paths.get(spoolDir)
   Files.createDirectories(spool)
@@ -43,6 +60,9 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
   private var handleKey: String = ""
   private var offset: Long = 0L
   private var seq: Long = 0L
+  private var lastSweepMs: Long = 0L
+  private[graft] var sweepIntervalMs: Long = 60000L // test hook
+  private var lastWarnMs: Long = 0L
   @volatile private var closed = false
   private var thread: Option[Thread] = None
 
@@ -53,6 +73,16 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
       Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
         .fileKey()))
     catch { case _: java.io.IOException => None }
+
+  /** Rate-limited (1/min) stderr diagnostics: a permanently unreadable
+    * file must not look identical to an idle one. */
+  private def warn(msg: String): Unit = {
+    val now = System.currentTimeMillis()
+    if (now - lastWarnMs >= 60000L) {
+      lastWarnMs = now
+      System.err.println(s"[graft-tailer $path] $msg")
+    }
+  }
 
   private def loadState(): Unit = {
     if (Files.exists(stateFile)) {
@@ -102,30 +132,81 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
     saveState()
   }
 
-  /** Read [offset, raf.length) from the handle; emit up to the last
-    * complete line (or everything when `drainAll`, for a rotated-away
-    * file that will never grow again). */
+  /** Delete spool files past retention (their data is long since
+    * checkpointed); the state file is never touched. Swept at most
+    * once a minute. */
+  private def sweepSpool(): Unit = {
+    val now = System.currentTimeMillis()
+    if (now - lastSweepMs < sweepIntervalMs) return
+    lastSweepMs = now
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(spool)
+    try listing.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".log"))
+      .foreach { p =>
+        try {
+          if (now - Files.getLastModifiedTime(p).toMillis > retentionMs)
+            Files.deleteIfExists(p)
+        } catch { case _: java.io.IOException => () }
+      }
+    finally listing.close()
+  }
+
+  /** Read [offset, length-at-entry) from the handle in bounded
+    * chunks; emit up to the last complete line of each chunk (or
+    * everything when `drainAll`, for a rotated-away file that will
+    * never grow again). */
   private def readNew(raf: RandomAccessFile, drainAll: Boolean): Unit = {
     val len = raf.length()
     if (len < offset) offset = 0L // truncated in place (copytruncate)
-    if (len > offset) {
-      val n = (len - offset).min(Int.MaxValue.toLong).toInt
+    var more = true
+    while (more && len > offset) {
+      val n = math.min(len - offset, MaxChunk.toLong).toInt
       val buf = new Array[Byte](n)
       raf.seek(offset)
       raf.readFully(buf)
-      val cut =
-        if (drainAll) n
+      val atEof = offset + n >= len
+      var cut =
+        if (drainAll && atEof) n
         else {
           var i = n - 1
           while (i >= 0 && buf(i) != '\n') i -= 1
           i + 1 // 0 when no newline yet: withhold the partial line
         }
+      if (cut == 0 && n == MaxChunk) {
+        // a single line larger than the chunk: force-split rather
+        // than buffering without bound or spinning forever
+        warn(s"line exceeds $MaxChunk bytes; splitting")
+        cut = n
+      }
       if (cut > 0) {
         val out =
-          if (drainAll && buf(cut - 1) != '\n') buf.take(cut) ++ Array[Byte]('\n')
+          if (drainAll && atEof && buf(cut - 1) != '\n')
+            buf.take(cut) ++ Array[Byte]('\n')
           else buf.take(cut)
         offset += cut
         emit(out)
+        if (cut < n) more = false // stopped at a partial line
+      } else more = false
+    }
+  }
+
+  /** Open the path and verify it still names the inode we statted —
+    * a rotation racing the open would otherwise pair the NEW file's
+    * handle with the OLD inode's key, and the next poll would
+    * misdiagnose a rotation and re-read the file from 0. */
+  private def openVerified(p: Path): Unit = {
+    var tries = 0
+    while (handle.isEmpty && tries < 3) {
+      tries += 1
+      fileKey(p) match {
+        case None => return // vanished; next poll retries
+        case Some(k) =>
+          val raf = new RandomAccessFile(path, "r")
+          if (fileKey(p).contains(k)) {
+            if (k != handleKey) { handleKey = k; offset = 0L }
+            handle = Some(raf)
+          } else raf.close() // rotated mid-open; retry
       }
     }
   }
@@ -135,9 +216,8 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
   def poll(): Unit = synchronized {
     val p = Paths.get(path)
     (handle, fileKey(p)) match {
-      case (None, Some(k)) => // first sight of the file
-        handle = Some(new RandomAccessFile(path, "r"))
-        if (k != handleKey) { handleKey = k; offset = 0L }
+      case (None, Some(_)) => // first sight of the file
+        openVerified(p)
         handle.foreach(readNew(_, drainAll = false))
       case (Some(raf), cur) if cur.exists(_ != handleKey) || cur.isEmpty =>
         // rotated: drain the old inode fully, then re-open (ReOpen)
@@ -145,15 +225,15 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
         raf.close()
         handle = None
         offset = 0L
-        cur.foreach { k =>
-          handleKey = k
-          handle = Some(new RandomAccessFile(path, "r"))
+        if (cur.isDefined) {
+          openVerified(p)
           handle.foreach(readNew(_, drainAll = false))
         }
       case (Some(raf), _) =>
         readNew(raf, drainAll = false)
       case (None, None) => () // file not created yet: keep waiting
     }
+    sweepSpool()
   }
 
   /** Spawn the background follow thread (daemon: dies with the JVM). */
@@ -161,8 +241,17 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
     val t = new Thread(() => {
       while (!closed) {
         try poll()
-        catch { case _: java.io.IOException => () } // transient FS race; retry next poll
-        Thread.sleep(pollMs)
+        catch {
+          case e: java.io.IOException =>
+            warn(s"poll IO error (will retry): ${e.getMessage}")
+          case _: InterruptedException => closed = true
+          case e: Throwable =>
+            // never let an unexpected error silently kill the tail
+            // thread while the daemon's queries look healthy
+            warn(s"poll error (will retry): $e")
+        }
+        try Thread.sleep(pollMs)
+        catch { case _: InterruptedException => closed = true }
       }
     }, s"graft-file-tailer-$path")
     t.setDaemon(true)
@@ -176,4 +265,11 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L)
     thread.foreach(_.join(5000))
     synchronized { handle.foreach(_.close()); handle = None }
   }
+}
+
+object FileTailer {
+  /** Per-read buffer bound: large backlogs drain in pieces instead of
+    * one (len - offset)-sized allocation that OOMs on a first start
+    * against a multi-GB log. */
+  private[streaming] val MaxChunk: Int = 16 << 20
 }

@@ -55,11 +55,54 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                      user: String, password: String,
                      dialect: String = "mysql",
                      autoCreate: Boolean = true,
-                     createTypes: Map[String, String] = Map.empty)
+                     createTypes: Map[String, String] = Map.empty,
+                     mergePolicy: Map[String, String] = Map.empty)
     extends Serializable {
   require(Seq("mysql", "generic").contains(dialect), s"unknown dialect $dialect")
+  require(mergePolicy.values.forall(Seq("coalesce", "max").contains),
+    s"mergePolicy values must be coalesce|max: $mergePolicy")
 
   import JdbcUpsertSink.{isDuplicateKey, keyHash, BatchSize}
+
+  // ---------------------------------------------------------------
+  // Per-column merge policies
+  //
+  // Default updates OVERWRITE ("last writer wins" — the reference's
+  // gorm Save). A stateful upstream with TTL-evicted state re-emits
+  // rows rebuilt from an EMPTY initial state, so an overwrite would
+  // null out previously merged columns and regress counters; such
+  // columns declare a policy instead:
+  //  - "coalesce": incoming NULL keeps the stored value (the
+  //    reference's last-NON-NULL-wins merge semantics, go:332-358);
+  //  - "max": keep the greater (monotone counters / lastseen marks —
+  //    after an eviction the re-counted value can only be a lower
+  //    bound, so never let it regress the stored one).
+  // ---------------------------------------------------------------
+
+  /** SET clause + bind multiplicity for one non-key column of a
+    * parameterized UPDATE. */
+  private def setClause(c: String): (String, Int) = mergePolicy.get(c) match {
+    case Some("coalesce") => (s"$c = COALESCE(?, $c)", 1)
+    case Some("max") =>
+      // NULL-safe on both sides: a NULL incoming value never clobbers,
+      // a NULL stored value is always replaced
+      (s"$c = CASE WHEN ? IS NOT NULL AND ($c IS NULL OR ? > $c) THEN ? ELSE $c END", 3)
+    case _ => (s"$c = ?", 1)
+  }
+
+  /** ON DUPLICATE KEY UPDATE clause for one column (mysql; VALUES()
+    * refers to the insert binds, so multiplicity stays 1). */
+  private def valuesClause(c: String): String = mergePolicy.get(c) match {
+    case Some("coalesce") => s"$c=COALESCE(VALUES($c), $c)"
+    case Some("max") =>
+      s"$c=CASE WHEN VALUES($c) IS NOT NULL AND ($c IS NULL OR VALUES($c) > $c) THEN VALUES($c) ELSE $c END"
+    case _ => s"$c=VALUES($c)"
+  }
+
+  /** Bind order for a parameterized UPDATE over `nonKeys`: each
+    * column index repeated by its clause's placeholder count. */
+  private def updateBindPlan(cols: Seq[String], nonKeyIdx: Seq[Int]): Seq[Int] =
+    nonKeyIdx.flatMap(i => Seq.fill(setClause(cols(i))._2)(i))
 
   // ---------------------------------------------------------------
   // SQL builders (driver side; also unit-tested directly)
@@ -73,7 +116,7 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     // INSERT would raise on the duplicates it exists to absorb
     val updates =
       if (nonKeys.isEmpty) s"${keyCols.head}=${keyCols.head}"
-      else nonKeys.map(c => s"$c=VALUES($c)").mkString(", ")
+      else nonKeys.map(valuesClause).mkString(", ")
     s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})" +
       s" ON DUPLICATE KEY UPDATE $updates"
   }
@@ -87,7 +130,7 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     val exists = s"SELECT 1 FROM $table WHERE $where"
     val update =
       if (nonKeys.isEmpty) None
-      else Some(s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} WHERE $where")
+      else Some(s"UPDATE $table SET ${nonKeys.map(c => setClause(c)._1).mkString(", ")} WHERE $where")
     val insert =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     (exists, update, insert)
@@ -104,10 +147,10 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     val insert =
       s"INSERT INTO $table (${insCols.mkString(", ")}) VALUES (${insVals.mkString(", ")})"
     val mysqlUpdates =
-      (nonKeys.map(c => s"$c=VALUES($c)") :+ "row_updated_at=CURRENT_TIMESTAMP").mkString(", ")
+      (nonKeys.map(valuesClause) :+ "row_updated_at=CURRENT_TIMESTAMP").mkString(", ")
     val mysql = s"$insert ON DUPLICATE KEY UPDATE $mysqlUpdates"
     val genericSets =
-      (nonKeys.map(c => s"$c = ?") :+ "row_updated_at = CURRENT_TIMESTAMP").mkString(", ")
+      (nonKeys.map(c => setClause(c)._1) :+ "row_updated_at = CURRENT_TIMESTAMP").mkString(", ")
     val update = s"UPDATE $table SET $genericSets WHERE row_key_hash = ?"
     (mysql, update, insert)
   }
@@ -194,6 +237,8 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     val cols = batch.columns.toSeq
     val keyIdx: Seq[Int] = keyCols.map(cols.indexOf)
     val nonKeyIdx: Seq[Int] = cols.indices.filterNot(keyIdx.contains)
+    // merge-policy clauses may carry several placeholders per column
+    val updIdx: Seq[Int] = updateBindPlan(cols, nonKeyIdx)
     val allIdx: Seq[Int] = cols.indices
     val managed = ensureSchema(batch.schema)
     val mysqlSql = if (managed) managedSql(cols)._1 else upsertSql(cols)
@@ -218,8 +263,8 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     def writeManagedGroup(conn: Connection, update: PreparedStatement,
                           insert: PreparedStatement, group: Seq[(Row, String)]): Unit = {
       group.foreach { case (r, h) =>
-        bind(update, r, nonKeyIdx)
-        update.setObject(nonKeyIdx.length + 1, h)
+        bind(update, r, updIdx)
+        update.setObject(updIdx.length + 1, h)
         update.addBatch()
       }
       val counts = update.executeBatch()
@@ -251,8 +296,8 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
             } catch {
               case e2 if isDuplicateKey(e2) =>
                 conn.rollback(sp)
-                bind(update, r, nonKeyIdx)
-                update.setObject(nonKeyIdx.length + 1, h)
+                bind(update, r, updIdx)
+                update.setObject(updIdx.length + 1, h)
                 // SQLState class 23 also covers NOT NULL/FK/CHECK
                 // violations; those rows match no existing key, so a
                 // 0-row update means the row was neither inserted nor
@@ -302,7 +347,7 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                 // returns rows touched (all-columns-key tables have
                 // no update statement: the row existing IS the upsert)
                 def doUpdate(): Int = update.map { u =>
-                  bind(u, r, nonKeyIdx ++ keyIdx)
+                  bind(u, r, updIdx ++ keyIdx)
                   u.executeUpdate()
                 }.getOrElse(1)
                 if (present) doUpdate()
@@ -373,6 +418,16 @@ object JdbcUpsertSink {
           // distinct keys in the UNIQUE row_key_hash index
           sb.append("ts:")
             .append(Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos)
+        case b: Array[Byte] =>
+          // identity toString would hash differently every run,
+          // silently defeating the unique-key dedup for binary keys
+          sb.append("bin:")
+          b.foreach(x => sb.append(f"$x%02x"))
+        case d: java.math.BigDecimal =>
+          // scale-insensitive: 1.0 and 1.00 are the same key
+          sb.append("dec:").append(d.stripTrailingZeros.toPlainString)
+        case d: BigDecimal =>
+          sb.append("dec:").append(d.underlying.stripTrailingZeros.toPlainString)
         case v => sb.append(v.toString)
       }
       i += 1

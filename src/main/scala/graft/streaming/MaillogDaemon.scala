@@ -32,7 +32,12 @@ object MaillogDaemon {
   /** Client upsert as a `StatefulProcessor`: keyed
     * `ValueState[ClientRow]` with native TTL (see
     * [[MaillogStream.MessageMergeProcessor]] for why this replaced
-    * `flatMapGroupsWithState` + ProcessingTimeTimeout). */
+    * `flatMapGroupsWithState` + ProcessingTimeTimeout). With TTL on,
+    * a key whose state was evicted restarts n_seen/lastseen from the
+    * new lines only — the SINK's per-column merge policy (max) keeps
+    * the DB row from regressing (see [[MaillogDaemon.MergePolicies]]);
+    * n_seen then counts "since last eviction", a documented lower
+    * bound rather than an exact lifetime total. */
   private[streaming] class ClientUpsertProcessor(stateTtlMs: Long)
       extends StatefulProcessor[(String, String, String), ClientRow, ClientRow] {
     @transient private var state: ValueState[ClientRow] = _
@@ -231,13 +236,30 @@ object MaillogDaemon {
     * append otherwise. The JDBC sink auto-creates the reference
     * schema (tables + bookkeeping columns) on first write, like the
     * reference's AutoMigrate (maillog2db.go:163-166). */
+  /** Per-table merge policies: with state TTL enabled, an evicted key
+    * re-emits rows rebuilt from EMPTY state — a plain overwrite would
+    * null out previously merged message fields and regress counters.
+    * Payload fields take last-NON-NULL (the reference's merge
+    * semantics, go:332-358); counters and lastseen marks are
+    * monotone. Without TTL the emitted rows always carry the full
+    * merged values, so these policies change nothing. */
+  private val MergePolicies: Map[String, Map[String, String]] = Map(
+    "pfmaillog2db_messages" -> (Seq(
+      "message_timestamp", "message_mailhost", "message_from",
+      "message_size", "message_nrcpt", "message_statusext",
+      "message_client", "message_id").map(_ -> "coalesce").toMap
+      + ("n_lines" -> "max")),
+    "pfmaillog2db_clients" -> Map(
+      "client_lastseen" -> "max", "n_seen" -> "max"))
+
   private def sinkFor(c: Conf, table: String, keys: Seq[String]): (DataFrame, Long) => Unit =
     if (c.dbUrl.nonEmpty || c.dbhost.nonEmpty) {
       val url =
         if (c.dbUrl.nonEmpty) c.dbUrl
         else s"jdbc:mysql://${c.dbhost}:${c.dbport}/${c.dbname}"
       new JdbcUpsertSink(url, table, keys, c.dbuser, c.dbpass, c.dbDialect,
-        createTypes = ColumnTypes.getOrElse(table, Map.empty)).write _
+        createTypes = ColumnTypes.getOrElse(table, Map.empty),
+        mergePolicy = MergePolicies.getOrElse(table, Map.empty)).write _
     } else ParquetSink(s"${c.out}/$table")
 
   /** Starts the four table streams; returns them (caller awaits).
@@ -262,6 +284,18 @@ object MaillogDaemon {
     var tailer: Option[FileTailer] = None
     val inputPath =
       if (maillogFile.isFile || !maillogFile.exists()) {
+        // the tailer writes its spool with LOCAL file IO while Spark
+        // reads it back as a path: a remote checkpoint URI (hdfs://,
+        // s3a://) would silently split the two onto different
+        // filesystems — the tailer spooling into a literal './hdfs:…'
+        // directory while the stream lists the empty remote path
+        val scheme =
+          try java.net.URI.create(c.checkpoint).getScheme
+          catch { case _: IllegalArgumentException => null } // plain local path
+        require(scheme == null || scheme == "file",
+          s"tailing a single file requires a local checkpoint dir " +
+            s"(got scheme '$scheme'); use a directory input for " +
+            "remote-checkpoint deployments")
         val spoolDir = s"${c.checkpoint}/tail-spool"
         tailer = Some(new FileTailer(c.maillog, spoolDir).start())
         spoolDir

@@ -189,14 +189,25 @@ object NearDupStream {
       .dropDuplicatesWithinWatermark("h")
   }
 
+  /** The previous call's persisted banding, released on the next
+    * call: an internal persist with no caller-visible handle would
+    * otherwise pin one cached copy PER CALL for the session lifetime
+    * (periodic ground-truth validation runs would accumulate them). */
+  private val bandCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Batch twin on the same hash path (xxhash64 ids): the ground
     * truth an incremental run must reproduce. Returns distinct
-    * (doc_a, doc_b). */
+    * (doc_a, doc_b). The banding is persisted (both self-join sides —
+    * without it the 16 array_min∘transform signature passes run
+    * twice) and stays warm until the NEXT batchCandidates call
+    * releases it. */
   def batchCandidates(docs: DataFrame): DataFrame = {
-    // persist: both self-join sides — without it the per-row
-    // signature algebra (16 array_min∘transform passes over the
-    // shingle ids) runs twice
     val b = banded(withSignatures(docs)).toDF().persist()
+    val prev = bandCache.getAndSet(b)
+    if (prev != null && (prev ne b)) {
+      try prev.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
     b.as("a").join(b.as("x"),
         col("a.band") === col("x.band") && col("a.bandkey") === col("x.bandkey") &&
         col("a.doc_id") < col("x.doc_id"))

@@ -177,6 +177,47 @@ class EventStreamSpec extends SparkSpec {
       "second session must be numbered 2, not restart at 1")
   }
 
+  test("a late event within the watermark can MERGE two apparent sessions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sesslate").toString
+    val ckpt = Files.createTempDirectory("sesslate-ckpt").toString
+    val out = Files.createTempDirectory("sesslate-out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(Long, Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .repartition(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = EventStream.sessionize(streamed, watermark = "1 hour").toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: 10:00 and 11:00 look like TWO sessions (60-min gap) —
+    // an eager in-batch close would emit {10:00} here, irrevocably
+    writeBatch(Seq(
+      (5L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, 2L, ts("2024-01-01 11:00:00"), "click")))
+    runOnce()
+    // batch 2: a LATE event (allowed by the 1-h watermark) at 10:30
+    // bridges both gaps — the truth is ONE session
+    writeBatch(Seq((5L, 3L, ts("2024-01-01 10:30:00"), "purchase")))
+    runOnce()
+    // batch 3: sentinel advances the watermark far enough to close
+    writeBatch(Seq((-1L, 9L, ts("2024-01-01 15:00:00"), "view")))
+    runOnce()
+    val got = spark.read.parquet(out).filter($"user_id" === 5L)
+      .select($"sess_id".cast("long"), $"n_events".cast("long"), $"dur_s")
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 3L, 3600.0)),
+      "the late bridge event must merge the apparent sessions")
+  }
+
   test("streaming SCD2 replay equals the batch q32 closed intervals") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -115,4 +115,45 @@ class FileTailerSpec extends AnyFunSuite {
     assert(spooled(spool) === "late\n")
     t.close()
   }
+
+  test("a backlog larger than one chunk drains in bounded pieces, lossless") {
+    val (file, spool) = setup()
+    // ~36 MiB of lines: > 2 chunks, so one poll must loop, never
+    // allocating the whole backlog at once
+    val line = ("x" * 127) + "\n"
+    val block = line * 8192 // 1 MiB
+    (1 to 36).foreach(_ => append(file, block))
+    append(file, "tail-partial")
+    val t = new FileTailer(file, spool)
+    t.poll()
+    val out = spooled(spool)
+    assert(out.length === 36 * block.length, "all complete lines in one poll")
+    assert(!out.contains("tail-partial"))
+    import scala.jdk.CollectionConverters._
+    val nFiles = Files.list(Paths.get(spool)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".log"))
+    assert(nFiles >= 3, "backlog must be emitted as multiple bounded chunks")
+    t.close()
+  }
+
+  test("spool sweep deletes files past retention, keeps recent ones") {
+    val (file, spool) = setup()
+    append(file, "old\n")
+    val t = new FileTailer(file, spool, retentionMs = 60000L)
+    t.sweepIntervalMs = 0L // test hook: sweep on every poll
+    t.poll()
+    assert(spooled(spool) === "old\n")
+    // age the published spool file past retention, then poll again
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(spool)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".log"))
+      .foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000L)))
+    append(file, "new\n")
+    t.poll()
+    assert(spooled(spool) === "new\n",
+      "aged file swept, fresh file kept, state file untouched")
+    t.close()
+  }
 }

@@ -103,6 +103,44 @@ class JdbcSinkSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("merge policies: coalesce keeps stored values, max never regresses") {
+    // the TTL-eviction scenario: a later batch re-emits a row rebuilt
+    // from EMPTY state (null payload, counter restarted at 1) — the
+    // policies must keep the DB row intact
+    val sink = new JdbcUpsertSink(url, "mp_msgs", Seq("qid"), "", "",
+      dialect = "generic",
+      mergePolicy = Map("sender" -> "coalesce", "n_lines" -> "max"))
+    sink.write(Seq(("AB1", Some("a@x.com"), 5L))
+      .toDF("qid", "sender", "n_lines"), 0L)
+    sink.write(Seq(("AB1", None: Option[String], 1L))
+      .toDF("qid", "sender", "n_lines"), 1L)
+    val got = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "mp_msgs").load()
+      .select("qid", "sender", "n_lines")
+      .as[(String, Option[String], Long)].collect()
+    assert(got.toSeq === Seq(("AB1", Some("a@x.com"), 5L)),
+      "null must not clobber, counter must not regress")
+    // a genuinely newer value still lands
+    sink.write(Seq(("AB1", Some("b@y.com"), 9L))
+      .toDF("qid", "sender", "n_lines"), 2L)
+    val got2 = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "mp_msgs").load()
+      .select("sender", "n_lines").as[(Option[String], Long)].collect()
+    assert(got2.toSeq === Seq((Some("b@y.com"), 9L)))
+  }
+
+  test("merge-policy SQL is well-formed in both dialects") {
+    val sink = new JdbcUpsertSink("jdbc:mysql://h/db", "t", Seq("k"), "u", "p",
+      mergePolicy = Map("a" -> "coalesce", "b" -> "max"))
+    val (mysql, update, _) = sink.managedSql(Seq("k", "a", "b"))
+    assert(mysql.contains("a=COALESCE(VALUES(a), a)"))
+    assert(mysql.contains(
+      "b=CASE WHEN VALUES(b) IS NOT NULL AND (b IS NULL OR VALUES(b) > b) THEN VALUES(b) ELSE b END"))
+    assert(update.contains("a = COALESCE(?, a)"))
+    assert(update.contains(
+      "b = CASE WHEN ? IS NOT NULL AND (b IS NULL OR ? > b) THEN ? ELSE b END"))
+  }
+
   test("key hash distinguishes NULL from the string null and permuted tuples") {
     import org.apache.spark.sql.RowFactory
     val a = JdbcUpsertSink.keyHash(RowFactory.create(null, "x"), Seq(0, 1))

@@ -44,4 +44,31 @@ class SourcesSpec extends SparkSpec {
     Files.write(f, ("message\n\"" + line + "\"\n").getBytes)
     assertParses(Maillog.readCsvLines(spark, f.toString))
   }
+
+  test("year=0 rollover: a far-future stamp gets the previous year") {
+    import spark.implicits._
+    // a line dated 10 days ahead of the wall clock can only be LAST
+    // year's (syslog omits the year): e.g. a Dec 31 line parsed in a
+    // micro-batch that runs after midnight Jan 1. Without the
+    // rollover it would poison the daemon's watermark a year forward.
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("MMM dd HH:mm:ss", java.util.Locale.US)
+    val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+    def render(t: java.time.ZonedDateTime) =
+      s"${fmt.format(t)} mx1 postfix/smtpd[1]: Q: client=h[1.2.3.4]"
+    val future = now.plusDays(10)
+    val past = now.minusDays(1)
+    val rows = Maillog.parsed(
+        Seq(render(future), render(past)).toDF("line"))
+      .select("log_timestamp").collect()
+      .map(_.getTimestamp(0).toInstant).sortBy(_.toEpochMilli)
+    assert(rows.length === 2)
+    val nowMs = java.time.Instant.now()
+    // both stamps must land in the past (within the last ~year)
+    rows.foreach { t =>
+      assert(t.isBefore(nowMs.plusSeconds(2 * 86400)),
+        s"$t poisoned the event-time domain")
+      assert(t.isAfter(nowMs.minusSeconds(367L * 86400)))
+    }
+  }
 }
