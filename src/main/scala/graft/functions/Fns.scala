@@ -24,6 +24,22 @@ object Fns {
   /** Microseconds since epoch of a TimestampType column (exact long). */
   def usecs(c: Column): Column = unix_micros(c)
 
+  /** THE deterministic split hash (Knuth multiplicative, mod 2^32) —
+    * the single definition behind every sampling/split/shard decision
+    * (q17/q20/d06/d12/p01/p04/p06/p09/writeTrainingShards). One
+    * shared helper, not per-file copies: the decontamination list is
+    * computed against the SAME split that ships, and an edit here
+    * changes all of them together (the oracles hardcode the formula —
+    * change BOTH or the gate goes red, which is the point). */
+  def splitHash(id: Column): Column =
+    pmod(id * 2654435761L, lit(4294967296L))
+
+  /** The 80/10/10 split derived from [[splitHash]]. */
+  def splitOf(id: Column): Column =
+    when(splitHash(id) % 10 === 0, "test")
+      .when(splitHash(id) % 10 === 1, "val")
+      .otherwise("train")
+
   /** Seconds-difference between two µs timestamps as double. */
   def secondsBetween(a: Column, b: Column): Column =
     (unix_micros(a) - unix_micros(b)) / lit(1000000.0)

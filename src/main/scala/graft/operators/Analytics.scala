@@ -136,19 +136,27 @@ object Analytics {
       .orderBy("bucket", "c_nationkey")
   }
 
-  /** q09: sessionization — 30-minute inactivity gap splits sessions;
-    * one shuffle on user_id, two stacked windows, then a grouped agg. */
-  def q09Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  /** THE 30-minute-gap session-id assignment — the single definition
+    * behind q09, the q27 funnel, and (semantically) the streaming
+    * sessionizer: adds `sess_id` per user via one partitioned lag +
+    * running sum. Shared so the funnel can never disagree with the
+    * sessionization it rolls up. */
+  private[operators] def sessionIds(ev: DataFrame): DataFrame = {
     val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = 30L * 60 * 1000000
-    val flagged = ev.withColumn("prev_ts", lag(col("ts"), 1).over(seq))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(seq))
       .withColumn("new_s",
         when(col("prev_ts").isNull ||
              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
           .otherwise(0))
       .withColumn("sess_id",
         sum(col("new_s")).over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** q09: sessionization — 30-minute inactivity gap splits sessions;
+    * one shuffle on user_id, two stacked windows, then a grouped agg. */
+  def q09Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = sessionIds(Tables.events(spark, dir))
     flagged.groupBy("user_id", "sess_id")
       .agg(
         count(lit(1)).as("n_events"),

@@ -184,18 +184,9 @@ object Analytics2 {
     * user_id window shuffle; the final global agg sees one row per
     * session (map-side combinable), never raw events. */
   def q27Funnel(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, dir)
-    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapUs = 30L * 60 * 1000000
-    val sess = ev
-      .withColumn("prev_ts", lag(col("ts"), 1).over(seq))
-      .withColumn("new_s",
-        when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
-          .otherwise(0))
-      .withColumn("sess_id",
-        sum(col("new_s")).over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // q09's session rule, shared — the funnel must roll up EXACTLY
+    // the sessions q09 reports
+    val sess = Analytics.sessionIds(Tables.events(spark, dir))
     def has(t: String) =
       max(when(col("event_type") === t, 1).otherwise(0)).as(s"has_$t")
     val per = sess.groupBy("user_id", "sess_id")
@@ -223,7 +214,14 @@ object Analytics2 {
   def q25Histogram(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT) div 5000").as("bucket"),
+        // FLOOR division via pmod (exact longs): Spark's `div`
+        // truncates toward zero while DuckDB's `//` floors, so a
+        // negative-valued deployment would both diverge cross-engine
+        // and fold (-50, 0) into the 0 bucket
+        {
+          val cents = expr("CAST(round(value * 100) AS BIGINT)")
+          ((cents - pmod(cents, lit(5000L))) / 5000L).cast("long").as("bucket")
+        },
         col("value"))
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -253,7 +251,7 @@ object Analytics2 {
     * training-data pipeline pins its samples. ~20% per segment. */
   def q17Sample(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .withColumn("h", pmod(col("c_custkey") * 2654435761L, lit(4294967296L)))
+      .withColumn("h", graft.functions.Fns.splitHash(col("c_custkey")))
       .filter(col("h") % 100 < 20)
       .select("c_custkey", "c_mktsegment", "c_nationkey")
       .orderBy("c_custkey")
@@ -290,11 +288,7 @@ object Analytics2 {
     * engines, runs, and cluster sizes; counted per (source, split). */
   def q20DatasetSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
-      .withColumn("split",
-        when(col("h") % 10 === 0, "test")
-          .when(col("h") % 10 === 1, "val")
-          .otherwise("train"))
+      .withColumn("split", graft.functions.Fns.splitOf(col("doc_id")))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n"),
            sum(col("n_chars")).as("sum_chars"))

@@ -32,19 +32,22 @@ object AsOf {
     val leftCols = left.columns
     val payloadOut = rightPayload.map(c => prefix + c)
 
-    val taggedLeft = payloadOut.foldLeft(left.withColumn("__side", lit(1))) {
-      case (df, c) => df.withColumn(c, lit(null).cast(right.schema(c.stripPrefix(prefix)).dataType))
-    }
+    // the payload travels as ONE struct, filled atomically: a
+    // per-column last(ignoreNulls) would compose a row that never
+    // existed (each column independently reaching back to its own
+    // latest non-null — and a NULL field of the true latest row
+    // replaced by a stale older value)
+    val payloadStruct = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c)))
+    val taggedLeft = left.withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(payloadStruct))
     val base = keys :+ timeCol :+ tieBreak
     val taggedRight = {
       val r0 = right.select((base ++ rightPayload).distinct.map(col): _*)
-      // payload goes out under the prefix; base columns stay for the
-      // union ordering (payload may overlap base, e.g. time itself)
-      val r1 = rightPayload
-        .foldLeft(r0) { case (df, c) => df.withColumn(prefix + c, col(c)) }
-        .select((base.distinct ++ payloadOut).map(col): _*)
+        .withColumn("__asof", struct(rightPayload.map(col): _*))
+        .select((base.distinct :+ "__asof").map(col): _*)
       // left-only columns become typed nulls so the union lines up
-      leftCols.filterNot(base.contains).foldLeft(r1.withColumn("__side", lit(0))) {
+      leftCols.filterNot(base.contains).foldLeft(r0.withColumn("__side", lit(0))) {
         case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     }
@@ -55,10 +58,12 @@ object AsOf {
       .orderBy(col(timeCol), col(tieBreak))
       .rowsBetween(Window.unboundedPreceding, -1)
 
-    val filled = payloadOut.foldLeft(unioned) { case (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn("__asof",
+      last(col("__asof"), ignoreNulls = true).over(w))
+    val unpacked = payloadOut.zip(rightPayload).foldLeft(filled) {
+      case (df, (out, c)) => df.withColumn(out, col("__asof").getField(c))
     }
-    filled.filter(col("__side") === 1).drop("__side")
+    unpacked.filter(col("__side") === 1).drop("__side", "__asof")
   }
 
   /** Convenience overload keeping all right columns as payload. */

@@ -53,7 +53,11 @@ object Dedup {
     * 16× row explosion, one shuffle. Persisted: consumed by banding
     * and both pair sides. */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
-    signaturesFrom(docShingles(Tables.documents(spark, dir)))
+    // persist the shingle projection: vocab() scans it twice (counts
+    // + rank) and the id join a third time — without this the
+    // corpus's most expensive projection (tokenize+shingle+distinct)
+    // re-runs per scan
+    signaturesFrom(docShingles(Tables.documents(spark, dir)).persist())
 
   private def signaturesFrom(sh: DataFrame): DataFrame = {
     val st = sh.join(vocab(sh), "term").select("doc_id", "tid")
@@ -95,7 +99,8 @@ object Dedup {
     * sums in one wide groupBy (no 32× explosion), then the hash is
     * assembled from the signs. Persisted: banding + both pair sides. */
   private def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(Tables.documents(spark, dir))
+    // persist: vocab's two passes + the id join (see signatures)
+    val sh = docShingles(Tables.documents(spark, dir)).persist()
     val st = sh.join(vocab(sh), "term").select("doc_id", "tid")
     val aggs = (0 until 32).map(j =>
       sum((affineHash(lit(j), col("tid")) % 2) * 2 - 1).as(s"s_$j"))
@@ -175,10 +180,7 @@ object Dedup {
     * hash; the shingle equi-join bounds candidates exactly like d04. */
   def d06Contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .withColumn("split",
-        when(pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 10 === 0, "test")
-          .when(pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 10 === 1, "val")
-          .otherwise("train"))
+      .withColumn("split", graft.functions.Fns.splitOf(col("doc_id")))
     val sh = docShingles(docs).join(docs.select("doc_id", "split"), "doc_id")
     val test = sh.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc"), col("term"))

@@ -143,7 +143,12 @@ object MaillogOps {
         col("gc").getItem(1), col("gm").getItem(1)))
       .filter(col("qid").isNotNull)
 
-    val ord = struct(col("log_timestamp"), col("log_message"))
+    // mailhost is part of the tie-break: two hosts can emit an
+    // IDENTICAL message text in the same second for one queue id, and
+    // without it max_by's winner (hence message_mailhost) would be
+    // partition-order dependent — and free to disagree with the
+    // oracle's equally arbitrary window tie-break
+    val ord = struct(col("log_timestamp"), col("log_message"), col("log_mailhost"))
     def branchOrd(g: Column) = when(g.isNotNull, ord)
     def cnt(g: Column) = sum(when(g.isNotNull, 1L).otherwise(0L))
 

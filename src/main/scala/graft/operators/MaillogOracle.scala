@@ -45,7 +45,7 @@ object MaillogOracle {
   /** Last-per-qid branch CTE (window mirror of MaillogOps.lastPerQid). */
   private def branch(name: String, raw: String): String =
     name + " AS (SELECT * EXCLUDE (rn) FROM (SELECT *, row_number() OVER " +
-    "(PARTITION BY qid ORDER BY log_timestamp DESC, log_message DESC) AS rn, " +
+    "(PARTITION BY qid ORDER BY log_timestamp DESC, log_message DESC, log_mailhost DESC) AS rn, " +
     "COUNT(*) OVER (PARTITION BY qid) AS cnt FROM " + raw + " t0) t1 WHERE rn = 1)"
 
   private val qmRaw =
@@ -58,13 +58,13 @@ object MaillogOracle {
     "FROM parsed WHERE regexp_matches(log_message, " + re(QmgrRe) + "))"
 
   private val clRaw =
-    "(SELECT log_timestamp, log_message,\n" +
+    "(SELECT log_timestamp, log_message, log_mailhost,\n" +
     "  regexp_extract(log_message, " + re(SmtpdRe) + ", 1) AS qid,\n" +
     "  regexp_extract(log_message, " + re(SmtpdRe) + ", 2) AS message_client\n" +
     "FROM parsed WHERE regexp_matches(log_message, " + re(SmtpdRe) + "))"
 
   private val midRaw =
-    "(SELECT log_timestamp, log_message,\n" +
+    "(SELECT log_timestamp, log_message, log_mailhost,\n" +
     "  regexp_extract(log_message, " + re(CleanupRe) + ", 1) AS qid,\n" +
     "  regexp_extract(log_message, " + re(CleanupRe) + ", 2) AS message_id\n" +
     "FROM parsed WHERE regexp_matches(log_message, " + re(CleanupRe) + "))"

@@ -39,11 +39,7 @@ object Pipeline {
       .join(clusters, Seq("doc_id"), "left")
       .filter(col("quality") >= 0.5)
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
-      .withColumn("split",
-        when(col("h") % 10 === 0, "test")
-          .when(col("h") % 10 === 1, "val")
-          .otherwise("train"))
+      .withColumn("split", graft.functions.Fns.splitOf(col("doc_id")))
       .select("doc_id", "n_chars", "quality", "split")
       .orderBy("doc_id")
   }
@@ -73,7 +69,9 @@ object Pipeline {
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         // integer division (`div`), not double-divide-then-cast:
-        // exact at any magnitude and identical to DuckDB's `//`
+        // exact at any magnitude, and identical to DuckDB's `//` for
+        // the NON-NEGATIVE token offsets here (div truncates, //
+        // floors — they differ on negatives)
         expr(s"start_tok div $contextLen").as("bin_id"),
         (col("start_tok") % contextLen).as("bin_offset"))
   }
@@ -123,8 +121,7 @@ object Pipeline {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("shard",
-        pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % shards)
+      .withColumn("shard", graft.functions.Fns.splitHash(col("doc_id")) % shards)
     docs.groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -177,7 +174,7 @@ object Pipeline {
     val docs = Tables.documents(spark, dir)
     docs.select(col("doc_id"), col("source"),
         (lit(50) + (length(col("source")) * 37) % 200).cast("long").as("w100"),
-        pmod(col("doc_id") * 2654435761L, lit(4294967296L)).as("h"))
+        graft.functions.Fns.splitHash(col("doc_id")).as("h"))
       .withColumn("n_reps",
         expr("w100 div 100") +
           when(col("h") % 100 < col("w100") % 100, 1L).otherwise(0L))
@@ -255,8 +252,7 @@ object Pipeline {
       .filter(col("split") === "train").select("doc_id")
     Tables.documents(spark, dir)
       .join(train, Seq("doc_id"), "left_semi")
-      .withColumn("shard",
-        pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % shards)
+      .withColumn("shard", graft.functions.Fns.splitHash(col("doc_id")) % shards)
       .write.mode("overwrite").partitionBy("shard").parquet(outPath)
     spark.read.parquet(outPath)
       .groupBy("shard")

@@ -35,6 +35,8 @@ object Compaction {
               expectedRows: Long = -1L): Long = {
     val n = if (expectedRows >= 0) expectedRows else df.count()
     val nFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    require(nFiles <= Int.MaxValue,
+      s"$nFiles planned files exceeds the partition-count range; raise targetRecordsPerFile")
     df.repartitionByRange(nFiles.toInt, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite")

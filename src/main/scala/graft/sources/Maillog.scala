@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.functions.MaillogParse
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Maillog text sources.
@@ -106,6 +106,23 @@ object Maillog {
     * would be stamped ~a year ahead — and one such line poisons the
     * daemon's event-time watermark a year forward, silently dropping
     * every subsequent on-time line for months. */
+  /** The syslog year-rollover heuristic (year=0 path), with `now`
+    * injected so both directions are testable at any wall-clock date:
+    *  - a stamp >2 days in the FUTURE of `now` can only be LAST
+    *    year's (a Dec 31 line parsed just after midnight Jan 1) —
+    *    without the shift, one such line poisons the daemon's
+    *    event-time watermark a year forward;
+    *  - a stamp >330 days in the PAST is really a slightly-AHEAD
+    *    source clock across New Year (a Jan 01 line parsed while this
+    *    host still says Dec 31) — without the shift it is misdated a
+    *    year back and watermark-dropped. The 330-day threshold keeps
+    *    replays of months-old logs (a legitimate year=0 use)
+    *    un-shifted. */
+  private[graft] def yearRollover(ts0: Column, now: Column): Column =
+    when(ts0 > now + expr("INTERVAL 2 DAYS"), ts0 - expr("INTERVAL 1 YEAR"))
+      .when(ts0 < now - expr("INTERVAL 330 DAYS"), ts0 + expr("INTERVAL 1 YEAR"))
+      .otherwise(ts0)
+
   def parsed(lines: DataFrame, year: Int = 0): DataFrame = {
     import graft.plans.RegexpExtractGroups.regexpGroups
     val yearCol =
@@ -128,8 +145,7 @@ object Maillog {
     val rolled =
       if (year > 0) stamped.withColumn("log_timestamp", col("ts0"))
       else stamped.withColumn("log_timestamp",
-        when(col("ts0") > current_timestamp() + expr("INTERVAL 2 DAYS"),
-          col("ts0") - expr("INTERVAL 1 YEAR")).otherwise(col("ts0")))
+        yearRollover(col("ts0"), current_timestamp()))
     rolled
       .select("log_timestamp", "log_mailhost", "log_process",
         "log_processid", "log_message")

@@ -27,6 +27,20 @@ class AsOfSpec extends SparkSpec {
     assert(out(3L).isEmpty)
   }
 
+  test("asofJoin attaches the latest right ROW atomically, nulls included") {
+    // right at t=1 has (a=1, b=1); the LATEST right at t=2 has
+    // (a=null, b=2). The left row must see (null, 2) — a per-column
+    // fill would compose the never-existed row (1, 2)
+    val left = Seq((100L, "k", ts(3))).toDF("id", "user", "t")
+    val right = Seq(
+      (10L, "k", ts(1), Some(1L), 1L),
+      (11L, "k", ts(2), None: Option[Long], 2L))
+      .toDF("id", "user", "t", "a", "b")
+    val out = AsOf.asofJoin(left, right, Seq("user"), "t", "id", Seq("a", "b"))
+      .select("asof_a", "asof_b").as[(Option[Long], Long)].head()
+    assert(out === ((None, 2L)))
+  }
+
   test("asofJoin keeps every left row (no inner-join loss)") {
     val left = Seq((1L, "x", ts(10))).toDF("id", "user", "t")
     val right = spark.emptyDataset[(Long, String, Timestamp)]

@@ -70,5 +70,29 @@ class SourcesSpec extends SparkSpec {
         s"$t poisoned the event-time domain")
       assert(t.isAfter(nowMs.minusSeconds(367L * 86400)))
     }
+
+    // both rollover directions, with `now` INJECTED (the mirror
+    // branch is only reachable from a real wall clock near year-end:
+    // it needs a stamp 330+ days behind in calendar order, which only
+    // Dec-vs-Jan produces)
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    def roll(stamp: String, now: String): java.sql.Timestamp =
+      Seq((stamp, now)).toDF("s", "n")
+        .select(Maillog.yearRollover(
+          to_timestamp(col("s")), to_timestamp(col("n"))).as("t"))
+        .head.getTimestamp(0)
+    // Dec 31 line parsed just after midnight Jan 1 (stamped NEXT
+    // year by the wall-clock year): back one year
+    assert(roll("2027-12-31 23:59:58", "2027-01-01 00:00:05") ===
+      java.sql.Timestamp.valueOf("2026-12-31 23:59:58"))
+    // Jan 1 line from a slightly-ahead source clock parsed while this
+    // host still says Dec 31 (stamped THIS year → ~364 days past):
+    // forward one year
+    assert(roll("2026-01-01 00:00:05", "2026-12-31 23:59:50") ===
+      java.sql.Timestamp.valueOf("2027-01-01 00:00:05"))
+    // a months-old replayed log line (within the 330-day window)
+    // stays untouched
+    assert(roll("2026-03-01 12:00:00", "2026-12-31 23:59:50") ===
+      java.sql.Timestamp.valueOf("2026-03-01 12:00:00"))
   }
 }
