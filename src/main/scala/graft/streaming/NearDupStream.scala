@@ -205,7 +205,12 @@ object NearDupStream {
   def batchCandidates(docs: DataFrame): DataFrame = {
     val b = banded(withSignatures(docs)).toDF().persist()
     val prev = bandCache.getAndSet(b)
-    if (prev != null && (prev ne b)) {
+    // release ONLY when the input actually changed: the CacheManager
+    // keys entries by plan, so for a repeated identical input `prev`
+    // and `b` share one cache entry and unpersisting prev would evict
+    // the data b is about to (re)use
+    if (prev != null && (prev ne b) &&
+        !prev.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)) {
       try prev.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     b.as("a").join(b.as("x"),
