@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times the headline queries on
   * SPARK_GRAFT_SF_DIR and prints one JSON line. */
@@ -18,15 +17,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftSession.prepare(spark)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
 
     // JVM/codegen warm-up outside the timed region
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
@@ -47,7 +39,9 @@ object Bench {
     // outside the timed region so the bench measures the operator,
     // not the fixture generator
     def prepare(name: String): Unit =
-      if (name.startsWith("m0")) // maillog m01–m07; NOT the mm* multimodal queries
+      // every maillog query (m01..m12) shares the synthesized corpus;
+      // NOT the mm* multimodal queries
+      if (name.startsWith("m") && !name.startsWith("mm"))
         graft.operators.MaillogOps.materializeCorpus(spark, sfDir)
     // median of 3 timed passes after one warm pass (±30% run-to-run
     // variance on this box makes single timings meaningless). A

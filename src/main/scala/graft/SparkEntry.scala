@@ -119,8 +119,13 @@ object SparkEntry {
     "m12_queue_aging" -> (MaillogOps.m12QueueAging _)
   )
 
-  /** qa01 is intentionally absent (sketch internals have no
-    * cross-engine oracle; the driver records a rows-only check). */
+  /** Three keys are intentionally absent (the driver records a
+    * rows-only check for each): qa01/qa02 — sketch internals have no
+    * cross-engine oracle (qa02 is drift-bounded against the exact q31
+    * in ScalaTest) — and d02_production, whose xxhash64 ids are
+    * Spark-specific (banding math oracle-checked via d02, pipeline
+    * via NearDupStreamSpec). QueriesSpec enforces that every OTHER
+    * query carries oracle SQL. */
   def oracleSql: Map[String, String] = MaillogOracle.oracles ++
     TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
     Multimodal.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++

@@ -2,7 +2,6 @@ package graft
 
 import graft.operators.Components
 import graft.streaming.NearDupStream
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale-behavior probe (not part of the driver contract): replicate
@@ -18,16 +17,13 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftSession.prepare(spark)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cores = cpus, appName = "graft-stress")
 
     val base = graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+    // replica-disjointness guard (same reasoning as the events probe)
+    require(base.agg(max("doc_id")).head.getLong(0) < 10000000L,
+      "doc_id exceeds the replication stride")
     val docs = (0 until mult).map { k =>
       base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text"))
     }.reduce(_ union _).persist()
@@ -62,6 +58,8 @@ object Stress {
     // mult²× pair blowup — the worst case for the IVF blocking
     val ebase = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
+    require(ebase.agg(max("vec_id")).head.getLong(0) < 10000000L,
+      "vec_id exceeds the replication stride")
     val evecs = (0 until mult).map { k =>
       ebase.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), col("embedding"))
     }.reduce(_ union _).persist()

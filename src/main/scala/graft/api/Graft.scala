@@ -57,7 +57,10 @@ class Graft(val spark: SparkSession, dir: String) {
     * n_lines. */
   def maillogTables(logPath: String,
                     year: Int = 0): Map[String, DataFrame] = {
-    val parsed = Maillog.parsed(Maillog.readLines(spark, logPath), year)
+    // persisted: the four returned tables each materialize this same
+    // read+regex projection — on a real multi-GB maillog the parse is
+    // the dominant cost and would otherwise run four times
+    val parsed = Maillog.parsed(Maillog.readLines(spark, logPath), year).persist()
     Map(
       "logs" -> parsed.distinct(),
       "clients" -> MaillogOps.clientsFrom(parsed),

@@ -60,6 +60,14 @@ def values_equal(a, b):
     if type(a).__name__ != type(b).__name__ and not (
             hasattr(a, "isoformat") and hasattr(b, "isoformat")):
         return False
+    # array cells (a LIST-valued oracle column): `a == b` would return
+    # an elementwise array whose truthiness raises and kills the whole
+    # gate — compare as plain lists, element by element
+    if hasattr(a, "tolist") or isinstance(a, (list, tuple)):
+        la = a.tolist() if hasattr(a, "tolist") else list(a)
+        lb = b.tolist() if hasattr(b, "tolist") else list(b)
+        return len(la) == len(lb) and all(
+            values_equal(x, y) for x, y in zip(la, lb))
     return a == b
 
 
