@@ -8,6 +8,11 @@ Usage:
 Assumes Verify has already been run into <verify_outdir>. Compares
 exactly: columns sorted by name, rows sorted by all columns, values
 must match (floats exactly; small diffs reported with magnitude).
+
+The row/column sort mirrors the DRIVER's compare (it also sorts both
+sides before hashing) — it is NOT a weakening of the gate. Queries
+still end in a total order as a debugging convenience (stable diffs
+when a row mismatches), not because the compare needs it.
 """
 import json
 import math
