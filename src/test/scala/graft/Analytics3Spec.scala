@@ -105,6 +105,22 @@ class Analytics3Spec extends SparkSpec {
     }
   }
 
+  test("q33: status counts match the closed-form snapshot derivation") {
+    val counts = Analytics3.q33SnapshotDiff(spark, sf).collect()
+      .groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    val keys = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    // A drops %13==0, B drops %11==0 and bumps %7==0
+    val added = keys.count(k => k % 13 == 0 && k % 11 != 0)
+    val removed = keys.count(k => k % 11 == 0 && k % 13 != 0)
+    val changed = keys.count(k => k % 7 == 0 && k % 13 != 0 && k % 11 != 0)
+    assert(counts.getOrElse("added", 0) === added)
+    assert(counts.getOrElse("removed", 0) === removed)
+    assert(counts.getOrElse("changed", 0) === changed)
+    // keys in neither snapshot (%143==0) appear nowhere
+    assert(counts.values.sum === added + removed + changed)
+  }
+
   test("d13: case/punctuation/whitespace variants collapse to one group") {
     import spark.implicits._
     val variants = Seq(
