@@ -87,6 +87,8 @@ object SparkEntry {
     "s01_ann_brute" -> (Similarity.s01AnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
+    "s03_production" -> (Similarity.s03Production _),
+    "d08_production" -> (Dedup.d08Production _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "s05_ann_recall" -> (Similarity.s05AnnRecall _),
     "s06_label_centroids" -> (Similarity.s06LabelCentroids _),

@@ -69,6 +69,30 @@ object Stress {
     val nSemNodes = sem.count()
     val nSemKeep = sem.filter(col("is_keeper")).count()
 
+    // centroid-rule cost probe: the oracle every-50th rule grows k
+    // with n (assignment cost n×k = n²/50, centroid broadcast 2% of
+    // the corpus); the production fixed-k rule keeps the broadcast
+    // constant-size and the assignment linear in n — compare the two
+    // timings across multipliers to see the linear-vs-quadratic split
+    val eq = evecs.select(col("vec_id"),
+        graft.functions.TextFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", graft.functions.TextFns.qnorm2(col("qv"))).persist()
+    time("assign bounded-k")(
+      graft.operators.Dedup.cellAssignment(eq,
+        graft.operators.Similarity.boundedCents(eq)).count())
+    time("assign oracle-stride")(
+      graft.operators.Dedup.cellAssignment(eq,
+        graft.operators.Similarity.strideCents(eq)).count())
+
+    // sequence packing on a SINGLE mega-source: the p02 prefix sum
+    // must stay parallel when every row shares one source value —
+    // the (source, bucket) two-phase form keeps parallelism =
+    // id-range / 65536 instead of one whole-corpus sort task
+    val packIn = docs.select(col("doc_id"), lit("mega").as("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val nPack = time("single-source pack (p02)")(
+      graft.operators.Pipeline.packTokens(packIn, 2048L).count())
+
     // event-table window ops under user-space replication: user_id
     // shifts keep partitions independent, so the SCD2 windows and the
     // retention groupBys should scale linearly with the corpus (the
@@ -95,7 +119,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"packed":$nPack,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

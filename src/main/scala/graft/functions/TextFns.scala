@@ -60,10 +60,15 @@ object TextFns {
     * single-partition sort anywhere, identical ids to
     * `row_number() OVER (ORDER BY term)`.
     *
-    * Broadcast hint on the result: the distinct-term set is orders
-    * of magnitude smaller than the corpus it joins back onto (drop
-    * the hint if a corpus's vocabulary outgrows the broadcast
-    * threshold). */
+    * The result carries NO broadcast hint: the distinct-shingle set
+    * grows roughly linearly with the corpus, so a forced broadcast is
+    * a guaranteed OOM at the 100 TB design point. Catalyst broadcasts
+    * the term→id join while the vocabulary fits the threshold and
+    * falls back to a shuffle join on `term` past it (the same
+    * convention as d10's span-df and t08/t11's frequency tables,
+    * pinned by NoBroadcastSpec's strategy-flip test on d02). The
+    * per-bucket `offsets` table IS hinted — its size is bounded by
+    * the 2-char-prefix space, not the corpus. */
   def vocab(terms: DataFrame): DataFrame = {
     val t = terms.select("term").distinct()
       .withColumn("b", substring(col("term"), 1, 2))
@@ -75,8 +80,8 @@ object TextFns {
       .agg(coalesce(sum("pcnt"), lit(0L)).as("off"))
     val ranked = t.withColumn("r",
       row_number().over(Window.partitionBy("b").orderBy("term")))
-    broadcast(ranked.join(broadcast(offsets), "b")
-      .select(col("term"), (col("off") + col("r")).cast("long").as("tid")))
+    ranked.join(broadcast(offsets), "b")
+      .select(col("term"), (col("off") + col("r")).cast("long").as("tid"))
   }
 
   /** i-th member of the affine hash family applied to id x:

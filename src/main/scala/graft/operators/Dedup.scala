@@ -57,12 +57,12 @@ object Dedup {
     // + rank) and the id join a third time — without this the
     // corpus's most expensive projection (tokenize+shingle+distinct)
     // re-runs per scan
-    signaturesFrom(docShingles(Tables.documents(spark, dir)).persist())
+    signaturesFrom(OpCache.cached(docShingles(Tables.documents(spark, dir))))
 
   private def signaturesFrom(sh: DataFrame): DataFrame = {
     val st = sh.join(vocab(sh), "term").select("doc_id", "tid")
     val aggs = (0 until 16).map(i => min(affineHash(lit(i), col("tid"))).as(s"sig_$i"))
-    st.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).persist()
+    OpCache.cached(st.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
   }
 
   /** d02: MinHash-LSH near-dup candidates (8 bands × 2 rows) with
@@ -100,14 +100,13 @@ object Dedup {
     * assembled from the signs. Persisted: banding + both pair sides. */
   private def simhashes(spark: SparkSession, dir: String): DataFrame = {
     // persist: vocab's two passes + the id join (see signatures)
-    val sh = docShingles(Tables.documents(spark, dir)).persist()
+    val sh = OpCache.cached(docShingles(Tables.documents(spark, dir)))
     val st = sh.join(vocab(sh), "term").select("doc_id", "tid")
     val aggs = (0 until 32).map(j =>
       sum((affineHash(lit(j), col("tid")) % 2) * 2 - 1).as(s"s_$j"))
     val bits = (0 until 32).map(j => when(col(s"s_$j") > 0, lit(1L << j)).otherwise(0L))
-    st.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-      .persist()
+    OpCache.cached(st.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash")))
   }
 
   /** d03: SimHash near-dup pairs (hamming ≤ 3) found via pigeonhole
@@ -138,9 +137,8 @@ object Dedup {
     * least one shingle (blocked verification). */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docShingles(docs)
-      .join(docs.select("doc_id", "source"), "doc_id")
-      .persist() // consumed by per-doc counts + both pair sides
+    val sh = OpCache.cached(docShingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")) // per-doc counts + both pair sides
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("term"), col("source"))
     val b = sh.select(col("doc_id").as("doc_b"), col("term"), col("source"))
@@ -160,10 +158,9 @@ object Dedup {
   /** d05: embedding near-dup — exact quantized-integer cosine ≥ 0.3
     * within label blocks. */
   def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = OpCache.cached(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", qnorm2(col("qv")))
-      .persist() // both pair sides
+      .withColumn("nrm", qnorm2(col("qv")))) // both pair sides
     val a = e.select(col("vec_id").as("vec_a"), col("label"), col("qv").as("qv_a"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"), col("qv").as("qv_b"), col("nrm").as("nb"))
     a.join(b, "label")
@@ -275,25 +272,33 @@ object Dedup {
     semanticClustersFrom(
       Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
+  /** d08 on the PRODUCTION centroid rule (fixed k — see
+    * [[Similarity.boundedCents]]): constant-size centroid broadcast
+    * and a linear n×k assignment at any corpus size, where the
+    * every-50th oracle rule grows k with n. Cell occupancy grows
+    * n/k, so a deployment scales k (~√n, SemDeDup-style tens of
+    * thousands) to keep the within-cell verify bounded; the rule is
+    * the same deterministic arithmetic either way. */
+  def d08Production(spark: SparkSession, dir: String): DataFrame =
+    semanticClustersFrom(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      boundedK = true)
+
   /** d08's core over any (vec_id, embedding) frame — also driven at
     * replicated scale by [[graft.Stress]]. */
-  def semanticClustersFrom(vecs: DataFrame): DataFrame = {
+  def semanticClustersFrom(vecs: DataFrame, boundedK: Boolean = false): DataFrame = {
     val e = vecs
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", qnorm2(col("qv")))
       .persist() // assignment + both pair sides
-    // same deterministic every-Nth "training" rule as s03/s04 — keep
-    // the constant in ONE place (the DuckDB oracles encode it too)
-    val cents = e.filter(col("vec_id") % Similarity.CentroidStride === 0)
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
-    val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        struct((lit(0.0) - qcos(qdot(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
-          .as("nc"), col("c_id").as("c")).as("cand"))
-      .groupBy("vec_id")
-      .agg(min(col("cand")).as("m"))
-      .select(col("vec_id"), col("m.c").as("cell"))
-      .join(e, "vec_id")
+    // oracle path: same deterministic every-Nth "training" rule as
+    // s03/s04 — keep the constant in ONE place (the DuckDB oracles
+    // encode it too); production path: fixed-k bounded rule
+    val cents =
+      if (boundedK) Similarity.boundedCents(e)
+      else e.filter(col("vec_id") % Similarity.CentroidStride === 0)
+        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val assign = cellAssignment(e, cents)
       .persist() // both pair sides: the n×k assignment runs ONCE
     val a = assign.select(col("vec_id").as("vec_a"), col("cell"),
       col("qv").as("qv_a"), col("nrm").as("na"))
@@ -321,6 +326,20 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** The d08 assignment stage alone — nearest-centroid cell per
+    * vector via the argmax-as-min(struct) map-side groupBy (no
+    * window over the corpus). Exposed for [[graft.Stress]]'s
+    * linearity probe: at fixed k the cost is n×k cosines. */
+  private[graft] def cellAssignment(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct((lit(0.0) - qcos(qdot(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+          .as("nc"), col("c_id").as("c")).as("cand"))
+      .groupBy("vec_id")
+      .agg(min(col("cand")).as("m"))
+      .select(col("vec_id"), col("m.c").as("cell"))
+      .join(e, "vec_id")
+
   /** d09: fuzzy nearest neighbor by edit distance — for each document,
     * the closest other document of its (source, length-band) block by
     * Levenshtein distance on the 120-char prefix. The char-level
@@ -335,11 +354,10 @@ object Dedup {
     * candidate policy). The per-doc argmin is one map-side
     * min(struct) groupBy, no window. */
   def d09EditDistance(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = OpCache.cached(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         (col("n_chars") / 32).cast("long").as("band"),
-        substring(col("text"), 1, 120).as("pfx"))
-      .persist() // both self-join sides
+        substring(col("text"), 1, 120).as("pfx"))) // both self-join sides
     val a = docs.select(col("doc_id").as("doc_a"), col("source"),
       col("band"), col("pfx").as("pfx_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("source"),
@@ -370,7 +388,7 @@ object Dedup {
     * aggregate's partitioning) when the table outgrows the
     * threshold. The per-doc rollup is a second groupBy. */
   def d10DupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(Tables.documents(spark, dir), 8).persist()
+    val sh = OpCache.cached(docShingles(Tables.documents(spark, dir), 8))
     val dfreq = sh.groupBy("term").agg(count(lit(1)).as("df"))
     sh.join(dfreq, "term")
       .groupBy("doc_id")
@@ -397,7 +415,7 @@ object Dedup {
   def d11LshQuality(spark: SparkSession, dir: String): DataFrame = {
     // ONE shingle pass feeds both the signature path (candidates +
     // estimates) and the exact verify — not a second corpus scan
-    val sh = docShingles(Tables.documents(spark, dir)).persist()
+    val sh = OpCache.cached(docShingles(Tables.documents(spark, dir)))
     val est = d02From(signaturesFrom(sh))
     // exact-verify shape shared with d04 (cnt + bounded pair
     // intersection + inter/(na+nb-inter)); the pair source differs:
@@ -476,6 +494,38 @@ object Dedup {
           |FROM est e LEFT JOIN itr ON itr.doc_a = e.doc_a AND itr.doc_b = e.doc_b
           |JOIN cnt ca ON ca.doc_id = e.doc_a JOIN cnt cb ON cb.doc_id = e.doc_b
           |ORDER BY e.doc_a, e.doc_b""".stripMargin),
+
+      // identical clustering semantics to d08; only the centroid
+      // rule differs (fixed k=64 via the id-range stride)
+      "d08_production" ->
+        """WITH RECURSIVE q AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, qv,
+          |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM q),
+          |cents AS (SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_nrm FROM n
+          |          WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0),
+          |scored AS (SELECT v.vec_id, v.qv, v.nrm, c.c_id,
+          |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+          |  FROM n v CROSS JOIN cents c),
+          |assign AS (SELECT vec_id, qv, nrm, c_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn FROM scored) t
+          |  WHERE crn = 1),
+          |cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          |  WHERE CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.3),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          |          UNION ALL SELECT doc_b, doc_a FROM cand),
+          |walk(node, reach) AS (
+          |  SELECT DISTINCT src, src AS reach FROM edges
+          |  UNION
+          |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+          |lab AS (SELECT node AS vec_id, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+          |SELECT vec_id, cluster_id, cluster_size, vec_id = cluster_id AS is_keeper
+          |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
 
       "d08_semantic_dedup" ->
         """WITH RECURSIVE q AS (SELECT vec_id,

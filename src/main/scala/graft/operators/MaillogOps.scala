@@ -56,21 +56,34 @@ object MaillogOps {
   private def parsedLogs(spark: SparkSession, dir: String): DataFrame =
     parsedCache.get((spark, dir)) match {
       case Some((df, _)) => df
-      case _ =>
-        parsedCache.snapshot().foreach { case (k @ (owner, _), _) =>
-          val dead = try owner.sparkContext.isStopped catch { case _: Throwable => true }
-          if (dead) dropEntry(k)
+      // the whole miss path (dead-session sweep + put + trim) runs
+      // under one lock: concurrent misses must not transiently exceed
+      // MaxSessionsPerDir or double-build the projection. Misses are
+      // rare (once per (session, dir)), so the lock is uncontended.
+      // An entry evicted while another thread is mid-query on the
+      // same DataFrame is safe in Spark (unpersist degrades to
+      // recompute) — accepted, the alternative is tracking active
+      // accessors for a cache whose cap is 4.
+      case _ => synchronized {
+        parsedCache.get((spark, dir)) match {
+          case Some((df, _)) => df
+          case _ =>
+            parsedCache.snapshot().foreach { case (k @ (owner, _), _) =>
+              val dead = try owner.sparkContext.isStopped catch { case _: Throwable => true }
+              if (dead) dropEntry(k)
+            }
+            val df = Maillog.parsed(Maillog.synthesizeLines(spark, dir), Maillog.SynthYear)
+            parsedCache.put((spark, dir), (df, cacheTick.incrementAndGet()))
+            // cap survivors for this dir, oldest (lowest tick) first
+            val forDir = parsedCache.snapshot().filter(_._1._2 == dir).toSeq
+            if (forDir.size > MaxSessionsPerDir)
+              forDir.sortBy(_._2._2)
+                .dropRight(MaxSessionsPerDir)
+                .filterNot(_._1._1 eq spark)
+                .foreach(e => dropEntry(e._1))
+            df
         }
-        val df = Maillog.parsed(Maillog.synthesizeLines(spark, dir), Maillog.SynthYear)
-        parsedCache.put((spark, dir), (df, cacheTick.incrementAndGet()))
-        // cap survivors for this dir, oldest (lowest tick) first
-        val forDir = parsedCache.snapshot().filter(_._1._2 == dir).toSeq
-        if (forDir.size > MaxSessionsPerDir)
-          forDir.sortBy(_._2._2)
-            .dropRight(MaxSessionsPerDir)
-            .filterNot(_._1._1 eq spark)
-            .foreach(e => dropEntry(e._1))
-        df
+      }
     }
 
   /** Re-persist and materialize the shared corpus (benchmark warm-up

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition a real training-data
@@ -44,29 +44,73 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Range-bucket width for the two-phase prefix sums below: one
+    * bucket covers 65536 consecutive doc_ids, so the per-bucket
+    * offsets aggregate is ≥65536× smaller than the corpus. */
+  private val PrefixBucketWidth = 65536L
+
+  /** Distributed running sum of `value` per source in `order` order
+    * WITHOUT a whole-source window sort (a real pretraining corpus
+    * has a handful of mega-sources, so `Window.partitionBy("source")`
+    * would sort ~the entire corpus in a few tasks).
+    *
+    * Two-phase prefix sum: rows are range-bucketed by `bucket` — any
+    * monotone non-decreasing function of the leading order key, so
+    * bucket order is consistent with row order — the within-bucket
+    * running sum is a window partitioned by (source, bucket)
+    * [parallelism = sources × buckets, grows with the corpus], and
+    * the cross-bucket offsets are an exclusive running sum over the
+    * per-bucket TOTALS aggregate (bucket-width× smaller than the
+    * corpus; recurse the same trick if even that outgrows one task).
+    * The offsets join back on (source, bucket) hint-free — Catalyst
+    * broadcasts while the bucket table fits. Exact int64 sums make
+    * the two-phase result bit-identical to the single-window form at
+    * any bucket width (PartitionInvarianceSpec pins this). */
+  private def bucketedPrefixSum(df: DataFrame, bucket: Column,
+      order: Seq[Column], value: String, includeCurrent: Boolean,
+      outName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hi = if (includeCurrent) 0L else -1L
+    val b = df.withColumn("_bkt", bucket)
+    val wIn = Window.partitionBy(col("source"), col("_bkt"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, hi)
+    val inner = b.withColumn("_in", coalesce(sum(col(value)).over(wIn), lit(0L)))
+    val wOff = Window.partitionBy("source").orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col("source"), col("_bkt"))
+      .agg(sum(col(value)).as("_bt"))
+      .withColumn("_off", coalesce(sum(col("_bt")).over(wOff), lit(0L)))
+      .select(col("source"), col("_bkt"), col("_off"))
+    inner.join(offsets, Seq("source", "_bkt"))
+      .withColumn(outName, col("_off") + col("_in"))
+      .drop("_bkt", "_in", "_off", "_bt")
+  }
+
   /** p02: sequence packing — lay documents head-to-tail into
     * fixed-size token windows (the batch-construction step of an LLM
     * training pipeline; documents span bin boundaries, GPT-style).
-    * Packing order is (source, doc_id): a partitioned running sum
-    * gives each document its global token offset within its source
-    * stream, and integer division by the context length yields the
-    * bin. One partitioned window, pure integer arithmetic — scales
-    * as one shuffle on `source` and reproduces bit-for-bit in the
-    * oracle. */
+    * Packing order is (source, doc_id): the bucketed two-phase
+    * prefix sum gives each document its global token offset within
+    * its source stream, and integer division by the context length
+    * yields the bin — parallel even for a single-mega-source corpus,
+    * pure integer arithmetic, bit-for-bit in the oracle. */
   /** p02's packing WITHOUT the presentation sort — consumed by p10
     * (EliminateSorts cannot remove a Sort below p10's explode
     * Generate, so inheriting p02's orderBy would range-shuffle the
     * whole packed table for nothing). */
   private def packCore(spark: SparkSession, dir: String,
-                       contextLen: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+                       contextLen: Long): DataFrame =
+    packTokens(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens")),
+      contextLen)
+
+  /** The packing over any (doc_id, source, n_tokens) frame — also
+    * driven at replicated single-source scale by [[graft.Stress]]. */
+  private[graft] def packTokens(docs: DataFrame, contextLen: Long): DataFrame =
+    bucketedPrefixSum(docs, expr(s"doc_id div $PrefixBucketWidth"),
+        Seq(col("doc_id")), "n_tokens", includeCurrent = false, "start_tok")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         // integer division (`div`), not double-divide-then-cast:
         // exact at any magnitude, and identical to DuckDB's `//` for
@@ -74,7 +118,6 @@ object Pipeline {
         // floors — they differ on negatives)
         expr(s"start_tok div $contextLen").as("bin_id"),
         (col("start_tok") % contextLen).as("bin_offset"))
-  }
 
   def p02SequencePack(spark: SparkSession, dir: String,
                       contextLen: Long = 2048L): DataFrame =
@@ -85,26 +128,26 @@ object Pipeline {
     * the budget (the mixture-construction step: every source gets a
     * fixed token allowance, filled best-first).
     *
-    * Plan shape: t02's per-row quality scores (no shuffle) feed ONE
-    * window partitioned by source ordered by (quality desc, doc_id)
-    * — a single shuffle on `source`; the cumulative token count is a
-    * running sum inside that window and the budget test is a per-row
-    * filter. Sources are the natural parallelism unit; a pathological
-    * single mega-source would call for the p02-style bucketed
-    * prefix-sum instead.
+    * Plan shape: t02's per-row quality scores (no shuffle) feed the
+    * bucketed two-phase prefix sum in (quality desc, doc_id) order —
+    * the bucket is `floor((1-quality)·256)`, a monotone
+    * NON-INCREASING map of quality, so ascending bucket order is
+    * consistent with descending quality order; the cumulative token
+    * count is exact int64 and the budget test a per-row filter. A
+    * single mega-source stays 256-way parallel instead of one
+    * whole-source sort task.
     */
   def p03TokenBudget(spark: SparkSession, dir: String,
                      budget: Long = 500L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val qual = TextAnalysis.t02Quality(spark, dir)
       .select(col("doc_id"), col("nt").as("n_tokens"), col("quality"))
-    val w = Window.partitionBy("source")
-      .orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("source"))
-      .join(qual, "doc_id")
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val joined = docs.select(col("doc_id"), col("source")).join(qual, "doc_id")
+    bucketedPrefixSum(joined,
+        least(lit(255L), greatest(lit(0L),
+          floor((lit(1.0) - col("quality")) * 256).cast("long"))),
+        Seq(col("quality").desc, col("doc_id")), "n_tokens",
+        includeCurrent = true, "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
       .orderBy("doc_id")

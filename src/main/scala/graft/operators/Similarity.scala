@@ -24,10 +24,9 @@ object Similarity {
   private[operators] val CentroidStride = 50
 
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    OpCache.cached(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", qnorm2(col("qv")))
-      .persist() // query side + candidate side
+      .withColumn("nrm", qnorm2(col("qv")))) // query side + candidate side
 
   /** s01: brute-force cosine top-5 for every 20th vector as query. */
   def s01AnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -60,7 +59,14 @@ object Similarity {
 
   /** s02: LSH-bucketed ANN — candidates share the query's bucket. */
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = quantized(spark, dir).withColumn("bucket", bucketCol(col("qv")))
+    // the bucket projection goes INSIDE the cached frame: computing
+    // it above the columnar cache scan on both self-join sides trips
+    // a Spark attribute-rebinding bug (ArrayIndexOutOfBounds in the
+    // generated cache iterator) when this query materializes the
+    // cache first — and caching the derived frame is what every
+    // other self-join operator does anyway
+    val e = OpCache.cached(
+      quantized(spark, dir).withColumn("bucket", bucketCol(col("qv"))))
     val qs = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("qv_q"),
         col("nrm").as("nq"), col("bucket"))
@@ -77,6 +83,37 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Production centroid count: fixed k, independent of corpus size.
+    * The oracle-parity every-[[CentroidStride]]th rule makes k grow
+    * as n/50 — at the 100 TB design point that is an impossible
+    * centroid broadcast and an n²/50 assignment. With fixed k the
+    * broadcast is constant-size and assignment is n×k — linear in
+    * the corpus ([[graft.Stress]] probes this). 64 suits the test
+    * corpus; a production deployment sets k in the thousands
+    * (FAISS-style nlist) and can grow it ~√n. */
+  private[operators] val ProductionK = 64L
+
+  /** Bounded-k centroids: stride = max_id div k + 1 guarantees at
+    * most k ids in [0, max_id] are divisible by the stride — the
+    * same deterministic every-Nth "training" rule, with N derived
+    * from the id range instead of hardcoded. The stride is a
+    * broadcast single-row cross join (the q19 above-avg pattern), so
+    * the rule stays one distributed plan, no driver-side count. */
+  private[graft] def boundedCents(e: DataFrame, k: Long = ProductionK): DataFrame = {
+    // integer `div`, not double-divide-then-cast: exact at any id
+    // magnitude, identical to DuckDB's `//` for non-negative ids
+    val stride = e.agg(max(col("vec_id")).as("mx"))
+      .select((expr(s"mx div $k") + lit(1L)).as("stride"))
+    e.crossJoin(broadcast(stride))
+      .filter(col("vec_id") % col("stride") === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+  }
+
+  /** Oracle-parity centroids: every [[CentroidStride]]th vector. */
+  private[graft] def strideCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+
   /** s03: IVF-style ANN — every 50th vector serves as a centroid
     * (deterministic "training"), vectors are assigned to their
     * best-cosine cell, queries probe their top-2 cells and rank the
@@ -85,16 +122,26 @@ object Similarity {
     * join shuffles on cell id — the IVF scale shape. */
   def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir)
-    val cents = e.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    ivfCore(e, strideCents(e))
+  }
+
+  /** s03 on the PRODUCTION centroid rule (fixed k — see
+    * [[boundedCents]]): the plan a 100 TB deployment runs. Same
+    * search semantics, constant-size centroid broadcast, linear
+    * assignment. */
+  def s03Production(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    ivfCore(e, boundedCents(e))
+  }
+
+  private def ivfCore(e: DataFrame, cents: DataFrame): DataFrame = {
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("qv"), col("nrm"), col("c_id"),
         qcos(qdot(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")).as("c_cos"))
     val byCell = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
     val ranked = scored.withColumn("crn", row_number().over(byCell))
-    val assign = ranked.filter(col("crn") === 1)
-      .select(col("vec_id"), col("qv"), col("nrm"), col("c_id").as("cell"))
-      .persist()
+    val assign = OpCache.cached(ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("c_id").as("cell")))
     val probes = ranked.filter(col("vec_id") % 20 === 0 && col("crn") <= 2)
       .select(col("vec_id").as("q_id"), col("qv").as("qv_q"),
         col("nrm").as("nq"), col("c_id").as("cell"))
@@ -303,6 +350,27 @@ object Similarity {
           |  FROM cands cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.cand_id)
           |SELECT q_id, rank, cand_id, adc, cos FROM (
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM rr) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      // identical search semantics to s03; only the centroid rule
+      // differs (fixed k=64 via the id-range stride)
+      "s03_production" ->
+        ("WITH " + qCte + """,
+          |cents AS (SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_nrm FROM n
+          |          WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0),
+          |scored AS (SELECT v.vec_id, v.qv, v.nrm, c.c_id,
+          |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+          |  FROM n v CROSS JOIN cents c),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn FROM scored),
+          |assign AS (SELECT vec_id, qv, nrm, c_id AS cell FROM ranked WHERE crn = 1),
+          |probes AS (SELECT vec_id AS q_id, qv AS qv_q, nrm AS nq, c_id AS cell FROM ranked WHERE vec_id % 20 = 0 AND crn <= 2),
+          |cands AS (SELECT p.q_id, p.cell, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(p.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(p.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id <> a.vec_id)
+          |SELECT q_id, rank, cand_id, cell, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM cands) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
       "s03_ann_ivf" ->

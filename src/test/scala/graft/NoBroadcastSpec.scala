@@ -27,7 +27,12 @@ class NoBroadcastSpec extends SparkSpec {
                    // round 3: q29's cohort map is O(users), q30's
                    // spine cross-join degrades to a cartesian, q31's
                    // median/MAD joins flip to shuffles
-                   "q29_retention", "q30_gap_fill", "q31_mad_outliers")) {
+                   "q29_retention", "q30_gap_fill", "q31_mad_outliers",
+                   // round 4: the rank-vocabulary term→id join is
+                   // hint-free (the vocab grows with the corpus) —
+                   // d02 exercises it through signatures, d03 through
+                   // simhashes
+                   "d02_minhash_lsh", "d03_simhash")) {
     test(s"$name: identical results with broadcasting disabled") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))

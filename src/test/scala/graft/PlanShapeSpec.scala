@@ -112,10 +112,13 @@ class PlanShapeSpec extends SparkSpec {
 
   test("p10 consumes the sortless packing core (no inherited range sort)") {
     val df = Pipeline.p10PackBoundaries(spark, sf)
-    // p02's window exchange + the final presentation sort; inheriting
-    // p02's orderBy would add a third (range) exchange under the
-    // explode, which EliminateSorts cannot remove
-    assert(shuffles(df) == 2, "p10 re-inherited p02's presentation sort")
+    // the two-phase prefix sum costs exactly 4 exchanges: the
+    // (source,bucket) window, the per-bucket totals groupBy, the
+    // offsets window over that tiny aggregate, and the final
+    // presentation sort; inheriting p02's orderBy would add a FIFTH
+    // (range) exchange under the explode, which EliminateSorts
+    // cannot remove
+    assert(shuffles(df) == 4, "p10 re-inherited p02's presentation sort")
   }
 
   test("no query plans an unpartitioned window over table data") {
