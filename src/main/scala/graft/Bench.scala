@@ -46,26 +46,34 @@ object Bench {
     // median of 3 timed passes after one warm pass (±30% run-to-run
     // variance on this box makes single timings meaningless). A
     // failing query reports -1 (and stderr), never a fake time.
+    // Per-pass times (warm pass included, first) are emitted in the
+    // artifact so an outlier pass — a cold recompute where the warm
+    // cache should have been reused — is visible instead of silently
+    // inflating the median (the r3 d02 7.4s-vs-0.8s bimodality).
     val results = headline.map { name =>
       prepare(name)
-      timeOnce(name) // warm this query's codegen/broadcast paths
+      val warm = timeOnce(name) // warm this query's codegen/broadcast paths
       val times = Seq(timeOnce(name), timeOnce(name), timeOnce(name)).flatten
       // median of exactly 3 passes; ANY failed pass reports -1 rather
       // than a statistic over the survivors (a min-of-two would let a
       // flaky-slow query masquerade as fast and break cross-round
       // comparability)
       val t = if (times.length < 3) -1.0 else times.sorted.apply(1)
-      // operators persist() self-join inputs; drop them so later
-      // queries aren't timed against a polluted block manager
+      // operators register self-join inputs in the bounded OpCache;
+      // drop them so later queries aren't timed against a polluted
+      // block manager
+      graft.operators.OpCache.release(spark)
       spark.catalog.clearCache()
-      name -> t
+      (name, t, (warm.toSeq ++ times).map(x => f"$x%.3f"))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val pp = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
     // failures (-1 sentinels) must not shrink the total they failed in
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
