@@ -109,15 +109,26 @@ object EventStream {
     override def handleInputRows(user: Long, rows: Iterator[SessEvent],
                                  timerValues: TimerValues): Iterator[SessionRow] = {
       var maxUs = Long.MinValue
+      var minUs = Long.MaxValue
       rows.foreach { e =>
         val us = micros(e.ts)
         maxUs = math.max(maxUs, us)
+        minUs = math.min(minUs, us)
         buf.appendValue(BufEvent(us, e.event_id, e.event_type))
       }
       // +1 ms: closable is STRICT (an event exactly at the watermark
       // with t − L == gap still extends the session)
-      if (maxUs != Long.MinValue)
+      if (maxUs != Long.MinValue) {
         getHandle.registerTimer(Math.floorDiv(maxUs, 1000) + GapUs / 1000 + 1)
+        // ALSO fire at the batch's earliest possible close point: a
+        // batch spanning several sessions would otherwise hold its
+        // closable prefix until the watermark passes the LAST
+        // session's end+gap — correct but with emission latency (and
+        // buffered-state residency) growing with the user's in-batch
+        // time span
+        if (minUs != maxUs)
+          getHandle.registerTimer(Math.floorDiv(minUs, 1000) + GapUs / 1000 + 1)
+      }
       Iterator.empty
     }
 
@@ -194,12 +205,96 @@ object EventStream {
     * state — it is not emittable under Append until its close
     * arrives, which is the CDC contract (emit on change).
     *
-    * State is O(users) × one small tuple; no timers, so the
-    * processor runs in TimeMode.None and never blocks an
-    * AvailableNow drain. In-batch disorder is absorbed by the
-    * (ts, event_id) sort; cross-batch disorder follows the source's
-    * watermark discipline (same caveat as sessionize). */
+    * Correct under ALLOWED LATENESS, same discipline as
+    * [[SessionizeProcessor]]: events are only BUFFERED in
+    * `handleInputRows` (an eager apply would emit an inverted
+    * interval — valid_to < valid_from — and wrong versions when a
+    * later micro-batch delivers an earlier-timestamped event), and
+    * transitions are applied exclusively in `handleExpiredTimer` for
+    * the buffer prefix the watermark has passed: an event at t is
+    * applied only once t < watermark, when no in-flight event can
+    * sort before it (future events all have t' ≥ watermark, and the
+    * (us, event_id) tie-break needs t strictly below). Buffered
+    * state is O(events within lateness of the frontier) per user;
+    * the applied-state tuple is O(1). Emission latency for a closed
+    * interval is the watermark delay past its closing event. */
   private[streaming] class Scd2Processor
+      extends StatefulProcessor[Long, SessEvent, ScdRow] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
+    @transient private var open: ValueState[OpenScd] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState("scdbuf", Encoders.product[BufEvent],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      open = getHandle.getValueState("open", Encoders.product[OpenScd],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+                                 timerValues: TimerValues): Iterator[ScdRow] = {
+      var maxUs = Long.MinValue
+      var minUs = Long.MaxValue
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        maxUs = math.max(maxUs, us)
+        minUs = math.min(minUs, us)
+        buf.appendValue(BufEvent(us, e.event_id, e.event_type))
+      }
+      // +1 ms: applicable is STRICT (us < watermark); fire at the
+      // batch min too so an early prefix flushes as soon as the
+      // watermark allows, not only after it passes the batch max
+      if (maxUs != Long.MinValue) {
+        getHandle.registerTimer(Math.floorDiv(maxUs, 1000) + 1)
+        if (minUs != maxUs)
+          getHandle.registerTimer(Math.floorDiv(minUs, 1000) + 1)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[ScdRow] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs * 1000
+      val events = {
+        val it = buf.get()
+        val b = Seq.newBuilder[BufEvent]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }.sortBy(e => (e.us, e.event_id))
+      if (events.isEmpty) return Iterator.empty
+      val (apply, hold) = events.partition(_.us < wmUs)
+      if (apply.isEmpty) return Iterator.empty
+      var cur = Option(open.get())
+      val out = Seq.newBuilder[ScdRow]
+      apply.foreach { e =>
+        cur match {
+          case Some(s) if s.state == e.event_type => () // consecutive dup
+          case Some(s) =>
+            out += ScdRow(user, s.version, s.state,
+              tsOfMicros(s.startUs), tsOfMicros(e.us))
+            cur = Some(OpenScd(s.version + 1, e.event_type, e.us))
+          case None =>
+            cur = Some(OpenScd(1L, e.event_type, e.us))
+        }
+      }
+      cur.foreach(open.update)
+      buf.clear()
+      if (hold.nonEmpty) buf.put(hold.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** ORDERED-INPUT SCD2: applies transitions eagerly with no
+    * buffering. Cross-batch event-time order is a HARD PRECONDITION
+    * (a CDC source emitting per-key ordered changes); an event older
+    * than the open interval's start is DROPPED — never applied — so
+    * a contract violation degrades to a lost transition, not an
+    * inverted interval (valid_to < valid_from) with corrupted
+    * versions. Runs in TimeMode.None: no watermark floor, so
+    * pre-1970 instants work (Spark's event-time path drops any row
+    * below the initial epoch-0 watermark, which makes [[scd2]]
+    * unusable for sub-epoch data). Prefer [[scd2]] for sources with
+    * bounded disorder. */
+  private[streaming] class Scd2OrderedProcessor
       extends StatefulProcessor[Long, SessEvent, ScdRow] {
     @transient private var open: ValueState[OpenScd] = _
 
@@ -215,6 +310,7 @@ object EventStream {
       sorted.foreach { e =>
         val us = micros(e.ts)
         cur match {
+          case Some(s) if us < s.startUs => () // stale: drop, never invert
           case Some(s) if s.state == e.event_type => () // consecutive dup
           case Some(s) =>
             out += ScdRow(user, s.version, s.state,
@@ -229,10 +325,9 @@ object EventStream {
     }
   }
 
-  /** Maintain a type-2 dimension from an event stream: emits each
-    * interval as it CLOSES. Replaying a stream yields exactly the
-    * batch q32 rows with non-null valid_to (spec-asserted). */
-  def scd2(events: DataFrame): Dataset[ScdRow] = {
+  /** [[Scd2OrderedProcessor]] as a query — ordered sources / pre-1970
+    * data only; see its contract note. */
+  def scd2Ordered(events: DataFrame): Dataset[ScdRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     MaillogStream.useRocksDbStateStore(spark)
@@ -242,7 +337,26 @@ object EventStream {
         col("ts"), col("event_type"))
       .as[SessEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new Scd2Processor,
+      .transformWithState(new Scd2OrderedProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Maintain a type-2 dimension from an event stream: emits each
+    * interval as it CLOSES, once the watermark passes the closing
+    * event. Replaying a stream (with the watermark advanced past the
+    * final transition) yields exactly the batch q32 rows with
+    * non-null valid_to (spec-asserted). */
+  def scd2(events: DataFrame, watermark: String = "0 seconds"): Dataset[ScdRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    MaillogStream.useRocksDbStateStore(spark)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts"), col("event_type"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

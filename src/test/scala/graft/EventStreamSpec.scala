@@ -222,7 +222,17 @@ class EventStreamSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val dir = Files.createTempDirectory("evscd").toString
-    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val batchEvents = Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+    // sentinel advances the watermark past every real transition so
+    // the buffered prefix flushes; the final OPEN intervals stay open
+    // (exactly the null-valid_to rows the compare excludes)
+    val maxTs = batchEvents.agg(max("ts")).first().getTimestamp(0)
+    batchEvents.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)))
+      .write.mode("append").parquet(dir)
     val streamed = spark.readStream
       .schema(spark.read.parquet(dir).schema).parquet(dir)
     val q = EventStream.scd2(streamed)
@@ -232,7 +242,7 @@ class EventStreamSpec extends SparkSpec {
       .start()
     q.awaitTermination()
 
-    val got = spark.table("scd")
+    val got = spark.table("scd").filter($"user_id" >= 0)
       .select($"user_id", $"version", $"state", $"valid_from", $"valid_to")
       .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp)]
       .collect().sortBy(r => (r._1, r._2))
@@ -275,18 +285,100 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 0,
       "no state change yet — nothing may be emitted")
     // run 2 (same checkpoint): another dup, THEN a change — the
-    // closed interval must span back to the FIRST batch's open
+    // closed interval must span back to the FIRST batch's open; the
+    // sentinel advances the watermark past the closing click
     writeBatch(Seq(
       (9L, 3L, ts("2024-01-01 00:10:00"), "view"),
-      (9L, 4L, ts("2024-01-01 00:20:00"), "click")))
+      (9L, 4L, ts("2024-01-01 00:20:00"), "click"),
+      (-1L, 5L, ts("2024-01-01 01:00:00"), "view")))
     runOnce()
-    val rows = spark.read.parquet(out)
+    val rows = spark.read.parquet(out).filter($"user_id" === 9L)
       .select($"user_id", $"version", $"state", $"valid_from", $"valid_to")
       .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp)]
       .collect()
     assert(rows.toSeq === Seq(
       (9L, 1L, "view", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:20:00"))),
       "one closed interval, version 1, spanning both batches")
+  }
+
+  test("SCD2 absorbs cross-batch disorder inside the watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("scdooo").toString
+    val ckpt = Files.createTempDirectory("scdooo-ckpt").toString
+    val out = Files.createTempDirectory("scdooo-out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(Long, Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .repartition(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = EventStream.scd2(streamed, watermark = "10 minutes").toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: the LATER event arrives first
+    writeBatch(Seq((11L, 2L, ts("2024-01-01 00:10:00"), "click")))
+    runOnce()
+    // batch 2: an EARLIER event lands within the 10-minute lateness —
+    // the eager (unbuffered) design emitted an inverted interval
+    // here; the buffered design must order it before the click
+    writeBatch(Seq(
+      (11L, 1L, ts("2024-01-01 00:05:00"), "view"),
+      (11L, 3L, ts("2024-01-01 00:20:00"), "purchase"),
+      (-1L, 9L, ts("2024-01-01 01:00:00"), "view")))
+    runOnce()
+    val rows = spark.read.parquet(out).filter($"user_id" === 11L)
+      .select($"version", $"state", $"valid_from", $"valid_to")
+      .as[(Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, "view", ts("2024-01-01 00:05:00"), ts("2024-01-01 00:10:00")),
+      (2L, "click", ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00"))),
+      "the late view must sort before the click — no inverted interval")
+  }
+
+  test("ordered SCD2 drops a stale event instead of inverting the interval") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("scdstale").toString
+    val ckpt = Files.createTempDirectory("scdstale-ckpt").toString
+    val out = Files.createTempDirectory("scdstale-out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(Long, Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .repartition(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = EventStream.scd2Ordered(streamed).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch(Seq((12L, 2L, ts("2024-01-01 00:10:00"), "click")))
+    runOnce()
+    // violates the ordered-input contract: must be DROPPED (lost
+    // transition), never applied as an inverted close
+    writeBatch(Seq(
+      (12L, 1L, ts("2024-01-01 00:05:00"), "view"),
+      (12L, 3L, ts("2024-01-01 00:20:00"), "purchase")))
+    runOnce()
+    val rows = spark.read.parquet(out).filter($"user_id" === 12L)
+      .select($"version", $"state", $"valid_from", $"valid_to")
+      .as[(Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, "click", ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00"))),
+      "stale view dropped; click interval closes cleanly at the purchase")
   }
 
   test("SCD2 orders and round-trips pre-1970 fractional-second instants") {
@@ -301,14 +393,17 @@ class EventStreamSpec extends SparkSpec {
       (3L, 3L, tsMs(1500L), "purchase"))
       .toDF("user_id", "event_id", "ts", "event_type")
       .repartition(1).write.mode("append").parquet(dir)
-    val q = EventStream.scd2(spark.readStream
+    // the ORDERED variant: Spark's event-time path drops rows below
+    // the initial epoch-0 watermark, so pre-1970 instants can only
+    // ride the TimeMode.None processor
+    val q = EventStream.scd2Ordered(spark.readStream
         .schema(spark.read.parquet(dir).schema).parquet(dir))
       .writeStream.outputMode("append")
       .format("memory").queryName("scdneg")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val rows = spark.table("scdneg")
+    val rows = spark.table("scdneg").filter($"user_id" === 3L)
       .select($"version", $"state", $"valid_from", $"valid_to")
       .as[(Long, String, java.sql.Timestamp, java.sql.Timestamp)]
       .collect().sortBy(_._1)
