@@ -36,7 +36,11 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
   * against a multi-GB existing log drains it in bounded buffers
   * instead of one giant allocation. A single LINE larger than a chunk
   * (broken input for a line protocol) is force-split with a warning
-  * rather than livelocking.
+  * rather than livelocking. The split is silent IN THE DATA: each
+  * MaxChunk fragment is emitted as its own record with no marker
+  * (adding one would alter byte-exact passthrough for consumers that
+  * reassemble); detect fragmentation by record length == MaxChunk,
+  * or watch for the rate-limited "split" warning category.
   *
   * Disk: spool files duplicate the tailed data, so each poll sweeps
   * spool files older than `retentionMs` (default 24 h). The retention
@@ -62,7 +66,10 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L,
   private var seq: Long = 0L
   private var lastSweepMs: Long = 0L
   private[graft] var sweepIntervalMs: Long = 60000L // test hook
-  private var lastWarnMs: Long = 0L
+  // per-CATEGORY warn clocks: a once-a-minute global limit let an
+  // earlier unrelated warning swallow a line-split event entirely
+  private val lastWarnMs = scala.collection.mutable.Map.empty[String, Long]
+  private val suppressed = scala.collection.mutable.Map.empty[String, Long]
   @volatile private var closed = false
   private var thread: Option[Thread] = None
 
@@ -74,14 +81,20 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L,
         .fileKey()))
     catch { case _: java.io.IOException => None }
 
-  /** Rate-limited (1/min) stderr diagnostics: a permanently unreadable
-    * file must not look identical to an idle one. */
-  private def warn(msg: String): Unit = {
+  /** Rate-limited (1/min PER CATEGORY) stderr diagnostics: a
+    * permanently unreadable file must not look identical to an idle
+    * one, and a rare event (line split) must never be masked by an
+    * earlier unrelated warning inside the same minute. Suppressed
+    * repeats are counted and reported with the next emit. */
+  private def warn(cat: String, msg: String): Unit = {
     val now = System.currentTimeMillis()
-    if (now - lastWarnMs >= 60000L) {
-      lastWarnMs = now
-      System.err.println(s"[graft-tailer $path] $msg")
-    }
+    if (now - lastWarnMs.getOrElse(cat, 0L) >= 60000L) {
+      lastWarnMs(cat) = now
+      val extra = suppressed.getOrElse(cat, 0L)
+      suppressed(cat) = 0L
+      val tail = if (extra > 0) s" (+$extra suppressed)" else ""
+      System.err.println(s"[graft-tailer $path] $msg$tail")
+    } else suppressed(cat) = suppressed.getOrElse(cat, 0L) + 1
   }
 
   private def loadState(): Unit = {
@@ -176,7 +189,7 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L,
       if (cut == 0 && n == MaxChunk) {
         // a single line larger than the chunk: force-split rather
         // than buffering without bound or spinning forever
-        warn(s"line exceeds $MaxChunk bytes; splitting")
+        warn("split", s"line exceeds $MaxChunk bytes; splitting")
         cut = n
       }
       if (cut > 0) {
@@ -243,12 +256,12 @@ class FileTailer(path: String, spoolDir: String, pollMs: Long = 500L,
         try poll()
         catch {
           case e: java.io.IOException =>
-            warn(s"poll IO error (will retry): ${e.getMessage}")
+            warn("io", s"poll IO error (will retry): ${e.getMessage}")
           case _: InterruptedException => closed = true
           case e: Throwable =>
             // never let an unexpected error silently kill the tail
             // thread while the daemon's queries look healthy
-            warn(s"poll error (will retry): $e")
+            warn("poll", s"poll error (will retry): $e")
         }
         try Thread.sleep(pollMs)
         catch { case _: InterruptedException => closed = true }

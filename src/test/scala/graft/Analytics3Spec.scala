@@ -83,6 +83,38 @@ class Analytics3Spec extends SparkSpec {
     }
   }
 
+  test("qa01: HLL and quantile sketches drift-bounded against exact aggregates") {
+    // the rows-only driver key gets a hard accuracy signal: per
+    // event_type, approx_count_distinct (rsd 0.02) must track the
+    // exact distinct-user count and percentile_approx (accuracy 1000)
+    // the exact interpolated median — same treatment qa02 gets vs q31
+    import org.apache.spark.sql.functions._
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"),
+        expr("percentile(value, 0.5)").as("p50"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("users"), r.getAs[Double]("p50"), r.getAs[Long]("n"))).toMap
+    val approx = graft.operators.Analytics2.qa01ApproxSketches(spark, sf).collect()
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val (users, p50, n) = exact(r.getAs[String]("event_type"))
+      // rsd 0.02 ⟹ ±6% is 3 standard deviations
+      assert(math.abs(r.getAs[Long]("approx_users") - users) <=
+        math.max(0.06 * users, 3).toLong,
+        s"approx_users drifted: got ${r.getAs[Long]("approx_users")}, exact $users")
+      // accuracy 1000 ⟹ rank error ≤ n/1000; the sketch returns a
+      // data value, so compare against the exact median with a
+      // 5%-relative / 0.5-absolute envelope
+      assert(math.abs(r.getAs[Double]("approx_p50") - p50) <=
+        math.max(0.05 * math.abs(p50), 0.5),
+        s"approx_p50 drifted: got ${r.getAs[Double]("approx_p50")}, exact $p50")
+      assert(r.getAs[Long]("n") === n)
+    }
+  }
+
   test("q32: state intervals are contiguous, alternating, single-current") {
     val byUser = Analytics3.q32Scd2(spark, sf).collect()
       .groupBy(_.getAs[Long]("user_id"))

@@ -60,19 +60,24 @@ def values_equal(a, b):
     if isinstance(a, numbers.Number) and isinstance(b, numbers.Number):
         fa, fb = float(a), float(b)
         return fa == fb or (math.isnan(fa) and math.isnan(fb))
+    # array cells (a LIST-valued oracle column): `a == b` would return
+    # an elementwise array whose truthiness raises and kills the whole
+    # gate — compare as plain lists, element by element. This runs
+    # BEFORE the cross-type name guard: a numpy ndarray on one side vs
+    # a plain list/tuple on the other (possible across duckdb/pandas
+    # versions) is a representation difference, not engine type drift,
+    # and the guard would otherwise red the gate on an environment bump
+    if (hasattr(a, "tolist") or isinstance(a, (list, tuple))) and (
+            hasattr(b, "tolist") or isinstance(b, (list, tuple))):
+        la = a.tolist() if hasattr(a, "tolist") else list(a)
+        lb = b.tolist() if hasattr(b, "tolist") else list(b)
+        return len(la) == len(lb) and all(
+            values_equal(x, y) for x, y in zip(la, lb))
     # cross-type equality (e.g. "42" vs 42) must FAIL: type drift
     # between engines is exactly what this gate exists to catch
     if type(a).__name__ != type(b).__name__ and not (
             hasattr(a, "isoformat") and hasattr(b, "isoformat")):
         return False
-    # array cells (a LIST-valued oracle column): `a == b` would return
-    # an elementwise array whose truthiness raises and kills the whole
-    # gate — compare as plain lists, element by element
-    if hasattr(a, "tolist") or isinstance(a, (list, tuple)):
-        la = a.tolist() if hasattr(a, "tolist") else list(a)
-        lb = b.tolist() if hasattr(b, "tolist") else list(b)
-        return len(la) == len(lb) and all(
-            values_equal(x, y) for x, y in zip(la, lb))
     return a == b
 
 
