@@ -115,6 +115,7 @@ object SparkEntry {
     "q33_snapshot_diff" -> (Analytics3.q33SnapshotDiff _),
     "qa02_approx_robust" -> (Analytics3.qa02ApproxRobust _),
     "d13_norm_dedup" -> (Dedup.d13NormDedup _),
+    "d14_dup_span_pairs" -> (Dedup.d14DupSpanPairs _),
     "s07_range_search" -> (Similarity.s07RangeSearch _),
     "mm04_frame_dedup" -> (Multimodal.mm04FrameDedup _),
     "p10_pack_boundaries" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p10PackBoundaries(s, d)),

@@ -52,6 +52,13 @@ object Stress {
     val dedupFirst = NearDupStream.batchCandidates(keepers)
     val nPairs2 = time("dedup-first candidates")(dedupFirst.count())
 
+    // variable-length verbatim spans (d14) on the deduped keepers:
+    // replicas would pair quadratically (every replica shares its
+    // FULL text with every other), so the dedup-first ordering is
+    // what keeps the seed join linear — same lesson as banding above
+    val nSpan = time("span pairs (dedup-first)")(
+      graft.operators.Dedup.spanPairsFrom(keepers).count())
+
     // semantic (embedding-space) dedup under the same replication:
     // every replica is cosine-1.0 identical to its original, so cell
     // occupancy grows mult× and the within-cell verify must absorb a
@@ -77,6 +84,7 @@ object Stress {
     val eq = evecs.select(col("vec_id"),
         graft.functions.TextFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", graft.functions.TextFns.qnorm2(col("qv"))).persist()
+    eq.count() // materialize OUTSIDE the timed region (both rules share it)
     time("assign bounded-k")(
       graft.operators.Dedup.cellAssignment(eq,
         graft.operators.Similarity.boundedCents(eq)).count())
@@ -119,7 +127,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"packed":$nPack,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"packed":$nPack,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

@@ -400,6 +400,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d14: MAXIMAL verbatim shared spans — the variable-length
+    * generalization of d10's fixed-8-token screen (the
+    * suffix-array-style "dedup training data" measurement, e.g. Lee
+    * et al. 2021, computed with relational algebra instead of a
+    * suffix array): for every document pair, every maximal token
+    * span ≥ 12 tokens that appears verbatim in both.
+    *
+    * Seed-and-extend on the diagonal: a shared verbatim span of
+    * length L ≥ 8 contains L−7 matching 8-gram seed positions with
+    * the SAME position offset (diagonal = pos_a − pos_b), so maximal
+    * spans are exactly the maximal runs of consecutive seed
+    * positions per (doc_a, doc_b, diagonal) — the gaps-and-islands
+    * trick (pos − row_number) merges each run in one partitioned
+    * window, and run_len + 7 recovers the span length.
+    *
+    * Scale shape: seeds with occurrence count > 50 are screened out
+    * BEFORE the pair join (boilerplate 8-grams would make the join
+    * quadratic; a span whose EVERY seed is that common is boilerplate
+    * by definition — d10/t07 measure those). What remains joins on
+    * the seed equi-key exactly like d04/d06, and the island window
+    * partitions by (pair, diagonal) — thin slices of the match
+    * table, never the corpus. */
+  def d14DupSpanPairs(spark: SparkSession, dir: String): DataFrame =
+    spanPairsFrom(Tables.documents(spark, dir))
+
+  /** d14's core over any (doc_id, text) frame — also driven at
+    * replicated scale by [[graft.Stress]]. */
+  private[graft] def spanPairsFrom(docs: DataFrame, minSpan: Int = 12,
+                                   maxSeedFreq: Long = 50L): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val seeds = OpCache.cached(toks.filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 7),
+        i => struct(i.cast("long").as("pos"),
+          concat_ws(" ", (0 until 8).map(k => element_at(col("t"), i + k)): _*).as("term"))))
+        .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.term").as("term")))
+    val freq = seeds.groupBy("term").agg(count(lit(1)).as("f"))
+    val ok = seeds.join(freq, "term").filter(col("f") <= maxSeedFreq)
+      .select("doc_id", "pos", "term")
+    val pr = ok.as("a").join(ok.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("ia"), col("b.pos").as("ib"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    pr.withColumn("grp", col("ia") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min(col("ia")).as("a_start"), min(col("ib")).as("b_start"),
+        (count(lit(1)) + 7).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+  }
+
   /** d11: LSH estimate quality — for every d02 candidate pair, the
     * MinHash-estimated Jaccard next to the EXACT shingle Jaccard and
     * the signed estimation error: the calibration measurement that
@@ -580,6 +634,27 @@ object Dedup {
           |  CAST(CAST(COALESCE(SUM(CASE WHEN df >= 2 THEN 1 END), 0) AS BIGINT) AS DOUBLE) / COUNT(*) AS dup_span_ratio
           |FROM sh JOIN dfreq USING (term)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "d14_dup_span_pairs" ->
+        """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+          |sd AS (SELECT doc_id, i AS pos,
+          |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS term
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+          |        FROM tk WHERE len(t) >= 8) x),
+          |cf AS (SELECT term, COUNT(*) AS f FROM sd GROUP BY term),
+          |ok AS (SELECT sd.doc_id, sd.pos, sd.term FROM sd JOIN cf USING (term) WHERE f <= 50),
+          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS ia, b.pos AS ib,
+          |         a.pos - b.pos AS diag
+          |       FROM ok a JOIN ok b ON a.term = b.term AND a.doc_id < b.doc_id),
+          |isl AS (SELECT *, ia - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS grp
+          |        FROM pr)
+          |SELECT doc_a, doc_b, CAST(MIN(ia) AS BIGINT) AS a_start,
+          |  CAST(MIN(ib) AS BIGINT) AS b_start,
+          |  CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+          |FROM isl GROUP BY doc_a, doc_b, diag, grp
+          |HAVING COUNT(*) + 7 >= 12
+          |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
 
       "d01_exact_dedup" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars

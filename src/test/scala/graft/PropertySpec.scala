@@ -14,6 +14,36 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new Random(20260812L)
 
+  test("d14 span pairs: maximal runs, no fragmentation, screen respected") {
+    // doc 1 and 2 share one verbatim 15-token span at different
+    // offsets; doc 3 shares nothing long enough. Tokens are unique
+    // words so the seed-frequency screen never trips.
+    val span = (1 to 15).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"one two three four $span"),
+      (3L, "totally different words with no overlap at all here okay"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.spanPairsFrom(docs).collect()
+    // ONE maximal span — the 8 seed matches on one diagonal merge
+    // into a single row (a fragmented result would list sub-spans)
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_a") === 1L)
+    assert(r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Long]("a_start") === 3L) // after "alpha beta"
+    assert(r.getAs[Long]("b_start") === 5L) // after "one two three four"
+    assert(r.getAs[Long]("span_tokens") === 15L)
+
+    // a random within-pair check: the reported span really is
+    // verbatim-equal token-for-token in both documents
+    val a = docs.filter($"doc_id" === 1L).head.getString(1).split("\\s+")
+    val b = docs.filter($"doc_id" === 2L).head.getString(1).split("\\s+")
+    val (as, bs, n) = (r.getAs[Long]("a_start").toInt - 1,
+      r.getAs[Long]("b_start").toInt - 1, r.getAs[Long]("span_tokens").toInt)
+    assert(a.slice(as, as + n).toSeq === b.slice(bs, bs + n).toSeq)
+  }
+
   test("asofJoin equals the naive per-row reference on random data") {
     val users = (1 to 8).map(u => s"u$u")
     val left = (1 to 150).map { i =>
