@@ -88,6 +88,7 @@ object SparkEntry {
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s03_production" -> (Similarity.s03Production _),
+    "s04_production" -> (Similarity.s04Production _),
     "d08_production" -> (Dedup.d08Production _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "s05_ann_recall" -> (Similarity.s05AnnRecall _),

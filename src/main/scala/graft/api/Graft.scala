@@ -185,10 +185,30 @@ class Graft(val spark: SparkSession, dir: String) {
   def streamingScd2(eventStream: DataFrame): Dataset[graft.streaming.EventStream.ScdRow] =
     graft.streaming.EventStream.scd2(eventStream)
 
+  /** ORDERED-source SCD2 (per-key ordered CDC input, pre-1970 safe;
+    * see `EventStream.scd2Ordered` for the contract). */
+  def streamingScd2Ordered(eventStream: DataFrame): Dataset[graft.streaming.EventStream.ScdRow] =
+    graft.streaming.EventStream.scd2Ordered(eventStream)
+
   /** Normalization-based fuzzy-exact duplicate groups (case /
     * punctuation / whitespace variants collapse). */
   def normDuplicates: Dataset[NormDupGroup] =
     Dedup.d13NormDedup(spark, dir).as[NormDupGroup]
+
+  /** Maximal verbatim token spans (≥ 12 tokens) shared between
+    * document pairs — the variable-length exact-substring dedup
+    * signal (d14). */
+  def sharedSpans: DataFrame = Dedup.d14DupSpanPairs(spark, dir)
+
+  /** Semantic dedup on the PRODUCTION centroid rule (fixed k —
+    * constant-size broadcast, linear assignment; see d08_production). */
+  def semanticDedupProduction: Dataset[SemCluster] =
+    Dedup.d08Production(spark, dir).as[SemCluster]
+
+  /** Release this session's operator-scoped caches (job-server
+    * hygiene; see [[graft.operators.OpCache]]). Results stay correct
+    * afterwards — dropped entries degrade to recompute. */
+  def releaseCaches(): Unit = graft.operators.OpCache.release(spark)
 
   /** Bin-local document spans of the packed corpus (attention-mask
     * input; docs spanning bins appear once per touched bin). */

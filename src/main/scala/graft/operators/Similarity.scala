@@ -99,15 +99,19 @@ object Similarity {
     * from the id range instead of hardcoded. The stride is a
     * broadcast single-row cross join (the q19 above-avg pattern), so
     * the rule stays one distributed plan, no driver-side count. */
-  private[graft] def boundedCents(e: DataFrame, k: Long = ProductionK): DataFrame = {
+  private[graft] def boundedSeeds(e: DataFrame, k: Long = ProductionK): DataFrame = {
     // integer `div`, not double-divide-then-cast: exact at any id
     // magnitude, identical to DuckDB's `//` for non-negative ids
     val stride = e.agg(max(col("vec_id")).as("mx"))
       .select((expr(s"mx div $k") + lit(1L)).as("stride"))
     e.crossJoin(broadcast(stride))
       .filter(col("vec_id") % col("stride") === 0)
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+      .drop("stride")
   }
+
+  private[graft] def boundedCents(e: DataFrame, k: Long = ProductionK): DataFrame =
+    boundedSeeds(e, k)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
 
   /** Oracle-parity centroids: every [[CentroidStride]]th vector. */
   private[graft] def strideCents(e: DataFrame): DataFrame =
@@ -178,15 +182,28 @@ object Similarity {
     *    emit top-5.
     */
   def s04AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    pqCore(e, e.filter(col("vec_id") % CentroidStride === 0))
+  }
+
+  /** s04 on the PRODUCTION codeword rule (fixed k per subspace — see
+    * [[boundedSeeds]]): the oracle every-50th rule grows the
+    * codebook (and the queries' ADC tables) with n; fixed k keeps
+    * both broadcasts constant-size and the encoding cost linear. */
+  def s04Production(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    pqCore(e, boundedSeeds(e))
+  }
+
+  private def pqCore(e: DataFrame, cwSource: DataFrame): DataFrame = {
     val M = 4
     val sub = 16
-    val e = quantized(spark, dir)
     def subviews(src: DataFrame, idCol: String, vecCol: String): DataFrame =
       (0 until M).map(m =>
         src.select(col(idCol), lit(m).as("m"),
           slice(col(vecCol), m * sub + 1, sub).as("v")))
         .reduce(_ union _)
-    val cbm = subviews(e.filter(col("vec_id") % CentroidStride === 0)
+    val cbm = subviews(cwSource
         .select(col("vec_id").as("cw_id"), col("qv")), "cw_id", "qv")
       .withColumnRenamed("v", "cw")
     val vm = subviews(e.select("vec_id", "qv"), "vec_id", "qv")
@@ -324,6 +341,35 @@ object Similarity {
           |  FROM qs a JOIN n b ON a.q_id <> b.vec_id)
           |SELECT q_id, rank, cand_id, cos FROM (
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM scored) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      // identical search semantics to s04; only the codeword rule
+      // differs (fixed k=64 per subspace via the id-range stride)
+      "s04_production" ->
+        ("WITH " + qCte + """,
+          |seedk AS (SELECT (SELECT MAX(vec_id) // 64 FROM n) + 1 AS stride),
+          |sv AS (SELECT vec_id, m, qv[(m*16+1):(m*16+16)] AS v FROM n, generate_series(0, 3) g(m)),
+          |cbm AS (SELECT m, vec_id AS cw_id, qv[(m*16+1):(m*16+16)] AS cw
+          |        FROM n, generate_series(0, 3) g(m) WHERE vec_id % (SELECT stride FROM seedk) = 0),
+          |d2 AS (SELECT sv.vec_id, sv.m, cbm.cw_id,
+          |    CAST((SELECT SUM((sv.v[i] - cbm.cw[i]) * (sv.v[i] - cbm.cw[i])) FROM generate_series(1, 16) gi(i)) AS BIGINT) AS d2
+          |  FROM sv JOIN cbm USING (m)),
+          |codes AS (SELECT vec_id, m, cw_id AS code FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cw_id) AS rn FROM d2) t
+          |  WHERE rn = 1),
+          |adct AS (SELECT vec_id AS q_id, m, cw_id, d2 AS qd2 FROM d2 WHERE vec_id % 20 = 0),
+          |approx AS (SELECT a.q_id, c.vec_id, CAST(SUM(a.qd2) AS BIGINT) AS adc
+          |  FROM codes c JOIN adct a ON a.m = c.m AND a.cw_id = c.code AND a.q_id <> c.vec_id
+          |  GROUP BY a.q_id, c.vec_id),
+          |cands AS (SELECT q_id, vec_id AS cand_id, adc FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS crn FROM approx) t
+          |  WHERE crn <= 20),
+          |rr AS (SELECT cd.q_id, cd.cand_id, cd.adc,
+          |    CAST((SELECT SUM(q.qv[i] * c.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+          |  FROM cands cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.cand_id)
+          |SELECT q_id, rank, cand_id, adc, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM rr) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
       "s04_ann_pq" ->
