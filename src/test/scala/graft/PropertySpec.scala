@@ -14,6 +14,34 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new Random(20260812L)
 
+  test("packTokens two-phase prefix sum equals the naive reference across buckets") {
+    // the testdata doc_ids all fit ONE 65536-wide bucket, so the
+    // oracle rows never exercise the cross-bucket offset merge —
+    // this pins it: ids spread over ~8 buckets, duplicated-token
+    // sources, then compare against a local per-source running sum
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(500000).toLong, s"src${rnd.nextInt(3)}",
+        (rnd.nextInt(300) + 1).toLong)
+    }.distinctBy(_._1) // doc_id is the unique packing key
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val got = graft.operators.Pipeline.packTokens(df, 2048L)
+      .select("doc_id", "source", "n_tokens", "bin_id", "bin_offset")
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val expect = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      var run = 0L
+      rs.sortBy(_._1).map { case (id, src, nt) =>
+        val start = run; run += nt
+        id -> ((src, nt, start / 2048L, start % 2048L))
+      }
+    }
+    assert(got.size === expect.size)
+    expect.foreach { case (id, want) =>
+      assert(got(id) === want, s"doc $id diverged from the naive reference")
+    }
+  }
+
   test("d14 span pairs: maximal runs, no fragmentation, screen respected") {
     // doc 1 and 2 share one verbatim 15-token span at different
     // offsets; doc 3 shares nothing long enough. Tokens are unique
