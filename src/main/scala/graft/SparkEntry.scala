@@ -60,6 +60,7 @@ object SparkEntry {
     "t10_vocab_stats" -> (Quality.t10VocabStats _),
     "t11_bigram_lm" -> (Quality.t11BigramLm _),
     "t12_char_profile" -> (Quality.t12CharProfile _),
+    "t14_quality_filter" -> (Quality.t14QualityFilter _),
     "t13_lang_mix" -> (TextAnalysis.t13LangMix _),
     "m01_parse_logs" -> (MaillogOps.m01ParseLogs _),
     "m02_clients" -> (MaillogOps.m02Clients _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s03_production" -> (Similarity.s03Production _),
     "s04_production" -> (Similarity.s04Production _),
+    "s08_ann_ivf2" -> (Similarity.s08AnnIvf2 _),
     "d08_production" -> (Dedup.d08Production _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "s05_ann_recall" -> (Similarity.s05AnnRecall _),
@@ -120,6 +122,7 @@ object SparkEntry {
     "s07_range_search" -> (Similarity.s07RangeSearch _),
     "mm04_frame_dedup" -> (Multimodal.mm04FrameDedup _),
     "p10_pack_boundaries" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p10PackBoundaries(s, d)),
+    "p11_curriculum_order" -> (Pipeline.p11CurriculumOrder _),
     "m12_queue_aging" -> (MaillogOps.m12QueueAging _)
   )
 

@@ -365,7 +365,47 @@ object Pipeline {
       .orderBy("source", "bin_id", "seg_start")
   }
 
+  /** p11: CURRICULUM training order — documents banded into phases
+    * by quality (cleanest first, the curriculum-learning schedule),
+    * with p07's shuffled-shard permutation WITHIN each phase so a
+    * loader reading (phase, shard, pos) order sees easy→hard
+    * progression but no intra-phase ordering bias.
+    *
+    * Phase bounds compare the t02 quality score directly — safe
+    * cross-engine because the score is identical double arithmetic
+    * over identical integer operands in both (the p01 `quality >=
+    * 0.5` precedent). Scale shape: per-row quality + hash, ONE
+    * window partitioned by (phase, shard) — 3×64-way parallel rank,
+    * never a global sort. */
+  def p11CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qual = TextAnalysis.t02Quality(spark, dir).select("doc_id", "quality")
+    val w = Window.partitionBy("phase", "shard").orderBy("h", "doc_id")
+    qual
+      .withColumn("phase",
+        when(col("quality") >= 0.55, 1L)
+          .when(col("quality") >= 0.45, 2L)
+          .otherwise(3L))
+      .withColumn("h", ((col("doc_id") * 1103515245L + 12345L) % 2147483647L))
+      .withColumn("shard", col("h") % 64)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "quality", "phase", "shard", "pos")
+      .orderBy("phase", "shard", "pos")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p11_curriculum_order" ->
+      ("WITH " + TextAnalysis.qualityCtes + """,
+        |ph AS (SELECT doc_id, quality,
+        |    CASE WHEN quality >= 0.55 THEN 1
+        |         WHEN quality >= 0.45 THEN 2 ELSE 3 END AS phase,
+        |    (doc_id * 1103515245 + 12345) % 2147483647 AS h
+        |  FROM qq),
+        |sh11 AS (SELECT doc_id, quality, CAST(phase AS BIGINT) AS phase, h, h % 64 AS shard FROM ph)
+        |SELECT doc_id, quality, phase, shard,
+        |  CAST(row_number() OVER (PARTITION BY phase, shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM sh11 ORDER BY phase, shard, pos""".stripMargin),
+
     "p10_pack_boundaries" ->
       """WITH d AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

@@ -161,7 +161,91 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** t14: QUALITY FILTER with rule attribution — the Gopher-style
+    * keep/drop verdict a pipeline actually acts on, with WHICH rules
+    * fired recorded per document (the audit trail a corpus release
+    * needs: "23% dropped, of which 61% too_short…"). Rules:
+    *
+    *  - too_short:    fewer than 25 tokens;
+    *  - low_stopword: stopword ratio < 2% (Gopher's "has stop
+    *    words" screen) — tested as `nstop·50 < nt`, exact integers;
+    *  - high_dup:     distinct-token dup ratio > 65% —
+    *    `(nt−nd)·100 > 65·nt`;
+    *  - rep_bigram:   repeated-bigram instance share > 12% (t09's
+    *    signal) — `dup_inst·100 > 12·n_bigrams`.
+    *
+    * Every rule test is integer arithmetic (no double compare can
+    * drift between engines); `reasons` concatenates fired rules in
+    * fixed order. Plan shape: t02's metrics are per-row; the bigram
+    * profile is two map-side-combinable groupBys (t09's shape); one
+    * hint-free join stitches them — linear scale-out. */
+  def t14QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+    val stopArr = array(TextAnalysis.Stopwords.map(lit): _*)
+    val m = d.select(
+      col("doc_id"),
+      size(col("t")).cast("long").as("nt"),
+      size(array_distinct(col("t"))).cast("long").as("nd"),
+      size(filter(col("t"), x => array_contains(stopArr, x))).cast("long").as("nstop"))
+    val bi = d.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup_inst"))
+    val flags = m.join(bi, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("dup_inst", coalesce(col("dup_inst"), lit(0L)))
+      .withColumn("too_short", col("nt") < 25)
+      .withColumn("low_stopword", col("nstop") * 50 < col("nt"))
+      .withColumn("high_dup", (col("nt") - col("nd")) * 100 > col("nt") * 65)
+      .withColumn("rep_bigram", col("dup_inst") * 100 > col("n_bigrams") * 12)
+    val ruleCols = Seq("too_short", "low_stopword", "high_dup", "rep_bigram")
+    flags
+      .withColumn("n_rules",
+        ruleCols.map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("keep", col("n_rules") === 0)
+      .withColumn("reasons",
+        concat_ws(";", ruleCols.map(c => when(col(c), lit(c))): _*))
+      .select("doc_id", "too_short", "low_stopword", "high_dup", "rep_bigram",
+        "n_rules", "keep", "reasons")
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t14_quality_filter" ->
+      ("WITH " + TextAnalysis.qualityCtes + """,
+        |bi4 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS term
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |              FROM dq WHERE len(t) >= 2) x),
+        |cnt4 AS (SELECT doc_id, term, COUNT(*) AS cnt FROM bi4 GROUP BY doc_id, term),
+        |agg4 AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |           CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup_inst
+        |         FROM cnt4 GROUP BY doc_id),
+        |fl AS (SELECT mq.doc_id,
+        |    nt < 25 AS too_short,
+        |    nstop * 50 < nt AS low_stopword,
+        |    (nt - nd) * 100 > nt * 65 AS high_dup,
+        |    COALESCE(dup_inst, 0) * 100 > COALESCE(n_bigrams, 0) * 12 AS rep_bigram
+        |  FROM mq LEFT JOIN agg4 USING (doc_id))
+        |SELECT doc_id, too_short, low_stopword, high_dup, rep_bigram,
+        |  CAST((CASE WHEN too_short THEN 1 ELSE 0 END) +
+        |       (CASE WHEN low_stopword THEN 1 ELSE 0 END) +
+        |       (CASE WHEN high_dup THEN 1 ELSE 0 END) +
+        |       (CASE WHEN rep_bigram THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
+        |  ((CASE WHEN too_short THEN 1 ELSE 0 END) +
+        |   (CASE WHEN low_stopword THEN 1 ELSE 0 END) +
+        |   (CASE WHEN high_dup THEN 1 ELSE 0 END) +
+        |   (CASE WHEN rep_bigram THEN 1 ELSE 0 END)) = 0 AS keep,
+        |  concat_ws(';',
+        |    CASE WHEN too_short THEN 'too_short' END,
+        |    CASE WHEN low_stopword THEN 'low_stopword' END,
+        |    CASE WHEN high_dup THEN 'high_dup' END,
+        |    CASE WHEN rep_bigram THEN 'rep_bigram' END) AS reasons
+        |FROM fl ORDER BY doc_id""".stripMargin),
+
     "t12_char_profile" ->
       """WITH c AS (SELECT doc_id, n_chars, text,
         |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,

@@ -160,6 +160,82 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s08: HIERARCHICAL (two-level) IVF — the large-k scale path. A
+    * flat IVF with the k a real deployment needs (tens of thousands
+    * of cells) pays n×k assignment cosines; routing through a coarse
+    * level first cuts that to n×(k₁ + k/k₁) expected (8 coarse + the
+    * fine centroids of one coarse cell here). The FAISS IMI/HNSW
+    * coarse-quantizer idea in relational form:
+    *
+    *  - coarse = 8 bounded-stride seeds; fine = 64 seeds ∪ coarse
+    *    (so every coarse cell contains at least itself — no vector
+    *    can land in a fine-less cell);
+    *  - fine→coarse and vector→coarse by argmax cosine
+    *    (min-struct, map-side combinable); vector→fine argmax only
+    *    over the fines OF ITS coarse cell;
+    *  - queries probe their top-2 coarse cells, then the top-2 fine
+    *    cells within those, then rank exact cosines over the ≤2
+    *    fine cells' members — s03's output contract (cell = fine).
+    *
+    * All rules are deterministic integer/exact-cosine arithmetic —
+    * full DuckDB oracle. */
+  def s08AnnIvf2(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val coarse = boundedSeeds(e, 8L)
+      .select(col("vec_id").as("c1"), col("qv").as("c1_qv"), col("nrm").as("c1_nrm"))
+    val fine = boundedSeeds(e, 64L).select("vec_id", "qv", "nrm")
+      .union(boundedSeeds(e, 8L).select("vec_id", "qv", "nrm"))
+      .distinct()
+      .select(col("vec_id").as("f_id"), col("qv").as("f_qv"), col("nrm").as("f_nrm"))
+    // fine centroid -> its coarse cell (tiny × tiny)
+    val f2c = fine.crossJoin(broadcast(coarse))
+      .select(col("f_id"),
+        struct((lit(0.0) - qcos(qdot(col("f_qv"), col("c1_qv")), col("f_nrm"), col("c1_nrm"))).as("nc"),
+          col("c1").as("c")).as("cand"))
+      .groupBy("f_id").agg(min(col("cand")).as("m"))
+      .select(col("f_id"), col("m.c").as("c1"))
+      .join(fine, "f_id")
+    // vector -> coarse (n × 8)
+    val v2c = e.crossJoin(broadcast(coarse))
+      .select(col("vec_id"),
+        struct((lit(0.0) - qcos(qdot(col("qv"), col("c1_qv")), col("nrm"), col("c1_nrm"))).as("nc"),
+          col("c1").as("c")).as("cand"))
+      .groupBy("vec_id").agg(min(col("cand")).as("m"))
+      .select(col("vec_id"), col("m.c").as("c1"))
+    // vector -> fine, restricted to the fines of its coarse cell
+    val assign = OpCache.cached(v2c.join(e, "vec_id").join(broadcast(f2c), "c1")
+      .select(col("vec_id"),
+        struct((lit(0.0) - qcos(qdot(col("qv"), col("f_qv")), col("nrm"), col("f_nrm"))).as("nc"),
+          col("f_id").as("c")).as("cand"))
+      .groupBy("vec_id").agg(min(col("cand")).as("m"))
+      .select(col("vec_id"), col("m.c").as("cell"))
+      .join(e, "vec_id"))
+    // queries: top-2 coarse, then top-2 fine within them
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
+    val wq1 = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c1"))
+    val q2c = q.crossJoin(broadcast(coarse))
+      .select(col("q_id"), col("qv_q"), col("nq"), col("c1"),
+        qcos(qdot(col("qv_q"), col("c1_qv")), col("nq"), col("c1_nrm")).as("c_cos"))
+      .withColumn("rn", row_number().over(wq1)).filter(col("rn") <= 2)
+      .select("q_id", "qv_q", "nq", "c1")
+    val wq2 = Window.partitionBy("q_id").orderBy(col("f_cos").desc, col("f_id"))
+    val q2f = q2c.join(broadcast(f2c), "c1")
+      .select(col("q_id"), col("qv_q"), col("nq"), col("f_id"),
+        qcos(qdot(col("qv_q"), col("f_qv")), col("nq"), col("f_nrm")).as("f_cos"))
+      .withColumn("rn", row_number().over(wq2)).filter(col("rn") <= 2)
+      .select(col("q_id"), col("qv_q"), col("nq"), col("f_id").as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    assign.join(broadcast(q2f), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("cand_id"),
+        qcos(qdot(col("qv_q"), col("qv")), col("nq"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "cand_id", "cell", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact int64 squared L2 between two quantized subvectors. */
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
@@ -341,6 +417,59 @@ object Similarity {
           |  FROM qs a JOIN n b ON a.q_id <> b.vec_id)
           |SELECT q_id, rank, cand_id, cos FROM (
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM scored) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      "s08_ann_ivf2" ->
+        ("WITH " + qCte + """,
+          |coarse AS (SELECT vec_id AS c1, qv AS c1_qv, nrm AS c1_nrm FROM n
+          |           WHERE vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |fine AS (SELECT DISTINCT vec_id AS f_id, qv AS f_qv, nrm AS f_nrm FROM n
+          |         WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0
+          |            OR vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |f2cs AS (SELECT f.f_id, f.f_qv, f.f_nrm, c.c1,
+          |    CAST((SELECT SUM(f.f_qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(f.f_nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM fine f CROSS JOIN coarse c),
+          |f2c AS (SELECT f_id, f_qv, f_nrm, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY f_id ORDER BY cc DESC, c1) AS rn FROM f2cs) t
+          |  WHERE rn = 1),
+          |v2cs AS (SELECT v.vec_id, c.c1,
+          |    CAST((SELECT SUM(v.qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM n v CROSS JOIN coarse c),
+          |v2c AS (SELECT vec_id, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c1) AS rn FROM v2cs) t
+          |  WHERE rn = 1),
+          |v2fs AS (SELECT v.vec_id, f.f_id,
+          |    CAST((SELECT SUM(v.qv[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM (SELECT n.*, v2c.c1 FROM n JOIN v2c USING (vec_id)) v
+          |  JOIN f2c f USING (c1)),
+          |v2f AS (SELECT vec_id, f_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fc DESC, f_id) AS rn FROM v2fs) t
+          |  WHERE rn = 1),
+          |assign AS (SELECT n.vec_id, v2f.cell, n.qv, n.nrm FROM n JOIN v2f USING (vec_id)),
+          |qs AS (SELECT vec_id AS q_id, qv AS qv_q, nrm AS nq FROM n WHERE vec_id % 20 = 0),
+          |q2cs AS (SELECT q.q_id, q.qv_q, q.nq, c.c1,
+          |    CAST((SELECT SUM(q.qv_q[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM qs q CROSS JOIN coarse c),
+          |q2c AS (SELECT q_id, qv_q, nq, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cc DESC, c1) AS rn FROM q2cs) t
+          |  WHERE rn <= 2),
+          |q2fs AS (SELECT q.q_id, q.qv_q, q.nq, f.f_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM q2c q JOIN f2c f USING (c1)),
+          |q2f AS (SELECT q_id, qv_q, nq, f_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM q2fs) t
+          |  WHERE rn <= 2),
+          |cand AS (SELECT q.q_id, q.cell, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM q2f q JOIN assign a USING (cell) WHERE q.q_id <> a.vec_id)
+          |SELECT q_id, rank, cand_id, cell, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM cand) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
       // identical search semantics to s04; only the codeword rule
