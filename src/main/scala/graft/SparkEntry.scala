@@ -119,6 +119,11 @@ object SparkEntry {
     "qa02_approx_robust" -> (Analytics3.qa02ApproxRobust _),
     "d13_norm_dedup" -> (Dedup.d13NormDedup _),
     "d14_dup_span_pairs" -> (Dedup.d14DupSpanPairs _),
+    "d15_incremental_dedup" -> (Dedup.d15IncrementalDedup _),
+    "d16_source_overlap" -> (Dedup.d16SourceOverlap _),
+    "t15_lm_buckets" -> (Quality.t15LmBuckets _),
+    "p12_temperature_mix" -> (Pipeline.p12TemperatureMix _),
+    "p13_rank_balance" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p13RankBalance(s, d)),
     "s07_range_search" -> (Similarity.s07RangeSearch _),
     "mm04_frame_dedup" -> (Multimodal.mm04FrameDedup _),
     "p10_pack_boundaries" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p10PackBoundaries(s, d)),

@@ -72,14 +72,21 @@ object Dedup {
   def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     d02From(signatures(spark, dir))
 
-  private def d02From(sig: DataFrame): DataFrame = {
+  /** (doc_id, band, bandkey) — 8 bands × 2 signature rows per doc,
+    * the LSH bucketing shared by d02's pair search and d15's
+    * increment-vs-corpus probe. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = array((0 until 8).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", col(s"sig_${2 * b}").cast("string"),
           col(s"sig_${2 * b + 1}").cast("string")).as("bandkey"))
     }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+    sig.select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bandkey").as("bandkey"))
+  }
+
+  private def d02From(sig: DataFrame): DataFrame = {
+    val bands = bandsOf(sig)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -252,6 +259,81 @@ object Dedup {
     graft.streaming.NearDupStream.batchCandidates(
       Tables.documents(spark, dir).select("doc_id", "text"))
       .orderBy("doc_a", "doc_b")
+
+  /** d15: INCREMENTAL dedup — screen a new ingest batch against the
+    * already-accepted corpus (the shape every production pipeline
+    * actually runs day-to-day: the corpus is frozen, only the
+    * increment needs verdicts). The "increment" is the deterministic
+    * doc_id % 10 ∈ {8,9} slice (~20% of the table) so both engines
+    * agree on the fixture; a deployment substitutes its arrival
+    * partition.
+    *
+    * Two screens, mirroring d01 + d02:
+    *  - exact:   md5(text) present in the corpus → drop_exact;
+    *  - near:    shares a MinHash band bucket with a corpus document
+    *             (d02's 8×2 banding) → drop_near;
+    *  - otherwise keep. Matches report the smallest corpus doc_id
+    *    (deterministic evidence row).
+    *
+    * Scale shape: signatures/bands come from the SAME pipeline d02
+    * uses (shared OpCache entry); both screens are equi-joins keyed
+    * by hash/bandkey — cost O(increment + collisions), never a pass
+    * over corpus×increment. The corpus side of both joins carries no
+    * broadcast hint (it grows with the accepted corpus). */
+  def d15IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val isInc = col("doc_id") % 10 >= 8
+    val incDocs = docs.filter(isInc)
+    val corpHash = docs.filter(!isInc)
+      .groupBy("h").agg(min(col("doc_id")).as("exact_match"))
+    val bands = bandsOf(signatures(spark, dir))
+    val incBands = bands.filter(isInc)
+    val corpBands = bands.filter(!isInc)
+      .select(col("doc_id").as("corp_doc"), col("band"), col("bandkey"))
+    val nearMatch = incBands.join(corpBands, Seq("band", "bandkey"))
+      .groupBy("doc_id").agg(min(col("corp_doc")).as("near_match"))
+    incDocs.join(corpHash, Seq("h"), "left")
+      .join(nearMatch, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_match"), col("near_match"),
+        when(col("exact_match").isNotNull, "drop_exact")
+          .when(col("near_match").isNotNull, "drop_near")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** d16: cross-source CONTENT-overlap matrix — for every source
+    * pair, the Jaccard similarity of their distinct word-3-gram
+    * shingle sets (the provenance diagnostic run before mixing
+    * corpora: two crawls of the same site share phrasing long before
+    * they share byte-identical documents; this makes that overlap a
+    * number per pair).
+    *
+    * Scale shape: one distinct to (term, source) granularity — the
+    * self-join runs on that DEDUPLICATED table keyed on the shingle
+    * term, so its cost is Σ sources-per-term² (bounded by |sources|²
+    * per term, never corpus²); per-source set sizes come from one
+    * tiny groupBy and the output is ≤ C(|sources|, 2) rows. */
+  def d16SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ss = OpCache.cached(
+      docShingles(docs).join(docs.select("doc_id", "source"), "doc_id")
+        .select("term", "source").distinct())
+    val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = ss.select(col("term"), col("source").as("source_a"))
+    val b = ss.select(col("term"), col("source").as("source_b"))
+    a.join(b, "term")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("un"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 
   /** d08: SEMANTIC dedup (SemDeDup-style) — embedding-space
     * near-duplicate clusters: vectors are blocked into their nearest
@@ -659,6 +741,40 @@ object Dedup {
       "d01_exact_dedup" ->
         """SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
           |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+      // increment = doc_id % 10 IN (8, 9); same shingle/signature
+      // pipeline as d02, same banding — only the join sides differ
+      "d15_incremental_dedup" ->
+        ("WITH " + shCte + ",\n" + sigCte + ",\n" + candCte + """,
+          |dh AS (SELECT doc_id, md5(text) AS h FROM documents),
+          |corp AS (SELECT h, MIN(doc_id) AS exact_match FROM dh
+          |         WHERE doc_id % 10 < 8 GROUP BY h),
+          |nearm AS (SELECT a.doc_id, MIN(b.doc_id) AS near_match
+          |          FROM bands a JOIN bands b
+          |            ON a.band = b.band AND a.bandkey = b.bandkey
+          |           AND a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+          |          GROUP BY a.doc_id)
+          |SELECT i.doc_id, corp.exact_match, nearm.near_match,
+          |  CASE WHEN corp.exact_match IS NOT NULL THEN 'drop_exact'
+          |       WHEN nearm.near_match IS NOT NULL THEN 'drop_near'
+          |       ELSE 'keep' END AS verdict
+          |FROM dh i LEFT JOIN corp USING (h) LEFT JOIN nearm USING (doc_id)
+          |WHERE i.doc_id % 10 >= 8
+          |ORDER BY i.doc_id""".stripMargin),
+
+      "d16_source_overlap" ->
+        ("WITH " + shCte + """,
+          |ss AS (SELECT DISTINCT term, source
+          |       FROM sh JOIN documents USING (doc_id)),
+          |sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+          |ov AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter
+          |       FROM ss a JOIN ss b ON a.term = b.term AND a.source < b.source
+          |       GROUP BY 1, 2)
+          |SELECT source_a, source_b, inter,
+          |  za.n + zb.n - inter AS un,
+          |  CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jaccard
+          |FROM ov JOIN sz za ON za.source = source_a JOIN sz zb ON zb.source = source_b
+          |ORDER BY source_a, source_b""".stripMargin),
 
       "d13_norm_dedup" ->
         """WITH n AS (SELECT doc_id,

@@ -393,7 +393,122 @@ object Pipeline {
       .orderBy("phase", "shard", "pos")
   }
 
+  /** p12: TEMPERATURE-scaled mixture (the mT5/multilingual-sampling
+    * α=0.5 rule): per-source sampling rates ∝ n^α / n flatten the
+    * source distribution — big sources are downsampled hard, small
+    * sources barely — without the per-language hand-tuned weight
+    * table p06 models. The whole computation is EXACT integer
+    * arithmetic so both engines agree bit-for-bit:
+    *
+    *  - weight w = ⌊√n⌋ (α = 0.5; floor(sqrt(double)) is exact for
+    *    n < 2⁵² — the true root is never within half an ulp of the
+    *    crossing integer);
+    *  - doc budget B = ⌊total/2⌋, source target B·w/Σw;
+    *  - acceptance threshold per source =
+    *    min(10⁶, ⌊10⁶·B·w / (Σw·n)⌋), tested against the q17/q20
+    *    split hash mod 10⁶ — the SAME hash family as the shipped
+    *    split, so resampling composes with decontamination.
+    *
+    * Scale shape: one groupBy(source) builds the (bounded, ≤|sources|
+    * rows) rate table; the totals fold in as a broadcast 1-row agg;
+    * acceptance is a per-row codegen'd filter — no window, no second
+    * shuffle of the corpus. */
+  def p12TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("n_docs")).as("total"), sum(col("w")).as("denom"))
+    // per-source table: cardinality = |sources|, broadcast by right
+    val thr = per.crossJoin(broadcast(tot))
+      .withColumn("thr1e6", least(lit(1000000L),
+        expr("(1000000 * (total div 2) * w) div (denom * n_docs)")))
+      .select("source", "n_docs", "w", "thr1e6")
+    val kept = docs.join(broadcast(thr.select("source", "thr1e6")), "source")
+      .filter(graft.functions.Fns.splitHash(col("doc_id")) % 1000000 < col("thr1e6"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    thr.join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("w"), col("thr1e6"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs")).as("kept_share"))
+      .orderBy("source")
+  }
+
+  /** p13: data-parallel RANK balance — assign p02's packed bins to
+    * `world` data-parallel ranks by a deterministic hash (how a
+    * sharded loader distributes work) and report each rank's load:
+    * bin count, doc count, token mass attributed by start-bin, and
+    * the load ratio vs the ideal equal share. The pre-flight check
+    * that a 1000-GPU run won't be gated by one overloaded reader.
+    *
+    * Scale shape: p02's single-shuffle packing → one groupBy to bin
+    * granularity (corpus/context_len rows) → one groupBy(rank). The
+    * grand total folds in as a broadcast 1-row agg (q19 pattern). */
+  def p13RankBalance(spark: SparkSession, dir: String, world: Int = 64,
+                     contextLen: Long = 2048L): DataFrame = {
+    // dense 0-based source index via a non-equi join over the tiny
+    // distinct-source set (|sources|² pairs — bounded): a string
+    // length or prefix would collide for same-shaped source names
+    // and starve most ranks of work
+    val srcs = Tables.documents(spark, dir).select("source").distinct()
+    val si = srcs.alias("x")
+      .join(srcs.select(col("source").as("s2")), col("s2") < col("x.source"), "left")
+      .groupBy(col("x.source").as("source")).agg(count(col("s2")).as("si"))
+    val bins = packCore(spark, dir, contextLen)
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .join(broadcast(si), "source")
+      .withColumn("rank_id",
+        graft.functions.Fns.splitHash(col("bin_id") * 8192L + col("si")) % world)
+    val tot = bins.agg(sum(col("bin_tokens")).as("total"))
+    bins.groupBy("rank_id")
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("sum_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank_id"), col("n_bins"), col("n_docs"), col("sum_tokens"),
+        ((col("sum_tokens") * world).cast("double") / col("total")).as("load_ratio"))
+      .orderBy("rank_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p12_temperature_mix" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |pw AS (SELECT source, n_docs,
+        |    CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w FROM per),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+        |               CAST(SUM(w) AS BIGINT) AS denom FROM pw),
+        |thr AS (SELECT source, n_docs, w,
+        |    LEAST(1000000, (1000000 * (total // 2) * w) // (denom * n_docs)) AS thr1e6
+        |  FROM pw CROSS JOIN tot),
+        |kept AS (SELECT d.source, COUNT(*) AS n_kept
+        |         FROM documents d JOIN thr USING (source)
+        |         WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000 < thr1e6
+        |         GROUP BY d.source)
+        |SELECT thr.source, n_docs, w, thr1e6,
+        |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(n_kept, 0) AS DOUBLE) / n_docs AS kept_share
+        |FROM thr LEFT JOIN kept USING (source) ORDER BY source""".stripMargin,
+
+    "p13_rank_balance" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM d),
+        |si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS si
+        |       FROM (SELECT DISTINCT source FROM documents) s),
+        |bins AS (SELECT source, start_tok // 2048 AS bin_id,
+        |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |  FROM c GROUP BY 1, 2),
+        |rb AS (SELECT (((bin_id * 8192 + si) * 2654435761) % 4294967296) % 64 AS rank_id,
+        |    n_docs, bin_tokens FROM bins JOIN si USING (source)),
+        |tot AS (SELECT CAST(SUM(bin_tokens) AS BIGINT) AS total FROM rb)
+        |SELECT rank_id, COUNT(*) AS n_bins, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(bin_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(bin_tokens) * 64 AS DOUBLE) / total AS load_ratio
+        |FROM rb CROSS JOIN tot GROUP BY rank_id, total ORDER BY rank_id""".stripMargin,
+
     "p11_curriculum_order" ->
       ("WITH " + TextAnalysis.qualityCtes + """,
         |ph AS (SELECT doc_id, quality,

@@ -214,7 +214,81 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** t15: CCNet-style LM BUCKETS — rank every document within its
+    * language by the corpus unigram-LM fluency score (t08's signal)
+    * and cut the ranking into head / middle / tail thirds, the
+    * quality tiers CCNet ships as separate corpora. The score is the
+    * EXACT integer ⌊10⁶·sum_cf/n_tokens⌋ computed overflow-free as
+    * `(sum_cf div n)·10⁶ + ((sum_cf mod n)·10⁶) div n`, and the tier
+    * tests are integer (`rank·3 ≤ n_lang`), so both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape — the per-language rank is computed WITHOUT a
+    * whole-language window sort (a real corpus is mostly English, so
+    * `Window.partitionBy(lang)` would sort ~the corpus in one task —
+    * the exact hazard packCore's prefix sums avoid): scores are
+    * range-bucketed into ≤2¹⁶+1 buckets by `score div bw` with
+    * bw = ⌊max_score/2¹⁶⌋+1 (a broadcast 1-row agg — bucket order is
+    * consistent with score order by construction), the within-bucket
+    * rank is a window partitioned by (lang, bucket), and the
+    * cross-bucket offsets are a descending running count over the
+    * per-bucket totals aggregate (≥2¹⁶× smaller than the corpus) —
+    * identical ranks to `row_number() OVER (PARTITION BY lang ORDER
+    * BY score DESC, doc_id)`, which is what the oracle runs. */
+  def t15LmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val cf = tok.groupBy("term").agg(count(lit(1)).as("cf"))
+    val scored = tok.join(cf, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("score", expr(
+        "(sum_cf div n_tokens) * 1000000 + ((sum_cf % n_tokens) * 1000000) div n_tokens"))
+    val bw = scored.agg(max(col("score")).as("mx"))
+      .select((expr("mx div 65536") + lit(1L)).as("bw"))
+    val bucketed = scored.crossJoin(broadcast(bw))
+      .withColumn("bkt", expr("score div bw"))
+    val wIn = Window.partitionBy("lang", "bkt")
+      .orderBy(col("score").desc, col("doc_id"))
+    val inner = bucketed.withColumn("rn", row_number().over(wIn).cast("long"))
+    val wOff = Window.partitionBy("lang").orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("lang", "bkt").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .select("lang", "bkt", "off")
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    inner.join(broadcast(offsets), Seq("lang", "bkt"))
+      .join(broadcast(nl), "lang")
+      .withColumn("lm_rank", col("off") + col("rn"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("sum_cf"),
+        col("score"), col("lm_rank"),
+        when(col("lm_rank") * 3 <= col("n_lang"), "head")
+          .when(col("lm_rank") * 3 <= col("n_lang") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t15_lm_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |cf AS (SELECT term, COUNT(*) AS cf FROM tok GROUP BY term),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(cf) AS BIGINT) AS sum_cf
+        |       FROM tok JOIN cf USING (term) GROUP BY doc_id),
+        |sc AS (SELECT pd.doc_id, lang, n_tokens, sum_cf,
+        |    (sum_cf // n_tokens) * 1000000 + ((sum_cf % n_tokens) * 1000000) // n_tokens AS score
+        |  FROM pd JOIN documents USING (doc_id)),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS lm_rank,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM sc)
+        |SELECT doc_id, lang, n_tokens, sum_cf, score, lm_rank,
+        |  CASE WHEN lm_rank * 3 <= n_lang THEN 'head'
+        |       WHEN lm_rank * 3 <= n_lang * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "t14_quality_filter" ->
       ("WITH " + TextAnalysis.qualityCtes + """,
         |bi4 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS term
