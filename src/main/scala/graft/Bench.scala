@@ -13,7 +13,9 @@ object Bench {
     "d01_exact_dedup", "d02_minhash_lsh", "d02_production",
     "d05_embedding_neardup", "s01_ann_brute", "t01_token_stats",
     // round 3: stacked partitioned windows + full-outer SMJ diff
-    "q32_scd2", "q33_snapshot_diff")
+    "q32_scd2", "q33_snapshot_diff",
+    // round 4: increment-vs-corpus band probe + two-phase LM rank
+    "d15_incremental_dedup", "t15_lm_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

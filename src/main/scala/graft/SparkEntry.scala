@@ -128,7 +128,8 @@ object SparkEntry {
     "mm04_frame_dedup" -> (Multimodal.mm04FrameDedup _),
     "p10_pack_boundaries" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p10PackBoundaries(s, d)),
     "p11_curriculum_order" -> (Pipeline.p11CurriculumOrder _),
-    "m12_queue_aging" -> (MaillogOps.m12QueueAging _)
+    "m12_queue_aging" -> (MaillogOps.m12QueueAging _),
+    "m13_dsn_taxonomy" -> (MaillogOps.m13DsnTaxonomy _)
   )
 
   /** Three keys are intentionally absent (the driver records a

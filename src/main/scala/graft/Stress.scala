@@ -101,6 +101,14 @@ object Stress {
     val nPack = time("single-source pack (p02)")(
       graft.operators.Pipeline.packTokens(packIn, 2048L).count())
 
+    // per-language LM rank on a SINGLE-language corpus: t15's
+    // two-phase bucketed rank must stay parallel when every row
+    // shares one lang value (the mostly-English-corpus case) — same
+    // hazard class as the single-source pack above
+    val lmIn = docs.select(col("doc_id"), col("text"), lit("en").as("lang"))
+    val nLm = time("single-lang lm buckets")(
+      graft.operators.Quality.lmBucketsFrom(lmIn).count())
+
     // event-table window ops under user-space replication: user_id
     // shifts keep partitions independent, so the SCD2 windows and the
     // retention groupBys should scale linearly with the corpus (the
@@ -127,7 +135,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"packed":$nPack,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"packed":$nPack,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

@@ -205,6 +205,28 @@ class Graft(val spark: SparkSession, dir: String) {
   def semanticDedupProduction: Dataset[SemCluster] =
     Dedup.d08Production(spark, dir).as[SemCluster]
 
+  /** Per-document keep/drop verdicts for a NEW ingest batch screened
+    * against the frozen corpus — exact-hash and MinHash-band matches
+    * with evidence rows (d15). */
+  def incrementalDedup: DataFrame = Dedup.d15IncrementalDedup(spark, dir)
+
+  /** Cross-source 3-gram Jaccard overlap matrix — the provenance
+    * diagnostic run before mixing corpora (d16). */
+  def sourceOverlap: DataFrame = Dedup.d16SourceOverlap(spark, dir)
+
+  /** CCNet-style head/middle/tail LM-quality tiers per language
+    * (t15). */
+  def lmBuckets: DataFrame = Quality.t15LmBuckets(spark, dir)
+
+  /** α=0.5 temperature-scaled per-source sampling rates and realized
+    * keeps, all-integer arithmetic (p12). */
+  def temperatureMix: DataFrame = Pipeline.p12TemperatureMix(spark, dir)
+
+  /** Packed-bin → data-parallel-rank assignment with per-rank load
+    * report (p13). */
+  def rankBalance(world: Int = 64, contextLen: Long = 2048L): DataFrame =
+    Pipeline.p13RankBalance(spark, dir, world, contextLen)
+
   /** Release this session's operator-scoped caches (job-server
     * hygiene; see [[graft.operators.OpCache]]). Results stay correct
     * afterwards — dropped entries degrade to recompute. */

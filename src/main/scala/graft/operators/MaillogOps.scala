@@ -310,6 +310,32 @@ object MaillogOps {
           / lit(1000000.0)).as("span_s"))
       .orderBy("delivery_queueid")
 
+  /** m13: DSN-class taxonomy — the RFC 3463 enhanced-status view of
+    * deliveries: the leading dsn digit classifies an attempt as
+    * success (2.x.x) / transient failure (4.x.x) / permanent failure
+    * (5.x.x), which is the split a mail operator actually alerts on
+    * (the raw status string is free-form; the dsn class is the
+    * protocol-defined signal the reference parses but never
+    * aggregates — ref maillog2db.go:52,215-239 captures dsn per
+    * delivery row). Per (relay, class): attempts, delay mass,
+    * distinct queues, last occurrence. One groupBy on the bounded
+    * (relay × class) key — same scale shape as m05/m11. */
+  def m13DsnTaxonomy(spark: SparkSession, dir: String): DataFrame =
+    deliveries(spark, dir)
+      .withColumn("dsn_class",
+        substring_index(col("delivery_dsn"), ".", 1).cast("int"))
+      .withColumn("dsn_family",
+        when(col("dsn_class") === 2, "success")
+          .when(col("dsn_class") === 4, "transient")
+          .when(col("dsn_class") === 5, "permanent")
+          .otherwise("other"))
+      .groupBy(col("delivery_relay").as("relay"), col("dsn_class"), col("dsn_family"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("delivery_delay").cast("decimal(18,2)")).cast("double").as("sum_delay_s"),
+        countDistinct(col("delivery_queueid")).as("n_queues"),
+        max(col("delivery_timestamp")).as("last_seen"))
+      .orderBy("relay", "dsn_class")
+
   /** m10: parse-coverage report — per postfix process: line count and
     * how many lines each branch regex (qmgr/smtpd/cleanup/smtp)
     * claimed, plus the unmatched remainder. The ingest-observability

@@ -459,11 +459,14 @@ object Pipeline {
       .join(broadcast(si), "source")
       .withColumn("rank_id",
         graft.functions.Fns.splitHash(col("bin_id") * 8192L + col("si")) % world)
-    val tot = bins.agg(sum(col("bin_tokens")).as("total"))
-    bins.groupBy("rank_id")
+    // reduce to the `world`-row per-rank frame FIRST and cache it —
+    // deriving the grand total from `bins` directly would evaluate
+    // the whole pack pipeline a second time just to sum one column
+    val perRank = OpCache.cached(bins.groupBy("rank_id")
       .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
-        sum(col("bin_tokens")).as("sum_tokens"))
-      .crossJoin(broadcast(tot))
+        sum(col("bin_tokens")).as("sum_tokens")))
+    val tot = perRank.agg(sum(col("sum_tokens")).as("total"))
+    perRank.crossJoin(broadcast(tot))
       .select(col("rank_id"), col("n_bins"), col("n_docs"), col("sum_tokens"),
         ((col("sum_tokens") * world).cast("double") / col("total")).as("load_ratio"))
       .orderBy("rank_id")

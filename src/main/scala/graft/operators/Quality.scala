@@ -235,17 +235,24 @@ object Quality {
     * per-bucket totals aggregate (≥2¹⁶× smaller than the corpus) —
     * identical ranks to `row_number() OVER (PARTITION BY lang ORDER
     * BY score DESC, doc_id)`, which is what the oracle runs. */
-  def t15LmBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def t15LmBuckets(spark: SparkSession, dir: String): DataFrame =
+    lmBucketsFrom(Tables.documents(spark, dir))
+
+  /** The bucketing over any (doc_id, text, lang) frame — also driven
+    * at replicated single-language scale by [[graft.Stress]]. */
+  private[graft] def lmBucketsFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val cf = tok.groupBy("term").agg(count(lit(1)).as("cf"))
-    val scored = tok.join(cf, "term")
+    // cached: the corpus-frequency pipeline (tokenize + cf join) is
+    // the expensive part and BOTH rank phases scan it — the
+    // within-bucket window and the per-bucket offsets aggregate
+    val scored = OpCache.cached(tok.join(cf, "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"))
       .join(docs.select("doc_id", "lang"), "doc_id")
       .withColumn("score", expr(
-        "(sum_cf div n_tokens) * 1000000 + ((sum_cf % n_tokens) * 1000000) div n_tokens"))
+        "(sum_cf div n_tokens) * 1000000 + ((sum_cf % n_tokens) * 1000000) div n_tokens")))
     val bw = scored.agg(max(col("score")).as("mx"))
       .select((expr("mx div 65536") + lit(1L)).as("bw"))
     val bucketed = scored.crossJoin(broadcast(bw))

@@ -32,7 +32,11 @@ class NoBroadcastSpec extends SparkSpec {
                    // hint-free (the vocab grows with the corpus) —
                    // d02 exercises it through signatures, d03 through
                    // simhashes
-                   "d02_minhash_lsh", "d03_simhash")) {
+                   "d02_minhash_lsh", "d03_simhash",
+                   // round 4b: d15's corpus-side hash/band joins and
+                   // t15's cf join grow with the accepted corpus —
+                   // both stay strategy-flexible
+                   "d15_incremental_dedup", "t15_lm_buckets")) {
     test(s"$name: identical results with broadcasting disabled") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))

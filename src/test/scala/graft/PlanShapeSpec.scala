@@ -25,11 +25,24 @@ class PlanShapeSpec extends SparkSpec {
     * .persist()ed frame (e.g. d02's signatures, d08's assignment)
     * from the assertions below. */
   private def expanded(p: SparkPlan): Seq[SparkPlan] = {
-    val cached = p.collect {
+    // a cached relation's plan is itself an AQE root — unwrap it or
+    // everything under the cache stays invisible; once that AQE has
+    // EXECUTED (a prior test materialized the cache) its whole
+    // subtree further hides inside leaf QueryStageExec wrappers,
+    // which `collect` cannot see through
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+      case x => x
+    }
+    val nested = self.collect {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+    }
+    val cached = self.collect {
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         s.relation.cachedPlan
     }
-    p +: cached.flatMap(expanded)
+    self +: (nested ++ cached).flatMap(expanded)
   }
 
   private def shuffles(df: DataFrame): Int =
@@ -119,6 +132,33 @@ class PlanShapeSpec extends SparkSpec {
     // (range) exchange under the explode, which EliminateSorts
     // cannot remove
     assert(shuffles(df) == 4, "p10 re-inherited p02's presentation sort")
+  }
+
+  test("t15: two-phase rank — bucketed data window + aggregate-side offsets") {
+    val ws = windows(Quality.t15LmBuckets(spark, sf))
+    // the corpus-side rank window must partition by (lang, bucket) —
+    // a lang-only partitioning would sort ~the whole corpus of a
+    // mostly-English dataset in one task
+    assert(ws.exists(_.partitionSpec.size == 2),
+      "t15 must rank within (lang, score-bucket)")
+    assert(ws.forall(_.partitionSpec.nonEmpty))
+    assert(ws.size == 2, "one data window + one offsets window over the bucket aggregate")
+  }
+
+  test("p12/d16: window-free — per-row acceptance / pure join-aggregate") {
+    for (df <- Seq(Pipeline.p12TemperatureMix(spark, sf),
+                   graft.operators.Dedup.d16SourceOverlap(spark, sf)))
+      assert(windows(df).isEmpty, "no window belongs in this plan")
+  }
+
+  test("p13: inherits exactly packCore's two prefix-sum window shapes") {
+    val ws = windows(Pipeline.p13RankBalance(spark, sf))
+    // distinct shapes, not raw count: the cached per-rank frame's
+    // plan is expanded once per scan, so identical windows can
+    // legitimately appear more than once in the expansion
+    val shapes = ws.map(_.partitionSpec.map(_.sql).mkString(",")).toSet
+    assert(shapes.size == 2, s"rank assignment must not add window shapes: $shapes")
+    assert(ws.forall(_.partitionSpec.nonEmpty))
   }
 
   test("no query plans an unpartitioned window over table data") {
