@@ -227,6 +227,19 @@ class Graft(val spark: SparkSession, dir: String) {
   def rankBalance(world: Int = 64, contextLen: Long = 2048L): DataFrame =
     Pipeline.p13RankBalance(spark, dir, world, contextLen)
 
+  /** Metadata-filtered ANN: per-query top-5 among same-label
+    * candidates (s09). */
+  def filteredAnn: DataFrame = Similarity.s09FilteredAnn(spark, dir)
+
+  /** RFC 3463 DSN-class delivery taxonomy per relay (m13). */
+  def dsnTaxonomy: DataFrame = MaillogOps.m13DsnTaxonomy(spark, dir)
+
+  /** Stateless streaming quality gate over a (doc_id, text) stream —
+    * t14's shared rule set as per-row array algebra, no state or
+    * watermark ([[graft.streaming.QualityStream]]). */
+  def streamingQualityGate(docStream: DataFrame): DataFrame =
+    graft.streaming.QualityStream.qualityVerdicts(docStream)
+
   /** Release this session's operator-scoped caches (job-server
     * hygiene; see [[graft.operators.OpCache]]). Results stay correct
     * afterwards — dropped entries degrade to recompute. */

@@ -195,15 +195,23 @@ object Quality {
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_bigrams"),
         coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup_inst"))
-    val flags = m.join(bi, Seq("doc_id"), "left")
+    verdictFrom(m.join(bi, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
-      .withColumn("dup_inst", coalesce(col("dup_inst"), lit(0L)))
+      .withColumn("dup_inst", coalesce(col("dup_inst"), lit(0L))))
+      .orderBy("doc_id")
+  }
+
+  /** t14's rule set over any (doc_id, nt, nd, nstop, n_bigrams,
+    * dup_inst) frame — ONE definition shared by the batch operator
+    * and [[graft.streaming.QualityStream]], so the streamed gate can
+    * never drift from the oracle-checked rules. */
+  private[graft] def verdictFrom(metrics: DataFrame): DataFrame = {
+    val ruleCols = Seq("too_short", "low_stopword", "high_dup", "rep_bigram")
+    metrics
       .withColumn("too_short", col("nt") < 25)
       .withColumn("low_stopword", col("nstop") * 50 < col("nt"))
       .withColumn("high_dup", (col("nt") - col("nd")) * 100 > col("nt") * 65)
       .withColumn("rep_bigram", col("dup_inst") * 100 > col("n_bigrams") * 12)
-    val ruleCols = Seq("too_short", "low_stopword", "high_dup", "rep_bigram")
-    flags
       .withColumn("n_rules",
         ruleCols.map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _))
       .withColumn("keep", col("n_rules") === 0)
@@ -211,7 +219,6 @@ object Quality {
         concat_ws(";", ruleCols.map(c => when(col(c), lit(c))): _*))
       .select("doc_id", "too_short", "low_stopword", "high_dup", "rep_bigram",
         "n_rules", "keep", "reasons")
-      .orderBy("doc_id")
   }
 
   /** t15: CCNet-style LM BUCKETS — rank every document within its

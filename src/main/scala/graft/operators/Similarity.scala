@@ -236,6 +236,35 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s09: FILTERED ANN — top-5 restricted to candidates sharing the
+    * query's label (the metadata-filtered vector search every
+    * retrieval deployment ends up needing: "nearest neighbors WHERE
+    * tenant/language/split = X"). Pre-filtering beats post-filtering
+    * a global top-k, which can return < k (or zero) survivors for a
+    * selective predicate.
+    *
+    * Plan shape: the label equi-join IS the filter — candidates never
+    * leave their label block, the (small) query set broadcasts, and
+    * the per-query window ranks only same-label survivors. Same
+    * blocked-join family as d05; no cross join, no global window. */
+  def s09FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val qs = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("qv").as("qv_q"), col("nrm").as("nq"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("label"),
+      col("qv").as("qv_c"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    cands.join(broadcast(qs), "label")
+      .filter(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("label"), col("cand_id"),
+        qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "label", "rank", "cand_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact int64 squared L2 between two quantized subvectors. */
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
@@ -407,6 +436,17 @@ object Similarity {
           |WHERE CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
           |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.25
           |ORDER BY q_id, cand_id""".stripMargin),
+
+      "s09_filtered_ann" ->
+        ("WITH " + qCte + """,
+          |qs AS (SELECT vec_id AS q_id, label, qv, nrm FROM n WHERE vec_id % 20 = 0),
+          |scored AS (SELECT a.q_id, a.label, b.vec_id AS cand_id,
+          |    CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM qs a JOIN n b ON a.label = b.label AND a.q_id <> b.vec_id)
+          |SELECT q_id, label, rank, cand_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM scored) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
       "s01_ann_brute" ->
         ("WITH " + qCte + """,

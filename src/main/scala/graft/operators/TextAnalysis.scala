@@ -31,7 +31,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private[operators] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[graft] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** t02: quality scoring from length/stopword/dup/punctuation ratios. */
   def t02Quality(spark: SparkSession, dir: String): DataFrame = {

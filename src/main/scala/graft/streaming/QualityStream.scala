@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest QUALITY GATE — t14's keep/drop verdict as PURE
+  * per-row array algebra, so the gate composes into any structured
+  * stream with NO state, no watermark and no shuffle: it plans as a
+  * stateless Project the micro-batch planner fuses into the source
+  * scan, which is exactly what an ingest-time filter must be (state
+  * here would couple the gate's latency to checkpointing).
+  *
+  * Batch t14 computes the bigram profile with two groupBys; per-row
+  * the same numbers fall out of higher-order array functions: with
+  * `bg` the in-order bigram array,
+  * dup_inst = |bg| − #distinct bigrams occurring exactly once —
+  * identical to t14's sum of multi-occurrence counts. The per-row
+  * lambda cost is O(distinct·len) comparisons, the price of
+  * statelessness. The RULE SET is literally shared
+  * ([[graft.operators.Quality.verdictFrom]]), so the streamed gate
+  * cannot drift from the oracle-checked batch rules;
+  * QualityStreamSpec pins row-for-row equality with batch t14 and
+  * runs the same expressions over a MemoryStream.
+  */
+object QualityStream {
+
+  /** Per-document verdicts over any (doc_id, text) frame — batch or
+    * streaming (the plan is stateless either way). */
+  def qualityVerdicts(docs: DataFrame): DataFrame = {
+    val stopArr = array(graft.operators.TextAnalysis.Stopwords.map(lit): _*)
+    val metrics = docs
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("t"))
+      .withColumn("nt", size(col("t")).cast("long"))
+      .withColumn("nd", size(array_distinct(col("t"))).cast("long"))
+      .withColumn("nstop",
+        size(filter(col("t"), x => array_contains(stopArr, x))).cast("long"))
+      .withColumn("bg",
+        when(col("nt") >= 2, transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("n_bigrams", size(col("bg")).cast("long"))
+      .withColumn("singles",
+        size(filter(array_distinct(col("bg")),
+          d => size(filter(col("bg"), x => x === d)) === 1)).cast("long"))
+      .withColumn("dup_inst", col("n_bigrams") - col("singles"))
+    graft.operators.Quality.verdictFrom(metrics)
+  }
+}

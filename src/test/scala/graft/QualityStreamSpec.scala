@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Quality
+import graft.sources.Tables
+import graft.streaming.QualityStream
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+
+/** The streaming quality gate (per-row array algebra) must equal the
+  * oracle-checked batch t14 row-for-row — the rule set is literally
+  * shared, so this pins the METRIC computation (per-row bigram
+  * profile vs t14's two groupBys), and the stream run proves the
+  * whole plan is stateless (an aggregation would demand a watermark
+  * or complete mode and fail the append-mode start). */
+class QualityStreamSpec extends SparkSpec {
+
+  test("per-row verdicts equal batch t14 on the documents table") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val got = QualityStream.qualityVerdicts(docs).orderBy("doc_id").collect()
+    val want = Quality.t14QualityFilter(spark, sf).collect()
+    assert(got.length === want.length)
+    assert(got.sameElements(want), "per-row gate diverges from batch t14")
+  }
+
+  test("the gate runs STATELESS over a stream and matches the batch rows") {
+    val dir = Files.createTempDirectory("qgate").toString
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+
+    // append mode + no watermark: only a stateless plan can start
+    val q = QualityStream.qualityVerdicts(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qgate")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("qgate").orderBy("doc_id").collect()
+    val want = Quality.t14QualityFilter(spark, sf).collect()
+    assert(got.sameElements(want), "streamed gate != batch t14")
+  }
+}
