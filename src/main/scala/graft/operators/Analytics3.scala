@@ -125,6 +125,38 @@ object Analytics3 {
   def qa02ApproxRobust(spark: SparkSession, dir: String): DataFrame =
     robustOutliers(spark, dir, c => s"approx_percentile($c, 0.5, 10000)")
 
+  /** qa03: SAMPLING-accuracy evaluation for heavy hitters — the exact
+    * global top-10 users by event count, side-by-side with the
+    * estimate a deterministic 10% hash sample produces (est = 10 ×
+    * sample count), plus whether the sample's own top-10 would have
+    * surfaced the user at all. The measurement a pipeline runs before
+    * trusting sampled dashboards (the qa01/qa02 question — "how wrong
+    * is the cheap path" — asked of sampling instead of sketches).
+    * Unlike the sketch internals this is fully deterministic (q17's
+    * hash-sample family), so it carries a full DuckDB oracle.
+    *
+    * Scale shape: global top-k WITHOUT a global rank window — sort +
+    * LIMIT plans as TakeOrderedAndProject (per-partition top-10,
+    * driver merges 10×partitions rows); the sample estimate joins
+    * back hint-free on the 10-row key set. */
+  def qa03SampleTopkEval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_id")
+    val exact10 = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+    val est = ev.filter(graft.functions.Fns.splitHash(col("event_id")) % 10 === 0)
+      .groupBy("user_id").agg((count(lit(1)) * 10).as("est_n"))
+    val est10 = est.orderBy(col("est_n").desc, col("user_id")).limit(10)
+      .select(col("user_id"), lit(true).as("in_sample_top10"))
+    exact10.join(est, Seq("user_id"), "left")
+      .join(est10, Seq("user_id"), "left")
+      .select(col("user_id"), col("exact_n"),
+        coalesce(col("est_n"), lit(0L)).as("est_n"),
+        coalesce(col("in_sample_top10"), lit(false)).as("in_sample_top10"),
+        ((coalesce(col("est_n"), lit(0L)) - col("exact_n")).cast("double") /
+          col("exact_n")).as("rel_err"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
   /** q32: slowly-changing-dimension (type 2) reconstruction — the
     * event stream collapsed to each user's state history: consecutive
     * same-type events merge, each surviving state carries
@@ -191,6 +223,21 @@ object Analytics3 {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
     Map(
+      "qa03_sample_topk" ->
+        """WITH exact10 AS (SELECT user_id, COUNT(*) AS exact_n FROM events
+          |                 GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 10),
+          |est AS (SELECT user_id, COUNT(*) * 10 AS est_n FROM events
+          |        WHERE ((event_id * 2654435761) % 4294967296) % 10 = 0
+          |        GROUP BY user_id),
+          |est10 AS (SELECT user_id, TRUE AS in_sample_top10 FROM est
+          |          ORDER BY est_n DESC, user_id LIMIT 10)
+          |SELECT user_id, exact_n,
+          |  CAST(COALESCE(est_n, 0) AS BIGINT) AS est_n,
+          |  COALESCE(in_sample_top10, FALSE) AS in_sample_top10,
+          |  CAST(COALESCE(est_n, 0) - exact_n AS DOUBLE) / exact_n AS rel_err
+          |FROM exact10 LEFT JOIN est USING (user_id) LEFT JOIN est10 USING (user_id)
+          |ORDER BY exact_n DESC, user_id""".stripMargin,
+
       "q29_retention" ->
         s"""WITH $evCte,
           |b AS (SELECT user_id, CAST(ts AS DATE) AS d FROM ev),

@@ -161,6 +161,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(ws.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("qa03: global top-k via TakeOrdered, never a global rank window") {
+    val df = graft.operators.Analytics3.qa03SampleTopkEval(spark, sf)
+    assert(windows(df).isEmpty, "sort+limit must not plan a window")
+    val takes = expanded(physical(df)).flatMap(_.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    })
+    assert(takes.nonEmpty, "top-10 must plan as TakeOrderedAndProject")
+  }
+
   test("no query plans an unpartitioned window over table data") {
     // the round-1 scale-killers (m06 global rank, vocab row_number)
     // must stay dead: sweep every registered batch query
