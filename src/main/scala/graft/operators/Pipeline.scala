@@ -304,6 +304,34 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** JSONL variant of the ship step — the interchange format most
+    * training stacks mount directly (WebDataset/HF loaders): same
+    * curate → train-split → hash-shard derivation as
+    * [[writeTrainingShards]], landed as one `shard=N` partition
+    * directory of line-delimited JSON each, plus the same read-back
+    * manifest. Schema note: JSON carries no long/int distinction, so
+    * the manifest recomputes its masses from the read-back frame with
+    * explicit casts — the spec pins byte-format round-trip equality
+    * against the parquet ship. */
+  def writeJsonlShards(spark: SparkSession, dir: String, outPath: String,
+                       shards: Int = 16): DataFrame = {
+    val train = p01Curation(spark, dir)
+      .filter(col("split") === "train").select("doc_id")
+    Tables.documents(spark, dir)
+      .join(train, Seq("doc_id"), "left_semi")
+      .withColumn("shard", graft.functions.Fns.splitHash(col("doc_id")) % shards)
+      .write.mode("overwrite").partitionBy("shard").json(outPath)
+    spark.read.json(outPath)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("doc_id").cast("long")).as("min_doc"),
+        max(col("doc_id").cast("long")).as("max_doc"))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("sum_chars"), col("min_doc"), col("max_doc"))
+      .orderBy("shard")
+  }
+
   /** p07: training-order shuffle — a reproducible random READ ORDER
     * for the corpus without any global sort rank: an affine hash
     * sends each document to one of 64 "shuffle shards", and the

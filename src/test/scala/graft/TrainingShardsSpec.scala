@@ -29,4 +29,23 @@ class TrainingShardsSpec extends SparkSpec {
       pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 16 =!= col("shard"))
     assert(bad.isEmpty, "every row must sit in its hash shard")
   }
+
+  test("JSONL ship step round-trips the same corpus as the parquet ship") {
+    val base = java.nio.file.Files.createTempDirectory("shipj").toString
+    val pq = Pipeline.writeTrainingShards(spark, sf, base + "/pq").collect()
+    val jl = Pipeline.writeJsonlShards(spark, sf, base + "/jl").collect()
+    assert(pq.map(_.toString).sorted.sameElements(jl.map(_.toString).sorted),
+      "jsonl manifest must equal the parquet manifest")
+
+    // the payload itself survives the text format byte-for-byte
+    val a = spark.read.parquet(base + "/pq")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+    val b = spark.read.json(base + "/jl")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+
+    val files = new java.io.File(base + "/jl/shard=0").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty, "shard dirs must hold line-delimited json parts")
+  }
 }
