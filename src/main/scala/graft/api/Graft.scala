@@ -163,6 +163,11 @@ class Graft(val spark: SparkSession, dir: String) {
 
   /** Curate → train split → hash shards → Hive dirs; returns the
     * read-back manifest. */
+  /** JSONL variant of the ship step (line-delimited interchange
+    * format; same sharding + manifest contract). */
+  def shipJsonlShards(outPath: String, shards: Int = 16): DataFrame =
+    Pipeline.writeJsonlShards(spark, dir, outPath, shards)
+
   def shipTrainingShards(outPath: String, shards: Int = 16): DataFrame =
     Pipeline.writeTrainingShards(spark, dir, outPath, shards)
 
