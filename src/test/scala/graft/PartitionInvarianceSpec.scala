@@ -26,7 +26,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "m03_messages", "q24_range_window",
                    // round 3: stacked lag/lead windows with tie-break,
                    // running-sum packing + explode, max(struct) argmax
-                   "q32_scd2", "p10_pack_boundaries", "m12_queue_aging")) {
+                   "q32_scd2", "p10_pack_boundaries", "m12_queue_aging",
+                   // round 4b: two-phase bucketed rank, band-join
+                   // verdicts, hash thresholds, TakeOrdered top-k
+                   "t15_lm_buckets", "d15_incremental_dedup",
+                   "p12_temperature_mix", "p13_rank_balance",
+                   "qa03_sample_topk")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
