@@ -30,7 +30,13 @@ object Fns {
     * shared helper, not per-file copies: the decontamination list is
     * computed against the SAME split that ships, and an edit here
     * changes all of them together (the oracles hardcode the formula —
-    * change BOTH or the gate goes red, which is the point). */
+    * change BOTH or the gate goes red, which is the point).
+    *
+    * Range note: for ids beyond ~3.5·10⁹ the multiply wraps mod 2⁶⁴
+    * before the pmod — well-defined and perfectly fine AS A HASH in
+    * Spark (wrap just permutes the mix), but DuckDB errors on int64
+    * overflow rather than wrapping; the oracle only ever evaluates
+    * fixture-scale ids, so the gate never reaches that divergence. */
   def splitHash(id: Column): Column =
     pmod(id * 2654435761L, lit(4294967296L))
 

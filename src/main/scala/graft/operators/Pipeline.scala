@@ -431,11 +431,16 @@ object Pipeline {
     *  - weight w = ⌊√n⌋ (α = 0.5; floor(sqrt(double)) is exact for
     *    n < 2⁵² — the true root is never within half an ulp of the
     *    crossing integer);
-    *  - doc budget B = ⌊total/2⌋, source target B·w/Σw;
-    *  - acceptance threshold per source =
-    *    min(10⁶, ⌊10⁶·B·w / (Σw·n)⌋), tested against the q17/q20
-    *    split hash mod 10⁶ — the SAME hash family as the shipped
-    *    split, so resampling composes with decontamination.
+    *  - doc budget B = ⌊total/2⌋, source target t = ⌊B·w/Σw⌋;
+    *  - acceptance threshold per source = min(10⁶, ⌊t·10⁶/n⌋),
+    *    tested against the q17/q20 split hash mod 10⁶ — the SAME
+    *    hash family as the shipped split, so resampling composes
+    *    with decontamination. The two-step form is deliberate
+    *    overflow discipline for the 10¹²-doc design point: the
+    *    single-expression ⌊10⁶·B·w/(Σw·n)⌋ builds 10⁶·B·w ≈ 10²³
+    *    and Σw·n ≈ 10¹⁹ intermediates (int64 overflow — a silent
+    *    wrap in Spark, an error in the oracle), while B·w ≤ ~10¹⁸
+    *    and t·10⁶ ≤ B·10⁶ stay in range because t ≤ B by w ≤ Σw.
     *
     * Scale shape: one groupBy(source) builds the (bounded, ≤|sources|
     * rows) rate table; the totals fold in as a broadcast 1-row agg;
@@ -448,8 +453,9 @@ object Pipeline {
     val tot = per.agg(sum(col("n_docs")).as("total"), sum(col("w")).as("denom"))
     // per-source table: cardinality = |sources|, broadcast by right
     val thr = per.crossJoin(broadcast(tot))
+      .withColumn("target", expr("((total div 2) * w) div denom"))
       .withColumn("thr1e6", least(lit(1000000L),
-        expr("(1000000 * (total div 2) * w) div (denom * n_docs)")))
+        expr("(target * 1000000) div n_docs")))
       .select("source", "n_docs", "w", "thr1e6")
     val kept = docs.join(broadcast(thr.select("source", "thr1e6")), "source")
       .filter(graft.functions.Fns.splitHash(col("doc_id")) % 1000000 < col("thr1e6"))
@@ -508,7 +514,7 @@ object Pipeline {
         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
         |               CAST(SUM(w) AS BIGINT) AS denom FROM pw),
         |thr AS (SELECT source, n_docs, w,
-        |    LEAST(1000000, (1000000 * (total // 2) * w) // (denom * n_docs)) AS thr1e6
+        |    LEAST(1000000, ((((total // 2) * w) // denom) * 1000000) // n_docs) AS thr1e6
         |  FROM pw CROSS JOIN tot),
         |kept AS (SELECT d.source, COUNT(*) AS n_kept
         |         FROM documents d JOIN thr USING (source)
