@@ -92,6 +92,7 @@ object SparkEntry {
     "s04_production" -> (Similarity.s04Production _),
     "s08_ann_ivf2" -> (Similarity.s08AnnIvf2 _),
     "s09_filtered_ann" -> (Similarity.s09FilteredAnn _),
+    "s10_filtered_ivf" -> (Similarity.s10FilteredIvf _),
     "d08_production" -> (Dedup.d08Production _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "s05_ann_recall" -> (Similarity.s05AnnRecall _),

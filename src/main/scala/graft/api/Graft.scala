@@ -236,6 +236,10 @@ class Graft(val spark: SparkSession, dir: String) {
     * candidates (s09). */
   def filteredAnn: DataFrame = Similarity.s09FilteredAnn(spark, dir)
 
+  /** Filtered IVF: the label pre-filter composed with the bounded-k
+    * cells — the production filtered-search shape (s10). */
+  def filteredIvf: DataFrame = Similarity.s10FilteredIvf(spark, dir)
+
   /** RFC 3463 DSN-class delivery taxonomy per relay (m13). */
   def dsnTaxonomy: DataFrame = MaillogOps.m13DsnTaxonomy(spark, dir)
 

@@ -270,6 +270,44 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s10: FILTERED IVF — s09's label pre-filter composed with the
+    * production bounded-k IVF of s03: candidates must share BOTH the
+    * query's probed cell and its label, so the scored set shrinks to
+    * the (cell, label) block intersection — the shape a production
+    * filtered-search deployment actually runs (s09 is the exact
+    * baseline; scanning a whole label block stops being affordable
+    * when one tenant/language owns most of the corpus).
+    *
+    * Plan shape: s03's linear n×k assignment (constant-size centroid
+    * broadcast) + one equi-join keyed on (cell, label) — the filter
+    * costs nothing extra, it only tightens the join key. */
+  def s10FilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val scored = e.crossJoin(broadcast(boundedCents(e)))
+      .select(col("vec_id"), col("label"), col("qv"), col("nrm"), col("c_id"),
+        qcos(qdot(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")).as("c_cos"))
+    val byCell = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val ranked = scored.withColumn("crn", row_number().over(byCell))
+    val assign = OpCache.cached(ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
+        col("c_id").as("cell")))
+    // top-4 probes, not s03's top-2: the label filter thins every
+    // probed cell, so filtered search buys recall back by probing
+    // deeper (the nprobe-under-filter rule every IVF deployment uses)
+    val probes = ranked.filter(col("vec_id") % 20 === 0 && col("crn") <= 4)
+      .select(col("vec_id").as("q_id"), col("label"), col("qv").as("qv_q"),
+        col("nrm").as("nq"), col("c_id").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    assign.join(broadcast(probes), Seq("cell", "label"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("label"), col("cell"), col("vec_id").as("cand_id"),
+        qcos(qdot(col("qv_q"), col("qv")), col("nq"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "label", "rank", "cand_id", "cell", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact int64 squared L2 between two quantized subvectors. */
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
@@ -441,6 +479,27 @@ object Similarity {
           |WHERE CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
           |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.25
           |ORDER BY q_id, cand_id""".stripMargin),
+
+      // s03_production's CTEs with label carried through and the
+      // candidate join tightened to (cell, label)
+      "s10_filtered_ivf" ->
+        ("WITH " + qCte + """,
+          |cents AS (SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_nrm FROM n
+          |          WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0),
+          |scored AS (SELECT v.vec_id, v.label, v.qv, v.nrm, c.c_id,
+          |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+          |  FROM n v CROSS JOIN cents c),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn FROM scored),
+          |assign AS (SELECT vec_id, label, qv, nrm, c_id AS cell FROM ranked WHERE crn = 1),
+          |probes AS (SELECT vec_id AS q_id, label, qv AS qv_q, nrm AS nq, c_id AS cell FROM ranked WHERE vec_id % 20 = 0 AND crn <= 4),
+          |cands AS (SELECT p.q_id, p.label, p.cell, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(p.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(p.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.label = a.label AND p.q_id <> a.vec_id)
+          |SELECT q_id, label, rank, cand_id, cell, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM cands) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
       "s09_filtered_ann" ->
         ("WITH " + qCte + """,

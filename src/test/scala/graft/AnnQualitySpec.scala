@@ -35,6 +35,15 @@ class AnnQualitySpec extends SparkSpec {
     assert(r >= 0.35, f"bounded-k IVF recall collapsed: $r%.3f")
   }
 
+  test("filtered IVF (s10) recall vs the exact filtered search stays usable") {
+    val truth = Similarity.s09FilteredAnn(spark, sf).select("q_id", "cand_id")
+    val hits = Similarity.s10FilteredIvf(spark, sf).select("q_id", "cand_id")
+      .intersect(truth).count()
+    val r = hits.toDouble / truth.count()
+    info(f"s10 recall vs s09 = $r%.3f")
+    assert(r >= 0.15, f"filtered-IVF recall collapsed: $r%.3f")
+  }
+
   test("filtered ANN (s09) equals brute top-5 restricted to the label") {
     // for every query, s09's hits must be exactly the best same-label
     // candidates — i.e. each s09 row's cosine is >= any brute-force
