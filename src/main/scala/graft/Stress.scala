@@ -101,6 +101,14 @@ object Stress {
     val nPack = time("single-source pack (p02)")(
       graft.operators.Pipeline.packTokens(packIn, 2048L).count())
 
+    // incremental screen at replication scale: ~20% of the corpus
+    // (ids % 10 ∈ {8,9}) screened against the other 80% — replicas
+    // guarantee heavy hash/band hit rates, the worst case for the
+    // two verdict joins (every increment row finds matches)
+    val d15res = graft.operators.Dedup.d15From(docs).persist()
+    val nInc = time("incremental screen (d15)")(d15res.count())
+    val nKeepInc = d15res.filter(col("verdict") === "keep").count()
+
     // per-language LM rank on a SINGLE-language corpus: t15's
     // two-phase bucketed rank must stay parallel when every row
     // shares one lang value (the mostly-English-corpus case) — same
@@ -135,7 +143,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"packed":$nPack,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

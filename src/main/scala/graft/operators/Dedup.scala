@@ -280,14 +280,19 @@ object Dedup {
     * by hash/bandkey — cost O(increment + collisions), never a pass
     * over corpus×increment. The corpus side of both joins carries no
     * broadcast hint (it grows with the accepted corpus). */
-  def d15IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("h"))
+  def d15IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    d15From(Tables.documents(spark, dir))
+
+  /** The screen over any (doc_id, text) frame — also driven at
+    * replicated scale by [[graft.Stress]]. The shingle projection is
+    * the same OpCache entry d02 shares when the input plan matches. */
+  private[graft] def d15From(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), md5(col("text")).as("h"))
     val isInc = col("doc_id") % 10 >= 8
     val incDocs = docs.filter(isInc)
     val corpHash = docs.filter(!isInc)
       .groupBy("h").agg(min(col("doc_id")).as("exact_match"))
-    val bands = bandsOf(signatures(spark, dir))
+    val bands = bandsOf(signaturesFrom(OpCache.cached(docShingles(documents))))
     val incBands = bands.filter(isInc)
     val corpBands = bands.filter(!isInc)
       .select(col("doc_id").as("corp_doc"), col("band"), col("bandkey"))

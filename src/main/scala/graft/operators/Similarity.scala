@@ -179,8 +179,15 @@ object Similarity {
     *
     * All rules are deterministic integer/exact-cosine arithmetic —
     * full DuckDB oracle. */
-  def s08AnnIvf2(spark: SparkSession, dir: String): DataFrame = {
-    val e = quantized(spark, dir)
+  def s08AnnIvf2(spark: SparkSession, dir: String): DataFrame =
+    ivf2Core(quantized(spark, dir), probeCoarse = 2, probeFine = 2)
+
+  /** s08's search with a configurable probe depth — the sweep knob
+    * AnnQualitySpec uses to pin that recall is monotone in probes
+    * (a superset candidate pool can displace a ranked item only with
+    * a globally better one, never evict a true-top-5 hit). */
+  private[graft] def ivf2Core(e: DataFrame, probeCoarse: Int,
+                              probeFine: Int): DataFrame = {
     val coarse = boundedSeeds(e, 8L)
       .select(col("vec_id").as("c1"), col("qv").as("c1_qv"), col("nrm").as("c1_nrm"))
     val fine = boundedSeeds(e, 64L).select("vec_id", "qv", "nrm")
@@ -217,13 +224,13 @@ object Similarity {
     val q2c = q.crossJoin(broadcast(coarse))
       .select(col("q_id"), col("qv_q"), col("nq"), col("c1"),
         qcos(qdot(col("qv_q"), col("c1_qv")), col("nq"), col("c1_nrm")).as("c_cos"))
-      .withColumn("rn", row_number().over(wq1)).filter(col("rn") <= 2)
+      .withColumn("rn", row_number().over(wq1)).filter(col("rn") <= probeCoarse)
       .select("q_id", "qv_q", "nq", "c1")
     val wq2 = Window.partitionBy("q_id").orderBy(col("f_cos").desc, col("f_id"))
     val q2f = q2c.join(broadcast(f2c), "c1")
       .select(col("q_id"), col("qv_q"), col("nq"), col("f_id"),
         qcos(qdot(col("qv_q"), col("f_qv")), col("nq"), col("f_nrm")).as("f_cos"))
-      .withColumn("rn", row_number().over(wq2)).filter(col("rn") <= 2)
+      .withColumn("rn", row_number().over(wq2)).filter(col("rn") <= probeFine)
       .select(col("q_id"), col("qv_q"), col("nq"), col("f_id").as("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
     assign.join(broadcast(q2f), Seq("cell"))

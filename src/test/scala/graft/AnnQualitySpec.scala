@@ -35,6 +35,28 @@ class AnnQualitySpec extends SparkSpec {
     assert(r >= 0.35, f"bounded-k IVF recall collapsed: $r%.3f")
   }
 
+  test("s08 probe sweep: recall is monotone non-decreasing in probe depth") {
+    // growing the probed (coarse, fine) cells grows the candidate
+    // pool as a SUPERSET — a new entrant can displace a ranked item
+    // only by beating it on exact cosine, and anything that beats a
+    // non-truth item while losing to all five truth items is itself
+    // outside truth, so a true hit is never evicted
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val quant = e.select(col("vec_id"), col("label"),
+        graft.functions.TextFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", graft.functions.TextFns.qnorm2(col("qv")))
+    val truth = Similarity.s01AnnBrute(spark, sf).select("q_id", "cand_id")
+    val nTruth = truth.count().toDouble
+    val recalls = Seq((1, 1), (2, 2), (4, 4)).map { case (pc, pf) =>
+      Similarity.ivf2Core(quant, pc, pf).select("q_id", "cand_id")
+        .intersect(truth).count() / nTruth
+    }
+    info(s"probe sweep recalls (1,1)/(2,2)/(4,4) = ${recalls.map(r => f"$r%.3f").mkString(", ")}")
+    assert(recalls == recalls.sorted, s"recall regressed as probes grew: $recalls")
+    assert(recalls.last > recalls.head,
+      "deeper probes must buy at least some recall on this fixture")
+  }
+
   test("filtered IVF (s10) recall vs the exact filtered search stays usable") {
     val truth = Similarity.s09FilteredAnn(spark, sf).select("q_id", "cand_id")
     val hits = Similarity.s10FilteredIvf(spark, sf).select("q_id", "cand_id")
