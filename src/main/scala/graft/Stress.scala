@@ -108,6 +108,7 @@ object Stress {
     val d15res = graft.operators.Dedup.d15From(docs).persist()
     val nInc = time("incremental screen (d15)")(d15res.count())
     val nKeepInc = d15res.filter(col("verdict") === "keep").count()
+    d15res.unpersist() // later stages compete for the same memory
 
     // per-language LM rank on a SINGLE-language corpus: t15's
     // two-phase bucketed rank must stay parallel when every row

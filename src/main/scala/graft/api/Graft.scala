@@ -57,10 +57,14 @@ class Graft(val spark: SparkSession, dir: String) {
     * n_lines. */
   def maillogTables(logPath: String,
                     year: Int = 0): Map[String, DataFrame] = {
-    // persisted: the four returned tables each materialize this same
-    // read+regex projection — on a real multi-GB maillog the parse is
-    // the dominant cost and would otherwise run four times
-    val parsed = Maillog.parsed(Maillog.readLines(spark, logPath), year).persist()
+    // cached via OpCache (not a bare persist): the four returned
+    // tables each materialize this same read+regex projection — on a
+    // real multi-GB maillog the parse is the dominant cost and would
+    // otherwise run four times — and the registry's LRU/release
+    // discipline keeps a long-lived job server from pinning one
+    // parsed corpus per call
+    val parsed = OpCache.cached(
+      Maillog.parsed(Maillog.readLines(spark, logPath), year))
     Map(
       "logs" -> parsed.distinct(),
       "clients" -> MaillogOps.clientsFrom(parsed),
@@ -163,13 +167,13 @@ class Graft(val spark: SparkSession, dir: String) {
 
   /** Curate → train split → hash shards → Hive dirs; returns the
     * read-back manifest. */
+  def shipTrainingShards(outPath: String, shards: Int = 16): DataFrame =
+    Pipeline.writeTrainingShards(spark, dir, outPath, shards)
+
   /** JSONL variant of the ship step (line-delimited interchange
     * format; same sharding + manifest contract). */
   def shipJsonlShards(outPath: String, shards: Int = 16): DataFrame =
     Pipeline.writeJsonlShards(spark, dir, outPath, shards)
-
-  def shipTrainingShards(outPath: String, shards: Int = 16): DataFrame =
-    Pipeline.writeTrainingShards(spark, dir, outPath, shards)
 
   /** Cohort retention matrix (first-seen-day cohorts, offsets 0–14). */
   def retention: DataFrame = Analytics3.q29Retention(spark, dir)

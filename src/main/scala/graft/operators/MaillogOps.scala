@@ -409,8 +409,8 @@ object MaillogOps {
     // rank is then recovered on the 10-row result with a broadcast
     // non-equi self-join (count of rows sorting strictly before),
     // keeping the plan window-free.
-    val top = agg.orderBy(col("n_messages").desc, col("client_rdns")).limit(10)
-      .persist() // both sides of the rank self-join
+    val top = OpCache.cached( // both sides of the rank self-join
+      agg.orderBy(col("n_messages").desc, col("client_rdns")).limit(10))
     val before = top.select(col("n_messages").as("b_n"), col("client_rdns").as("b_r"))
     top.join(broadcast(before),
         col("b_n") > col("n_messages") ||

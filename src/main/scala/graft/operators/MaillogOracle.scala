@@ -124,15 +124,20 @@ object MaillogOracle {
       "  COUNT(DISTINCT delivery_relay) AS n_relays, max(delivery_timestamp) AS last_seen\n" +
       "FROM dl GROUP BY 1, 2 ORDER BY 1, 2"),
 
+    // TRY_CAST + NULLS FIRST: Spark's substring_index(...).cast("int")
+    // yields NULL on a malformed dsn and sorts nulls first — both
+    // engines must degrade identically if the parse rules ever
+    // loosen (today delivery_dsn is a numeric regex capture, so the
+    // branch is unreachable and the hash is unchanged)
     "m13_dsn_taxonomy" -> (prefix + ",\n" + deliveriesCte + ",\n" +
-      "dc AS (SELECT *, CAST(split_part(delivery_dsn, '.', 1) AS INTEGER) AS dsn_class FROM dl)\n" +
+      "dc AS (SELECT *, TRY_CAST(split_part(delivery_dsn, '.', 1) AS INTEGER) AS dsn_class FROM dl)\n" +
       "SELECT delivery_relay AS relay, dsn_class,\n" +
       "  CASE dsn_class WHEN 2 THEN 'success' WHEN 4 THEN 'transient'\n" +
       "       WHEN 5 THEN 'permanent' ELSE 'other' END AS dsn_family,\n" +
       "  COUNT(*) AS n,\n" +
       "  CAST(SUM(CAST(delivery_delay AS DECIMAL(18,2))) AS DOUBLE) AS sum_delay_s,\n" +
       "  COUNT(DISTINCT delivery_queueid) AS n_queues, max(delivery_timestamp) AS last_seen\n" +
-      "FROM dc GROUP BY 1, 2, 3 ORDER BY 1, 2"),
+      "FROM dc GROUP BY 1, 2, 3 ORDER BY 1, 2 NULLS FIRST"),
 
     "m08_hourly_volume" -> (prefix + ",\n" + deliveriesCte + "\n" +
       "SELECT date_trunc('hour', delivery_timestamp) AS hour, delivery_status, COUNT(*) AS n,\n" +

@@ -31,7 +31,10 @@ object Quality {
   def t08UnigramLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val cf = tok.groupBy("term").agg(count(lit(1)).as("cf")).persist()
+    // OpCache, not a bare persist: the term-frequency table grows
+    // with the vocabulary (Heaps' law), so an unreleased persist
+    // would pin corpus-scaled storage for the session lifetime
+    val cf = OpCache.cached(tok.groupBy("term").agg(count(lit(1)).as("cf")))
     val total = cf.agg(sum(col("cf")).as("total_tokens"))
     tok.join(cf, "term")
       .groupBy("doc_id")

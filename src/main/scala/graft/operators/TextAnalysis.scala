@@ -198,7 +198,10 @@ object TextAnalysis {
   def t07Boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val sh = docShingles(docs).persist() // df pass + per-doc counts
+    // OpCache, not a bare persist: df pass + per-doc counts share it,
+    // and the registry's release discipline applies (this is the same
+    // plan d02/d04 register, so the entry is shared across operators)
+    val sh = OpCache.cached(docShingles(docs))
     val dfreq = sh.groupBy("term").agg(count(lit(1)).as("df"))
     val boiler = dfreq.crossJoin(broadcast(nDocs))
       .filter(col("df") * 100 >= col("n_docs") * 8)

@@ -36,22 +36,28 @@ class AnnQualitySpec extends SparkSpec {
   }
 
   test("s08 probe sweep: recall is monotone non-decreasing in probe depth") {
-    // growing the probed (coarse, fine) cells grows the candidate
-    // pool as a SUPERSET — a new entrant can displace a ranked item
+    // probeCoarse is held at its maximum so the superset argument is
+    // STRUCTURAL, not empirical: with the probed coarse set fixed,
+    // growing probeFine keeps a prefix-of-the-same-ranking property
+    // (rn <= pf over one fine ranking), so the candidate pool grows
+    // as a true superset — a new entrant can displace a ranked item
     // only by beating it on exact cosine, and anything that beats a
     // non-truth item while losing to all five truth items is itself
-    // outside truth, so a true hit is never evicted
+    // outside truth, so a true hit is never evicted. (Sweeping both
+    // knobs together does NOT guarantee a superset: a newly probed
+    // coarse cell can displace previously probed fine cells from the
+    // top-probeFine ranking.)
     val e = graft.sources.Tables.embeddings(spark, sf)
     val quant = e.select(col("vec_id"), col("label"),
         graft.functions.TextFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", graft.functions.TextFns.qnorm2(col("qv")))
     val truth = Similarity.s01AnnBrute(spark, sf).select("q_id", "cand_id")
     val nTruth = truth.count().toDouble
-    val recalls = Seq((1, 1), (2, 2), (4, 4)).map { case (pc, pf) =>
-      Similarity.ivf2Core(quant, pc, pf).select("q_id", "cand_id")
-        .intersect(truth).count() / nTruth
+    val recalls = Seq(1, 2, 4).map { pf =>
+      Similarity.ivf2Core(quant, probeCoarse = 4, probeFine = pf)
+        .select("q_id", "cand_id").intersect(truth).count() / nTruth
     }
-    info(s"probe sweep recalls (1,1)/(2,2)/(4,4) = ${recalls.map(r => f"$r%.3f").mkString(", ")}")
+    info(s"probe-fine sweep recalls pf=1/2/4 (pc=4) = ${recalls.map(r => f"$r%.3f").mkString(", ")}")
     assert(recalls == recalls.sorted, s"recall regressed as probes grew: $recalls")
     assert(recalls.last > recalls.head,
       "deeper probes must buy at least some recall on this fixture")

@@ -29,6 +29,22 @@ class OpCacheSpec extends SparkSpec {
       "repeat calls must not pin additional persisted RDDs")
   }
 
+  test("repeated t07/t08 calls (round-5 OpCache converts) do not grow storage") {
+    OpCache.release(spark)
+    spark.catalog.clearCache()
+    for (name <- Seq("t07_boilerplate", "t08_unigram_lm")) run(name)
+    val afterFirst = OpCache.liveEntries(spark)
+    val storageFirst = spark.sparkContext.getRDDStorageInfo.length
+    for (_ <- 1 to 3; name <- Seq("t07_boilerplate", "t08_unigram_lm")) run(name)
+    assert(OpCache.liveEntries(spark) == afterFirst,
+      "repeat t07/t08 calls must hit existing entries")
+    assert(spark.sparkContext.getRDDStorageInfo.length == storageFirst,
+      "repeat t07/t08 calls must not pin additional persisted RDDs")
+    OpCache.release(spark)
+    assert(OpCache.liveEntries(spark) == 0,
+      "release must drop the t07/t08 entries too")
+  }
+
   test("release() returns block-manager storage to baseline") {
     run("d02_minhash_lsh")
     assert(OpCache.liveEntries(spark) > 0, "d02 should register cached inputs")
