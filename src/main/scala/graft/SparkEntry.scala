@@ -47,6 +47,8 @@ object SparkEntry {
     "q23_window_ranks" -> (Analytics2.q23WindowRanks _),
     "q24_range_window" -> (Analytics2.q24RangeWindow _),
     "d09_edit_distance" -> (Dedup.d09EditDistance _),
+    "d09_production" -> (Dedup.d09Production _),
+    "d17_incremental_spans" -> (Dedup.d17IncrementalSpans _),
     "d10_dup_spans" -> (Dedup.d10DupSpans _),
     "d11_lsh_quality" -> (Dedup.d11LshQuality _),
     "d12_decontaminate" -> (Dedup.d12Decontaminate _),

@@ -59,6 +59,26 @@ object Stress {
     val nSpan = time("span pairs (dedup-first)")(
       graft.operators.Dedup.spanPairsFrom(keepers).count())
 
+    // bounded fuzzy NN (d09_production) under the same dedup-first
+    // ordering: replicas are exact dups whose mult² Levenshtein pairs
+    // are d01's job to remove, and the >100-occurrence chunk screen
+    // drops any residual mega-group (pinned in PropertySpec) — what
+    // must stay bounded here is the verify on the deduped corpus
+    val d09in = keepers.withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+    val nFuzzy = time("fuzzy NN (dedup-first)")(
+      graft.operators.Dedup.d09ProductionFrom(d09in).count())
+
+    // incremental span screen with a REPLICATED frozen corpus and a
+    // FIXED increment — the production asymmetry (the corpus grows,
+    // the arrival batch doesn't): matches grow linearly with the
+    // corpus replicas and the corpus-side seed screen (f ≤ 50) caps
+    // the per-seed fan-out once a span's replication passes it
+    val d17in = docs.filter(col("doc_id") % 10 < 8)
+      .union(base.filter(col("doc_id") % 10 >= 8))
+    val nIncSpan = time("incremental spans (d17)")(
+      graft.operators.Dedup.incrementalSpansFrom(d17in).count())
+
     // semantic (embedding-space) dedup under the same replication:
     // every replica is cosine-1.0 identical to its original, so cell
     // occupancy grows mult× and the within-cell verify must absorb a
@@ -144,7 +164,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

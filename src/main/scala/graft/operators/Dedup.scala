@@ -460,6 +460,80 @@ object Dedup {
       .orderBy("doc_a")
   }
 
+  /** d09 on the PRODUCTION candidate policy: the (source, length-band)
+    * block is further sub-blocked by CONTENT, so the per-block
+    * Levenshtein verify stays bounded at any corpus size (the
+    * d02/d08/s03_production precedent — d09EditDistance remains the
+    * oracle-parity exact twin of the all-pairs-within-block policy).
+    *
+    * Candidate policy: the 120-char prefix is cut into eight 15-char
+    * position-aligned chunks; two documents are candidates iff they
+    * agree on at least one (position, chunk) key inside their
+    * (source, length-band) block — the pigeonhole screen for
+    * substitution-dominated (OCR/typo) near-dups: ≤ 7 substitutions
+    * in the prefix leave at least one of the 8 chunks untouched. A
+    * pair differing in every chunk is not a near-dup and is exactly
+    * what the screen should drop (position-shifting insertions can
+    * break chunk alignment — the documented recall trade; d02's
+    * token shingles catch those). Chunk keys
+    * occurring > [[D09MaxChunkFreq]] times in their block are
+    * screened out BEFORE the pair join (d14's seed-frequency
+    * precedent: a boilerplate prefix shared by thousands of docs
+    * would otherwise re-create the quadratic block this operator
+    * exists to remove), so candidate pairs per key are ≤ freq² with
+    * freq bounded — sub-quadratic growth under replication, probed
+    * by [[graft.Stress]].
+    *
+    * Sub-8-char chunks (the tail of prefixes shorter than the chunk
+    * grid) are dropped from the KEY set only: near-empty keys
+    * degenerate to "everyone in the block matches". Documents whose
+    * every chunk is screened out produce no verdict row — the
+    * documented recall trade of the production screen. */
+  def d09Production(spark: SparkSession, dir: String): DataFrame =
+    d09ProductionFrom(Tables.documents(spark, dir))
+
+  /** Chunk occurrence cap for the d09 production screen — also
+    * hardcoded in the DuckDB oracle (`f <= 100`); change BOTH. */
+  private[graft] val D09MaxChunkFreq = 100L
+
+  /** d09_production's core over any (doc_id, source, n_chars, text)
+    * frame — also driven at replicated scale by [[graft.Stress]]. */
+  private[graft] def d09ProductionFrom(documents: DataFrame): DataFrame = {
+    val docs = OpCache.cached(documents
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") / 32).cast("long").as("band"),
+        substring(col("text"), 1, 120).as("pfx"))) // chunk keys + both verify sides
+    val chunks = docs.select(col("doc_id"), col("source"), col("band"),
+        explode(array((0 until 8).map(j =>
+          struct(lit(j).as("j"), substring(col("pfx"), j * 15 + 1, 15).as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("source"), col("band"),
+        col("c.j").as("j"), col("c.chunk").as("chunk"))
+      .filter(length(col("chunk")) >= 8)
+    val blockKey = Seq("source", "band", "j", "chunk")
+    // the frequency table grows with the corpus — no broadcast hint
+    // (the d10 span-df convention); Catalyst broadcasts while small
+    val freq = chunks.groupBy(blockKey.head, blockKey.tail: _*)
+      .agg(count(lit(1)).as("f"))
+    val ok = chunks.join(freq, blockKey).filter(col("f") <= D09MaxChunkFreq)
+    val cand = ok.select(col("doc_id").as("doc_a"), col("source"), col("band"),
+        col("j"), col("chunk"))
+      .join(ok.select(col("doc_id").as("doc_b"), col("source"), col("band"),
+        col("j"), col("chunk")), blockKey)
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct() // a pair can agree on several chunk positions
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+      .select(col("doc_a"),
+        struct(levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("d"),
+          col("doc_b").as("n")).as("cand"))
+      .groupBy("doc_a")
+      .agg(min(col("cand")).as("m"))
+      .select(col("doc_a"), col("m.n").as("nn_doc"), col("m.d").as("edit_dist"))
+      .orderBy("doc_a")
+  }
+
   /** d10: exact duplicated-span coverage — the share of each
     * document's 8-token spans that appear verbatim in at least one
     * other span occurrence corpus-wide (the exact-substring
@@ -516,13 +590,7 @@ object Dedup {
     * replicated scale by [[graft.Stress]]. */
   private[graft] def spanPairsFrom(docs: DataFrame, minSpan: Int = 12,
                                    maxSeedFreq: Long = 50L): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-    val seeds = OpCache.cached(toks.filter(size(col("t")) >= 8)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 7),
-        i => struct(i.cast("long").as("pos"),
-          concat_ws(" ", (0 until 8).map(k => element_at(col("t"), i + k)): _*).as("term"))))
-        .as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.term").as("term")))
+    val seeds = spanSeeds(docs)
     val freq = seeds.groupBy("term").agg(count(lit(1)).as("f"))
     val ok = seeds.join(freq, "term").filter(col("f") <= maxSeedFreq)
       .select("doc_id", "pos", "term")
@@ -539,6 +607,71 @@ object Dedup {
       .filter(col("span_tokens") >= minSpan)
       .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
       .orderBy("doc_a", "doc_b", "a_start", "b_start")
+  }
+
+  /** Positioned 8-gram seed table (doc_id, pos, term) — d14's seed
+    * stage, shared with d17's increment-vs-corpus screen (same
+    * OpCache entry when the input plan matches). */
+  private[graft] def spanSeeds(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    OpCache.cached(toks.filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 7),
+        i => struct(i.cast("long").as("pos"),
+          concat_ws(" ", (0 until 8).map(k => element_at(col("t"), i + k)): _*).as("term"))))
+        .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.term").as("term")))
+  }
+
+  /** d17: INCREMENTAL span screen — d15's increment-vs-corpus
+    * discipline applied to d14's verbatim-span measurement: every
+    * maximal token span ≥ 12 tokens that a new-batch document shares
+    * verbatim with any frozen-corpus document. The increment is the
+    * same deterministic doc_id % 10 ∈ {8,9} slice d15 uses; a
+    * deployment substitutes its arrival partition and a prebuilt
+    * corpus seed index.
+    *
+    * Why this exists: d14's pairwise form needs unbounded streaming
+    * state (any past doc can pair with any future one), so it has no
+    * streaming twin. Screening an increment against a FROZEN corpus
+    * index is the boundable middle ground: seed join cost is
+    * O(increment seeds × matched corpus seeds), islands run only on
+    * increment-touched (pair, diagonal) slices, and the corpus side
+    * is never rescanned per batch.
+    *
+    * Scale shape: the corpus seed index carries d14's ≤ 50
+    * occurrence screen (computed over the corpus side alone — the
+    * frozen index is built once and does not shift as increments
+    * arrive), which bounds the per-seed fan-out of the join; the
+    * corpus side of the join carries no broadcast hint (it grows
+    * with the accepted corpus). The island window partitions by
+    * (doc_inc, doc_corp, diag) — thin slices of the match table. */
+  def d17IncrementalSpans(spark: SparkSession, dir: String): DataFrame =
+    incrementalSpansFrom(Tables.documents(spark, dir))
+
+  /** d17's core over any (doc_id, text) frame — also driven at
+    * replicated scale by [[graft.Stress]]. */
+  private[graft] def incrementalSpansFrom(documents: DataFrame,
+                                          minSpan: Int = 12,
+                                          maxSeedFreq: Long = 50L): DataFrame = {
+    val seeds = spanSeeds(documents)
+    val isInc = col("doc_id") % 10 >= 8
+    val corp = seeds.filter(!isInc)
+    val corpFreq = corp.groupBy("term").agg(count(lit(1)).as("f"))
+    val corpIdx = corp.join(corpFreq, "term").filter(col("f") <= maxSeedFreq)
+      .select(col("doc_id").as("doc_corp"), col("pos").as("ib"), col("term"))
+    val inc = seeds.filter(isInc)
+      .select(col("doc_id").as("doc_inc"), col("pos").as("ia"), col("term"))
+    val pr = inc.join(corpIdx, "term")
+      .select(col("doc_inc"), col("doc_corp"), col("ia"), col("ib"),
+        (col("ia") - col("ib")).as("diag"))
+    val w = Window.partitionBy("doc_inc", "doc_corp", "diag").orderBy("ia")
+    pr.withColumn("grp", col("ia") - row_number().over(w))
+      .groupBy("doc_inc", "doc_corp", "diag", "grp")
+      .agg(min(col("ia")).as("inc_start"), min(col("ib")).as("corp_start"),
+        (count(lit(1)) + 7).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select("doc_inc", "doc_corp", "inc_start", "corp_start", "span_tokens")
+      .orderBy("doc_inc", "doc_corp", "inc_start", "corp_start")
   }
 
   /** d11: LSH estimate quality — for every d02 candidate pair, the
@@ -707,6 +840,56 @@ object Dedup {
           |SELECT doc_a, doc_b AS nn_doc, d AS edit_dist FROM (
           |  SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY d, doc_b) AS rn FROM p) t
           |WHERE rn = 1 ORDER BY doc_a""".stripMargin,
+
+      // identical verify + argmin semantics to d09; only the
+      // candidate policy differs (shared-chunk sub-blocking with the
+      // f <= 100 occurrence screen)
+      "d09_production" ->
+        """WITH d AS (SELECT doc_id, source, n_chars // 32 AS band,
+          |             substr(text, 1, 120) AS pfx FROM documents),
+          |ch AS (SELECT doc_id, source, band, j, substr(pfx, j * 15 + 1, 15) AS chunk
+          |       FROM d, generate_series(0, 7) g(j)
+          |       WHERE length(substr(pfx, j * 15 + 1, 15)) >= 8),
+          |fr AS (SELECT source, band, j, chunk, COUNT(*) AS f
+          |       FROM ch GROUP BY 1, 2, 3, 4),
+          |ok AS (SELECT ch.* FROM ch JOIN fr USING (source, band, j, chunk)
+          |       WHERE f <= 100),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |         FROM ok a JOIN ok b ON a.source = b.source AND a.band = b.band
+          |           AND a.j = b.j AND a.chunk = b.chunk AND a.doc_id <> b.doc_id),
+          |p AS (SELECT doc_a, doc_b,
+          |        CAST(levenshtein(da.pfx, db.pfx) AS BIGINT) AS d
+          |      FROM cand JOIN d da ON da.doc_id = doc_a
+          |        JOIN d db ON db.doc_id = doc_b)
+          |SELECT doc_a, doc_b AS nn_doc, d AS edit_dist FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY d, doc_b) AS rn FROM p) t
+          |WHERE rn = 1 ORDER BY doc_a""".stripMargin,
+
+      // d14's seed/island pipeline with the join sides split on the
+      // d15 increment rule; the seed screen runs on the corpus side
+      // alone (the frozen index)
+      "d17_incremental_spans" ->
+        """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+          |sd AS (SELECT doc_id, i AS pos,
+          |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS term
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+          |        FROM tk WHERE len(t) >= 8) x),
+          |cs AS (SELECT doc_id, pos, term FROM sd WHERE doc_id % 10 < 8),
+          |cf AS (SELECT term, COUNT(*) AS f FROM cs GROUP BY term),
+          |ci AS (SELECT cs.doc_id AS doc_corp, cs.pos AS ib, cs.term
+          |       FROM cs JOIN cf USING (term) WHERE f <= 50),
+          |pr AS (SELECT a.doc_id AS doc_inc, ci.doc_corp, a.pos AS ia, ci.ib,
+          |         a.pos - ci.ib AS diag
+          |       FROM sd a JOIN ci USING (term) WHERE a.doc_id % 10 >= 8),
+          |isl AS (SELECT *, ia - row_number() OVER (PARTITION BY doc_inc, doc_corp, diag ORDER BY ia) AS grp
+          |        FROM pr)
+          |SELECT doc_inc, doc_corp, CAST(MIN(ia) AS BIGINT) AS inc_start,
+          |  CAST(MIN(ib) AS BIGINT) AS corp_start,
+          |  CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+          |FROM isl GROUP BY doc_inc, doc_corp, diag, grp
+          |HAVING COUNT(*) + 7 >= 12
+          |ORDER BY doc_inc, doc_corp, inc_start, corp_start""".stripMargin,
 
       "d10_dup_spans" ->
         """WITH sh AS (SELECT DISTINCT doc_id,

@@ -182,12 +182,27 @@ object Similarity {
   def s08AnnIvf2(spark: SparkSession, dir: String): DataFrame =
     ivf2Core(quantized(spark, dir), probeCoarse = 2, probeFine = 2)
 
+  /** s11: FILTERED hierarchical IVF — s09's label filter composed
+    * with s08's two-level routing, the shape a filtered deployment
+    * runs once flat bounded-k cells stop sufficing: the corpus is
+    * assigned through coarse→fine exactly as s08 (assignment is
+    * label-agnostic — cells stay shared across tenants), and the
+    * filter only tightens the candidate join key to (cell, label).
+    * Fine probes go to 4 (vs s08's 2) per s10's nprobe-under-filter
+    * rule: the label filter thins every probed cell, so filtered
+    * search buys recall back by probing deeper. Full DuckDB oracle;
+    * AnnQualitySpec pins recall vs the exact-filtered s09. */
+  def s11FilteredIvf2(spark: SparkSession, dir: String): DataFrame =
+    ivf2Core(quantized(spark, dir), probeCoarse = 2, probeFine = 4,
+      labelFiltered = true)
+
   /** s08's search with a configurable probe depth — the sweep knob
-    * AnnQualitySpec uses to pin that recall is monotone in probes
-    * (a superset candidate pool can displace a ranked item only with
-    * a globally better one, never evict a true-top-5 hit). */
+    * AnnQualitySpec and s12 use to pin/report the recall-vs-probes
+    * trade — and an optional label filter (s11): the filter changes
+    * ONLY the candidate join key, never the index layout. */
   private[graft] def ivf2Core(e: DataFrame, probeCoarse: Int,
-                              probeFine: Int): DataFrame = {
+                              probeFine: Int,
+                              labelFiltered: Boolean = false): DataFrame = {
     val coarse = boundedSeeds(e, 8L)
       .select(col("vec_id").as("c1"), col("qv").as("c1_qv"), col("nrm").as("c1_nrm"))
     val fine = boundedSeeds(e, 64L).select("vec_id", "qv", "nrm")
@@ -217,30 +232,78 @@ object Similarity {
       .groupBy("vec_id").agg(min(col("cand")).as("m"))
       .select(col("vec_id"), col("m.c").as("cell"))
       .join(e, "vec_id"))
-    // queries: top-2 coarse, then top-2 fine within them
+    // queries: top-probeCoarse coarse, then top-probeFine fine within
+    // them (label carried through for the filtered variant)
     val q = e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("qv").as("qv_q"), col("nrm").as("nq"))
     val wq1 = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c1"))
     val q2c = q.crossJoin(broadcast(coarse))
-      .select(col("q_id"), col("qv_q"), col("nq"), col("c1"),
+      .select(col("q_id"), col("label"), col("qv_q"), col("nq"), col("c1"),
         qcos(qdot(col("qv_q"), col("c1_qv")), col("nq"), col("c1_nrm")).as("c_cos"))
       .withColumn("rn", row_number().over(wq1)).filter(col("rn") <= probeCoarse)
-      .select("q_id", "qv_q", "nq", "c1")
+      .select("q_id", "label", "qv_q", "nq", "c1")
     val wq2 = Window.partitionBy("q_id").orderBy(col("f_cos").desc, col("f_id"))
     val q2f = q2c.join(broadcast(f2c), "c1")
-      .select(col("q_id"), col("qv_q"), col("nq"), col("f_id"),
+      .select(col("q_id"), col("label"), col("qv_q"), col("nq"), col("f_id"),
         qcos(qdot(col("qv_q"), col("f_qv")), col("nq"), col("f_nrm")).as("f_cos"))
       .withColumn("rn", row_number().over(wq2)).filter(col("rn") <= probeFine)
-      .select(col("q_id"), col("qv_q"), col("nq"), col("f_id").as("cell"))
+      .select(col("q_id"), col("label"), col("qv_q"), col("nq"),
+        col("f_id").as("cell"))
+    val joinKey = if (labelFiltered) Seq("cell", "label") else Seq("cell")
+    val qSide = if (labelFiltered) q2f else q2f.drop("label")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    assign.join(broadcast(q2f), Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("cell"), col("vec_id").as("cand_id"),
+    val outCols =
+      if (labelFiltered) Seq("q_id", "label", "rank", "cand_id", "cell", "cos")
+      else Seq("q_id", "rank", "cand_id", "cell", "cos")
+    val scoreCols = Seq(col("q_id")) ++
+      (if (labelFiltered) Seq(col("label")) else Nil) ++
+      Seq(col("cell"), col("vec_id").as("cand_id"),
         qcos(qdot(col("qv_q"), col("qv")), col("nq"), col("nrm")).as("cos"))
+    assign.join(broadcast(qSide), joinKey)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(scoreCols: _*)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select("q_id", "rank", "cand_id", "cell", "cos")
+      .select(outCols.head, outCols.tail: _*)
       .orderBy("q_id", "rank")
+  }
+
+  /** s12: probe-depth recall sweep — the recall-vs-probes curve of
+    * the hierarchical index (s08's ivf2Core) as a FIRST-CLASS query:
+    * for each (probe_coarse, probe_fine) setting, recall@5 of the
+    * probed search against the exact brute-force truth, aggregated
+    * over the query set. The operational knob every IVF deployment
+    * tunes, pinned by the driver's oracle gate the way s05 pins
+    * flat-index recall (a refactor that wrecks recall now fails the
+    * gate, not just a spec with a hand-picked floor).
+    *
+    * Plan shape: the corpus-side assignment is computed ONCE (shared
+    * OpCache entry across the four probe settings — only the tiny
+    * query-side routing differs per setting); truth and the per-run
+    * top-5 sets are queries×5 rows, so the sweep's joins and the
+    * final groupBy are driver-free micro-joins. */
+  def s12ProbeRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = quantized(spark, dir)
+    val truth = s01AnnBrute(spark, dir).select(col("q_id"), col("cand_id"))
+    val combos = Seq((1, 1), (1, 2), (2, 1), (2, 2))
+    val runs = combos.map { case (pc, pf) =>
+      ivf2Core(e, pc, pf).select(col("q_id"), col("cand_id"))
+        .withColumn("probe_coarse", lit(pc))
+        .withColumn("probe_fine", lit(pf))
+        .withColumn("hit", lit(1))
+    }.reduce(_ union _)
+    val grid = truth.crossJoin(
+      broadcast(combos.toDF("probe_coarse", "probe_fine")))
+    grid.join(runs, Seq("q_id", "cand_id", "probe_coarse", "probe_fine"), "left")
+      .groupBy("probe_coarse", "probe_fine")
+      .agg(count(col("hit")).as("n_hits"),
+        countDistinct(col("q_id")).as("n_queries"))
+      .select(col("probe_coarse"), col("probe_fine"), col("n_hits"),
+        col("n_queries"),
+        (col("n_hits").cast("double") / (col("n_queries") * 5)).as("recall"))
+      .orderBy("probe_coarse", "probe_fine")
   }
 
   /** s09: FILTERED ANN — top-5 restricted to candidates sharing the

@@ -72,6 +72,73 @@ class PropertySpec extends SparkSpec {
     assert(a.slice(as, as + n).toSeq === b.slice(bs, bs + n).toSeq)
   }
 
+  test("d09_production: substitution near-dups found, bounded by the exact twin") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val base = (1 to 40).map(i => f"tok$i%03d").mkString(" ") // 279 chars, stable
+    def sub(s: String, at: Int*): String =
+      at.foldLeft(s)((acc, i) => acc.updated(i, if (acc(i) == 'Z') 'Y' else 'Z'))
+    val docs = Seq(
+      (10L, "web", base),
+      (11L, "web", sub(base, 40)),                    // 1 substitution → near-dup of 10
+      (12L, "web", sub(base, 5 to 115 by 10: _*)),    // every 15-char chunk touched → screened out
+      (13L, "web", (1 to 40).map(i => f"oth$i%03d").mkString(" ")) // same band, nothing shared
+    ).toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length($"text"))
+    val got = operators.Dedup.d09ProductionFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("nn_doc"), r.getAs[Long]("edit_dist"))).toMap
+    assert(got === Map(10L -> ((11L, 1L)), 11L -> ((10L, 1L))),
+      "only the substitution pair survives the chunk screen")
+    // the reported distance is the true prefix Levenshtein, and the
+    // production argmin can never BEAT the exact twin's block minimum
+    val pfx = Map(10L -> base.take(120), 11L -> sub(base, 40).take(120))
+    got.foreach { case (a, (b, d)) =>
+      assert(d === lev(pfx(a), pfx(b)).toLong)
+    }
+    // the chunk-frequency screen: > 100 identical copies are dropped
+    // from THIS screen entirely (a pipeline removes them via d01
+    // exact dedup first) — no quadratic pair blowup on a mega-group
+    val copies = (0 until 120).map(i => (1000L + i, "copy", base))
+      .toDF("doc_id", "source", "text").withColumn("n_chars", length($"text"))
+    assert(operators.Dedup.d09ProductionFrom(copies).count() === 0L,
+      "the occurrence screen must drop a >100-copy chunk group")
+  }
+
+  test("d17 incremental spans == d14 span pairs restricted to increment×corpus") {
+    val span = (1 to 20).map(i => s"sh$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),  // corpus
+      (2L, s"x y z $span w"),           // corpus — pairs with 1 in d14, NOT in d17
+      (18L, s"one two $span three"),    // increment (id % 10 = 8)
+      (40L, s"pre $span post"),         // corpus with id ABOVE other corpus ids
+      (29L, "nothing shared here at all with anyone else truly okay fine")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.incrementalSpansFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("inc_start"),
+        r.getAs[Long]("corp_start"), r.getAs[Long]("span_tokens"))).toSet
+    // reference: d14's symmetric pair set, reoriented to (inc, corp),
+    // keeping exactly the pairs with one increment and one corpus side
+    // (the seed screens agree — no term here is frequent enough to trip
+    // either the global or the corpus-side cap)
+    val d14 = operators.Dedup.spanPairsFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("a_start"),
+        r.getAs[Long]("b_start"), r.getAs[Long]("span_tokens")))
+    val expect = d14.collect {
+      case (a, b, as, bs, n) if a % 10 < 8 && b % 10 >= 8 => (b, a, bs, as, n)
+      case (a, b, as, bs, n) if a % 10 >= 8 && b % 10 < 8 => (a, b, as, bs, n)
+    }.toSet
+    assert(expect.nonEmpty && got === expect)
+    assert(got.map(_._1) === Set(18L), "verdicts only for increment docs")
+    assert(got.map(_._2) === Set(1L, 2L, 40L),
+      "increment doc matched against every corpus doc sharing the span")
+  }
+
   test("asofJoin equals the naive per-row reference on random data") {
     val users = (1 to 8).map(u => s"u$u")
     val left = (1 to 150).map { i =>
