@@ -95,6 +95,8 @@ object SparkEntry {
     "s08_ann_ivf2" -> (Similarity.s08AnnIvf2 _),
     "s09_filtered_ann" -> (Similarity.s09FilteredAnn _),
     "s10_filtered_ivf" -> (Similarity.s10FilteredIvf _),
+    "s11_filtered_ivf2" -> (Similarity.s11FilteredIvf2 _),
+    "s12_probe_recall" -> (Similarity.s12ProbeRecall _),
     "d08_production" -> (Dedup.d08Production _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "s05_ann_recall" -> (Similarity.s05AnnRecall _),

@@ -593,6 +593,166 @@ object Similarity {
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM scored) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
+      // s08's hierarchy with label carried through assign/queries and
+      // the candidate join tightened to (cell, label); fine probes
+      // rn <= 4 per the nprobe-under-filter rule
+      "s11_filtered_ivf2" ->
+        ("WITH " + qCte + """,
+          |coarse AS (SELECT vec_id AS c1, qv AS c1_qv, nrm AS c1_nrm FROM n
+          |           WHERE vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |fine AS (SELECT DISTINCT vec_id AS f_id, qv AS f_qv, nrm AS f_nrm FROM n
+          |         WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0
+          |            OR vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |f2cs AS (SELECT f.f_id, f.f_qv, f.f_nrm, c.c1,
+          |    CAST((SELECT SUM(f.f_qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(f.f_nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM fine f CROSS JOIN coarse c),
+          |f2c AS (SELECT f_id, f_qv, f_nrm, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY f_id ORDER BY cc DESC, c1) AS rn FROM f2cs) t
+          |  WHERE rn = 1),
+          |v2cs AS (SELECT v.vec_id, c.c1,
+          |    CAST((SELECT SUM(v.qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM n v CROSS JOIN coarse c),
+          |v2c AS (SELECT vec_id, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c1) AS rn FROM v2cs) t
+          |  WHERE rn = 1),
+          |v2fs AS (SELECT v.vec_id, f.f_id,
+          |    CAST((SELECT SUM(v.qv[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM (SELECT n.*, v2c.c1 FROM n JOIN v2c USING (vec_id)) v
+          |  JOIN f2c f USING (c1)),
+          |v2f AS (SELECT vec_id, f_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fc DESC, f_id) AS rn FROM v2fs) t
+          |  WHERE rn = 1),
+          |assign AS (SELECT n.vec_id, n.label, v2f.cell, n.qv, n.nrm FROM n JOIN v2f USING (vec_id)),
+          |qs AS (SELECT vec_id AS q_id, label, qv AS qv_q, nrm AS nq FROM n WHERE vec_id % 20 = 0),
+          |q2cs AS (SELECT q.q_id, q.label, q.qv_q, q.nq, c.c1,
+          |    CAST((SELECT SUM(q.qv_q[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM qs q CROSS JOIN coarse c),
+          |q2c AS (SELECT q_id, label, qv_q, nq, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cc DESC, c1) AS rn FROM q2cs) t
+          |  WHERE rn <= 2),
+          |q2fs AS (SELECT q.q_id, q.label, q.qv_q, q.nq, f.f_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM q2c q JOIN f2c f USING (c1)),
+          |q2f AS (SELECT q_id, label, qv_q, nq, f_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM q2fs) t
+          |  WHERE rn <= 4),
+          |cand AS (SELECT q.q_id, q.label, q.cell, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM q2f q JOIN assign a ON q.cell = a.cell AND q.label = a.label AND q.q_id <> a.vec_id)
+          |SELECT q_id, label, rank, cand_id, cell, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM cand) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      // s08's corpus-side CTEs computed once; only the query-side
+      // routing repeats per probe setting. Recall is counted from the
+      // brute-truth grid (btop × settings) so a query whose probed
+      // cells are empty still divides the denominator
+      "s12_probe_recall" ->
+        ("WITH " + qCte + """,
+          |coarse AS (SELECT vec_id AS c1, qv AS c1_qv, nrm AS c1_nrm FROM n
+          |           WHERE vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |fine AS (SELECT DISTINCT vec_id AS f_id, qv AS f_qv, nrm AS f_nrm FROM n
+          |         WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0
+          |            OR vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |f2cs AS (SELECT f.f_id, f.f_qv, f.f_nrm, c.c1,
+          |    CAST((SELECT SUM(f.f_qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(f.f_nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM fine f CROSS JOIN coarse c),
+          |f2c AS (SELECT f_id, f_qv, f_nrm, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY f_id ORDER BY cc DESC, c1) AS rn FROM f2cs) t
+          |  WHERE rn = 1),
+          |v2cs AS (SELECT v.vec_id, c.c1,
+          |    CAST((SELECT SUM(v.qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM n v CROSS JOIN coarse c),
+          |v2c AS (SELECT vec_id, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c1) AS rn FROM v2cs) t
+          |  WHERE rn = 1),
+          |v2fs AS (SELECT v.vec_id, f.f_id,
+          |    CAST((SELECT SUM(v.qv[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM (SELECT n.*, v2c.c1 FROM n JOIN v2c USING (vec_id)) v
+          |  JOIN f2c f USING (c1)),
+          |v2f AS (SELECT vec_id, f_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fc DESC, f_id) AS rn FROM v2fs) t
+          |  WHERE rn = 1),
+          |assign AS (SELECT n.vec_id, v2f.cell, n.qv, n.nrm FROM n JOIN v2f USING (vec_id)),
+          |qs AS (SELECT vec_id AS q_id, qv AS qv_q, nrm AS nq FROM n WHERE vec_id % 20 = 0),
+          |bscored AS (SELECT a.q_id, b.vec_id AS cand_id,
+          |    CAST((SELECT SUM(a.qv_q[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM qs a JOIN n b ON a.q_id <> b.vec_id),
+          |btop AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM bscored) t
+          |  WHERE rank <= 5),
+          |q2cs AS (SELECT q.q_id, q.qv_q, q.nq, c.c1,
+          |    CAST((SELECT SUM(q.qv_q[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM qs q CROSS JOIN coarse c),
+          |q2cr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cc DESC, c1) AS crn FROM q2cs),
+          |qf1 AS (SELECT q.q_id, q.qv_q, q.nq, f.f_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM (SELECT * FROM q2cr WHERE crn <= 1) q JOIN f2c f USING (c1)),
+          |qf1r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM qf1),
+          |qf2 AS (SELECT q.q_id, q.qv_q, q.nq, f.f_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM (SELECT * FROM q2cr WHERE crn <= 2) q JOIN f2c f USING (c1)),
+          |qf2r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM qf2),
+          |c11 AS (SELECT q.q_id, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM (SELECT q_id, qv_q, nq, f_id AS cell FROM qf1r WHERE rn <= 1) q
+          |  JOIN assign a USING (cell) WHERE q.q_id <> a.vec_id),
+          |t11 AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS r FROM c11) x WHERE r <= 5),
+          |c12 AS (SELECT q.q_id, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM (SELECT q_id, qv_q, nq, f_id AS cell FROM qf1r WHERE rn <= 2) q
+          |  JOIN assign a USING (cell) WHERE q.q_id <> a.vec_id),
+          |t12 AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS r FROM c12) x WHERE r <= 5),
+          |c21 AS (SELECT q.q_id, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM (SELECT q_id, qv_q, nq, f_id AS cell FROM qf2r WHERE rn <= 1) q
+          |  JOIN assign a USING (cell) WHERE q.q_id <> a.vec_id),
+          |t21 AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS r FROM c21) x WHERE r <= 5),
+          |c22 AS (SELECT q.q_id, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM (SELECT q_id, qv_q, nq, f_id AS cell FROM qf2r WHERE rn <= 2) q
+          |  JOIN assign a USING (cell) WHERE q.q_id <> a.vec_id),
+          |t22 AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS r FROM c22) x WHERE r <= 5),
+          |alltop AS (
+          |  SELECT CAST(1 AS INTEGER) AS probe_coarse, CAST(1 AS INTEGER) AS probe_fine, q_id, cand_id FROM t11
+          |  UNION ALL SELECT CAST(1 AS INTEGER), CAST(2 AS INTEGER), q_id, cand_id FROM t12
+          |  UNION ALL SELECT CAST(2 AS INTEGER), CAST(1 AS INTEGER), q_id, cand_id FROM t21
+          |  UNION ALL SELECT CAST(2 AS INTEGER), CAST(2 AS INTEGER), q_id, cand_id FROM t22),
+          |grid AS (SELECT s.probe_coarse, s.probe_fine, b.q_id, b.cand_id
+          |         FROM btop b CROSS JOIN (VALUES (CAST(1 AS INTEGER), CAST(1 AS INTEGER)),
+          |           (CAST(1 AS INTEGER), CAST(2 AS INTEGER)), (CAST(2 AS INTEGER), CAST(1 AS INTEGER)),
+          |           (CAST(2 AS INTEGER), CAST(2 AS INTEGER))) s(probe_coarse, probe_fine))
+          |SELECT g.probe_coarse, g.probe_fine,
+          |  COUNT(a.cand_id) AS n_hits,
+          |  COUNT(DISTINCT g.q_id) AS n_queries,
+          |  CAST(COUNT(a.cand_id) AS DOUBLE) / (COUNT(DISTINCT g.q_id) * 5) AS recall
+          |FROM grid g LEFT JOIN alltop a
+          |  ON a.probe_coarse = g.probe_coarse AND a.probe_fine = g.probe_fine
+          | AND a.q_id = g.q_id AND a.cand_id = g.cand_id
+          |GROUP BY g.probe_coarse, g.probe_fine
+          |ORDER BY g.probe_coarse, g.probe_fine""".stripMargin),
+
       "s08_ann_ivf2" ->
         ("WITH " + qCte + """,
           |coarse AS (SELECT vec_id AS c1, qv AS c1_qv, nrm AS c1_nrm FROM n

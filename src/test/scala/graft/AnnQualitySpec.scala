@@ -72,6 +72,29 @@ class AnnQualitySpec extends SparkSpec {
     assert(r >= 0.15, f"filtered-IVF recall collapsed: $r%.3f")
   }
 
+  test("filtered hierarchical IVF (s11) recall vs exact filtered search stays usable") {
+    val truth = Similarity.s09FilteredAnn(spark, sf).select("q_id", "cand_id")
+    val hits = Similarity.s11FilteredIvf2(spark, sf).select("q_id", "cand_id")
+      .intersect(truth).count()
+    val r = hits.toDouble / truth.count()
+    info(f"s11 recall vs s09 = $r%.3f")
+    assert(r >= 0.15, f"filtered hierarchical IVF recall collapsed: $r%.3f")
+  }
+
+  test("s12 probe-recall sweep agrees with the spec-level recall measurement") {
+    // s12 is the driver-gated artifact of the sweep; tie its (2, 2)
+    // row back to an independently computed recall so the query's
+    // aggregation (grid denominator, hit counting) is itself pinned
+    val truth = Similarity.s01AnnBrute(spark, sf).select("q_id", "cand_id")
+    val want = Similarity.s08AnnIvf2(spark, sf).select("q_id", "cand_id")
+      .intersect(truth).count().toDouble / truth.count()
+    val row = Similarity.s12ProbeRecall(spark, sf)
+      .filter(col("probe_coarse") === 2 && col("probe_fine") === 2)
+      .select("recall").head.getDouble(0)
+    assert(math.abs(row - want) < 1e-12,
+      f"s12 (2,2) recall $row%.4f != independent measurement $want%.4f")
+  }
+
   test("filtered ANN (s09) equals brute top-5 restricted to the label") {
     // for every query, s09's hits must be exactly the best same-label
     // candidates — i.e. each s09 row's cosine is >= any brute-force
