@@ -129,6 +129,7 @@ object SparkEntry {
     "d15_incremental_dedup" -> (Dedup.d15IncrementalDedup _),
     "d16_source_overlap" -> (Dedup.d16SourceOverlap _),
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
+    "t16_bpe_tokens" -> (Quality.t16BpeTokens _),
     "p12_temperature_mix" -> (Pipeline.p12TemperatureMix _),
     "p13_rank_balance" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p13RankBalance(s, d)),
     "s07_range_search" -> (Similarity.s07RangeSearch _),

@@ -287,7 +287,84 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** t16's ranked merge table: applied IN ORDER, each rule globally
+    * replaces its pair with a fresh single private-use symbol — the
+    * BPE mechanic (iterative ranked pair merges over an initial
+    * character alphabet) with a fixed, deterministic table instead
+    * of corpus-trained ranks. Later rules reference the symbols
+    * earlier rules introduced ("the" = merge(th)+e, "ing" =
+    * merge(in)+g), so the fold is genuinely hierarchical, not one
+    * alternation pass. Rules are letters/PUA symbols only, so no
+    * merge can cross a whitespace boundary and no rule collides
+    * with document text (PUA codepoints don't occur in the corpus;
+    * a production tokenizer uses byte-level symbols instead).
+    * Both engines fold the SAME table — the oracle SQL is generated
+    * from this Seq. */
+  private[graft] val BpeMerges: Seq[(String, String)] = {
+    def sym(i: Int): String = (0xE000 + i).toChar.toString
+    Seq(
+      "th" -> sym(0), "in" -> sym(1), "an" -> sym(2),
+      "er" -> sym(3), "on" -> sym(4), "re" -> sym(5),
+      (sym(0) + "e") -> sym(6), // the
+      (sym(1) + "g") -> sym(7), // ing
+      (sym(2) + "d") -> sym(8), // and
+      "at" -> sym(9), "en" -> sym(10), "or" -> sym(11))
+  }
+
+  /** Merge-table token count of a text column: symbols remaining
+    * after the ranked fold, whitespace excluded (each surviving
+    * character/symbol = one token). Shared by t16 and the p02/p03
+    * tokenizer-faithful budget variant (BpeSpec). */
+  private[graft] def bpeTokenCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val merged = BpeMerges.foldLeft(lower(text)) {
+      case (acc, (pat, rep)) => regexp_replace(acc, pat, rep)
+    }
+    length(regexp_replace(merged, "\\s+", "")).cast("long")
+  }
+
+  /** t16: tokenizer-faithful token counts — a deterministic mini-BPE
+    * (fixed ranked merge table, see [[BpeMerges]]) next to the
+    * whitespace-word count t01/p02/p03 budget on by default. Real
+    * training budgets are tokenizer-tokens, not words; this makes
+    * the gap a per-document number (bpe_per_word ≈ the fertility a
+    * tokenizer report quotes) and gives the packing operators an
+    * oracle-checked tokenizer-token column to budget with.
+    *
+    * Plan shape: pure per-row Column algebra inside the scan's
+    * codegen stage (a fold of 13 regexp_replace calls) — no shuffle,
+    * no UDF, no join; the count is exactly reproducible in DuckDB
+    * because both engines fold the same literal table. */
+  def t16BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+    d.select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_ws_tokens"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+          .as("n_chars_nospace"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The t16 oracle's merge fold, generated from the SAME table the
+    * Spark side folds. */
+  private def bpeMergeSql(inner: String): String =
+    BpeMerges.foldLeft(inner) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+
   val oracles: Map[String, String] = Map(
+    "t16_bpe_tokens" ->
+      raw"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+         |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars_nospace,
+         |  CAST(length(regexp_replace(${bpeMergeSql("lower(text)")}, '\s+', '', 'g')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(CAST(length(regexp_replace(${bpeMergeSql("lower(text)")}, '\s+', '', 'g')) AS BIGINT) AS DOUBLE)
+         |    / len(string_split_regex(trim(text), '\s+')) AS bpe_per_word
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "t15_lm_buckets" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
         |cf AS (SELECT term, COUNT(*) AS cf FROM tok GROUP BY term),

