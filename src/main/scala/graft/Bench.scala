@@ -15,7 +15,9 @@ object Bench {
     // round 3: stacked partitioned windows + full-outer SMJ diff
     "q32_scd2", "q33_snapshot_diff",
     // round 4: increment-vs-corpus band probe + two-phase LM rank
-    "d15_incremental_dedup", "t15_lm_buckets")
+    "d15_incremental_dedup", "t15_lm_buckets",
+    // round 5: content-band bounded fuzzy NN + frozen-corpus span screen
+    "d09_production", "d17_incremental_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,12 +27,20 @@ object Bench {
     // JVM/codegen warm-up outside the timed region
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
-    def timeOnce(name: String): Option[Double] = {
+    // contention sentinel: the box's 1-min load average at each pass
+    // (VERDICT r4 #3 — BENCH_r04 recorded a 2.08s d02 median that an
+    // idle-box re-run read as 0.78s; per-pass loads make a contended
+    // median machine-distinguishable from a plan regression)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadNow(): Double = osBean.getSystemLoadAverage
+
+    def timeOnce(name: String): Option[(Double, Double)] = {
       val fn = SparkEntry.queries(name)
+      val ld = loadNow()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        Some((System.nanoTime() - t0) / 1e9)
+        Some(((System.nanoTime() - t0) / 1e9, ld))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -60,22 +70,26 @@ object Bench {
       // than a statistic over the survivors (a min-of-two would let a
       // flaky-slow query masquerade as fast and break cross-round
       // comparability)
-      val t = if (times.length < 3) -1.0 else times.sorted.apply(1)
+      val t = if (times.length < 3) -1.0 else times.map(_._1).sorted.apply(1)
       // operators register self-join inputs in the bounded OpCache;
       // drop them so later queries aren't timed against a polluted
       // block manager
       graft.operators.OpCache.release(spark)
       spark.catalog.clearCache()
-      (name, t, (warm.toSeq ++ times).map(x => f"$x%.3f"))
+      val all = warm.toSeq ++ times
+      (name, t, all.map(x => f"${x._1}%.3f"), all.map(x => f"${x._2}%.2f"))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val pp = results.map { case (k, _, ts) =>
+    val pp = results.map { case (k, _, ts, _) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
+    // per-pass 1-min load averages, parallel to `passes`
+    val lds = results.map { case (k, _, _, ls) =>
+      "\"" + k + "\":[" + ls.mkString(",") + "]" }.mkString("{", ",", "}")
     // failures (-1 sentinels) must not shrink the total they failed in
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
