@@ -247,6 +247,28 @@ class Graft(val spark: SparkSession, dir: String) {
   /** RFC 3463 DSN-class delivery taxonomy per relay (m13). */
   def dsnTaxonomy: DataFrame = MaillogOps.m13DsnTaxonomy(spark, dir)
 
+  /** Bounded fuzzy nearest neighbor on the production candidate
+    * policy — content-band sub-blocking + occurrence screen, the
+    * any-scale form of the Levenshtein near-dup search (d09_production). */
+  def fuzzyNearDupsProduction: DataFrame = Dedup.d09Production(spark, dir)
+
+  /** Maximal verbatim spans a NEW ingest batch shares with the
+    * frozen corpus — d14's measurement in d15's increment-vs-corpus
+    * shape (d17). */
+  def incrementalSpans: DataFrame = Dedup.d17IncrementalSpans(spark, dir)
+
+  /** Filtered HIERARCHICAL IVF: the label filter composed with the
+    * two-level routing, fine probes at 4 (s11). */
+  def filteredIvf2: DataFrame = Similarity.s11FilteredIvf2(spark, dir)
+
+  /** Recall@5 vs brute truth per (probe_coarse, probe_fine) setting
+    * of the hierarchical index — the probe-tuning curve (s12). */
+  def probeRecallSweep: DataFrame = Similarity.s12ProbeRecall(spark, dir)
+
+  /** Deterministic mini-BPE tokenizer-token counts next to the
+    * whitespace-word count (t16). */
+  def bpeTokenStats: DataFrame = Quality.t16BpeTokens(spark, dir)
+
   /** Stateless streaming quality gate over a (doc_id, text) stream —
     * t14's shared rule set as per-row array algebra, no state or
     * watermark ([[graft.streaming.QualityStream]]). */
