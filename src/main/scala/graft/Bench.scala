@@ -34,9 +34,36 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadNow(): Double = osBean.getSystemLoadAverage
 
+    // act on the sentinel, not just record it (VERDICT r5 #2: two
+    // rounds running, the official artifact's medians were contended
+    // outliers): before each timed pass, wait — bounded — for the
+    // 1-min load to drop below the threshold; a pass that still
+    // starts hot is marked so the MEDIAN can be flagged `contended`
+    // and round-over-round comparisons skip it instead of reading a
+    // loaded box as a plan regression. The threshold is external load
+    // ON TOP of our own just-finished passes' contribution to the
+    // 1-min average, so it is deliberately not tight.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "3.0").toDouble
+    // TOTAL wait budget across the whole run (0 disables waiting): a
+    // per-pass budget on a genuinely-contended box would stretch an
+    // 18-query × 4-pass run by an hour; a shared budget fixes the
+    // common case (residual load from whatever ran just before the
+    // bench) and degrades to flagged-but-untimed-waits past it
+    var waitBudgetNs =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "300").toLong * 1000000000L
+    def awaitIdle(): Double = {
+      var ld = loadNow()
+      while (ld > loadMax && waitBudgetNs > 0) {
+        Thread.sleep(5000)
+        waitBudgetNs -= 5000000000L
+        ld = loadNow()
+      }
+      ld
+    }
+
     def timeOnce(name: String): Option[(Double, Double)] = {
       val fn = SparkEntry.queries(name)
-      val ld = loadNow()
+      val ld = awaitIdle()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -71,25 +98,35 @@ object Bench {
       // flaky-slow query masquerade as fast and break cross-round
       // comparability)
       val t = if (times.length < 3) -1.0 else times.map(_._1).sorted.apply(1)
+      // contended = the pass that SUPPLIED the median started above
+      // the load threshold even after the bounded wait — the median
+      // is then a contention artifact, not a plan measurement, and
+      // downstream comparisons should skip it (the per-pass `loads`
+      // stay in the artifact for auditing either way)
+      val contended = times.length == 3 &&
+        times.sortBy(_._1).apply(1)._2 > loadMax
       // operators register self-join inputs in the bounded OpCache;
       // drop them so later queries aren't timed against a polluted
       // block manager
       graft.operators.OpCache.release(spark)
       spark.catalog.clearCache()
       val all = warm.toSeq ++ times
-      (name, t, all.map(x => f"${x._1}%.3f"), all.map(x => f"${x._2}%.2f"))
+      (name, t, all.map(x => f"${x._1}%.3f"), all.map(x => f"${x._2}%.2f"),
+        contended)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val pp = results.map { case (k, _, ts, _) =>
+    val pp = results.map { case (k, _, ts, _, _) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
     // per-pass 1-min load averages, parallel to `passes`
-    val lds = results.map { case (k, _, _, ls) =>
+    val lds = results.map { case (k, _, _, ls, _) =>
       "\"" + k + "\":[" + ls.mkString(",") + "]" }.mkString("{", ",", "}")
+    val cont = results.map { case (k, _, _, _, c) =>
+      "\"" + k + "\":" + c }.mkString("{", ",", "}")
     // failures (-1 sentinels) must not shrink the total they failed in
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"contended":$cont,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -97,6 +97,8 @@ object SparkEntry {
     "s10_filtered_ivf" -> (Similarity.s10FilteredIvf _),
     "s11_filtered_ivf2" -> (Similarity.s11FilteredIvf2 _),
     "s12_probe_recall" -> (Similarity.s12ProbeRecall _),
+    "s13_ann_ivfpq" -> (Similarity.s13AnnIvfPq _),
+    "s14_filtered_recall" -> (Similarity.s14FilteredRecall _),
     "d08_production" -> (Dedup.d08Production _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "s05_ann_recall" -> (Similarity.s05AnnRecall _),

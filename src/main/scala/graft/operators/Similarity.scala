@@ -196,17 +196,19 @@ object Similarity {
     ivf2Core(quantized(spark, dir), probeCoarse = 2, probeFine = 4,
       labelFiltered = true)
 
-  /** s08's search with a configurable probe depth — the sweep knob
-    * AnnQualitySpec and s12 use to pin/report the recall-vs-probes
-    * trade — and an optional label filter (s11): the filter changes
-    * ONLY the candidate join key, never the index layout. */
-  private[graft] def ivf2Core(e: DataFrame, probeCoarse: Int,
-                              probeFine: Int,
-                              labelFiltered: Boolean = false): DataFrame = {
-    val coarse = boundedSeeds(e, 8L)
+  /** The two-level index build shared by s08/s11/s12/s13/s14:
+    * (coarse centroids, fine→coarse map, vector→fine-cell
+    * assignment). The assignment is OpCache'd, so every consumer in
+    * a session (and every probe setting of a sweep) shares ONE
+    * corpus-side routing computation. The 8-seed set is computed
+    * once and reused as both the coarse set and the fine union's
+    * second leg. */
+  private[graft] def ivf2Index(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val seeds8 = boundedSeeds(e, 8L)
+    val coarse = seeds8
       .select(col("vec_id").as("c1"), col("qv").as("c1_qv"), col("nrm").as("c1_nrm"))
     val fine = boundedSeeds(e, 64L).select("vec_id", "qv", "nrm")
-      .union(boundedSeeds(e, 8L).select("vec_id", "qv", "nrm"))
+      .union(seeds8.select("vec_id", "qv", "nrm"))
       .distinct()
       .select(col("vec_id").as("f_id"), col("qv").as("f_qv"), col("nrm").as("f_nrm"))
     // fine centroid -> its coarse cell (tiny × tiny)
@@ -232,8 +234,16 @@ object Similarity {
       .groupBy("vec_id").agg(min(col("cand")).as("m"))
       .select(col("vec_id"), col("m.c").as("cell"))
       .join(e, "vec_id"))
-    // queries: top-probeCoarse coarse, then top-probeFine fine within
-    // them (label carried through for the filtered variant)
+    (coarse, f2c, assign)
+  }
+
+  /** Query-side routing through the two-level index: top-probeCoarse
+    * coarse cells, then top-probeFine fine cells within them. Output
+    * (q_id, label, qv_q, nq, cell) — label carried through for the
+    * filtered variants. All joins are broadcasts of centroid-sized
+    * frames against the 1-in-20 query set. */
+  private def ivf2Routes(e: DataFrame, coarse: DataFrame, f2c: DataFrame,
+                         probeCoarse: Int, probeFine: Int): DataFrame = {
     val q = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("label"),
         col("qv").as("qv_q"), col("nrm").as("nq"))
@@ -244,12 +254,23 @@ object Similarity {
       .withColumn("rn", row_number().over(wq1)).filter(col("rn") <= probeCoarse)
       .select("q_id", "label", "qv_q", "nq", "c1")
     val wq2 = Window.partitionBy("q_id").orderBy(col("f_cos").desc, col("f_id"))
-    val q2f = q2c.join(broadcast(f2c), "c1")
+    q2c.join(broadcast(f2c), "c1")
       .select(col("q_id"), col("label"), col("qv_q"), col("nq"), col("f_id"),
         qcos(qdot(col("qv_q"), col("f_qv")), col("nq"), col("f_nrm")).as("f_cos"))
       .withColumn("rn", row_number().over(wq2)).filter(col("rn") <= probeFine)
       .select(col("q_id"), col("label"), col("qv_q"), col("nq"),
         col("f_id").as("cell"))
+  }
+
+  /** s08's search with a configurable probe depth — the sweep knob
+    * AnnQualitySpec and s12 use to pin/report the recall-vs-probes
+    * trade — and an optional label filter (s11): the filter changes
+    * ONLY the candidate join key, never the index layout. */
+  private[graft] def ivf2Core(e: DataFrame, probeCoarse: Int,
+                              probeFine: Int,
+                              labelFiltered: Boolean = false): DataFrame = {
+    val (coarse, f2c, assign) = ivf2Index(e)
+    val q2f = ivf2Routes(e, coarse, f2c, probeCoarse, probeFine)
     val joinKey = if (labelFiltered) Seq("cell", "label") else Seq("cell")
     val qSide = if (labelFiltered) q2f else q2f.drop("label")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
@@ -304,6 +325,107 @@ object Similarity {
         col("n_queries"),
         (col("n_hits").cast("double") / (col("n_queries") * 5)).as("recall"))
       .orderBy("probe_coarse", "probe_fine")
+  }
+
+  /** s13: IVFPQ — the composed FAISS-style index shape a
+    * trillion-vector corpus requires (VERDICT r5 #1): s08's
+    * hierarchical coarse→fine routing decides WHICH cells a query
+    * probes, and s04's product-quantization ADC decides the ranking
+    * INSIDE those cells — full vectors never enter the candidate
+    * scoring (a candidate costs M=4 int64 table lookups, not a
+    * 64-dim dot), which is what lets the searched index live at
+    * M bytes/vector while the raw vectors stay at rest in parquet.
+    * Exact-cosine rerank of the top-20 ADC survivors restores
+    * ranking quality, touching full vectors only for 20 rows/query.
+    *
+    * Plan shape: index assignment is ivf2Index's (OpCache-shared
+    * with s08/s11/s12/s14 in the same session); codes are one
+    * groupBy over the broadcast-codebook distance table; the
+    * candidate join keys probed cells against the assignment and
+    * immediately narrows to (q_id, cell, vec_id) ids; ADC is an
+    * M-row sum per candidate with the lookup table broadcast; the
+    * rerank joins the corpus by id for 20 rows/query. Both the
+    * centroid and codeword rules are the production bounded-k
+    * stride (constant-size broadcasts at any corpus size). */
+  def s13AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val (coarse, f2c, assign) = ivf2Index(e)
+    val routes = ivf2Routes(e, coarse, f2c, probeCoarse = 2, probeFine = 2)
+      .select("q_id", "cell") // ADC needs no query vector until rerank
+    val d2 = pqDistances(e, boundedSeeds(e))
+    val codes = d2.groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
+    val adcTab = d2.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))
+    // probed-cell members only — the IVF restriction is applied
+    // BEFORE any distance work, so ADC cost is per-probed-candidate
+    val cand = assign.select(col("vec_id"), col("cell"))
+      .join(broadcast(routes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+    val approx = cand.join(codes, "vec_id")
+      .join(broadcast(adcTab), Seq("q_id", "m", "cw_id"))
+      .groupBy("q_id", "cell", "vec_id")
+      .agg(sum("qd2").as("adc"))
+    val cw20 = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    val top = approx.withColumn("crn", row_number().over(cw20))
+      .filter(col("crn") <= 20)
+      .select(col("q_id"), col("cell"), col("vec_id").as("cand_id"), col("adc"))
+    val qSide = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
+    val cSide = e.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"), col("nrm").as("nc"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    top.join(broadcast(qSide), "q_id").join(cSide, "cand_id")
+      .select(col("q_id"), col("cell"), col("cand_id"), col("adc"),
+        qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "cand_id", "cell", "adc", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** s14's probe grid — shared with the generated oracle SQL so the
+    * two sides cannot drift. */
+  private[graft] val FilteredProbeGrid: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** s14: FILTERED recall-vs-probe sweep — s12's driver-gated curve
+    * for the FILTERED index (VERDICT r5 #3): per probe_fine ∈
+    * {1,2,4,8} (probeCoarse held at s11's 2), recall@5 of the
+    * label-filtered hierarchical IVF against the exact-filtered s09
+    * truth. This is the data behind the nprobe-under-filter rule:
+    * s11 ships at probe_fine = 4 because the label filter thins
+    * every probed cell; this query makes that constant a measured
+    * point on an oracle-checked curve instead of a fixture-pinned
+    * magic number.
+    *
+    * Plan shape: corpus-side assignment is computed ONCE (ivf2Index's
+    * OpCache entry, shared across the four probe settings and with
+    * s08/s11/s12/s13); only the tiny query-side routing repeats per
+    * setting. Truth and per-run top-5 sets are queries×≤5 rows, so
+    * the sweep's joins and the final groupBy are micro-joins. The
+    * denominator is the TRUTH row count (not queries×5): a label
+    * with fewer than 5 same-label candidates legitimately yields a
+    * shorter truth list, and recall is measured against what exists. */
+  def s14FilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = quantized(spark, dir)
+    val truth = s09FilteredAnn(spark, dir).select(col("q_id"), col("cand_id"))
+    val runs = FilteredProbeGrid.map { pf =>
+      ivf2Core(e, probeCoarse = 2, probeFine = pf, labelFiltered = true)
+        .select(col("q_id"), col("cand_id"))
+        .withColumn("probe_fine", lit(pf))
+        .withColumn("hit", lit(1))
+    }.reduce(_ union _)
+    val grid = truth.crossJoin(broadcast(FilteredProbeGrid.toDF("probe_fine")))
+    grid.join(runs, Seq("q_id", "cand_id", "probe_fine"), "left")
+      .groupBy("probe_fine")
+      .agg(count(col("hit")).as("n_hits"),
+        count(lit(1)).as("n_truth"),
+        countDistinct(col("q_id")).as("n_queries"))
+      .select(col("probe_fine"), col("n_hits"), col("n_truth"),
+        col("n_queries"),
+        (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+      .orderBy("probe_fine")
   }
 
   /** s09: FILTERED ANN — top-5 restricted to candidates sharing the
@@ -413,7 +535,11 @@ object Similarity {
     pqCore(e, boundedSeeds(e))
   }
 
-  private def pqCore(e: DataFrame, cwSource: DataFrame): DataFrame = {
+  /** The (vector, subspace, codeword) exact int64 L2 table — the PQ
+    * training/encoding substrate shared by the flat-PQ queries (s04)
+    * and the IVFPQ composition (s13). 4 subspaces × 16 dims; the
+    * codebook broadcasts. */
+  private def pqDistances(e: DataFrame, cwSource: DataFrame): DataFrame = {
     val M = 4
     val sub = 16
     def subviews(src: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -425,9 +551,13 @@ object Similarity {
         .select(col("vec_id").as("cw_id"), col("qv")), "cw_id", "qv")
       .withColumnRenamed("v", "cw")
     val vm = subviews(e.select("vec_id", "qv"), "vec_id", "qv")
-    val d2 = vm.join(broadcast(cbm), "m")
+    vm.join(broadcast(cbm), "m")
       .select(col("vec_id"), col("m"), col("cw_id"),
         l2sq(col("v"), col("cw")).as("d2"))
+  }
+
+  private def pqCore(e: DataFrame, cwSource: DataFrame): DataFrame = {
+    val d2 = pqDistances(e, cwSource)
     val codes = d2.groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.cw_id").as("code"))
@@ -538,7 +668,168 @@ object Similarity {
         |  FROM embeddings),
         |n AS (SELECT vec_id, label, qv,
         |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM q)""".stripMargin
+
+    // s14's per-probe-depth CTEs are GENERATED from the same
+    // FilteredProbeGrid the Spark side sweeps — the grid cannot drift
+    val s14PerPf = FilteredProbeGrid.map { pf =>
+      s"""c$pf AS (SELECT q.q_id, a.vec_id AS cand_id,
+         |    CAST((SELECT SUM(q.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+         |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT q_id, label, qv_q, nq, f_id AS cell FROM qfr WHERE rn <= $pf) q
+         |  JOIN assign a ON q.cell = a.cell AND q.label = a.label AND q.q_id <> a.vec_id),
+         |t$pf AS (SELECT q_id, cand_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS r FROM c$pf) x WHERE r <= 5)""".stripMargin
+    }.mkString(",\n")
+    val s14AllTop = FilteredProbeGrid.map(pf =>
+      s"SELECT CAST($pf AS INTEGER) AS probe_fine, q_id, cand_id FROM t$pf")
+      .mkString("\nUNION ALL ")
+    val s14Values = FilteredProbeGrid.map(pf => s"(CAST($pf AS INTEGER))")
+      .mkString(", ")
+
     Map(
+      // s11's index/routing CTEs with the fine ranking kept (qfr),
+      // prefixed per probe depth; truth = s09's exact-filtered top-5
+      "s14_filtered_recall" ->
+        ("WITH " + qCte + s""",
+          |coarse AS (SELECT vec_id AS c1, qv AS c1_qv, nrm AS c1_nrm FROM n
+          |           WHERE vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |fine AS (SELECT DISTINCT vec_id AS f_id, qv AS f_qv, nrm AS f_nrm FROM n
+          |         WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0
+          |            OR vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |f2cs AS (SELECT f.f_id, f.f_qv, f.f_nrm, c.c1,
+          |    CAST((SELECT SUM(f.f_qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(f.f_nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM fine f CROSS JOIN coarse c),
+          |f2c AS (SELECT f_id, f_qv, f_nrm, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY f_id ORDER BY cc DESC, c1) AS rn FROM f2cs) t
+          |  WHERE rn = 1),
+          |v2cs AS (SELECT v.vec_id, c.c1,
+          |    CAST((SELECT SUM(v.qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM n v CROSS JOIN coarse c),
+          |v2c AS (SELECT vec_id, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c1) AS rn FROM v2cs) t
+          |  WHERE rn = 1),
+          |v2fs AS (SELECT v.vec_id, f.f_id,
+          |    CAST((SELECT SUM(v.qv[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM (SELECT n.*, v2c.c1 FROM n JOIN v2c USING (vec_id)) v
+          |  JOIN f2c f USING (c1)),
+          |v2f AS (SELECT vec_id, f_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fc DESC, f_id) AS rn FROM v2fs) t
+          |  WHERE rn = 1),
+          |assign AS (SELECT n.vec_id, n.label, v2f.cell, n.qv, n.nrm FROM n JOIN v2f USING (vec_id)),
+          |qs AS (SELECT vec_id AS q_id, label, qv AS qv_q, nrm AS nq FROM n WHERE vec_id % 20 = 0),
+          |tscored AS (SELECT a.q_id, b.vec_id AS cand_id,
+          |    CAST((SELECT SUM(a.qv_q[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM qs a JOIN n b ON a.label = b.label AND a.q_id <> b.vec_id),
+          |ttop AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM tscored) t
+          |  WHERE rank <= 5),
+          |q2cs AS (SELECT q.q_id, q.label, q.qv_q, q.nq, c.c1,
+          |    CAST((SELECT SUM(q.qv_q[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM qs q CROSS JOIN coarse c),
+          |q2c AS (SELECT q_id, label, qv_q, nq, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cc DESC, c1) AS rn FROM q2cs) t
+          |  WHERE rn <= 2),
+          |q2fs AS (SELECT q.q_id, q.label, q.qv_q, q.nq, f.f_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM q2c q JOIN f2c f USING (c1)),
+          |qfr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM q2fs),
+          |$s14PerPf,
+          |alltop AS ($s14AllTop),
+          |grid AS (SELECT s.probe_fine, b.q_id, b.cand_id
+          |         FROM ttop b CROSS JOIN (VALUES $s14Values) s(probe_fine))
+          |SELECT g.probe_fine,
+          |  COUNT(a.cand_id) AS n_hits,
+          |  COUNT(*) AS n_truth,
+          |  COUNT(DISTINCT g.q_id) AS n_queries,
+          |  CAST(COUNT(a.cand_id) AS DOUBLE) / COUNT(*) AS recall
+          |FROM grid g LEFT JOIN alltop a
+          |  ON a.probe_fine = g.probe_fine AND a.q_id = g.q_id AND a.cand_id = g.cand_id
+          |GROUP BY g.probe_fine
+          |ORDER BY g.probe_fine""".stripMargin),
+
+      // s08's hierarchy CTEs (routing, probes 2/2) composed with
+      // s04_production's PQ CTEs (bounded-k codebook, ADC): the IVF
+      // restriction enters at `cand`, ADC ranks inside probed cells,
+      // exact cosine reranks the top-20
+      "s13_ann_ivfpq" ->
+        ("WITH " + qCte + """,
+          |coarse AS (SELECT vec_id AS c1, qv AS c1_qv, nrm AS c1_nrm FROM n
+          |           WHERE vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |fine AS (SELECT DISTINCT vec_id AS f_id, qv AS f_qv, nrm AS f_nrm FROM n
+          |         WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0
+          |            OR vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |f2cs AS (SELECT f.f_id, f.f_qv, f.f_nrm, c.c1,
+          |    CAST((SELECT SUM(f.f_qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(f.f_nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM fine f CROSS JOIN coarse c),
+          |f2c AS (SELECT f_id, f_qv, f_nrm, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY f_id ORDER BY cc DESC, c1) AS rn FROM f2cs) t
+          |  WHERE rn = 1),
+          |v2cs AS (SELECT v.vec_id, c.c1,
+          |    CAST((SELECT SUM(v.qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM n v CROSS JOIN coarse c),
+          |v2c AS (SELECT vec_id, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c1) AS rn FROM v2cs) t
+          |  WHERE rn = 1),
+          |v2fs AS (SELECT v.vec_id, f.f_id,
+          |    CAST((SELECT SUM(v.qv[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM (SELECT n.*, v2c.c1 FROM n JOIN v2c USING (vec_id)) v
+          |  JOIN f2c f USING (c1)),
+          |v2f AS (SELECT vec_id, f_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fc DESC, f_id) AS rn FROM v2fs) t
+          |  WHERE rn = 1),
+          |assign AS (SELECT n.vec_id, v2f.cell, n.qv, n.nrm FROM n JOIN v2f USING (vec_id)),
+          |qs AS (SELECT vec_id AS q_id, qv AS qv_q, nrm AS nq FROM n WHERE vec_id % 20 = 0),
+          |q2cs AS (SELECT q.q_id, q.qv_q, q.nq, c.c1,
+          |    CAST((SELECT SUM(q.qv_q[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM qs q CROSS JOIN coarse c),
+          |q2c AS (SELECT q_id, qv_q, nq, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cc DESC, c1) AS rn FROM q2cs) t
+          |  WHERE rn <= 2),
+          |q2fs AS (SELECT q.q_id, q.qv_q, q.nq, f.f_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM q2c q JOIN f2c f USING (c1)),
+          |q2f AS (SELECT q_id, qv_q, nq, f_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM q2fs) t
+          |  WHERE rn <= 2),
+          |seedk AS (SELECT (SELECT MAX(vec_id) // 64 FROM n) + 1 AS stride),
+          |sv AS (SELECT vec_id, m, qv[(m*16+1):(m*16+16)] AS v FROM n, generate_series(0, 3) g(m)),
+          |cbm AS (SELECT m, vec_id AS cw_id, qv[(m*16+1):(m*16+16)] AS cw
+          |        FROM n, generate_series(0, 3) g(m) WHERE vec_id % (SELECT stride FROM seedk) = 0),
+          |pd2 AS (SELECT sv.vec_id, sv.m, cbm.cw_id,
+          |    CAST((SELECT SUM((sv.v[i] - cbm.cw[i]) * (sv.v[i] - cbm.cw[i])) FROM generate_series(1, 16) gi(i)) AS BIGINT) AS d2
+          |  FROM sv JOIN cbm USING (m)),
+          |codes AS (SELECT vec_id, m, cw_id AS code FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cw_id) AS rn FROM pd2) t
+          |  WHERE rn = 1),
+          |adct AS (SELECT vec_id AS q_id, m, cw_id, d2 AS qd2 FROM pd2 WHERE vec_id % 20 = 0),
+          |cand AS (SELECT q.q_id, q.cell, a.vec_id AS cand_id
+          |  FROM q2f q JOIN assign a USING (cell) WHERE q.q_id <> a.vec_id),
+          |approx AS (SELECT cd.q_id, cd.cell, cd.cand_id, CAST(SUM(ad.qd2) AS BIGINT) AS adc
+          |  FROM cand cd JOIN codes c ON c.vec_id = cd.cand_id
+          |  JOIN adct ad ON ad.q_id = cd.q_id AND ad.m = c.m AND ad.cw_id = c.code
+          |  GROUP BY cd.q_id, cd.cell, cd.cand_id),
+          |c20 AS (SELECT q_id, cell, cand_id, adc FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS crn FROM approx) t
+          |  WHERE crn <= 20),
+          |rr AS (SELECT cd.q_id, cd.cell, cd.cand_id, cd.adc,
+          |    CAST((SELECT SUM(q.qv[i] * c.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+          |  FROM c20 cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.cand_id)
+          |SELECT q_id, rank, cand_id, cell, adc, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM rr) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
       "s07_range_search" ->
         ("WITH " + qCte + """,
           |qs AS (SELECT vec_id AS q_id, qv, nrm FROM n WHERE vec_id % 20 = 0)

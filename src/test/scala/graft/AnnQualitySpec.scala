@@ -95,6 +95,42 @@ class AnnQualitySpec extends SparkSpec {
       f"s12 (2,2) recall $row%.4f != independent measurement $want%.4f")
   }
 
+  test("IVFPQ (s13) recall@5 vs brute stays usable and tracks s08 at equal probes") {
+    // the composition loses only what PQ's 4×16 code approximation
+    // loses INSIDE the probed cells (measured sf0.001: s13 0.232 vs
+    // s08 0.256); a routing bug (wrong cells) or a code collapse
+    // (codebook degenerated) both crater this
+    val r13 = recallVsBrute(Similarity.s13AnnIvfPq(spark, sf))
+    val r08 = recallVsBrute(Similarity.s08AnnIvf2(spark, sf))
+    info(f"s13 recall@5 = $r13%.3f (s08 at equal probes = $r08%.3f)")
+    assert(r13 >= 0.15, f"IVFPQ recall collapsed: $r13%.3f")
+    assert(r13 >= r08 - 0.1,
+      f"IVFPQ lost too much to PQ approximation: s13 $r13%.3f vs s08 $r08%.3f")
+  }
+
+  test("s14 filtered sweep: recall monotone in probe depth, ties back to s11") {
+    // probeCoarse is fixed (2) across the sweep, so the superset
+    // argument from the s08 sweep test applies verbatim under the
+    // label filter: rn <= pf is a prefix of ONE fine ranking, the
+    // filtered candidate pool grows as a true superset, and a
+    // same-label truth hit is never evicted
+    val rows = Similarity.s14FilteredRecall(spark, sf)
+      .orderBy("probe_fine").collect()
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    info(s"filtered probe sweep pf=1/2/4/8 = ${recalls.map(r => f"$r%.3f").mkString(", ")}")
+    assert(recalls == recalls.sorted, s"filtered recall regressed as probes grew: $recalls")
+    assert(recalls.last > recalls.head,
+      "deeper probes must buy at least some filtered recall on this fixture")
+    // the pf=4 row IS s11's configuration — tie it to an independent
+    // measurement so the sweep's aggregation is itself pinned
+    val truth = Similarity.s09FilteredAnn(spark, sf).select("q_id", "cand_id")
+    val want = Similarity.s11FilteredIvf2(spark, sf).select("q_id", "cand_id")
+      .intersect(truth).count().toDouble / truth.count()
+    val got = rows.find(_.getAs[Int]("probe_fine") == 4).get.getAs[Double]("recall")
+    assert(math.abs(got - want) < 1e-12,
+      f"s14 (pf=4) recall $got%.4f != independent s11 measurement $want%.4f")
+  }
+
   test("filtered ANN (s09) equals brute top-5 restricted to the label") {
     // for every query, s09's hits must be exactly the best same-label
     // candidates — i.e. each s09 row's cosine is >= any brute-force
