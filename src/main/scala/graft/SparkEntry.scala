@@ -133,6 +133,7 @@ object SparkEntry {
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
     "t16_bpe_tokens" -> (Quality.t16BpeTokens _),
     "p12_temperature_mix" -> (Pipeline.p12TemperatureMix _),
+    "p14_bpe_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p14BpePack(s, d)),
     "p13_rank_balance" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p13RankBalance(s, d)),
     "s07_range_search" -> (Similarity.s07RangeSearch _),
     "mm04_frame_dedup" -> (Multimodal.mm04FrameDedup _),

@@ -612,14 +612,36 @@ object Dedup {
   /** Positioned 8-gram seed table (doc_id, pos, term) — d14's seed
     * stage, shared with d17's increment-vs-corpus screen (same
     * OpCache entry when the input plan matches). */
-  private[graft] def spanSeeds(docs: DataFrame): DataFrame = {
+  private[graft] def spanSeeds(docs: DataFrame): DataFrame =
+    OpCache.cached(spanSeedsRaw(docs))
+
+  /** The seed explode WITHOUT the cache wrapper — usable on a
+    * STREAMING frame (graft.streaming.SpanStream), where persisting
+    * is illegal; batch callers go through [[spanSeeds]]. */
+  private[graft] def spanSeedsRaw(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-    OpCache.cached(toks.filter(size(col("t")) >= 8)
+    toks.filter(size(col("t")) >= 8)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 7),
         i => struct(i.cast("long").as("pos"),
           concat_ws(" ", (0 until 8).map(k => element_at(col("t"), i + k)): _*).as("term"))))
         .as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.term").as("term")))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.term").as("term"))
+  }
+
+  /** The frozen-corpus seed index d17 screens against, as a
+    * standalone build step: positioned seeds of the CORPUS docs with
+    * the ≤ maxSeedFreq occurrence screen applied (frequency computed
+    * over the corpus alone — the index does not shift as increments
+    * arrive). Output (doc_corp, ib, term). A deployment builds this
+    * once per corpus freeze and hands it to batch d17 or to the
+    * streaming twin ([[graft.streaming.SpanStream]]) as a static
+    * side. */
+  private[graft] def corpusSeedIndex(corpusDocs: DataFrame,
+                                     maxSeedFreq: Long = 50L): DataFrame = {
+    val corp = spanSeeds(corpusDocs)
+    val corpFreq = corp.groupBy("term").agg(count(lit(1)).as("f"))
+    corp.join(corpFreq, "term").filter(col("f") <= maxSeedFreq)
+      .select(col("doc_id").as("doc_corp"), col("pos").as("ib"), col("term"))
   }
 
   /** d17: INCREMENTAL span screen — d15's increment-vs-corpus

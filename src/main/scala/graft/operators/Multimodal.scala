@@ -115,16 +115,46 @@ object Multimodal {
   case class DecodedMedia(docId: Long, width: Int, height: Int,
                           nFrames: Int, meanLuma: Double)
 
-  /** STUB — deterministic fake decode standing in for a real codec
-    * (no media libraries in this container). Derives pseudo
-    * dimensions/luma from the bytes so tests are stable. A real
-    * deployment swaps only this function; the partition-wise plumbing
-    * in [[decodeBatch]] is unchanged. */
+  /** Deterministic fake decode — the fast TEST DOUBLE for pipelines
+    * whose fixtures aren't real media (this repo's documents-as-blobs
+    * tables). Derives pseudo dimensions/luma from the bytes so tests
+    * are stable. Production media goes through [[imageDecode]]; both
+    * share the [[decodeBatch]] plumbing. */
   def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val n = bytes.length
     val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
     DecodedMedia(id, 16 + (n % 64), 16 + ((n / 64) % 64),
       1 + (n / 32), if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** REAL image decode on the pure JDK (`javax.imageio` — PNG, BMP
+    * and GIF readers ship in every JRE, no external codec needed):
+    * width/height from the decoded raster, meanLuma = Rec.601 luma
+    * (0.299 R + 0.587 G + 0.114 B) averaged over every pixel,
+    * n_frames = 1 (still image). This is the production slot of the
+    * [[decodeBatch]] seam — the plumbing (binary column in, typed
+    * row out, bytes never leave their partition) is identical to the
+    * fake's, so swapping decoders is a one-argument change.
+    * Undecodable bytes fail loudly (a silent zero row would poison
+    * downstream stats); a lenient pipeline filters/flags upstream. */
+  def imageDecode(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image bytes for id=$id (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedMedia(id, w, h, 1, sum / (w.toLong * h))
   }
 
   private val decodedSchema = StructType(Seq(
@@ -137,17 +167,20 @@ object Multimodal {
   /** Partition-wise media decode: (id, binary) → typed features.
     * `mapPartitions` keeps the heavy bytes on their partition and
     * amortises per-batch decoder setup — the Scala analog of a
-    * Pandas-UDF-over-mapInPandas media stage. */
+    * Pandas-UDF-over-mapInPandas media stage. `decoder` selects the
+    * codec ([[imageDecode]] for real images, [[fakeDecode]] — the
+    * default — for non-media fixtures); the plumbing is decoder-
+    * independent. */
   def decodeBatch(media: DataFrame, idCol: String = "doc_id",
-                  binCol: String = "media"): DataFrame = {
-    val spark = media.sparkSession
+                  binCol: String = "media",
+                  decoder: (Long, Array[Byte]) => DecodedMedia = fakeDecode): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(decodedSchema)
     media.select(col(idCol).cast("long"), col(binCol))
       .mapPartitions { rows =>
         // per-partition decoder init would go here (real codec handle)
         rows.map { r =>
-          val d = fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1))
+          val d = decoder(r.getLong(0), r.getAs[Array[Byte]](1))
           org.apache.spark.sql.Row(d.docId, d.width, d.height, d.nFrames, d.meanLuma)
         }
       }(enc)

@@ -123,6 +123,25 @@ object Pipeline {
                       contextLen: Long = 2048L): DataFrame =
     packCore(spark, dir, contextLen).orderBy("doc_id")
 
+  /** p14: sequence packing on TOKENIZER-faithful budgets — p02's
+    * bucketed two-phase packing driven by t16's mini-BPE token count
+    * instead of the whitespace-word count (real context windows are
+    * tokenizer-token windows; a word-budget pack misplaces every bin
+    * boundary by the corpus's fertility ratio). The BPE fold runs
+    * inside the scan's codegen (13 regexp_replace calls, no shuffle
+    * added), and the packing itself is byte-identical machinery to
+    * p02 — only the budget column changes. The composition was
+    * previously pinned only by PropertySpec; this registers it under
+    * the driver's full-oracle gate (VERDICT r5 #6), with the oracle's
+    * token count generated from the SAME merge table (t16 precedent,
+    * so the two engines cannot drift). */
+  def p14BpePack(spark: SparkSession, dir: String,
+                 contextLen: Long = 2048L): DataFrame =
+    packTokens(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Quality.bpeTokenCount(col("text")).as("n_tokens")),
+      contextLen).orderBy("doc_id")
+
   /** p03: token-budget selection — keep the highest-quality documents
     * of each source until that source's running token count exceeds
     * the budget (the mixture-construction step: every source gets a
@@ -667,6 +686,21 @@ object Pipeline {
         |FROM qq JOIN mq USING (doc_id) JOIN documents USING (doc_id))
         |SELECT doc_id, source, n_tokens, quality, cum_tokens
         |FROM c WHERE cum_tokens <= 500 ORDER BY doc_id""".stripMargin),
+
+    // p02's packing with the budget column swapped for the generated
+    // mini-BPE count (same merge table as t16's oracle)
+    "p14_bpe_pack" ->
+      raw"""WITH d AS (SELECT doc_id, source,
+         |    CAST(length(regexp_replace(${Quality.bpeMergeSql("lower(text)")}, '\s+', '', 'g')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens,
+         |  start_tok // 2048 AS bin_id,
+         |  start_tok % 2048 AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "p02_sequence_pack" ->
       """WITH d AS (SELECT doc_id, source,

@@ -349,8 +349,8 @@ object Quality {
   }
 
   /** The t16 oracle's merge fold, generated from the SAME table the
-    * Spark side folds. */
-  private def bpeMergeSql(inner: String): String =
+    * Spark side folds. Shared with p14's packing oracle. */
+  private[operators] def bpeMergeSql(inner: String): String =
     BpeMerges.foldLeft(inner) { case (acc, (pat, rep)) =>
       s"regexp_replace($acc, '$pat', '$rep', 'g')"
     }

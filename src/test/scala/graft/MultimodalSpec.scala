@@ -21,6 +21,54 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getDouble(4) > 0.0)
   }
 
+  test("imageDecode decodes real PNG bytes through the decodeBatch seam") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // deterministic synthetic PNGs: id i is (8+i)×(6+2i), filled with
+    // a solid color derived from i, plus one off-color pixel at (0,0)
+    // so the luma mean is NOT the fill's luma (catches a decoder that
+    // reads only one pixel or inverts channels)
+    def png(i: Int): (Long, Array[Byte], Int, Int, Double) = {
+      val w = 8 + i
+      val h = 6 + 2 * i
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val (r, g, b) = (40 * i % 256, 90 + 30 * i, 17 * i % 256)
+      val fill = (r << 16) | (g << 8) | b
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, fill)
+      img.setRGB(0, 0, (255 << 16) | (255 << 8) | 255)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      val lumaFill = 0.299 * r + 0.587 * g + 0.114 * b
+      val luma = (lumaFill * (w * h - 1) + 255.0) / (w * h)
+      (i.toLong, bos.toByteArray, w, h, luma)
+    }
+    val fixtures = (0 until 5).map(png)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixtures.map(f =>
+        org.apache.spark.sql.Row(f._1, f._2)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+    val decoded = Multimodal.decodeBatch(media, decoder = Multimodal.imageDecode)
+      .orderBy("doc_id").collect()
+    assert(decoded.length === fixtures.length)
+    fixtures.zip(decoded).foreach { case ((id, _, w, h, luma), row) =>
+      assert(row.getLong(0) === id)
+      assert(row.getInt(1) === w, s"width of id=$id")
+      assert(row.getInt(2) === h, s"height of id=$id")
+      assert(row.getInt(3) === 1)
+      assert(math.abs(row.getDouble(4) - luma) < 1e-9,
+        s"mean luma of id=$id: got ${row.getDouble(4)}, want $luma")
+    }
+    // garbage bytes fail loudly, not silently
+    intercept[Exception] {
+      Multimodal.imageDecode(99L, Array[Byte](1, 2, 3))
+    }
+  }
+
   test("fakeDecode is stable and total") {
     val d1 = Multimodal.fakeDecode(7L, "hello world".getBytes)
     val d2 = Multimodal.fakeDecode(7L, "hello world".getBytes)
