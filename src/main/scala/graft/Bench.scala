@@ -17,7 +17,9 @@ object Bench {
     // round 4: increment-vs-corpus band probe + two-phase LM rank
     "d15_incremental_dedup", "t15_lm_buckets",
     // round 5: content-band bounded fuzzy NN + frozen-corpus span screen
-    "d09_production", "d17_incremental_spans")
+    "d09_production", "d17_incremental_spans",
+    // round 6: composed IVFPQ (coarse->fine routing + ADC in-cell)
+    "s13_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

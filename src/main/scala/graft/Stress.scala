@@ -112,6 +112,20 @@ object Stress {
       graft.operators.Dedup.cellAssignment(eq,
         graft.operators.Similarity.strideCents(eq)).count())
 
+    // composed IVFPQ (s13) under the production asymmetry (the d17
+    // pattern): the corpus grows mult×, the query batch stays FIXED
+    // (the base replica's 1-in-20) — the fixture's n/20 query rule
+    // would otherwise make the probe corpus×query quadratic by
+    // construction (an eval artifact, not an index property).
+    // Assignment and encoding are linear (bounded-k broadcasts); the
+    // per-query candidate set grows with probed-cell occupancy —
+    // replicas are cosine-identical, so cells grow mult× denser
+    // here, the worst case for ADC fan-out; rerank stays 20/query
+    val eq13 = eq.withColumn("label", lit("x"))
+    time("ivfpq search (s13)")(
+      graft.operators.Similarity.ivfpqFrom(eq13,
+        col("vec_id") % 20 === 0 && col("vec_id") < 10000000L).count())
+
     // sequence packing on a SINGLE mega-source: the p02 prefix sum
     // must stay parallel when every row shares one source value —
     // the (source, bucket) two-phase form keeps parallelism =

@@ -211,7 +211,9 @@ object Similarity {
       .union(seeds8.select("vec_id", "qv", "nrm"))
       .distinct()
       .select(col("vec_id").as("f_id"), col("qv").as("f_qv"), col("nrm").as("f_nrm"))
-    // fine centroid -> its coarse cell (tiny × tiny)
+    // fine centroid -> its coarse cell (tiny × tiny; NOT cached —
+    // measured at sf0.1, caching these 8/72-row frames costs more in
+    // materialization barriers than the branch rescans they save)
     val f2c = fine.crossJoin(broadcast(coarse))
       .select(col("f_id"),
         struct((lit(0.0) - qcos(qdot(col("f_qv"), col("c1_qv")), col("f_nrm"), col("c1_nrm"))).as("nc"),
@@ -241,10 +243,14 @@ object Similarity {
     * coarse cells, then top-probeFine fine cells within them. Output
     * (q_id, label, qv_q, nq, cell) — label carried through for the
     * filtered variants. All joins are broadcasts of centroid-sized
-    * frames against the 1-in-20 query set. */
+    * frames against the query set (the fixture's 1-in-20 rule by
+    * default; [[graft.Stress]] pins a FIXED query batch so its probe
+    * measures the production corpus-grows/queries-don't asymmetry
+    * instead of the eval rule's corpus×query product). */
   private def ivf2Routes(e: DataFrame, coarse: DataFrame, f2c: DataFrame,
-                         probeCoarse: Int, probeFine: Int): DataFrame = {
-    val q = e.filter(col("vec_id") % 20 === 0)
+                         probeCoarse: Int, probeFine: Int,
+                         queryPred: Column = col("vec_id") % 20 === 0): DataFrame = {
+    val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("label"),
         col("qv").as("qv_q"), col("nrm").as("nq"))
     val wq1 = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c1"))
@@ -347,16 +353,23 @@ object Similarity {
     * rerank joins the corpus by id for 20 rows/query. Both the
     * centroid and codeword rules are the production bounded-k
     * stride (constant-size broadcasts at any corpus size). */
-  def s13AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = quantized(spark, dir)
+  def s13AnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfpqFrom(quantized(spark, dir))
+
+  /** s13's core over any (vec_id, label, qv, nrm) frame — also driven
+    * at replicated scale by [[graft.Stress]] (which overrides
+    * `queryPred` to a fixed query batch — see [[ivf2Routes]]). */
+  private[graft] def ivfpqFrom(e: DataFrame,
+      queryPred: Column = col("vec_id") % 20 === 0): DataFrame = {
     val (coarse, f2c, assign) = ivf2Index(e)
-    val routes = ivf2Routes(e, coarse, f2c, probeCoarse = 2, probeFine = 2)
+    val routes = ivf2Routes(e, coarse, f2c, probeCoarse = 2, probeFine = 2,
+        queryPred)
       .select("q_id", "cell") // ADC needs no query vector until rerank
     val d2 = pqDistances(e, boundedSeeds(e))
     val codes = d2.groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
-    val adcTab = d2.filter(col("vec_id") % 20 === 0)
+    val adcTab = d2.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))
     // probed-cell members only — the IVF restriction is applied
     // BEFORE any distance work, so ADC cost is per-probed-candidate
@@ -371,7 +384,7 @@ object Similarity {
     val top = approx.withColumn("crn", row_number().over(cw20))
       .filter(col("crn") <= 20)
       .select(col("q_id"), col("cell"), col("vec_id").as("cand_id"), col("adc"))
-    val qSide = e.filter(col("vec_id") % 20 === 0)
+    val qSide = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
     val cSide = e.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"), col("nrm").as("nc"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))

@@ -31,7 +31,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // verdicts, hash thresholds, TakeOrdered top-k
                    "t15_lm_buckets", "d15_incremental_dedup",
                    "p12_temperature_mix", "p13_rank_balance",
-                   "qa03_sample_topk")) {
+                   "qa03_sample_topk",
+                   // round 6: ADC sum + two window ranks over probed
+                   // cells, the generated-grid sweep aggregate, and
+                   // BPE-budget packing
+                   "s13_ann_ivfpq", "s14_filtered_recall",
+                   "p14_bpe_pack")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
