@@ -275,6 +275,39 @@ class Graft(val spark: SparkSession, dir: String) {
   def streamingQualityGate(docStream: DataFrame): DataFrame =
     graft.streaming.QualityStream.qualityVerdicts(docStream)
 
+  /** Composed IVFPQ: hierarchical coarse→fine routing + product-
+    * quantization ADC inside the probed cells, exact rerank of the
+    * top-20 — the M-bytes-per-vector searched-index shape (s13). */
+  def ivfpq: DataFrame = Similarity.s13AnnIvfPq(spark, dir)
+
+  /** Recall@5 of the FILTERED hierarchical IVF vs the exact-filtered
+    * truth per fine-probe depth — the nprobe-under-filter tuning
+    * curve (s14). */
+  def filteredRecallSweep: DataFrame = Similarity.s14FilteredRecall(spark, dir)
+
+  /** Sequence packing on tokenizer-faithful mini-BPE budgets instead
+    * of whitespace words (p14). */
+  def bpePack(contextLen: Long = 2048L): Dataset[PackedDoc] =
+    Pipeline.p14BpePack(spark, dir, contextLen).as[PackedDoc]
+
+  /** Frozen-corpus seed index for the span screen — build once per
+    * corpus freeze; feeds batch d17 and [[streamingSpans]]. */
+  def corpusSeedIndex: DataFrame =
+    Dedup.corpusSeedIndex(documents.toDF().select("doc_id", "text"))
+
+  /** Streaming twin of [[incrementalSpans]]: maximal verbatim spans
+    * each ARRIVING doc shares with the frozen corpus index
+    * ([[graft.streaming.SpanStream]]; replay == batch, spec-pinned). */
+  def streamingSpans(docStream: DataFrame, corpusIdx: DataFrame):
+      Dataset[graft.streaming.SpanStream.Span] =
+    graft.streaming.SpanStream.spans(docStream, corpusIdx)
+
+  /** Real pure-JDK image decode over a binary media column — the
+    * production decoder of the decodeBatch seam ([[Multimodal]]). */
+  def decodeImages(media: DataFrame, idCol: String = "doc_id",
+                   binCol: String = "media"): DataFrame =
+    Multimodal.decodeBatch(media, idCol, binCol, Multimodal.imageDecode)
+
   /** Release this session's operator-scoped caches (job-server
     * hygiene; see [[graft.operators.OpCache]]). Results stay correct
     * afterwards — dropped entries degrade to recompute. */

@@ -86,6 +86,20 @@ class GraftApiSpec extends SparkSpec {
     assert(g.queueAging.columns.contains("final_status"))
   }
 
+  test("round-6 operators are reachable through the facade") {
+    assert(g.ivfpq.filter("rank = 1").count() > 0)
+    val sweep = g.filteredRecallSweep.collect()
+    assert(sweep.map(_.getAs[Int]("probe_fine")).toSeq == Seq(1, 2, 4, 8))
+    val packed = g.bpePack().collect()
+    assert(packed.nonEmpty && packed.forall(p => p.bin_offset < 2048))
+    assert(g.corpusSeedIndex.columns.toSeq == Seq("doc_corp", "ib", "term"))
+    // decodeImages goes through the same seam MultimodalSpec pins
+    // with real PNGs; here just the facade wiring over doc bytes
+    intercept[Exception] {
+      g.decodeImages(graft.operators.Multimodal.mediaTable(spark, sf)).count()
+    } // utf-8 text is not a decodable image — the loud-failure path
+  }
+
   test("registerSql exposes views + custom expressions to pure SQL") {
     g.registerSql()
     val n = spark.sql(
