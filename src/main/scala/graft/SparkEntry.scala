@@ -130,6 +130,7 @@ object SparkEntry {
     "d14_dup_span_pairs" -> (Dedup.d14DupSpanPairs _),
     "d15_incremental_dedup" -> (Dedup.d15IncrementalDedup _),
     "d16_source_overlap" -> (Dedup.d16SourceOverlap _),
+    "d18_incremental_semdedup" -> (Dedup.d18IncrementalSemdedup _),
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
     "t16_bpe_tokens" -> (Quality.t16BpeTokens _),
     "p12_temperature_mix" -> (Pipeline.p12TemperatureMix _),

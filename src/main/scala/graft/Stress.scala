@@ -144,6 +144,21 @@ object Stress {
     val nKeepInc = d15res.filter(col("verdict") === "keep").count()
     d15res.unpersist() // later stages compete for the same memory
 
+    // incremental SEMANTIC screen (d18) under the production
+    // asymmetry (the d17 pattern): the frozen corpus is replicated
+    // mult×, the arrival batch stays FIXED (the base replica's
+    // % 10 ∈ {8,9} slice) — every-replica-as-increment would make
+    // the probe corpus×batch quadratic by construction (the s13
+    // probe lesson). Replicas are cosine-1.0 identical, so probed
+    // cells grow mult× denser — the per-arrival candidate fan-out
+    // worst case — while the bounded-k assignments stay linear
+    val d18in = evecs.filter(col("vec_id") % 10 < 8)
+      .union(ebase.filter(col("vec_id") % 10 >= 8))
+    val d18res = graft.operators.Dedup.d18From(d18in).persist()
+    val nSemInc = time("incremental semdedup (d18)")(d18res.count())
+    val nSemIncKeep = d18res.filter(col("verdict") === "keep").count()
+    d18res.unpersist()
+
     // per-language LM rank on a SINGLE-language corpus: t15's
     // two-phase bucketed rank must stay parallel when every row
     // shares one lang value (the mostly-English-corpus case) — same
@@ -178,7 +193,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

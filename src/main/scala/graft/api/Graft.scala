@@ -302,6 +302,14 @@ class Graft(val spark: SparkSession, dir: String) {
       Dataset[graft.streaming.SpanStream.Span] =
     graft.streaming.SpanStream.spans(docStream, corpusIdx)
 
+  /** Incremental SEMANTIC dedup: each new-batch vector screened
+    * against the frozen corpus through the corpus's own IVF cells —
+    * verdict + nearest corpus neighbor (d18; completes the
+    * incremental family: hash/band d15, spans d17, embeddings
+    * here). */
+  def incrementalSemanticDedup: DataFrame =
+    Dedup.d18IncrementalSemdedup(spark, dir)
+
   /** Real pure-JDK image decode over a binary media column — the
     * production decoder of the decodeBatch seam ([[Multimodal]]). */
   def decodeImages(media: DataFrame, idCol: String = "doc_id",

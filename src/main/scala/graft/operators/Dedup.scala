@@ -307,6 +307,76 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d18: INCREMENTAL semantic dedup — d15's increment-vs-frozen-
+    * corpus discipline applied to d08's embedding modality,
+    * completing the incremental family (d15 hash+band, d17 verbatim
+    * spans, d18 embeddings): each new-batch vector (vec_id % 10 ∈
+    * {8,9}, d15's deterministic arrival slice) is screened against
+    * the FROZEN corpus through the corpus's own IVF cells — assigned
+    * to its nearest frozen centroid, compared only against that
+    * cell's corpus members, verdict drop_near when its best corpus
+    * cosine reaches d08's 0.3 threshold, with the nearest corpus
+    * vector reported either way. Catches the arriving paraphrase of
+    * an existing document that d15's hash/band screens cannot see.
+    *
+    * Frozen-index rules (nothing shifts as increments arrive): the
+    * bounded-k centroid stride derives from the CORPUS id range
+    * alone, and cells/occupants are corpus-only — a deployment
+    * prebuilds both at corpus freeze (the d17 seed-index pattern).
+    *
+    * Scale shape: two linear bounded-k broadcast assignments (corpus
+    * n×k once at freeze, increment m×k per batch); ONE equi-join on
+    * cell between the increment and the corpus assignment — the
+    * corpus side carries no broadcast hint (it grows with the
+    * accepted corpus); the per-vector argmax is a map-side
+    * min(struct) groupBy, no window. Cost per batch is
+    * O(m×k + m×occupancy), never O(corpus). */
+  def d18IncrementalSemdedup(spark: SparkSession, dir: String): DataFrame =
+    d18From(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  /** d18's core over any (vec_id, embedding) frame — also driven at
+    * replicated scale by [[graft.Stress]]. */
+  private[graft] def d18From(vecs: DataFrame): DataFrame = {
+    val e = vecs
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", qnorm2(col("qv")))
+    val isInc = col("vec_id") % 10 >= 8
+    val corp = e.filter(!isInc)
+    val cents = Similarity.boundedCents(corp)
+    val corpAssign = cellAssignment(corp, cents)
+      .select(col("vec_id").as("corp_id"), col("cell"),
+        col("qv").as("qv_c"), col("nrm").as("nc"))
+    val incAssign = cellAssignment(e.filter(isInc), cents)
+      .select(col("vec_id"), col("cell"), col("qv").as("qv_i"), col("nrm").as("ni"))
+    // nearest same-cell corpus member per increment vector, as a
+    // TWO-PHASE argmax (max cosine, then min corp_id among the
+    // exact-double-equality ties — d09's deterministic rule): a
+    // min(struct) single pass would force a SortAggregate over the
+    // full pair set (structs are not hash-aggregable), which at a
+    // duplicate-heavy 40× stress point means sorting tens of
+    // millions of rows — measured 50s of a 61s total. Two plain
+    // hash aggregates + one broadcastable increment-sized join keep
+    // every stage codegen'd and map-side combinable; the pair
+    // cosines are evaluated twice, but LongArrayDot pairs are ~5×
+    // cheaper than the sort they replace.
+    val pair = incAssign.join(corpAssign, Seq("cell"))
+      .select(col("vec_id"), col("corp_id"),
+        qcos(qdot(col("qv_i"), col("qv_c")), col("ni"), col("nc")).as("cos"))
+    val bestCos = pair.groupBy("vec_id").agg(max(col("cos")).as("nearest_cos"))
+    // cos === nearest_cos is exact: both sides are the same double
+    // arithmetic over the same operands (no re-rounding anywhere)
+    val best = pair.join(bestCos, "vec_id")
+      .filter(col("cos") === col("nearest_cos"))
+      .groupBy("vec_id").agg(min(col("corp_id")).as("nearest_corp"),
+        max(col("nearest_cos")).as("nearest_cos"))
+    // left join: an increment landing in a cell whose corpus members
+    // are all elsewhere (duplicate-centroid edge) keeps NULLs → keep
+    incAssign.select("vec_id", "cell").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("nearest_corp"), col("nearest_cos"),
+        when(col("nearest_cos") >= 0.3, "drop_near").otherwise("keep").as("verdict"))
+      .orderBy("vec_id")
+  }
+
   /** d16: cross-source CONTENT-overlap matrix — for every source
     * pair, the Jaccard similarity of their distinct word-3-gram
     * shingle sets (the provenance diagnostic run before mixing
@@ -773,6 +843,44 @@ object Dedup {
 
   val oracles: Map[String, String] = {
     Map(
+      // d08's quantization CTEs split corpus/increment on the d15
+      // arrival rule; the centroid stride derives from the CORPUS id
+      // range only (frozen-index rule)
+      "d18_incremental_semdedup" ->
+        """WITH q AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, qv,
+          |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM q),
+          |corp AS (SELECT * FROM n WHERE vec_id % 10 < 8),
+          |inc AS (SELECT * FROM n WHERE vec_id % 10 >= 8),
+          |cents AS (SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_nrm FROM corp
+          |          WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM corp) + 1) = 0),
+          |cscored AS (SELECT v.vec_id, v.qv, v.nrm, c.c_id,
+          |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+          |  FROM corp v CROSS JOIN cents c),
+          |cassign AS (SELECT vec_id AS corp_id, qv AS qv_c, nrm AS nc, c_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn FROM cscored) t
+          |  WHERE crn = 1),
+          |iscored AS (SELECT v.vec_id, v.qv, v.nrm, c.c_id,
+          |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+          |  FROM inc v CROSS JOIN cents c),
+          |iassign AS (SELECT vec_id, qv AS qv_i, nrm AS ni, c_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn FROM iscored) t
+          |  WHERE crn = 1),
+          |pair AS (SELECT i.vec_id, c.corp_id,
+          |    CAST((SELECT SUM(i.qv_i[k] * c.qv_c[k]) FROM generate_series(1, 64) g(k)) AS BIGINT)
+          |      / (sqrt(CAST(i.ni AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) AS cos
+          |  FROM iassign i JOIN cassign c USING (cell)),
+          |best AS (SELECT vec_id, corp_id AS nearest_corp, cos AS nearest_cos FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, corp_id) AS rn FROM pair) t
+          |  WHERE rn = 1)
+          |SELECT i.vec_id, i.cell, b.nearest_corp, b.nearest_cos,
+          |  CASE WHEN b.nearest_cos >= 0.3 THEN 'drop_near' ELSE 'keep' END AS verdict
+          |FROM iassign i LEFT JOIN best b USING (vec_id) ORDER BY i.vec_id""".stripMargin,
+
       "d11_lsh_quality" ->
         ("WITH " + shCte + ",\n" + sigCte + ",\n" + candCte + """,
           |est AS (SELECT doc_a, doc_b,

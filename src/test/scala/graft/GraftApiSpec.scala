@@ -93,6 +93,9 @@ class GraftApiSpec extends SparkSpec {
     val packed = g.bpePack().collect()
     assert(packed.nonEmpty && packed.forall(p => p.bin_offset < 2048))
     assert(g.corpusSeedIndex.columns.toSeq == Seq("doc_corp", "ib", "term"))
+    val semInc = g.incrementalSemanticDedup.collect()
+    assert(semInc.nonEmpty &&
+      semInc.forall(r => Set("drop_near", "keep")(r.getAs[String]("verdict"))))
     // decodeImages goes through the same seam MultimodalSpec pins
     // with real PNGs; here just the facade wiring over doc bytes
     intercept[Exception] {

@@ -36,7 +36,7 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // cells, the generated-grid sweep aggregate, and
                    // BPE-budget packing
                    "s13_ann_ivfpq", "s14_filtered_recall",
-                   "p14_bpe_pack")) {
+                   "p14_bpe_pack", "d18_incremental_semdedup")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))

@@ -173,6 +173,51 @@ class PropertySpec extends SparkSpec {
       "increment doc matched against every corpus doc sharing the span")
   }
 
+  test("d18 incremental semdedup: sound verdicts, exact within-cell nearest") {
+    val d18 = operators.Dedup
+      .d18From(sources.Tables.embeddings(spark, sf).select("vec_id", "embedding"))
+      .collect()
+    assert(d18.nonEmpty)
+    assert(d18.forall(_.getLong(0) % 10 >= 8), "verdicts only for increment vectors")
+    // reference: brute-force nearest CORPUS vector per increment,
+    // unrestricted by cells — quantized exactly like the operator
+    import org.apache.spark.sql.functions._
+    val e = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), functions.TextFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", functions.TextFns.qnorm2(col("qv")))
+    val inc = e.filter(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"), col("qv").as("qv_i"), col("nrm").as("ni"))
+    val corp = e.filter(col("vec_id") % 10 < 8)
+      .select(col("vec_id").as("corp_id"), col("qv").as("qv_c"), col("nrm").as("nc"))
+    val brute = inc.crossJoin(corp)
+      .select(col("vec_id"), col("corp_id"),
+        functions.TextFns.qcos(functions.TextFns.qdot(col("qv_i"), col("qv_c")),
+          col("ni"), col("nc")).as("cos"))
+      .groupBy("vec_id").agg(max(col("cos")).as("best_cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var drops = 0
+    d18.foreach { r =>
+      val v = r.getLong(0)
+      val verdict = r.getAs[String]("verdict")
+      if (verdict == "drop_near") {
+        drops += 1
+        // SOUND: a drop decision is justified by a real ≥0.3 corpus
+        // neighbor (cell restriction can only under-report, so every
+        // reported neighbor exists globally too)
+        assert(r.getAs[Double]("nearest_cos") >= 0.3, s"unjustified drop for $v")
+        assert(brute(v) >= r.getAs[Double]("nearest_cos") - 1e-12,
+          s"reported neighbor beats the global best for $v")
+      }
+    }
+    assert(drops > 0, "fixture must produce at least one drop_near")
+    // every increment whose GLOBAL best is far below threshold keeps
+    // (cells cannot invent similarity)
+    d18.filter(r => brute(r.getLong(0)) < 0.25).foreach { r =>
+      assert(r.getAs[String]("verdict") == "keep",
+        s"vector ${r.getLong(0)} dropped without a ≥0.3 neighbor anywhere")
+    }
+  }
+
   test("asofJoin equals the naive per-row reference on random data") {
     val users = (1 to 8).map(u => s"u$u")
     val left = (1 to 150).map { i =>
