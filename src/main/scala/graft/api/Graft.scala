@@ -310,6 +310,16 @@ class Graft(val spark: SparkSession, dir: String) {
   def incrementalSemanticDedup: DataFrame =
     Dedup.d18IncrementalSemdedup(spark, dir)
 
+  /** Streaming twin of [[incrementalSemanticDedup]]: arriving
+    * (vec_id, embedding) rows screened against the frozen semantic
+    * index — build `corpusIdx`/`cents` once at corpus freeze via
+    * [[graft.streaming.SemStream.frozenCentroids]] and
+    * `Dedup.semFrozenIndex`; replay == batch, spec-pinned. */
+  def streamingSemanticDedup(vecStream: DataFrame, corpusIdx: DataFrame,
+      cents: Seq[graft.streaming.SemStream.Centroid]):
+      Dataset[graft.streaming.SemStream.SemVerdict] =
+    graft.streaming.SemStream.verdicts(vecStream, corpusIdx, cents)
+
   /** Real pure-JDK image decode over a binary media column — the
     * production decoder of the decodeBatch seam ([[Multimodal]]). */
   def decodeImages(media: DataFrame, idCol: String = "doc_id",

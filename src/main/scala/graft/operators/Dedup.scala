@@ -334,19 +334,32 @@ object Dedup {
   def d18IncrementalSemdedup(spark: SparkSession, dir: String): DataFrame =
     d18From(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
-  /** d18's core over any (vec_id, embedding) frame — also driven at
-    * replicated scale by [[graft.Stress]]. */
-  private[graft] def d18From(vecs: DataFrame): DataFrame = {
-    val e = vecs
+  /** The frozen semantic-index pair d18 screens against — (bounded-k
+    * centroids, cell-assigned corpus) — as a standalone build step: a
+    * deployment prebuilds both at corpus freeze (the d17 seed-index
+    * pattern) and hands them to batch d18 or to the streaming twin
+    * ([[graft.streaming.SemStream]]). */
+  private[graft] def semFrozenIndex(corpusVecs: DataFrame): (DataFrame, DataFrame) = {
+    val corp = corpusVecs
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", qnorm2(col("qv")))
-    val isInc = col("vec_id") % 10 >= 8
-    val corp = e.filter(!isInc)
     val cents = Similarity.boundedCents(corp)
     val corpAssign = cellAssignment(corp, cents)
       .select(col("vec_id").as("corp_id"), col("cell"),
         col("qv").as("qv_c"), col("nrm").as("nc"))
-    val incAssign = cellAssignment(e.filter(isInc), cents)
+    (cents, corpAssign)
+  }
+
+  /** d18's core over any (vec_id, embedding) frame — also driven at
+    * replicated scale by [[graft.Stress]]. */
+  private[graft] def d18From(vecs: DataFrame): DataFrame = {
+    val isInc = col("vec_id") % 10 >= 8
+    val (cents, corpAssign) = semFrozenIndex(vecs.filter(!isInc))
+    val incAssign = cellAssignment(
+        vecs.filter(isInc)
+          .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+          .withColumn("nrm", qnorm2(col("qv"))),
+        cents)
       .select(col("vec_id"), col("cell"), col("qv").as("qv_i"), col("nrm").as("ni"))
     // nearest same-cell corpus member per increment vector, as a
     // TWO-PHASE argmax (max cosine, then min corp_id among the

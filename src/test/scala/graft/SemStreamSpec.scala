@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.SemStream
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+/** Streaming twin of d18: vectors arriving over two checkpointed
+  * AvailableNow runs, screened against the frozen semantic index,
+  * must reproduce the batch operator's verdict rows exactly. */
+class SemStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  test("two incremental runs reproduce batch d18's verdicts") {
+    val dir = Files.createTempDirectory("sem-in").toFile
+    val ckpt = Files.createTempDirectory("sem-ckpt").toString
+    val out = Files.createTempDirectory("sem-out").toString
+
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" % 10 < 8)
+    val arrivals = vecs.filter($"vec_id" % 10 >= 8)
+    val half1 = arrivals.filter($"vec_id" < 250)
+    val half2 = arrivals.filter($"vec_id" >= 250)
+
+    val (cents, corpusIdx) = Dedup.semFrozenIndex(corpus)
+    val frozen = SemStream.frozenCentroids(cents)
+    assert(frozen.nonEmpty && frozen.size <= 64)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = SemStream.verdicts(stream, corpusIdx, frozen).toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+
+    half1.coalesce(1).write.parquet(new java.io.File(dir, "chunk1").toString)
+    runOnce()
+    val firstRun = spark.read.parquet(out).as[SemStream.SemVerdict]
+      .collect().map(v => (v.vec_id, v.cell, v.nearest_corp, v.nearest_cos,
+        v.verdict)).toSet
+
+    half2.coalesce(1).write.parquet(new java.io.File(dir, "chunk2").toString)
+    runOnce()
+
+    val streamed = spark.read.parquet(out).as[SemStream.SemVerdict]
+      .collect().map(v => (v.vec_id, v.cell, v.nearest_corp, v.nearest_cos,
+        v.verdict)).toSet
+    val batch = Dedup.d18IncrementalSemdedup(spark, sf)
+      .as[SemStream.SemVerdict]
+      .collect().map(v => (v.vec_id, v.cell, v.nearest_corp, v.nearest_cos,
+        v.verdict)).toSet
+
+    assert(batch.nonEmpty, "fixture produced no increment vectors")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} verdicts != batch ${batch.size}")
+    assert(streamed.exists(_._5 == "drop_near") &&
+      streamed.exists(_._5 == "keep"),
+      "fixture must exercise both verdicts")
+
+    // incrementality: the second run emitted only second-half docs
+    val added = streamed -- firstRun
+    assert(firstRun.nonEmpty && added.nonEmpty)
+    assert(added.forall(_._1 >= 250))
+  }
+
+  test("stateless routing equals the batch cell assignment") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" % 10 < 8)
+    val (cents, _) = Dedup.semFrozenIndex(corpus)
+    val frozen = SemStream.frozenCentroids(cents)
+    // literal-shipped routing of the CORPUS itself must agree with
+    // the join-based batch assignment the frozen index was built with
+    val routedCells = SemStream.routed(corpus, frozen)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val batchCells = Dedup.semFrozenIndex(corpus)._2
+      .select($"corp_id", $"cell").as[(Long, Long)].collect().toMap
+    assert(routedCells == batchCells,
+      "literal routing diverged from the batch assignment rule")
+  }
+}
