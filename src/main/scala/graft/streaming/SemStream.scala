@@ -77,13 +77,23 @@ object SemStream {
 
   /** Replay-guarded per-arrival argmax: max cosine, min corp_id on
     * exact-double ties (the batch two-phase rule), verdict at the
-    * threshold; NULL corpus side (empty cell) → keep. */
-  private[streaming] class ScreenProcessor(minCos: Double)
+    * threshold; NULL corpus side (empty cell) → keep. The replay
+    * guard is one bit per vec_id FOREVER with no TTL — bounded on a
+    * replayed fixture, unbounded on a long-running stream — so
+    * deployments pass a TTL (the NearDupStream knob): expiring a
+    * guard narrows the replay window to the TTL (a recovery replay
+    * older than it re-emits that vec_id's verdict) in exchange for
+    * bounded state. */
+  private[streaming] class ScreenProcessor(minCos: Double, stateTtlMs: Long)
       extends StatefulProcessor[Long, Match, SemVerdict] {
     @transient private var done: ValueState[Boolean] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      done = getHandle.getValueState("done", Encoders.scalaBoolean, TTLConfig.NONE)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (stateTtlMs > 0) TTLConfig(java.time.Duration.ofMillis(stateTtlMs))
+        else TTLConfig.NONE
+      done = getHandle.getValueState("done", Encoders.scalaBoolean, ttl)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[Match],
                                  timerValues: TimerValues): Iterator[SemVerdict] = {
@@ -115,16 +125,18 @@ object SemStream {
     * collected centroids. Output rows match batch d18's schema
     * (minus its presentation order). */
   def verdicts(vecs: DataFrame, corpusIdx: DataFrame, cents: Seq[Centroid],
-               minCos: Double = 0.3): Dataset[SemVerdict] = {
+               minCos: Double = 0.3, stateTtlMs: Long = 0L): Dataset[SemVerdict] = {
     import vecs.sparkSession.implicits._
     MaillogStream.useRocksDbStateStore(vecs.sparkSession)
+    val mode =
+      if (stateTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
     routed(vecs, cents)
       .join(corpusIdx, Seq("cell"), "left")
       .select(col("vec_id"), col("cell"), col("corp_id"),
         qcos(qdot(col("qv"), col("qv_c")), col("nrm"), col("nc")).as("cos"))
       .as[Match]
       .groupByKey(_.vec_id)
-      .transformWithState(new ScreenProcessor(minCos), TimeMode.None(),
+      .transformWithState(new ScreenProcessor(minCos, stateTtlMs), mode,
         OutputMode.Append())
   }
 }

@@ -50,13 +50,22 @@ object SpanStream {
 
   /** Islands over one (doc_inc, doc_corp, diag) slice: seeds sorted
     * by position, consecutive positions merge into one span of
-    * run_len + 7 tokens. State is a replay-guard bit per key. */
-  private[streaming] class SpanProcessor(minSpan: Int)
+    * run_len + 7 tokens. State is a replay-guard bit per key —
+    * FOREVER with no TTL (one bit per matched (doc_inc, doc_corp,
+    * diag) triple), so long-running deployments pass a TTL (the
+    * NearDupStream knob): expiring a guard narrows the replay window
+    * to the TTL (a recovery replay older than it re-emits that key's
+    * spans) in exchange for bounded state. */
+  private[streaming] class SpanProcessor(minSpan: Int, stateTtlMs: Long)
       extends StatefulProcessor[(Long, Long, Long), SeedMatch, Span] {
     @transient private var done: ValueState[Boolean] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      done = getHandle.getValueState("done", Encoders.scalaBoolean, TTLConfig.NONE)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (stateTtlMs > 0) TTLConfig(java.time.Duration.ofMillis(stateTtlMs))
+        else TTLConfig.NONE
+      done = getHandle.getValueState("done", Encoders.scalaBoolean, ttl)
+    }
 
     override def handleInputRows(key: (Long, Long, Long),
                                  rows: Iterator[SeedMatch],
@@ -84,9 +93,11 @@ object SpanStream {
     * [[Dedup.corpusSeedIndex]]. Output rows match batch d17's
     * schema (minus its presentation order). */
   def spans(docs: DataFrame, corpusIdx: DataFrame,
-            minSpan: Int = 12): Dataset[Span] = {
+            minSpan: Int = 12, stateTtlMs: Long = 0L): Dataset[Span] = {
     import docs.sparkSession.implicits._
     MaillogStream.useRocksDbStateStore(docs.sparkSession)
+    val mode =
+      if (stateTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
     val inc = Dedup.spanSeedsRaw(docs)
       .select(col("doc_id").as("doc_inc"), col("pos").as("ia"), col("term"))
     inc.join(corpusIdx, "term")
@@ -94,7 +105,7 @@ object SpanStream {
         (col("ia") - col("ib")).as("diag"), col("ia"), col("ib"))
       .as[SeedMatch]
       .groupByKey(r => (r.doc_inc, r.doc_corp, r.diag))
-      .transformWithState(new SpanProcessor(minSpan), TimeMode.None(),
+      .transformWithState(new SpanProcessor(minSpan, stateTtlMs), mode,
         OutputMode.Append())
   }
 }
