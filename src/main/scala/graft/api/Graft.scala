@@ -310,11 +310,24 @@ class Graft(val spark: SparkSession, dir: String) {
   def incrementalSemanticDedup: DataFrame =
     Dedup.d18IncrementalSemdedup(spark, dir)
 
+  /** Frozen semantic index for the embedding screen — the collected
+    * bounded-k coarse quantizer plus the cell-assigned corpus, built
+    * ONCE per corpus freeze (the embedding-modality analog of
+    * [[corpusSeedIndex]]). Hand both to [[streamingSemanticDedup]];
+    * the centroid Seq is ≤ k rows by construction (safe to collect
+    * and ship as literals — the FAISS distribute-the-quantizer
+    * pattern). */
+  def semanticFrozenIndex:
+      (Seq[graft.streaming.SemStream.Centroid], DataFrame) = {
+    val (cents, corpusIdx) = Dedup.semFrozenIndex(
+      embeddings.toDF().select("vec_id", "embedding"))
+    (graft.streaming.SemStream.frozenCentroids(cents), corpusIdx)
+  }
+
   /** Streaming twin of [[incrementalSemanticDedup]]: arriving
     * (vec_id, embedding) rows screened against the frozen semantic
-    * index — build `corpusIdx`/`cents` once at corpus freeze via
-    * [[graft.streaming.SemStream.frozenCentroids]] and
-    * `Dedup.semFrozenIndex`; replay == batch, spec-pinned. */
+    * index — build `(cents, corpusIdx)` once at corpus freeze via
+    * [[semanticFrozenIndex]]; replay == batch, spec-pinned. */
   def streamingSemanticDedup(vecStream: DataFrame, corpusIdx: DataFrame,
       cents: Seq[graft.streaming.SemStream.Centroid]):
       Dataset[graft.streaming.SemStream.SemVerdict] =

@@ -356,44 +356,82 @@ object Similarity {
   def s13AnnIvfPq(spark: SparkSession, dir: String): DataFrame =
     ivfpqFrom(quantized(spark, dir))
 
-  /** s13's core over any (vec_id, label, qv, nrm) frame — also driven
-    * at replicated scale by [[graft.Stress]] (which overrides
-    * `queryPred` to a fixed query batch — see [[ivf2Routes]]). */
+  /** s15: FILTERED IVFPQ — the last composition of the ANN lattice
+    * (VERDICT r6 #2): s13's memory shape (coarse→fine routing + ADC
+    * ranking inside probed cells + exact rerank) with s09/s10/s11's
+    * label pre-filter. A tenant-scoped search over a PQ-compressed
+    * trillion-vector index is exactly this query: the index layout
+    * (cells, codes) stays label-agnostic and shared across tenants;
+    * the filter ONLY tightens the candidate join key to
+    * (cell, label) — s11's key-tightening applied to s13's
+    * probed-cell candidate join. Fine probes go to 4 per the
+    * nprobe-under-filter rule (the filter thins every probed cell —
+    * s10/s11 precedent, measured by s14). Full DuckDB oracle;
+    * AnnQualitySpec pins recall vs the exact-filtered s09. */
+  def s15FilteredIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfpqFrom(quantized(spark, dir), probeFine = 4, labelFiltered = true)
+
+  /** s13/s15's core over any (vec_id, label, qv, nrm) frame — also
+    * driven at replicated scale by [[graft.Stress]] (which overrides
+    * `queryPred` to a fixed query batch — see [[ivf2Routes]]).
+    * `labelFiltered` tightens ONLY the candidate join key (the s11
+    * rule); `probeFine` is the sweep knob s16 drives. */
   private[graft] def ivfpqFrom(e: DataFrame,
-      queryPred: Column = col("vec_id") % 20 === 0): DataFrame = {
+      queryPred: Column = col("vec_id") % 20 === 0,
+      probeFine: Int = 2,
+      labelFiltered: Boolean = false): DataFrame = {
     val (coarse, f2c, assign) = ivf2Index(e)
-    val routes = ivf2Routes(e, coarse, f2c, probeCoarse = 2, probeFine = 2,
+    val routeCols =
+      if (labelFiltered) Seq("q_id", "label", "cell") else Seq("q_id", "cell")
+    val routes = ivf2Routes(e, coarse, f2c, probeCoarse = 2, probeFine,
         queryPred)
-      .select("q_id", "cell") // ADC needs no query vector until rerank
+      .select(routeCols.head, routeCols.tail: _*) // no query vector until rerank
     val d2 = pqDistances(e, boundedSeeds(e))
     val codes = d2.groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
     val adcTab = d2.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))
-    // probed-cell members only — the IVF restriction is applied
-    // BEFORE any distance work, so ADC cost is per-probed-candidate
-    val cand = assign.select(col("vec_id"), col("cell"))
-      .join(broadcast(routes), Seq("cell"))
+    // probed-cell members only — the IVF restriction (and the label
+    // filter, when on) is applied BEFORE any distance work, so ADC
+    // cost is per-probed-candidate
+    val candKey = if (labelFiltered) Seq("cell", "label") else Seq("cell")
+    val assignKeyed =
+      if (labelFiltered) assign.select(col("vec_id"), col("label"), col("cell"))
+      else assign.select(col("vec_id"), col("cell"))
+    val cand = assignKeyed
+      .join(broadcast(routes), candKey)
       .filter(col("q_id") =!= col("vec_id"))
+    val grpCols = Seq(col("q_id")) ++
+      (if (labelFiltered) Seq(col("label")) else Nil) ++
+      Seq(col("cell"), col("vec_id"))
     val approx = cand.join(codes, "vec_id")
       .join(broadcast(adcTab), Seq("q_id", "m", "cw_id"))
-      .groupBy("q_id", "cell", "vec_id")
+      .groupBy(grpCols: _*)
       .agg(sum("qd2").as("adc"))
     val cw20 = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    val topCols = Seq(col("q_id")) ++
+      (if (labelFiltered) Seq(col("label")) else Nil) ++
+      Seq(col("cell"), col("vec_id").as("cand_id"), col("adc"))
     val top = approx.withColumn("crn", row_number().over(cw20))
       .filter(col("crn") <= 20)
-      .select(col("q_id"), col("cell"), col("vec_id").as("cand_id"), col("adc"))
+      .select(topCols: _*)
     val qSide = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
     val cSide = e.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"), col("nrm").as("nc"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    top.join(broadcast(qSide), "q_id").join(cSide, "cand_id")
-      .select(col("q_id"), col("cell"), col("cand_id"), col("adc"),
+    val rerankCols = Seq(col("q_id")) ++
+      (if (labelFiltered) Seq(col("label")) else Nil) ++
+      Seq(col("cell"), col("cand_id"), col("adc"),
         qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos"))
+    val outCols =
+      if (labelFiltered) Seq("q_id", "label", "rank", "cand_id", "cell", "adc", "cos")
+      else Seq("q_id", "rank", "cand_id", "cell", "adc", "cos")
+    top.join(broadcast(qSide), "q_id").join(cSide, "cand_id")
+      .select(rerankCols: _*)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select("q_id", "rank", "cand_id", "cell", "adc", "cos")
+      .select(outCols.head, outCols.tail: _*)
       .orderBy("q_id", "rank")
   }
 
