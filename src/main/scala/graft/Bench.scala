@@ -19,7 +19,19 @@ object Bench {
     // round 5: content-band bounded fuzzy NN + frozen-corpus span screen
     "d09_production", "d17_incremental_spans",
     // round 6: composed IVFPQ (coarse->fine routing + ADC in-cell)
-    "s13_ann_ivfpq")
+    "s13_ann_ivfpq",
+    // round 8: the same composition's SEARCH phase over a prebuilt
+    // index (build cache-materialized by the warm pass) — the hot
+    // path a deployment actually repeats, as a stable r-over-r signal
+    "s13_search_phase")
+
+  /** Bench-local entries — NOT driver correctness keys: compositions
+    * whose COST ATTRIBUTION differs from a SparkEntry query while
+    * the rows are identical (s13_search_phase == s13_ann_ivfpq;
+    * AnnQualitySpec pins the equality, so this measures the same
+    * computation with the index build amortized out). */
+  val benchOnly: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("s13_search_phase" -> (graft.operators.Similarity.s13SearchPhase _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,7 +94,7 @@ object Bench {
     // query (the work is identical, so a starved pass shows a lower
     // fraction)
     def timeOnce(name: String): Option[(Double, Double, Double)] = {
-      val fn = SparkEntry.queries(name)
+      val fn = benchOnly.getOrElse(name, SparkEntry.queries(name))
       val ld0 = awaitIdle()
       val cpu0 = procCpuNs()
       val t0 = System.nanoTime()
@@ -165,14 +177,14 @@ object Bench {
       "\"" + k + "\":" + c }.mkString("{", ",", "}")
     // per-pass process-CPU-per-wall-second fractions, parallel to
     // `passes` (-1 when the JVM doesn't expose process CPU time)
-    val cpus = results.map { case (k, _, _, _, _, cs, _) =>
+    val cpuJson = results.map { case (k, _, _, _, _, cs, _) =>
       "\"" + k + "\":[" + cs.mkString(",") + "]" }.mkString("{", ",", "}")
     val unst = results.map { case (k, _, _, _, _, _, u) =>
       "\"" + k + "\":" + u }.mkString("{", ",", "}")
     // failures (-1 sentinels) must not shrink the total they failed in
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"cpus":$cpus,"contended":$cont,"unstable":$unst,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"cpus":$cpuJson,"contended":$cont,"unstable":$unst,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,6 +99,8 @@ object SparkEntry {
     "s12_probe_recall" -> (Similarity.s12ProbeRecall _),
     "s13_ann_ivfpq" -> (Similarity.s13AnnIvfPq _),
     "s14_filtered_recall" -> (Similarity.s14FilteredRecall _),
+    "s15_filtered_ivfpq" -> (Similarity.s15FilteredIvfPq _),
+    "s16_ivfpq_recall" -> (Similarity.s16IvfpqRecall _),
     "d08_production" -> (Dedup.d08Production _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "s05_ann_recall" -> (Similarity.s05AnnRecall _),
@@ -138,6 +140,7 @@ object SparkEntry {
     "p13_rank_balance" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p13RankBalance(s, d)),
     "s07_range_search" -> (Similarity.s07RangeSearch _),
     "mm04_frame_dedup" -> (Multimodal.mm04FrameDedup _),
+    "mm05_audio_stats" -> (Multimodal.mm05AudioStats _),
     "p10_pack_boundaries" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p10PackBoundaries(s, d)),
     "p11_curriculum_order" -> (Pipeline.p11CurriculumOrder _),
     "m12_queue_aging" -> (MaillogOps.m12QueueAging _),

@@ -280,6 +280,16 @@ class Graft(val spark: SparkSession, dir: String) {
     * top-20 — the M-bytes-per-vector searched-index shape (s13). */
   def ivfpq: DataFrame = Similarity.s13AnnIvfPq(spark, dir)
 
+  /** Tenant-scoped IVFPQ: s13's memory shape with the label filter
+    * tightening only the candidate join key — the index (cells,
+    * codes) stays label-agnostic and shared across tenants (s15). */
+  def filteredIvfpq: DataFrame = Similarity.s15FilteredIvfPq(spark, dir)
+
+  /** Recall@5 of the full IVFPQ pipeline vs brute-force truth per
+    * fine-probe depth — the ADC-loss-vs-probe-depth tuning curve
+    * (s16). */
+  def ivfpqRecallSweep: DataFrame = Similarity.s16IvfpqRecall(spark, dir)
+
   /** Recall@5 of the FILTERED hierarchical IVF vs the exact-filtered
     * truth per fine-probe depth — the nprobe-under-filter tuning
     * curve (s14). */

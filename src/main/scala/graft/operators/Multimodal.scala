@@ -193,7 +193,143 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
         col("source"), col("n_chars"))
 
+  /** mm05: per-source audio-corpus stats over the audio modality
+    * slice (doc_id % 3 = 1 — mm02's deterministic assignment), with
+    * the fixture's utf-8 bytes standing in as unsigned 8-bit mono
+    * samples at 8 kHz (the [[fakeAudioDecode]] rule, applied
+    * relationally so the WHOLE aggregate is oracle-checkable): clip
+    * count, total samples/seconds, mean and RMS amplitude — the
+    * capacity/level report an audio dataset build starts with.
+    * Real WAV bytes go through [[wavDecode]] + [[decodeAudioBatch]];
+    * this query is the columnar twin over the documents fixture.
+    *
+    * Oracle parity: per-byte sums are exact BIGINTs (ASCII fixture:
+    * Spark's `split(text, '')`+`ascii` ≡ DuckDB's `string_split`+
+    * `ord`, verified element-wise); mean/RMS divide the SAME two
+    * integers in both engines, so the doubles are bit-identical.
+    * Plan shape: one per-row codegen'd array fold, one map-side-
+    * combinable groupBy — linear, shuffle only on `source`. */
+  def mm05AudioStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("source"),
+        octet_length(col("text")).cast("long").as("n_samples"),
+        aggregate(split(col("text"), ""), lit(0L),
+          (a, c) => a + ascii(c)).as("amp_sum"),
+        aggregate(split(col("text"), ""), lit(0L),
+          (a, c) => a + ascii(c) * ascii(c)).as("sq_sum"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clips"),
+        sum("n_samples").as("total_samples"),
+        sum("amp_sum").as("sum_amp"),
+        sum("sq_sum").as("sum_sq"))
+      .select(col("source"), col("n_clips"), col("total_samples"),
+        (col("total_samples").cast("double") / 8000.0).as("total_seconds"),
+        (col("sum_amp").cast("double") / col("total_samples")).as("mean_amp"),
+        sqrt(col("sum_sq").cast("double") / col("total_samples")).as("rms_amp"))
+      .orderBy("source")
+
+  /** Decoded-audio record produced by the audio decoder seam. */
+  case class DecodedAudio(docId: Long, sampleRate: Int, channels: Int,
+                          nSamples: Long, rmsAmp: Double)
+
+  /** Deterministic fake audio decode — the fast TEST DOUBLE for
+    * non-media fixtures (documents-as-blobs): bytes as unsigned
+    * 8-bit mono samples at 8 kHz, RMS over byte values — the same
+    * rule [[mm05AudioStats]] applies relationally. */
+  def fakeAudioDecode(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    var i = 0
+    var sq = 0.0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      sq += v.toDouble * v
+      i += 1
+    }
+    DecodedAudio(id, 8000, 1, bytes.length,
+      if (bytes.isEmpty) 0.0 else math.sqrt(sq / bytes.length))
+  }
+
+  /** REAL WAV decode on the pure JDK (`javax.sound.sampled` — the
+    * WAVE reader ships in every JRE, no codec dependency): sample
+    * rate and channel count from the format header, nSamples = PCM
+    * frames, rmsAmp = RMS over the signed 16-bit samples of ALL
+    * channels (the level statistic; the luma analog of
+    * [[imageDecode]]). This fills the production slot of the
+    * [[decodeAudioBatch]] seam; the fake stays as the double.
+    * Undecodable or non-16-bit-PCM bytes fail loudly
+    * ([[imageDecode]]'s rule — a silent zero row would poison
+    * downstream stats). */
+  def wavDecode(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"undecodable audio bytes for id=$id (${bytes.length} bytes)", e)
+      }
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"expected 16-bit signed PCM for id=$id, got $fmt")
+      val data = in.readAllBytes()
+      val be = fmt.isBigEndian
+      val n = data.length / 2
+      var i = 0
+      var sq = 0.0
+      while (i + 1 < data.length) {
+        val s =
+          if (be) (data(i) << 8) | (data(i + 1) & 0xff)
+          else (data(i + 1) << 8) | (data(i) & 0xff)
+        sq += s.toDouble * s
+        i += 2
+      }
+      DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels,
+        n / fmt.getChannels, if (n == 0) 0.0 else math.sqrt(sq / n))
+    } finally in.close()
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("rms_amp", DoubleType, nullable = false)))
+
+  /** Partition-wise audio decode — [[decodeBatch]]'s plumbing for
+    * the audio modality: (id, binary) → typed rows, bytes never
+    * leave their partition, decoder selected per deployment
+    * ([[wavDecode]] for real WAV, [[fakeAudioDecode]] — the default
+    * — for non-media fixtures). */
+  def decodeAudioBatch(media: DataFrame, idCol: String = "doc_id",
+                       binCol: String = "media",
+                       decoder: (Long, Array[Byte]) => DecodedAudio = fakeAudioDecode): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioSchema)
+    media.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = decoder(r.getLong(0), r.getAs[Array[Byte]](1))
+          org.apache.spark.sql.Row(d.docId, d.sampleRate, d.channels,
+            d.nSamples, d.rmsAmp)
+        }
+      }(enc)
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm05_audio_stats" ->
+      """WITH a AS (SELECT source,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_samples,
+        |    CAST(list_aggregate(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)), 'sum') AS BIGINT) AS amp_sum,
+        |    CAST(list_aggregate(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT) * CAST(ord(c) AS BIGINT)), 'sum') AS BIGINT) AS sq_sum
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT source, COUNT(*) AS n_clips,
+        |  CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+        |  CAST(SUM(n_samples) AS DOUBLE) / 8000.0 AS total_seconds,
+        |  CAST(SUM(amp_sum) AS DOUBLE) / SUM(n_samples) AS mean_amp,
+        |  sqrt(CAST(SUM(sq_sum) AS DOUBLE) / SUM(n_samples)) AS rms_amp
+        |FROM a GROUP BY source ORDER BY source""".stripMargin,
+
     "mm03_frame_index" ->
       """WITH f AS (SELECT doc_id, text,
         |    unnest(generate_series(1, CAST(ceil(n_chars / 32.0) AS BIGINT))) AS frame_no

@@ -314,7 +314,10 @@ object Similarity {
     import spark.implicits._
     val e = quantized(spark, dir)
     val truth = s01AnnBrute(spark, dir).select(col("q_id"), col("cand_id"))
-    val combos = Seq((1, 1), (1, 2), (2, 1), (2, 2))
+    // (4,4) extends the driver-gated curve into the region the
+    // AnnQualitySpec structural sweep proves monotone (VERDICT r6
+    // nit): the curve's knee, not just its origin, is oracle-pinned
+    val combos = Seq((1, 1), (1, 2), (2, 1), (2, 2), (4, 4))
     val runs = combos.map { case (pc, pf) =>
       ivf2Core(e, pc, pf).select(col("q_id"), col("cand_id"))
         .withColumn("probe_coarse", lit(pc))
@@ -371,6 +374,20 @@ object Similarity {
   def s15FilteredIvfPq(spark: SparkSession, dir: String): DataFrame =
     ivfpqFrom(quantized(spark, dir), probeFine = 4, labelFiltered = true)
 
+  /** Bench-only cost attribution of s13 (VERDICT r6 #3): the SEARCH
+    * phase over a PREBUILT index. A deployment builds cells + codes
+    * once per corpus freeze and amortizes them across every query
+    * batch; s13's bench entry rebuilds them per pass (the honest
+    * cold-build number, ~30 small stages), so round-over-round
+    * comparisons of the HOT path were noise-bound. Here the corpus
+    * assignment (already OpCache'd by [[ivf2Index]]) and the PQ
+    * codes are cache-materialized by the bench's untimed warm pass;
+    * the timed passes measure routing + ADC + exact rerank only.
+    * Rows are identical to s13's — caching is transparent —
+    * AnnQualitySpec pins that. */
+  private[graft] def s13SearchPhase(spark: SparkSession, dir: String): DataFrame =
+    ivfpqFrom(quantized(spark, dir), cacheCodes = true)
+
   /** s13/s15's core over any (vec_id, label, qv, nrm) frame — also
     * driven at replicated scale by [[graft.Stress]] (which overrides
     * `queryPred` to a fixed query batch — see [[ivf2Routes]]).
@@ -379,7 +396,8 @@ object Similarity {
   private[graft] def ivfpqFrom(e: DataFrame,
       queryPred: Column = col("vec_id") % 20 === 0,
       probeFine: Int = 2,
-      labelFiltered: Boolean = false): DataFrame = {
+      labelFiltered: Boolean = false,
+      cacheCodes: Boolean = false): DataFrame = {
     val (coarse, f2c, assign) = ivf2Index(e)
     val routeCols =
       if (labelFiltered) Seq("q_id", "label", "cell") else Seq("q_id", "cell")
@@ -387,9 +405,13 @@ object Similarity {
         queryPred)
       .select(routeCols.head, routeCols.tail: _*) // no query vector until rerank
     val d2 = pqDistances(e, boundedSeeds(e))
-    val codes = d2.groupBy("vec_id", "m")
+    val codesRaw = d2.groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
+    // corpus-sized; cached only for the prebuilt-index cost split
+    // (s13SearchPhase) and the probe sweep (s16) — one code build
+    // shared across passes/settings instead of one per consumer
+    val codes = if (cacheCodes) OpCache.cached(codesRaw) else codesRaw
     val adcTab = d2.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))
     // probed-cell members only — the IVF restriction (and the label
@@ -438,6 +460,45 @@ object Similarity {
   /** s14's probe grid — shared with the generated oracle SQL so the
     * two sides cannot drift. */
   private[graft] val FilteredProbeGrid: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** s16's probe grid — shared with its generated oracle SQL. */
+  private[graft] val IvfpqProbeGrid: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** s16: IVFPQ recall-vs-probe sweep — the ADC-loss-vs-probe-depth
+    * trade of the composed index as a driver-gated curve (VERDICT r6
+    * #4): per probe_fine ∈ {1,2,4,8} (probeCoarse held at s13's 2),
+    * recall@5 of the full IVFPQ pipeline (routing + ADC + top-20
+    * exact rerank) against the exact brute-force truth. s12 pins the
+    * routing alone; this pins routing AND code approximation
+    * together — the number an IVFPQ deployment actually tunes nprobe
+    * against, since deeper probes recover routing misses but never
+    * ADC misranking beyond the rerank window.
+    *
+    * Plan shape: corpus-side assignment is ivf2Index's shared
+    * OpCache entry and the PQ codes are cache-materialized once
+    * across the four settings (cacheCodes — only the query-side
+    * routing and the per-candidate ADC sums repeat); truth and the
+    * per-run top-5 sets are queries×5 rows, so the sweep's joins and
+    * final groupBy are micro-joins. */
+  def s16IvfpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = quantized(spark, dir)
+    val truth = s01AnnBrute(spark, dir).select(col("q_id"), col("cand_id"))
+    val runs = IvfpqProbeGrid.map { pf =>
+      ivfpqFrom(e, probeFine = pf, cacheCodes = true)
+        .select(col("q_id"), col("cand_id"))
+        .withColumn("probe_fine", lit(pf))
+        .withColumn("hit", lit(1))
+    }.reduce(_ union _)
+    val grid = truth.crossJoin(broadcast(IvfpqProbeGrid.toDF("probe_fine")))
+    grid.join(runs, Seq("q_id", "cand_id", "probe_fine"), "left")
+      .groupBy("probe_fine")
+      .agg(count(col("hit")).as("n_hits"),
+        countDistinct(col("q_id")).as("n_queries"))
+      .select(col("probe_fine"), col("n_hits"), col("n_queries"),
+        (col("n_hits").cast("double") / (col("n_queries") * 5)).as("recall"))
+      .orderBy("probe_fine")
+  }
 
   /** s14: FILTERED recall-vs-probe sweep — s12's driver-gated curve
     * for the FILTERED index (VERDICT r5 #3): per probe_fine ∈
@@ -737,7 +798,118 @@ object Similarity {
     val s14Values = FilteredProbeGrid.map(pf => s"(CAST($pf AS INTEGER))")
       .mkString(", ")
 
+    // the two-level index + query-coarse-routing CTE chain shared by
+    // the hierarchy oracles, factored for s16 (the earlier oracles
+    // keep their identical inline copies)
+    val ivf2Cte =
+      """coarse AS (SELECT vec_id AS c1, qv AS c1_qv, nrm AS c1_nrm FROM n
+        |           WHERE vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+        |fine AS (SELECT DISTINCT vec_id AS f_id, qv AS f_qv, nrm AS f_nrm FROM n
+        |         WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0
+        |            OR vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+        |f2cs AS (SELECT f.f_id, f.f_qv, f.f_nrm, c.c1,
+        |    CAST((SELECT SUM(f.f_qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+        |      / (sqrt(CAST(f.f_nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+        |  FROM fine f CROSS JOIN coarse c),
+        |f2c AS (SELECT f_id, f_qv, f_nrm, c1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY f_id ORDER BY cc DESC, c1) AS rn FROM f2cs) t
+        |  WHERE rn = 1),
+        |v2cs AS (SELECT v.vec_id, c.c1,
+        |    CAST((SELECT SUM(v.qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+        |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+        |  FROM n v CROSS JOIN coarse c),
+        |v2c AS (SELECT vec_id, c1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c1) AS rn FROM v2cs) t
+        |  WHERE rn = 1),
+        |v2fs AS (SELECT v.vec_id, f.f_id,
+        |    CAST((SELECT SUM(v.qv[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+        |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+        |  FROM (SELECT n.*, v2c.c1 FROM n JOIN v2c USING (vec_id)) v
+        |  JOIN f2c f USING (c1)),
+        |v2f AS (SELECT vec_id, f_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fc DESC, f_id) AS rn FROM v2fs) t
+        |  WHERE rn = 1),
+        |assign AS (SELECT n.vec_id, v2f.cell, n.qv, n.nrm FROM n JOIN v2f USING (vec_id)),
+        |qs AS (SELECT vec_id AS q_id, qv AS qv_q, nrm AS nq FROM n WHERE vec_id % 20 = 0),
+        |q2cs AS (SELECT q.q_id, q.qv_q, q.nq, c.c1,
+        |    CAST((SELECT SUM(q.qv_q[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+        |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+        |  FROM qs q CROSS JOIN coarse c),
+        |q2c AS (SELECT q_id, qv_q, nq, c1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cc DESC, c1) AS rn FROM q2cs) t
+        |  WHERE rn <= 2),
+        |q2fs AS (SELECT q.q_id, q.qv_q, q.nq, f.f_id,
+        |    CAST((SELECT SUM(q.qv_q[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+        |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+        |  FROM q2c q JOIN f2c f USING (c1)),
+        |qfr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM q2fs)""".stripMargin
+
+    // the bounded-k PQ codebook/encoding CTEs (s13's, verbatim)
+    val pqCte =
+      """seedk AS (SELECT (SELECT MAX(vec_id) // 64 FROM n) + 1 AS stride),
+        |sv AS (SELECT vec_id, m, qv[(m*16+1):(m*16+16)] AS v FROM n, generate_series(0, 3) g(m)),
+        |cbm AS (SELECT m, vec_id AS cw_id, qv[(m*16+1):(m*16+16)] AS cw
+        |        FROM n, generate_series(0, 3) g(m) WHERE vec_id % (SELECT stride FROM seedk) = 0),
+        |pd2 AS (SELECT sv.vec_id, sv.m, cbm.cw_id,
+        |    CAST((SELECT SUM((sv.v[i] - cbm.cw[i]) * (sv.v[i] - cbm.cw[i])) FROM generate_series(1, 16) gi(i)) AS BIGINT) AS d2
+        |  FROM sv JOIN cbm USING (m)),
+        |codes AS (SELECT vec_id, m, cw_id AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cw_id) AS rn FROM pd2) t
+        |  WHERE rn = 1),
+        |adct AS (SELECT vec_id AS q_id, m, cw_id, d2 AS qd2 FROM pd2 WHERE vec_id % 20 = 0)""".stripMargin
+
+    // s16's per-probe-depth branches — GENERATED from IvfpqProbeGrid
+    // (the s14 pattern): each depth reruns routing restriction + ADC
+    // + top-20 exact rerank; the index/code CTEs are shared
+    val s16PerPf = IvfpqProbeGrid.map { pf =>
+      s"""cd$pf AS (SELECT q.q_id, a.vec_id AS cand_id
+         |  FROM (SELECT q_id, f_id AS cell FROM qfr WHERE rn <= $pf) q
+         |  JOIN assign a USING (cell) WHERE q.q_id <> a.vec_id),
+         |ax$pf AS (SELECT cd.q_id, cd.cand_id, CAST(SUM(ad.qd2) AS BIGINT) AS adc
+         |  FROM cd$pf cd JOIN codes c ON c.vec_id = cd.cand_id
+         |  JOIN adct ad ON ad.q_id = cd.q_id AND ad.m = c.m AND ad.cw_id = c.code
+         |  GROUP BY cd.q_id, cd.cand_id),
+         |k$pf AS (SELECT q_id, cand_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS crn FROM ax$pf) t
+         |  WHERE crn <= 20),
+         |rr$pf AS (SELECT cd.q_id, cd.cand_id,
+         |    CAST((SELECT SUM(q.qv[i] * c.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+         |  FROM k$pf cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.cand_id),
+         |t$pf AS (SELECT q_id, cand_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS r FROM rr$pf) x WHERE r <= 5)""".stripMargin
+    }.mkString(",\n")
+    val s16AllTop = IvfpqProbeGrid.map(pf =>
+      s"SELECT CAST($pf AS INTEGER) AS probe_fine, q_id, cand_id FROM t$pf")
+      .mkString("\nUNION ALL ")
+    val s16Values = IvfpqProbeGrid.map(pf => s"(CAST($pf AS INTEGER))")
+      .mkString(", ")
+
     Map(
+      "s16_ivfpq_recall" ->
+        ("WITH " + qCte + s""",
+          |$ivf2Cte,
+          |$pqCte,
+          |bscored AS (SELECT a.q_id, b.vec_id AS cand_id,
+          |    CAST((SELECT SUM(a.qv_q[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM qs a JOIN n b ON a.q_id <> b.vec_id),
+          |btop AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM bscored) t
+          |  WHERE rank <= 5),
+          |$s16PerPf,
+          |alltop AS ($s16AllTop),
+          |grid AS (SELECT s.probe_fine, b.q_id, b.cand_id
+          |         FROM btop b CROSS JOIN (VALUES $s16Values) s(probe_fine))
+          |SELECT g.probe_fine,
+          |  COUNT(a.cand_id) AS n_hits,
+          |  COUNT(DISTINCT g.q_id) AS n_queries,
+          |  CAST(COUNT(a.cand_id) AS DOUBLE) / (COUNT(DISTINCT g.q_id) * 5) AS recall
+          |FROM grid g LEFT JOIN alltop a
+          |  ON a.probe_fine = g.probe_fine AND a.q_id = g.q_id AND a.cand_id = g.cand_id
+          |GROUP BY g.probe_fine
+          |ORDER BY g.probe_fine""".stripMargin),
+
       // s11's index/routing CTEs with the fine ranking kept (qfr),
       // prefixed per probe depth; truth = s09's exact-filtered top-5
       "s14_filtered_recall" ->
@@ -878,6 +1050,84 @@ object Similarity {
           |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
           |  FROM c20 cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.cand_id)
           |SELECT q_id, rank, cand_id, cell, adc, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM rr) t
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      // s13's CTE chain with label carried through assign/queries,
+      // fine probes rn <= 4 (nprobe-under-filter), and the candidate
+      // join tightened to (cell, label) — the s11 rule applied to the
+      // IVFPQ composition; the PQ CTEs are untouched (the code index
+      // stays label-agnostic and shared across tenants)
+      "s15_filtered_ivfpq" ->
+        ("WITH " + qCte + """,
+          |coarse AS (SELECT vec_id AS c1, qv AS c1_qv, nrm AS c1_nrm FROM n
+          |           WHERE vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |fine AS (SELECT DISTINCT vec_id AS f_id, qv AS f_qv, nrm AS f_nrm FROM n
+          |         WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0
+          |            OR vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+          |f2cs AS (SELECT f.f_id, f.f_qv, f.f_nrm, c.c1,
+          |    CAST((SELECT SUM(f.f_qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(f.f_nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM fine f CROSS JOIN coarse c),
+          |f2c AS (SELECT f_id, f_qv, f_nrm, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY f_id ORDER BY cc DESC, c1) AS rn FROM f2cs) t
+          |  WHERE rn = 1),
+          |v2cs AS (SELECT v.vec_id, c.c1,
+          |    CAST((SELECT SUM(v.qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM n v CROSS JOIN coarse c),
+          |v2c AS (SELECT vec_id, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c1) AS rn FROM v2cs) t
+          |  WHERE rn = 1),
+          |v2fs AS (SELECT v.vec_id, f.f_id,
+          |    CAST((SELECT SUM(v.qv[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM (SELECT n.*, v2c.c1 FROM n JOIN v2c USING (vec_id)) v
+          |  JOIN f2c f USING (c1)),
+          |v2f AS (SELECT vec_id, f_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fc DESC, f_id) AS rn FROM v2fs) t
+          |  WHERE rn = 1),
+          |assign AS (SELECT n.vec_id, n.label, v2f.cell, n.qv, n.nrm FROM n JOIN v2f USING (vec_id)),
+          |qs AS (SELECT vec_id AS q_id, label, qv AS qv_q, nrm AS nq FROM n WHERE vec_id % 20 = 0),
+          |q2cs AS (SELECT q.q_id, q.label, q.qv_q, q.nq, c.c1,
+          |    CAST((SELECT SUM(q.qv_q[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+          |  FROM qs q CROSS JOIN coarse c),
+          |q2c AS (SELECT q_id, label, qv_q, nq, c1 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cc DESC, c1) AS rn FROM q2cs) t
+          |  WHERE rn <= 2),
+          |q2fs AS (SELECT q.q_id, q.label, q.qv_q, q.nq, f.f_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM q2c q JOIN f2c f USING (c1)),
+          |q2f AS (SELECT q_id, label, f_id AS cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM q2fs) t
+          |  WHERE rn <= 4),
+          |seedk AS (SELECT (SELECT MAX(vec_id) // 64 FROM n) + 1 AS stride),
+          |sv AS (SELECT vec_id, m, qv[(m*16+1):(m*16+16)] AS v FROM n, generate_series(0, 3) g(m)),
+          |cbm AS (SELECT m, vec_id AS cw_id, qv[(m*16+1):(m*16+16)] AS cw
+          |        FROM n, generate_series(0, 3) g(m) WHERE vec_id % (SELECT stride FROM seedk) = 0),
+          |pd2 AS (SELECT sv.vec_id, sv.m, cbm.cw_id,
+          |    CAST((SELECT SUM((sv.v[i] - cbm.cw[i]) * (sv.v[i] - cbm.cw[i])) FROM generate_series(1, 16) gi(i)) AS BIGINT) AS d2
+          |  FROM sv JOIN cbm USING (m)),
+          |codes AS (SELECT vec_id, m, cw_id AS code FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cw_id) AS rn FROM pd2) t
+          |  WHERE rn = 1),
+          |adct AS (SELECT vec_id AS q_id, m, cw_id, d2 AS qd2 FROM pd2 WHERE vec_id % 20 = 0),
+          |cand AS (SELECT q.q_id, q.label, q.cell, a.vec_id AS cand_id
+          |  FROM q2f q JOIN assign a ON q.cell = a.cell AND q.label = a.label AND q.q_id <> a.vec_id),
+          |approx AS (SELECT cd.q_id, cd.label, cd.cell, cd.cand_id, CAST(SUM(ad.qd2) AS BIGINT) AS adc
+          |  FROM cand cd JOIN codes c ON c.vec_id = cd.cand_id
+          |  JOIN adct ad ON ad.q_id = cd.q_id AND ad.m = c.m AND ad.cw_id = c.code
+          |  GROUP BY cd.q_id, cd.label, cd.cell, cd.cand_id),
+          |c20 AS (SELECT q_id, label, cell, cand_id, adc FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS crn FROM approx) t
+          |  WHERE crn <= 20),
+          |rr AS (SELECT cd.q_id, cd.label, cd.cell, cd.cand_id, cd.adc,
+          |    CAST((SELECT SUM(q.qv[i] * c.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+          |  FROM c20 cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.cand_id)
+          |SELECT q_id, label, rank, cand_id, cell, adc, cos FROM (
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM rr) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
@@ -1048,6 +1298,11 @@ object Similarity {
           |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
           |  FROM (SELECT * FROM q2cr WHERE crn <= 2) q JOIN f2c f USING (c1)),
           |qf2r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM qf2),
+          |qf4 AS (SELECT q.q_id, q.qv_q, q.nq, f.f_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+          |  FROM (SELECT * FROM q2cr WHERE crn <= 4) q JOIN f2c f USING (c1)),
+          |qf4r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM qf4),
           |c11 AS (SELECT q.q_id, a.vec_id AS cand_id,
           |    CAST((SELECT SUM(q.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
           |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
@@ -1076,15 +1331,24 @@ object Similarity {
           |  JOIN assign a USING (cell) WHERE q.q_id <> a.vec_id),
           |t22 AS (SELECT q_id, cand_id FROM (
           |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS r FROM c22) x WHERE r <= 5),
+          |c44 AS (SELECT q.q_id, a.vec_id AS cand_id,
+          |    CAST((SELECT SUM(q.qv_q[i] * a.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+          |  FROM (SELECT q_id, qv_q, nq, f_id AS cell FROM qf4r WHERE rn <= 4) q
+          |  JOIN assign a USING (cell) WHERE q.q_id <> a.vec_id),
+          |t44 AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS r FROM c44) x WHERE r <= 5),
           |alltop AS (
           |  SELECT CAST(1 AS INTEGER) AS probe_coarse, CAST(1 AS INTEGER) AS probe_fine, q_id, cand_id FROM t11
           |  UNION ALL SELECT CAST(1 AS INTEGER), CAST(2 AS INTEGER), q_id, cand_id FROM t12
           |  UNION ALL SELECT CAST(2 AS INTEGER), CAST(1 AS INTEGER), q_id, cand_id FROM t21
-          |  UNION ALL SELECT CAST(2 AS INTEGER), CAST(2 AS INTEGER), q_id, cand_id FROM t22),
+          |  UNION ALL SELECT CAST(2 AS INTEGER), CAST(2 AS INTEGER), q_id, cand_id FROM t22
+          |  UNION ALL SELECT CAST(4 AS INTEGER), CAST(4 AS INTEGER), q_id, cand_id FROM t44),
           |grid AS (SELECT s.probe_coarse, s.probe_fine, b.q_id, b.cand_id
           |         FROM btop b CROSS JOIN (VALUES (CAST(1 AS INTEGER), CAST(1 AS INTEGER)),
           |           (CAST(1 AS INTEGER), CAST(2 AS INTEGER)), (CAST(2 AS INTEGER), CAST(1 AS INTEGER)),
-          |           (CAST(2 AS INTEGER), CAST(2 AS INTEGER))) s(probe_coarse, probe_fine))
+          |           (CAST(2 AS INTEGER), CAST(2 AS INTEGER)),
+          |           (CAST(4 AS INTEGER), CAST(4 AS INTEGER))) s(probe_coarse, probe_fine))
           |SELECT g.probe_coarse, g.probe_fine,
           |  COUNT(a.cand_id) AS n_hits,
           |  COUNT(DISTINCT g.q_id) AS n_queries,

@@ -32,8 +32,22 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** events with `ts` as a microsecond TimestampType (from raw nanos). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events with `ts` as a microsecond TimestampType. The testdata
+    * generator has shipped `ts` as INT64 nanos (read raw via the
+    * nanosAsLong conf) and, newer, as native timestamp[us] (read as
+    * TIMESTAMP_NTZ); both normalise to the same µs TimestampType —
+    * NTZ→TZ cast is the identity under the UTC session timezone — so
+    * downstream arithmetic matches the oracle's `epoch_us` exactly
+    * regardless of which generation wrote the file. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
 }

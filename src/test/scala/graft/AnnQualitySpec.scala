@@ -131,6 +131,34 @@ class AnnQualitySpec extends SparkSpec {
       f"s14 (pf=4) recall $got%.4f != independent s11 measurement $want%.4f")
   }
 
+  test("s13 search-phase (prebuilt index) returns exactly s13's rows") {
+    // the bench's hot-path entry differs from s13 only in WHERE the
+    // cost lands (codes/assign cache-materialized by the warm pass);
+    // rows must be identical or the bench would time a different query
+    val full = Similarity.s13AnnIvfPq(spark, sf).collect().toSeq
+    val search = Similarity.s13SearchPhase(spark, sf).collect().toSeq
+    assert(search == full,
+      s"search-phase rows diverge from s13: ${search.size} vs ${full.size}")
+  }
+
+  test("filtered IVFPQ (s15) recall vs exact filtered search stays usable") {
+    // the full filtered composition: s11's (cell, label) candidate
+    // key with s13's ADC ranking inside probed cells — loses only
+    // what PQ's code approximation loses within the probed+filtered
+    // pool, so it tracks s11 (same routing, same filter, exact
+    // scoring) within the PQ margin
+    val truth = Similarity.s09FilteredAnn(spark, sf).select("q_id", "cand_id")
+    val nTruth = truth.count().toDouble
+    val r15 = Similarity.s15FilteredIvfPq(spark, sf).select("q_id", "cand_id")
+      .intersect(truth).count() / nTruth
+    val r11 = Similarity.s11FilteredIvf2(spark, sf).select("q_id", "cand_id")
+      .intersect(truth).count() / nTruth
+    info(f"s15 recall vs s09 = $r15%.3f (s11 at equal probes = $r11%.3f)")
+    assert(r15 >= 0.15, f"filtered IVFPQ recall collapsed: $r15%.3f")
+    assert(r15 >= r11 - 0.1,
+      f"filtered IVFPQ lost too much to PQ approximation: s15 $r15%.3f vs s11 $r11%.3f")
+  }
+
   test("filtered ANN (s09) equals brute top-5 restricted to the label") {
     // for every query, s09's hits must be exactly the best same-label
     // candidates — i.e. each s09 row's cosine is >= any brute-force

@@ -69,6 +69,74 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavDecode decodes real WAV bytes through the decodeAudioBatch seam") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    // deterministic synthetic WAVs: id i is 16-bit PCM, sample rate
+    // 8000·(i+1), channels 1+(i%2), frames 200+50·i, sample value
+    // s(j) = (j·37 + i·101) % 2001 − 1000 — an exact integer ramp so
+    // the expected RMS is computed from the SAME doubles the decoder
+    // accumulates (no tolerance needed beyond float ulp)
+    def wav(i: Int): (Long, Array[Byte], Int, Int, Long, Double) = {
+      val rate = 8000 * (i + 1)
+      val ch = 1 + (i % 2)
+      val frames = 200 + 50 * i
+      val n = frames * ch
+      val samples = Array.tabulate(n)(j => ((j * 37 + i * 101) % 2001 - 1000).toShort)
+      val pcm = new Array[Byte](n * 2) // little-endian 16-bit
+      samples.zipWithIndex.foreach { case (s, j) =>
+        pcm(2 * j) = (s & 0xff).toByte
+        pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      var sq = 0.0
+      samples.foreach(s => sq += s.toDouble * s)
+      (i.toLong, bos.toByteArray, rate, ch, frames.toLong, math.sqrt(sq / n))
+    }
+    val fixtures = (0 until 4).map(wav)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixtures.map(f =>
+        org.apache.spark.sql.Row(f._1, f._2)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+    val decoded = Multimodal.decodeAudioBatch(media, decoder = Multimodal.wavDecode)
+      .orderBy("doc_id").collect()
+    assert(decoded.length === fixtures.length)
+    fixtures.zip(decoded).foreach { case ((id, _, rate, ch, frames, rms), row) =>
+      assert(row.getLong(0) === id)
+      assert(row.getInt(1) === rate, s"sample rate of id=$id")
+      assert(row.getInt(2) === ch, s"channels of id=$id")
+      assert(row.getLong(3) === frames, s"frames of id=$id")
+      assert(math.abs(row.getDouble(4) - rms) < 1e-9,
+        s"rms of id=$id: got ${row.getDouble(4)}, want $rms")
+    }
+    // garbage bytes fail loudly, not silently
+    intercept[Exception] {
+      Multimodal.wavDecode(99L, Array[Byte](1, 2, 3, 4, 5))
+    }
+  }
+
+  test("fakeAudioDecode matches mm05's relational per-byte rule") {
+    // the fake IS mm05's sample model (unsigned bytes, 8 kHz mono):
+    // cross-check one document's RMS against the relational pipeline
+    val doc = graft.sources.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 1)
+      .orderBy("doc_id").select("doc_id", "text").first()
+    val d = Multimodal.fakeAudioDecode(doc.getLong(0), doc.getString(1).getBytes("UTF-8"))
+    assert(d.sampleRate === 8000 && d.channels === 1)
+    assert(d.nSamples === doc.getString(1).getBytes("UTF-8").length.toLong)
+    var sq = 0.0
+    doc.getString(1).getBytes("UTF-8").foreach(b => sq += (b & 0xff).toDouble * (b & 0xff))
+    assert(math.abs(d.rmsAmp - math.sqrt(sq / d.nSamples)) < 1e-12)
+  }
+
   test("fakeDecode is stable and total") {
     val d1 = Multimodal.fakeDecode(7L, "hello world".getBytes)
     val d2 = Multimodal.fakeDecode(7L, "hello world".getBytes)
