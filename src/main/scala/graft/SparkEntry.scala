@@ -101,6 +101,7 @@ object SparkEntry {
     "s14_filtered_recall" -> (Similarity.s14FilteredRecall _),
     "s15_filtered_ivfpq" -> (Similarity.s15FilteredIvfPq _),
     "s16_ivfpq_recall" -> (Similarity.s16IvfpqRecall _),
+    "s17_filtered_ivfpq_recall" -> (Similarity.s17FilteredIvfpqRecall _),
     "d08_production" -> (Dedup.d08Production _),
     "s04_ann_pq" -> (Similarity.s04AnnPq _),
     "s05_ann_recall" -> (Similarity.s05AnnRecall _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "d15_incremental_dedup" -> (Dedup.d15IncrementalDedup _),
     "d16_source_overlap" -> (Dedup.d16SourceOverlap _),
     "d18_incremental_semdedup" -> (Dedup.d18IncrementalSemdedup _),
+    "qa04_index_staleness" -> (Dedup.qa04IndexStaleness _),
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
     "t16_bpe_tokens" -> (Quality.t16BpeTokens _),
     "p12_temperature_mix" -> (Pipeline.p12TemperatureMix _),

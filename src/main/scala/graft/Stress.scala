@@ -126,6 +126,19 @@ object Stress {
       graft.operators.Similarity.ivfpqFrom(eq13,
         col("vec_id") % 20 === 0 && col("vec_id") < 10000000L).count())
 
+    // FILTERED IVFPQ (s15) under the same asymmetry with an 8-way
+    // label: the (cell, label) candidate key cuts ADC fan-out by the
+    // label selectivity, so even at probeFine 4 (vs s13's 2) the
+    // filtered wall should track or beat the unfiltered probe —
+    // replicas land in the same label class as their base (id
+    // stride is a multiple of 8), preserving the worst-case cell
+    // densification
+    val eq15 = eq.withColumn("label", (col("vec_id") % 8).cast("string"))
+    time("filtered ivfpq (s15)")(
+      graft.operators.Similarity.ivfpqFrom(eq15,
+        col("vec_id") % 20 === 0 && col("vec_id") < 10000000L,
+        probeFine = 4, labelFiltered = true).count())
+
     // sequence packing on a SINGLE mega-source: the p02 prefix sum
     // must stay parallel when every row shares one source value —
     // the (source, bucket) two-phase form keeps parallelism =
@@ -158,6 +171,15 @@ object Stress {
     val nSemInc = time("incremental semdedup (d18)")(d18res.count())
     val nSemIncKeep = d18res.filter(col("verdict") === "keep").count()
     d18res.unpersist()
+
+    // staleness monitor (qa04) on the same frame: the monitor must
+    // stay O(n×k) — two bounded-k assignments + k-row aggregate
+    // joins — i.e. it costs roughly what ONE d18 assignment pass
+    // costs, never what the screens it monitors cost (no pair
+    // fan-out term at all: wall should stay flat-ish in mult where
+    // d18 grows with cell density)
+    val nStaleCells = time("staleness monitor (qa04)")(
+      graft.operators.Dedup.qa04From(d18in).count())
 
     // per-language LM rank on a SINGLE-language corpus: t15's
     // two-phase bucketed rank must stay parallel when every row
@@ -193,7 +215,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

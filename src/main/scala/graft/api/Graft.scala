@@ -290,6 +290,13 @@ class Graft(val spark: SparkSession, dir: String) {
     * (s16). */
   def ivfpqRecallSweep: DataFrame = Similarity.s16IvfpqRecall(spark, dir)
 
+  /** Recall of the label-FILTERED IVFPQ pipeline vs exact-filtered
+    * truth per fine-probe depth — the tenant-scoped tuning curve,
+    * completing the {routing, IVFPQ} × {unfiltered, filtered}
+    * matrix (s17). */
+  def filteredIvfpqRecallSweep: DataFrame =
+    Similarity.s17FilteredIvfpqRecall(spark, dir)
+
   /** Recall@5 of the FILTERED hierarchical IVF vs the exact-filtered
     * truth per fine-probe depth — the nprobe-under-filter tuning
     * curve (s14). */
@@ -319,6 +326,11 @@ class Graft(val spark: SparkSession, dir: String) {
     * here). */
   def incrementalSemanticDedup: DataFrame =
     Dedup.d18IncrementalSemdedup(spark, dir)
+
+  /** Per-frozen-cell staleness report for the incremental screens —
+    * increment-vs-corpus occupancy skew and mean-fit drift, the
+    * metrics a deployment schedules an index re-freeze on (qa04). */
+  def indexStaleness: DataFrame = Dedup.qa04IndexStaleness(spark, dir)
 
   /** Frozen semantic index for the embedding screen — the collected
     * bounded-k coarse quantizer plus the cell-assigned corpus, built

@@ -510,6 +510,89 @@ object Dedup {
       .select(col("vec_id"), col("m.c").as("cell"))
       .join(e, "vec_id")
 
+  /** [[cellAssignment]] keeping the WINNING cosine: (vec_id, cell,
+    * cos-to-own-centroid). The double negation is exact, so `cos` is
+    * bit-identical to the oracle's ranked c_cos. */
+  private[graft] def cellFit(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct((lit(0.0) - qcos(qdot(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+          .as("nc"), col("c_id").as("c")).as("cand"))
+      .groupBy("vec_id")
+      .agg(min(col("cand")).as("m"))
+      .select(col("vec_id"), col("m.c").as("cell"),
+        (lit(0.0) - col("m.nc")).as("cos"))
+
+  /** qa04: FROZEN-INDEX staleness monitor — the re-freeze trigger
+    * the incremental family (d15/d17/d18) was missing: those
+    * operators assume the frozen index stays representative of what
+    * keeps arriving, and nothing measured WHEN that stops being
+    * true. Per frozen cell, this reports both drift signals a
+    * deployment schedules a re-cluster on:
+    *
+    *  - occupancy skew: the increment population's share of the cell
+    *    minus the corpus's own share (`occ_skew`) — increments
+    *    crowding into few cells mean the quantizer no longer spreads
+    *    arriving data (cell imbalance degrades every d18 screen that
+    *    joins on cell);
+    *  - fit drift: mean cosine-to-own-centroid of the increment side
+    *    minus the corpus's own (`fit_drift_micro`, in micro-cosine
+    *    units) — increments sitting systematically farther from
+    *    their best centroid than the corpus does mean the centroids
+    *    no longer describe the arriving distribution.
+    *
+    * Oracle parity: cosines are the exact d08 machinery; per-side
+    * MEANS are sums of floor(cos·1e6) BIGINTs (floor is exact on
+    * both engines; a raw double sum would be summation-order-
+    * dependent) divided by exact counts — identical operands,
+    * identical doubles. Shares divide two exact counts.
+    *
+    * Scale shape: two bounded-k broadcast assignments (the d18
+    * frames), two map-side-combinable groupBys on cell, one
+    * full-outer join of k-row aggregates plus a 1-row totals
+    * broadcast (the q19 pattern) — no corpus-sized shuffle, no
+    * window, cost O(n×k) like the screens it monitors. */
+  def qa04IndexStaleness(spark: SparkSession, dir: String): DataFrame =
+    qa04From(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  /** qa04's core over any (vec_id, embedding) frame — PropertySpec
+    * injects a drifted increment batch to show the metrics move. */
+  private[graft] def qa04From(vecs: DataFrame): DataFrame = {
+    val isInc = col("vec_id") % 10 >= 8
+    def quant(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", qnorm2(col("qv")))
+    val corp = quant(vecs.filter(!isInc))
+    val incE = quant(vecs.filter(isInc))
+    val cents = Similarity.boundedCents(corp)
+    def fitAgg(e: DataFrame, nCol: String, sumCol: String): DataFrame =
+      cellFit(e, cents)
+        .select(col("cell"), floor(col("cos") * 1000000.0).as("cm"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as(nCol), sum("cm").as(sumCol))
+    val corpFit = fitAgg(corp, "n_corp", "corp_cos_sum")
+    val incFit = fitAgg(incE, "n_inc", "inc_cos_sum")
+    val totals = corp.agg(count(lit(1)).as("tot_corp"))
+      .crossJoin(incE.agg(count(lit(1)).as("tot_inc")))
+    corpFit.join(incFit, Seq("cell"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("cell"),
+        coalesce(col("n_corp"), lit(0L)).as("n_corp"),
+        coalesce(col("n_inc"), lit(0L)).as("n_inc"),
+        (coalesce(col("n_corp"), lit(0L)).cast("double") / col("tot_corp"))
+          .as("corp_share"),
+        (coalesce(col("n_inc"), lit(0L)).cast("double") / col("tot_inc"))
+          .as("inc_share"),
+        (col("corp_cos_sum").cast("double") / col("n_corp"))
+          .as("corp_mean_cos_micro"),
+        (col("inc_cos_sum").cast("double") / col("n_inc"))
+          .as("inc_mean_cos_micro"))
+      .withColumn("occ_skew", col("inc_share") - col("corp_share"))
+      .withColumn("fit_drift_micro",
+        col("inc_mean_cos_micro") - col("corp_mean_cos_micro"))
+      .orderBy("cell")
+  }
+
   /** d09: fuzzy nearest neighbor by edit distance — for each document,
     * the closest other document of its (source, length-band) block by
     * Levenshtein distance on the 120-char prefix. The char-level
@@ -859,6 +942,50 @@ object Dedup {
       // d08's quantization CTEs split corpus/increment on the d15
       // arrival rule; the centroid stride derives from the CORPUS id
       // range only (frozen-index rule)
+      // d18's corpus/increment/centroid CTEs; each side's assignment
+      // keeps its winning cosine, per-side means are exact BIGINT
+      // sums of floor(cos·1e6) over the assigned cell
+      "qa04_index_staleness" ->
+        """WITH q AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, qv,
+          |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM q),
+          |corp AS (SELECT * FROM n WHERE vec_id % 10 < 8),
+          |inc AS (SELECT * FROM n WHERE vec_id % 10 >= 8),
+          |cents AS (SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_nrm FROM corp
+          |          WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM corp) + 1) = 0),
+          |cscored AS (SELECT v.vec_id, c.c_id,
+          |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+          |  FROM corp v CROSS JOIN cents c),
+          |cfit AS (SELECT cell, COUNT(*) AS n_corp,
+          |    CAST(SUM(CAST(floor(c_cos * 1000000.0) AS BIGINT)) AS BIGINT) AS corp_cos_sum
+          |  FROM (SELECT vec_id, c_id AS cell, c_cos,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn FROM cscored) t
+          |  WHERE crn = 1 GROUP BY cell),
+          |iscored AS (SELECT v.vec_id, c.c_id,
+          |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+          |  FROM inc v CROSS JOIN cents c),
+          |ifit AS (SELECT cell, COUNT(*) AS n_inc,
+          |    CAST(SUM(CAST(floor(c_cos * 1000000.0) AS BIGINT)) AS BIGINT) AS inc_cos_sum
+          |  FROM (SELECT vec_id, c_id AS cell, c_cos,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn FROM iscored) t
+          |  WHERE crn = 1 GROUP BY cell),
+          |tot AS (SELECT (SELECT COUNT(*) FROM corp) AS tot_corp, (SELECT COUNT(*) FROM inc) AS tot_inc)
+          |SELECT cell,
+          |  COALESCE(c.n_corp, 0) AS n_corp,
+          |  COALESCE(i.n_inc, 0) AS n_inc,
+          |  CAST(COALESCE(c.n_corp, 0) AS DOUBLE) / t.tot_corp AS corp_share,
+          |  CAST(COALESCE(i.n_inc, 0) AS DOUBLE) / t.tot_inc AS inc_share,
+          |  CAST(c.corp_cos_sum AS DOUBLE) / c.n_corp AS corp_mean_cos_micro,
+          |  CAST(i.inc_cos_sum AS DOUBLE) / i.n_inc AS inc_mean_cos_micro,
+          |  CAST(COALESCE(i.n_inc, 0) AS DOUBLE) / t.tot_inc - CAST(COALESCE(c.n_corp, 0) AS DOUBLE) / t.tot_corp AS occ_skew,
+          |  CAST(i.inc_cos_sum AS DOUBLE) / i.n_inc - CAST(c.corp_cos_sum AS DOUBLE) / c.n_corp AS fit_drift_micro
+          |FROM cfit c FULL OUTER JOIN ifit i USING (cell) CROSS JOIN tot t
+          |ORDER BY cell""".stripMargin,
+
       "d18_incremental_semdedup" ->
         """WITH q AS (SELECT vec_id,
           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv

@@ -540,6 +540,42 @@ object Similarity {
       .orderBy("probe_fine")
   }
 
+  /** s17: FILTERED IVFPQ recall-vs-probe sweep — the last cell of
+    * the curve matrix {routing, IVFPQ} × {unfiltered, filtered}
+    * (s12 routing/unfiltered, s14 routing/filtered, s16
+    * IVFPQ/unfiltered): per probe_fine ∈ {1,2,4,8} (coarse at 2),
+    * recall of the label-filtered IVFPQ pipeline (s15's shape)
+    * against the exact-filtered s09 truth. This is the curve a
+    * tenant-scoped PQ deployment tunes nprobe against — the filter
+    * thins probed cells AND the ADC misranks within them, and only
+    * the composed measurement shows what probe depth buys back.
+    *
+    * Plan shape: ivf2Index's assignment and the PQ codes are each
+    * computed once across the sweep (OpCache); the denominator is
+    * the TRUTH row count (s14's rule — short same-label truth lists
+    * divide by what exists, not queries×5). */
+  def s17FilteredIvfpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = quantized(spark, dir)
+    val truth = s09FilteredAnn(spark, dir).select(col("q_id"), col("cand_id"))
+    val runs = FilteredProbeGrid.map { pf =>
+      ivfpqFrom(e, probeFine = pf, labelFiltered = true, cacheCodes = true)
+        .select(col("q_id"), col("cand_id"))
+        .withColumn("probe_fine", lit(pf))
+        .withColumn("hit", lit(1))
+    }.reduce(_ union _)
+    val grid = truth.crossJoin(broadcast(FilteredProbeGrid.toDF("probe_fine")))
+    grid.join(runs, Seq("q_id", "cand_id", "probe_fine"), "left")
+      .groupBy("probe_fine")
+      .agg(count(col("hit")).as("n_hits"),
+        count(lit(1)).as("n_truth"),
+        countDistinct(col("q_id")).as("n_queries"))
+      .select(col("probe_fine"), col("n_hits"), col("n_truth"),
+        col("n_queries"),
+        (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+      .orderBy("probe_fine")
+  }
+
   /** s09: FILTERED ANN — top-5 restricted to candidates sharing the
     * query's label (the metadata-filtered vector search every
     * retrieval deployment ends up needing: "nearest neighbors WHERE
@@ -885,7 +921,104 @@ object Similarity {
     val s16Values = IvfpqProbeGrid.map(pf => s"(CAST($pf AS INTEGER))")
       .mkString(", ")
 
+    // the LABEL-CARRYING variant of the chain (s11/s15's assign/qs/
+    // routing columns) for s17 — index CTEs identical, label rides
+    // assign and the query routing
+    val ivf2CteLbl =
+      """coarse AS (SELECT vec_id AS c1, qv AS c1_qv, nrm AS c1_nrm FROM n
+        |           WHERE vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+        |fine AS (SELECT DISTINCT vec_id AS f_id, qv AS f_qv, nrm AS f_nrm FROM n
+        |         WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0
+        |            OR vec_id % ((SELECT MAX(vec_id) // 8 FROM n) + 1) = 0),
+        |f2cs AS (SELECT f.f_id, f.f_qv, f.f_nrm, c.c1,
+        |    CAST((SELECT SUM(f.f_qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+        |      / (sqrt(CAST(f.f_nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+        |  FROM fine f CROSS JOIN coarse c),
+        |f2c AS (SELECT f_id, f_qv, f_nrm, c1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY f_id ORDER BY cc DESC, c1) AS rn FROM f2cs) t
+        |  WHERE rn = 1),
+        |v2cs AS (SELECT v.vec_id, c.c1,
+        |    CAST((SELECT SUM(v.qv[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+        |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+        |  FROM n v CROSS JOIN coarse c),
+        |v2c AS (SELECT vec_id, c1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c1) AS rn FROM v2cs) t
+        |  WHERE rn = 1),
+        |v2fs AS (SELECT v.vec_id, f.f_id,
+        |    CAST((SELECT SUM(v.qv[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+        |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+        |  FROM (SELECT n.*, v2c.c1 FROM n JOIN v2c USING (vec_id)) v
+        |  JOIN f2c f USING (c1)),
+        |v2f AS (SELECT vec_id, f_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fc DESC, f_id) AS rn FROM v2fs) t
+        |  WHERE rn = 1),
+        |assign AS (SELECT n.vec_id, n.label, v2f.cell, n.qv, n.nrm FROM n JOIN v2f USING (vec_id)),
+        |qs AS (SELECT vec_id AS q_id, label, qv AS qv_q, nrm AS nq FROM n WHERE vec_id % 20 = 0),
+        |q2cs AS (SELECT q.q_id, q.label, q.qv_q, q.nq, c.c1,
+        |    CAST((SELECT SUM(q.qv_q[i] * c.c1_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+        |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.c1_nrm AS DOUBLE))) AS cc
+        |  FROM qs q CROSS JOIN coarse c),
+        |q2c AS (SELECT q_id, label, qv_q, nq, c1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cc DESC, c1) AS rn FROM q2cs) t
+        |  WHERE rn <= 2),
+        |q2fs AS (SELECT q.q_id, q.label, q.qv_q, q.nq, f.f_id,
+        |    CAST((SELECT SUM(q.qv_q[i] * f.f_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+        |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(f.f_nrm AS DOUBLE))) AS fc
+        |  FROM q2c q JOIN f2c f USING (c1)),
+        |qfr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY fc DESC, f_id) AS rn FROM q2fs)""".stripMargin
+
+    // s17's per-probe-depth branches — s16's with the candidate join
+    // tightened to (cell, label)
+    val s17PerPf = FilteredProbeGrid.map { pf =>
+      s"""cd$pf AS (SELECT q.q_id, a.vec_id AS cand_id
+         |  FROM (SELECT q_id, label, f_id AS cell FROM qfr WHERE rn <= $pf) q
+         |  JOIN assign a ON q.cell = a.cell AND q.label = a.label AND q.q_id <> a.vec_id),
+         |ax$pf AS (SELECT cd.q_id, cd.cand_id, CAST(SUM(ad.qd2) AS BIGINT) AS adc
+         |  FROM cd$pf cd JOIN codes c ON c.vec_id = cd.cand_id
+         |  JOIN adct ad ON ad.q_id = cd.q_id AND ad.m = c.m AND ad.cw_id = c.code
+         |  GROUP BY cd.q_id, cd.cand_id),
+         |k$pf AS (SELECT q_id, cand_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS crn FROM ax$pf) t
+         |  WHERE crn <= 20),
+         |rr$pf AS (SELECT cd.q_id, cd.cand_id,
+         |    CAST((SELECT SUM(q.qv[i] * c.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+         |  FROM k$pf cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.cand_id),
+         |t$pf AS (SELECT q_id, cand_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS r FROM rr$pf) x WHERE r <= 5)""".stripMargin
+    }.mkString(",\n")
+    val s17AllTop = FilteredProbeGrid.map(pf =>
+      s"SELECT CAST($pf AS INTEGER) AS probe_fine, q_id, cand_id FROM t$pf")
+      .mkString("\nUNION ALL ")
+    val s17Values = FilteredProbeGrid.map(pf => s"(CAST($pf AS INTEGER))")
+      .mkString(", ")
+
     Map(
+      "s17_filtered_ivfpq_recall" ->
+        ("WITH " + qCte + s""",
+          |$ivf2CteLbl,
+          |$pqCte,
+          |tscored AS (SELECT a.q_id, b.vec_id AS cand_id,
+          |    CAST((SELECT SUM(a.qv_q[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM qs a JOIN n b ON a.label = b.label AND a.q_id <> b.vec_id),
+          |ttop AS (SELECT q_id, cand_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM tscored) t
+          |  WHERE rank <= 5),
+          |$s17PerPf,
+          |alltop AS ($s17AllTop),
+          |grid AS (SELECT s.probe_fine, b.q_id, b.cand_id
+          |         FROM ttop b CROSS JOIN (VALUES $s17Values) s(probe_fine))
+          |SELECT g.probe_fine,
+          |  COUNT(a.cand_id) AS n_hits,
+          |  COUNT(*) AS n_truth,
+          |  COUNT(DISTINCT g.q_id) AS n_queries,
+          |  CAST(COUNT(a.cand_id) AS DOUBLE) / COUNT(*) AS recall
+          |FROM grid g LEFT JOIN alltop a
+          |  ON a.probe_fine = g.probe_fine AND a.q_id = g.q_id AND a.cand_id = g.cand_id
+          |GROUP BY g.probe_fine
+          |ORDER BY g.probe_fine""".stripMargin),
+
       "s16_ivfpq_recall" ->
         ("WITH " + qCte + s""",
           |$ivf2Cte,

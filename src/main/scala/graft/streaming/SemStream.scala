@@ -123,7 +123,20 @@ object SemStream {
     * the frozen index — `corpusIdx` is [[Dedup.semFrozenIndex]]'s
     * cell-assigned corpus (corp_id, cell, qv_c, nc), `cents` its
     * collected centroids. Output rows match batch d18's schema
-    * (minus its presentation order). */
+    * (minus its presentation order).
+    *
+    * `stateTtlMs > 0` bounds the replay-guard state (the TTL evicts
+    * guards, narrowing the exactly-once replay window to the TTL)
+    * and makes the stream PERMANENTLY non-quiescent: TTL forces
+    * processing-time mode, whose eviction timers keep scheduling
+    * empty micro-batches for the query's whole life — a
+    * `Trigger.AvailableNow` replay never terminates (measured:
+    * 4000+ empty commits) and `processAllAvailable()` never returns
+    * (measured: ~2 empty batches/s). Bounded replays (recovery,
+    * backfill, tests) therefore run with `stateTtlMs = 0`;
+    * long-running deployments set the TTL, use a continuous trigger
+    * with a sane interval, and stop by signal. SemStreamSpec pins
+    * both modes. */
   def verdicts(vecs: DataFrame, corpusIdx: DataFrame, cents: Seq[Centroid],
                minCos: Double = 0.3, stateTtlMs: Long = 0L): Dataset[SemVerdict] = {
     import vecs.sparkSession.implicits._

@@ -91,7 +91,15 @@ object SpanStream {
   /** Streaming spans from a stream of (doc_id, text) against a
     * static corpus seed index (doc_corp, ib, term) — build it with
     * [[Dedup.corpusSeedIndex]]. Output rows match batch d17's
-    * schema (minus its presentation order). */
+    * schema (minus its presentation order).
+    *
+    * `stateTtlMs > 0` bounds the replay-guard state and makes the
+    * stream permanently non-quiescent — TTL's processing-time
+    * eviction timers schedule empty micro-batches for the query's
+    * whole life, so `AvailableNow` never terminates and
+    * `processAllAvailable()` never returns (the
+    * [[SemStream.verdicts]] rule; measured pathology documented
+    * there). Bounded replays run with `stateTtlMs = 0`. */
   def spans(docs: DataFrame, corpusIdx: DataFrame,
             minSpan: Int = 12, stateTtlMs: Long = 0L): Dataset[Span] = {
     import docs.sparkSession.implicits._

@@ -159,6 +159,28 @@ class AnnQualitySpec extends SparkSpec {
       f"filtered IVFPQ lost too much to PQ approximation: s15 $r15%.3f vs s11 $r11%.3f")
   }
 
+  test("s17 filtered-IVFPQ sweep ties back to s15 at its shipping probe depth") {
+    // the pf=4 row IS s15's configuration — pin the sweep's
+    // aggregation to an independent measurement (the s14 pattern).
+    // NOTE: unlike the routing sweeps, recall here is NOT guaranteed
+    // monotone in probe depth — deeper probes add candidates to the
+    // FIXED top-20 ADC rerank window, and ADC misranking can push a
+    // true hit out of the window — so monotonicity is deliberately
+    // not asserted (the curve's value is showing exactly this trade)
+    val rows = Similarity.s17FilteredIvfpqRecall(spark, sf)
+      .orderBy("probe_fine").collect()
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    info(s"filtered IVFPQ sweep pf=1/2/4/8 = ${recalls.map(r => f"$r%.3f").mkString(", ")}")
+    assert(recalls.max > 0.0,
+      "sweep found no hits at any depth — pipeline collapsed")
+    val truth = Similarity.s09FilteredAnn(spark, sf).select("q_id", "cand_id")
+    val want = Similarity.s15FilteredIvfPq(spark, sf).select("q_id", "cand_id")
+      .intersect(truth).count().toDouble / truth.count()
+    val got = rows.find(_.getAs[Int]("probe_fine") == 4).get.getAs[Double]("recall")
+    assert(math.abs(got - want) < 1e-12,
+      f"s17 (pf=4) recall $got%.4f != independent s15 measurement $want%.4f")
+  }
+
   test("filtered ANN (s09) equals brute top-5 restricted to the label") {
     // for every query, s09's hits must be exactly the best same-label
     // candidates — i.e. each s09 row's cosine is >= any brute-force

@@ -36,7 +36,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // cells, the generated-grid sweep aggregate, and
                    // BPE-budget packing
                    "s13_ann_ivfpq", "s14_filtered_recall",
-                   "p14_bpe_pack", "d18_incremental_semdedup")) {
+                   "p14_bpe_pack", "d18_incremental_semdedup",
+                   // round 8: filtered ADC ranking, the IVFPQ sweep
+                   // aggregate, full-outer cell-aggregate join with
+                   // floored micro-cos sums, per-byte array folds
+                   "s15_filtered_ivfpq", "s16_ivfpq_recall",
+                   "qa04_index_staleness", "mm05_audio_stats")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))

@@ -355,4 +355,55 @@ class PropertySpec extends SparkSpec {
       assert(BigInt(d) === want, "within-long-range dot must be exact")
     }
   }
+
+  test("qa04 staleness metrics move when the increment batch drifts") {
+    // corpus (vec_id % 10 < 8): members clustered on 4 base
+    // directions (dims 0/8/16/24) with a small per-id jitter dim.
+    // Control increments (% 10 >= 8) follow the SAME rule; drifted
+    // increments all point at dim 63 — a direction no corpus member
+    // (hence no frozen centroid) occupies. The monitor must read
+    // ~zero skew/drift for the control batch and a clearly worse fit
+    // + concentrated occupancy for the drifted one — that separation
+    // IS the re-freeze trigger qa04 exists to provide.
+    def vec(dir: Int, jitter: Int): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(dir) = 1.0f
+      a(32 + jitter % 16) = 0.2f
+      a.toSeq
+    }
+    val ids = (0L until 200L)
+    def frame(drifted: Boolean) = ids.map { i =>
+      val isInc = i % 10 >= 8
+      // drifted: one direction AND one jitter dim — arriving data
+      // that both misses every centroid and piles into few cells.
+      // base direction cycles on i/4 (NOT i%4) so the bounded-k
+      // stride-4 seeds cover all four directions — otherwise every
+      // centroid would share one direction and the corpus's own fit
+      // would be as poor as the drifted batch's
+      val (dir, jit) =
+        if (isInc && drifted) (63, 0)
+        else (((i / 4) % 4).toInt * 8, i.toInt)
+      (i, vec(dir, jit))
+    }.toDF("vec_id", "embedding")
+    def metrics(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = graft.operators.Dedup.qa04From(df).collect()
+      val maxSkew = rows.map(r => math.abs(r.getAs[Double]("occ_skew"))).max
+      val minDrift = rows.flatMap(r =>
+        Option(r.getAs[java.lang.Double]("fit_drift_micro")).map(_.toDouble))
+      (maxSkew, if (minDrift.isEmpty) 0.0 else minDrift.min)
+    }
+    val (skewCtl, driftCtl) = metrics(frame(drifted = false))
+    val (skewDrf, driftDrf) = metrics(frame(drifted = true))
+    info(f"control: max|skew|=$skewCtl%.3f minDrift=$driftCtl%.0fµ; " +
+      f"drifted: max|skew|=$skewDrf%.3f minDrift=$driftDrf%.0fµ")
+    // control increments mirror the corpus: small skew, small drift
+    assert(skewCtl < 0.15, f"control occupancy skew too large: $skewCtl%.3f")
+    assert(math.abs(driftCtl) < 100000.0,
+      f"control fit drift should be near zero: $driftCtl%.0f micro-cos")
+    // drifted increments: all mass in few cells, fit clearly worse
+    assert(skewDrf > skewCtl + 0.2,
+      f"drifted batch must concentrate occupancy: $skewDrf%.3f vs $skewCtl%.3f")
+    assert(driftDrf < driftCtl - 100000.0,
+      f"drifted batch must fit centroids worse: $driftDrf%.0f vs $driftCtl%.0f micro-cos")
+  }
 }

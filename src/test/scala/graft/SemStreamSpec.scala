@@ -76,6 +76,58 @@ class SemStreamSpec extends SparkSpec {
     assert(added.forall(_._1 >= 250))
   }
 
+  test("replay-guard TTL keeps batch parity within the TTL window") {
+    // the TTL knob bounds guard state on long-running streams by
+    // narrowing the replay window — within the window semantics must
+    // be IDENTICAL to TTL-off (a mis-wired TimeMode/TTLConfig pair
+    // throws or double-emits; this pins the pass-through).
+    //
+    // TRIGGER/WAIT CHOICE IS LOAD-BEARING: TTL forces processing-
+    // time mode, whose eviction timers keep scheduling empty
+    // micro-batches as long as the query runs — so a TTL'd stream
+    // NEVER quiesces: Trigger.AvailableNow never terminates
+    // (measured: 4000+ empty commits) and even processAllAvailable()
+    // never returns (measured: ~2 empty batches/s, 1700+ commits).
+    // The only sound pattern is bounded OUTPUT polling: wait until
+    // the sink holds the expected rows, then stop(). The same rule
+    // is documented on SemStream.verdicts/SpanStream.spans.
+    val dir = Files.createTempDirectory("semttl-in").toFile
+    val ckpt = Files.createTempDirectory("semttl-ckpt").toString
+    val out = Files.createTempDirectory("semttl-out").toString
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val (cents, corpusIdx) = Dedup.semFrozenIndex(vecs.filter($"vec_id" % 10 < 8))
+    val frozen = SemStream.frozenCentroids(cents)
+    vecs.filter($"vec_id" % 10 >= 8).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk1").toString)
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.getAbsolutePath + "/*")
+    val batch = Dedup.d18IncrementalSemdedup(spark, sf)
+      .as[SemStream.SemVerdict]
+      .collect().map(v => (v.vec_id, v.cell, v.nearest_corp, v.nearest_cos,
+        v.verdict)).toSet
+    val q = SemStream.verdicts(stream, corpusIdx, frozen,
+        stateTtlMs = 3600L * 1000L).toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet")
+      .option("path", out)
+      .start()
+    def sinkRows(): Long =
+      try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (sinkRows() < batch.size && System.nanoTime() < deadline)
+        Thread.sleep(500)
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).as[SemStream.SemVerdict]
+      .collect().map(v => (v.vec_id, v.cell, v.nearest_corp, v.nearest_cos,
+        v.verdict)).toSet
+    assert(streamed == batch,
+      s"TTL run ${streamed.size} verdicts != batch ${batch.size}")
+  }
+
   test("stateless routing equals the batch cell assignment") {
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding")
