@@ -332,6 +332,15 @@ class Graft(val spark: SparkSession, dir: String) {
     * metrics a deployment schedules an index re-freeze on (qa04). */
   def indexStaleness: DataFrame = Dedup.qa04IndexStaleness(spark, dir)
 
+  /** Streaming twin of the staleness monitor's increment side:
+    * running per-cell occupancy + fit counters over an arriving
+    * (vec_id, embedding) stream — Complete-mode output, state
+    * bounded at ≤ k cells by construction; join against the static
+    * corpus baselines for the continuous drift dashboard. */
+  def streamingStaleness(vecStream: DataFrame,
+      cents: Seq[graft.streaming.SemStream.Centroid]): DataFrame =
+    graft.streaming.SemStream.stalenessCounters(vecStream, cents)
+
   /** Frozen semantic index for the embedding screen — the collected
     * bounded-k coarse quantizer plus the cell-assigned corpus, built
     * ONCE per corpus freeze (the embedding-modality analog of

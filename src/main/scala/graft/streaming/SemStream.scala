@@ -57,10 +57,10 @@ object SemStream {
       .sortBy(_._1).map(c => Centroid(c._1, c._2, c._3))
   }
 
-  /** Stateless per-row routing: quantize + 64 literal-centroid
-    * cosines + lexicographic array_max — output (vec_id, qv, nrm,
-    * cell). Works on streaming AND batch frames (pure projection). */
-  def routed(vecs: DataFrame, cents: Seq[Centroid]): DataFrame = {
+  /** The shared routing core: quantize + ≤k literal-centroid
+    * cosines + lexicographic array_max — (vec_id, qv, nrm, best)
+    * where best = (cos, −c_id) of the winning centroid. */
+  private def bestCell(vecs: DataFrame, cents: Seq[Centroid]): DataFrame = {
     require(cents.nonEmpty, "frozen centroid set is empty")
     val qv = quantize(col("embedding"))
     val withQ = vecs.select(col("vec_id"), qv.as("qv"))
@@ -71,9 +71,43 @@ object SemStream {
         lit(-c.c_id).as("negid"))
     }: _*)
     withQ.withColumn("best", array_max(cands))
+  }
+
+  /** Stateless per-row routing: output (vec_id, qv, nrm, cell).
+    * Works on streaming AND batch frames (pure projection). */
+  def routed(vecs: DataFrame, cents: Seq[Centroid]): DataFrame =
+    bestCell(vecs, cents)
       .select(col("vec_id"), col("qv"), col("nrm"),
         (lit(0L) - col("best.negid")).as("cell"))
-  }
+
+  /** [[routed]] keeping the WINNING cosine — (vec_id, cell, cos).
+    * `cos` is bit-identical to batch [[Dedup.cellFit]]'s (same
+    * exact-integer dot, same double division). */
+  def routedFit(vecs: DataFrame, cents: Seq[Centroid]): DataFrame =
+    bestCell(vecs, cents)
+      .select(col("vec_id"),
+        (lit(0L) - col("best.negid")).as("cell"),
+        col("best.cos").as("cos"))
+
+  /** Streaming twin of qa04's INCREMENT side — the continuous drift
+    * dashboard a deployment watches between re-freezes: per frozen
+    * cell, RUNNING arrival occupancy (`n_inc`) and the exact
+    * floored micro-cosine fit sum (`inc_cos_sum`, batch qa04's
+    * integer-mean rule). Stateless per-row routing (the literal
+    * quantizer) feeds one streaming groupBy(cell) in Complete mode —
+    * the rare unbounded-stream aggregation whose state is PROVABLY
+    * bounded with no watermark: at most one row per frozen cell
+    * (≤ k by the bounded-stride construction), regardless of how
+    * many vectors ever arrive. Join the emitted counters against
+    * the corpus-side baselines (batch qa04's corp columns, static
+    * at freeze time) to produce the skew/drift report continuously;
+    * re-freeze when it trips. SemStreamSpec pins two-checkpoint
+    * replay totals == batch qa04's increment columns. */
+  def stalenessCounters(vecs: DataFrame, cents: Seq[Centroid]): DataFrame =
+    routedFit(vecs, cents)
+      .select(col("cell"), floor(col("cos") * 1000000.0).as("cm"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_inc"), sum("cm").as("inc_cos_sum"))
 
   /** Replay-guarded per-arrival argmax: max cosine, min corp_id on
     * exact-double ties (the batch two-phase rule), verdict at the

@@ -128,6 +128,57 @@ class SemStreamSpec extends SparkSpec {
       s"TTL run ${streamed.size} verdicts != batch ${batch.size}")
   }
 
+  test("streaming staleness counters: two-run replay totals equal batch qa04") {
+    // the continuous drift dashboard: running per-cell occupancy +
+    // floored micro-cos sums in Complete mode — state is ≤ k rows by
+    // construction (one per frozen cell), so no watermark and no TTL
+    // are needed, and AvailableNow replays terminate normally (no
+    // processing-time timers — contrast the TTL test above)
+    val dir = Files.createTempDirectory("stale-in").toFile
+    val ckpt = Files.createTempDirectory("stale-ckpt").toString
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val (cents, _) = Dedup.semFrozenIndex(vecs.filter($"vec_id" % 10 < 8))
+    val frozen = SemStream.frozenCentroids(cents)
+    val arrivals = vecs.filter($"vec_id" % 10 >= 8)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = SemStream.stalenessCounters(stream, frozen)
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("memory")
+        .queryName("stale_counters")
+        .start()
+      q.awaitTermination()
+    }
+    arrivals.filter($"vec_id" < 250).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk1").toString)
+    runOnce()
+    arrivals.filter($"vec_id" >= 250).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk2").toString)
+    runOnce()
+    val streamed = spark.table("stale_counters")
+      .select($"cell", $"n_inc", $"inc_cos_sum").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, (r._2, r._3))).toMap
+    val batch = Dedup.qa04IndexStaleness(spark, sf)
+      .filter($"n_inc" > 0)
+      .select($"cell", $"n_inc", $"inc_mean_cos_micro").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(batch.nonEmpty, "fixture produced no increment cells")
+    assert(streamed.keySet == batch.keySet,
+      s"streamed cells ${streamed.keySet} != batch ${batch.keySet}")
+    batch.foreach { case (cell, (n, mean)) =>
+      val (sn, ssum) = streamed(cell)
+      assert(sn == n, s"cell $cell: streamed count $sn != batch $n")
+      // identical-operand double division — exact, no tolerance
+      assert(ssum.toDouble / sn == mean,
+        s"cell $cell: streamed mean ${ssum.toDouble / sn} != batch $mean")
+    }
+  }
+
   test("stateless routing equals the batch cell assignment") {
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding")
