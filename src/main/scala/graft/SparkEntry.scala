@@ -134,6 +134,10 @@ object SparkEntry {
     "d15_incremental_dedup" -> (Dedup.d15IncrementalDedup _),
     "d16_source_overlap" -> (Dedup.d16SourceOverlap _),
     "d18_incremental_semdedup" -> (Dedup.d18IncrementalSemdedup _),
+    "d19_bloom_screen" -> (Dedup.d19BloomScreen _),
+    "p15_cluster_split" -> (Pipeline.p15ClusterSplit _),
+    "s18_kmeans_refine" -> (Similarity.s18KmeansRefine _),
+    "qa05_bloom_curve" -> (Dedup.qa05BloomCurve _),
     "qa04_index_staleness" -> (Dedup.qa04IndexStaleness _),
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
     "t16_bpe_tokens" -> (Quality.t16BpeTokens _),

@@ -157,6 +157,28 @@ object Stress {
     val nKeepInc = d15res.filter(col("verdict") === "keep").count()
     d15res.unpersist() // later stages compete for the same memory
 
+    // bloom pre-screen (d19) under the production asymmetry (the
+    // d17 pattern): frozen corpus replicated mult×, arrival batch
+    // FIXED at the base slice. Replication is the screen's worst
+    // case twice over — the filter (sized 10 bits per CORPUS doc)
+    // carries mult× more words, and every arrival is a true dup so
+    // nothing screens out and every row takes the exact-join path;
+    // the filter build must stay one map-side-combinable aggregate
+    // and the probe three hint-free word joins
+    val d19in = docs.filter(col("doc_id") % 10 < 8)
+      .union(base.filter(col("doc_id") % 10 >= 8))
+    val nBloom = time("bloom screen (d19)")(
+      graft.operators.Dedup.d19From(d19in).count())
+
+    // k-means refinement (s18) over the replicated vectors: the
+    // bounded-k stride degenerates toward ONE seed under replica id
+    // sparsity (the recorded qa04 caveat), so this measures the
+    // worst-imbalance case — n× the members funneling through few
+    // cells' mean aggregates — while the per-round cost stays
+    // assignment-bound (n×k dots + 64-column hash agg)
+    val nKmCells = time("kmeans refine (s18)")(
+      graft.operators.Similarity.s18From(evecs).count())
+
     // incremental SEMANTIC screen (d18) under the production
     // asymmetry (the d17 pattern): the frozen corpus is replicated
     // mult×, the arrival batch stays FIXED (the base replica's
@@ -215,7 +237,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

@@ -219,6 +219,27 @@ class Graft(val spark: SparkSession, dir: String) {
     * with evidence rows (d15). */
   def incrementalDedup: DataFrame = Dedup.d15IncrementalDedup(spark, dir)
 
+  /** Bloom-filter pre-screen of a new ingest batch against the
+    * frozen corpus's content hashes — d15's exact screen at 1.25
+    * bytes per corpus doc of broadcastable filter state, with the
+    * outcome taxonomy (screened / dup / false_positive) doubling as
+    * the filter-calibration report (d19). */
+  def bloomScreen: DataFrame = Dedup.d19BloomScreen(spark, dir)
+
+  /** FP-rate-vs-filter-size calibration curve for the bloom screen
+    * (qa05) — the memory/selectivity trade a deployment tunes. */
+  def bloomCurve: DataFrame = Dedup.qa05BloomCurve(spark, dir)
+
+  /** Leakage-safe train/val/test assignment keyed on the near-dup
+    * CLUSTER id — near-duplicates can never straddle splits, with
+    * the would-have-straddled audit flag per document (p15). */
+  def clusterSplit: DataFrame = Pipeline.p15ClusterSplit(spark, dir)
+
+  /** Two Lloyd rounds refining the bounded-k coarse quantizer, with
+    * per-cell occupancy + member-fit before/after — the train-the-
+    * quantizer step run at corpus freeze (s18). */
+  def kmeansRefine: DataFrame = Similarity.s18KmeansRefine(spark, dir)
+
   /** Cross-source 3-gram Jaccard overlap matrix — the provenance
     * diagnostic run before mixing corpora (d16). */
   def sourceOverlap: DataFrame = Dedup.d16SourceOverlap(spark, dir)
@@ -274,6 +295,21 @@ class Graft(val spark: SparkSession, dir: String) {
     * watermark ([[graft.streaming.QualityStream]]). */
   def streamingQualityGate(docStream: DataFrame): DataFrame =
     graft.streaming.QualityStream.qualityVerdicts(docStream)
+
+  /** Frozen bloom-filter state for the streaming screen: (words,
+    * corpus-hash, mbits) built once at corpus freeze
+    * ([[graft.streaming.BloomStream]]). */
+  def bloomFrozenFilter(bitsPerElem: Long = 10L)
+      : (DataFrame, DataFrame, Long) =
+    graft.streaming.BloomStream.frozenFilter(
+      documents.toDF().select("doc_id", "text"), bitsPerElem)
+
+  /** Stateless streaming bloom screen over a (doc_id, text) stream —
+    * d19's shared probe/verdict algebra against the frozen filter,
+    * no state or watermark ([[graft.streaming.BloomStream]]). */
+  def streamingBloomScreen(docStream: DataFrame, words: DataFrame,
+      corpHash: DataFrame, mbits: Long): DataFrame =
+    graft.streaming.BloomStream.verdicts(docStream, words, corpHash, mbits)
 
   /** Composed IVFPQ: hierarchical coarse→fine routing + product-
     * quantization ADC inside the probed cells, exact rerank of the

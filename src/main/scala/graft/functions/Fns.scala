@@ -49,4 +49,14 @@ object Fns {
   /** Seconds-difference between two µs timestamps as double. */
   def secondsBetween(a: Column, b: Column): Column =
     (unix_micros(a) - unix_micros(b)) / lit(1000000.0)
+
+  /** Exact FLOOR division of an int64 column by a positive constant.
+    * CAUTION for oracle parity: DuckDB's `//` TRUNCATES toward zero
+    * (measured: -7 // 2 = -3), so this matches `//` only for
+    * NONNEGATIVE `a` (d19's bit positions); signed cross-engine
+    * division must truncate on both sides instead (s18's rule). The
+    * numerator `a - pmod(a, b)` is exactly divisible by `b`, so the
+    * double division is exact while |a| < 2⁵³. */
+  def floorDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
 }

@@ -307,6 +307,176 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom hash family: k = 3 pairwise-independent (a·x + b) mod p
+    * hashes over the 60-bit md5 prefix, same LCG-seeded family style
+    * as the MinHash signatures so the DuckDB oracle replays the
+    * constants verbatim (they are interpolated into the SQL from
+    * THIS sequence — one definition). */
+  private[graft] val BloomP = 2147483647L
+  private[graft] val BloomHashes: Seq[(Long, Long)] =
+    (1 to 3).map(i =>
+      ((1103515245L * i + 12345L) % BloomP, (69069L * i + 1234567L) % BloomP))
+
+  /** d19: BLOOM-FILTER pre-screen for incremental exact dedup — the
+    * ship-a-filter-instead-of-joining-the-corpus pattern d15's exact
+    * screen upgrades to at deployment scale. The frozen corpus's
+    * content hashes are folded into a Bloom filter sized at 10 bits
+    * per corpus document (k = 3 ⟹ ~1.8% false positives); an
+    * arriving document tests its 3 bit positions against the filter
+    * and ONLY the hits proceed to the exact corpus-hash join —
+    * 'screened' rows (the vast majority of a dedup-light stream)
+    * never touch corpus-sized state. Output per increment doc:
+    * bloom_hit, the exact corpus match for hits, and the outcome
+    * taxonomy (screened / dup / false_positive) — the FP column IS
+    * the filter-calibration measurement (d11's role for banding).
+    *
+    * Why this matters at 100 TB: d15's exact screen joins every
+    * arriving batch against a corpus-hash table that weighs ≥16
+    * bytes per corpus doc and lives across executors; the Bloom
+    * filter carries the same no-false-negative guarantee (spec-
+    * pinned) at 1.25 bytes/doc packed into ≤ m/60 int64 words — the
+    * probe is an equi-join against that words table, hint-free, so
+    * Catalyst broadcasts it while it fits and shuffles on `word`
+    * when a trillion-doc filter outgrows a broadcast. The exact join
+    * that remains sees only hit rows: its input shrinks by the
+    * screen's pass rate, not by engineering effort.
+    *
+    * Cross-engine exactness: positions are pure int64 arithmetic on
+    * ('0x'‖md5-prefix)::int64 (Spark `conv`, DuckDB hex cast — both
+    * nonnegative 60-bit), the filter words are bit_or aggregates of
+    * pow(2, pos mod 60) masks (exact doubles ≤ 2⁵⁹, the simhash
+    * precedent), and the filter SIZE derives from the corpus count
+    * alone (m_words = n·10 div 60 + 1 — both engines floor-divide
+    * identical integers), so filter layout is data-derived but
+    * deterministic. Bits 60..63 stay unused: DuckDB errors on
+    * 1<<63 where Spark wraps, so the word payload stays clear of
+    * the sign bit on both engines. */
+  def d19BloomScreen(spark: SparkSession, dir: String): DataFrame =
+    d19From(Tables.documents(spark, dir))
+
+  /** d19's core over any (doc_id, text) frame — [[graft.Stress]]
+    * drives it at replicated scale; Round8Spec pins the
+    * no-false-negative guarantee and the FP-rate envelope.
+    * `bitsPerElem` sizes the filter (default 10 — k=3 ⟹ ~1.8% FP);
+    * qa05 sweeps it for the calibration curve. The algebra below is
+    * factored so the streaming twin ([[graft.streaming.BloomStream]])
+    * composes the LITERAL same column definitions over a
+    * stream-static join. */
+  private[graft] def d19From(documents: DataFrame,
+      bitsPerElem: Long = 10L): DataFrame = {
+    import graft.functions.Fns.floorDiv
+    val isInc = col("doc_id") % 10 >= 8
+    val base = bloomBase(documents)
+    // filter geometry from the corpus count alone (frozen-index rule:
+    // nothing about the filter shifts as increments arrive)
+    val geom = base.filter(!isInc)
+      .agg(floorDiv(count(lit(1)) * bitsPerElem, 60L).as("mwm1"))
+      .select(((col("mwm1") + 1L) * 60L).as("mbits"))
+    val posed = bloomPosed(base.crossJoin(broadcast(geom)))
+    val corpBits = bloomWords(posed.filter(!isInc))
+    val corpHash = base.filter(!isInc)
+      .groupBy("h").agg(min(col("doc_id")).as("exact_match"))
+    bloomVerdicts(posed.filter(isInc), corpBits, corpHash)
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, h = md5, xm = 60-bit hex-parsed prefix mod p). */
+  private[graft] def bloomBase(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("xm",
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long") % BloomP)
+
+  /** The k = 3 bit positions; expects an `mbits` column (batch: a
+    * broadcast 1-row cross join; stream: a shipped literal). */
+  private[graft] def bloomPosed(withM: DataFrame): DataFrame = {
+    def pos(i: Int): Column = {
+      val (a, b) = BloomHashes(i)
+      (lit(a) * col("xm") + lit(b)) % BloomP % col("mbits")
+    }
+    withM.select(col("doc_id"), col("h"),
+      pos(0).as("p1"), pos(1).as("p2"), pos(2).as("p3"))
+  }
+
+  private[graft] def bloomMask(p: Column): Column =
+    pow(lit(2.0), p % 60L).cast("long")
+
+  /** Filter build: 3 positions per corpus doc → ≤ m/60 (word, bits)
+    * rows; the groupBy is map-side combinable down to the word
+    * count. */
+  private[graft] def bloomWords(posedCorp: DataFrame): DataFrame = {
+    import graft.functions.Fns.floorDiv
+    posedCorp
+      .select(explode(array(col("p1"), col("p2"), col("p3"))).as("p"))
+      .select(floorDiv(col("p"), 60L).as("word"), bloomMask(col("p")).as("m"))
+      .groupBy("word").agg(expr("bit_or(m)").as("bits"))
+  }
+
+  /** Probe + verdict over positioned increment rows: three hint-free
+    * equi-joins on word (broadcast while the filter fits — or
+    * stream-static), bit tests in the join projection, and ONLY hits
+    * reach the exact corpus join — that asymmetry IS the operator;
+    * misses carry a null without touching corpus-sized state. */
+  private[graft] def bloomVerdicts(posedInc: DataFrame, corpBits: DataFrame,
+      corpHash: DataFrame): DataFrame = {
+    import graft.functions.Fns.floorDiv
+    def bw(i: Int): DataFrame =
+      corpBits.select(col("word").as(s"w$i"), col("bits").as(s"bits$i"))
+    val probed = posedInc
+      .join(bw(1), floorDiv(col("p1"), 60L) === col("w1"), "left")
+      .join(bw(2), floorDiv(col("p2"), 60L) === col("w2"), "left")
+      .join(bw(3), floorDiv(col("p3"), 60L) === col("w3"), "left")
+      .withColumn("bloom_hit",
+        (coalesce(col("bits1"), lit(0L)).bitwiseAND(bloomMask(col("p1"))) =!= 0L) &&
+        (coalesce(col("bits2"), lit(0L)).bitwiseAND(bloomMask(col("p2"))) =!= 0L) &&
+        (coalesce(col("bits3"), lit(0L)).bitwiseAND(bloomMask(col("p3"))) =!= 0L))
+      .select("doc_id", "h", "bloom_hit")
+    val hits = probed.filter(col("bloom_hit"))
+      .join(corpHash, Seq("h"), "left")
+    val misses = probed.filter(!col("bloom_hit"))
+      .withColumn("exact_match", lit(null).cast("long"))
+    hits.unionByName(misses)
+      .select(col("doc_id"), col("bloom_hit"), col("exact_match"),
+        when(!col("bloom_hit"), "screened")
+          .when(col("exact_match").isNotNull, "dup")
+          .otherwise("false_positive").as("outcome"))
+  }
+
+  /** qa05's swept filter sizes (bits per corpus element). Also
+    * interpolated into the generated oracle SQL — the grid cannot
+    * drift (the s14 pattern). 10 is d19's production setting. */
+  private[graft] val BloomBitsGrid: Seq[Long] = Seq(2L, 5L, 10L, 20L)
+
+  /** qa05: Bloom-filter CALIBRATION CURVE — d19's screen swept over
+    * [[BloomBitsGrid]] filter sizes, reporting per setting the
+    * outcome mass (screened / dup / false-positive) and the realized
+    * FP rate over the non-duplicate arrivals. The memory/selectivity
+    * trade a deployment tunes: at 2 bits/doc the filter saturates
+    * and nearly everything false-hits (the exact join does all the
+    * work — the filter bought nothing); at 10 the hit path is ~2%;
+    * at 20 it halves again at twice the broadcast. d11 plays this
+    * calibration role for MinHash banding, s12/s16 for probe depth —
+    * this is the same measurement for the membership screen.
+    *
+    * The dup count is invariant across settings (no false negatives
+    * at ANY size — spec-pinned), so the curve isolates exactly the
+    * FP term. Cost: |grid| passes of a linear screen, each
+    * independent — the sweep is an eval-time tool; production runs
+    * one setting. */
+  def qa05BloomCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    BloomBitsGrid.map { b =>
+      d19From(docs, b)
+        .agg(
+          sum(when(col("outcome") === "screened", 1L).otherwise(0L)).as("n_screened"),
+          sum(when(col("outcome") === "dup", 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("outcome") === "false_positive", 1L).otherwise(0L)).as("n_fp"))
+        .select(lit(b).as("bits_per_elem"), col("n_screened"), col("n_dup"),
+          col("n_fp"),
+          (col("n_fp").cast("double") / (col("n_screened") + col("n_fp")))
+            .as("fp_rate"))
+    }.reduce(_ unionByName _).orderBy("bits_per_elem")
+  }
+
   /** d18: INCREMENTAL semantic dedup — d15's increment-vs-frozen-
     * corpus discipline applied to d08's embedding modality,
     * completing the incremental family (d15 hash+band, d17 verbatim
@@ -938,7 +1108,60 @@ object Dedup {
       |lab AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = {
+    // d19's hash constants AND qa05's bits grid are interpolated
+    // from BloomHashes/BloomBitsGrid — Spark side and oracle cannot
+    // drift; the whole CTE chain is ONE builder reused (suffixed)
+    // for every swept filter size
+    val Seq((ba1, bb1), (ba2, bb2), (ba3, bb3)) = BloomHashes
+    def bloomCtes(bits: Long, s: String): String =
+      s"""x$s AS (SELECT doc_id, md5(text) AS h,
+         |    ('0x' || substr(md5(text), 1, 15))::BIGINT % $BloomP AS xm
+         |  FROM documents),
+         |par$s AS (SELECT (((SELECT COUNT(*) FROM x$s WHERE doc_id % 10 < 8) * $bits) // 60 + 1) * 60 AS mbits),
+         |pos$s AS (SELECT doc_id, h,
+         |    (($ba1 * xm + $bb1) % $BloomP) % mbits AS p1,
+         |    (($ba2 * xm + $bb2) % $BloomP) % mbits AS p2,
+         |    (($ba3 * xm + $bb3) % $BloomP) % mbits AS p3
+         |  FROM x$s CROSS JOIN par$s),
+         |cb$s AS (SELECT p // 60 AS word, bit_or(CAST(pow(2, p % 60) AS BIGINT)) AS bits
+         |  FROM (SELECT p1 AS p FROM pos$s WHERE doc_id % 10 < 8
+         |        UNION ALL SELECT p2 FROM pos$s WHERE doc_id % 10 < 8
+         |        UNION ALL SELECT p3 FROM pos$s WHERE doc_id % 10 < 8) t
+         |  GROUP BY p // 60),
+         |corph$s AS (SELECT h, MIN(doc_id) AS exact_match FROM x$s WHERE doc_id % 10 < 8 GROUP BY h),
+         |probe$s AS (SELECT i.doc_id, i.h,
+         |    (COALESCE(b1.bits, 0) & CAST(pow(2, i.p1 % 60) AS BIGINT)) <> 0
+         |    AND (COALESCE(b2.bits, 0) & CAST(pow(2, i.p2 % 60) AS BIGINT)) <> 0
+         |    AND (COALESCE(b3.bits, 0) & CAST(pow(2, i.p3 % 60) AS BIGINT)) <> 0 AS bloom_hit
+         |  FROM pos$s i
+         |  LEFT JOIN cb$s b1 ON b1.word = i.p1 // 60
+         |  LEFT JOIN cb$s b2 ON b2.word = i.p2 // 60
+         |  LEFT JOIN cb$s b3 ON b3.word = i.p3 // 60
+         |  WHERE i.doc_id % 10 >= 8),
+         |scr$s AS (SELECT p.doc_id, p.bloom_hit,
+         |    CASE WHEN p.bloom_hit THEN c.exact_match END AS exact_match,
+         |    CASE WHEN NOT p.bloom_hit THEN 'screened'
+         |         WHEN c.exact_match IS NOT NULL THEN 'dup'
+         |         ELSE 'false_positive' END AS outcome
+         |  FROM probe$s p LEFT JOIN corph$s c USING (h))""".stripMargin
+    val qa05Branches = BloomBitsGrid.map { b =>
+      s"""SELECT $b AS bits_per_elem,
+         |  COUNT(*) FILTER (outcome = 'screened') AS n_screened,
+         |  COUNT(*) FILTER (outcome = 'dup') AS n_dup,
+         |  COUNT(*) FILTER (outcome = 'false_positive') AS n_fp,
+         |  CAST(COUNT(*) FILTER (outcome = 'false_positive') AS DOUBLE)
+         |    / (COUNT(*) FILTER (outcome = 'screened') + COUNT(*) FILTER (outcome = 'false_positive')) AS fp_rate
+         |FROM scr_$b""".stripMargin
+    }.mkString("\nUNION ALL\n")
     Map(
+      "d19_bloom_screen" ->
+        ("WITH " + bloomCtes(10L, "") + """
+          |SELECT doc_id, bloom_hit, exact_match, outcome FROM scr
+          |ORDER BY doc_id""".stripMargin),
+
+      "qa05_bloom_curve" ->
+        ("WITH " + BloomBitsGrid.map(b => bloomCtes(b, s"_$b")).mkString(",\n") + "\n" +
+          qa05Branches + "\nORDER BY bits_per_elem"),
       // d08's quantization CTEs split corpus/increment on the d15
       // arrival rule; the centroid stride derives from the CORPUS id
       // range only (frozen-index rule)

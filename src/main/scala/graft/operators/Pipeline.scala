@@ -525,7 +525,63 @@ object Pipeline {
       .orderBy("rank_id")
   }
 
+  /** p15: LEAKAGE-SAFE split — split assignment keyed on the near-dup
+    * CLUSTER id instead of the document id. q20/p01 hash each doc_id
+    * independently, so two near-duplicates (the same article from two
+    * crawls) can land one in train and one in test — contamination
+    * d12 then detects and removes AFTER the fact. Hashing the d07
+    * canonical cluster id makes the straddle impossible by
+    * construction: every member of a near-dup cluster rides one
+    * hash. Docs with no near-dup candidate keep their own id (their
+    * cluster IS themselves — same hash, same split q20 assigns, so
+    * the rule only moves docs that had a leak risk). Output per doc:
+    * the cluster-keyed split, the naive doc-keyed split it replaces,
+    * and `straddled` — whether the naive rule WOULD have split this
+    * doc's cluster across ≥2 assignments (the measured leak rate the
+    * operator closes; ClusterSplitSpec pins split-constant-per-
+    * cluster and the q20 tie-back for singleton docs).
+    *
+    * Scale shape: d07's candidate/contraction machinery (banded,
+    * never O(n²)), one hint-free left join of the O(near-dup-docs)
+    * cluster map onto the corpus, one groupBy(cluster_id) counting
+    * distinct naive splits, one hint-free join back. No window, no
+    * corpus-sized broadcast. */
+  def p15ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val clusters = Dedup.d07DedupClusters(spark, dir)
+      .select("doc_id", "cluster_id")
+    val assigned = docs
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", graft.functions.Fns.splitOf(col("cluster_id")))
+      .withColumn("naive_split", graft.functions.Fns.splitOf(col("doc_id")))
+    val strad = assigned.groupBy("cluster_id")
+      .agg((countDistinct(col("naive_split")) > 1).as("straddled"))
+    assigned.join(strad, "cluster_id")
+      .select("doc_id", "cluster_id", "split", "naive_split", "straddled")
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p15_cluster_split" ->
+      ("WITH RECURSIVE " + Dedup.shCte + ",\n" + Dedup.sigCte + ",\n" +
+        Dedup.candCte + ",\n" + Dedup.clusterCte + """,
+        |ac AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+        |       FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+        |sp AS (SELECT doc_id, cluster_id,
+        |  CASE WHEN ((cluster_id * 2654435761) % 4294967296) % 10 = 0 THEN 'test'
+        |       WHEN ((cluster_id * 2654435761) % 4294967296) % 10 = 1 THEN 'val'
+        |       ELSE 'train' END AS split,
+        |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 0 THEN 'test'
+        |       WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 1 THEN 'val'
+        |       ELSE 'train' END AS naive_split
+        |  FROM ac),
+        |stc AS (SELECT cluster_id, COUNT(DISTINCT naive_split) > 1 AS straddled
+        |        FROM sp GROUP BY cluster_id)
+        |SELECT sp.doc_id, sp.cluster_id, sp.split, sp.naive_split, stc.straddled
+        |FROM sp JOIN stc USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin),
+
     "p12_temperature_mix" ->
       """WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
         |pw AS (SELECT source, n_docs,

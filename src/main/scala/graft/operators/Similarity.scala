@@ -809,6 +809,82 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** s18: K-MEANS-REFINED coarse quantizer — two unrolled Lloyd
+    * iterations over the bounded-k stride seeds, entirely as
+    * DataFrame algebra. Every centroid rule in the engine so far
+    * (s03/s04/s08/s13/d08/d18/qa04) is the deterministic stride —
+    * cheap, frozen-index-friendly, but data-blind: cells are as
+    * balanced as the id order happens to make them. Real IVF
+    * deployments TRAIN the quantizer (FAISS `train()` = Lloyd's);
+    * this operator is that step, and its output is the evidence for
+    * when training pays: per cell, occupancy and mean member fit
+    * (micro-cosine) under the seed quantizer vs after two refinement
+    * rounds.
+    *
+    * Update rule, exact cross-engine: the new centroid is the
+    * element-wise TRUNCATED MEAN of the cell's quantized members —
+    * cos(x, mean) == cos(x, positively-scaled mean), so assigning
+    * against integer floor-means is spherical k-means with a
+    * deterministic rounding both engines compute identically
+    * (Spark `(s − s%n)/n` ≡ DuckDB's truncating `//`, exact below
+    * 2⁵³).
+    * Cells that lose every member drop out (their id simply stops
+    * appearing); a zero mean vector is filtered on both sides
+    * (c_nrm > 0) so no NaN cosine enters an argmax. Iteration count
+    * is FIXED at 2 — unrolled, not a driver loop: each round is one
+    * bounded-k broadcast assignment (n×k codegen'd dots) + one
+    * 64-column hash aggregate to ≤ k rows; cost 3 assignments + 2
+    * mean passes, all map-side-combinable, no window, no shuffle
+    * beyond the k-row aggregates. A deployment re-trains at corpus
+    * freeze (the d15/d17/d18 re-freeze point qa04 schedules) and
+    * ships the refined centroids exactly like the stride ones.
+    *
+    * KmeansSpec pins: the corpus-weighted mean fit does not regress
+    * (Lloyd's monotonicity, surviving the floor rounding on the
+    * fixture), cell count stays ≤ k, and every member of a surviving
+    * cell scores its own centroid ≥ the seed assignment's floor. */
+  def s18KmeansRefine(spark: SparkSession, dir: String): DataFrame =
+    s18From(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  /** s18's core over any (vec_id, embedding) frame — [[graft.Stress]]
+    * drives it at replicated scale. */
+  private[graft] def s18From(vecs: DataFrame): DataFrame = {
+    val e = OpCache.cached(vecs
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", qnorm2(col("qv")))) // 3 assignments + 2 mean passes
+    // exact TRUNCATED division by a per-row count column — DuckDB's
+    // `//` truncates toward zero (measured: -7//2 = -3), and Spark's
+    // `%` has Java dividend-sign semantics, so `(s − s%n)/n` is the
+    // same truncation; the numerator is exactly divisible, making
+    // the double division exact below 2⁵³
+    def fdiv(s: Column, n: Column): Column =
+      ((s - (s % n)) / n).cast("long")
+    def meanCents(a: DataFrame): DataFrame = {
+      val dimSums = (1 to 64).map(i => sum(element_at(col("qv"), i)).as(s"s_$i"))
+      a.join(e, "vec_id")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .select(col("cell").as("c_id"),
+          array((1 to 64).map(i => fdiv(col(s"s_$i"), col("n"))): _*).as("c_qv"))
+        .withColumn("c_nrm", qnorm2(col("c_qv")))
+        .filter(col("c_nrm") > 0L)
+    }
+    val a0 = OpCache.cached(Dedup.cellFit(e, boundedCents(e))) // mean pass + report
+    val a1 = Dedup.cellFit(e, meanCents(a0))
+    val a2 = Dedup.cellFit(e, meanCents(a1))
+    def fitAgg(a: DataFrame, nm: String): DataFrame = a
+      .select(col("cell"), floor(col("cos") * 1000000.0).as("cm"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as(s"n_$nm"), sum("cm").as(s"cs_$nm"))
+    fitAgg(a0, "init").join(fitAgg(a2, "final"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_init"), lit(0L)).as("n_init"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        (col("cs_init").cast("double") / col("n_init")).as("mean_cos_init_micro"),
+        (col("cs_final").cast("double") / col("n_final")).as("mean_cos_final_micro"))
+      .orderBy("cell")
+  }
+
   val oracles: Map[String, String] = {
     val qCte =
       """q AS (SELECT vec_id, label,
@@ -816,6 +892,49 @@ object Similarity {
         |  FROM embeddings),
         |n AS (SELECT vec_id, label, qv,
         |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM q)""".stripMargin
+
+    // s18's three assignment rounds and two floor-mean updates are
+    // GENERATED from one fragment pair — the unrolled Lloyd rounds
+    // cannot drift from each other
+    def s18Assign(cents: String, out: String): String =
+      s"""s18s$out AS (SELECT v.vec_id, c.c_id,
+         |    CAST((SELECT SUM(v.qv[i] * c.c_qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+         |      / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS c_cos
+         |  FROM n v CROSS JOIN $cents c),
+         |s18a$out AS (SELECT vec_id, cell, cos FROM (SELECT vec_id, c_id AS cell, c_cos AS cos,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn FROM s18s$out) t
+         |  WHERE rn = 1)""".stripMargin
+    def s18Mean(a: String, out: String): String =
+      s"""s18q$out AS (SELECT x.cell, v.qv FROM s18a$a x JOIN n v USING (vec_id)),
+         |s18m$out AS (SELECT cell, i, CAST(SUM(qv[i]) AS BIGINT) // COUNT(*) AS mv
+         |  FROM s18q$out CROSS JOIN generate_series(1, 64) g(i) GROUP BY cell, i),
+         |s18l$out AS (SELECT cell AS c_id, list(mv ORDER BY i) AS c_qv FROM s18m$out GROUP BY cell),
+         |$out AS (SELECT c_id, c_qv,
+         |    CAST(list_aggregate(list_transform(c_qv, x -> x * x), 'sum') AS BIGINT) AS c_nrm
+         |  FROM s18l$out
+         |  WHERE CAST(list_aggregate(list_transform(c_qv, x -> x * x), 'sum') AS BIGINT) > 0)""".stripMargin
+    val s18Sql =
+      s"""WITH $qCte,
+         |cents0 AS (SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_nrm FROM n
+         |           WHERE vec_id % ((SELECT MAX(vec_id) // 64 FROM n) + 1) = 0),
+         |${s18Assign("cents0", "0")},
+         |${s18Mean("0", "cents1")},
+         |${s18Assign("cents1", "1")},
+         |${s18Mean("1", "cents2")},
+         |${s18Assign("cents2", "2")},
+         |i0 AS (SELECT cell, COUNT(*) AS n_init,
+         |    CAST(SUM(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS cs_init
+         |  FROM s18a0 GROUP BY cell),
+         |i2 AS (SELECT cell, COUNT(*) AS n_final,
+         |    CAST(SUM(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS cs_final
+         |  FROM s18a2 GROUP BY cell)
+         |SELECT cell,
+         |  COALESCE(n_init, 0) AS n_init,
+         |  COALESCE(n_final, 0) AS n_final,
+         |  CAST(cs_init AS DOUBLE) / n_init AS mean_cos_init_micro,
+         |  CAST(cs_final AS DOUBLE) / n_final AS mean_cos_final_micro
+         |FROM i0 FULL OUTER JOIN i2 USING (cell)
+         |ORDER BY cell""".stripMargin
 
     // s14's per-probe-depth CTEs are GENERATED from the same
     // FilteredProbeGrid the Spark side sweeps — the grid cannot drift
@@ -994,6 +1113,8 @@ object Similarity {
       .mkString(", ")
 
     Map(
+      "s18_kmeans_refine" -> s18Sql,
+
       "s17_filtered_ivfpq_recall" ->
         ("WITH " + qCte + s""",
           |$ivf2CteLbl,

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of d19's bloom pre-screen — the ingest-time shape
+  * the filter exists for: a deployment freezes the corpus, builds the
+  * filter words ONCE, and screens every arriving document against it
+  * with no per-arrival corpus work at all.
+  *
+  * The plan is fully STATELESS (the QualityStream class): per-row
+  * position algebra (the literal shared [[Dedup.bloomPosed]]
+  * definitions with the filter geometry shipped as a literal — the
+  * SemStream ship-the-quantizer pattern, here a single long), three
+  * stream-static left joins against the frozen words table, and a
+  * stream-static left join against the frozen corpus-hash table that
+  * ONLY the bloom-hit branch reaches. No state store, no watermark,
+  * no output-mode constraint beyond append; checkpointed AvailableNow
+  * replays terminate normally (nothing schedules timers).
+  *
+  * BloomStreamSpec pins: streamed verdicts == batch d19 row-for-row
+  * over the same frozen corpus, through a checkpoint restart.
+  */
+object BloomStream {
+
+  /** Frozen screen state, built at corpus freeze: (words, corpHash,
+    * mbits). `mbits` is collected here — ONE aggregate row at build
+    * time (bounded by construction), which is what lets the per-row
+    * streaming algebra stay literal-only. */
+  def frozenFilter(corpus: DataFrame, bitsPerElem: Long = 10L)
+      : (DataFrame, DataFrame, Long) = {
+    import graft.functions.Fns.floorDiv
+    val base = Dedup.bloomBase(corpus)
+    val mbits = base
+      .agg(floorDiv(count(lit(1)) * bitsPerElem, 60L).as("mwm1"))
+      .select(((col("mwm1") + 1L) * 60L).as("mbits"))
+      .head().getLong(0)
+    val posed = Dedup.bloomPosed(base.withColumn("mbits", lit(mbits)))
+    val words = Dedup.bloomWords(posed)
+    val corpHash = base.groupBy("h").agg(min(col("doc_id")).as("exact_match"))
+    (words, corpHash, mbits)
+  }
+
+  /** Per-arrival verdicts over a streaming (doc_id, text) frame —
+    * the same (doc_id, bloom_hit, exact_match, outcome) rows batch
+    * d19 emits for the increment slice. */
+  def verdicts(stream: DataFrame, words: DataFrame, corpHash: DataFrame,
+      mbits: Long): DataFrame =
+    Dedup.bloomVerdicts(
+      Dedup.bloomPosed(Dedup.bloomBase(stream).withColumn("mbits", lit(mbits))),
+      words, corpHash)
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-8 operators: d19 bloom screen, p15 leakage-safe split,
+  * s18 k-means-refined quantizer. Each is oracle-gated for VALUE
+  * parity; these tests pin the SEMANTIC guarantees the oracle
+  * cannot express (no-false-negative, no-straddle, monotone fit). */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- d19
+
+  test("d19 bloom screen has NO false negatives: every true corpus dup is a hit") {
+    // corpus ids 0..79 (id%10<8 slice); increment ids ≡ 8,9 mod 10.
+    // Half the increment docs copy a corpus text verbatim.
+    val corpus = (0 until 100).filter(_ % 10 < 8).map(i => (i.toLong, s"corpus text $i"))
+    val dups = Seq((108L, "corpus text 3"), (118L, "corpus text 27"),
+      (129L, "corpus text 55"), (139L, "corpus text 71"))
+    val fresh = Seq((148L, "novel a"), (158L, "novel b"), (169L, "novel c"))
+    val docs = (corpus ++ dups ++ fresh).toDF("doc_id", "text")
+    val out = Dedup.d19From(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3))).toMap
+    // every true dup: bloom hit (no false negative is STRUCTURAL —
+    // the same 3 positions were set at build) and exact match found
+    dups.foreach { case (id, text) =>
+      val srcId = corpus.find(_._2 == text).get._1
+      assert(out(id) === ((true, Some(srcId), "dup")), s"doc $id")
+    }
+    // fresh docs: either screened (no corpus join) or an honest FP
+    fresh.foreach { case (id, _) =>
+      val (hit, m, outcome) = out(id)
+      assert(m.isEmpty)
+      assert(if (hit) outcome == "false_positive" else outcome == "screened")
+    }
+  }
+
+  test("d19 on the fixture: exact verdicts agree with d15 and FP rate is in envelope") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val d19 = Dedup.d19From(docs).collect()
+    val d15Exact = Dedup.d15IncrementalDedup(spark, sf)
+      .filter(col("verdict") === "drop_exact")
+      .select("doc_id", "exact_match").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d19Dup = d19.filter(_.getString(3) == "dup")
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(d19Dup === d15Exact) // same screen decision as the exact join
+    val nonDup = d19.count(_.getString(3) != "dup")
+    val fp = d19.count(_.getString(3) == "false_positive")
+    assert(nonDup > 0)
+    // 10 bits/element, k=3 ⟹ ~1.8% expected; 10% is a loose 5× cap
+    assert(fp.toDouble / nonDup < 0.10, s"fp=$fp of $nonDup")
+  }
+
+  test("qa05 bloom curve: dup count invariant across sizes, FP mass shrinking") {
+    val rows = Dedup.qa05BloomCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Dedup.BloomBitsGrid)
+    // no false negatives at ANY filter size: the dup set is the
+    // exact-match set, found through every filter
+    assert(rows.map(_._3).distinct.length === 1)
+    // the FP mass shrinks as the filter grows (deterministic on the
+    // fixture: 55 → 8 → 1 → 0 of 100 at sf0.001)
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._4 <= a._4) case _ => }
+    assert(rows.last._4 < rows.head._4)
+  }
+
+  // ---------------------------------------------------------- p15
+
+  test("p15 cluster split: constant per cluster, q20 tie-back for singletons, straddle flag honest") {
+    val out = Pipeline.p15ClusterSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+    // the cluster-keyed rule cannot straddle: one split per cluster
+    val perCluster = out.groupBy(_._2)
+    perCluster.foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.size === 1, s"cluster $c straddles")
+    }
+    // singleton docs keep exactly the naive q20 assignment
+    perCluster.filter(_._2.size == 1).foreach { case (_, Array((_, _, s, n, strad))) =>
+      assert(s === n); assert(!strad)
+    }
+    // straddled == the naive rule would have split this cluster
+    perCluster.foreach { case (c, rows) =>
+      val naiveDistinct = rows.map(_._4).distinct.size
+      rows.foreach { r => assert(r._5 === (naiveDistinct > 1), s"cluster $c") }
+    }
+    // and the flag actually fires somewhere on the fixture (the
+    // operator exists because the leak is real)
+    assert(out.exists(_._5), "fixture has no straddled cluster — leak test vacuous")
+  }
+
+  // ---------------------------------------------------------- s18
+
+  test("s18 k-means refinement: fit improves, mass conserved, k bounded") {
+    val out = Similarity.s18KmeansRefine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.length <= 64)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(out.map(_._2).sum === n) // every vector assigned, round 0
+    assert(out.map(_._3).sum === n) // ... and round 2
+    val wInit = out.flatMap(t => t._4.map(_ * t._2)).sum / out.map(_._2).sum
+    val wFinal = out.flatMap(t => t._5.map(_ * t._3)).sum / out.map(_._3).sum
+    // Lloyd monotonicity survives the integer truncation on the
+    // fixture by a wide margin (measured: 377k → 497k micro-cos)
+    assert(wFinal > wInit + 1000.0, s"init=$wInit final=$wFinal")
+  }
+
+  test("s18 refinement is deterministic and replication-stable on a doubled corpus") {
+    // appending an id-shifted copy of every vector must not change
+    // the REFINED cell geometry story: same cells survive, occupancy
+    // exactly doubles only if the stride seeds stay aligned — which
+    // they do not in general, so pin the cheap invariants instead:
+    // determinism across two runs and mass conservation at 2×.
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val run1 = Similarity.s18From(e).collect()
+    val run2 = Similarity.s18From(e).collect()
+    assert(run1.toSeq === run2.toSeq)
+    val shift = e.count()
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + lit(shift * 2)).as("vec_id"), col("embedding")))
+    val out2 = Similarity.s18From(doubled).collect()
+    assert(out2.map(_.getLong(1)).sum === shift * 2)
+    assert(out2.map(_.getLong(2)).sum === shift * 2)
+  }
+}
