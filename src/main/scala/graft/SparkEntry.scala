@@ -138,6 +138,7 @@ object SparkEntry {
     "p15_cluster_split" -> (Pipeline.p15ClusterSplit _),
     "s18_kmeans_refine" -> (Similarity.s18KmeansRefine _),
     "qa05_bloom_curve" -> (Dedup.qa05BloomCurve _),
+    "s19_refined_recall" -> (Similarity.s19RefinedRecall _),
     "qa04_index_staleness" -> (Dedup.qa04IndexStaleness _),
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
     "t16_bpe_tokens" -> (Quality.t16BpeTokens _),

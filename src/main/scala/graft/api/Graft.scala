@@ -240,6 +240,11 @@ class Graft(val spark: SparkSession, dir: String) {
     * quantizer step run at corpus freeze (s18). */
   def kmeansRefine: DataFrame = Similarity.s18KmeansRefine(spark, dir)
 
+  /** Per-query recall@5 of seed-vs-refined quantizer IVF search at
+    * equal probes — the retrieval-metric check on whether s18's
+    * training paid (s19). */
+  def refinedRecall: DataFrame = Similarity.s19RefinedRecall(spark, dir)
+
   /** Cross-source 3-gram Jaccard overlap matrix — the provenance
     * diagnostic run before mixing corpora (d16). */
   def sourceOverlap: DataFrame = Dedup.d16SourceOverlap(spark, dir)

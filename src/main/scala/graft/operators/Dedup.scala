@@ -402,13 +402,17 @@ object Dedup {
 
   /** Filter build: 3 positions per corpus doc → ≤ m/60 (word, bits)
     * rows; the groupBy is map-side combinable down to the word
-    * count. */
+    * count. OpCache'd: the three per-hash probe joins would
+    * otherwise each rebuild it (the alias-renamed broadcast builds
+    * defeat Spark's ReuseExchange — plan-audited), turning one
+    * corpus-sized filter build into three; the filter IS the frozen
+    * artifact, built once per corpus freeze. */
   private[graft] def bloomWords(posedCorp: DataFrame): DataFrame = {
     import graft.functions.Fns.floorDiv
-    posedCorp
+    OpCache.cached(posedCorp
       .select(explode(array(col("p1"), col("p2"), col("p3"))).as("p"))
       .select(floorDiv(col("p"), 60L).as("word"), bloomMask(col("p")).as("m"))
-      .groupBy("word").agg(expr("bit_or(m)").as("bits"))
+      .groupBy("word").agg(expr("bit_or(m)").as("bits")))
   }
 
   /** Probe + verdict over positioned increment rows: three hint-free

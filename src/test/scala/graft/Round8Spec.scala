@@ -108,6 +108,18 @@ class Round8Spec extends SparkSpec {
     assert(wFinal > wInit + 1000.0, s"init=$wInit final=$wFinal")
   }
 
+  test("s19: quantizer training does not regress retrieval recall at equal probes") {
+    val rows = Similarity.s19RefinedRecall(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    val mean = rows.groupBy(_._1).map { case (m, rs) =>
+      m -> rs.map(_._2).sum / rs.length
+    }
+    // measured on the fixture: seed 0.464, refined 0.504 — pin the
+    // direction with slack for fixture regeneration
+    assert(mean("refined") >= mean("seed") - 0.02,
+      s"refined ${mean("refined")} vs seed ${mean("seed")}")
+  }
+
   test("s18 refinement is deterministic and replication-stable on a doubled corpus") {
     // appending an id-shifted copy of every vector must not change
     // the REFINED cell geometry story: same cells survive, occupancy
