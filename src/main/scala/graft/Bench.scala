@@ -23,7 +23,11 @@ object Bench {
     // round 8: the same composition's SEARCH phase over a prebuilt
     // index (build cache-materialized by the warm pass) — the hot
     // path a deployment actually repeats, as a stable r-over-r signal
-    "s13_search_phase")
+    "s13_search_phase",
+    // round 8b: the bloom ingest screen (the production screen path)
+    // and the quantizer training step (3 bounded-k assignment passes
+    // + 2 mean aggregates — the per-freeze build cost)
+    "d19_bloom_screen", "s18_kmeans_refine")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while

@@ -139,6 +139,7 @@ object SparkEntry {
     "s18_kmeans_refine" -> (Similarity.s18KmeansRefine _),
     "qa05_bloom_curve" -> (Dedup.qa05BloomCurve _),
     "s19_refined_recall" -> (Similarity.s19RefinedRecall _),
+    "p16_split_balance" -> (Pipeline.p16SplitBalance _),
     "qa04_index_staleness" -> (Dedup.qa04IndexStaleness _),
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
     "t16_bpe_tokens" -> (Quality.t16BpeTokens _),

@@ -235,6 +235,10 @@ class Graft(val spark: SparkSession, dir: String) {
     * the would-have-straddled audit flag per document (p15). */
   def clusterSplit: DataFrame = Pipeline.p15ClusterSplit(spark, dir)
 
+  /** Per-(source, split) share drift of the cluster-keyed split vs
+    * the naive rule — the balance audit gating p15 (p16). */
+  def splitBalance: DataFrame = Pipeline.p16SplitBalance(spark, dir)
+
   /** Two Lloyd rounds refining the bounded-k coarse quantizer, with
     * per-cell occupancy + member-fit before/after — the train-the-
     * quantizer step run at corpus freeze (s18). */

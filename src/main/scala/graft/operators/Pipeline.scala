@@ -562,7 +562,70 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** p16: SPLIT-BALANCE audit — what p15's leakage-safety costs in
+    * share drift. The cluster-keyed rule moves whole clusters
+    * between splits, so per-source train/val/test shares drift off
+    * the doc-keyed rule's (and off the 80/10/10 design point) by an
+    * amount that grows with cluster mass; a release pipeline gates
+    * on this report before accepting the safe split (large drift =
+    * a mega-cluster landed in val/test — worth a look, not an
+    * automatic pass). Per (source, split): doc count and share under
+    * the cluster rule, under the naive rule, and the drift between
+    * them; shares divide exact counts (identical operands both
+    * engines). Output ≤ sources × 3 rows; cost = p15 + three
+    * bounded groupBys + two k-row joins, no window. */
+  def p16SplitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val j = docs.join(
+      p15ClusterSplit(spark, dir).select("doc_id", "split", "naive_split"),
+      "doc_id")
+    val tot = j.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val cur = j.groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+    val nai = j.select(col("source"), col("naive_split").as("split"))
+      .groupBy("source", "split").agg(count(lit(1)).as("n_naive"))
+    cur.join(nai, Seq("source", "split"), "full_outer")
+      .join(tot, "source")
+      .select(col("source"), col("split"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_naive"), lit(0L)).as("n_naive"),
+        (coalesce(col("n_docs"), lit(0L)).cast("double") / col("n_src"))
+          .as("share"),
+        (coalesce(col("n_naive"), lit(0L)).cast("double") / col("n_src"))
+          .as("naive_share"))
+      .withColumn("drift", col("share") - col("naive_share"))
+      .orderBy("source", "split")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p16_split_balance" ->
+      ("WITH RECURSIVE " + Dedup.shCte + ",\n" + Dedup.sigCte + ",\n" +
+        Dedup.candCte + ",\n" + Dedup.clusterCte + """,
+        |ac AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+        |       FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ((cluster_id * 2654435761) % 4294967296) % 10 = 0 THEN 'test'
+        |       WHEN ((cluster_id * 2654435761) % 4294967296) % 10 = 1 THEN 'val'
+        |       ELSE 'train' END AS split,
+        |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 0 THEN 'test'
+        |       WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 1 THEN 'val'
+        |       ELSE 'train' END AS naive_split
+        |  FROM ac),
+        |jj AS (SELECT d.source, sp.split, sp.naive_split
+        |       FROM sp JOIN documents d USING (doc_id)),
+        |tot16 AS (SELECT source, COUNT(*) AS n_src FROM jj GROUP BY source),
+        |cur16 AS (SELECT source, split, COUNT(*) AS n_docs FROM jj GROUP BY 1, 2),
+        |nai16 AS (SELECT source, naive_split AS split, COUNT(*) AS n_naive FROM jj GROUP BY 1, 2)
+        |SELECT source, split,
+        |  COALESCE(n_docs, 0) AS n_docs,
+        |  COALESCE(n_naive, 0) AS n_naive,
+        |  CAST(COALESCE(n_docs, 0) AS DOUBLE) / t.n_src AS share,
+        |  CAST(COALESCE(n_naive, 0) AS DOUBLE) / t.n_src AS naive_share,
+        |  CAST(COALESCE(n_docs, 0) AS DOUBLE) / t.n_src
+        |    - CAST(COALESCE(n_naive, 0) AS DOUBLE) / t.n_src AS drift
+        |FROM cur16 c FULL OUTER JOIN nai16 USING (source, split)
+        |JOIN tot16 t USING (source)
+        |ORDER BY source, split""".stripMargin),
+
     "p15_cluster_split" ->
       ("WITH RECURSIVE " + Dedup.shCte + ",\n" + Dedup.sigCte + ",\n" +
         Dedup.candCte + ",\n" + Dedup.clusterCte + """,

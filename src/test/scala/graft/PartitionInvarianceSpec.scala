@@ -41,7 +41,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // aggregate, full-outer cell-aggregate join with
                    // floored micro-cos sums, per-byte array folds
                    "s15_filtered_ivfpq", "s16_ivfpq_recall",
-                   "qa04_index_staleness", "mm05_audio_stats")) {
+                   "qa04_index_staleness", "mm05_audio_stats",
+                   // round 8b: the bit_or filter fold + hits-only
+                   // union, truncated-mean Lloyd rounds, dual-arm
+                   // ranked search, cluster-keyed split flags
+                   "d19_bloom_screen", "s18_kmeans_refine",
+                   "s19_refined_recall", "p15_cluster_split")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))

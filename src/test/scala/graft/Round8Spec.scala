@@ -90,6 +90,23 @@ class Round8Spec extends SparkSpec {
     assert(out.exists(_._5), "fixture has no straddled cluster — leak test vacuous")
   }
 
+  test("p16 split balance: shares sum to one and drift nets out per source") {
+    val rows = Pipeline.p16SplitBalance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-9, s"$src shares")
+      assert(math.abs(rs.map(_._6).sum - 1.0) < 1e-9, s"$src naive shares")
+      // both rules assign every doc of the source exactly once, so
+      // the drift is a pure reshuffle — it nets to zero
+      assert(rs.map(_._3).sum === rs.map(_._4).sum, s"$src mass")
+      assert(math.abs(rs.map(_._7).sum) < 1e-9, s"$src drift")
+    }
+    // the fixture has straddled clusters (pinned above), so SOME
+    // cell must have moved mass
+    assert(rows.exists(r => r._3 != r._4), "drift vacuous on fixture")
+  }
+
   // ---------------------------------------------------------- s18
 
   test("s18 k-means refinement: fit improves, mass conserved, k bounded") {
