@@ -140,6 +140,7 @@ object SparkEntry {
     "qa05_bloom_curve" -> (Dedup.qa05BloomCurve _),
     "s19_refined_recall" -> (Similarity.s19RefinedRecall _),
     "p16_split_balance" -> (Pipeline.p16SplitBalance _),
+    "qa06_cms_accuracy" -> (Quality.qa06CmsAccuracy _),
     "qa04_index_staleness" -> (Dedup.qa04IndexStaleness _),
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
     "t16_bpe_tokens" -> (Quality.t16BpeTokens _),

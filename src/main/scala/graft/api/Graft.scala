@@ -313,6 +313,16 @@ class Graft(val spark: SparkSession, dir: String) {
     graft.streaming.BloomStream.frozenFilter(
       documents.toDF().select("doc_id", "text"), bitsPerElem)
 
+  /** Count-Min sketch accuracy report: exact top-20 token counts vs
+    * the 4×1024 relational sketch's estimates (qa06). */
+  def cmsAccuracy: DataFrame = Quality.qa06CmsAccuracy(spark, dir)
+
+  /** Running Count-Min counters over a (text) document stream —
+    * Complete-mode agg, state bounded at the sketch geometry
+    * ([[graft.streaming.QualityStream.cmsCounters]]). */
+  def streamingCmsCounters(docStream: DataFrame): DataFrame =
+    graft.streaming.QualityStream.cmsCounters(docStream)
+
   /** Stateless streaming bloom screen over a (doc_id, text) stream —
     * d19's shared probe/verdict algebra against the frozen filter,
     * no state or watermark ([[graft.streaming.BloomStream]]). */

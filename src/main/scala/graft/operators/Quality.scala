@@ -355,7 +355,112 @@ object Quality {
       s"regexp_replace($acc, '$pat', '$rep', 'g')"
     }
 
+  /** qa06's sketch geometry: depth 4 × width 1024 counters, hash
+    * family from the engine's LCG seeds (offsets 11..14 so the
+    * constants are disjoint from minhash/simhash/bloom). Counter
+    * table size is d×w REGARDLESS of corpus size — the property
+    * that makes the sketch broadcastable at any scale. */
+  private[operators] val CmsP = 2147483647L
+  private[operators] val CmsWidth = 1024L
+  private[operators] val CmsHashes: Seq[(Long, Long)] =
+    (11 to 14).map(i =>
+      ((1103515245L * i + 12345L) % CmsP, (69069L * i + 1234567L) % CmsP))
+
+  /** qa06: COUNT-MIN SKETCH accuracy — the mergeable frequency
+    * sketch as pure relational algebra, graded against exact counts.
+    * qa01's HLL/quantile sketches are rows-only (engine internals
+    * have no cross-engine oracle); a CMS built from integer hashing
+    * + a (row, col) counter groupBy is bit-exact on both engines, so
+    * THIS sketch goes through the full oracle gate. Per exact-top-20
+    * token: exact count, the sketch estimate (min over the 4 counter
+    * rows), and the overestimate — which is PROVABLY ≥ 0 (CMS never
+    * undercounts; spec-pinned), so the column reads as the collision
+    * bias the 4×1024 geometry costs on this corpus.
+    *
+    * Why a 100 TB pipeline wants it: exact heavy-hitter counting
+    * shuffles the full term universe; the CMS counter table is
+    * d×w = 4096 rows AT ANY CORPUS SIZE, built by one map-side-
+    * combinable groupBy over the token stream and mergeable across
+    * shards/days by cell-wise addition. The estimate join touches
+    * only the candidate terms. Evaluation shape here (exact side
+    * exists to grade the sketch); production keeps the counter
+    * build + probe only. */
+  def qa06CmsAccuracy(spark: SparkSession, dir: String): DataFrame =
+    qa06From(Tables.documents(spark, dir))
+
+  /** qa06's core over any (text) frame. The fixture vocabulary (31
+    * distinct tokens over 4096 cells) makes the bias identically 0 —
+    * correct but vacuous — so CmsSpec drives this with a 5000-term
+    * synthetic corpus where collisions are forced and pins BOTH CMS
+    * properties: never undercounts, and the collision bias is real. */
+  private def cmsXm(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(term), 1, 15), 16, 10).cast("long") % CmsP
+
+  /** The per-token-instance (j, c) cell projection — literally
+    * shared with the streaming counters
+    * ([[graft.streaming.QualityStream.cmsCounters]]) so the stream
+    * cannot drift from the oracle-gated batch sketch. */
+  private[graft] def cmsCells(toks: DataFrame): DataFrame = {
+    def cmsCol(x: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
+      val (a, b) = CmsHashes(i)
+      (lit(a) * x + lit(b)) % CmsP % CmsWidth
+    }
+    toks.select(explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), cmsCol(cmsXm(col("term")), j).as("c"))): _*)).as("jc"))
+      .select(col("jc.j").as("j"), col("jc.c").as("c"))
+  }
+
+  /** The full d×w counter table over a (text) frame — batch twin of
+    * the streaming running counters. */
+  private[graft] def cmsCountersOf(documents: DataFrame): DataFrame =
+    cmsCells(documents.select(explode(tokens(col("text"))).as("term")))
+      .groupBy("j", "c").agg(count(lit(1)).as("n"))
+
+  private[graft] def qa06From(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(explode(tokens(col("text"))).as("term"))
+    val counters = cmsCountersOf(documents)
+    val exact20 = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term")).limit(20)
+    val probes = exact20
+      .select(col("term"), col("exact_n"),
+        explode(array((0 until 4).map { j =>
+          val (a, b) = CmsHashes(j)
+          struct(lit(j).as("j"),
+            ((lit(a) * cmsXm(col("term")) + lit(b)) % CmsP % CmsWidth).as("c"))
+        }: _*)).as("jc"))
+      .select(col("term"), col("exact_n"), col("jc.j").as("j"), col("jc.c").as("c"))
+    probes.join(counters, Seq("j", "c"))
+      .groupBy("term", "exact_n").agg(min(col("n")).as("cms_est"))
+      .select(col("term"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overestimate"))
+      .orderBy(col("exact_n").desc, col("term"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "qa06_cms_accuracy" -> {
+      val xmSql = s"('0x' || substr(md5(term), 1, 15))::BIGINT % $CmsP"
+      val ctrBranches = CmsHashes.zipWithIndex.map { case ((a, b), j) =>
+        s"SELECT $j AS j, (($a * xm + $b) % $CmsP) % $CmsWidth AS c FROM tx"
+      }.mkString("\n   UNION ALL ")
+      val prBranches = CmsHashes.zipWithIndex.map { case ((a, b), j) =>
+        s"SELECT term, exact_n, $j AS j, (($a * ($xmSql) + $b) % $CmsP) % $CmsWidth AS c FROM ex"
+      }.mkString("\n   UNION ALL ")
+      raw"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         |tx AS (SELECT term, $xmSql AS xm FROM tk),
+         |ctr AS (SELECT j, c, COUNT(*) AS n FROM (
+         |   $ctrBranches) t GROUP BY j, c),
+         |ex AS (SELECT term, COUNT(*) AS exact_n FROM tk GROUP BY term
+         |       ORDER BY exact_n DESC, term LIMIT 20),
+         |pr AS (
+         |   $prBranches)
+         |SELECT p.term, p.exact_n, MIN(ctr.n) AS cms_est,
+         |  MIN(ctr.n) - p.exact_n AS overestimate
+         |FROM pr p JOIN ctr USING (j, c)
+         |GROUP BY p.term, p.exact_n
+         |ORDER BY exact_n DESC, term""".stripMargin
+    },
+
     "t16_bpe_tokens" ->
       raw"""SELECT doc_id,
          |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,

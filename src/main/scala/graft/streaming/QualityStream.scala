@@ -24,6 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object QualityStream {
 
+  /** Running COUNT-MIN counters over an arriving (text) document
+    * stream — the streaming twin of qa06's sketch build: one
+    * Complete-mode groupBy whose state is PROVABLY bounded at
+    * d×w = 4096 (j, c) rows by the sketch geometry, no watermark or
+    * TTL needed (the stream_staleness class of safe unbounded-stream
+    * aggregations). The cell projection is LITERALLY shared with the
+    * oracle-gated batch sketch ([[graft.operators.Quality.cmsCells]]);
+    * QualityStreamSpec pins two-checkpoint replay totals equal to
+    * the batch counter table cell-for-cell. A deployment snapshots
+    * the 4096-row table per trigger and merges snapshots across
+    * streams/days by cell-wise addition — the mergeability that
+    * makes the sketch the heavy-hitter tool at corpus scale. */
+  def cmsCounters(docStream: DataFrame): DataFrame =
+    graft.operators.Quality.cmsCells(
+      docStream.select(
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term")))
+      .groupBy("j", "c").agg(count(lit(1)).as("n"))
+
   /** Per-document verdicts over any (doc_id, text) frame — batch or
     * streaming (the plan is stateless either way). */
   def qualityVerdicts(docs: DataFrame): DataFrame = {

@@ -22,6 +22,41 @@ class QualityStreamSpec extends SparkSpec {
     assert(got.sameElements(want), "per-row gate diverges from batch t14")
   }
 
+  test("streaming CMS counters: two-checkpoint replay equals the batch counter table") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = Files.createTempDirectory("cmsin").toFile
+    val ckpt = Files.createTempDirectory("cmsckpt").toString
+    val schema = docs.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = QualityStream.cmsCounters(stream)
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName("cms_counters")
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk1").toString)
+    runOnce()
+    docs.filter($"doc_id" % 2 =!= 0).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk2").toString)
+    runOnce()
+    val streamed = spark.table("cms_counters")
+      .as[(Int, Long, Long)].collect()
+      .map { case (j, c, n) => (j, c) -> n }.toMap
+    val batch = graft.operators.Quality.cmsCountersOf(docs)
+      .as[(Int, Long, Long)].collect()
+      .map { case (j, c, n) => (j, c) -> n }.toMap
+    assert(batch.nonEmpty)
+    assert(streamed === batch, "streamed CMS counters != batch sketch")
+    // the bounded-state claim: exactly the cells the geometry allows
+    assert(streamed.size <= 4 * 1024)
+  }
+
   test("the gate runs STATELESS over a stream and matches the batch rows") {
     val dir = Files.createTempDirectory("qgate").toString
     Tables.documents(spark, sf).select("doc_id", "text")

@@ -66,6 +66,27 @@ class Round8Spec extends SparkSpec {
     assert(rows.last._4 < rows.head._4)
   }
 
+  test("qa06 CMS: never undercounts, and collision bias appears under a wide vocabulary") {
+    // fixture run: 31-token vocab over 4096 cells — bias must be 0
+    val fix = graft.operators.Quality.qa06CmsAccuracy(spark, sf).collect()
+    assert(fix.length === 20)
+    fix.foreach(r => assert(r.getLong(3) === 0L))
+    // forced-collision run: 5000 distinct terms over 1024 columns —
+    // the estimate must STILL never undercount (the CMS guarantee)
+    // and some top term must show positive bias (the sketch is
+    // actually approximating, not accidentally exact)
+    val wide = (1 to 5000).map(i => s"tok$i " * (if (i <= 20) 50 else 1))
+      .toDF("text")
+    val rows = graft.operators.Quality.qa06From(wide).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 20)
+    rows.foreach { case (t, exact, est, over) =>
+      assert(est >= exact, s"$t undercounted: $est < $exact")
+      assert(over === est - exact)
+    }
+    assert(rows.exists(_._4 > 0), "no collision bias at 5000 terms / 1024 cols")
+  }
+
   // ---------------------------------------------------------- p15
 
   test("p15 cluster split: constant per cluster, q20 tie-back for singletons, straddle flag honest") {
