@@ -218,6 +218,106 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("d19 bloom screen equals the local bit-for-bit simulation on random docs") {
+    import graft.operators.Dedup
+    // random corpus with planted duplicates — fixed seed, exercises
+    // dup/screened/FP paths beyond the fixture's dup-free increments
+    val texts = (0 until 300).map(i => (i.toLong, s"doc ${rnd.nextInt(100000)} ${rnd.nextInt(100000)}"))
+    val dups = Seq((308L, texts(3)._2), (319L, texts(41)._2), (328L, texts(77)._2))
+    val all = texts ++ dups
+    val got = Dedup.d19From(all.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3))).toMap
+
+    // local simulation: identical constants, identical arithmetic
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val P = Dedup.BloomP
+    def xm(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16) % P
+    val corpus = all.filter(_._1 % 10 < 8)
+    val inc = all.filter(_._1 % 10 >= 8)
+    val mbits = ((corpus.size.toLong * 10L) / 60L + 1L) * 60L
+    def positions(s: String): Seq[Long] =
+      Dedup.BloomHashes.map { case (a, b) => ((a * xm(s) + b) % P) % mbits }
+    val bits = scala.collection.mutable.Set[Long]()
+    corpus.foreach { case (_, t) => positions(t).foreach(bits += _) }
+    val corpHash = corpus.groupBy(t => md5hex(t._2))
+      .map { case (h, ds) => h -> ds.map(_._1).min }
+    inc.foreach { case (id, t) =>
+      val hit = positions(t).forall(bits.contains)
+      val exact = if (hit) corpHash.get(md5hex(t)) else None
+      val outcome =
+        if (!hit) "screened" else if (exact.isDefined) "dup" else "false_positive"
+      assert(got(id) === ((hit, exact, outcome)), s"doc $id")
+    }
+    // the planted dups must have come through as dups (no FN ever)
+    assert(got(308L)._3 === "dup" && got(319L)._3 === "dup" && got(328L)._3 === "dup")
+  }
+
+  test("s18 k-means refinement equals the local integer-exact simulation") {
+    import graft.operators.Similarity
+    // random vectors, fixed seed; ids sparse so the stride rule is
+    // exercised with gaps (k < 64 seeds survive)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong * 7L, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val got = Similarity.s18From(vecs.toDF("vec_id", "embedding")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+
+    // local: quantize, stride seeds, 2 Lloyd rounds with truncated
+    // integer means — the same IEEE ops in the same order
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 10000)) }
+    def nrm(a: Array[Long]): Long = a.map(x => x * x).sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(nrm(a).toDouble) * math.sqrt(nrm(b).toDouble))
+    val stride = q.map(_._1).max / 64L + 1L
+    var cents: Seq[(Long, Array[Long])] =
+      q.filter(_._1 % stride == 0).map { case (id, v) => (id, v) }
+    def assignAll(cs: Seq[(Long, Array[Long])]): Map[Long, (Long, Double)] =
+      q.map { case (id, v) =>
+        val best = cs.map { case (cid, cv) => (cid, cos(v, cv)) }
+          .minBy { case (cid, c) => (-c, cid) }
+        id -> (best._1, best._2)
+      }.toMap
+    def update(assign: Map[Long, (Long, Double)]): Seq[(Long, Array[Long])] =
+      assign.groupBy(_._2._1).toSeq.map { case (cell, members) =>
+        val vs = members.keys.toSeq.map(id => q.find(_._1 == id).get._2)
+        val n = vs.size.toLong
+        val mean = (0 until 64).map { d =>
+          val s = vs.map(_(d)).sum
+          (s - s % n) / n // truncation, the cross-engine rule
+        }.toArray
+        (cell, mean)
+      }.filter(c => nrm(c._2) > 0).sortBy(_._1)
+    val a0 = assignAll(cents)
+    cents = update(a0)
+    cents = update(assignAll(cents))
+    val a2 = assignAll(cents)
+    def agg(a: Map[Long, (Long, Double)]): Map[Long, (Long, Long)] =
+      a.values.groupBy(_._1).map { case (cell, xs) =>
+        cell -> (xs.size.toLong,
+          xs.map(x => math.floor(x._2 * 1000000.0).toLong).sum)
+      }
+    val i0 = agg(a0); val i2 = agg(a2)
+    val cells = (i0.keySet ++ i2.keySet).toSeq.sorted
+    assert(got.keySet === cells.toSet)
+    cells.foreach { cell =>
+      val (n0, s0) = i0.getOrElse(cell, (0L, 0L))
+      val (n2, s2) = i2.getOrElse(cell, (0L, 0L))
+      val (gn0, gn2, gm0, gm2) = got(cell)
+      assert(gn0 === n0 && gn2 === n2, s"cell $cell occupancy")
+      if (n0 > 0) assert(gm0.get === s0.toDouble / n0, s"cell $cell init mean")
+      else assert(gm0.isEmpty)
+      if (n2 > 0) assert(gm2.get === s2.toDouble / n2, s"cell $cell final mean")
+      else assert(gm2.isEmpty)
+    }
+  }
+
   test("asofJoin equals the naive per-row reference on random data") {
     val users = (1 to 8).map(u => s"u$u")
     val left = (1 to 150).map { i =>
