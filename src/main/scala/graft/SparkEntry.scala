@@ -141,6 +141,7 @@ object SparkEntry {
     "s19_refined_recall" -> (Similarity.s19RefinedRecall _),
     "p16_split_balance" -> (Pipeline.p16SplitBalance _),
     "qa06_cms_accuracy" -> (Quality.qa06CmsAccuracy _),
+    "mm06_scene_index" -> (Multimodal.mm06SceneIndex _),
     "qa04_index_staleness" -> (Dedup.qa04IndexStaleness _),
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
     "t16_bpe_tokens" -> (Quality.t16BpeTokens _),

@@ -313,6 +313,10 @@ class Graft(val spark: SparkSession, dir: String) {
     graft.streaming.BloomStream.frozenFilter(
       documents.toDF().select("doc_id", "text"), bitsPerElem)
 
+  /** Per-item scene segmentation over the frame index — scene/
+    * static-frame counts and longest run (mm06). */
+  def sceneIndex: DataFrame = Multimodal.mm06SceneIndex(spark, dir)
+
   /** Count-Min sketch accuracy report: exact top-20 token counts vs
     * the 4×1024 relational sketch's estimates (qa06). */
   def cmsAccuracy: DataFrame = Quality.qa06CmsAccuracy(spark, dir)

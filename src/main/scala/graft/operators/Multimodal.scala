@@ -104,6 +104,47 @@ object Multimodal {
         length(col("frame_text")).cast("long").as("frame_len"))
       .orderBy("doc_id", "frame_no")
 
+  /** mm06: SCENE segmentation over the frame index — the
+    * shot-boundary structure a video pipeline derives before it
+    * frame-samples (sampling one frame per SCENE beats sampling
+    * every Nth frame of a static shot): per media item, the number
+    * of scenes (maximal runs of identical consecutive frame
+    * payloads), static-frame count (frames equal to their
+    * predecessor — the redundancy a scene-aware sampler skips) and
+    * the longest static run. Same content-hash proxy for visual
+    * identity as mm04; a real pipeline swaps the equality for a
+    * perceptual-distance threshold at the same seam.
+    *
+    * Plan shape: one lag window + one running-sum window, BOTH
+    * partitioned by doc_id (frames of one item — bounded by item
+    * length, never corpus-wide), then two hash aggregates. Frames
+    * stay on their parent's partition end-to-end (mm03's narrow
+    * explode), so the whole derivation is one shuffle on doc_id. */
+  def mm06SceneIndex(spark: SparkSession, dir: String): DataFrame =
+    mm06From(mm03FrameIndex(spark, dir))
+
+  /** mm06's core over any (doc_id, frame_no, frame_md5) frame —
+    * MultimodalSpec drives it with constructed static/alternating
+    * payloads where the fixture's frames are all-distinct. */
+  private[graft] def mm06From(frames: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_no")
+    val flagged = frames
+      .withColumn("prev", lag(col("frame_md5"), 1).over(w))
+      .withColumn("boundary",
+        (col("prev").isNull || col("prev") =!= col("frame_md5")).cast("long"))
+      .withColumn("scene_no", sum(col("boundary")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val scenes = flagged.groupBy("doc_id", "scene_no")
+      .agg(count(lit(1)).as("scene_len"))
+    scenes.groupBy("doc_id")
+      .agg(sum(col("scene_len")).as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        (sum(col("scene_len")) - count(lit(1))).as("n_static"),
+        max(col("scene_len")).as("longest_scene"))
+      .orderBy("doc_id")
+  }
+
   /** `substring` with a Column start (the functions.substring overload
     * takes only literal ints). */
   private def substring_col(str: org.apache.spark.sql.Column,
@@ -317,6 +358,30 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "mm06_scene_index" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, CAST(ceil(n_chars / 32.0) AS BIGINT))) AS frame_no
+        |  FROM documents),
+        |fr AS (SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |    md5(substr(text, CAST((frame_no - 1) * 32 + 1 AS INT), 32)) AS frame_md5
+        |  FROM f),
+        |fl AS (SELECT doc_id, frame_no, frame_md5,
+        |    CASE WHEN lag(frame_md5) OVER (PARTITION BY doc_id ORDER BY frame_no)
+        |              IS DISTINCT FROM frame_md5 THEN 1 ELSE 0 END AS boundary
+        |  FROM fr),
+        |sn AS (SELECT doc_id, frame_no,
+        |    SUM(boundary) OVER (PARTITION BY doc_id ORDER BY frame_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_no
+        |  FROM fl),
+        |sc AS (SELECT doc_id, scene_no, COUNT(*) AS scene_len
+        |       FROM sn GROUP BY doc_id, scene_no)
+        |SELECT doc_id,
+        |  CAST(SUM(scene_len) AS BIGINT) AS n_frames,
+        |  COUNT(*) AS n_scenes,
+        |  CAST(SUM(scene_len) - COUNT(*) AS BIGINT) AS n_static,
+        |  CAST(MAX(scene_len) AS BIGINT) AS longest_scene
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "mm05_audio_stats" ->
       """WITH a AS (SELECT source,
         |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_samples,

@@ -128,6 +128,27 @@ class Round8Spec extends SparkSpec {
     assert(rows.exists(r => r._3 != r._4), "drift vacuous on fixture")
   }
 
+  test("mm06 scene index: constructed static/alternating shots segment correctly") {
+    import graft.operators.Multimodal
+    // frames as (doc_id, frame_no, frame_md5) directly: doc 1 = one
+    // static shot, doc 2 = alternating A/B, doc 3 = AAB BBA runs
+    val frames = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "A"), (1L, 4L, "A"),
+      (2L, 1L, "A"), (2L, 2L, "B"), (2L, 3L, "A"), (2L, 4L, "B"),
+      (3L, 1L, "A"), (3L, 2L, "A"), (3L, 3L, "B"),
+      (3L, 4L, "B"), (3L, 5L, "B"), (3L, 6L, "A")
+    ).toDF("doc_id", "frame_no", "frame_md5")
+    val got = Multimodal.mm06From(frames).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(1L) === ((4L, 1L, 3L, 4L))) // one 4-frame static shot
+    assert(got(2L) === ((4L, 4L, 0L, 1L))) // every frame a boundary
+    assert(got(3L) === ((6L, 3L, 3L, 3L))) // AA | BBB | A
+    // fixture docs are all-distinct frames: n_scenes == n_frames
+    val fix = Multimodal.mm06SceneIndex(spark, sf).collect()
+    fix.foreach(r => assert(r.getLong(1) === r.getLong(2) && r.getLong(3) === 0L))
+  }
+
   // ---------------------------------------------------------- s18
 
   test("s18 k-means refinement: fit improves, mass conserved, k bounded") {
