@@ -140,11 +140,15 @@ object SparkEntry {
     "qa05_bloom_curve" -> (Dedup.qa05BloomCurve _),
     "s19_refined_recall" -> (Similarity.s19RefinedRecall _),
     "p16_split_balance" -> (Pipeline.p16SplitBalance _),
+    "p17_epoch_plan" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p17EpochPlan(s, d)),
     "qa06_cms_accuracy" -> (Quality.qa06CmsAccuracy _),
+    "qa07_hll_distinct" -> (Quality.qa07HllDistinct _),
     "mm06_scene_index" -> (Multimodal.mm06SceneIndex _),
+    "mm07_scene_sample" -> (Multimodal.mm07SceneSample _),
     "qa04_index_staleness" -> (Dedup.qa04IndexStaleness _),
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
     "t16_bpe_tokens" -> (Quality.t16BpeTokens _),
+    "t17_token_gini" -> (Quality.t17TokenGini _),
     "p12_temperature_mix" -> (Pipeline.p12TemperatureMix _),
     "p14_bpe_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p14BpePack(s, d)),
     "p13_rank_balance" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p13RankBalance(s, d)),

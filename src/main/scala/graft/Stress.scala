@@ -211,6 +211,29 @@ object Stress {
     val nLm = time("single-lang lm buckets")(
       graft.operators.Quality.lmBucketsFrom(lmIn).count())
 
+    // HLL distinct sketch (qa07) under replication: replicas are
+    // EXACT duplicates, so the distinct set — and with it every
+    // register, the scaled harmonic sum and the estimate — must be
+    // BIT-IDENTICAL across multipliers while the build scans mult×
+    // the token mass. That is the sketch's value proposition
+    // (cardinality state that does not grow with the corpus) read
+    // back as a replication invariant; wall should track the token
+    // mass (one map-side-combinable groupBy)
+    val hllIn = docs.withColumn("source",
+      ((col("doc_id") % 10000000L) % 5).cast("string"))
+    val hllRow = time("hll sketch (qa07)")(
+      graft.operators.Quality.qa07From(hllIn).head())
+    val hllExact = hllRow.getAs[Long]("exact_distinct")
+    val hllSum = hllRow.getAs[Long]("sum_scaled")
+
+    // scene-aware sampling (mm07) over the replicated frame index:
+    // both windows are partitioned by doc_id (bounded by item
+    // length), so wall tracks the frame mass and the manifest grows
+    // exactly mult× (replicas contribute identical scene structure)
+    val nScene = time("scene sample (mm07)")(
+      graft.operators.Multimodal.mm07From(graft.operators.Multimodal.mm03From(
+        docs.withColumn("n_chars", length(col("text"))))).count())
+
     // event-table window ops under user-space replication: user_id
     // shifts keep partitions independent, so the SCD2 windows and the
     // retention groupBys should scale linearly with the corpus (the
@@ -237,7 +260,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"lm_rows":$nLm,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

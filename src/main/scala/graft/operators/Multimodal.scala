@@ -64,7 +64,7 @@ object Multimodal {
     * keeper argmin is a map-side min(struct), no window); the ≥2
     * filter keeps output to the duplicated subset. */
   def mm04FrameDedup(spark: SparkSession, dir: String): DataFrame =
-    mm03FrameIndex(spark, dir)
+    mm03From(Tables.documents(spark, dir))
       .groupBy("frame_md5")
       .agg(
         count(lit(1)).as("n_occurrences"),
@@ -90,7 +90,17 @@ object Multimodal {
     * downstream per-frame stages (decode, embed, dedup by frame_md5)
     * start from here without reshuffling the bytes. */
   def mm03FrameIndex(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    mm03From(Tables.documents(spark, dir)).orderBy("doc_id", "frame_no")
+
+  /** mm03's core over any (doc_id, text, n_chars) frame — UNSORTED:
+    * the gate's total order lives only on the mm03 query itself, so
+    * compositions (mm04's groupBy, mm06/mm07's windows, Stress
+    * replays) don't inherit a useless rangepartitioning Exchange +
+    * Sort ahead of their own hash exchange (plan-audited: the
+    * trailing orderBy previously leaked one extra shuffle into every
+    * consumer). */
+  private[graft] def mm03From(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         ceil(col("n_chars") / lit(32.0)).cast("long").as("n_frames"))
       .filter(col("n_frames") >= 1) // Spark sequence(1,0) would DESCEND
@@ -102,7 +112,6 @@ object Multimodal {
       .select(col("doc_id"), col("frame_no"), col("byte_off"),
         md5(col("frame_text")).as("frame_md5"),
         length(col("frame_text")).cast("long").as("frame_len"))
-      .orderBy("doc_id", "frame_no")
 
   /** mm06: SCENE segmentation over the frame index — the
     * shot-boundary structure a video pipeline derives before it
@@ -121,21 +130,29 @@ object Multimodal {
     * stay on their parent's partition end-to-end (mm03's narrow
     * explode), so the whole derivation is one shuffle on doc_id. */
   def mm06SceneIndex(spark: SparkSession, dir: String): DataFrame =
-    mm06From(mm03FrameIndex(spark, dir))
+    mm06From(mm03From(Tables.documents(spark, dir)))
 
-  /** mm06's core over any (doc_id, frame_no, frame_md5) frame —
-    * MultimodalSpec drives it with constructed static/alternating
-    * payloads where the fixture's frames are all-distinct. */
-  private[graft] def mm06From(frames: DataFrame): DataFrame = {
+  /** The scene labelling shared by mm06 and mm07 — lag boundary +
+    * running boundary sum, both partitioned by doc_id (bounded by
+    * item length, never corpus-wide). One algebra, two consumers:
+    * the per-item report (mm06) and the sample manifest (mm07)
+    * cannot disagree on where a scene starts. */
+  private def sceneFlagged(frames: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_no")
-    val flagged = frames
+    frames
       .withColumn("prev", lag(col("frame_md5"), 1).over(w))
       .withColumn("boundary",
         (col("prev").isNull || col("prev") =!= col("frame_md5")).cast("long"))
       .withColumn("scene_no", sum(col("boundary")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val scenes = flagged.groupBy("doc_id", "scene_no")
+  }
+
+  /** mm06's core over any (doc_id, frame_no, frame_md5) frame —
+    * MultimodalSpec drives it with constructed static/alternating
+    * payloads where the fixture's frames are all-distinct. */
+  private[graft] def mm06From(frames: DataFrame): DataFrame = {
+    val scenes = sceneFlagged(frames).groupBy("doc_id", "scene_no")
       .agg(count(lit(1)).as("scene_len"))
     scenes.groupBy("doc_id")
       .agg(sum(col("scene_len")).as("n_frames"),
@@ -143,6 +160,41 @@ object Multimodal {
         (sum(col("scene_len")) - count(lit(1))).as("n_static"),
         max(col("scene_len")).as("longest_scene"))
       .orderBy("doc_id")
+  }
+
+  /** mm07: SCENE-AWARE frame sampling — the manifest mm06's report
+    * motivates: keep the FIRST frame of every scene (the scene
+    * representative) and skip the static remainder, so a decode/
+    * embed stage fetches n_scenes frames instead of n_frames. Each
+    * kept row carries its fetch coordinates (frame_no, byte_off,
+    * frame_md5), the run it represents (scene_len) and the frames it
+    * saves (scene_len − 1). Coverage is EXACT by construction —
+    * every distinct payload in an item heads at least one of its
+    * scenes, so the sampled set covers the item's full distinct
+    * payload set (spec-pinned) — the property naive every-Nth
+    * sampling lacks (a static doc yields n/N identical fetches while
+    * a fast-cut doc gets scenes skipped).
+    *
+    * Plan shape: the shared sceneFlagged windows plus one more
+    * window count over (doc_id, scene_no) — hash partitioning on
+    * doc_id already clusters (doc_id, scene_no), so Catalyst adds a
+    * sort but NO new exchange: one shuffle end-to-end from mm03's
+    * narrow explode, same as mm06. */
+  def mm07SceneSample(spark: SparkSession, dir: String): DataFrame =
+    mm07From(mm03From(Tables.documents(spark, dir)))
+
+  /** mm07's core over any (doc_id, frame_no, byte_off, frame_md5)
+    * frame index. */
+  private[graft] def mm07From(frames: DataFrame): DataFrame = {
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "scene_no")
+    sceneFlagged(frames)
+      .withColumn("scene_len", count(lit(1)).over(wl))
+      .filter(col("boundary") === 1)
+      .select(col("doc_id"), col("scene_no"), col("frame_no"),
+        col("byte_off"), col("frame_md5"), col("scene_len"),
+        (col("scene_len") - 1).as("saved_frames"))
+      .orderBy("doc_id", "scene_no")
   }
 
   /** `substring` with a Column start (the functions.substring overload
@@ -358,6 +410,29 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "mm07_scene_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, CAST(ceil(n_chars / 32.0) AS BIGINT))) AS frame_no
+        |  FROM documents),
+        |fr AS (SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |    CAST((frame_no - 1) * 32 AS BIGINT) AS byte_off,
+        |    md5(substr(text, CAST((frame_no - 1) * 32 + 1 AS INT), 32)) AS frame_md5
+        |  FROM f),
+        |fl AS (SELECT doc_id, frame_no, byte_off, frame_md5,
+        |    CASE WHEN lag(frame_md5) OVER (PARTITION BY doc_id ORDER BY frame_no)
+        |              IS DISTINCT FROM frame_md5 THEN 1 ELSE 0 END AS boundary
+        |  FROM fr),
+        |sn AS (SELECT doc_id, frame_no, byte_off, frame_md5, boundary,
+        |    CAST(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY frame_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_no
+        |  FROM fl),
+        |sl AS (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, scene_no) AS scene_len
+        |       FROM sn)
+        |SELECT doc_id, scene_no, frame_no, byte_off, frame_md5,
+        |  CAST(scene_len AS BIGINT) AS scene_len,
+        |  CAST(scene_len - 1 AS BIGINT) AS saved_frames
+        |FROM sl WHERE boundary = 1 ORDER BY doc_id, scene_no""".stripMargin,
+
     "mm06_scene_index" ->
       """WITH f AS (SELECT doc_id, text,
         |    unnest(generate_series(1, CAST(ceil(n_chars / 32.0) AS BIGINT))) AS frame_no

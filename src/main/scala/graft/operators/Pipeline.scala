@@ -596,7 +596,65 @@ object Pipeline {
       .orderBy("source", "split")
   }
 
+  /** p17: MULTI-EPOCH token schedule — the table a training run
+    * derives before launch: given per-source token mass, sqrt-damped
+    * mixture weights (p12's temperature rule applied to tokens) and
+    * a global token budget (3× the corpus here), how many FULL
+    * epochs of each source the run consumes, the partial-epoch
+    * remainder, and the repetition-risk flag (target > 4 epochs —
+    * the data-constrained-scaling rule of thumb that repeating past
+    * ~4 epochs stops paying). Everything is exact integer
+    * arithmetic off one ≤|sources|-row aggregate: target = (budget ×
+    * w) div Σw, epochs = target div n_tokens, remainder = target mod
+    * n_tokens; the ONE float column is a single division of exact
+    * operands. floor(sqrt()) is the p12-proven portable weight.
+    *
+    * Plan shape (100 TB): one map-side-combinable groupBy(source)
+    * over the token counts, a 1-row total broadcast onto the
+    * ≤|sources|-row frame — no window, no second corpus pass; the
+    * schedule is a driver-sized artifact derived wholly on
+    * executors. */
+  def p17EpochPlan(spark: SparkSession, dir: String,
+                   budgetMult: Long = 3L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val per = docs
+      .select(col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("total"), sum(col("w")).as("denom"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("budget", col("total") * budgetMult)
+      .withColumn("target_tokens", expr("(budget * w) div denom"))
+      .withColumn("n_full_epochs", expr("target_tokens div n_tokens"))
+      .withColumn("rem_tokens", expr("target_tokens % n_tokens"))
+      .withColumn("epochs_frac",
+        col("target_tokens").cast("double") / col("n_tokens"))
+      .withColumn("over4", col("target_tokens") > col("n_tokens") * 4)
+      .select("source", "n_tokens", "w", "target_tokens",
+        "n_full_epochs", "rem_tokens", "epochs_frac", "over4")
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p17_epoch_plan" ->
+      raw"""WITH t AS (SELECT source,
+         |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w FROM t),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         |    CAST(SUM(w) AS BIGINT) AS denom FROM w),
+         |p AS (SELECT source, n_tokens, w,
+         |    ((total * 3) * w) // denom AS target_tokens
+         |  FROM w, tot)
+         |SELECT source, n_tokens, w, target_tokens,
+         |  target_tokens // n_tokens AS n_full_epochs,
+         |  target_tokens % n_tokens AS rem_tokens,
+         |  CAST(target_tokens AS DOUBLE) / n_tokens AS epochs_frac,
+         |  target_tokens > n_tokens * 4 AS over4
+         |FROM p ORDER BY source""".stripMargin,
+
     "p16_split_balance" ->
       ("WITH RECURSIVE " + Dedup.shCte + ",\n" + Dedup.sigCte + ",\n" +
         Dedup.candCte + ",\n" + Dedup.clusterCte + """,

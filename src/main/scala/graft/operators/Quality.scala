@@ -437,7 +437,185 @@ object Quality {
       .orderBy(col("exact_n").desc, col("term"))
   }
 
+  /** t17: TOKEN-DIVERSITY profile via Gini impurity — the log-free
+    * concentration signal (entropy's cross-engine hazard is log();
+    * 1 − Σp² ranks the same pathologies with exact rational
+    * arithmetic): per document, gini = (n² − Σc²)/n² over the
+    * within-doc token counts, plus the single-token dominance share.
+    * Templated/spammy pages (one token dominating, tiny type set)
+    * read low gini + high top_share; both floats are single
+    * divisions of exact int64 operands, so the DuckDB oracle
+    * reproduces every bit. Complements t10 (corpus-level TTR) and
+    * t09 (bigram repetition) at the per-document altitude.
+    *
+    * Plan shape (100 TB): two map-side-combinable groupBys keyed by
+    * doc_id — no window, no join; scales with the token mass. */
+  def t17TokenGini(spark: SparkSession, dir: String): DataFrame =
+    t17From(Tables.documents(spark, dir))
+
+  /** t17's core over any (doc_id, text) frame — Round8Spec pins the
+    * constructed extremes (uniform, single-type, skewed). */
+  private[graft] def t17From(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_sq"),
+        max(col("c")).as("max_c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("sum_sq"),
+        ((col("n_tokens") * col("n_tokens") - col("sum_sq")).cast("double") /
+          (col("n_tokens") * col("n_tokens"))).as("gini"),
+        (col("max_c").cast("double") / col("n_tokens")).as("top_share"))
+      .orderBy("doc_id")
+  }
+
+  /** qa07's sketch geometry: m = 64 registers (6 bucket bits) over
+    * the 60-bit md5-prefix hash — the remaining 54 bits feed the
+    * leading-zero rank, so ranks live in 1..55 (55 = the all-zero
+    * remainder). Register table size is ≤ m rows AT ANY CORPUS SIZE
+    * — the property that makes the sketch broadcastable and
+    * mergeable (per-shard registers combine by element-wise MAX). */
+  private[operators] val HllM = 64L
+  private[operators] val HllPow55: Long = 1L << 55
+  /** alpha_64 · m² · 2⁵⁵ — the raw-estimate numerator, precomputed
+    * so BOTH engines evaluate one literal-÷-BIGINT division (the
+    * only float op in the query). 0.709 is the published alpha for
+    * m = 64. */
+  private[operators] val HllNum: Double = 0.709 * 4096.0 * HllPow55.toDouble
+
+  private def hllX(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(term), 1, 15), 16, 10).cast("long")
+
+  /** Bit length of the 54-bit remainder via a GENERATED comparison
+    * chain — exact integer comparisons on both engines; no bin()/
+    * log2() portability bets (DuckDB's bin() pads differently and
+    * log2 rounds at boundaries). The same (0..53) loop emits the
+    * Spark Column here and the oracle CASE in [[hllBitlenSql]]. */
+  private def hllBitlen(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 to 53).foldLeft(lit(0): org.apache.spark.sql.Column)((acc, i) =>
+      when(v >= (1L << i), lit(i + 1)).otherwise(acc))
+
+  private def hllBitlenSql(v: String): String =
+    (53 to 0 by -1).map(i => s"WHEN $v >= ${1L << i} THEN ${i + 1}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** 2^(55 − rank) as a generated rank→literal CASE (ranks 1..55) —
+    * the scaled harmonic-sum term, exact int64 on both engines. */
+  private def hllPow(rk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (1 to 55).foldLeft(lit(0L): org.apache.spark.sql.Column)((acc, r) =>
+      when(rk === r, lit(1L << (55 - r))).otherwise(acc))
+
+  private def hllPowSql(rk: String): String =
+    (1 to 55).map(r => s"WHEN $rk = $r THEN ${1L << (55 - r)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** The per-token-instance (bucket, rk) cell projection — literally
+    * shared with the streaming registers
+    * ([[graft.streaming.QualityStream.hllRegisters]]) so the stream
+    * cannot drift from the oracle-gated batch sketch. Pass-through
+    * columns (e.g. source) survive for the per-shard merge. */
+  private[graft] def hllCells(toks: DataFrame): DataFrame = {
+    val x = hllX(col("term"))
+    toks.withColumn("bucket", x % HllM)
+      .withColumn("rk", (lit(55) - hllBitlen(shiftright(x, 6))).cast("long"))
+      .drop("term")
+  }
+
+  /** The ≤ m-row register table over a (text) frame — batch twin of
+    * the streaming running registers. */
+  private[graft] def hllRegistersOf(documents: DataFrame): DataFrame =
+    hllCells(documents.select(explode(tokens(col("text"))).as("term")))
+      .groupBy("bucket").agg(max(col("rk")).as("max_rank"))
+
+  /** qa07: HYPERLOGLOG distinct-count sketch accuracy — the
+    * mergeable cardinality sketch as pure relational algebra, graded
+    * against the exact distinct count. qa06 covers frequency (CMS);
+    * this covers cardinality — together the two canonical mergeable
+    * sketches a 100 TB pipeline broadcasts instead of shuffling the
+    * term universe. All sketch state is exact int64: bucket = low 6
+    * hash bits, rank = leading-zero position of the 54-bit remainder
+    * (generated comparison chain), and the harmonic sum is kept in
+    * exact 2⁵⁵-scaled integers — the ONE float op is the final
+    * literal/BIGINT division, identical on both engines.
+    *
+    * Mergeability is oracle-VISIBLE, not just asserted: the query
+    * also builds per-source registers and max-merges them;
+    * `merged_sum_scaled` provably equals `sum_scaled` (max is
+    * associative over shards), and the gate hashes both.
+    *
+    * The fixture vocabulary (~31 distinct tokens over 64 registers)
+    * sits in HLL's small-range regime where the RAW estimate
+    * overshoots — correct but uninformative, like qa06's zero-bias
+    * fixture — so HllSpec drives the same algebra with a 5000-term
+    * seeded corpus and pins the published error envelope
+    * (1.04/√64 ≈ 13% std error) plus a bit-for-bit plain-Scala
+    * register simulation. Production keeps the register build +
+    * merge only (no exact side). */
+  def qa07HllDistinct(spark: SparkSession, dir: String): DataFrame =
+    qa07From(Tables.documents(spark, dir))
+
+  private[graft] def qa07From(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val cells = hllCells(toks)
+    val global = cells.groupBy("bucket").agg(max(col("rk")).as("max_rank"))
+    val merged = cells.groupBy("source", "bucket").agg(max(col("rk")).as("mr"))
+      .groupBy("bucket").agg(max(col("mr")).as("max_rank"))
+    def summed(regs: DataFrame, alias: String): DataFrame =
+      regs.agg(count(lit(1)).as("n_used"), sum(hllPow(col("max_rank"))).as("sp"))
+        .select(col("n_used"),
+          (col("sp") + (lit(HllM) - col("n_used")) * lit(HllPow55)).as(alias))
+    val g = summed(global, "sum_scaled")
+    val m = summed(merged, "merged_sum_scaled").select("merged_sum_scaled")
+    val exact = toks.agg(countDistinct(col("term")).as("exact_distinct"))
+    // three 1-row frames — bounded broadcast cross joins (the
+    // 1-row-totals pattern, same as t08's corpus total)
+    exact.crossJoin(g).crossJoin(m)
+      .select(col("exact_distinct"), col("n_used"),
+        (lit(HllM) - col("n_used")).as("n_zero"),
+        col("sum_scaled"), col("merged_sum_scaled"),
+        (lit(HllNum) / col("sum_scaled").cast("double")).as("est_raw"))
+      .withColumn("err_abs", col("est_raw") - col("exact_distinct"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "t17_token_gini" ->
+      raw"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         |c AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+         |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_types, CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+         |    CAST(MAX(c) AS BIGINT) AS max_c
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types, sum_sq,
+         |  CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) / (n_tokens * n_tokens) AS gini,
+         |  CAST(max_c AS DOUBLE) / n_tokens AS top_share
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "qa07_hll_distinct" -> {
+      val xSql = "('0x' || substr(md5(term), 1, 15))::BIGINT"
+      raw"""WITH tk AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         |ce AS (SELECT source, x % $HllM AS bucket,
+         |         55 - (${hllBitlenSql(s"(x // $HllM)")}) AS rk
+         |       FROM (SELECT source, $xSql AS x FROM tk) h),
+         |g AS (SELECT bucket, MAX(rk) AS max_rank FROM ce GROUP BY bucket),
+         |mg AS (SELECT bucket, MAX(mr) AS max_rank FROM (
+         |         SELECT source, bucket, MAX(rk) AS mr FROM ce GROUP BY source, bucket) ps
+         |       GROUP BY bucket),
+         |ga AS (SELECT COUNT(*) AS n_used,
+         |         CAST(SUM(${hllPowSql("max_rank")}) AS BIGINT) AS sp FROM g),
+         |ma AS (SELECT COUNT(*) AS n_used_m,
+         |         CAST(SUM(${hllPowSql("max_rank")}) AS BIGINT) AS spm FROM mg),
+         |ex AS (SELECT COUNT(DISTINCT term) AS exact_distinct FROM tk)
+         |SELECT exact_distinct, n_used, $HllM - n_used AS n_zero,
+         |  sp + ($HllM - n_used) * $HllPow55 AS sum_scaled,
+         |  spm + ($HllM - n_used_m) * $HllPow55 AS merged_sum_scaled,
+         |  $HllNum / CAST(sp + ($HllM - n_used) * $HllPow55 AS DOUBLE) AS est_raw,
+         |  ($HllNum / CAST(sp + ($HllM - n_used) * $HllPow55 AS DOUBLE)) - exact_distinct AS err_abs
+         |FROM ex, ga, ma""".stripMargin
+    },
+
     "qa06_cms_accuracy" -> {
       val xmSql = s"('0x' || substr(md5(term), 1, 15))::BIGINT % $CmsP"
       val ctrBranches = CmsHashes.zipWithIndex.map { case ((a, b), j) =>

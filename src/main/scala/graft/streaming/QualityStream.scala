@@ -42,6 +42,25 @@ object QualityStream {
         explode(graft.functions.TextFns.tokens(col("text"))).as("term")))
       .groupBy("j", "c").agg(count(lit(1)).as("n"))
 
+  /** Running HYPERLOGLOG registers over an arriving (text) document
+    * stream — the streaming twin of qa07's sketch build: one
+    * Complete-mode groupBy whose state is PROVABLY bounded at
+    * m = 64 (bucket) rows by the sketch geometry, no watermark or
+    * TTL needed (the stream_staleness/stream_cms class of safe
+    * unbounded-stream aggregations). The (bucket, rk) cell
+    * projection is LITERALLY shared with the oracle-gated batch
+    * sketch ([[graft.operators.Quality.hllCells]]);
+    * QualityStreamSpec pins two-checkpoint replay registers equal to
+    * the batch table bucket-for-bucket. A deployment snapshots the
+    * ≤ 64-row table per trigger and merges snapshots across
+    * streams/days by element-wise MAX — the mergeability that makes
+    * the sketch the cardinality tool at corpus scale. */
+  def hllRegisters(docStream: DataFrame): DataFrame =
+    graft.operators.Quality.hllCells(
+      docStream.select(
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term")))
+      .groupBy("bucket").agg(max(col("rk")).as("max_rank"))
+
   /** Per-document verdicts over any (doc_id, text) frame — batch or
     * streaming (the plan is stateless either way). */
   def qualityVerdicts(docs: DataFrame): DataFrame = {

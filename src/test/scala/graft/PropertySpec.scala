@@ -255,6 +255,48 @@ class PropertySpec extends SparkSpec {
     assert(got(308L)._3 === "dup" && got(319L)._3 === "dup" && got(328L)._3 === "dup")
   }
 
+  test("qa07 HLL equals the local bit-for-bit simulation and hits the error envelope") {
+    import graft.operators.Quality
+    // 5000 distinct single-token docs over 3 sources — the
+    // ESTIMATING regime the 31-token fixture can't reach (there the
+    // raw estimate sits in HLL's small-range overshoot zone)
+    val docs = (0 until 5000).map(i =>
+      (i.toLong, s"term${rnd.nextInt(1000000000)}x$i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val row = Quality.qa07From(docs).collect().head
+    val exact = row.getAs[Long]("exact_distinct")
+    assert(exact === docs.select("text").distinct.count())
+
+    // local simulation: identical 60-bit md5-prefix hash, identical
+    // bucket/rank arithmetic, registers merged by max
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val regs = scala.collection.mutable.Map[Long, Long]()
+    docs.collect().foreach { r =>
+      val x = java.lang.Long.parseLong(md5hex(r.getString(1)).take(15), 16)
+      val bucket = x % 64
+      val v = x >> 6
+      val bitlen = if (v == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val rank = 55L - bitlen
+      regs(bucket) = math.max(regs.getOrElse(bucket, 0L), rank)
+    }
+    val simSum = regs.values.map(rk => 1L << (55 - rk)).sum +
+      (64 - regs.size) * (1L << 55)
+    assert(row.getAs[Long]("sum_scaled") === simSum, "scaled harmonic sum != simulation")
+    assert(row.getAs[Long]("n_used") === regs.size.toLong)
+    // mergeability is exact: per-source max-merge == global registers
+    assert(row.getAs[Long]("merged_sum_scaled") === row.getAs[Long]("sum_scaled"))
+    // batch register table equals the simulation row-for-row
+    val gotRegs = Quality.hllRegistersOf(docs.select("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRegs === regs.toMap, "register table != bit-for-bit simulation")
+    // published envelope: std error 1.04/sqrt(64) ~ 13%; 3 sigma cap
+    val est = row.getAs[Double]("est_raw")
+    assert(math.abs(est - exact) / exact < 0.39,
+      s"HLL raw estimate $est vs exact $exact outside 3-sigma envelope")
+  }
+
   test("s18 k-means refinement equals the local integer-exact simulation") {
     import graft.operators.Similarity
     // random vectors, fixed seed; ids sparse so the stride rule is

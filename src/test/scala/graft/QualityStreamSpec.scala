@@ -57,6 +57,40 @@ class QualityStreamSpec extends SparkSpec {
     assert(streamed.size <= 4 * 1024)
   }
 
+  test("streaming HLL registers: two-checkpoint replay equals the batch register table") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = Files.createTempDirectory("hllin").toFile
+    val ckpt = Files.createTempDirectory("hllckpt").toString
+    val schema = docs.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = QualityStream.hllRegisters(stream)
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName("hll_registers")
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk1").toString)
+    runOnce()
+    docs.filter($"doc_id" % 2 =!= 0).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk2").toString)
+    runOnce()
+    val streamed = spark.table("hll_registers")
+      .as[(Long, Long)].collect().toMap
+    val batch = Quality.hllRegistersOf(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(batch.nonEmpty)
+    assert(streamed === batch, "streamed HLL registers != batch sketch")
+    // the bounded-state claim: at most m register rows, ranks in 1..55
+    assert(streamed.size <= 64)
+    assert(streamed.values.forall(r => r >= 1 && r <= 55))
+  }
+
   test("the gate runs STATELESS over a stream and matches the batch rows") {
     val dir = Files.createTempDirectory("qgate").toString
     Tables.documents(spark, sf).select("doc_id", "text")

@@ -149,6 +149,86 @@ class Round8Spec extends SparkSpec {
     fix.foreach(r => assert(r.getLong(1) === r.getLong(2) && r.getLong(3) === 0L))
   }
 
+  test("mm07 scene sample: first-of-scene manifest, exact payload coverage") {
+    import graft.operators.Multimodal
+    // same constructed shots as the mm06 test, plus byte offsets
+    val frames = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "A"), (1L, 4L, "A"),
+      (2L, 1L, "A"), (2L, 2L, "B"), (2L, 3L, "A"), (2L, 4L, "B"),
+      (3L, 1L, "A"), (3L, 2L, "A"), (3L, 3L, "B"),
+      (3L, 4L, "B"), (3L, 5L, "B"), (3L, 6L, "A")
+    ).map { case (d, f, h) => (d, f, (f - 1) * 32, h) }
+      .toDF("doc_id", "frame_no", "byte_off", "frame_md5")
+    val got = Multimodal.mm07From(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4),
+        r.getLong(5), r.getLong(6)))
+    // doc 1: one sample representing the whole static shot
+    assert(got.filter(_._1 == 1L).toSeq === Seq((1L, 1L, 1L, "A", 4L, 3L)))
+    // doc 2: every frame sampled, nothing saved
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq ===
+      Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    assert(got.filter(_._1 == 2L).forall(_._6 == 0L))
+    // doc 3: AA | BBB | A -> samples at frames 1, 3, 6
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._3, t._4, t._5)).toSeq ===
+      Seq((1L, 1L, "A", 2L), (2L, 3L, "B", 3L), (3L, 6L, "A", 1L)))
+    // exact coverage: sampled payload set == full distinct payload set
+    val all = frames.collect().map(r => r.getLong(0) -> r.getString(3))
+    (1L to 3L).foreach { d =>
+      assert(got.filter(_._1 == d).map(_._4).toSet ===
+        all.filter(_._1 == d).map(_._2).toSet, s"doc $d coverage")
+    }
+    // tie-back: per-doc sample count == mm06's n_scenes, and the
+    // saved mass == mm06's n_static
+    val mm6 = Multimodal.mm06From(frames.select("doc_id", "frame_no", "frame_md5"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    (1L to 3L).foreach { d =>
+      assert(got.count(_._1 == d).toLong === mm6(d)._1)
+      assert(got.filter(_._1 == d).map(_._6).sum === mm6(d)._2)
+    }
+  }
+
+  test("p17 epoch plan: budget respected, epoch identity, flag honest") {
+    val rows = Pipeline.p17EpochPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    // integer rounding only ever UNDER-allocates the budget
+    assert(rows.map(_._4).sum <= total * 3)
+    rows.foreach { case (src, nTok, w, target, full, rem, frac, over4) =>
+      assert(w === math.sqrt(nTok.toDouble).toLong, src)
+      assert(target === full * nTok + rem, src) // div/mod identity
+      assert(rem >= 0 && rem < nTok, src)
+      assert(math.abs(frac - target.toDouble / nTok) < 1e-12, src)
+      assert(over4 === (target > nTok * 4), src)
+    }
+    // sqrt damping: every source lands within [1x, 3x*|s|] epochs and
+    // the plan is non-vacuous (the budget forces multi-epoch reuse)
+    assert(rows.exists(_._5 >= 2), "no source scheduled past epoch 1")
+  }
+
+  test("t17 token gini: constructed extremes match the exact rational identity") {
+    import graft.operators.Quality
+    val docs = Seq(
+      (1L, "a a a a"),  // single type: zero diversity, full dominance
+      (2L, "a b c d"),  // uniform: gini = 1 - 4/16
+      (3L, "a a a b")   // skewed: ssq = 9 + 1
+    ).toDF("doc_id", "text")
+    val got = Quality.t17From(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(1L) === ((4L, 1L, 16L, 0.0, 1.0)))
+    assert(got(2L) === ((4L, 4L, 4L, 0.75, 0.25)))
+    assert(got(3L) === ((4L, 2L, 10L, 0.375, 0.75)))
+    // fixture-wide bounds: gini in [0, 1), top_share in (0, 1],
+    // and gini == 0 exactly when the doc has one type
+    Quality.t17TokenGini(spark, sf).collect().foreach { r =>
+      val (types, g, ts) = (r.getLong(2), r.getDouble(4), r.getDouble(5))
+      assert(g >= 0.0 && g < 1.0 && ts > 0.0 && ts <= 1.0)
+      assert((g == 0.0) === (types == 1L))
+    }
+  }
+
   // ---------------------------------------------------------- s18
 
   test("s18 k-means refinement: fit improves, mass conserved, k bounded") {
