@@ -145,6 +145,7 @@ object SparkEntry {
     "qa07_hll_distinct" -> (Quality.qa07HllDistinct _),
     "mm06_scene_index" -> (Multimodal.mm06SceneIndex _),
     "mm07_scene_sample" -> (Multimodal.mm07SceneSample _),
+    "mm08_silence_segments" -> (Multimodal.mm08SilenceSegments _),
     "qa04_index_staleness" -> (Dedup.qa04IndexStaleness _),
     "t15_lm_buckets" -> (Quality.t15LmBuckets _),
     "t16_bpe_tokens" -> (Quality.t16BpeTokens _),

@@ -327,6 +327,33 @@ class Graft(val spark: SparkSession, dir: String) {
   def streamingCmsCounters(docStream: DataFrame): DataFrame =
     graft.streaming.QualityStream.cmsCounters(docStream)
 
+  /** HyperLogLog distinct-count report: exact distinct vs the
+    * 64-register relational sketch (with oracle-visible per-source
+    * max-merge) (qa07). */
+  def hllDistinct: DataFrame = Quality.qa07HllDistinct(spark, dir)
+
+  /** Running HyperLogLog registers over a (text) document stream —
+    * Complete-mode agg, state bounded at m = 64 rows
+    * ([[graft.streaming.QualityStream.hllRegisters]]). */
+  def streamingHllRegisters(docStream: DataFrame): DataFrame =
+    graft.streaming.QualityStream.hllRegisters(docStream)
+
+  /** Scene-aware frame-sample manifest: the first frame of every
+    * scene with fetch coordinates and saved-frame counts (mm07). */
+  def sceneSample: DataFrame = Multimodal.mm07SceneSample(spark, dir)
+
+  /** Silence segmentation over windowed audio energy — utterance
+    * count, longest gap, speech ratio per clip (mm08). */
+  def silenceSegments: DataFrame = Multimodal.mm08SilenceSegments(spark, dir)
+
+  /** Multi-epoch token schedule for a 3×-corpus budget under
+    * sqrt-damped source weights (p17). */
+  def epochPlan(budgetMult: Long = 3L): DataFrame =
+    Pipeline.p17EpochPlan(spark, dir, budgetMult)
+
+  /** Per-document token-diversity Gini profile (t17). */
+  def tokenGini: DataFrame = Quality.t17TokenGini(spark, dir)
+
   /** Stateless streaming bloom screen over a (doc_id, text) stream —
     * d19's shared probe/verdict algebra against the frozen filter,
     * no state or watermark ([[graft.streaming.BloomStream]]). */

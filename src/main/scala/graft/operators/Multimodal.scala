@@ -99,7 +99,10 @@ object Multimodal {
     * Sort ahead of their own hash exchange (plan-audited: the
     * trailing orderBy previously leaked one extra shuffle into every
     * consumer). */
-  private[graft] def mm03From(docs: DataFrame): DataFrame =
+  /** The 32-unit slicing shared by the frame index (mm03 family) and
+    * the audio windowing (mm08) — one explode+substr algebra, so the
+    * video frame grid and the audio window grid cannot drift. */
+  private def frameSlices(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"),
         ceil(col("n_chars") / lit(32.0)).cast("long").as("n_frames"))
@@ -109,6 +112,9 @@ object Multimodal {
         ((col("frame_no") - 1) * 32).as("byte_off"),
         substring_col(col("text"), (col("frame_no") - 1) * 32 + 1, 32)
           .as("frame_text"))
+
+  private[graft] def mm03From(docs: DataFrame): DataFrame =
+    frameSlices(docs)
       .select(col("doc_id"), col("frame_no"), col("byte_off"),
         md5(col("frame_text")).as("frame_md5"),
         length(col("frame_text")).cast("long").as("frame_len"))
@@ -195,6 +201,60 @@ object Multimodal {
         col("byte_off"), col("frame_md5"), col("scene_len"),
         (col("scene_len") - 1).as("saved_frames"))
       .orderBy("doc_id", "scene_no")
+  }
+
+  /** mm08: SILENCE segmentation over windowed audio energy — the
+    * audio twin of mm06/mm07's scene structure, closing the
+    * modality symmetry: per clip (the doc_id % 3 == 1 audio slice,
+    * mm02's convention), 32-sample windows (the SAME frameSlices
+    * grid as the video frame index) are scored by exact integer
+    * energy (Σ byte², mm05's bytes-as-samples rule) and classified
+    * silent when mean-square ≤ 33² — whitespace/control-only windows
+    * on this fixture, real silence at a deployment's PCM threshold.
+    * Maximal runs of equal classification then segment the clip
+    * (speech/silence alternation) via the run-length algebra mm06
+    * uses for scenes: a VAD-shaped derivation (trim silence, count
+    * utterances, find the longest gap) with every decision in exact
+    * int64 and the one float a single division.
+    *
+    * Plan shape: narrow explode + per-window lambda fold, one lag +
+    * one running-sum window partitioned by doc_id (bounded by clip
+    * length), two hash aggregates — one shuffle end-to-end, same as
+    * mm06. */
+  def mm08SilenceSegments(spark: SparkSession, dir: String): DataFrame =
+    mm08From(Tables.documents(spark, dir).filter(col("doc_id") % 3 === 1))
+
+  /** mm08's core over any (doc_id, text, n_chars) clip frame —
+    * Round8Spec drives constructed speech/silence alternations. */
+  private[graft] def mm08From(clips: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_no")
+    val scored = frameSlices(clips)
+      .select(col("doc_id"), col("frame_no"),
+        length(col("frame_text")).cast("long").as("window_len"),
+        aggregate(split(col("frame_text"), ""), lit(0L),
+          (a, c) => a + ascii(c) * ascii(c)).as("sq_sum"))
+      .withColumn("is_silence", col("sq_sum") <= col("window_len") * 1089L)
+    val segmented = scored
+      .withColumn("prev", lag(col("is_silence"), 1).over(w))
+      .withColumn("boundary",
+        (col("prev").isNull || col("prev") =!= col("is_silence")).cast("long"))
+      .withColumn("seg_no", sum(col("boundary")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val segs = segmented.groupBy("doc_id", "seg_no", "is_silence")
+      .agg(count(lit(1)).as("seg_len"))
+    segs.groupBy("doc_id")
+      .agg(sum(col("seg_len")).as("n_windows"),
+        sum(when(col("is_silence"), col("seg_len")).otherwise(0L))
+          .as("n_silence_windows"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("is_silence"), 1L).otherwise(0L)).as("n_silence_segments"),
+        max(when(col("is_silence"), col("seg_len")).otherwise(0L))
+          .as("longest_silence"))
+      .withColumn("speech_ratio",
+        (col("n_windows") - col("n_silence_windows")).cast("double") /
+          col("n_windows"))
+      .orderBy("doc_id")
   }
 
   /** `substring` with a Column start (the functions.substring overload
@@ -410,6 +470,35 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "mm08_silence_segments" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, CAST(ceil(n_chars / 32.0) AS BIGINT))) AS frame_no
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sc AS (SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |    CAST(length(substr(text, CAST((frame_no - 1) * 32 + 1 AS INT), 32)) AS BIGINT) AS window_len,
+        |    CAST(list_aggregate(list_transform(string_split(substr(text, CAST((frame_no - 1) * 32 + 1 AS INT), 32), ''), c -> CAST(ord(c) AS BIGINT) * CAST(ord(c) AS BIGINT)), 'sum') AS BIGINT) AS sq_sum
+        |  FROM f),
+        |cl AS (SELECT doc_id, frame_no, sq_sum <= window_len * 1089 AS is_silence FROM sc),
+        |fl AS (SELECT doc_id, frame_no, is_silence,
+        |    CASE WHEN lag(is_silence) OVER (PARTITION BY doc_id ORDER BY frame_no)
+        |              IS DISTINCT FROM is_silence THEN 1 ELSE 0 END AS boundary
+        |  FROM cl),
+        |sn AS (SELECT doc_id, is_silence,
+        |    CAST(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY frame_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_no
+        |  FROM fl),
+        |sg AS (SELECT doc_id, seg_no, is_silence, COUNT(*) AS seg_len
+        |       FROM sn GROUP BY doc_id, seg_no, is_silence)
+        |SELECT doc_id,
+        |  CAST(SUM(seg_len) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN is_silence THEN seg_len ELSE 0 END) AS BIGINT) AS n_silence_windows,
+        |  COUNT(*) AS n_segments,
+        |  CAST(SUM(CASE WHEN is_silence THEN 1 ELSE 0 END) AS BIGINT) AS n_silence_segments,
+        |  CAST(MAX(CASE WHEN is_silence THEN seg_len ELSE 0 END) AS BIGINT) AS longest_silence,
+        |  CAST(SUM(seg_len) - SUM(CASE WHEN is_silence THEN seg_len ELSE 0 END) AS DOUBLE)
+        |    / SUM(seg_len) AS speech_ratio
+        |FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "mm07_scene_sample" ->
       """WITH f AS (SELECT doc_id, text,
         |    unnest(generate_series(1, CAST(ceil(n_chars / 32.0) AS BIGINT))) AS frame_no

@@ -103,6 +103,21 @@ class GraftApiSpec extends SparkSpec {
     } // utf-8 text is not a decodable image — the loud-failure path
   }
 
+  test("round-8 operators are reachable through the facade") {
+    val hll = g.hllDistinct.head()
+    assert(hll.getAs[Long]("sum_scaled") === hll.getAs[Long]("merged_sum_scaled"))
+    assert(g.sceneSample.count() > 0)
+    val sil = g.silenceSegments.collect()
+    assert(sil.nonEmpty && sil.forall(r => r.getAs[Long]("n_windows") > 0))
+    val ep = g.epochPlan().collect()
+    assert(ep.nonEmpty && ep.forall(r =>
+      r.getAs[Long]("target_tokens") ===
+        r.getAs[Long]("n_full_epochs") * r.getAs[Long]("n_tokens") +
+          r.getAs[Long]("rem_tokens")))
+    assert(g.tokenGini.filter("gini >= 0 and gini < 1").count() ===
+      g.tokenGini.count())
+  }
+
   test("registerSql exposes views + custom expressions to pure SQL") {
     g.registerSql()
     val n = spark.sql(

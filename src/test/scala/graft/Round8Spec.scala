@@ -187,6 +187,29 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("mm08 silence segments: constructed speech/silence alternations") {
+    import graft.operators.Multimodal
+    val clips = Seq(
+      (1L, "a" * 64),                          // all speech
+      (2L, " " * 32 + "a" * 32 + " " * 32),    // silence|speech|silence
+      (3L, " " * 64),                          // all silence
+      (4L, " " * 31 + "z")                     // one mixed window: speech
+    ).map { case (d, t) => (d, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val got = Multimodal.mm08From(clips).collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))).toMap
+    assert(got(1L) === ((2L, 0L, 1L, 0L, 0L, 1.0)))
+    assert(got(2L) === ((3L, 2L, 3L, 2L, 1L, 1.0 / 3)))
+    assert(got(3L) === ((2L, 2L, 1L, 1L, 2L, 0.0)))
+    assert(got(4L) === ((1L, 0L, 1L, 0L, 0L, 1.0))) // letter breaks silence
+    // fixture: window mass conserved, ratios bounded
+    Multimodal.mm08SilenceSegments(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2))
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
   test("p17 epoch plan: budget respected, epoch identity, flag honest") {
     val rows = Pipeline.p17EpochPlan(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
