@@ -797,11 +797,12 @@ object Similarity {
     * embeddings at any scale. */
   def s06LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir)
-    val dimSums = (1 to 64).map(i => sum(element_at(col("qv"), i)).as(s"c_$i"))
+    // ONE array-buffered native aggregate (graft.plans.LongArraySum)
+    // instead of 64 sum(element_at) slots — same map-side-combinable
+    // hash agg, without the 65-column codegen bulk (see meanCents)
     val cents = e.groupBy("label")
-      .agg(count(lit(1)).as("n_vecs"), dimSums: _*)
-      .select(col("label"), col("n_vecs"),
-        array((1 to 64).map(i => col(s"c_$i")): _*).as("cv"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.plans.LongArraySum(col("qv")).as("cv"))
       .withColumn("cnrm", qnorm2(col("cv")))
     e.join(broadcast(cents), "label")
       .select(col("vec_id"), col("label"), col("n_vecs"),
@@ -858,12 +859,21 @@ object Similarity {
     * mean of the assigned members — shared by s18 (reporting) and
     * s19 (the refined quantizer's search). */
   private[graft] def meanCents(a: DataFrame, e: DataFrame): DataFrame = {
-    val dimSums = (1 to 64).map(i => sum(element_at(col("qv"), i)).as(s"s_$i"))
+    // ONE array-buffered native aggregate, not 64 sum(element_at)
+    // slots: the 65-column declarative form generated a >64 KB
+    // hashAgg output method (Janino refuses; stage fell back to
+    // interpreted eval) — graft.plans.LongArraySum keeps the same
+    // map-side-combinable hash-agg semantics with a long[] buffer
     a.join(e, "vec_id")
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"), dimSums: _*)
+      .agg(count(lit(1)).as("n"),
+        graft.plans.LongArraySum(col("qv")).as("s"))
       .select(col("cell").as("c_id"),
-        array((1 to 64).map(i => truncDiv(col(s"s_$i"), col("n"))): _*).as("c_qv"))
+        // element-wise truncDiv via ONE transform lambda, not 64
+        // array(element_at…) slots: the slot form re-inlined the
+        // whole 64-term array THREE times (project + norm filter)
+        // and topped Janino's 64 KB method cap on this ≤ k-row stage
+        transform(col("s"), x => truncDiv(x, col("n"))).as("c_qv"))
       .withColumn("c_nrm", qnorm2(col("c_qv")))
       .filter(col("c_nrm") > 0L)
   }

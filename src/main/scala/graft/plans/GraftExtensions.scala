@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("long_array_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
       GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("long_array_sum"),
+      new ExpressionInfo(classOf[LongArraySum].getName, "long_array_sum"),
+      GraftExtensions.arraySumBuilder))
   }
 }
 
@@ -36,6 +40,11 @@ object GraftExtensions {
     LongArrayDot(children.head, children(1))
   }
 
+  private val arraySumBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "long_array_sum(array<bigint>)")
+    LongArraySum(children.head).toAggregateExpression()
+  }
+
   /** Register into an already-built session (the extensions conf only
     * applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -43,5 +52,7 @@ object GraftExtensions {
       "regexp_extract_groups", regexpBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_array_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_array_sum", arraySumBuilder, "built-in")
   }
 }

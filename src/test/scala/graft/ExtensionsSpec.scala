@@ -29,6 +29,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(miss)
   }
 
+  test("long_array_sum is callable from SQL and groups element-wise") {
+    import spark.implicits._
+    Seq((1L, Seq(1L, 2L)), (1L, Seq(3L, 4L)), (2L, Seq(7L, -7L)))
+      .toDF("g", "a").createOrReplaceTempView("las_in")
+    val out = spark.sql(
+      "SELECT g, long_array_sum(a) AS s FROM las_in GROUP BY g ORDER BY g")
+      .as[(Long, Seq[Long])].collect()
+    assert(out.toSeq === Seq((1L, Seq(4L, 6L)), (2L, Seq(7L, -7L))))
+  }
+
   test("saltedJoin equals plain join") {
     import spark.implicits._
     // skewed big side: 90% of rows share key 1

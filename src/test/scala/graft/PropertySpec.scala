@@ -498,6 +498,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LongArraySum equals the per-slot reference incl. null rows and partial merges") {
+    // constructed: null rows skipped, all-null group yields null
+    val fixed = Seq(
+      (1L, Option(Seq(1L, 2L, 3L))),
+      (1L, Option(Seq(10L, -20L, 30L))),
+      (1L, Option.empty[Seq[Long]]),
+      (2L, Option(Seq(5L, 5L, 5L))),
+      (3L, Option.empty[Seq[Long]]))
+      .toDF("g", "a")
+      .groupBy("g").agg(graft.plans.LongArraySum($"a").as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(fixed(1L) === Some(Seq(11L, -18L, 33L)))
+    assert(fixed(2L) === Some(Seq(5L, 5L, 5L)))
+    assert(fixed(3L) === None)
+    // randomized, many partitions: exercises partial buffers,
+    // serialize/deserialize through the exchange, and merge
+    val rows = (0 until 500).map(i =>
+      ((i % 7).toLong, Seq.fill(64)(rnd.nextLong() % 1000000)))
+    val got = rows.toDF("g", "a").repartition(11)
+      .groupBy("g").agg(graft.plans.LongArraySum($"a").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> (0 until 64).map(i => rs.map(_._2(i)).sum)
+    }
+    got.foreach { case (g, s) => assert(s === want(g), s"group $g") }
+  }
+
   test("qa04 staleness metrics move when the increment batch drifts") {
     // corpus (vec_id % 10 < 8): members clustered on 4 base
     // directions (dims 0/8/16/24) with a small per-id jitter dim.
