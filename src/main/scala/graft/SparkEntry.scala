@@ -135,6 +135,7 @@ object SparkEntry {
     "d16_source_overlap" -> (Dedup.d16SourceOverlap _),
     "d18_incremental_semdedup" -> (Dedup.d18IncrementalSemdedup _),
     "d19_bloom_screen" -> (Dedup.d19BloomScreen _),
+    "d20_containment" -> (Dedup.d20Containment _),
     "p15_cluster_split" -> (Pipeline.p15ClusterSplit _),
     "s18_kmeans_refine" -> (Similarity.s18KmeansRefine _),
     "qa05_bloom_curve" -> (Dedup.qa05BloomCurve _),

@@ -327,6 +327,10 @@ class Graft(val spark: SparkSession, dir: String) {
   def streamingCmsCounters(docStream: DataFrame): DataFrame =
     graft.streaming.QualityStream.cmsCounters(docStream)
 
+  /** Asymmetric containment near-dups — short-inside-long pairs
+    * symmetric Jaccard misses, with the jaccard_blind flag (d20). */
+  def containmentPairs: DataFrame = Dedup.d20Containment(spark, dir)
+
   /** HyperLogLog distinct-count report: exact distinct vs the
     * 64-register relational sketch (with oracle-visible per-source
     * max-merge) (qa07). */

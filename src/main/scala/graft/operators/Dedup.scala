@@ -162,6 +162,55 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d20: CONTAINMENT near-dup — the asymmetric overlap symmetric
+    * Jaccard is blind to: a short document pasted wholesale into a
+    * long one (quote farms, boilerplate inclusion, concatenated
+    * dumps) shares nearly ALL of the SHORT side's shingles, but the
+    * union is dominated by the long side, so Jaccard stays low and
+    * the d02/d04 screens never fire. containment = |A∩B| / min(|A|,
+    * |B|); pairs at containment ≥ 0.8 ship, with a `jaccard_blind`
+    * flag for the ones Jaccard < 0.5 would have missed — the
+    * operator's whole reason to exist, visible per row.
+    *
+    * All measures are over the RARE-shingle space (document
+    * frequency ≤ 50, the d10-class screen, applied consistently to
+    * intersection AND per-doc sizes so the ratio is well-defined):
+    * without the screen a stopword shingle pairs quadratically; with
+    * it the equi-join fan-out is ≤ 50 docs per shingle at any corpus
+    * size. Thresholds evaluate as exact integer comparisons
+    * (n_common·10 ≥ n_small·8); the two floats are single divisions
+    * of exact counts. */
+  def d20Containment(spark: SparkSession, dir: String): DataFrame =
+    d20From(Tables.documents(spark, dir))
+
+  /** d20's core over any (doc_id, text) frame — Round8Spec plants a
+    * short-doc-inside-long-doc pair the Jaccard operators miss. */
+  private[graft] def d20From(docs: DataFrame): DataFrame = {
+    val sh = OpCache.cached(docShingles(docs))
+    val rare = sh.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("term")
+    // hint-free: the rare-shingle table grows with the corpus —
+    // Catalyst broadcasts while it fits, shuffles beyond
+    val ss = OpCache.cached(sh.join(rare, "term"))
+    val cnt = ss.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ss.select(col("doc_id").as("doc_a"), col("term"))
+      .join(ss.select(col("doc_id").as("doc_b"), col("term")), "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(col("n_common") * 10 >= least(col("n_a"), col("n_b")) * 8)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"),
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+          .as("jaccard"),
+        (col("n_common") * 2 < col("n_a") + col("n_b") - col("n_common"))
+          .as("jaccard_blind"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** d05: embedding near-dup — exact quantized-integer cosine ≥ 0.3
     * within label blocks. */
   def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
@@ -1494,6 +1543,25 @@ object Dedup {
           |FROM cand JOIN simh sa ON sa.doc_id = doc_a JOIN simh sb ON sb.doc_id = doc_b
           |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
           |ORDER BY doc_a, doc_b""".stripMargin),
+
+      "d20_containment" ->
+        raw"""WITH sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+          |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents) d0
+          |        WHERE len(t) >= 3) d),
+          |rare AS (SELECT term FROM sh GROUP BY term HAVING COUNT(*) <= 50),
+          |ss AS (SELECT doc_id, term FROM sh JOIN rare USING (term)),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ss GROUP BY doc_id),
+          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          |          FROM ss a JOIN ss b ON a.term = b.term AND a.doc_id < b.doc_id
+          |          GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, n_common, ca.n AS n_a, cb.n AS n_b,
+          |  CAST(n_common AS DOUBLE) / least(ca.n, cb.n) AS containment,
+          |  CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard,
+          |  n_common * 2 < ca.n + cb.n - n_common AS jaccard_blind
+          |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+          |WHERE n_common * 10 >= least(ca.n, cb.n) * 8
+          |ORDER BY doc_a, doc_b""".stripMargin,
 
       "d04_ngram_jaccard" ->
         ("WITH " + shCte + """,

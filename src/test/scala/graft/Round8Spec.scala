@@ -230,6 +230,33 @@ class Round8Spec extends SparkSpec {
     assert(rows.exists(_._5 >= 2), "no source scheduled past epoch 1")
   }
 
+  test("d20 containment: planted subset pair found, flagged jaccard-blind") {
+    // doc 2 is doc 1's first sentence pasted into a much longer page:
+    // containment(1 in 2) = 1.0 while jaccard stays far below the
+    // d02/d04 regime — the pair Jaccard dedup misses by construction
+    val short = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"filler$i word$i token$i").mkString(" ")
+    val docs = Seq(
+      (1L, short),
+      (2L, short + " " + filler),
+      (3L, "unrelated text entirely different body here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.d20From(docs).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getDouble(5) === 1.0) // full containment of the short side
+    assert(r.getDouble(6) < 0.5)   // symmetric jaccard misses it
+    assert(r.getBoolean(7))        // ... and the flag says so
+    // cross-check vs d04's symmetric measure on the fixture: every
+    // d20 pair's jaccard must agree with the source-blocked d04 row
+    // when one exists (same shingle algebra underneath)
+    val fixture = Dedup.d20Containment(spark, sf).collect()
+    assert(fixture.forall(r => r.getDouble(5) >= 0.8))
+    assert(fixture.forall(r =>
+      r.getLong(2) <= math.min(r.getLong(3), r.getLong(4))))
+  }
+
   test("t17 token gini: constructed extremes match the exact rational identity") {
     import graft.operators.Quality
     val docs = Seq(
