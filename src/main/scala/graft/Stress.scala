@@ -59,6 +59,15 @@ object Stress {
     val nSpan = time("span pairs (dedup-first)")(
       graft.operators.Dedup.spanPairsFrom(keepers).count())
 
+    // containment screen (d20) under the dedup-first ordering:
+    // replicas share ALL their shingles, so undeduped replication
+    // inflates every document frequency mult× and the df ≤ 50 screen
+    // blanks the shingle space (correct but vacuous); on the deduped
+    // keepers the screen keeps fixture behavior — same lesson as
+    // banding and spans above
+    val nContain = time("containment (dedup-first)")(
+      graft.operators.Dedup.d20From(keepers).count())
+
     // bounded fuzzy NN (d09_production) under the same dedup-first
     // ordering: replicas are exact dups whose mult² Levenshtein pairs
     // are d01's job to remove, and the >100-occurrence chunk screen
@@ -260,7 +269,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

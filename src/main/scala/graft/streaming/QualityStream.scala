@@ -61,6 +61,31 @@ object QualityStream {
         explode(graft.functions.TextFns.tokens(col("text"))).as("term")))
       .groupBy("bucket").agg(max(col("rk")).as("max_rank"))
 
+  /** Per-document token-diversity Gini profile as PURE per-row array
+    * algebra — the stateless streaming twin of batch t17 (which uses
+    * two groupBys): within one row, the per-distinct-token counts
+    * fall out of `transform(array_distinct(t), d -> count of d in
+    * t)`, and Gini/top-share are the same exact rational formulas.
+    * O(distinct·len) comparisons per row — the statelessness price,
+    * same class as [[qualityVerdicts]]. QualityStreamSpec pins
+    * row-for-row equality with oracle-gated batch t17, so an
+    * ingest-time diversity gate cannot drift from the batch score. */
+  def giniProfile(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("t"))
+      .withColumn("counts",
+        transform(array_distinct(col("t")),
+          d => size(filter(col("t"), x => x === d)).cast("long")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("counts")).cast("long").as("n_types"),
+        aggregate(col("counts"), lit(0L), (a, c) => a + c * c).as("sum_sq"),
+        array_max(col("counts")).as("max_c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("sum_sq"),
+        ((col("n_tokens") * col("n_tokens") - col("sum_sq")).cast("double") /
+          (col("n_tokens") * col("n_tokens"))).as("gini"),
+        (col("max_c").cast("double") / col("n_tokens")).as("top_share"))
+
   /** Per-document verdicts over any (doc_id, text) frame — batch or
     * streaming (the plan is stateless either way). */
   def qualityVerdicts(docs: DataFrame): DataFrame = {

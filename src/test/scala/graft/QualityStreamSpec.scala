@@ -91,6 +91,27 @@ class QualityStreamSpec extends SparkSpec {
     assert(streamed.values.forall(r => r >= 1 && r <= 55))
   }
 
+  test("per-row gini profile equals oracle-gated batch t17 and streams stateless") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val got = QualityStream.giniProfile(docs).orderBy("doc_id").collect()
+    val want = Quality.t17TokenGini(spark, sf).collect()
+    assert(got.length === want.length && got.nonEmpty)
+    assert(got.sameElements(want), "per-row gini diverges from batch t17")
+
+    // append mode + no watermark: only a stateless plan can start
+    val dir = Files.createTempDirectory("gini").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val q = QualityStream.giniProfile(
+        spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gini_rows")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("gini_rows").orderBy("doc_id").collect()
+      .sameElements(want), "streamed gini != batch t17")
+  }
+
   test("the gate runs STATELESS over a stream and matches the batch rows") {
     val dir = Files.createTempDirectory("qgate").toString
     Tables.documents(spark, sf).select("doc_id", "text")
