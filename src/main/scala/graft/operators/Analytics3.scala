@@ -219,10 +219,91 @@ object Analytics3 {
       .orderBy("o_orderkey")
   }
 
+  /** qa08: HISTOGRAM-QUANTILE sketch accuracy — the third canonical
+    * mergeable sketch beside qa06 (frequency) and qa07
+    * (cardinality): per event_type, a 256-bin equi-width histogram
+    * over `value` (geometry = the type's [min, max] from one stats
+    * pass — the frozen-geometry rule the bloom filter and quantizer
+    * indexes follow), with p50/p90 estimated as the upper edge of
+    * the first bin whose cumulative count covers p, graded against
+    * the exact interpolated percentile under q12's round-6
+    * cross-engine rule. Bin assignment and edge reconstruction are
+    * the only float ops — each ONE identical expression on both
+    * engines — and bin selection is exact integer arithmetic
+    * (cum·100 ≥ n·p).
+    *
+    * Why a 100 TB pipeline wants it: exact percentiles need a
+    * global sort per key, and engine-internal sketches have no
+    * cross-engine story (qa01's rows-only situation); the histogram
+    * is ≤ 256 rows per type AT ANY CORPUS SIZE, built by one
+    * map-side-combinable groupBy and mergeable across shards/days
+    * by bin-wise addition. The cumulative window runs over that
+    * bounded table, never the events. Evaluation shape (the exact
+    * side exists to grade the sketch); production keeps the
+    * histogram build + the bin lookup. */
+  def qa08HistogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    // per-type stats: a handful of rows, broadcast back onto events
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
+    val binned = ev.join(broadcast(stats), "event_type")
+      .withColumn("bin", when(col("vmax") === col("vmin"), lit(0L))
+        .otherwise(least(lit(255L),
+          floor(((col("value") - col("vmin")) / (col("vmax") - col("vmin"))) * 256.0))))
+    val hist = binned.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(stats.select("event_type", "n")), "event_type")
+    def pick(p: Int): DataFrame = cum
+      .filter(col("cum") * 100 >= col("n") * p)
+      .groupBy("event_type").agg(min(col("bin")).as(s"bin$p"))
+    val exact = ev.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+      round(expr("percentile(value, 0.9)"), 6).as("exact_p90"))
+    def edge(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      col("vmin") + (bin + 1) * ((col("vmax") - col("vmin")) / 256.0)
+    stats.join(pick(50), "event_type").join(pick(90), "event_type")
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n"), col("vmin"), col("vmax"),
+        edge(col("bin50")).as("est_p50"), edge(col("bin90")).as("est_p90"),
+        col("exact_p50"), col("exact_p90"))
+      .orderBy("event_type")
+  }
+
   val oracles: Map[String, String] = {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
     Map(
+      "qa08_histogram_quantiles" ->
+        """WITH ev AS (SELECT event_type, value FROM events),
+          |st AS (SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+          |       FROM ev GROUP BY 1),
+          |bn AS (SELECT ev.event_type,
+          |    CASE WHEN vmax = vmin THEN 0
+          |         ELSE least(255, CAST(floor(((value - vmin) / (vmax - vmin)) * 256.0) AS BIGINT)) END AS bin
+          |  FROM ev JOIN st USING (event_type)),
+          |h AS (SELECT event_type, bin, COUNT(*) AS c FROM bn GROUP BY 1, 2),
+          |cm AS (SELECT event_type, bin,
+          |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM h),
+          |s50 AS (SELECT cm.event_type, MIN(bin) AS bin50
+          |        FROM cm JOIN st USING (event_type) WHERE cum * 100 >= n * 50 GROUP BY 1),
+          |s90 AS (SELECT cm.event_type, MIN(bin) AS bin90
+          |        FROM cm JOIN st USING (event_type) WHERE cum * 100 >= n * 90 GROUP BY 1),
+          |ex AS (SELECT event_type,
+          |    round(quantile_cont(value, 0.5), 6) AS exact_p50,
+          |    round(quantile_cont(value, 0.9), 6) AS exact_p90
+          |  FROM ev GROUP BY 1)
+          |SELECT st.event_type, n, vmin, vmax,
+          |  vmin + (bin50 + 1) * ((vmax - vmin) / 256.0) AS est_p50,
+          |  vmin + (bin90 + 1) * ((vmax - vmin) / 256.0) AS est_p90,
+          |  exact_p50, exact_p90
+          |FROM st JOIN s50 USING (event_type) JOIN s90 USING (event_type)
+          |  JOIN ex USING (event_type)
+          |ORDER BY event_type""".stripMargin,
+
       "qa03_sample_topk" ->
         """WITH exact10 AS (SELECT user_id, COUNT(*) AS exact_n FROM events
           |                 GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 10),

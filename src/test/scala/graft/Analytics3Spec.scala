@@ -197,6 +197,25 @@ class Analytics3Spec extends SparkSpec {
       }
   }
 
+  test("qa08 histogram quantiles: upper-edge rule, one-bin-width envelope") {
+    val rows = Analytics3.qa08HistogramQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, vmin, vmax) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val bw = (vmax - vmin) / 256.0
+      assert(n > 0 && vmax > vmin)
+      Seq((r.getDouble(4), r.getDouble(6)), (r.getDouble(5), r.getDouble(7)))
+        .foreach { case (est, exact) =>
+          assert(est >= vmin && est <= vmax + bw)
+          // the upper-edge estimate sits at or above the exact
+          // quantile (the covering bin's top), at most ~one bin high
+          // plus interpolation slack into the next bin
+          assert(est >= exact - bw, s"est $est below exact $exact - bw $bw")
+          assert(est <= exact + 2 * bw, s"est $est above exact $exact + 2bw $bw")
+        }
+    }
+  }
+
   test("m12: final status is the last attempt's status; counts conserved") {
     val aging = MaillogOps.m12QueueAging(spark, sf).collect()
     val dl = SparkEntry.queries("m04_deliveries")(spark, sf).collect()
