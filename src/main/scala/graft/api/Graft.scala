@@ -358,6 +358,21 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Per-document token-diversity Gini profile (t17). */
   def tokenGini: DataFrame = Quality.t17TokenGini(spark, dir)
 
+  /** Histogram-quantile sketch accuracy report: 256-bin per-type
+    * histogram estimates vs exact percentiles (qa08). */
+  def histogramQuantiles: DataFrame = Analytics3.qa08HistogramQuantiles(spark, dir)
+
+  /** Running histogram counters over an event stream against a
+    * frozen per-type geometry — Complete-mode, state ≤ |types|×256
+    * ([[graft.streaming.EventStream.histogramCounters]]). */
+  def streamingHistogram(evStream: DataFrame, geometry: DataFrame): DataFrame =
+    graft.streaming.EventStream.histogramCounters(evStream, geometry)
+
+  /** Per-row streaming token-diversity profile — stateless twin of
+    * t17 ([[graft.streaming.QualityStream.giniProfile]]). */
+  def streamingGiniProfile(docStream: DataFrame): DataFrame =
+    graft.streaming.QualityStream.giniProfile(docStream)
+
   /** Stateless streaming bloom screen over a (doc_id, text) stream —
     * d19's shared probe/verdict algebra against the frozen filter,
     * no state or watermark ([[graft.streaming.BloomStream]]). */

@@ -241,16 +241,30 @@ object Analytics3 {
     * bounded table, never the events. Evaluation shape (the exact
     * side exists to grade the sketch); production keeps the
     * histogram build + the bin lookup. */
-  def qa08HistogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
-    // per-type stats: a handful of rows, broadcast back onto events
-    val stats = ev.groupBy("event_type").agg(
+  /** qa08's per-type [min, max] geometry — one stats pass; at a
+    * deployment this is computed at corpus freeze and shipped to the
+    * streaming twin (the BloomStream/SemStream frozen-index rule). */
+  private[graft] def histGeometry(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type").agg(
       count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
-    val binned = ev.join(broadcast(stats), "event_type")
+
+  /** The bin projection + bounded counter build, literally shared
+    * with the streaming twin
+    * ([[graft.streaming.EventStream.histogramCounters]]) so running
+    * counters cannot drift from the oracle-gated batch sketch.
+    * Output is ≤ 256 rows per type at any corpus size. */
+  private[graft] def histogramOf(ev: DataFrame, geometry: DataFrame): DataFrame =
+    ev.join(broadcast(geometry.select("event_type", "vmin", "vmax")), "event_type")
       .withColumn("bin", when(col("vmax") === col("vmin"), lit(0L))
         .otherwise(least(lit(255L),
           floor(((col("value") - col("vmin")) / (col("vmax") - col("vmin"))) * 256.0))))
-    val hist = binned.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+
+  def qa08HistogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    // per-type stats: a handful of rows, broadcast back onto events
+    val stats = histGeometry(ev)
+    val hist = histogramOf(ev, stats)
     val cum = hist.withColumn("cum",
         sum(col("c")).over(Window.partitionBy("event_type").orderBy("bin")
           .rowsBetween(Window.unboundedPreceding, 0)))

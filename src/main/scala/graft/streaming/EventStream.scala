@@ -22,6 +22,25 @@ object EventStream {
         col("n"), col("sum_value"))
   }
 
+  /** Running HISTOGRAM counters over an arriving event stream — the
+    * streaming twin of qa08's sketch build and the third streaming
+    * sketch beside stream_cms/stream_hll: one Complete-mode groupBy
+    * whose state is PROVABLY bounded at |types| × 256 (event_type,
+    * bin) rows by the sketch geometry — no watermark or TTL (the
+    * stream_staleness class of safe unbounded-stream aggregations).
+    * `geometry` is the per-type [min, max] frame computed at corpus
+    * freeze ([[graft.operators.Analytics3.histGeometry]] — the
+    * BloomStream/SemStream frozen-index rule: bins must not shift as
+    * data arrives); the bin projection + counter build are LITERALLY
+    * shared with the oracle-gated batch sketch
+    * ([[graft.operators.Analytics3.histogramOf]]). A deployment
+    * snapshots the bounded table per trigger and merges snapshots
+    * across streams/days by bin-wise addition; quantile lookups run
+    * against any snapshot without touching the events again. */
+  def histogramCounters(evStream: DataFrame, geometry: DataFrame): DataFrame =
+    graft.operators.Analytics3.histogramOf(
+      evStream.select(col("event_type"), col("value")), geometry)
+
   /** Stream-stream interval join: clicks matched to the same user's
     * purchases within the next 10 minutes. Watermarks on both sides
     * bound the join state; the event-time range condition lets Spark

@@ -34,6 +34,48 @@ class EventStreamSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streaming histogram counters: two-checkpoint replay equals the batch sketch") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    // geometry frozen ONCE from the full corpus (the frozen-index
+    // rule) — both the batch sketch and the stream share it
+    val geo = graft.operators.Analytics3.histGeometry(
+      ev.select("event_type", "value"))
+    val dir = Files.createTempDirectory("histin").toFile
+    val ckpt = Files.createTempDirectory("histckpt").toString
+    val schema = ev.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.histogramCounters(stream, geo)
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName("hist_counters")
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter($"event_id" % 2 === 0).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk1").toString)
+    runOnce()
+    ev.filter($"event_id" % 2 =!= 0).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk2").toString)
+    runOnce()
+    val streamed = spark.table("hist_counters")
+      .as[(String, Long, Long)].collect()
+      .map { case (t, b, c) => (t, b) -> c }.toMap
+    val batch = graft.operators.Analytics3.histogramOf(
+        ev.select("event_type", "value"), geo)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, b, c) => (t, b) -> c }.toMap
+    assert(batch.nonEmpty)
+    assert(streamed === batch, "streamed histogram != batch sketch")
+    // bounded-state claim: at most |types| x 256 cells, bins in range
+    val nTypes = geo.count()
+    assert(streamed.size <= nTypes * 256)
+    assert(streamed.keys.forall { case (_, b) => b >= 0 && b <= 255 })
+  }
+
   test("stream-stream interval join equals batch and the banded q15") {
     val dir = Files.createTempDirectory("evjoin").toString
     val batchEvents = Tables.events(spark, sf)
