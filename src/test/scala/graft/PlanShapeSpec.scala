@@ -170,6 +170,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(takes.nonEmpty, "top-10 must plan as TakeOrderedAndProject")
   }
 
+  test("mm06/mm07/mm08: one doc_id hash shuffle feeds every scene/segment window") {
+    // the un-sorted mm03 core claim: compositions see exactly one
+    // data shuffle (hash on doc_id — the group/window keys all
+    // contain doc_id, so the subset rule re-uses it) plus the final
+    // presentation sort; a reintroduced orderBy in the core would
+    // add a rangepartitioning exchange and fail this
+    for (df <- Seq(Multimodal.mm06SceneIndex(spark, sf),
+                   Multimodal.mm07SceneSample(spark, sf),
+                   Multimodal.mm08SilenceSegments(spark, sf))) {
+      val ws = windows(df)
+      assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty))
+      assert(shuffles(df) <= 2, s"scene plan grew extra exchanges: ${shuffles(df)}")
+    }
+  }
+
   test("no query plans an unpartitioned window over table data") {
     // the round-1 scale-killers (m06 global rank, vocab row_number)
     // must stay dead: sweep every registered batch query
