@@ -358,6 +358,10 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Per-document token-diversity Gini profile (t17). */
   def tokenGini: DataFrame = Quality.t17TokenGini(spark, dir)
 
+  /** Bottom-k (KMV) distinct sample + cardinality cross-check —
+    * uniform, deterministic, mergeable over distinct items (qa09). */
+  def bottomkSample: DataFrame = Quality.qa09BottomkSample(spark, dir)
+
   /** Histogram-quantile sketch accuracy report: 256-bin per-type
     * histogram estimates vs exact percentiles (qa08). */
   def histogramQuantiles: DataFrame = Analytics3.qa08HistogramQuantiles(spark, dir)

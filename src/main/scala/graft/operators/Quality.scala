@@ -485,7 +485,10 @@ object Quality {
     * m = 64. */
   private[operators] val HllNum: Double = 0.709 * 4096.0 * HllPow55.toDouble
 
-  private def hllX(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** The 60-bit md5-prefix item hash shared by the HLL registers
+    * (qa07) and the bottom-k sample (qa09) — one definition, so the
+    * two cardinality views hash identically. */
+  private[operators] def hllX(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(term), 1, 15), 16, 10).cast("long")
 
   /** Bit length of the 54-bit remainder via a GENERATED comparison
@@ -510,6 +513,72 @@ object Quality {
   private def hllPowSql(rk: String): String =
     (1 to 55).map(r => s"WHEN $rk = $r THEN ${1L << (55 - r)}")
       .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** qa09's sample size and the KMV numerator (k−1)·2⁶⁰ as ONE
+    * precomputed double literal (2⁶⁶ overflows int64 — the HllNum
+    * identical-literal rule). */
+  private[operators] val KmvK = 64
+  private[operators] val KmvNum: Double = 63.0 * math.pow(2.0, 60)
+
+  /** qa09: BOTTOM-K (KMV) distinct sample — the k = 64 smallest
+    * 60-bit item hashes over the DISTINCT token space: a uniform,
+    * deterministic, MERGEABLE sample of distinct items. Uniformity
+    * comes from the hash order (independent of frequency — a term
+    * appearing once and a stopword are equally likely to be drawn),
+    * and mergeability is the bottom-k algebra: re-taking the bottom
+    * k of a union of per-shard bottom-k's equals the global bottom-k
+    * — proved oracle-VISIBLY per row (`in_merged`, built from the
+    * per-source re-take, is provably always true and hashed by the
+    * gate). The same sample doubles as the KMV cardinality
+    * estimator — est = (k−1)·2⁶⁰ / kth-smallest-hash — the
+    * cross-check on qa07's HLL from an independent sketch family
+    * (order statistics vs leading zeros) over the SAME shared hash.
+    *
+    * Why a 100 TB pipeline wants it: "pick 64 eval documents/terms
+    * uniformly over distinct content, identically on every shard and
+    * every rerun" is exactly this sample; shards ship 64 rows each
+    * and the merge is a re-take, no coordination. The fixture's ~31
+    * distinct tokens sit below k, where the sample is the whole
+    * vocabulary and est = exact by the standard KMV small case
+    * (documented, like qa07's small-range regime); HllSpec-style
+    * synthetic coverage drives the estimating regime.
+    *
+    * Plan shape: distinct → hash → global TakeOrdered(64) (never a
+    * global rank window — the qa03 rule; the per-row rank comes from
+    * a 64×64 self-join count); the per-source path is a row_number
+    * window PARTITIONED by source filtered to ≤ 64/source. */
+  def qa09BottomkSample(spark: SparkSession, dir: String): DataFrame =
+    qa09From(Tables.documents(spark, dir))
+
+  private[graft] def qa09From(documents: DataFrame): DataFrame = {
+    val st = documents
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val terms = OpCache.cached(
+      st.select("term").distinct().withColumn("hval", hllX(col("term"))))
+    val smp = OpCache.cached(terms.orderBy("hval").limit(KmvK))
+    val rk = smp.as("a").join(smp.as("b"),
+        col("b.hval") <= col("a.hval"))
+      .groupBy(col("a.term").as("term"), col("a.hval").as("hval"))
+      .agg(count(lit(1)).as("smp_rank"))
+    val perSrc = st.join(terms, "term")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("hval")))
+      .filter(col("rn") <= KmvK)
+      .select("term", "hval").distinct()
+    val merged = perSrc.orderBy("hval").limit(KmvK)
+    val ex = st.agg(countDistinct(col("term")).as("n_distinct"))
+    val kth = smp.agg(max(col("hval")).as("kth"), count(lit(1)).as("n_sample"))
+    rk.join(merged.select(col("term"), lit(true).as("in_merged")), Seq("term"), "left")
+      .withColumn("in_merged", coalesce(col("in_merged"), lit(false)))
+      .crossJoin(broadcast(ex)).crossJoin(broadcast(kth))
+      .select(col("smp_rank"), col("term"), col("hval"), col("in_merged"),
+        col("n_distinct"), col("n_sample"),
+        when(col("n_sample") < KmvK, col("n_distinct").cast("double"))
+          .otherwise(lit(KmvNum) / col("kth").cast("double")).as("est_distinct"))
+      .orderBy("smp_rank")
+  }
 
   /** The per-token-instance (bucket, rk) cell projection — literally
     * shared with the streaming registers
@@ -581,6 +650,29 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    "qa09_bottomk_sample" ->
+      raw"""WITH st AS (SELECT DISTINCT source, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         |tv AS (SELECT term, ('0x' || substr(md5(term), 1, 15))::BIGINT AS hval
+         |       FROM (SELECT DISTINCT term FROM st) t),
+         |smp AS (SELECT term, hval FROM tv ORDER BY hval LIMIT $KmvK),
+         |rk AS (SELECT a.term AS term, a.hval AS hval, COUNT(*) AS smp_rank
+         |       FROM smp a JOIN smp b ON b.hval <= a.hval GROUP BY 1, 2),
+         |ps AS (SELECT term, hval FROM (
+         |         SELECT st.term, hval,
+         |           row_number() OVER (PARTITION BY source ORDER BY hval) AS rn
+         |         FROM st JOIN tv USING (term)) x
+         |       WHERE rn <= $KmvK),
+         |mg AS (SELECT term FROM (SELECT DISTINCT term, hval FROM ps) u
+         |       ORDER BY hval LIMIT $KmvK),
+         |ex AS (SELECT COUNT(*) AS n_distinct FROM tv),
+         |kt AS (SELECT CAST(MAX(hval) AS BIGINT) AS kth, COUNT(*) AS n_sample FROM smp)
+         |SELECT smp_rank, rk.term, rk.hval,
+         |  rk.term IN (SELECT term FROM mg) AS in_merged,
+         |  n_distinct, n_sample,
+         |  CASE WHEN n_sample < $KmvK THEN CAST(n_distinct AS DOUBLE)
+         |       ELSE $KmvNum / CAST(kth AS DOUBLE) END AS est_distinct
+         |FROM rk, ex, kt ORDER BY smp_rank""".stripMargin,
+
     "t17_token_gini" ->
       raw"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
          |c AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),

@@ -297,6 +297,38 @@ class PropertySpec extends SparkSpec {
       s"HLL raw estimate $est vs exact $exact outside 3-sigma envelope")
   }
 
+  test("qa09 bottom-k sample: KMV estimate, merge re-take, bit-for-bit hashes") {
+    import graft.operators.Quality
+    val docs = (0 until 5000).map(i =>
+      (i.toLong, s"kmv${rnd.nextInt(1000000000)}y$i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val rows = Quality.qa09From(docs).collect()
+    assert(rows.length === 64)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 64L))
+    val hv = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(hv.zip(hv.tail).forall { case (a, b) => a < b })
+    // the per-source re-take reproduces the global sample on EVERY row
+    assert(rows.forall(_.getBoolean(3)))
+    // KMV envelope: std err ~ 1/sqrt(k-2) ~ 13%; 3-sigma cap
+    val est = rows.head.getDouble(6)
+    assert(math.abs(est - 5000) / 5000.0 < 0.39, s"KMV est $est vs 5000")
+    // bit-for-bit: the sample IS the 64 smallest md5-prefix hashes
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.collect().map(_.getString(1)).distinct
+      .map(t => (java.lang.Long.parseLong(md5hex(t).take(15), 16), t))
+      .sortBy(_._1).take(64).toSeq
+    assert(rows.map(r => (r.getLong(2), r.getString(1))).sortBy(_._1).toSeq === want)
+    // below-k regime on the fixture: sample = whole vocab, est exact
+    val fix = Quality.qa09BottomkSample(spark, sf).collect()
+    val nd = fix.head.getLong(4)
+    if (nd < 64) {
+      assert(fix.length.toLong === nd)
+      assert(fix.head.getDouble(6) === nd.toDouble)
+    }
+  }
+
   test("s18 k-means refinement equals the local integer-exact simulation") {
     import graft.operators.Similarity
     // random vectors, fixed seed; ids sparse so the stride rule is
