@@ -144,6 +144,7 @@ object SparkEntry {
     "s19_refined_recall" -> (Similarity.s19RefinedRecall _),
     "p16_split_balance" -> (Pipeline.p16SplitBalance _),
     "p17_epoch_plan" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p17EpochPlan(s, d)),
+    "p18_read_plan" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p18ReadPlan(s, d)),
     "qa06_cms_accuracy" -> (Quality.qa06CmsAccuracy _),
     "qa07_hll_distinct" -> (Quality.qa07HllDistinct _),
     "mm06_scene_index" -> (Multimodal.mm06SceneIndex _),

@@ -355,6 +355,11 @@ class Graft(val spark: SparkSession, dir: String) {
   def epochPlan(budgetMult: Long = 3L): DataFrame =
     Pipeline.p17EpochPlan(spark, dir, budgetMult)
 
+  /** Epoch-rotated per-rank shard read plan over the p04 manifest
+    * (p18). */
+  def readPlan(epochs: Long = 3L, world: Long = 8L): DataFrame =
+    Pipeline.p18ReadPlan(spark, dir, epochs, world)
+
   /** Per-document token-diversity Gini profile (t17). */
   def tokenGini: DataFrame = Quality.t17TokenGini(spark, dir)
 

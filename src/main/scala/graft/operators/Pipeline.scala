@@ -636,7 +636,58 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** p18: EPOCH-ROTATED dataloader read plan — the artifact a
+    * training launcher actually consumes: for each epoch (p17's
+    * 3×-budget multiple) and data-parallel rank, WHICH of p04's
+    * shards the rank reads and the doc/token mass that implies.
+    * Shard s in epoch e goes to rank (s + e) mod world — the
+    * rotation re-deals shards every epoch, so ranks see different
+    * data slices across epochs WITHOUT any data movement (the
+    * shuffle-between-epochs that would otherwise be a full corpus
+    * re-write is a mod in the read path). Within an epoch every
+    * shard is read exactly once (spec-pinned), and the per-rank
+    * token share quantifies the balance the hash sharding bought.
+    *
+    * Plan shape: runs entirely on p04's ≤|shards|-row manifest — one
+    * explode to epochs × shards rows, one groupBy, a 1-row total
+    * broadcast; the corpus is touched once (inside p04). */
+  def p18ReadPlan(spark: SparkSession, dir: String,
+                  epochs: Long = 3L, world: Long = 8L): DataFrame = {
+    val m = p04ShardManifest(spark, dir)
+    val tot = m.agg(sum(col("sum_tokens")).as("total_tokens"))
+    m.withColumn("epoch", explode(sequence(lit(1L), lit(epochs))))
+      .withColumn("rank_id", (col("shard") + col("epoch")) % world)
+      .groupBy("epoch", "rank_id")
+      .agg(count(lit(1)).as("n_shards"), sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("epoch"), col("rank_id"), col("n_shards"), col("n_docs"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens")).as("token_share"))
+      .orderBy("epoch", "rank_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p18_read_plan" ->
+      raw"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         |    ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+         |  FROM documents),
+         |sh AS (SELECT shard, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(sum_tokens) AS BIGINT) AS total_tokens FROM sh),
+         |pl AS (SELECT shard, n_docs, sum_tokens,
+         |    unnest(generate_series(1, 3)) AS epoch FROM sh)
+         |SELECT CAST(epoch AS BIGINT) AS epoch,
+         |  (shard + epoch) % 8 AS rank_id,
+         |  COUNT(*) AS n_shards,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(sum_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(sum_tokens) AS DOUBLE) / total_tokens AS token_share
+         |FROM pl, tot
+         |GROUP BY epoch, (shard + epoch) % 8, total_tokens
+         |ORDER BY epoch, rank_id""".stripMargin,
+
     "p17_epoch_plan" ->
       raw"""WITH t AS (SELECT source,
          |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens

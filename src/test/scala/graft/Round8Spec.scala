@@ -279,6 +279,28 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("p18 read plan: every shard dealt once per epoch, rotation re-deals") {
+    val rows = Pipeline.p18ReadPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val epochs = rows.map(_._1).distinct.sorted
+    assert(epochs === Seq(1L, 2L, 3L))
+    // within an epoch: 16 shards dealt exactly once over 8 ranks,
+    // token shares summing to 1 and doc mass conserved
+    val total = rows.filter(_._1 == 1L).map(_._4).sum
+    epochs.foreach { e =>
+      val er = rows.filter(_._1 == e)
+      assert(er.map(_._3).sum === 16L, s"epoch $e shard count")
+      assert(er.map(_._4).sum === total, s"epoch $e doc mass")
+      assert(math.abs(er.map(_._6).sum - 1.0) < 1e-9, s"epoch $e shares")
+    }
+    // the rotation actually re-deals: per-rank token mass shifts
+    // between consecutive epochs (shard->rank map changes by +1 mod 8)
+    val byEpoch = epochs.map(e =>
+      rows.filter(_._1 == e).map(t => t._2 -> t._5).toMap)
+    assert(byEpoch(0) != byEpoch(1) || byEpoch(0).values.toSet.size == 1)
+  }
+
   // ---------------------------------------------------------- s18
 
   test("s18 k-means refinement: fit improves, mass conserved, k bounded") {
