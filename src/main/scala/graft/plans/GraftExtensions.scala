@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("long_array_sum"),
       new ExpressionInfo(classOf[LongArraySum].getName, "long_array_sum"),
       GraftExtensions.arraySumBuilder))
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }
 
@@ -54,5 +55,11 @@ object GraftExtensions {
       "long_array_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_array_sum", arraySumBuilder, "built-in")
+    // injectOptimizerRule only applies at session construction; the
+    // experimental hook is the supported live-session equivalent
+    if (!spark.experimental.extraOptimizations.contains(DotProductRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotProductRewrite
+    }
   }
 }

@@ -39,6 +39,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, Seq(4L, 6L)), (2L, Seq(7L, -7L))))
   }
 
+  test("DotProductRewrite swaps the HOF dot product for long_array_dot") {
+    import spark.implicits._
+    // a file-backed relation: a local Seq would constant-fold into a
+    // LocalRelation before the rewrite has anything to match
+    val dir = java.nio.file.Files.createTempDirectory("dotin").toString
+    Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)), (Seq(10L, -2L), Seq(3L, 7L)))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("dot_in")
+    val hof = spark.sql(
+      "SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d FROM dot_in ORDER BY d")
+    assert(hof.queryExecution.optimizedPlan.toString.contains("long_array_dot"),
+      "rewrite must fire on the canonical HOF spelling")
+    assert(hof.as[Long].collect().toSeq === Seq(16L, 32L))
+    // operand order flipped in both lambdas — still the same algebra
+    val rev = spark.sql(
+      "SELECT aggregate(zip_with(a, b, (x, y) -> y * x), 0L, (acc, v) -> v + acc) AS d FROM dot_in")
+    assert(rev.queryExecution.optimizedPlan.toString.contains("long_array_dot"))
+    // a non-product zip lambda must NOT be rewritten, and must still
+    // evaluate through the untouched HOF path
+    val neg = spark.sql(
+      "SELECT aggregate(zip_with(a, b, (x, y) -> x + y), 0L, (acc, v) -> acc + v) AS d FROM dot_in ORDER BY d")
+    assert(!neg.queryExecution.optimizedPlan.toString.contains("long_array_dot"))
+    assert(neg.as[Long].collect().toSeq === Seq(18L, 21L))
+  }
+
   test("saltedJoin equals plain join") {
     import spark.implicits._
     // skewed big side: 90% of rows share key 1
