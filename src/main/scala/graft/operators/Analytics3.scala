@@ -262,13 +262,20 @@ object Analytics3 {
 
   def qa08HistogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
-    // per-type stats: a handful of rows, broadcast back onto events
-    val stats = histGeometry(ev)
+    // per-type stats: a handful of rows, broadcast back onto events.
+    // OpCache'd (as is the cumulative table below) because three
+    // consumers reuse it — uncached, EACH p50/p90 branch re-scans
+    // and re-bins the whole events table (plan-audited: two full
+    // Window subtrees with their own corpus exchanges); cached, the
+    // corpus is binned once and the branches read ≤ 256-row tables.
+    // This is the quantized-corpus cache class (input corpus-scale,
+    // output bounded), not the r6 tiny-broadcast anti-pattern.
+    val stats = OpCache.cached(histGeometry(ev))
     val hist = histogramOf(ev, stats)
-    val cum = hist.withColumn("cum",
+    val cum = OpCache.cached(hist.withColumn("cum",
         sum(col("c")).over(Window.partitionBy("event_type").orderBy("bin")
           .rowsBetween(Window.unboundedPreceding, 0)))
-      .join(broadcast(stats.select("event_type", "n")), "event_type")
+      .join(broadcast(stats.select("event_type", "n")), "event_type"))
     def pick(p: Int): DataFrame = cum
       .filter(col("cum") * 100 >= col("n") * p)
       .groupBy("event_type").agg(min(col("bin")).as(s"bin$p"))
