@@ -27,7 +27,12 @@ object Bench {
     // round 8b: the bloom ingest screen (the production screen path)
     // and the quantizer training step (3 bounded-k assignment passes
     // + 2 mean aggregates — the per-freeze build cost)
-    "d19_bloom_screen", "s18_kmeans_refine")
+    "d19_bloom_screen", "s18_kmeans_refine",
+    // round 8c: the asymmetric containment screen (rare-shingle pair
+    // join — the newest corpus-scale dedup path) and the HLL sketch
+    // build (one map-side-combinable groupBy over the token stream —
+    // the cheap-sketch floor the other entries are read against)
+    "d20_containment", "qa07_hll_distinct")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
