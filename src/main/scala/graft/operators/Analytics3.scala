@@ -241,6 +241,45 @@ object Analytics3 {
     * bounded table, never the events. Evaluation shape (the exact
     * side exists to grade the sketch); production keeps the
     * histogram build + the bin lookup. */
+  /** The EWMA lag weights ½, ¼, … ½⁷ — EXACT binary fractions, so
+    * every product value·½ᵏ is a pure exponent shift (no rounding)
+    * and the fixed left-to-right sum is bit-identical on any IEEE
+    * engine. Generated once for both the Column chain and the oracle
+    * SQL (the s14 shared-fragment rule). */
+  private[graft] val EwmaWeights: Seq[Double] =
+    (1 to 7).map(k => math.pow(0.5, k))
+  private[graft] val EwmaDen: Double = 2.0 - math.pow(0.5, 7)
+
+  /** q35: EWMA spike detection — the streaming-monitoring classic
+    * (smoothed per-user baseline, flag values that overshoot it) as
+    * deterministic window algebra: per user in event order, the
+    * exponentially-weighted mean of the CURRENT + previous 7 values
+    * with α = ½. Halving weights make the floats exact: each term is
+    * an exponent shift and the summation order is written out
+    * left-to-right identically on both engines — the one
+    * determinism trick (exact binary fractions) the engine hadn't
+    * needed yet. Rows before a full 8-value window are warm-up and
+    * excluded (rn > 7), so every reported baseline is a full-depth
+    * EWMA; spike = value > 2× baseline.
+    *
+    * Plan shape: ONE user_id-partitioned window supplies the 7 lags
+    * and the row number (bounded per-user state, no corpus-wide
+    * sort); per-row arithmetic after that. */
+  def q35EwmaSpikes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val lags = EwmaWeights.zipWithIndex.map { case (c, i) =>
+      lag(col("value"), i + 1).over(w) * lit(c) }
+    val num = lags.foldLeft(col("value"))(_ + _)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ewma", num / lit(EwmaDen))
+      .filter(col("rn") > 7)
+      .select(col("user_id"), col("event_id"), col("value"), col("ewma"),
+        (col("value") > col("ewma") * 2.0).as("is_spike"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** qa08's per-type [min, max] geometry — one stats pass; at a
     * deployment this is computed at corpus freeze and shipped to the
     * streaming twin (the BloomStream/SemStream frozen-index rule). */
@@ -295,7 +334,19 @@ object Analytics3 {
   val oracles: Map[String, String] = {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
+    val ewmaTerms = EwmaWeights.zipWithIndex.map { case (c, i) =>
+      s" + lag(value, ${i + 1}) OVER w * $c" }.mkString
     Map(
+      "q35_ewma_spikes" ->
+        s"""WITH $evCte,
+          |l AS (SELECT user_id, event_id, value,
+          |    (value$ewmaTerms) / $EwmaDen AS ewma,
+          |    CAST(row_number() OVER w AS BIGINT) AS rn
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT user_id, event_id, value, ewma,
+          |  value > ewma * 2.0 AS is_spike
+          |FROM l WHERE rn > 7 ORDER BY user_id, event_id""".stripMargin,
+
       "qa08_histogram_quantiles" ->
         """WITH ev AS (SELECT event_type, value FROM events),
           |st AS (SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax

@@ -197,6 +197,36 @@ class Analytics3Spec extends SparkSpec {
       }
   }
 
+  test("q35 EWMA: bit-for-bit vs the per-user local reference, flag honest") {
+    val got = Analytics3.q35EwmaSpikes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.nonEmpty)
+    // local reference: same halving weights, same left-to-right sum
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getDouble(3)))
+    var n = 0
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(t => (t._3, t._2))
+      for (i <- 7 until ordered.length) {
+        val v = ordered(i)._4
+        val num = (1 to 7).foldLeft(v)((acc, k) =>
+          acc + ordered(i - k)._4 * math.pow(0.5, k))
+        val ewma = num / (2.0 - math.pow(0.5, 7))
+        val (gv, ge, gs) = got((ordered(i)._1, ordered(i)._2))
+        assert(gv === v && ge === ewma, s"event ${ordered(i)._2}")
+        assert(gs === (v > ewma * 2.0))
+        n += 1
+      }
+      // warm-up rows excluded
+      ordered.take(7).foreach(t => assert(!got.contains((t._1, t._2))))
+    }
+    assert(n === got.size)
+  }
+
   test("qa08 histogram quantiles: upper-edge rule, one-bin-width envelope") {
     val rows = Analytics3.qa08HistogramQuantiles(spark, sf).collect()
     assert(rows.nonEmpty)
