@@ -355,6 +355,17 @@ class Graft(val spark: SparkSession, dir: String) {
   def epochPlan(budgetMult: Long = 3L): DataFrame =
     Pipeline.p17EpochPlan(spark, dir, budgetMult)
 
+  /** Per-user EWMA spike report — smoothed baseline + overshoot
+    * flag, exact binary-fraction weights (q35). */
+  def ewmaSpikes: DataFrame = Analytics3.q35EwmaSpikes(spark, dir)
+
+  /** Streaming EWMA spikes over an event stream — watermark-buffered,
+    * O(1) per-user ring state; replay == batch q35 bit-for-bit
+    * ([[graft.streaming.EventStream.ewmaSpikes]]). */
+  def streamingEwmaSpikes(eventStream: DataFrame):
+      Dataset[graft.streaming.EventStream.EwmaRow] =
+    graft.streaming.EventStream.ewmaSpikes(eventStream)
+
   /** Epoch-rotated per-rank shard read plan over the p04 manifest
     * (p18). */
   def readPlan(epochs: Long = 3L, world: Long = 8L): DataFrame =

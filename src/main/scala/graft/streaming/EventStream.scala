@@ -378,4 +378,107 @@ object EventStream {
       .transformWithState(new Scd2Processor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class EwmaEvent(user_id: Long, event_id: Long,
+                       ts: java.sql.Timestamp, value: Double)
+  case class EwmaRow(user_id: Long, event_id: Long, value: Double,
+                     ewma: Double, is_spike: Boolean)
+  private[streaming] case class BufVal(us: Long, event_id: Long, value: Double)
+  /** Last ≤ 7 values, NEWEST FIRST — the whole per-user applied
+    * state of the EWMA (7 doubles, O(1) per key). */
+  private[streaming] case class EwmaRing(vals: Seq[Double])
+
+  /** STREAMING EWMA spike detector — the twin of batch q35: per
+    * user in event-time order, the α = ½ exponentially-weighted mean
+    * of the current + previous 7 values, spike = value > 2×
+    * baseline. The arithmetic is the SAME fixed left-to-right sum of
+    * exact binary-fraction products as the batch operator, so replay
+    * equals q35 bit-for-bit (spec-asserted).
+    *
+    * Same allowed-lateness discipline as [[Scd2Processor]]: events
+    * only BUFFER in `handleInputRows` (an eager apply would compute
+    * baselines over a wrong 7-window when a later micro-batch
+    * delivers an earlier event) and apply in `handleExpiredTimer`
+    * for the prefix the watermark has passed. Applied state is the
+    * O(1) 7-value ring; buffered state is O(events within lateness
+    * of the frontier) per user. */
+  private[streaming] class EwmaProcessor
+      extends StatefulProcessor[Long, EwmaEvent, EwmaRow] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[BufVal] = _
+    @transient private var ring: ValueState[EwmaRing] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState("ewmabuf", Encoders.product[BufVal],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      ring = getHandle.getValueState("ring", Encoders.product[EwmaRing],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[EwmaEvent],
+                                 timerValues: TimerValues): Iterator[EwmaRow] = {
+      var maxUs = Long.MinValue
+      var minUs = Long.MaxValue
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        maxUs = math.max(maxUs, us)
+        minUs = math.min(minUs, us)
+        buf.appendValue(BufVal(us, e.event_id, e.value))
+      }
+      if (maxUs != Long.MinValue) {
+        getHandle.registerTimer(Math.floorDiv(maxUs, 1000) + 1)
+        if (minUs != maxUs)
+          getHandle.registerTimer(Math.floorDiv(minUs, 1000) + 1)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[EwmaRow] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs * 1000
+      val events = {
+        val it = buf.get()
+        val b = Seq.newBuilder[BufVal]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }.sortBy(e => (e.us, e.event_id))
+      if (events.isEmpty) return Iterator.empty
+      val (apply, hold) = events.partition(_.us < wmUs)
+      if (apply.isEmpty) return Iterator.empty
+      var r = Option(ring.get()).map(_.vals).getOrElse(Seq.empty)
+      val out = Seq.newBuilder[EwmaRow]
+      apply.foreach { e =>
+        if (r.length == 7) {
+          // identical term order to Analytics3.q35EwmaSpikes: the
+          // lag-1 product adds first, so the float sum is bit-equal
+          val num = (1 to 7).foldLeft(e.value)((acc, k) =>
+            acc + r(k - 1) * graft.operators.Analytics3.EwmaWeights(k - 1))
+          val ewma = num / graft.operators.Analytics3.EwmaDen
+          out += EwmaRow(user, e.event_id, e.value, ewma, e.value > ewma * 2.0)
+        }
+        r = (e.value +: r).take(7)
+      }
+      ring.update(EwmaRing(r))
+      buf.clear()
+      if (hold.nonEmpty) buf.put(hold.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming EWMA spikes over an event stream — emits each
+    * full-window baseline once the watermark passes its event;
+    * replay with the watermark advanced past the last event yields
+    * exactly the batch q35 rows (spec-asserted, bit-for-bit). */
+  def ewmaSpikes(events: DataFrame, watermark: String = "0 seconds"): Dataset[EwmaRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    MaillogStream.useRocksDbStateStore(spark)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts"), col("value").cast("double").as("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

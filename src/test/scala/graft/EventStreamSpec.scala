@@ -260,6 +260,40 @@ class EventStreamSpec extends SparkSpec {
       "the late bridge event must merge the apparent sessions")
   }
 
+  test("streaming EWMA replay equals batch q35 bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evewma").toString
+    val batchEvents = Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+    // sentinel advances the watermark past every real event so the
+    // whole buffered history applies
+    val maxTs = batchEvents.agg(max("ts")).first().getTimestamp(0)
+    batchEvents.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)))
+      .write.mode("append").parquet(dir)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.ewmaSpikes(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("ewma").filter($"user_id" >= 0)
+      .as[(Long, Long, Double, Double, Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    val want = graft.operators.Analytics3.q35EwmaSpikes(spark, sf)
+      .as[(Long, Long, Double, Double, Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.length === want.length && got.nonEmpty)
+    // bit-for-bit: the ring applies the SAME fixed-order float sum
+    assert(got.sameElements(want), "streamed EWMA == batch q35")
+  }
+
   test("streaming SCD2 replay equals the batch q32 closed intervals") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
