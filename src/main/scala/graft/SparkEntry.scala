@@ -132,6 +132,7 @@ object SparkEntry {
     "qa03_sample_topk" -> (Analytics3.qa03SampleTopkEval _),
     "qa08_histogram_quantiles" -> (Analytics3.qa08HistogramQuantiles _),
     "qa09_bottomk_sample" -> (Quality.qa09BottomkSample _),
+    "qa10_hll_by_source" -> (Quality.qa10HllBySource _),
     "d13_norm_dedup" -> (Dedup.d13NormDedup _),
     "d14_dup_span_pairs" -> (Dedup.d14DupSpanPairs _),
     "d15_incremental_dedup" -> (Dedup.d15IncrementalDedup _),

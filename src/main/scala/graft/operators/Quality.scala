@@ -514,6 +514,38 @@ object Quality {
     (1 to 55).map(r => s"WHEN $rk = $r THEN ${1L << (55 - r)}")
       .mkString("CASE ", " ", " ELSE 0 END")
 
+  /** qa10: per-GROUP HLL distinct estimates — qa07's global sketch in
+    * the shape production actually queries it: `GROUP BY source,
+    * approx distinct tokens`. Spark's own approx_count_distinct is
+    * engine-internal (qa01's rows-only situation); this is the
+    * oracle-gated equivalent — per source, the 64-register sketch
+    * (cells literally shared with qa07/stream_hll), the exact
+    * distinct count beside it, and the per-source error the m = 64
+    * geometry costs. State is |groups| × 64 rows at any corpus
+    * size; everything is the qa07 integer algebra applied under a
+    * group key. Small-range regime per group on the fixture
+    * (documented, qa07's rule); the estimating regime is covered by
+    * qa07's synthetic spec — the algebra is shared, only the
+    * grouping differs. */
+  def qa10HllBySource(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val regs = hllCells(toks)
+      .groupBy("source", "bucket").agg(max(col("rk")).as("max_rank"))
+    val sums = regs.groupBy("source")
+      .agg(count(lit(1)).as("n_used"), sum(hllPow(col("max_rank"))).as("sp"))
+      .select(col("source"), col("n_used"),
+        (col("sp") + (lit(HllM) - col("n_used")) * lit(HllPow55)).as("sum_scaled"))
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("term")).as("exact_distinct"))
+    exact.join(sums, "source")
+      .select(col("source"), col("exact_distinct"), col("n_used"),
+        col("sum_scaled"),
+        (lit(HllNum) / col("sum_scaled").cast("double")).as("est_raw"))
+      .withColumn("err_abs", col("est_raw") - col("exact_distinct"))
+      .orderBy("source")
+  }
+
   /** qa09's sample size and the KMV numerator (k−1)·2⁶⁰ as ONE
     * precomputed double literal (2⁶⁶ overflows int64 — the HllNum
     * identical-literal rule). */
@@ -672,6 +704,22 @@ object Quality {
          |  CASE WHEN n_sample < $KmvK THEN CAST(n_distinct AS DOUBLE)
          |       ELSE $KmvNum / CAST(kth AS DOUBLE) END AS est_distinct
          |FROM rk, ex, kt ORDER BY smp_rank""".stripMargin,
+
+    "qa10_hll_by_source" -> {
+      raw"""WITH tk AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         |ce AS (SELECT source, x % $HllM AS bucket,
+         |         55 - (${hllBitlenSql(s"(x // $HllM)")}) AS rk
+         |       FROM (SELECT source, ('0x' || substr(md5(term), 1, 15))::BIGINT AS x FROM tk) h),
+         |g AS (SELECT source, bucket, MAX(rk) AS max_rank FROM ce GROUP BY source, bucket),
+         |ga AS (SELECT source, COUNT(*) AS n_used,
+         |         CAST(SUM(${hllPowSql("max_rank")}) AS BIGINT) AS sp FROM g GROUP BY source),
+         |ex AS (SELECT source, COUNT(DISTINCT term) AS exact_distinct FROM tk GROUP BY source)
+         |SELECT ex.source, exact_distinct, n_used,
+         |  sp + ($HllM - n_used) * $HllPow55 AS sum_scaled,
+         |  $HllNum / CAST(sp + ($HllM - n_used) * $HllPow55 AS DOUBLE) AS est_raw,
+         |  ($HllNum / CAST(sp + ($HllM - n_used) * $HllPow55 AS DOUBLE)) - exact_distinct AS err_abs
+         |FROM ex JOIN ga USING (source) ORDER BY source""".stripMargin
+    },
 
     "t17_token_gini" ->
       raw"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
