@@ -133,6 +133,7 @@ object SparkEntry {
     "qa08_histogram_quantiles" -> (Analytics3.qa08HistogramQuantiles _),
     "qa09_bottomk_sample" -> (Quality.qa09BottomkSample _),
     "qa10_hll_by_source" -> (Quality.qa10HllBySource _),
+    "qa11_cms_width_curve" -> (Quality.qa11CmsWidthCurve _),
     "d13_norm_dedup" -> (Dedup.d13NormDedup _),
     "d14_dup_span_pairs" -> (Dedup.d14DupSpanPairs _),
     "d15_incremental_dedup" -> (Dedup.d15IncrementalDedup _),

@@ -657,6 +657,50 @@ object Quality {
   def qa07HllDistinct(spark: SparkSession, dir: String): DataFrame =
     qa07From(Tables.documents(spark, dir))
 
+  /** qa11's width grid — shared by the Spark sweep and the generated
+    * oracle (the qa05/s14 one-fragment rule). */
+  private[operators] val CmsWidthGrid: Seq[Long] = Seq(16L, 64L, 1024L)
+
+  /** qa11: CMS WIDTH calibration curve — qa05's role (bloom FP vs
+    * bits) for the frequency sketch: qa06's accuracy measurement
+    * swept over counter widths {16, 64, 1024} with the SAME 4-row
+    * hash family, so the overestimate column becomes the sizing
+    * curve a deployment reads before provisioning d×w memory. The
+    * fixture's 31 types make the bias REAL at the small widths
+    * (pigeonhole: 31 terms over 16 counters per row) and ~0 at
+    * 1024 — the curve's whole story on one screen. Token stream and
+    * exact-top-20 are built once (OpCache) and shared by all three
+    * sweep branches; each branch's counter table is d×w rows at any
+    * corpus size. */
+  def qa11CmsWidthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val toks = OpCache.cached(Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term")))
+    val exact20 = OpCache.cached(
+      toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term")).limit(20))
+    def cmsColW(x: org.apache.spark.sql.Column, j: Int, w: Long) = {
+      val (a, b) = CmsHashes(j)
+      (lit(a) * x + lit(b)) % CmsP % w
+    }
+    CmsWidthGrid.map { w =>
+      val counters = toks
+        .select(explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), cmsColW(cmsXm(col("term")), j, w).as("c"))): _*)).as("jc"))
+        .select(col("jc.j").as("j"), col("jc.c").as("c"))
+        .groupBy("j", "c").agg(count(lit(1)).as("n"))
+      exact20
+        .select(col("term"), col("exact_n"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("j"), cmsColW(cmsXm(col("term")), j, w).as("c"))): _*)).as("jc"))
+        .select(col("term"), col("exact_n"), col("jc.j").as("j"), col("jc.c").as("c"))
+        .join(counters, Seq("j", "c"))
+        .groupBy("term", "exact_n").agg(min(col("n")).as("cms_est"))
+        .select(lit(w).as("width"), col("term"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overestimate"))
+    }.reduce(_ union _)
+      .orderBy(col("width"), col("exact_n").desc, col("term"))
+  }
+
   private[graft] def qa07From(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("source"), explode(tokens(col("text"))).as("term"))
@@ -732,6 +776,30 @@ object Quality {
          |  CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) / (n_tokens * n_tokens) AS gini,
          |  CAST(max_c AS DOUBLE) / n_tokens AS top_share
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "qa11_cms_width_curve" -> {
+      val xmSql = s"('0x' || substr(md5(term), 1, 15))::BIGINT % $CmsP"
+      def widthSql(w: Long) = {
+        val ctr = CmsHashes.zipWithIndex.map { case ((a, b), j) =>
+          s"SELECT $j AS j, (($a * xm + $b) % $CmsP) % $w AS c FROM tx"
+        }.mkString("\n   UNION ALL ")
+        val pr = CmsHashes.zipWithIndex.map { case ((a, b), j) =>
+          s"SELECT term, exact_n, $j AS j, (($a * ($xmSql) + $b) % $CmsP) % $w AS c FROM ex"
+        }.mkString("\n   UNION ALL ")
+        s"""SELECT $w AS width, p.term, p.exact_n,
+           |  MIN(ctr.n) AS cms_est, MIN(ctr.n) - p.exact_n AS overestimate
+           |FROM ($pr) p
+           |JOIN (SELECT j, c, COUNT(*) AS n FROM ($ctr) t GROUP BY j, c) ctr
+           |  USING (j, c)
+           |GROUP BY p.term, p.exact_n""".stripMargin
+      }
+      raw"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         |tx AS (SELECT term, $xmSql AS xm FROM tk),
+         |ex AS (SELECT term, COUNT(*) AS exact_n FROM tk GROUP BY term
+         |       ORDER BY exact_n DESC, term LIMIT 20)
+         |${CmsWidthGrid.map(widthSql).mkString("\nUNION ALL\n")}
+         |ORDER BY width, exact_n DESC, term""".stripMargin
+    },
 
     "qa07_hll_distinct" -> {
       val xSql = "('0x' || substr(md5(term), 1, 15))::BIGINT"

@@ -210,6 +210,25 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("qa11 CMS width curve: bias real at 16, vanishing with width, never negative") {
+    import graft.operators.Quality
+    val rows = Quality.qa11CmsWidthCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(rows.map(_._1).distinct.sorted.toSeq === Quality.CmsWidthGrid)
+    // CMS never undercounts at ANY width
+    assert(rows.forall(_._4 >= 0L))
+    // per term, exact_n is width-independent (same exact side)
+    rows.groupBy(_._2).foreach { case (t, rs) =>
+      assert(rs.map(_._3).distinct.length === 1, t)
+    }
+    // the sizing curve: total bias is non-increasing in width, and
+    // the 16-counter setting actually collides on this vocabulary
+    val bias = Quality.CmsWidthGrid.map(w =>
+      rows.filter(_._1 == w).map(_._4).sum)
+    assert(bias.zip(bias.tail).forall { case (a, b) => a >= b }, bias)
+    assert(bias.head > 0L, "width-16 bias vacuous — curve shows nothing")
+  }
+
   test("p17 epoch plan: budget respected, epoch identity, flag honest") {
     val rows = Pipeline.p17EpochPlan(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
