@@ -659,7 +659,7 @@ object Quality {
 
   /** qa11's width grid — shared by the Spark sweep and the generated
     * oracle (the qa05/s14 one-fragment rule). */
-  private[operators] val CmsWidthGrid: Seq[Long] = Seq(16L, 64L, 1024L)
+  private[graft] val CmsWidthGrid: Seq[Long] = Seq(16L, 64L, 1024L)
 
   /** qa11: CMS WIDTH calibration curve — qa05's role (bloom FP vs
     * bits) for the frequency sketch: qa06's accuracy measurement
