@@ -248,7 +248,7 @@ object Stress {
     // retention groupBys should scale linearly with the corpus (the
     // per-user work is constant; only the shuffle volume grows)
     val evb = graft.sources.Tables.events(spark, dir)
-      .select("user_id", "event_id", "ts", "event_type")
+      .select("user_id", "event_id", "ts", "event_type", "value")
     // the shifts below only keep replicas disjoint while the base ids
     // stay under the stride — a silent overflow would merge users
     // across replicas and report a broken invariant as a datapoint
@@ -261,15 +261,25 @@ object Stress {
     val evrep = (0 until mult).map { k =>
       evb.select((col("user_id") + lit(k * 10000000L)).as("user_id"),
         (col("event_id") + lit(k * 100000000L)).as("event_id"),
-        col("ts"), col("event_type"))
+        col("ts"), col("event_type"), col("value"))
     }.reduce(_ union _).persist()
     val nEv = evrep.count()
+
+    // histogram sketch (qa08's build) under event replication: the
+    // geometry (per-type min/max) is REPLICA-INVARIANT, so every bin
+    // boundary holds and the counter table is exactly mult× the base
+    // counts cell-for-cell while staying ≤ |types| × 256 rows; wall
+    // tracks the event mass (one stats pass + one groupBy)
+    val histEv = evrep.select(col("event_type"), col("value"))
+    val nHistCells = time("histogram sketch (qa08)")(
+      graft.operators.Analytics3.histogramOf(histEv,
+        graft.operators.Analytics3.histGeometry(histEv)).count())
     val nScd = time("scd2 windows (q32)")(
       graft.operators.Analytics3.scd2From(evrep).count())
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

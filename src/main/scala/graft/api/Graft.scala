@@ -374,6 +374,13 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Per-document token-diversity Gini profile (t17). */
   def tokenGini: DataFrame = Quality.t17TokenGini(spark, dir)
 
+  /** CMS width calibration curve — overestimate vs counter width
+    * {16, 64, 1024}, the d×w sizing table (qa11). */
+  def cmsWidthCurve: DataFrame = Quality.qa11CmsWidthCurve(spark, dir)
+
+  /** Per-group HLL distinct estimates vs exact (qa10). */
+  def hllBySource: DataFrame = Quality.qa10HllBySource(spark, dir)
+
   /** Bottom-k (KMV) distinct sample + cardinality cross-check —
     * uniform, deterministic, mergeable over distinct items (qa09). */
   def bottomkSample: DataFrame = Quality.qa09BottomkSample(spark, dir)
