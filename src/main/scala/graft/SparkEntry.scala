@@ -128,6 +128,7 @@ object SparkEntry {
     "q32_scd2" -> (Analytics3.q32Scd2 _),
     "q33_snapshot_diff" -> (Analytics3.q33SnapshotDiff _),
     "q35_ewma_spikes" -> (Analytics3.q35EwmaSpikes _),
+    "q36_user_growth" -> (Analytics3.q36UserGrowth _),
     "qa02_approx_robust" -> (Analytics3.qa02ApproxRobust _),
     "qa03_sample_topk" -> (Analytics3.qa03SampleTopkEval _),
     "qa08_histogram_quantiles" -> (Analytics3.qa08HistogramQuantiles _),

@@ -355,6 +355,10 @@ class Graft(val spark: SparkSession, dir: String) {
   def epochPlan(budgetMult: Long = 3L): DataFrame =
     Pipeline.p17EpochPlan(spark, dir, budgetMult)
 
+  /** Daily user-growth curve — actives, first-timers, users-to-date
+    * (q36). */
+  def userGrowth: DataFrame = Analytics3.q36UserGrowth(spark, dir)
+
   /** Per-user EWMA spike report — smoothed baseline + overshoot
     * flag, exact binary-fraction weights (q35). */
   def ewmaSpikes: DataFrame = Analytics3.q35EwmaSpikes(spark, dir)

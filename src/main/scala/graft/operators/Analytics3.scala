@@ -241,6 +241,41 @@ object Analytics3 {
     * bounded table, never the events. Evaluation shape (the exact
     * side exists to grade the sketch); production keeps the
     * histogram build + the bin lookup. */
+  /** q36: USER-GROWTH curve — the cumulative-distinct dashboard
+    * (daily actives, first-time users, users-to-date, new-user
+    * share): the one event-table classic the suite didn't have.
+    * Cumulative distinct is NOT a distinct-over-window (quadratic
+    * state) — each user contributes at their FIRST-seen day, so
+    * users-to-date = running sum of first-seen counts; and the
+    * running sum over the per-day frame uses the engine's bounded
+    * NON-EQUI JOIN form (days ⋈ days on b.day ≤ a.day over the
+    * ≤#days-row aggregate — Catalyst broadcasts it) instead of an
+    * unpartitioned window, which the PlanShapeSpec sweep bans
+    * outright (days are bounded today, but the ban is absolute
+    * because "bounded" claims rot).
+    *
+    * Plan shape: two hash groupBys over events (first-seen per
+    * user, distinct actives per day) + tiny-frame joins; nothing
+    * corpus-scale past the aggregates. */
+  def q36UserGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val active = ev.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val firstSeen = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val days = active.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val cum = days.select(col("day").as("d2"), col("n_new").as("nn"))
+    days.join(cum, col("d2") <= col("day"))
+      .groupBy("day", "n_active", "n_new")
+      .agg(sum(col("nn")).as("cum_users"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_new"), col("cum_users"),
+        (col("n_new").cast("double") / col("n_active")).as("new_share"))
+      .orderBy("day")
+  }
+
   /** The EWMA lag weights ½, ¼, … ½⁷ — EXACT binary fractions, so
     * every product value·½ᵏ is a pure exponent shift (no rounding)
     * and the fixed left-to-right sum is bit-identical on any IEEE
@@ -337,6 +372,23 @@ object Analytics3 {
     val ewmaTerms = EwmaWeights.zipWithIndex.map { case (c, i) =>
       s" + lag(value, ${i + 1}) OVER w * $c" }.mkString
     Map(
+      "q36_user_growth" ->
+        s"""WITH $evCte,
+          |e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM ev),
+          |ac AS (SELECT day, COUNT(DISTINCT user_id) AS n_active FROM e GROUP BY day),
+          |fs AS (SELECT day, COUNT(*) AS n_new FROM (
+          |         SELECT user_id, MIN(day) AS day FROM e GROUP BY user_id) f
+          |       GROUP BY day),
+          |d AS (SELECT ac.day, n_active,
+          |        CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+          |      FROM ac LEFT JOIN fs USING (day))
+          |SELECT strftime(a.day, '%Y-%m-%d') AS day, a.n_active, a.n_new,
+          |  CAST(SUM(b.n_new) AS BIGINT) AS cum_users,
+          |  CAST(a.n_new AS DOUBLE) / a.n_active AS new_share
+          |FROM d a JOIN d b ON b.day <= a.day
+          |GROUP BY a.day, a.n_active, a.n_new
+          |ORDER BY a.day""".stripMargin,
+
       "q35_ewma_spikes" ->
         s"""WITH $evCte,
           |l AS (SELECT user_id, event_id, value,

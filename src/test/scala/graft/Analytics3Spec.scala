@@ -227,6 +227,25 @@ class Analytics3Spec extends SparkSpec {
     assert(n === got.size)
   }
 
+  test("q36 user growth: cumulative identity, monotone, conserved totals") {
+    val rows = Analytics3.q36UserGrowth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // cum_users is the running sum of n_new, strictly ordered by day
+    var run = 0L
+    rows.sortBy(_._1).foreach { case (_, active, nu, cum, share) =>
+      run += nu
+      assert(cum === run)
+      assert(nu <= active)          // a new user is active that day
+      assert(share === nu.toDouble / active)
+    }
+    // final cumulative == total distinct users in the table
+    val total = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._4).max === total)
+  }
+
   test("qa08 histogram quantiles: upper-edge rule, one-bin-width envelope") {
     val rows = Analytics3.qa08HistogramQuantiles(spark, sf).collect()
     assert(rows.nonEmpty)
