@@ -32,7 +32,11 @@ object Bench {
     // join — the newest corpus-scale dedup path) and the HLL sketch
     // build (one map-side-combinable groupBy over the token stream —
     // the cheap-sketch floor the other entries are read against)
-    "d20_containment", "qa07_hll_distinct")
+    "d20_containment", "qa07_hll_distinct",
+    // round 8d: postings-pruned ranked retrieval (broadcast query
+    // frame + two-phase top-k) and the 4-iteration integer TextRank
+    // (one corpus aggregation + bounded iterative joins)
+    "t18_bm25", "t19_textrank")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while

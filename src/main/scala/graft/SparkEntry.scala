@@ -167,7 +167,10 @@ object SparkEntry {
     "p10_pack_boundaries" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p10PackBoundaries(s, d)),
     "p11_curriculum_order" -> (Pipeline.p11CurriculumOrder _),
     "m12_queue_aging" -> (MaillogOps.m12QueueAging _),
-    "m13_dsn_taxonomy" -> (MaillogOps.m13DsnTaxonomy _)
+    "m13_dsn_taxonomy" -> (MaillogOps.m13DsnTaxonomy _),
+    "q37_salted_join" -> (Skew.q37SaltedJoin _),
+    "t18_bm25" -> (TextAnalysis.t18Bm25 _),
+    "t19_textrank" -> (TextAnalysis.t19Textrank _)
   )
 
   /** Three keys are intentionally absent (the driver records a
@@ -178,7 +181,7 @@ object SparkEntry {
     * via NearDupStreamSpec). QueriesSpec enforces that every OTHER
     * query carries oracle SQL. */
   def oracleSql: Map[String, String] = MaillogOracle.oracles ++
-    TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+    TextAnalysis.oracles ++ Skew.oracles ++ Dedup.oracles ++ Similarity.oracles ++
     Multimodal.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++
     Pipeline.oracles ++
     Quality.oracles ++ Map(

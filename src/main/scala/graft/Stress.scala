@@ -212,6 +212,27 @@ object Stress {
     val nStaleCells = time("staleness monitor (qa04)")(
       graft.operators.Dedup.qa04From(d18in).count())
 
+    // BM25 ranked retrieval (t18) under replication: postings and
+    // the per-query candidate set both grow mult× (replicas match
+    // every query their base matched), but the result set stays 10
+    // rows/query and the two-phase top-k never concentrates a
+    // query's candidates on one reducer — wall should track the
+    // token mass, rows stay fixed
+    val bmIn = docs
+    val nBm = time("bm25 top-k (t18)")(
+      graft.operators.TextAnalysis.t18From(bmIn).count())
+
+    // TextRank (t19) under replication: co-occurrence weights scale
+    // mult× UNIFORMLY, and floor(r·(m·w)/(m·W)) = floor(r·w/W) — the
+    // integer fixed point is REPLICATION-INVARIANT bit-for-bit (node
+    // set, n_nbrs, every rank_micro), while the edge-build
+    // aggregation scans mult× the bigram mass. Both read back here:
+    // wall tracks the corpus, the rank fingerprint must not move
+    val trRows = time("textrank (t19)")(
+      graft.operators.TextAnalysis.textrankFrom(docs)
+        .agg(count(lit(1)), sum(col("rank_micro"))).head())
+    val (nTrTerms, trMass) = (trRows.getLong(0), trRows.getLong(1))
+
     // per-language LM rank on a SINGLE-language corpus: t15's
     // two-phase bucketed rank must stay parallel when every row
     // shares one lang value (the mostly-English-corpus case) — same
@@ -279,7 +300,7 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
     spark.stop()
   }
 }

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.Fns.dec2
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling join helper: salting.
@@ -40,4 +42,37 @@ object Skew {
   def hotKeys(df: DataFrame, key: Column, k: Int = 10): DataFrame =
     df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc).limit(k)
+
+  /** q37: the salted fact⋈dim join under the full-oracle gate —
+    * salting is RESULT-INVARIANT (the salt widens the join key on
+    * both sides identically and is dropped before the aggregate), so
+    * the oracle is the plain unsalted SQL join. lineitem is the hot
+    * side (its salt spreads every suppkey over 8 reducers); supplier
+    * is replicated 8×, which stays broadcast-sized — the replication
+    * factor multiplies the DIM side only, never the fact table.
+    * Decimal→double handling mirrors q03 so the per-nation revenue
+    * is bit-identical across engines. */
+  def q37SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    val revenue = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    saltedJoin(li, sup, "suppkey", buckets = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(revenue).cast("double").as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q37_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFns._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents table: token stats,
@@ -187,6 +188,138 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shared BM25 query set + constants — generated into BOTH the
+    * Column plan and the oracle VALUES clause (the s14
+    * shared-fragment rule), so the two engines cannot drift. All
+    * float literals appear as decimal strings parsed by each engine
+    * ("2.2", not Scala 1.2+1.0, whose rounded sum is a DIFFERENT
+    * double than the literal) and every per-term score is floored to
+    * micro-units before the (integer, order-free) per-doc sum. */
+  private[graft] val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "agg", "stream"),
+    3 -> Seq("vector", "scan"),
+    4 -> Seq("customer", "filter", "slow"),
+    5 -> Seq("merge", "sort", "key"),
+    6 -> Seq("spark", "batch"))
+
+  /** t18: BM25 ranked retrieval — top-10 documents per query over the
+    * whitespace-token index, the search-engine classic t05's tf-idf
+    * weighting stops short of. Okapi shape with a RATIONAL idf
+    * (N−df+0.5)/(df+0.5) instead of its log — same sign and ranking
+    * direction on this corpus's df range, but exactly reproducible
+    * (libm log differs in the last ulp across engines; ÷ and × are
+    * IEEE-exact). k1=1.2, b=0.75.
+    *
+    * Plan shape (the 100 TB story): the postings build is two hash
+    * aggregates (tf per (doc,term), df per term); the bounded query
+    * set joins df and the 1-row corpus stats FIRST (both broadcast),
+    * then hits the postings with ONE broadcast join on term — the
+    * fact table is pruned to query-term postings before anything
+    * wide. The only corpus-scaled join is doc-length on doc_id,
+    * hint-free (the s13 code-join class — Catalyst picks). Top-10
+    * per query is TWO-PHASE: local top-10 inside each of 32 hash
+    * partitions of doc space, then top-10 of the ≤320 survivors —
+    * no single reducer ever sees a query's full match list. */
+  /** The per-(query, doc) BM25 scores BEFORE top-k selection — split
+    * out so the two-phase top-k in [[t18Bm25]] can be spec-checked
+    * against a local reference over this frame. */
+  private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoredFrom(Tables.documents(spark, dir))
+
+  private[graft] def bm25ScoredFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val tok = d.select(col("doc_id"), explode(col("t")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast("long")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .select("n_docs", "avgdl")
+    val q = Bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    // bounded: ≤ one row per (query, term) — carries df + corpus stats
+    val qdf = dfreq.join(broadcast(q), "term").crossJoin(broadcast(stats))
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val den = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+    val micro = floor(idf * ((col("tf").cast("double") * lit(2.2)) / den) *
+      lit(1000000.0)).cast("long")
+    tf.join(broadcast(qdf), Seq("term"))
+      .join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"), micro.as("micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("micro")).as("score_micro"))
+  }
+
+  def t18Bm25(spark: SparkSession, dir: String): DataFrame =
+    t18From(Tables.documents(spark, dir))
+
+  private[graft] def t18From(docs: DataFrame): DataFrame = {
+    val scored = bm25ScoredFrom(docs)
+    val ord = Seq(col("score_micro").desc, col("doc_id").asc)
+    val w1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored.withColumn("p", pmod(xxhash64(col("doc_id")), lit(32)).cast("int"))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= 10)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "n_terms_hit", "score_micro")
+      .orderBy("query_id", "rank")
+  }
+
+  /** TextRank damped-iteration count — generated into both engines'
+    * unrolled iteration chains (the s14 shared-fragment rule). */
+  private[graft] val TextRankIters = 4
+
+  /** t19: TextRank keyword extraction — weighted PageRank over the
+    * token co-occurrence graph (undirected bigram adjacency), the
+    * classic corpus-level keyword scorer. The ITERATIVE fixed point
+    * is the new plan shape here: 4 damped iterations
+    * r' = 0.15 + 0.85·Σ w(u,v)/W(u)·r(u), run ENTIRELY in exact
+    * integer micro-units (per-edge contribution is integer division
+    * r·w div W, damping is ·85 div 100), so the float-summation-order
+    * hazard of iterative scoring never arises and the oracle is an
+    * UNROLLED chain of generated CTEs — both engines execute the
+    * same 4 algebraic steps on the same integers.
+    *
+    * Plan shape: one corpus-scale aggregation builds the edge list
+    * (bounded by vocab², cached via OpCache for the 4 reuses); each
+    * iteration is a broadcast join of the tiny rank vector against
+    * the edge frame + one hash aggregate — no corpus rescan, no
+    * window, no driver-side loop state beyond plan construction. */
+  def t19Textrank(spark: SparkSession, dir: String): DataFrame =
+    textrankFrom(Tables.documents(spark, dir))
+
+  private[graft] def textrankFrom(docs: DataFrame): DataFrame = {
+    val d = docs.select(tokens(col("text")).as("t"))
+    val bi = expr(
+      "transform(sequence(1, size(t) - 1), i -> " +
+        "struct(element_at(t, i) AS u, element_at(t, i + 1) AS v))")
+    val pairs = d.filter(size(col("t")) >= 2)
+      .select(explode(bi).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+    val e = OpCache.cached(und.groupBy("u", "v").agg(count(lit(1)).as("w")))
+    val wu = e.groupBy("u").agg(sum(col("w")).as("wt"), count(lit(1)).as("n_nbrs"))
+    val ew = e.join(wu.select("u", "wt"), "u")
+    var r = wu.select(col("u").as("term"), lit(1000000L).as("r"))
+    for (_ <- 1 to TextRankIters) {
+      r = ew.join(broadcast(r.withColumnRenamed("term", "u")), "u")
+        .select(col("v"), expr("(r * w) div wt").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+        .select(col("v").as("term"),
+          (lit(150000L) + expr("(s * 85) div 100")).as("r"))
+    }
+    r.join(wu.select(col("u").as("term"), col("wt"), col("n_nbrs")), "term")
+      .select(col("term"), col("n_nbrs"), col("wt"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("term"))
+  }
+
   /** t07: boilerplate detection — shingles that recur across a large
     * fraction of the corpus (headers, footers, licence blurbs) and
     * each document's share of them, the standard removal signal in a
@@ -349,7 +482,55 @@ object TextAnalysis {
           |tok AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS k FROM d),
           |v AS (SELECT term, row_number() OVER (ORDER BY term) AS tid FROM (SELECT DISTINCT term FROM tok) x)
           |SELECT doc_id, CAST(SUM(tid * k) AS BIGINT) % 1000000007 AS fp, COUNT(*) AS n_tokens
-          |FROM tok JOIN v USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+          |FROM tok JOIN v USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+      "t18_bm25" -> {
+        // VALUES clause generated from the SAME Seq the Column plan
+        // reads — the query set exists in exactly one place
+        val values = Bm25Queries.flatMap { case (qid, ts) =>
+          ts.map(t => s"($qid, '$t')") }.mkString(", ")
+        ("WITH " + dCte + s""",
+          |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+          |st AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM (
+          |  SELECT COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS sum_dl FROM d) s0),
+          |q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+          |qdf AS (SELECT query_id, term, df FROM q JOIN dfreq USING (term)),
+          |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+          |ts AS (SELECT query_id, tf.doc_id,
+          |  CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+          |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+          |    * 1000000.0) AS BIGINT) AS micro
+          |  FROM tf JOIN qdf USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+          |scored AS (SELECT query_id, doc_id, COUNT(*) AS n_terms_hit,
+          |  CAST(SUM(micro) AS BIGINT) AS score_micro FROM ts GROUP BY 1, 2)
+          |SELECT query_id, rank, doc_id, n_terms_hit, score_micro FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+          |  FROM scored) r
+          |WHERE rank <= 10 ORDER BY query_id, rank""").stripMargin
+      },
+
+      "t19_textrank" -> {
+        // the 4 damped iterations UNROLLED from the same constant the
+        // Column loop reads — both engines run identical integer steps
+        val iterCtes = (1 to TextRankIters).map { i =>
+          s"""c$i AS (SELECT e.v AS term, CAST(SUM((r${i - 1}.r * e.w) // wu.wt) AS BIGINT) AS s
+             |  FROM e JOIN wu ON e.u = wu.u JOIN r${i - 1} ON r${i - 1}.term = e.u GROUP BY e.v),
+             |r$i AS (SELECT term, 150000 + (s * 85) // 100 AS r FROM c$i)""".stripMargin
+        }.mkString(",\n")
+        ("WITH " + dCte + s""",
+          |bg AS (SELECT t[i] AS u, t[i+1] AS v
+          |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM d WHERE len(t) >= 2) x
+          |  WHERE t[i] != t[i+1]),
+          |e AS (SELECT u, v, COUNT(*) AS w FROM (SELECT u, v FROM bg UNION ALL SELECT v, u FROM bg) b GROUP BY 1, 2),
+          |wu AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wt, COUNT(*) AS n_nbrs FROM e GROUP BY u),
+          |r0 AS (SELECT u AS term, CAST(1000000 AS BIGINT) AS r FROM wu),
+          |$iterCtes
+          |SELECT r.term, wu.n_nbrs, wu.wt, r.r AS rank_micro
+          |FROM r$TextRankIters r JOIN wu ON wu.u = r.term
+          |ORDER BY rank_micro DESC, r.term""").stripMargin
+      }
     )
   }
 }

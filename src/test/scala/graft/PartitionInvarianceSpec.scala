@@ -46,7 +46,10 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // union, truncated-mean Lloyd rounds, dual-arm
                    // ranked search, cluster-keyed split flags
                    "d19_bloom_screen", "s18_kmeans_refine",
-                   "s19_refined_recall", "p15_cluster_split")) {
+                   "s19_refined_recall", "p15_cluster_split",
+                   // round 8d: salted fact⋈dim aggregate, two-phase
+                   // BM25 top-k, unrolled integer-PageRank iterations
+                   "q37_salted_join", "t18_bm25", "t19_textrank")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))

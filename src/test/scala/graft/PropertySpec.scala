@@ -430,6 +430,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t18 two-phase top-k equals the local reference over the scored frame") {
+    // global top-10 must survive the 32-way local pre-selection: the
+    // distributed two-phase result is compared against a plain sort
+    // of the full per-(query, doc) score set collected locally
+    val scored = graft.operators.TextAnalysis.bm25Scored(spark, sf)
+      .select("query_id", "doc_id", "n_terms_hit", "score_micro")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = scored.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy { case (_, doc, _, s) => (-s, doc) }.take(10)
+        .zipWithIndex.map { case ((_, doc, hit, s), i) => (qid, i + 1, doc, hit, s) }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.operators.TextAnalysis.t18Bm25(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == want)
+    // every query produced a full page and hit counts stay within the
+    // query's own term count
+    val qLens = graft.operators.TextAnalysis.Bm25Queries
+      .map { case (q, ts) => q -> ts.size }.toMap
+    assert(got.groupBy(_._1).values.forall(_.size == 10))
+    assert(got.forall { case (q, _, _, hit, _) => hit >= 1 && hit <= qLens(q) })
+  }
+
+  test("t19 textrank: damping floor, mass bound, and a moved fixed point") {
+    val r = graft.operators.TextAnalysis.t19Textrank(spark, sf).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty)
+    // every rank sits on or above the damping base 0.15·1e6, and the
+    // iteration moved SOMETHING off the uniform start (ranks differ)
+    assert(r.forall(_._4 >= 150000L))
+    assert(r.map(_._4).distinct.size > 1)
+    // integer-division mass leak only ever LOSES mass: total rank is
+    // bounded by the conserved ideal n·1e6
+    assert(r.map(_._4).sum <= r.length * 1000000L)
+  }
+
   test("zorderKey equals the bit-loop Morton reference on random pairs") {
     val cases = (1 to 200).map { _ =>
       (rnd.nextLong().abs % 4294967296L, rnd.nextLong().abs % 4294967296L)
