@@ -170,7 +170,9 @@ object SparkEntry {
     "m13_dsn_taxonomy" -> (MaillogOps.m13DsnTaxonomy _),
     "q37_salted_join" -> (Skew.q37SaltedJoin _),
     "t18_bm25" -> (TextAnalysis.t18Bm25 _),
-    "t19_textrank" -> (TextAnalysis.t19Textrank _)
+    "t19_textrank" -> (TextAnalysis.t19Textrank _),
+    "q38_assoc_rules" -> (Analytics3.q38AssocRules _),
+    "q39_transitions" -> (Analytics3.q39Transitions _)
   )
 
   /** Three keys are intentionally absent (the driver records a

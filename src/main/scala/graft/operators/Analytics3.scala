@@ -366,6 +366,61 @@ object Analytics3 {
       .orderBy("event_type")
   }
 
+  /** q38: association rules over per-user event-type baskets — the
+    * market-basket classic (support / confidence / lift) on the
+    * events table: which activities co-occur in the same user's
+    * history more than independence predicts. Every reported float
+    * is ONE division of exact integers (confidence = n_ab/n_a; lift
+    * folded to a single division (n_ab·N)/(n_a·n_b)), so both
+    * engines divide identical operands — the q36 rule.
+    *
+    * Plan shape: one distinct-aggregate projects users×types (the
+    * basket frame, ≤ |users|·|types| rows), pairs come from ONE
+    * equi-join on user_id with a < b (per-user fan-out bounded by
+    * the type-domain², never user-count²), then a hash groupBy on
+    * the tiny (a, b) key space; per-type totals and the user count
+    * are bounded broadcasts. No window, no crossJoin of user data. */
+  def q38AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val per = ut.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+    val a = ut.select(col("user_id"), col("event_type").as("a"))
+    val b = ut.select(col("user_id"), col("event_type").as("b"))
+    a.join(b, Seq("user_id")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(per.select(col("event_type").as("a"), col("n_type").as("n_a"))), "a")
+      .join(broadcast(per.select(col("event_type").as("b"), col("n_type").as("n_b"))), "b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_a")).as("confidence"),
+        ((col("n_ab") * col("n_users")).cast("double") / (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy("a", "b")
+  }
+
+  /** q39: event-type transition matrix — the first-order Markov
+    * estimate over each user's event sequence (lag over the
+    * user-partitioned window, the q32/q35 class): transition counts
+    * n(from→to) and the row-normalized probability as ONE division
+    * of exact integers. The per-user window is bounded by that
+    * user's history; the transition aggregate lands on the tiny
+    * type×type key space. */
+  def q39Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    tr.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   val oracles: Map[String, String] = {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
@@ -388,6 +443,34 @@ object Analytics3 {
           |FROM d a JOIN d b ON b.day <= a.day
           |GROUP BY a.day, a.n_active, a.n_new
           |ORDER BY a.day""".stripMargin,
+
+      "q38_assoc_rules" ->
+        s"""WITH $evCte,
+          |ut AS (SELECT DISTINCT user_id, event_type FROM ev),
+          |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ev),
+          |per AS (SELECT event_type, COUNT(*) AS n_type FROM ut GROUP BY 1),
+          |pr AS (SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_ab
+          |       FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type
+          |       GROUP BY 1, 2)
+          |SELECT a, b, pa.n_type AS n_a, pb.n_type AS n_b, n_ab,
+          |  CAST(n_ab AS DOUBLE) / pa.n_type AS confidence,
+          |  CAST(n_ab * n_users AS DOUBLE) / (pa.n_type * pb.n_type) AS lift
+          |FROM pr JOIN per pa ON pa.event_type = a
+          |  JOIN per pb ON pb.event_type = b CROSS JOIN nu
+          |ORDER BY a, b""".stripMargin,
+
+      "q39_transitions" ->
+        s"""WITH $evCte,
+          |l AS (SELECT event_type AS to_type,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+          |  FROM ev),
+          |tr AS (SELECT from_type, to_type, COUNT(*) AS n FROM l
+          |       WHERE from_type IS NOT NULL GROUP BY 1, 2),
+          |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM tr GROUP BY 1)
+          |SELECT tr.from_type, to_type, n, n_from,
+          |  CAST(n AS DOUBLE) / n_from AS p
+          |FROM tr JOIN tot ON tot.from_type = tr.from_type
+          |ORDER BY tr.from_type, to_type""".stripMargin,
 
       "q35_ewma_spikes" ->
         s"""WITH $evCte,

@@ -468,6 +468,33 @@ class PropertySpec extends SparkSpec {
     assert(r.map(_._4).sum <= r.length * 1000000L)
   }
 
+  test("q38 assoc rules: pair counts bounded by singles, lift consistent") {
+    val r = graft.operators.Analytics3.q38AssocRules(spark, sf).collect()
+    assert(r.nonEmpty)
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    r.foreach { row =>
+      val (na, nb, nab) = (row.getLong(2), row.getLong(3), row.getLong(4))
+      val (conf, lift) = (row.getDouble(5), row.getDouble(6))
+      assert(nab >= 1 && nab <= math.min(na, nb))
+      // both floats reproduce bit-for-bit from the integer columns —
+      // the single-division rule the operator promises
+      assert(conf == nab.toDouble / na)
+      assert(lift == (nab * nUsers).toDouble / (na * nb))
+    }
+  }
+
+  test("q39 transitions: probabilities normalized per from_type") {
+    val r = graft.operators.Analytics3.q39Transitions(spark, sf).collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      // counts sum to the shared denominator and probabilities to ~1
+      assert(rows.map(_._2).sum == rows.head._3)
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("zorderKey equals the bit-loop Morton reference on random pairs") {
     val cases = (1 to 200).map { _ =>
       (rnd.nextLong().abs % 4294967296L, rnd.nextLong().abs % 4294967296L)
