@@ -172,7 +172,11 @@ object SparkEntry {
     "t18_bm25" -> (TextAnalysis.t18Bm25 _),
     "t19_textrank" -> (TextAnalysis.t19Textrank _),
     "q38_assoc_rules" -> (Analytics3.q38AssocRules _),
-    "q39_transitions" -> (Analytics3.q39Transitions _)
+    "q39_transitions" -> (Analytics3.q39Transitions _),
+    "g01_triangles" -> (Graph.g01Triangles _),
+    "g02_copurchase_jaccard" -> (Graph.g02CopurchaseJaccard _),
+    "q41_profile" -> (Analytics3.q41Profile _),
+    "q42_seasonal" -> (Analytics3.q42Seasonal _)
   )
 
   /** Three keys are intentionally absent (the driver records a
@@ -184,7 +188,7 @@ object SparkEntry {
     * query carries oracle SQL. */
   def oracleSql: Map[String, String] = MaillogOracle.oracles ++
     TextAnalysis.oracles ++ Skew.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-    Multimodal.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++
+    Multimodal.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++ Graph.oracles ++
     Pipeline.oracles ++
     Quality.oracles ++ Map(
     "q01_pricing_summary" ->

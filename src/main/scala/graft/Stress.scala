@@ -300,7 +300,36 @@ object Stress {
     val nRet = time("retention (q29)")(
       graft.operators.Analytics3.retentionFrom(evrep).count())
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"mult":$mult}""")
+    // triangle counting (g01) over DISJOINT graph replicas: orders
+    // AND parts both id-shifted, so each replica is an isomorphic
+    // copy of the base co-purchase graph — edges, wedges and
+    // triangles all grow exactly mult× (the invariant to read back
+    // across runs: tri(mult) = mult · tri(1)) while the per-node
+    // out-degree bound from the degree orientation is UNCHANGED
+    // (replication adds copies, not hubs). Wall should track the
+    // edge mass through the three hash groupBys + wedge join
+    val lib = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey")
+    val (maxOk, maxPk) = {
+      val r = lib.agg(max("l_orderkey"), max("l_partkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(maxOk < 100000000L && maxPk < 10000000L,
+      s"replication stride too small for base ids (order $maxOk, part $maxPk)")
+    val lirep = (0 until mult).map { k =>
+      lib.select((col("l_orderkey") + lit(k * 100000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(k * 10000000L)).as("l_partkey"))
+    }.reduce(_ union _)
+    val liA = lirep.select(col("l_orderkey"), col("l_partkey").as("x"))
+    val liB = lirep.select(col("l_orderkey"), col("l_partkey").as("y"))
+    val triEdges = liA.join(liB, Seq("l_orderkey"))
+      .filter(col("x") < col("y")).select("x", "y").distinct().persist()
+    val nTriEdges = triEdges.count()
+    val nTri = time("triangles (g01)")(
+      graft.operators.Graph.triangles(triEdges).count())
+    triEdges.unpersist()
+
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"mult":$mult}""")
     spark.stop()
   }
 }

@@ -421,6 +421,75 @@ object Analytics3 {
       .orderBy("from_type", "to_type")
   }
 
+  /** q41: one-pass column profiler — the data-quality report every
+    * ingest pipeline runs before training: per column, row count,
+    * filled (non-null) count, exact distinct count, min and max in a
+    * canonical string form. ONE scan: all five columns' aggregates
+    * ride a single aggregate (Catalyst plans the multi-distinct via
+    * Expand — a 5× map-side row multiply, still one pass over 100 TB
+    * where naive per-column profiling would scan five times), then
+    * `stack` unpivots the 1-row frame driver-free. String forms are
+    * engine-canonical: integers as-is, doubles through DECIMAL(18,2),
+    * timestamps through DATE — never a raw double/timestamp cast,
+    * whose text formats diverge between engines. */
+  def q41Profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val a = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_orderkey")).as("f1"), countDistinct(col("l_orderkey")).as("d1"),
+      s(min(col("l_orderkey"))).as("mn1"), s(max(col("l_orderkey"))).as("mx1"),
+      count(col("l_quantity")).as("f2"), countDistinct(col("l_quantity")).as("d2"),
+      s(min(col("l_quantity")).cast("decimal(18,2)")).as("mn2"),
+      s(max(col("l_quantity")).cast("decimal(18,2)")).as("mx2"),
+      count(col("l_returnflag")).as("f3"), countDistinct(col("l_returnflag")).as("d3"),
+      s(min(col("l_returnflag"))).as("mn3"), s(max(col("l_returnflag"))).as("mx3"),
+      count(col("l_linestatus")).as("f4"), countDistinct(col("l_linestatus")).as("d4"),
+      s(min(col("l_linestatus"))).as("mn4"), s(max(col("l_linestatus"))).as("mx4"),
+      count(col("l_shipdate")).as("f5"), countDistinct(col("l_shipdate")).as("d5"),
+      s(min(col("l_shipdate")).cast("date")).as("mn5"),
+      s(max(col("l_shipdate")).cast("date")).as("mx5"))
+    a.selectExpr(
+      """stack(5,
+        |  'l_orderkey',  f1, d1, mn1, mx1,
+        |  'l_quantity',  f2, d2, mn2, mx2,
+        |  'l_returnflag', f3, d3, mn3, mx3,
+        |  'l_linestatus', f4, d4, mn4, mx4,
+        |  'l_shipdate',  f5, d5, mn5, mx5)
+        | AS (col_name, n_filled, n_distinct, min_v, max_v)""".stripMargin,
+      "n_rows")
+      .select(col("col_name"), col("n_rows"), col("n_filled"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy("col_name")
+  }
+
+  /** q42: seasonal-baseline anomaly screen — per event type, each
+    * day's event count against that type's same-day-of-week average;
+    * a day is anomalous when count > 1.2× its (type, dow) baseline.
+    * The comparison is EXACT integer cross-multiplication
+    * (5 · n · n_days > 6 · total — no division enters the predicate);
+    * the reported ratio is then ONE division of those integers.
+    * Day-of-week is computed as days-since-a-fixed-Monday mod 7 —
+    * identical integer algebra on both engines, where the engines'
+    * own dayofweek() functions disagree on labeling. Plan: one
+    * corpus groupBy to (type, day) cells, one tiny groupBy to
+    * (type, dow) baselines, one hint-free join between them. */
+  def q42Seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = OpCache.cached(Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-05").cast("date")), lit(7)).cast("long")))
+    val base = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+    daily.join(base, Seq("event_type", "dow"))
+      .filter(lit(5) * col("n") * col("n_days") > lit(6) * col("total"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("n"), col("n_days"), col("total"),
+        ((col("n") * col("n_days")).cast("double") / col("total")).as("ratio"))
+      .orderBy("event_type", "day")
+  }
+
   val oracles: Map[String, String] = {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
@@ -443,6 +512,47 @@ object Analytics3 {
           |FROM d a JOIN d b ON b.day <= a.day
           |GROUP BY a.day, a.n_active, a.n_new
           |ORDER BY a.day""".stripMargin,
+
+      "q41_profile" ->
+        """WITH p AS (
+          |  SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+          |    COUNT(l_orderkey) AS n_filled, COUNT(DISTINCT l_orderkey) AS n_distinct,
+          |    CAST(MIN(l_orderkey) AS VARCHAR) AS min_v, CAST(MAX(l_orderkey) AS VARCHAR) AS max_v
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_quantity', COUNT(*), COUNT(l_quantity), COUNT(DISTINCT l_quantity),
+          |    CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS VARCHAR),
+          |    CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_returnflag', COUNT(*), COUNT(l_returnflag), COUNT(DISTINCT l_returnflag),
+          |    MIN(l_returnflag), MAX(l_returnflag) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_linestatus', COUNT(*), COUNT(l_linestatus), COUNT(DISTINCT l_linestatus),
+          |    MIN(l_linestatus), MAX(l_linestatus) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_shipdate', COUNT(*), COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),
+          |    CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+          |    CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) FROM lineitem)
+          |SELECT col_name, n_rows, n_filled, n_distinct, min_v, max_v
+          |FROM p ORDER BY col_name""".stripMargin,
+
+      "q42_seasonal" ->
+        s"""WITH $evCte,
+          |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          |          FROM ev GROUP BY 1, 2),
+          |dd AS (SELECT event_type, day, n,
+          |         CAST(((day - DATE '1970-01-05') % 7 + 7) % 7 AS BIGINT) AS dow
+          |       FROM daily),
+          |base AS (SELECT event_type, dow, COUNT(*) AS n_days,
+          |           CAST(SUM(n) AS BIGINT) AS total
+          |         FROM dd GROUP BY 1, 2)
+          |SELECT dd.event_type, CAST(dd.day AS VARCHAR) AS day, dd.dow,
+          |  n, n_days, total,
+          |  CAST(n * n_days AS DOUBLE) / total AS ratio
+          |FROM dd JOIN base ON base.event_type = dd.event_type AND base.dow = dd.dow
+          |WHERE 5 * n * n_days > 6 * total
+          |ORDER BY dd.event_type, dd.day""".stripMargin,
 
       "q38_assoc_rules" ->
         s"""WITH $evCte,

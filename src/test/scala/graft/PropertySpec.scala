@@ -495,6 +495,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("g01 triangles: degree-oriented closure equals brute force, slots = 3x") {
+    val e = graft.operators.Graph.copurchaseEdges(spark, sf)
+    val tri = graft.operators.Graph.triangles(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force reference on the id-canonical edge set: every
+    // (a<b<c) triple whose three edges exist
+    val edges = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val truth = for {
+      (a, bs) <- adj.toSeq; b <- bs; c <- adj.getOrElse(b, Set.empty)
+      if edges.contains((a, c))
+    } yield (a, b, c)
+    assert(tri.length == truth.length)
+    // same triangle SET (corners may be rank- vs id-ordered)
+    assert(tri.map { case (x, y, z) => Seq(x, y, z).sorted }.toSet ==
+      truth.map { case (x, y, z) => Seq(x, y, z).sorted }.toSet)
+    val g01 = graft.operators.Graph.g01Triangles(spark, sf).collect()
+    assert(g01.map(_.getLong(2)).sum == 3L * truth.length)
+  }
+
+  test("g02 jaccard: bounds and bit-exact single division") {
+    val r = graft.operators.Graph.g02CopurchaseJaccard(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nxy, nx, ny, j) =
+        (row.getLong(2), row.getLong(3), row.getLong(4), row.getDouble(5))
+      assert(nxy >= 2 && nxy <= math.min(nx, ny))
+      assert(j == nxy.toDouble / (nx + ny - nxy))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("q41 profile: one row per column, counts consistent") {
+    val r = graft.operators.Analytics3.q41Profile(spark, sf).collect()
+    assert(r.map(_.getString(0)).toSeq.sorted ==
+      Seq("l_linestatus", "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+    val nRows = r.head.getLong(1)
+    r.foreach { row =>
+      assert(row.getLong(1) == nRows) // same table, same row count
+      assert(row.getLong(2) <= nRows) // filled <= rows
+      assert(row.getLong(3) <= row.getLong(2)) // distinct <= filled
+      assert(row.getString(4) != null && row.getString(5) != null)
+    }
+  }
+
+  test("q42 seasonal: every flagged day really exceeds 1.2x its dow baseline") {
+    val r = graft.operators.Analytics3.q42Seasonal(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (dow, n, nDays, total, ratio) = (row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getDouble(6))
+      assert(5 * n * nDays > 6 * total)
+      assert(ratio == (n * nDays).toDouble / total)
+      val day = java.time.LocalDate.parse(row.getString(1))
+      // dow 0 = Monday by the fixed-epoch mod-7 definition
+      assert(dow == (day.getDayOfWeek.getValue - 1).toLong)
+    }
+  }
+
   test("zorderKey equals the bit-loop Morton reference on random pairs") {
     val cases = (1 to 200).map { _ =>
       (rnd.nextLong().abs % 4294967296L, rnd.nextLong().abs % 4294967296L)
