@@ -36,7 +36,11 @@ object Bench {
     // round 8d: postings-pruned ranked retrieval (broadcast query
     // frame + two-phase top-k) and the 4-iteration integer TextRank
     // (one corpus aggregation + bounded iterative joins)
-    "t18_bm25", "t19_textrank")
+    "t18_bm25", "t19_textrank",
+    // round 8e: degree-oriented triangle counting — the wedge join is
+    // the newest corpus-scale shuffle shape (sf0.1: 1.2M edges,
+    // 1.88M triangles through a √m-bounded out-degree fan-out)
+    "g01_triangles")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while

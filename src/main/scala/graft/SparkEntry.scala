@@ -175,6 +175,7 @@ object SparkEntry {
     "q39_transitions" -> (Analytics3.q39Transitions _),
     "g01_triangles" -> (Graph.g01Triangles _),
     "g02_copurchase_jaccard" -> (Graph.g02CopurchaseJaccard _),
+    "g03_pagerank" -> (Graph.g03Pagerank _),
     "q41_profile" -> (Analytics3.q41Profile _),
     "q42_seasonal" -> (Analytics3.q42Seasonal _)
   )

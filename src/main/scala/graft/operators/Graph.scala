@@ -102,9 +102,15 @@ object Graph {
     * the (x, y) key; per-part order counts are a node-scaled frame
     * joined hint-free. The n_xy ≥ 2 screen bounds output to the
     * genuinely co-bought pairs. */
-  def g02CopurchaseJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val op = OpCache.cached(Tables.lineitem(spark, dir)
+  /** Distinct (order, part) incidence — a part can repeat within an
+    * order as separate lineitems. OpCached: g02 and g03 both branch
+    * over it. */
+  private def orderParts(spark: SparkSession, dir: String): DataFrame =
+    OpCache.cached(Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct())
+
+  def g02CopurchaseJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val op = orderParts(spark, dir)
     val nPer = op.groupBy("l_partkey").agg(count(lit(1)).as("n_ord"))
     val a = op.select(col("l_orderkey"), col("l_partkey").as("x"))
     val b = op.select(col("l_orderkey"), col("l_partkey").as("y"))
@@ -119,7 +125,68 @@ object Graph {
       .orderBy("x", "y")
   }
 
+  /** Damped-iteration count shared between the Column loop and the
+    * generated oracle CTEs (the t19 rule: one constant, two engines). */
+  private[graft] val PageRankIters = 4
+
+  /** g03: weighted PageRank over the co-purchase graph — node
+    * importance under the same damped fixed point as t19's TextRank
+    * (4 rounds of r' = 0.15 + 0.85·Σ w/W·r in exact integer
+    * micro-units: per-edge contribution r·w div W, damping ·85 div
+    * 100 — iterative float summation can never split the engines).
+    * The STRUCTURAL difference from t19, and the reason this is a
+    * separate operator: token vocabularies are bounded, so t19
+    * broadcasts its rank vector each round; the part graph grows
+    * WITH the corpus, so here the rank vector joins HINT-FREE (rank
+    * is node-scaled — broadcasting it at 100 TB would ship a
+    * corpus-sized frame to every executor). Edge frame built once
+    * (OpCache), each round = one equi-join + one hash agg. */
+  def g03Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val op = orderParts(spark, dir) // OpCache-shared with g02
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("x"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("y"))
+    val cw = a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+    val e = OpCache.cached(
+      cw.select(col("x").as("u"), col("y").as("v"), col("w"))
+        .unionAll(cw.select(col("y").as("u"), col("x").as("v"), col("w"))))
+    val wu = OpCache.cached(
+      e.groupBy("u").agg(sum(col("w")).as("wt"), count(lit(1)).as("n_nbrs")))
+    val ew = e.join(wu.select("u", "wt"), "u")
+    var r = wu.select(col("u").as("part"), lit(1000000L).as("r"))
+    for (_ <- 1 to PageRankIters) {
+      r = ew.join(r.withColumnRenamed("part", "u"), "u")
+        .select(col("v"), expr("(r * w) div wt").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+        .select(col("v").as("part"),
+          (lit(150000L) + expr("(s * 85) div 100")).as("r"))
+    }
+    r.join(wu.select(col("u").as("part"), col("wt"), col("n_nbrs")), "part")
+      .select(col("part"), col("n_nbrs"), col("wt"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("part"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "g03_pagerank" -> {
+      val iterCtes = (1 to PageRankIters).map { i =>
+        s"""c$i AS (SELECT e.v AS part, CAST(SUM((r${i - 1}.r * e.w) // wu.wt) AS BIGINT) AS s
+           |  FROM e JOIN wu ON e.u = wu.u JOIN r${i - 1} ON r${i - 1}.part = e.u GROUP BY e.v),
+           |r$i AS (SELECT part, 150000 + (s * 85) // 100 AS r FROM c$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |cw AS (SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+        |       FROM op a JOIN op b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2),
+        |e AS (SELECT x AS u, y AS v, w FROM cw UNION ALL SELECT y, x, w FROM cw),
+        |wu AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wt, COUNT(*) AS n_nbrs FROM e GROUP BY u),
+        |r0 AS (SELECT u AS part, CAST(1000000 AS BIGINT) AS r FROM wu),
+        |$iterCtes
+        |SELECT r.part, wu.n_nbrs, wu.wt, r.r AS rank_micro
+        |FROM r$PageRankIters r JOIN wu ON wu.u = r.part
+        |ORDER BY rank_micro DESC, r.part""".stripMargin
+    },
+
     "g02_copurchase_jaccard" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |np AS (SELECT l_partkey, COUNT(*) AS n_ord FROM op GROUP BY 1),

@@ -515,6 +515,17 @@ class PropertySpec extends SparkSpec {
     assert(g01.map(_.getLong(2)).sum == 3L * truth.length)
   }
 
+  test("g03 pagerank: damping floor, mass bound, moved fixed point") {
+    val r = graft.operators.Graph.g03Pagerank(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty)
+    assert(r.forall(_._4 >= 150000L))
+    assert(r.map(_._4).distinct.size > 1)
+    // integer-division mass leak only ever LOSES mass vs the
+    // conserved ideal n·1e6
+    assert(r.map(_._4).sum <= r.length * 1000000L)
+  }
+
   test("g02 jaccard: bounds and bit-exact single division") {
     val r = graft.operators.Graph.g02CopurchaseJaccard(spark, sf).collect()
     assert(r.nonEmpty)
