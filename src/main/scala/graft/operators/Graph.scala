@@ -37,13 +37,14 @@ object Graph {
     * triangle is found exactly once as an out-wedge of its
     * rank-lowest vertex closed by a third oriented edge). The
     * orientation bounds per-node out-degree by O(√edges) regardless
-    * of raw degree skew — the hub that touches half the corpus
-    * generates wedges proportional to its SQRT-bounded out-degree,
-    * not its raw degree², which is what makes the wedge join safe at
-    * 100 TB. Closure order is by RANK (degree, id), not id: pairing
-    * wedge endpoints by raw id would silently miss every triangle
-    * whose id order disagrees with its degree order (measured at
-    * sf0.01: 207,786 of 413,718 triangles lost — half the answer).
+    * of raw degree skew — the hub that touches half the corpus gets
+    * a SQRT-bounded out-neighborhood, not its raw degree², which is
+    * what bounds both the intersection work and the adjacency row
+    * width at 100 TB. Closure order is by RANK (degree, id), not
+    * id: pairing wedge endpoints by raw id would silently miss every
+    * triangle whose id order disagrees with its degree order
+    * (measured at sf0.01: 207,786 of 413,718 triangles lost — half
+    * the answer).
     *
     * Output: per-brand triangle participation (each triangle credits
     * its three corners), all exact integers. Plan: three hash
@@ -78,15 +79,28 @@ object Graph {
       when(xLower, col("x")).otherwise(col("y")).as("u"),
       when(xLower, col("y")).otherwise(col("x")).as("v"),
       when(xLower, col("dy")).otherwise(col("dx")).as("dv")))
-    val o1 = o.select(col("u"), col("v").as("b"), col("dv").as("db"))
-    val o2 = o.select(col("u"), col("v").as("c"), col("dv").as("dc"))
-    val wedges = o1.join(o2, Seq("u"))
-      .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
-      .select(col("u").as("a"), col("b"), col("c"))
-    // closure: the (b, c) edge must exist oriented b→c — it is, by
-    // construction, because rank(a) < rank(b) < rank(c)
-    wedges.join(o.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"), "left_semi")
-      .select("a", "b", "c")
+    // edge-iterator closure: for each oriented edge (a, b), the
+    // triangles it roots are out(a) ∩ out(b) — every triangle
+    // (a, b, c) in rank order appears at exactly its (a, b) edge
+    // (c is an out-neighbor of BOTH only there). Out-neighbor
+    // arrays are bounded by the orientation's O(√edges) out-degree
+    // cap (sf0.1: max 90), so row width stays bounded and — the
+    // decisive cost difference — the only corpus-scale shuffles are
+    // the adjacency groupBy and two edge⋈adjacency equi-joins:
+    // intersections run in-core and emit exactly the triangle rows.
+    // The naive alternative (materialize all (a,b)(a,c) wedge pairs,
+    // then semi-join edges to close them) shuffles the Σ outdeg²
+    // wedge mass — ~30× the edge count here; measured at sf0.1 it
+    // reads 16.5s (sort-merge closure) / 13.0s (shuffled-hash
+    // closure) against 4–5s for this plan, and the gap widens with
+    // density (see PLANS round-8e)
+    val adj = OpCache.cached(
+      o.groupBy("u").agg(sort_array(collect_list(col("v"))).as("nbrs")))
+    o.select(col("u").as("a"), col("v").as("b"))
+      .join(adj.select(col("u").as("a"), col("nbrs").as("na")), "a")
+      .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), "b")
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
   }
 
   /** g02: related-items by co-purchase Jaccard — for every part pair
