@@ -530,6 +530,36 @@ class Graft(val spark: SparkSession, dir: String) {
     *
     * Views are lazy plans over the parquet sources — registering
     * costs nothing and every SQL query still gets pushdown/pruning. */
+  /** Skew-salted fact⋈dim revenue rollup (q37). */
+  def saltedRevenue: DataFrame = Skew.q37SaltedJoin(spark, dir)
+
+  /** BM25 ranked retrieval over the documents corpus (t18). */
+  def bm25Search: DataFrame = TextAnalysis.t18Bm25(spark, dir)
+
+  /** TextRank keyword extraction (t19). */
+  def textrankKeywords: DataFrame = TextAnalysis.t19Textrank(spark, dir)
+
+  /** Market-basket association rules over event-type baskets (q38). */
+  def associationRules: DataFrame = Analytics3.q38AssocRules(spark, dir)
+
+  /** First-order event-type transition matrix (q39). */
+  def transitionMatrix: DataFrame = Analytics3.q39Transitions(spark, dir)
+
+  /** One-pass column profile of the lineitem table (q41). */
+  def columnProfile: DataFrame = Analytics3.q41Profile(spark, dir)
+
+  /** Seasonal day-of-week anomaly screen over events (q42). */
+  def seasonalAnomalies: DataFrame = Analytics3.q42Seasonal(spark, dir)
+
+  /** Per-brand triangle participation in the co-purchase graph (g01). */
+  def copurchaseTriangles: DataFrame = Graph.g01Triangles(spark, dir)
+
+  /** Related parts by co-purchase Jaccard (g02). */
+  def relatedParts: DataFrame = Graph.g02CopurchaseJaccard(spark, dir)
+
+  /** Weighted PageRank over the co-purchase graph (g03). */
+  def partPagerank: DataFrame = Graph.g03Pagerank(spark, dir)
+
   def registerSql(prefix: String = "graft_"): Unit = {
     graft.plans.GraftExtensions.register(spark)
     Seq("region", "nation", "customer", "supplier", "part", "orders",

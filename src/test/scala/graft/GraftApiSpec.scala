@@ -118,6 +118,22 @@ class GraftApiSpec extends SparkSpec {
       g.tokenGini.count())
   }
 
+  test("round-8d/8e operators are reachable through the facade") {
+    assert(g.saltedRevenue.count() > 0)
+    assert(g.bm25Search.count() > 0)
+    assert(g.textrankKeywords.count() > 0)
+    assert(g.associationRules.count() > 0)
+    assert(g.transitionMatrix.count() > 0)
+    assert(g.columnProfile.count() === 5)
+    g.seasonalAnomalies.count() // may legitimately flag nothing
+    val tri = g.copurchaseTriangles.collect()
+    assert(tri.nonEmpty && tri.map(_.getAs[Long]("tri_slots")).sum % 3 === 0)
+    assert(g.relatedParts.filter("jaccard > 0 and jaccard <= 1").count() ===
+      g.relatedParts.count())
+    assert(g.partPagerank.filter("rank_micro >= 150000").count() ===
+      g.partPagerank.count())
+  }
+
   test("registerSql exposes views + custom expressions to pure SQL") {
     g.registerSql()
     val n = spark.sql(
