@@ -177,7 +177,8 @@ object SparkEntry {
     "g02_copurchase_jaccard" -> (Graph.g02CopurchaseJaccard _),
     "g03_pagerank" -> (Graph.g03Pagerank _),
     "q41_profile" -> (Analytics3.q41Profile _),
-    "q42_seasonal" -> (Analytics3.q42Seasonal _)
+    "q42_seasonal" -> (Analytics3.q42Seasonal _),
+    "mm09_phash" -> (Multimodal.mm09Phash _)
   )
 
   /** Three keys are intentionally absent (the driver records a

@@ -560,6 +560,13 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Weighted PageRank over the co-purchase graph (g03). */
   def partPagerank: DataFrame = Graph.g03Pagerank(spark, dir)
 
+  /** Perceptual average-hash per media item (mm09). */
+  def perceptualHashes: DataFrame = Multimodal.mm09Phash(spark, dir)
+
+  /** Banded near-dup pairs over a (doc_id, h_hi, h_lo) hash frame. */
+  def perceptualPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    Multimodal.phashPairs(hashes, maxHamming)
+
   def registerSql(prefix: String = "graft_"): Unit = {
     graft.plans.GraftExtensions.register(spark)
     Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -310,6 +310,123 @@ object Multimodal {
     DecodedMedia(id, w, h, 1, sum / (w.toLong * h))
   }
 
+  /** mm09: perceptual average-hash (aHash) over the media byte
+    * stream, computed RELATIONALLY so the whole hash is
+    * oracle-checkable (the mm05 rule): the byte sequence is split
+    * into 64 equal blocks (block = pos·64 div n — the 1-D analog of
+    * the 8×8 pixel grid), bit b = block-b mean > global mean decided
+    * by EXACT integer cross-multiplication (s_b·n_total >
+    * s_total·n_b), and the 64 bits assemble into two 32-bit halves
+    * (h_hi, h_lo) — two signed longs, so bit 63 never touches the
+    * sign bit under ANSI arithmetic. Real images go through
+    * [[imageAHash]] (same grid over decoded luma) and the SAME
+    * [[phashPairs]] candidate machinery — the fixture text-bytes are
+    * too far apart for hamming ≤ 3 (measured sf0.01: nearest pair
+    * 10), so the pair join is exercised by the PNG spec, the hash
+    * algebra by the driver gate.
+    *
+    * Scale shape: one generator explode (char mass, the t-family
+    * class) feeding two hash groupBys on (doc, block) then (doc);
+    * output is one row per doc. */
+  def mm09Phash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+    val ch = d.select(col("doc_id"), col("n"), col("text"),
+        explode(sequence(lit(0L), col("n") - 1)).as("pos"))
+      .select(col("doc_id"), col("n"),
+        expr("(pos * 64) div n").as("b"),
+        ascii(expr("substr(text, cast(pos + 1 as int), 1)")).cast("long").as("code"))
+    val blk = ch.groupBy("doc_id", "b")
+      .agg(sum(col("code")).as("s"), count(lit(1)).as("nb"))
+    val tot = blk.groupBy("doc_id")
+      .agg(sum(col("s")).as("st"), sum(col("nb")).as("nt"))
+    blk.join(tot, "doc_id")
+      .select(col("doc_id"), col("b"),
+        when(col("s") * col("nt") > col("st") * col("nb"), 1L).otherwise(0L).as("bit"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("b") >= 32,
+            col("bit") * expr("shiftleft(cast(1 as bigint), cast(b - 32 as int))"))
+          .otherwise(0L)).as("h_hi"),
+        sum(when(col("b") < 32,
+            col("bit") * expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+          .otherwise(0L)).as("h_lo"))
+      .select(col("doc_id"), col("h_hi"), col("h_lo"),
+        (bit_count(col("h_hi")) + bit_count(col("h_lo"))).cast("long").as("n_bits_set"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup pairs over a (doc_id, h_hi, h_lo) hash frame: banded
+    * candidates (4 bands of 16 bits — pigeonhole: hamming ≤ 3 over
+    * 4 bands leaves at least one band identical, so the band join
+    * misses nothing at the default threshold) verified by exact
+    * popcount hamming. The d03 simhash machinery applied to
+    * perceptual image hashes. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding is exact only for hamming <= 3")
+    val bandStructs = array(
+      struct(lit(0).as("band"), shiftright(col("h_hi"), 16).as("bandval")),
+      struct(lit(1).as("band"), col("h_hi").bitwiseAND(lit(0xffffL)).as("bandval")),
+      struct(lit(2).as("band"), shiftright(col("h_lo"), 16).as("bandval")),
+      struct(lit(3).as("band"), col("h_lo").bitwiseAND(lit(0xffffL)).as("bandval")))
+    val bb = hashes.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bandval").as("bandval"))
+    val cand = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ha = hashes.select(col("doc_id").as("doc_a"),
+      col("h_hi").as("hi_a"), col("h_lo").as("lo_a"))
+    val hb = hashes.select(col("doc_id").as("doc_b"),
+      col("h_hi").as("hi_b"), col("h_lo").as("lo_b"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Real-pixel aHash: the 8×8 average-luma grid over a decoded
+    * image ([[imageDecode]]'s javax.imageio path), bit = cell mean >
+    * global mean, packed as (h_hi, h_lo) — the image twin of
+    * [[mm09Phash]]'s byte-stream hash, sharing [[phashPairs]]. */
+  def imageAHash(id: Long, bytes: Array[Byte]): (Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image bytes for id=$id (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val cell = (y.toLong * 8 / h).toInt * 8 + (x.toLong * 8 / w).toInt
+        sums(cell) += luma
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = (0 until 64).map(i => if (cnts(i) == 0) 0.0 else sums(i) / cnts(i))
+    val live = (0 until 64).filter(cnts(_) > 0)
+    val global = live.map(means).sum / live.length
+    var hi = 0L
+    var lo = 0L
+    (0 until 64).foreach { b =>
+      if (cnts(b) > 0 && means(b) > global) {
+        if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+      }
+    }
+    (id, hi, lo)
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -597,6 +714,28 @@ object Multimodal {
         |  CAST(SUM(CAST(ceil(n_chars / 32.0) AS BIGINT)) AS BIGINT) AS total_frames,
         |  COUNT(DISTINCT md5(text)) AS n_distinct
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "mm09_phash" ->
+      """WITH ch AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS code, len(text) AS n
+        |  FROM documents, LATERAL unnest(generate_series(1, len(text))) AS t(i)
+        |  WHERE len(text) >= 1),
+        |blk AS (SELECT doc_id, (pos * 64) // n AS b,
+        |          CAST(SUM(code) AS BIGINT) AS s, COUNT(*) AS nb
+        |        FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS st,
+        |          CAST(SUM(nb) AS BIGINT) AS nt FROM blk GROUP BY 1),
+        |bits AS (SELECT blk.doc_id, b,
+        |           CASE WHEN s * nt > st * nb THEN 1 ELSE 0 END AS bit
+        |         FROM blk JOIN tot ON tot.doc_id = blk.doc_id),
+        |h AS (SELECT doc_id,
+        |        CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS h_hi,
+        |        CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS h_lo
+        |      FROM bits GROUP BY 1)
+        |SELECT doc_id, h_hi, h_lo,
+        |  CAST(bit_count(h_hi) + bit_count(h_lo) AS BIGINT) AS n_bits_set
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "mm01_binary_meta" ->
       """SELECT doc_id,

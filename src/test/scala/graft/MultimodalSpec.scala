@@ -144,4 +144,92 @@ class MultimodalSpec extends SparkSpec {
     val empty = Multimodal.fakeDecode(1L, Array.emptyByteArray)
     assert(empty.meanLuma === 0.0)
   }
+
+  test("imageAHash + phashPairs: perturbed copies pair, distinct images don't") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // three structurally different 64×64 bases (high-contrast block
+    // patterns so no cell mean sits near the global mean), each with
+    // a near-identical copy: a few pixels nudged by a small delta —
+    // at most a hash bit or two can move
+    def base(seed: Int): BufferedImage = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val cell = (y / 8) * 8 + (x / 8)
+        // per-base deterministic on/off cell pattern
+        val on = ((cell * (seed * 2 + 3) + seed) % 7) < 3
+        val v = if (on) 230 else 20
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def perturb(img: BufferedImage): BufferedImage = {
+      val c = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) c.setRGB(x, y, img.getRGB(x, y))
+      // nudge 3 pixels by ±6 luma — cell means move < 0.1
+      Seq((3, 5), (40, 22), (61, 60)).foreach { case (x, y) =>
+        val v = (c.getRGB(x, y) & 0xff) + 6
+        c.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      c
+    }
+    def bytes(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val hashes = (0 until 3).flatMap { s =>
+      val b = base(s)
+      Seq(Multimodal.imageAHash(s.toLong, bytes(b)),
+        Multimodal.imageAHash(s.toLong + 100, bytes(perturb(b))))
+    }
+    def hamming(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+    // true pairs are close, cross-base pairs are far
+    val byId = hashes.map(h => h._1 -> h).toMap
+    (0 until 3).foreach { s =>
+      assert(hamming(byId(s.toLong), byId(s.toLong + 100)) <= 3)
+    }
+    for (s <- 0 until 3; t <- 0 until 3 if s < t)
+      assert(hamming(byId(s.toLong), byId(t.toLong)) > 3)
+    // the banded pair join finds exactly the three true pairs
+    val hdf = spark.createDataFrame(hashes.map(h => (h._1, h._2, h._3)))
+      .toDF("doc_id", "h_hi", "h_lo")
+    val pairs = Multimodal.phashPairs(hdf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0 until 3).map(s => (s.toLong, s.toLong + 100)).toSet)
+  }
+
+  test("mm09 byte-stream phash: bits reproduce a local reference") {
+    val rows = graft.operators.Multimodal.mm09Phash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val (id, hi, lo, nset) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val t = texts(id)
+      val n = t.length.toLong
+      val s = new Array[Long](64)
+      val c = new Array[Long](64)
+      t.zipWithIndex.foreach { case (ch, pos) =>
+        val b = ((pos * 64) / n).toInt
+        s(b) += ch.toLong
+        c(b) += 1
+      }
+      val (st, nt) = (s.sum, c.sum)
+      var ehi = 0L
+      var elo = 0L
+      (0 until 64).foreach { b =>
+        if (s(b) * nt > st * c(b)) {
+          if (b >= 32) ehi |= 1L << (b - 32) else elo |= 1L << b
+        }
+      }
+      assert(hi === ehi, s"h_hi of doc $id")
+      assert(lo === elo, s"h_lo of doc $id")
+      assert(nset === java.lang.Long.bitCount(ehi) + java.lang.Long.bitCount(elo))
+    }
+  }
 }
