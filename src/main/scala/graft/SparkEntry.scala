@@ -178,7 +178,9 @@ object SparkEntry {
     "g03_pagerank" -> (Graph.g03Pagerank _),
     "q41_profile" -> (Analytics3.q41Profile _),
     "q42_seasonal" -> (Analytics3.q42Seasonal _),
-    "mm09_phash" -> (Multimodal.mm09Phash _)
+    "mm09_phash" -> (Multimodal.mm09Phash _),
+    "q43_local_supplier" -> (Analytics3.q43LocalSupplier _),
+    "qa12_skew_audit" -> (Analytics3.qa12SkewAudit _)
   )
 
   /** Three keys are intentionally absent (the driver records a

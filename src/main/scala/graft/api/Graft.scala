@@ -560,6 +560,12 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Weighted PageRank over the co-purchase graph (g03). */
   def partPagerank: DataFrame = Graph.g03Pagerank(spark, dir)
 
+  /** TPC-H Q5-shape local-supplier revenue rollup (q43). */
+  def localSupplierRevenue: DataFrame = Analytics3.q43LocalSupplier(spark, dir)
+
+  /** Join-key skew audit for salting decisions (qa12). */
+  def skewAudit: DataFrame = Analytics3.qa12SkewAudit(spark, dir)
+
   /** Perceptual average-hash per media item (mm09). */
   def perceptualHashes: DataFrame = Multimodal.mm09Phash(spark, dir)
 

@@ -490,6 +490,59 @@ object Analytics3 {
       .orderBy("event_type", "day")
   }
 
+  /** q43: the local-supplier revenue rollup (the TPC-H Q5 shape —
+    * the canonical 6-table snowflake): revenue by nation for orders
+    * where the customer and the line's supplier sit in the SAME
+    * nation, restricted to one region. The join ORDER is the scale
+    * decision: region⋈nation collapses to a ≤25-row broadcast
+    * (nAsia) that prunes SUPPLIER before any fact join, so the
+    * lineitem⋈supplier equi-join drops ~4/5 of the fact mass before
+    * the orders shuffle; customer joins last with the
+    * same-nation equality folded into the join condition. nation and
+    * region are genuinely bounded (25/5 rows) — the only broadcasts;
+    * supplier/customer/orders join hint-free (corpus-scaled).
+    * Revenue follows q03's decimal discipline. */
+  def q43LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nAsia = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val revenue = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  /** qa12: join-key skew audit — the pre-flight report behind q37's
+    * salted join: per-key row counts for a fact join key
+    * (l_suppkey), the top-10 heaviest keys by exact count, each with
+    * its skew factor vs the mean (n·n_keys / total — reported as ONE
+    * division of exact integers; a factor ≫ 1 is the key AQE's
+    * runtime split or q37's static salt exists for). Top-10 is
+    * sort+LIMIT (TakeOrderedAndProject — qa03's no-global-window
+    * rule); the key-count and total frames are one map-side-
+    * combinable groupBy + two 1-row broadcasts. */
+  def qa12SkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"))
+    per.orderBy(col("n").desc, col("l_suppkey")).limit(10)
+      .crossJoin(broadcast(tot))
+      .select(col("l_suppkey"), col("n"), col("n_keys"), col("total"),
+        ((col("n") * col("n_keys")).cast("double") / col("total")).as("skew_factor"))
+      .orderBy(col("n").desc, col("l_suppkey"))
+  }
+
   val oracles: Map[String, String] = {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
@@ -512,6 +565,28 @@ object Analytics3 {
           |FROM d a JOIN d b ON b.day <= a.day
           |GROUP BY a.day, a.n_active, a.n_new
           |ORDER BY a.day""".stripMargin,
+
+      "q43_local_supplier" ->
+        """SELECT n_name,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_lines
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+      "qa12_skew_audit" ->
+        """WITH per AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+          |tot AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS total FROM per),
+          |top AS (SELECT l_suppkey, n FROM per ORDER BY n DESC, l_suppkey LIMIT 10)
+          |SELECT l_suppkey, n, n_keys, total,
+          |  CAST(n * n_keys AS DOUBLE) / total AS skew_factor
+          |FROM top CROSS JOIN tot
+          |ORDER BY n DESC, l_suppkey""".stripMargin,
 
       "q41_profile" ->
         """WITH p AS (

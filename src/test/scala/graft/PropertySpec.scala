@@ -526,6 +526,34 @@ class PropertySpec extends SparkSpec {
     assert(r.map(_._4).sum <= r.length * 1000000L)
   }
 
+  test("q43 local-supplier: revenue only from same-nation pairs in the region") {
+    val r = graft.operators.Analytics3.q43LocalSupplier(spark, sf).collect()
+    assert(r.nonEmpty)
+    // every reported nation is an ASIA nation
+    val asia = graft.sources.Tables.nation(spark, sf)
+      .join(graft.sources.Tables.region(spark, sf)
+        .filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(r.map(_.getString(0)).forall(asia))
+    assert(r.forall(row => row.getDouble(1) > 0 && row.getLong(2) > 0))
+  }
+
+  test("qa12 skew audit: top keys exact, factor reproduces from integers") {
+    val r = graft.operators.Analytics3.qa12SkewAudit(spark, sf).collect()
+    assert(r.length == 10)
+    val ns = r.map(_.getLong(1))
+    assert(ns.sameElements(ns.sorted.reverse)) // descending by count
+    r.foreach { row =>
+      val (n, nKeys, total, f) =
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+      assert(f == (n * nKeys).toDouble / total)
+      assert(f > 0.0)
+    }
+    // factors are monotone in the counts (shared denominator)
+    val fs = r.map(_.getDouble(4))
+    assert(fs.sameElements(fs.sorted.reverse))
+  }
+
   test("g02 jaccard: bounds and bit-exact single division") {
     val r = graft.operators.Graph.g02CopurchaseJaccard(spark, sf).collect()
     assert(r.nonEmpty)
