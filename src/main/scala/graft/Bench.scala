@@ -37,10 +37,11 @@ object Bench {
     // frame + two-phase top-k) and the 4-iteration integer TextRank
     // (one corpus aggregation + bounded iterative joins)
     "t18_bm25", "t19_textrank",
-    // round 8e: degree-oriented triangle counting — the wedge join is
-    // the newest corpus-scale shuffle shape (sf0.1: 1.2M edges,
-    // 1.88M triangles through a √m-bounded out-degree fan-out)
-    "g01_triangles")
+    // round 8e: degree-oriented triangle counting (edge-iterator —
+    // sf0.1: 1.2M edges, 1.88M triangles through √m-bounded
+    // adjacency intersections) and the TPC-H Q5-shape snowflake join
+    // (selective-dimension-first join order)
+    "g01_triangles", "q43_local_supplier")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while

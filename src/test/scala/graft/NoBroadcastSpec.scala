@@ -36,7 +36,13 @@ class NoBroadcastSpec extends SparkSpec {
                    // round 4b: d15's corpus-side hash/band joins and
                    // t15's cf join grow with the accepted corpus —
                    // both stay strategy-flexible
-                   "d15_incremental_dedup", "t15_lm_buckets")) {
+                   "d15_incremental_dedup", "t15_lm_buckets",
+                   // round 8e: g01/g03's edge⋈adjacency and rank
+                   // joins are hint-free (node-scaled frames); q43's
+                   // supplier/customer/orders joins likewise —
+                   // results must not depend on strategy choice
+                   "g01_triangles", "g03_pagerank",
+                   "q43_local_supplier", "g02_copurchase_jaccard")) {
     test(s"$name: identical results with broadcasting disabled") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))

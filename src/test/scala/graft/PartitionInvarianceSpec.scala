@@ -49,7 +49,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "s19_refined_recall", "p15_cluster_split",
                    // round 8d: salted fact⋈dim aggregate, two-phase
                    // BM25 top-k, unrolled integer-PageRank iterations
-                   "q37_salted_join", "t18_bm25", "t19_textrank")) {
+                   "q37_salted_join", "t18_bm25", "t19_textrank",
+                   // round 8e: adjacency-array intersections, banded
+                   // degree orientation, hint-free rank iterations,
+                   // multi-distinct Expand profile, block-bit packing
+                   "g01_triangles", "g03_pagerank", "q41_profile",
+                   "mm09_phash", "q43_local_supplier")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
