@@ -381,10 +381,11 @@ object Analytics3 {
     * the tiny (a, b) key space; per-type totals and the user count
     * are bounded broadcasts. No window, no crossJoin of user data. */
   def q38AssocRules(spark: SparkSession, dir: String): DataFrame = {
-    val ut = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type")).distinct()
-    val nUsers = Tables.events(spark, dir)
-      .agg(countDistinct(col("user_id")).as("n_users"))
+    // basket frame branches three ways (totals, pair sides a/b) and
+    // seeds n_users — cache it so the corpus distinct runs once
+    val ut = OpCache.cached(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct())
+    val nUsers = ut.agg(countDistinct(col("user_id")).as("n_users"))
     val per = ut.groupBy("event_type").agg(count(lit(1)).as("n_type"))
     val a = ut.select(col("user_id"), col("event_type").as("a"))
     val b = ut.select(col("user_id"), col("event_type").as("b"))
@@ -408,12 +409,14 @@ object Analytics3 {
     * type×type key space. */
   def q39Transitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val tr = Tables.events(spark, dir)
+    // type×type-bounded aggregate branching into counts + row totals
+    // — cache so the corpus window pass runs once
+    val tr = OpCache.cached(Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val tot = tr.groupBy("from_type").agg(sum(col("n")).as("n_from"))
     tr.join(broadcast(tot), "from_type")
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
@@ -533,8 +536,8 @@ object Analytics3 {
     * rule); the key-count and total frames are one map-side-
     * combinable groupBy + two 1-row broadcasts. */
   def qa12SkewAudit(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.lineitem(spark, dir)
-      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    val per = OpCache.cached(Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n")))
     val tot = per.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"))
     per.orderBy(col("n").desc, col("l_suppkey")).limit(10)
       .crossJoin(broadcast(tot))

@@ -53,7 +53,10 @@ object Graph {
     * the composite (v, w) key); part join hint-free (corpus-scaled
     * dimension). */
   def g01Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val tri = triangles(copurchaseEdges(spark, dir))
+    // cache the triangle frame: the per-corner credit union reads it
+    // three times, and union branches get no common-subexpression
+    // reuse — uncached, the intersection pass would run 3×
+    val tri = OpCache.cached(triangles(copurchaseEdges(spark, dir)))
     val perNode = tri.select(col("a").as("n"))
       .unionAll(tri.select(col("b").as("n")))
       .unionAll(tri.select(col("c").as("n")))
@@ -159,8 +162,12 @@ object Graph {
     val op = orderParts(spark, dir) // OpCache-shared with g02
     val a = op.select(col("l_orderkey"), col("l_partkey").as("x"))
     val b = op.select(col("l_orderkey"), col("l_partkey").as("y"))
-    val cw = a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+    // cache the one-direction aggregate: the undirected union reads
+    // it twice (no cross-branch reuse), and each PageRank iteration
+    // then reads the cached union
+    val cw = OpCache.cached(
+      a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("w")))
     val e = OpCache.cached(
       cw.select(col("x").as("u"), col("y").as("v"), col("w"))
         .unionAll(cw.select(col("y").as("u"), col("x").as("v"), col("w"))))

@@ -337,8 +337,11 @@ object Multimodal {
       .select(col("doc_id"), col("n"),
         expr("(pos * 64) div n").as("b"),
         ascii(expr("substr(text, cast(pos + 1 as int), 1)")).cast("long").as("code"))
-    val blk = ch.groupBy("doc_id", "b")
-      .agg(sum(col("code")).as("s"), count(lit(1)).as("nb"))
+    // ≤64 rows/doc, branching into totals + the bit join — cache so
+    // the char-mass explode runs once (the qa08 quantized-corpus
+    // cache class)
+    val blk = OpCache.cached(ch.groupBy("doc_id", "b")
+      .agg(sum(col("code")).as("s"), count(lit(1)).as("nb")))
     val tot = blk.groupBy("doc_id")
       .agg(sum(col("s")).as("st"), sum(col("nb")).as("nt"))
     blk.join(tot, "doc_id")
