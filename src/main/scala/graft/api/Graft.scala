@@ -560,6 +560,11 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Weighted PageRank over the co-purchase graph (g03). */
   def partPagerank: DataFrame = Graph.g03Pagerank(spark, dir)
 
+  /** Streaming first-order transition edges (twin of q39). */
+  def streamingTransitions(eventStream: DataFrame):
+      Dataset[graft.streaming.EventStream.TransRow] =
+    graft.streaming.EventStream.transitions(eventStream)
+
   /** TPC-H Q5-shape local-supplier revenue rollup (q43). */
   def localSupplierRevenue: DataFrame = Analytics3.q43LocalSupplier(spark, dir)
 

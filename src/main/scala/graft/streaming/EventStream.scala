@@ -481,4 +481,100 @@ object EventStream {
       .transformWithState(new EwmaProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class TransEvent(user_id: Long, event_id: Long,
+                        ts: java.sql.Timestamp, event_type: String)
+  private[streaming] case class TransBuf(us: Long, event_id: Long, event_type: String)
+  /** The ENTIRE applied per-user state of the transition stream: the
+    * last applied event — the lag-1 window reduced to O(1). */
+  private[streaming] case class LastEvt(us: Long, event_id: Long, event_type: String)
+  case class TransRow(user_id: Long, event_id: Long,
+                      from_type: String, to_type: String)
+
+  /** STREAMING first-order transitions — the twin of batch q39's lag
+    * window: per user in event-time order, each applied event beyond
+    * the first emits its (previous type → this type) edge. Grouping
+    * the emitted rows by (from_type, to_type) reproduces q39's
+    * transition counts exactly (spec-asserted); the probability
+    * column is the same single division downstream.
+    *
+    * Applied state is ONE (ts, event_id, type) tuple per user — the
+    * smallest state of the stateful-processor family (sessionize
+    * holds O(events-in-session), SCD2 one open interval, EWMA a
+    * 7-value ring). Lateness discipline is [[Scd2Processor]]'s:
+    * buffer in handleInputRows, apply the watermark-passed prefix in
+    * handleExpiredTimer — an eager apply would thread the lag chain
+    * through a wrong predecessor when a late event lands between two
+    * already-applied neighbors. */
+  private[streaming] class TransitionProcessor
+      extends StatefulProcessor[Long, TransEvent, TransRow] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[TransBuf] = _
+    @transient private var last: ValueState[LastEvt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState("transbuf", Encoders.product[TransBuf],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      last = getHandle.getValueState("lastevt", Encoders.product[LastEvt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[TransEvent],
+                                 timerValues: TimerValues): Iterator[TransRow] = {
+      var maxUs = Long.MinValue
+      var minUs = Long.MaxValue
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        maxUs = math.max(maxUs, us)
+        minUs = math.min(minUs, us)
+        buf.appendValue(TransBuf(us, e.event_id, e.event_type))
+      }
+      if (maxUs != Long.MinValue) {
+        getHandle.registerTimer(Math.floorDiv(maxUs, 1000) + 1)
+        if (minUs != maxUs)
+          getHandle.registerTimer(Math.floorDiv(minUs, 1000) + 1)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[TransRow] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs * 1000
+      val events = {
+        val it = buf.get()
+        val b = Seq.newBuilder[TransBuf]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }.sortBy(e => (e.us, e.event_id))
+      if (events.isEmpty) return Iterator.empty
+      val (apply, hold) = events.partition(_.us < wmUs)
+      if (apply.isEmpty) return Iterator.empty
+      var prev = Option(last.get())
+      val out = Seq.newBuilder[TransRow]
+      apply.foreach { e =>
+        prev.foreach(p => out += TransRow(user, e.event_id, p.event_type, e.event_type))
+        prev = Some(LastEvt(e.us, e.event_id, e.event_type))
+      }
+      prev.foreach(last.update)
+      buf.clear()
+      if (hold.nonEmpty) buf.put(hold.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming transition edges over an event stream; replay with
+    * the watermark past the last event, grouped by (from, to),
+    * equals batch q39's counts (spec-asserted). */
+  def transitions(events: DataFrame, watermark: String = "0 seconds"): Dataset[TransRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    MaillogStream.useRocksDbStateStore(spark)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts"), col("event_type").cast("string").as("event_type"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -487,4 +487,76 @@ class EventStreamSpec extends SparkSpec {
       (1L, "view", tsMs(-500L), tsMs(500L)),
       (2L, "click", tsMs(500L), tsMs(1500L))))
   }
+
+  test("streaming transitions replay equals batch q39 counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evtrans").toString
+    val batchEvents = Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val maxTs = batchEvents.agg(max("ts")).first().getTimestamp(0)
+    batchEvents.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)))
+      .write.mode("append").parquet(dir)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.transitions(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("trans").filter($"user_id" >= 0)
+      .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val want = graft.operators.Analytics3.q39Transitions(spark, sf)
+      .select($"from_type", $"to_type", $"n")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got.sameElements(want),
+      "streamed transition counts == batch q39")
+  }
+
+  test("late transition event threads through the lag chain correctly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("translate").toString
+    val ckpt = Files.createTempDirectory("translate-ckpt").toString
+    val out = Files.createTempDirectory("translate-out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(Long, Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .repartition(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = EventStream.transitions(streamed, watermark = "1 hour").toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: view @10:00, purchase @12:00 — an eager apply would
+    // emit view→purchase, irrevocably wrong
+    writeBatch(Seq(
+      (7L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (7L, 2L, ts("2024-01-01 12:00:00"), "purchase")))
+    runOnce()
+    // batch 2: the LATE middle event @11:30 (allowed by the 1-h
+    // watermark) — truth is view→click→purchase
+    writeBatch(Seq((7L, 3L, ts("2024-01-01 11:30:00"), "click")))
+    runOnce()
+    // batch 3: sentinel closes the watermark
+    writeBatch(Seq((-1L, 9L, ts("2024-01-01 18:00:00"), "view")))
+    runOnce()
+    val got = spark.read.parquet(out).filter($"user_id" === 7L)
+      .select($"event_id", $"from_type", $"to_type")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((2L, "click", "purchase"), (3L, "view", "click")),
+      "the late event must re-thread the lag chain")
+  }
 }
