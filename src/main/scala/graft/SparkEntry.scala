@@ -180,7 +180,8 @@ object SparkEntry {
     "q42_seasonal" -> (Analytics3.q42Seasonal _),
     "mm09_phash" -> (Multimodal.mm09Phash _),
     "q43_local_supplier" -> (Analytics3.q43LocalSupplier _),
-    "qa12_skew_audit" -> (Analytics3.qa12SkewAudit _)
+    "qa12_skew_audit" -> (Analytics3.qa12SkewAudit _),
+    "g04_incremental_triangles" -> (Graph.g04IncrementalTriangles _)
   )
 
   /** Three keys are intentionally absent (the driver records a

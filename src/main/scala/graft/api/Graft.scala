@@ -560,6 +560,9 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Weighted PageRank over the co-purchase graph (g03). */
   def partPagerank: DataFrame = Graph.g03Pagerank(spark, dir)
 
+  /** Incremental triangle accounting for arriving orders (g04). */
+  def incrementalTriangles: DataFrame = Graph.g04IncrementalTriangles(spark, dir)
+
   /** Streaming first-order transition edges (twin of q39). */
   def streamingTransitions(eventStream: DataFrame):
       Dataset[graft.streaming.EventStream.TransRow] =

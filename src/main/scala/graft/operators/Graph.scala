@@ -142,6 +142,66 @@ object Graph {
       .orderBy("x", "y")
   }
 
+  /** g04: INCREMENTAL triangle counting — the d15/d17/d18
+    * frozen-corpus discipline extended to the graph family: the
+    * co-purchase graph of already-ingested orders (l_orderkey % 10
+    * < 8) is the frozen corpus; edges that only the arriving orders
+    * (% 10 ≥ 8) introduce are the increment. Every triangle the
+    * increment creates is counted EXACTLY once by how many new
+    * edges it contains — the standard incremental accounting:
+    *  - 1 new edge (x, y): third vertex adjacent to BOTH ends in
+    *    the OLD graph — found from x's old incidence then verified
+    *    against the (y, w) old edge; per-new-edge cost
+    *    O(deg_old(x)), the increment-scaled cost the family
+    *    promises (the corpus wedge space is never rescanned);
+    *  - 2 new edges: a new wedge (unique shared vertex) closed by
+    *    one old edge;
+    *  - 3 new edges: [[triangles]] of the increment edge set alone.
+    * The categories are disjoint (new ∩ old = ∅ by the anti-join)
+    * and exhaustive, so tri_added ≡ T(old ∪ new) − T(old) — the
+    * spec asserts that identity against two full [[triangles]] runs.
+    * Output: one exact-integer summary row. */
+  def g04IncrementalTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    def pairsOf(rows: DataFrame): DataFrame = {
+      val a = rows.select(col("l_orderkey"), col("l_partkey").as("x"))
+      val b = rows.select(col("l_orderkey"), col("l_partkey").as("y"))
+      a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+        .select("x", "y").distinct()
+    }
+    val old = OpCache.cached(pairsOf(li.filter(col("l_orderkey") % 10 < 8)))
+    val newE = OpCache.cached(
+      pairsOf(li.filter(col("l_orderkey") % 10 >= 8))
+        .join(old, Seq("x", "y"), "left_anti"))
+    // old incidence, both directions (u's old neighborhood)
+    val oldInc = old.select(col("x").as("u"), col("y").as("w"))
+      .unionAll(old.select(col("y").as("u"), col("x").as("w")))
+    // 1 new edge: w adjacent to both x and y in the old graph
+    val c1 = newE
+      .join(oldInc, col("x") === col("u"))
+      .select(col("x"), col("y"), col("w"))
+      .join(old.select(col("x").as("ox"), col("y").as("oy")),
+        least(col("y"), col("w")) === col("ox") &&
+          greatest(col("y"), col("w")) === col("oy"),
+        "left_semi")
+      .agg(count(lit(1)).as("tri_1_new"))
+    // 2 new edges: a new wedge closed by one old edge
+    val newInc = newE.select(col("x").as("u"), col("y").as("w"))
+      .unionAll(newE.select(col("y").as("u"), col("x").as("w")))
+    val c2 = newInc.as("p").join(newInc.as("q"),
+        col("p.u") === col("q.u") && col("p.w") < col("q.w"))
+      .select(col("p.w").as("v1"), col("q.w").as("v2"))
+      .join(old, col("v1") === col("x") && col("v2") === col("y"), "left_semi")
+      .agg(count(lit(1)).as("tri_2_new"))
+    // 3 new edges: triangles entirely within the increment
+    val c3 = triangles(newE).agg(count(lit(1)).as("tri_3_new"))
+    val ne = newE.agg(count(lit(1)).as("n_new_edges"))
+    ne.crossJoin(broadcast(c1)).crossJoin(broadcast(c2)).crossJoin(broadcast(c3))
+      .select(col("n_new_edges"), col("tri_1_new"), col("tri_2_new"),
+        col("tri_3_new"),
+        (col("tri_1_new") + col("tri_2_new") + col("tri_3_new")).as("tri_added"))
+  }
+
   /** Damped-iteration count shared between the Column loop and the
     * generated oracle CTEs (the t19 rule: one constant, two engines). */
   private[graft] val PageRankIters = 4
@@ -188,6 +248,31 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "g04_incremental_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |oldp AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |         WHERE a.l_orderkey % 10 < 8),
+        |newp0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |         WHERE a.l_orderkey % 10 >= 8),
+        |newe AS (SELECT x, y FROM newp0 WHERE NOT EXISTS
+        |         (SELECT 1 FROM oldp o WHERE o.x = newp0.x AND o.y = newp0.y)),
+        |oldinc AS (SELECT x AS u, y AS w FROM oldp UNION ALL SELECT y, x FROM oldp),
+        |c1 AS (SELECT COUNT(*) AS n FROM
+        |  (SELECT ne.x, ne.y, oi.w FROM newe ne JOIN oldinc oi ON oi.u = ne.x) t
+        |  WHERE EXISTS (SELECT 1 FROM oldp o
+        |    WHERE o.x = least(t.y, t.w) AND o.y = greatest(t.y, t.w))),
+        |newinc AS (SELECT x AS u, y AS w FROM newe UNION ALL SELECT y, x FROM newe),
+        |c2 AS (SELECT COUNT(*) AS n FROM newinc p JOIN newinc q ON p.u = q.u AND p.w < q.w
+        |       WHERE EXISTS (SELECT 1 FROM oldp o WHERE o.x = p.w AND o.y = q.w)),
+        |c3 AS (SELECT COUNT(*) AS n FROM newe e1 JOIN newe e2 ON e2.x = e1.y
+        |       JOIN newe e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |ne AS (SELECT COUNT(*) AS n FROM newe)
+        |SELECT ne.n AS n_new_edges, c1.n AS tri_1_new, c2.n AS tri_2_new,
+        |  c3.n AS tri_3_new, c1.n + c2.n + c3.n AS tri_added
+        |FROM ne, c1, c2, c3""".stripMargin,
+
     "g03_pagerank" -> {
       val iterCtes = (1 to PageRankIters).map { i =>
         s"""c$i AS (SELECT e.v AS part, CAST(SUM((r${i - 1}.r * e.w) // wu.wt) AS BIGINT) AS s

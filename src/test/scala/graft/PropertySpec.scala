@@ -554,6 +554,28 @@ class PropertySpec extends SparkSpec {
     assert(fs.sameElements(fs.sorted.reverse))
   }
 
+  test("g04 incremental triangles: categories sum to T(all) - T(old)") {
+    val row = graft.operators.Graph.g04IncrementalTriangles(spark, sf).head()
+    val (c1, c2, c3, added) =
+      (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(added == c1 + c2 + c3)
+    // the incremental accounting must equal the from-scratch diff
+    def pairsOf(pred: org.apache.spark.sql.Column) = {
+      val li = graft.sources.Tables.lineitem(spark, sf)
+        .filter(pred).select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
+      a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+        .select("x", "y").distinct()
+    }
+    val tAll = graft.operators.Graph.triangles(pairsOf(lit(true))).count()
+    val tOld = graft.operators.Graph.triangles(
+      pairsOf(col("l_orderkey") % 10 < 8)).count()
+    assert(added == tAll - tOld,
+      s"incremental $added vs from-scratch ${tAll - tOld}")
+    assert(row.getLong(0) > 0 && added > 0)
+  }
+
   test("g02 jaccard: bounds and bit-exact single division") {
     val r = graft.operators.Graph.g02CopurchaseJaccard(spark, sf).collect()
     assert(r.nonEmpty)
