@@ -563,6 +563,14 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Incremental triangle accounting for arriving orders (g04). */
   def incrementalTriangles: DataFrame = Graph.g04IncrementalTriangles(spark, dir)
 
+  /** Streaming corpus-closing triangle screen (twin of g04's
+    * 1-new-edge category) over an edge stream. */
+  def streamingTriangles(edgeStream: DataFrame, corpusEdges: DataFrame): DataFrame =
+    graft.streaming.TriStream.closedTriangles(edgeStream, corpusEdges)
+
+  /** The frozen co-purchase edge index the triangle stream probes. */
+  def corpusEdgeIndex: DataFrame = Graph.corpusEdgeIndex(spark, dir)
+
   /** Streaming first-order transition edges (twin of q39). */
   def streamingTransitions(eventStream: DataFrame):
       Dataset[graft.streaming.EventStream.TransRow] =

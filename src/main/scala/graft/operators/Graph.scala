@@ -169,22 +169,12 @@ object Graph {
       a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
         .select("x", "y").distinct()
     }
-    val old = OpCache.cached(pairsOf(li.filter(col("l_orderkey") % 10 < 8)))
+    val old = OpCache.cached(corpusEdgeIndex(spark, dir))
     val newE = OpCache.cached(
       pairsOf(li.filter(col("l_orderkey") % 10 >= 8))
         .join(old, Seq("x", "y"), "left_anti"))
-    // old incidence, both directions (u's old neighborhood)
-    val oldInc = old.select(col("x").as("u"), col("y").as("w"))
-      .unionAll(old.select(col("y").as("u"), col("x").as("w")))
     // 1 new edge: w adjacent to both x and y in the old graph
-    val c1 = newE
-      .join(oldInc, col("x") === col("u"))
-      .select(col("x"), col("y"), col("w"))
-      .join(old.select(col("x").as("ox"), col("y").as("oy")),
-        least(col("y"), col("w")) === col("ox") &&
-          greatest(col("y"), col("w")) === col("oy"),
-        "left_semi")
-      .agg(count(lit(1)).as("tri_1_new"))
+    val c1 = closedByCorpus(newE, old).agg(count(lit(1)).as("tri_1_new"))
     // 2 new edges: a new wedge closed by one old edge
     val newInc = newE.select(col("x").as("u"), col("y").as("w"))
       .unionAll(newE.select(col("y").as("u"), col("x").as("w")))
@@ -200,6 +190,39 @@ object Graph {
       .select(col("n_new_edges"), col("tri_1_new"), col("tri_2_new"),
         col("tri_3_new"),
         (col("tri_1_new") + col("tri_2_new") + col("tri_3_new")).as("tri_added"))
+  }
+
+  /** Triangles an edge frame closes against a frozen corpus edge
+    * set: for each (x, y), every w adjacent to BOTH ends in the
+    * corpus — g04's 1-new-edge category, and the literal join
+    * algebra [[graft.streaming.TriStream]] runs per arriving edge
+    * (shared here so the batch operator and the stream cannot
+    * drift). Both inputs must be (x < y)-canonical. Cost is
+    * O(deg_corpus(x)) per probe edge — the corpus wedge space is
+    * never rescanned. */
+  private[graft] def closedByCorpus(probe: DataFrame, corpus: DataFrame): DataFrame = {
+    val inc = corpus.select(col("x").as("u"), col("y").as("w"))
+      .unionAll(corpus.select(col("y").as("u"), col("x").as("w")))
+    probe
+      .join(inc, col("x") === col("u"))
+      .select(col("x"), col("y"), col("w"))
+      .join(corpus.select(col("x").as("ox"), col("y").as("oy")),
+        least(col("y"), col("w")) === col("ox") &&
+          greatest(col("y"), col("w")) === col("oy"),
+        "left_semi")
+  }
+
+  /** Frozen co-purchase corpus edges (orders % 10 < 8) — the static
+    * side [[graft.streaming.TriStream]] joins against; built once
+    * per corpus freeze (the corpusSeedIndex pattern). */
+  def corpusEdgeIndex(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 < 8)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
+    a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+      .select("x", "y").distinct()
   }
 
   /** Damped-iteration count shared between the Column loop and the
