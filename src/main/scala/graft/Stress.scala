@@ -320,10 +320,7 @@ object Stress {
       lib.select((col("l_orderkey") + lit(k * 100000000L)).as("l_orderkey"),
         (col("l_partkey") + lit(k * 10000000L)).as("l_partkey"))
     }.reduce(_ union _)
-    val liA = lirep.select(col("l_orderkey"), col("l_partkey").as("x"))
-    val liB = lirep.select(col("l_orderkey"), col("l_partkey").as("y"))
-    val triEdges = liA.join(liB, Seq("l_orderkey"))
-      .filter(col("x") < col("y")).select("x", "y").distinct().persist()
+    val triEdges = graft.operators.Graph.orderPairs(lirep).persist()
     val nTriEdges = triEdges.count()
     val nTri = time("triangles (g01)")(
       graft.operators.Graph.triangles(triEdges).count())

@@ -520,16 +520,6 @@ class Graft(val spark: SparkSession, dir: String) {
     * final status). */
   def queueAging: DataFrame = MaillogOps.m12QueueAging(spark, dir)
 
-  /** SQL front door: register every source table as a temp view
-    * (`graft_documents`, `graft_events`, …) and the custom
-    * expressions (`regexp_extract_groups`, `long_array_dot`) in the
-    * function registry, so a pure-SQL caller can drive the engine:
-    *
-    *   g.registerSql()
-    *   spark.sql("SELECT source, count(*) FROM graft_documents GROUP BY 1")
-    *
-    * Views are lazy plans over the parquet sources — registering
-    * costs nothing and every SQL query still gets pushdown/pruning. */
   /** Skew-salted fact⋈dim revenue rollup (q37). */
   def saltedRevenue: DataFrame = Skew.q37SaltedJoin(spark, dir)
 
@@ -589,6 +579,16 @@ class Graft(val spark: SparkSession, dir: String) {
   def perceptualPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
     Multimodal.phashPairs(hashes, maxHamming)
 
+  /** SQL front door: register every source table as a temp view
+    * (`graft_documents`, `graft_events`, …) and the custom
+    * expressions (`regexp_extract_groups`, `long_array_dot`) in the
+    * function registry, so a pure-SQL caller can drive the engine:
+    *
+    *   g.registerSql()
+    *   spark.sql("SELECT source, count(*) FROM graft_documents GROUP BY 1")
+    *
+    * Views are lazy plans over the parquet sources — registering
+    * costs nothing and every SQL query still gets pushdown/pruning. */
   def registerSql(prefix: String = "graft_"): Unit = {
     graft.plans.GraftExtensions.register(spark)
     Seq("region", "nation", "customer", "supplier", "part", "orders",

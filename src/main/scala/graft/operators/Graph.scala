@@ -22,13 +22,19 @@ object Graph {
     * edge frame several times (degrees, orientation), and the
     * corpus-scale-input/bounded-output shape is exactly the cache's
     * admission class. */
-  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
-    OpCache.cached(
-      a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
-        .select("x", "y").distinct())
+  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    OpCache.cached(orderPairs(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))))
+
+  /** Distinct canonical (x < y) part pairs sharing an order — THE
+    * edge definition, shared by every graph operator, the stress
+    * probe and the stream spec so the canonicalization cannot drift
+    * between them. Input: (l_orderkey, l_partkey) rows. */
+  private[graft] def orderPairs(rows: DataFrame): DataFrame = {
+    val a = rows.select(col("l_orderkey"), col("l_partkey").as("x"))
+    val b = rows.select(col("l_orderkey"), col("l_partkey").as("y"))
+    a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+      .select("x", "y").distinct()
   }
 
   /** g01: exact triangle counting by degree-ordered wedge closure —
@@ -163,15 +169,9 @@ object Graph {
     * Output: one exact-integer summary row. */
   def g04IncrementalTriangles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    def pairsOf(rows: DataFrame): DataFrame = {
-      val a = rows.select(col("l_orderkey"), col("l_partkey").as("x"))
-      val b = rows.select(col("l_orderkey"), col("l_partkey").as("y"))
-      a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
-        .select("x", "y").distinct()
-    }
     val old = OpCache.cached(corpusEdgeIndex(spark, dir))
     val newE = OpCache.cached(
-      pairsOf(li.filter(col("l_orderkey") % 10 >= 8))
+      orderPairs(li.filter(col("l_orderkey") % 10 >= 8))
         .join(old, Seq("x", "y"), "left_anti"))
     // 1 new edge: w adjacent to both x and y in the old graph
     val c1 = closedByCorpus(newE, old).agg(count(lit(1)).as("tri_1_new"))
@@ -215,15 +215,10 @@ object Graph {
   /** Frozen co-purchase corpus edges (orders % 10 < 8) — the static
     * side [[graft.streaming.TriStream]] joins against; built once
     * per corpus freeze (the corpusSeedIndex pattern). */
-  def corpusEdgeIndex(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+  def corpusEdgeIndex(spark: SparkSession, dir: String): DataFrame =
+    orderPairs(Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") % 10 < 8)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
-    a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
-      .select("x", "y").distinct()
-  }
+      .select(col("l_orderkey"), col("l_partkey")))
 
   /** Damped-iteration count shared between the Column loop and the
     * generated oracle CTEs (the t19 rule: one constant, two engines). */

@@ -344,9 +344,16 @@ object Multimodal {
       .agg(sum(col("code")).as("s"), count(lit(1)).as("nb")))
     val tot = blk.groupBy("doc_id")
       .agg(sum(col("s")).as("st"), sum(col("nb")).as("nt"))
+    // the cross-multiply rides DECIMAL(38,0) (HUGEINT in the oracle):
+    // s·nt grows ~code·n² and would pass int64 near 2.5 GB of text —
+    // wrapped-silent in non-ANSI Spark, errored in DuckDB; 128-bit
+    // operands keep both engines exact to astronomically large media
+    val d38 = "decimal(38,0)"
     blk.join(tot, "doc_id")
       .select(col("doc_id"), col("b"),
-        when(col("s") * col("nt") > col("st") * col("nb"), 1L).otherwise(0L).as("bit"))
+        when(col("s").cast(d38) * col("nt").cast(d38) >
+            col("st").cast(d38) * col("nb").cast(d38), 1L)
+          .otherwise(0L).as("bit"))
       .groupBy("doc_id")
       .agg(
         sum(when(col("b") >= 32,
@@ -730,7 +737,8 @@ object Multimodal {
         |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS st,
         |          CAST(SUM(nb) AS BIGINT) AS nt FROM blk GROUP BY 1),
         |bits AS (SELECT blk.doc_id, b,
-        |           CASE WHEN s * nt > st * nb THEN 1 ELSE 0 END AS bit
+        |           CASE WHEN CAST(s AS HUGEINT) * nt > CAST(st AS HUGEINT) * nb
+        |             THEN 1 ELSE 0 END AS bit
         |         FROM blk JOIN tot ON tot.doc_id = blk.doc_id),
         |h AS (SELECT doc_id,
         |        CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS h_hi,

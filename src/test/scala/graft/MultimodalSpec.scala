@@ -211,6 +211,10 @@ class MultimodalSpec extends SparkSpec {
       val (id, hi, lo, nset) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       val t = texts(id)
+      // the local reference iterates UTF-16 code units; the operator
+      // works in codepoints — identical only on ASCII, so pin the
+      // fixture assumption rather than silently diverge on it
+      assert(t.forall(_ < 128), s"doc $id is not ASCII; reference invalid")
       val n = t.length.toLong
       val s = new Array[Long](64)
       val c = new Array[Long](64)

@@ -16,16 +16,11 @@ import org.apache.spark.sql.streaming.Trigger
   * union). */
 class TriStreamSpec extends SparkSpec {
 
-  private def newEdges(corpus: org.apache.spark.sql.DataFrame) = {
-    val li = Tables.lineitem(spark, sf)
-      .filter(col("l_orderkey") % 10 >= 8)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
-    a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
-      .select("x", "y").distinct()
+  private def newEdges(corpus: org.apache.spark.sql.DataFrame) =
+    Graph.orderPairs(Tables.lineitem(spark, sf)
+        .filter(col("l_orderkey") % 10 >= 8)
+        .select(col("l_orderkey"), col("l_partkey")))
       .join(corpus, Seq("x", "y"), "left_anti")
-  }
 
   test("streamed closed triangles equal the batch category and g04's count") {
     val corpus = Graph.corpusEdgeIndex(spark, sf)
