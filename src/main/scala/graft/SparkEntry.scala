@@ -181,7 +181,8 @@ object SparkEntry {
     "mm09_phash" -> (Multimodal.mm09Phash _),
     "q43_local_supplier" -> (Analytics3.q43LocalSupplier _),
     "qa12_skew_audit" -> (Analytics3.qa12SkewAudit _),
-    "g04_incremental_triangles" -> (Graph.g04IncrementalTriangles _)
+    "g04_incremental_triangles" -> (Graph.g04IncrementalTriangles _),
+    "s20_gram_matrix" -> (Similarity.s20GramMatrix _)
   )
 
   /** Three keys are intentionally absent (the driver records a

@@ -561,6 +561,9 @@ class Graft(val spark: SparkSession, dir: String) {
   /** The frozen co-purchase edge index the triangle stream probes. */
   def corpusEdgeIndex: DataFrame = Graph.corpusEdgeIndex(spark, dir)
 
+  /** Exact Gram (second-moment) matrix of the embedding corpus (s20). */
+  def gramMatrix: DataFrame = Similarity.s20GramMatrix(spark, dir)
+
   /** Streaming first-order transition edges (twin of q39). */
   def streamingTransitions(eventStream: DataFrame):
       Dataset[graft.streaming.EventStream.TransRow] =

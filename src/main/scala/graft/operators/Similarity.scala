@@ -961,6 +961,46 @@ object Similarity {
       .orderBy("q_id", "method")
   }
 
+  /** s20: the exact second-moment (Gram) matrix of the quantized
+    * embedding corpus — the distributed half of PCA/whitening: a
+    * deployment computes G[i,j] = Σ_n q_n[i]·q_n[j] across the
+    * corpus, then eigendecomposes the dims×dims result wherever it
+    * likes (it is 2080 rows at ANY corpus size — the mergeable-
+    * summary shape of the sketch suite, here for second moments,
+    * exact instead of approximate).
+    *
+    * Plan: per vector, the upper-triangle outer product flattens to
+    * one 2080-long array (pure HOF transform — no join, no
+    * explode), and the corpus reduces through ONE
+    * [[graft.plans.LongArraySum]] native aggregate (map-side
+    * combinable long[] buffer, the s06/s18 machinery) — a single
+    * hash-agg pass over 100 TB with constant-size state. The (i, j)
+    * labels rejoin by the closed-form triangular index
+    * k = (i−1)·65 − i(i−1)/2 + (j−i+1), identical integer algebra
+    * in the oracle. Quantization is exact (1e4-scaled int64, the
+    * d08 contract), so both engines sum identical integers. */
+  def s20GramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val e = Tables.embeddings(spark, dir)
+      .select(quantize(col("embedding")).as("qv"))
+      .filter(size(col("qv")) === dims)
+    val outer = expr(
+      """flatten(transform(sequence(1, size(qv)), i ->
+        |  transform(sequence(i, size(qv)), j ->
+        |    element_at(qv, i) * element_at(qv, j))))""".stripMargin)
+    val g = e.select(outer.as("op"))
+      .agg(count(lit(1)).as("n_vecs"), graft.plans.LongArraySum(col("op")).as("garr"))
+    val pairs = spark.range(1, dims + 1).toDF("i")
+      .select(col("i"), explode(sequence(col("i"), lit(dims.toLong))).as("j"))
+    pairs.crossJoin(broadcast(g))
+      .select(col("i"), col("j"),
+        element_at(col("garr"),
+          expr("cast((i - 1) * 65 - (i * (i - 1)) div 2 + (j - i + 1) as int)"))
+          .as("gram"),
+        col("n_vecs"))
+      .orderBy("i", "j")
+  }
+
   val oracles: Map[String, String] = {
     val qCte =
       """q AS (SELECT vec_id, label,
@@ -1235,6 +1275,21 @@ object Similarity {
     Map(
       "s18_kmeans_refine" -> s18Sql,
       "s19_refined_recall" -> s19Sql,
+
+      "s20_gram_matrix" ->
+        """WITH q AS (SELECT
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |q64 AS (SELECT qv FROM q WHERE len(qv) = 64),
+          |nv AS (SELECT COUNT(*) AS n_vecs FROM q64),
+          |cells AS (SELECT ii.i AS i, jj.j AS j, qv[ii.i] * qv[jj.j] AS p
+          |  FROM q64,
+          |    LATERAL unnest(generate_series(1, 64)) AS ii(i),
+          |    LATERAL unnest(generate_series(1, 64)) AS jj(j)
+          |  WHERE jj.j >= ii.i)
+          |SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram, n_vecs
+          |FROM cells CROSS JOIN nv
+          |GROUP BY i, j, n_vecs ORDER BY i, j""".stripMargin,
 
       "s17_filtered_ivfpq_recall" ->
         ("WITH " + qCte + s""",

@@ -576,6 +576,23 @@ class PropertySpec extends SparkSpec {
     assert(row.getLong(0) > 0 && added > 0)
   }
 
+  test("s20 gram matrix: symmetric positive diagonal, local reference on a slice") {
+    val r = graft.operators.Similarity.s20GramMatrix(spark, sf).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r.size == 64 * 65 / 2)
+    // diagonal entries are sums of squares — strictly positive here
+    (1 to 64).foreach(i => assert(r((i.toLong, i.toLong)) > 0))
+    // local bit-exact reference on dims 1..4
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(f => math.round(f.toDouble * 10000)))
+      .filter(_.length == 64)
+    for (i <- 1 to 4; j <- i to 4) {
+      val want = vecs.map(v => v(i - 1) * v(j - 1)).sum
+      assert(r((i.toLong, j.toLong)) == want, s"gram($i,$j)")
+    }
+  }
+
   test("g02 jaccard: bounds and bit-exact single division") {
     val r = graft.operators.Graph.g02CopurchaseJaccard(spark, sf).collect()
     assert(r.nonEmpty)
