@@ -42,7 +42,8 @@ class NoBroadcastSpec extends SparkSpec {
                    // supplier/customer/orders joins likewise —
                    // results must not depend on strategy choice
                    "g01_triangles", "g03_pagerank",
-                   "q43_local_supplier", "g02_copurchase_jaccard")) {
+                   "q43_local_supplier", "g02_copurchase_jaccard",
+                   "g04_incremental_triangles")) {
     test(s"$name: identical results with broadcasting disabled") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))

@@ -54,7 +54,10 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // degree orientation, hint-free rank iterations,
                    // multi-distinct Expand profile, block-bit packing
                    "g01_triangles", "g03_pagerank", "q41_profile",
-                   "mm09_phash", "q43_local_supplier")) {
+                   "mm09_phash", "q43_local_supplier",
+                   // round 8e cont.: incremental category joins +
+                   // the native array-sum outer-product aggregate
+                   "g04_incremental_triangles", "s20_gram_matrix")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
