@@ -41,7 +41,10 @@ object Bench {
     // sf0.1: 1.2M edges, 1.88M triangles through √m-bounded
     // adjacency intersections) and the TPC-H Q5-shape snowflake join
     // (selective-dimension-first join order)
-    "g01_triangles", "q43_local_supplier")
+    "g01_triangles", "q43_local_supplier",
+    // round 8e cont.: the one-pass second-moment aggregate (native
+    // long[] buffer — the cheap-exact-summary floor beside qa07)
+    "s20_gram_matrix")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
