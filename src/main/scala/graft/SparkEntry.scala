@@ -182,7 +182,8 @@ object SparkEntry {
     "q43_local_supplier" -> (Analytics3.q43LocalSupplier _),
     "qa12_skew_audit" -> (Analytics3.qa12SkewAudit _),
     "g04_incremental_triangles" -> (Graph.g04IncrementalTriangles _),
-    "s20_gram_matrix" -> (Similarity.s20GramMatrix _)
+    "s20_gram_matrix" -> (Similarity.s20GramMatrix _),
+    "q44_market_share" -> (Analytics3.q44MarketShare _)
   )
 
   /** Three keys are intentionally absent (the driver records a

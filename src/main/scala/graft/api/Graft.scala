@@ -564,6 +564,9 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Exact Gram (second-moment) matrix of the embedding corpus (s20). */
   def gramMatrix: DataFrame = Similarity.s20GramMatrix(spark, dir)
 
+  /** Supplier-nation yearly market share, TPC-H Q8 shape (q44). */
+  def marketShare: DataFrame = Analytics3.q44MarketShare(spark, dir)
+
   /** Streaming first-order transition edges (twin of q39). */
   def streamingTransitions(eventStream: DataFrame):
       Dataset[graft.streaming.EventStream.TransRow] =

@@ -526,6 +526,47 @@ object Analytics3 {
       .orderBy("n_name")
   }
 
+  /** q44: supplier-nation market share over time (the TPC-H Q8
+    * shape): for sales to EUROPE customers, each supplier nation's
+    * yearly revenue share. The float discipline is the two-operand
+    * extension of the single-division rule: per-(year, nation)
+    * revenues are EXACT decimal sums, the per-year denominator is
+    * the exact decimal sum of those cells (decimal addition is
+    * order-independent — never a double summation), and the share
+    * divides the two double casts of identical exact values, so
+    * both engines divide identical operands. Plan: the q43 order —
+    * bounded region⋈nation broadcasts restrict customer (and label
+    * supplier) before the fact joins; the share join lands on the
+    * years×nations cell frame, tiny at any corpus size. */
+  def q44MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val euro = n.join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "EUROPE")),
+      col("n_regionkey") === col("r_regionkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(euro.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val revenue = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    val cells = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"), col("supp_nation"))
+      .agg(sum(revenue).as("rev_dec"))
+    val totals = cells.groupBy("yr").agg(sum(col("rev_dec")).as("tot_dec"))
+    cells.join(broadcast(totals), "yr")
+      .select(col("yr").cast("long").as("yr"), col("supp_nation"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec").cast("double") / col("tot_dec").cast("double")).as("share"))
+      .orderBy("yr", "supp_nation")
+  }
+
   /** qa12: join-key skew audit — the pre-flight report behind q37's
     * salted join: per-key row counts for a fact join key
     * (l_suppkey), the top-10 heaviest keys by exact count, each with
@@ -581,6 +622,26 @@ object Analytics3 {
           |JOIN region ON n_regionkey = r_regionkey
           |WHERE r_name = 'ASIA'
           |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+      "q44_market_share" ->
+        """WITH cells AS (
+          |  SELECT year(o_orderdate) AS yr, sn.n_name AS supp_nation,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |  JOIN region ON cn.n_regionkey = r_regionkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |  WHERE r_name = 'EUROPE'
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT yr, SUM(rev_dec) AS tot_dec FROM cells GROUP BY 1)
+          |SELECT CAST(cells.yr AS BIGINT) AS yr, supp_nation,
+          |  CAST(rev_dec AS DOUBLE) AS revenue,
+          |  CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS share
+          |FROM cells JOIN tot ON tot.yr = cells.yr
+          |ORDER BY yr, supp_nation""".stripMargin,
 
       "qa12_skew_audit" ->
         """WITH per AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),

@@ -576,6 +576,16 @@ class PropertySpec extends SparkSpec {
     assert(row.getLong(0) > 0 && added > 0)
   }
 
+  test("q44 market share: per-year shares sum to 1, revenue conserved") {
+    val r = graft.operators.Analytics3.q44MarketShare(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+      rows.foreach { row => assert(row._4 > 0.0 && row._4 <= 1.0) }
+    }
+  }
+
   test("s20 gram matrix: symmetric positive diagonal, local reference on a slice") {
     val r = graft.operators.Similarity.s20GramMatrix(spark, sf).collect()
       .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
