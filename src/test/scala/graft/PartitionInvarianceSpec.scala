@@ -57,7 +57,8 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "mm09_phash", "q43_local_supplier",
                    // round 8e cont.: incremental category joins +
                    // the native array-sum outer-product aggregate
-                   "g04_incremental_triangles", "s20_gram_matrix")) {
+                   "g04_incremental_triangles", "s20_gram_matrix",
+                   "q44_market_share")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
