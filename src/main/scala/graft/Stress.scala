@@ -326,7 +326,26 @@ object Stress {
       graft.operators.Graph.triangles(triEdges).count())
     triEdges.unpersist()
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"mult":$mult}""")
+    // corpus-closing screen (g04's 1-new-edge category / TriStream)
+    // under the production asymmetry: the frozen graph is the
+    // replicated corpus slice (order-id shifts preserve %10, part
+    // strides keep replicas disjoint), the arriving edges stay FIXED
+    // at the base slice — so the closed-triangle count must be
+    // INVARIANT across multipliers (arrivals only ever touch
+    // replica 0's parts) while the probe pays the grown corpus's
+    // incidence build. The flat-matches/growing-corpus reading is
+    // the same shape as d17/d18's frozen-index stress
+    val corpusRep = graft.operators.Graph.orderPairs(
+      lirep.filter(col("l_orderkey") % 10 < 8)).persist()
+    corpusRep.count()
+    val incBase = graft.operators.Graph.orderPairs(
+      lib.filter(col("l_orderkey") % 10 >= 8))
+      .join(corpusRep, Seq("x", "y"), "left_anti")
+    val nClosed = time("corpus-closing tris (g04)")(
+      graft.operators.Graph.closedByCorpus(incBase, corpusRep).count())
+    corpusRep.unpersist()
+
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"mult":$mult}""")
     spark.stop()
   }
 }
