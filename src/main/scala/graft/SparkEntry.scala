@@ -186,13 +186,12 @@ object SparkEntry {
     "q44_market_share" -> (Analytics3.q44MarketShare _)
   )
 
-  /** Three keys are intentionally absent (the driver records a
+  /** Two keys are intentionally absent (the driver records a
     * rows-only check for each): qa01/qa02 — sketch internals have no
     * cross-engine oracle (qa02 is drift-bounded against the exact q31
-    * in ScalaTest) — and d02_production, whose xxhash64 ids are
-    * Spark-specific (banding math oracle-checked via d02, pipeline
-    * via NearDupStreamSpec). QueriesSpec enforces that every OTHER
-    * query carries oracle SQL. */
+    * in ScalaTest). QueriesSpec enforces that every OTHER query
+    * carries oracle SQL (d02_production gained its oracle in round 9
+    * via md5-prefix term ids). */
   def oracleSql: Map[String, String] = MaillogOracle.oracles ++
     TextAnalysis.oracles ++ Skew.oracles ++ Dedup.oracles ++ Similarity.oracles ++
     Multimodal.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++ Graph.oracles ++

@@ -296,14 +296,16 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** d02 on the PRODUCTION id path: xxhash64 term ids instead of the
-    * rank vocabulary — no distinct-term join, no rank window, pure
-    * per-row signature algebra before the band join (the plan a
-    * 100 TB deployment runs; the rank vocabulary exists only for
-    * cross-engine oracle parity). No DuckDB oracle (xxhash64 is
-    * Spark-specific); the banding math is the oracle-checked d02's,
-    * and NearDupStreamSpec ties this exact pipeline to the streaming
-    * operator's state-based replay. */
+  /** d02 on the PRODUCTION id path: per-row md5-prefix term ids
+    * instead of the rank vocabulary — no distinct-term join, no rank
+    * window, pure per-row signature algebra before the band join
+    * (the plan a 100 TB deployment runs; the rank vocabulary exists
+    * only so d02's est_jaccard stays a small-integer agreement
+    * count). Round 9 swapped the ids from xxhash64 (Spark-specific)
+    * to the 60-bit md5-prefix family qa07/d19 already replay in
+    * DuckDB, so this key is now FULLY oracle-checked
+    * (rows+schema+hash) — and NearDupStreamSpec still ties the exact
+    * same pipeline to the streaming operator's state-based replay. */
   def d02Production(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.NearDupStream.batchCandidates(
       Tables.documents(spark, dir).select("doc_id", "text"))
@@ -1523,6 +1525,20 @@ object Dedup {
           |  CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) / 16.0 AS est_jaccard
           |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
           |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin),
+
+      // the PRODUCTION id path: identical shingle/signature/banding
+      // algebra to d02, but term ids are the vocab-free 60-bit
+      // md5-prefix hash mod P (the qa07/d19 cross-engine family)
+      // instead of the rank vocabulary — st swaps its definition, the
+      // sig/band CTEs are the shared fragments verbatim
+      "d02_production" ->
+        (raw"""WITH sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+          |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents) d0
+          |        WHERE len(t) >= 3) d),
+          |st AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647 AS tid FROM sh),
+          |""".stripMargin + sigCte + ",\n" + candCte + """
+          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin),
 
       // reachability closure over the candidate-pair graph; MIN over
       // the reachable set = the same min-label fixpoint the Spark

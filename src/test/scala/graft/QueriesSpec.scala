@@ -11,14 +11,17 @@ class QueriesSpec extends SparkSpec {
 
   test("every query has an oracle or is documented rows-only") {
     // qa01/qa02: sketch internals have no cross-engine oracle (qa02
-    // is drift-bounded against the exact q31 in Analytics3Spec);
-    // d02_production: xxhash64 ids are Spark-specific (the banding
-    // math is oracle-checked via d02_minhash_lsh, the pipeline via
-    // NearDupStreamSpec)
-    val rowsOnly = Set("qa01_approx_sketches", "qa02_approx_robust",
-      "d02_production")
+    // is drift-bounded against the exact q31 in Analytics3Spec).
+    // d02_production LEFT this set in round 9: its term ids are now
+    // the md5-prefix family DuckDB replays, so it carries full
+    // oracle SQL (VERDICT r8 next-round #2).
+    val rowsOnly = Set("qa01_approx_sketches", "qa02_approx_robust")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
+    // …and the whitelist stays MINIMAL: a key that gains an oracle
+    // must leave the set
+    val stale = rowsOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(stale.isEmpty, s"rows-only keys that now have oracles: $stale")
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
