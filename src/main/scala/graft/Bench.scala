@@ -44,7 +44,12 @@ object Bench {
     "g01_triangles", "q43_local_supplier",
     // round 8e cont.: the one-pass second-moment aggregate (native
     // long[] buffer — the cheap-exact-summary floor beside qa07)
-    "s20_gram_matrix")
+    "s20_gram_matrix",
+    // round 9: the iterative-join family (VERDICT r8 #4 — the newest
+    // plan shape had no round-over-round signal): corpus-scale
+    // PageRank (4 hint-free rank-join iterations) and the
+    // increment-vs-frozen-corpus triangle accounting
+    "g03_pagerank", "g04_incremental_triangles")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
@@ -178,6 +183,23 @@ object Bench {
       val wallsSorted = times.map(_._1).sorted
       val unstable = times.length == 3 && wallsSorted.head > 0 &&
         wallsSorted.last / wallsSorted.head > 2.0
+      // starved = the ABSOLUTE floor the two relative flags can't
+      // supply (VERDICT r8 #1: a host that steals cores EQUALLY on
+      // every pass defeats both — passes agree, and the cpuFrac
+      // comparison is within-query relative; BENCH_r08 shipped d20 at
+      // 16.26s vs an idle 0.97s with every flag false). When the
+      // median pass's process-CPU seconds per wall second sits below
+      // a fixed fraction of the cores this run was GRANTED, the box
+      // is being starved no matter how self-consistent the passes
+      // look. Guarded to medians ≥ 1s wall: sub-second passes are
+      // driver-latency-bound and legitimately leave cores idle (an
+      // idle-box calibration run put every ≥1s query's cpuFrac well
+      // above the floor; see docs/PLANS.md bench notes).
+      val starveFloor =
+        sys.env.getOrElse("SPARK_GRAFT_STARVE_FRAC", "0.2").toDouble * cpus
+      val starved = medianPass.exists { p =>
+        p._1 >= 1.0 && p._3 >= 0 && p._3 < starveFloor
+      }
       // operators register self-join inputs in the bounded OpCache;
       // drop them so later queries aren't timed against a polluted
       // block manager
@@ -185,27 +207,45 @@ object Bench {
       spark.catalog.clearCache()
       val all = warm.toSeq ++ times
       (name, t, all.map(x => f"${x._1}%.3f"), all.map(x => f"${x._2}%.2f"),
-        contended, all.map(x => f"${x._3}%.3f"), unstable)
+        contended, all.map(x => f"${x._3}%.3f"), unstable, starved)
     }
-    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val pp = results.map { case (k, _, ts, _, _, _, _) =>
+    val pp = results.map { case (k, _, ts, _, _, _, _, _) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
     // per-pass 1-min load averages, parallel to `passes`
-    val lds = results.map { case (k, _, _, ls, _, _, _) =>
+    val lds = results.map { case (k, _, _, ls, _, _, _, _) =>
       "\"" + k + "\":[" + ls.mkString(",") + "]" }.mkString("{", ",", "}")
-    val cont = results.map { case (k, _, _, _, c, _, _) =>
+    val cont = results.map { case (k, _, _, _, c, _, _, _) =>
       "\"" + k + "\":" + c }.mkString("{", ",", "}")
     // per-pass process-CPU-per-wall-second fractions, parallel to
     // `passes` (-1 when the JVM doesn't expose process CPU time)
-    val cpuJson = results.map { case (k, _, _, _, _, cs, _) =>
+    val cpuJson = results.map { case (k, _, _, _, _, cs, _, _) =>
       "\"" + k + "\":[" + cs.mkString(",") + "]" }.mkString("{", ",", "}")
-    val unst = results.map { case (k, _, _, _, _, _, u) =>
+    val unst = results.map { case (k, _, _, _, _, _, u, _) =>
       "\"" + k + "\":" + u }.mkString("{", ",", "}")
+    val strv = results.map { case (k, _, _, _, _, _, _, s) =>
+      "\"" + k + "\":" + s }.mkString("{", ",", "}")
     // failures (-1 sentinels) must not shrink the total they failed in
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"cpus":$cpuJson,"contended":$cont,"unstable":$unst,"errors":$errors,"sf":"$sfDir"}""")
+    // full audit line first (per-pass walls/loads/cpu fractions) …
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"cpus":$cpuJson,"contended":$cont,"unstable":$unst,"starved":$strv,"errors":$errors,"sf":"$sfDir"}""")
+    // … and a COMPACT medians-only line LAST (VERDICT r8 #1: the
+    // driver captures only the TAIL of sbt output, and with the
+    // verbose line first, BENCH_r08's artifact lost the medians for
+    // the first 18 entries — this line is small enough to survive any
+    // truncation window, and carries the flags SPARSELY (only flagged
+    // queries appear in "flagged") so growth in the suite can't push
+    // it past the capture)
+    val flagged = results.collect {
+      case (k, _, _, _, c, _, u, s) if c || u || s =>
+        val tags = Seq(if (c) Some("contended") else None,
+          if (u) Some("unstable") else None,
+          if (s) Some("starved") else None).flatten.mkString("+")
+        "\"" + k + "\":\"" + tags + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"flagged":$flagged,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -127,6 +127,8 @@ object SparkEntry {
     "q31_mad_outliers" -> (Analytics3.q31MadOutliers _),
     "q32_scd2" -> (Analytics3.q32Scd2 _),
     "q33_snapshot_diff" -> (Analytics3.q33SnapshotDiff _),
+    "q34_windowed_dedup" -> (Analytics3.q34WindowedDedup _),
+    "q40_decayed_topk" -> (Analytics3.q40DecayedTopk _),
     "q35_ewma_spikes" -> (Analytics3.q35EwmaSpikes _),
     "q36_user_growth" -> (Analytics3.q36UserGrowth _),
     "qa02_approx_robust" -> (Analytics3.qa02ApproxRobust _),

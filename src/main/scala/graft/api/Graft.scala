@@ -581,9 +581,19 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Perceptual average-hash per media item (mm09). */
   def perceptualHashes: DataFrame = Multimodal.mm09Phash(spark, dir)
 
-  /** Banded near-dup pairs over a (doc_id, h_hi, h_lo) hash frame. */
-  def perceptualPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
-    Multimodal.phashPairs(hashes, maxHamming)
+  /** Banded near-dup pairs over a (doc_id, h_hi, h_lo) hash frame.
+    * `maxBandOccupancy` > 0 caps degenerate hot buckets (see
+    * [[Multimodal.phashPairs]] for the exactness trade). */
+  def perceptualPairs(hashes: DataFrame, maxHamming: Int = 3,
+                      maxBandOccupancy: Long = 0L): DataFrame =
+    Multimodal.phashPairs(hashes, maxHamming, maxBandOccupancy)
+
+  /** Horizon-windowed event dedup — batch twin of the stream's
+    * watermark-bounded exact dedup (q34). */
+  def windowedDedup: DataFrame = Analytics3.q34WindowedDedup(spark, dir)
+
+  /** Time-decayed top-k users per event type (q40). */
+  def decayedTopk: DataFrame = Analytics3.q40DecayedTopk(spark, dir)
 
   /** SQL front door: register every source table as a temp view
     * (`graft_documents`, `graft_events`, …) and the custom

@@ -587,6 +587,82 @@ object Analytics3 {
       .orderBy(col("n").desc, col("l_suppkey"))
   }
 
+  /** q34: windowed event dedup under a horizon — the BATCH twin of
+    * stream_exact_dedup's watermark-bounded variant
+    * ([[graft.streaming.NearDupStream.exactDedupWithinWatermark]]),
+    * filling the sheet's q33→q35 numbering gap (VERDICT r8 missing
+    * #4): per dedup key (user_id, event_type), copies arriving within
+    * 10 minutes of the PREVIOUS copy are suppressed into one window;
+    * a copy arriving past the horizon re-opens (exactly the
+    * re-emission the streaming spec pins: "alpha once per horizon").
+    * Per suppression window: the keeper (its opening event), the
+    * copies absorbed, and the span the window stayed hot.
+    *
+    * keep_event_id = the event where the window OPENED (new_w = 1 —
+    * exactly one per window by construction), so the keeper needs no
+    * argmax over the group. Plan shape: ONE key-partitioned window
+    * (lag + running sum — the q09/q32 class, bounded per-key state,
+    * no corpus-wide sort) and one hash groupBy on the window key. */
+  def q34WindowedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val horizonUs = 600L * 1000000L
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .withColumn("new_w",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > horizonUs,
+          1).otherwise(0))
+      .withColumn("win",
+        sum(col("new_w")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    g.groupBy("user_id", "event_type", "win")
+      .agg(max(when(col("new_w") === 1, col("event_id"))).as("keep_event_id"),
+        count(lit(1)).as("n_copies"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .cast("double") / 1000000.0).as("span_s"))
+      .select(col("user_id"), col("event_type"), col("win"),
+        col("keep_event_id"), col("n_copies"), col("span_s"))
+      .orderBy("user_id", "event_type", "win")
+  }
+
+  /** q40: time-DECAYED top-k per group — the trending-items query
+    * (recent activity outranks stale volume), filling the sheet's
+    * q39→q41 numbering gap: per event type, the top-5 users by
+    * exponentially decayed event count with a 1-week half-life.
+    * Decay weights are EXACT binary fractions (the q35/EWMA rule):
+    * age is an INTEGER week count (floor-div of identical int64
+    * microsecond differences, capped at 20 half-lives), so each
+    * event contributes 2^(20-age) decay micro-units and the per-user
+    * score is an exact integer sum both engines reproduce bit-for-
+    * bit; the reported score is its one double division by 2^20.
+    *
+    * Plan shape: the corpus max-ts is a 1-row broadcast (the qa12
+    * totals pattern); the score aggregate is one map-side-combinable
+    * groupBy onto the users×types key space; the top-5 rank window
+    * partitions by event_type over that BOUNDED aggregate — never
+    * over table data (PlanShapeSpec's ban concerns corpus-scale
+    * windows; this one sees ≤ |users|·|types| rows, and row_number
+    * per type is exactly the q02 top-k-per-group shape). */
+  def q40DecayedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val mx = ev.agg(max(col("us")).as("max_us"))
+    val scored = ev.crossJoin(broadcast(mx))
+      .withColumn("age_w", least(expr(s"(max_us - us) div $weekUs"), lit(20L)))
+      .withColumn("wt", expr("shiftleft(cast(1 as bigint), cast(20 - age_w as int))"))
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("score_units"))
+    val rnw = Window.partitionBy("event_type")
+      .orderBy(col("score_units").desc, col("user_id"))
+    scored.withColumn("rn", row_number().over(rnw).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("event_type"), col("rn"), col("user_id"), col("n_events"),
+        col("score_units"),
+        (col("score_units").cast("double") / 1048576.0).as("score"))
+      .orderBy("event_type", "rn")
+  }
+
   val oracles: Map[String, String] = {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
@@ -707,6 +783,38 @@ object Analytics3 {
           |FROM pr JOIN per pa ON pa.event_type = a
           |  JOIN per pb ON pb.event_type = b CROSS JOIN nu
           |ORDER BY a, b""".stripMargin,
+
+      "q34_windowed_dedup" ->
+        s"""WITH $evCte,
+          |g AS (SELECT user_id, event_type, event_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+          |         THEN 1 ELSE 0 END AS new_w
+          |  FROM ev WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+          |s AS (SELECT *, CAST(SUM(new_w) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS win
+          |      FROM g)
+          |SELECT user_id, event_type, win,
+          |  CAST(MAX(CASE WHEN new_w = 1 THEN event_id END) AS BIGINT) AS keep_event_id,
+          |  COUNT(*) AS n_copies,
+          |  (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS span_s
+          |FROM s GROUP BY user_id, event_type, win
+          |ORDER BY user_id, event_type, win""".stripMargin,
+
+      "q40_decayed_topk" ->
+        s"""WITH $evCte,
+          |mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM ev),
+          |wts AS (SELECT event_type, user_id,
+          |    CAST(pow(2, 20 - least((max_us - epoch_us(ts)) // 604800000000, 20)) AS BIGINT) AS wt
+          |  FROM ev CROSS JOIN mx),
+          |sc AS (SELECT event_type, user_id, COUNT(*) AS n_events,
+          |    CAST(SUM(wt) AS BIGINT) AS score_units
+          |  FROM wts GROUP BY 1, 2),
+          |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY score_units DESC, user_id) AS BIGINT) AS rn
+          |       FROM sc)
+          |SELECT event_type, rn, user_id, n_events, score_units,
+          |  CAST(score_units AS DOUBLE) / 1048576.0 AS score
+          |FROM rk WHERE rn <= 5
+          |ORDER BY event_type, rn""".stripMargin,
 
       "q39_transitions" ->
         s"""WITH $evCte,

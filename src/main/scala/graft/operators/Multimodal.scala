@@ -372,16 +372,44 @@ object Multimodal {
     * 4 bands leaves at least one band identical, so the band join
     * misses nothing at the default threshold) verified by exact
     * popcount hamming. The d03 simhash machinery applied to
-    * perceptual image hashes. */
-  def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * perceptual image hashes.
+    *
+    * DEGENERATE-INPUT caveat (ADVICE r8): blank/uniform media all
+    * aHash to the SAME value (every block mean equals the global
+    * mean ⟹ all bits 0), so one band value can collect a corpus-
+    * scale bucket and the self-join goes quadratic in that count —
+    * likelier for image aHash than for d03's text simhash. Two
+    * defenses, in preference order: (1) run EXACT dedup first
+    * (mm04's frame hash / d01 — identical media are exact dups, not
+    * a perceptual-similarity question; the d20 dedup-first rule),
+    * after which surviving same-hash mass is small; (2) for corpora
+    * where near-identical-but-not-equal blanks still flood a bucket,
+    * pass `maxBandOccupancy` > 0 to DROP band buckets above the
+    * cutoff before the self-join (the d20 df≤50 screen shape —
+    * bounds fan-out to ≤cutoff docs/bucket at any corpus size). The
+    * cap deliberately defaults OFF because it trades the pigeonhole
+    * exactness guarantee for boundedness: pairs whose ONLY matching
+    * band was capped are missed (spec-pinned in MultimodalSpec). */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3,
+                 maxBandOccupancy: Long = 0L): DataFrame = {
     require(maxHamming <= 3, "4x16 banding is exact only for hamming <= 3")
     val bandStructs = array(
       struct(lit(0).as("band"), shiftright(col("h_hi"), 16).as("bandval")),
       struct(lit(1).as("band"), col("h_hi").bitwiseAND(lit(0xffffL)).as("bandval")),
       struct(lit(2).as("band"), shiftright(col("h_lo"), 16).as("bandval")),
       struct(lit(3).as("band"), col("h_lo").bitwiseAND(lit(0xffffL)).as("bandval")))
-    val bb = hashes.select(col("doc_id"), explode(bandStructs).as("bs"))
+    val bb0 = hashes.select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bandval").as("bandval"))
+    // optional hot-bucket screen: one map-side-combinable groupBy on
+    // the band key, hint-free join back (the bucket-frequency frame
+    // is corpus-derived — Catalyst broadcasts it while it fits)
+    val bb =
+      if (maxBandOccupancy <= 0) bb0
+      else bb0.join(
+        bb0.groupBy("band", "bandval").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") <= maxBandOccupancy)
+          .select(col("band"), col("bandval")),
+        Seq("band", "bandval"), "left_semi")
     val cand = bb.as("a").join(bb.as("b"),
         col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
           col("a.doc_id") < col("b.doc_id"))

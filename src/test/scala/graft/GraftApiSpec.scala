@@ -134,6 +134,82 @@ class GraftApiSpec extends SparkSpec {
       g.partPagerank.count())
   }
 
+  test("round-9: remaining round-8d/8e batch methods are reachable through the facade") {
+    // ADVICE r8: these were wired but never called through the facade
+    val sk = g.skewAudit.collect()
+    assert(sk.length === 10 &&
+      sk.forall(_.getAs[Double]("skew_factor") > 0))
+    val it = g.incrementalTriangles.head()
+    assert(it.getAs[Long]("tri_added") ===
+      it.getAs[Long]("tri_1_new") + it.getAs[Long]("tri_2_new") +
+        it.getAs[Long]("tri_3_new"))
+    assert(g.gramMatrix.count() === 2080) // 64·65/2 upper-triangle cells
+    val ms = g.marketShare.collect()
+    assert(ms.nonEmpty && ms.forall { r =>
+      val s = r.getAs[Double]("share"); s > 0 && s <= 1.0 })
+    assert(g.localSupplierRevenue.count() > 0)
+    val ph = g.perceptualHashes
+    assert(ph.columns.toSeq ===
+      Seq("doc_id", "h_hi", "h_lo", "n_bits_set"))
+    // the pair join over the real hashes (fixture text-bytes are far
+    // apart — nearest measured pair hamming 10, so widest exact
+    // threshold still pairs nothing; the join machinery is what's
+    // being exercised, the positive path is MultimodalSpec's PNGs)
+    assert(g.perceptualPairs(ph).count() === 0)
+    // round-9 keys through the facade
+    val wd = g.windowedDedup.collect()
+    assert(wd.nonEmpty && wd.forall(_.getAs[Long]("n_copies") >= 1))
+    val tk = g.decayedTopk.collect()
+    assert(tk.nonEmpty && tk.forall(_.getAs[Long]("rn") <= 5))
+  }
+
+  test("round-9: streaming wrappers are reachable through the facade") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // corpus-closing triangles: tiny arrival stream vs the SHARED
+    // batch algebra (TriStreamSpec pins the full equality; this pins
+    // the facade wiring end-to-end)
+    val corpus = g.corpusEdgeIndex
+    val inc = graft.operators.Graph.orderPairs(
+        graft.sources.Tables.lineitem(spark, sf)
+          .filter(col("l_orderkey") % 10 >= 8)
+          .select(col("l_orderkey"), col("l_partkey")))
+      .join(corpus, Seq("x", "y"), "left_anti")
+    val dir = Files.createTempDirectory("api-tri").toString
+    inc.write.mode("overwrite").parquet(dir)
+    val q = g.streamingTriangles(
+        spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+        corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("apitri")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("apitri").count() ===
+      g.incrementalTriangles.head().getAs[Long]("tri_1_new"))
+
+    // first-order transitions: 3-event fixture + watermark sentinel
+    val evDir = Files.createTempDirectory("api-trans").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((7L, 1L, ts("2024-01-01 10:00:00"), "view"),
+        (7L, 2L, ts("2024-01-01 10:05:00"), "click"),
+        (7L, 3L, ts("2024-01-01 10:10:00"), "purchase"),
+        (-1L, 9L, ts("2024-01-01 18:00:00"), "view")) // sentinel
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .repartition(1).write.mode("overwrite").parquet(evDir)
+    val q2 = g.streamingTransitions(
+        spark.readStream.schema(spark.read.parquet(evDir).schema).parquet(evDir))
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("apitrans")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = spark.table("apitrans").filter($"user_id" === 7L)
+      .select($"from_type", $"to_type").as[(String, String)]
+      .collect().sorted.toSeq
+    assert(got === Seq(("click", "purchase"), ("view", "click")))
+  }
+
   test("registerSql exposes views + custom expressions to pure SQL") {
     g.registerSql()
     val n = spark.sql(

@@ -201,6 +201,28 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === (0 until 3).map(s => (s.toLong, s.toLong + 100)).toSet)
   }
 
+  test("phashPairs hot-band cap bounds degenerate buckets (and misses only capped pairs)") {
+    // ADVICE r8: blank/uniform media all aHash to the same value, so
+    // one band bucket collects the whole flood and the self-join goes
+    // quadratic in it. 20 identical blank hashes (all four band
+    // values 0) + one genuine near pair with distinct band values.
+    val flood = (1000L until 1020L).map(id => (id, 0L, 0L))
+    val truePair = Seq((1L, 0x12345678L, 0x9abcdef0L),
+                       (2L, 0x12345678L, 0x9abcdef1L)) // hamming 1
+    val hdf = spark.createDataFrame(flood ++ truePair)
+      .toDF("doc_id", "h_hi", "h_lo")
+    // uncapped: pigeonhole-exact — every flood pair (20·19/2) + the true pair
+    val exact = Multimodal.phashPairs(hdf).collect()
+    assert(exact.length === 190 + 1)
+    // capped at 5 docs/bucket: the flood buckets (occupancy 20) are
+    // dropped BEFORE the self-join; the true pair's buckets
+    // (occupancy 2) survive. The 190 missed flood pairs are the
+    // documented trade — exact dedup (mm04/d01) owns identical media.
+    val capped = Multimodal.phashPairs(hdf, maxBandOccupancy = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+  }
+
   test("mm09 byte-stream phash: bits reproduce a local reference") {
     val rows = graft.operators.Multimodal.mm09Phash(spark, sf).collect()
     assert(rows.nonEmpty)

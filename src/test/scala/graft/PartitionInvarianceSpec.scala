@@ -58,7 +58,18 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // round 8e cont.: incremental category joins +
                    // the native array-sum outer-product aggregate
                    "g04_incremental_triangles", "s20_gram_matrix",
-                   "q44_market_share")) {
+                   "q44_market_share",
+                   // round 9 (ADVICE r8): the five round-8 shuffle-
+                   // heavy aggregates the sweep had omitted — basket
+                   // pair join, lag-window transitions, dow-baseline
+                   // ratio, top-10 skew audit, co-purchase jaccard
+                   "q38_assoc_rules", "q39_transitions", "q42_seasonal",
+                   "qa12_skew_audit", "g02_copurchase_jaccard",
+                   // round 9 new keys: horizon-window dedup (lag +
+                   // running sum + windowed-keeper groupBy), decayed
+                   // top-k (1-row broadcast + rank over the bounded
+                   // score aggregate)
+                   "q34_windowed_dedup", "q40_decayed_topk")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
