@@ -588,6 +588,28 @@ class Graft(val spark: SparkSession, dir: String) {
                       maxBandOccupancy: Long = 0L): DataFrame =
     Multimodal.phashPairs(hashes, maxHamming, maxBandOccupancy)
 
+  /** Freeze the IVFPQ similarity index to bucketed managed tables —
+    * later sessions search it via [[searchFrozenAnn]] without
+    * rebuilding cells/codes. */
+  def shipAnnIndex(name: String, buckets: Int = 8): Unit =
+    Similarity.shipIvfpqIndex(spark, dir, name, buckets)
+
+  /** Search a frozen index shipped by [[shipAnnIndex]] — rows equal
+    * the in-memory ivfpq/filteredIvfpq (AnnShipSpec). */
+  def searchFrozenAnn(name: String, probeFine: Int = 2,
+                      labelFiltered: Boolean = false): DataFrame =
+    Similarity.searchFrozenIvfpq(spark, dir, name,
+      probeFine = probeFine, labelFiltered = labelFiltered)
+
+  /** Freeze d19's Bloom screen artifacts (geometry, filter words,
+    * corpus hashes) for rebuild-free arrival screening. */
+  def shipBloomFilter(name: String, bitsPerElem: Long = 10L): Unit =
+    Dedup.shipBloomIndex(spark, dir, name, bitsPerElem)
+
+  /** Screen the arrival slice against a frozen Bloom filter. */
+  def screenAgainstFrozenBloom(name: String): DataFrame =
+    Dedup.d19ScreenFrozen(spark, dir, name)
+
   /** Horizon-windowed event dedup — batch twin of the stream's
     * watermark-bounded exact dedup (q34). */
   def windowedDedup: DataFrame = Analytics3.q34WindowedDedup(spark, dir)

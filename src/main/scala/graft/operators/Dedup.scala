@@ -496,6 +496,47 @@ object Dedup {
           .otherwise("false_positive").as("outcome"))
   }
 
+  /** SHIP the frozen Bloom screen — d19's corpus-side artifacts
+    * (filter geometry, filter words, exact corpus-hash table) as
+    * managed tables, so later sessions screen arrivals WITHOUT
+    * re-folding the corpus (the shipIvfpqIndex rule applied to the
+    * membership screen; at 100 TB the filter build is one corpus
+    * pass per freeze, the probe path is arrival-scaled only). The
+    * words table is ≤ mbits/60 rows (1.25 bytes/corpus-doc of
+    * payload) — broadcast-sized until a trillion-doc corpus, and the
+    * probe joins are hint-free so Catalyst shuffles on `word` when
+    * it outgrows one. */
+  def shipBloomIndex(spark: SparkSession, dir: String, name: String,
+                     bitsPerElem: Long = 10L): Unit = {
+    import graft.functions.Fns.floorDiv
+    val isInc = col("doc_id") % 10 >= 8
+    val base = bloomBase(Tables.documents(spark, dir)).filter(!isInc)
+    val geom = base
+      .agg(floorDiv(count(lit(1)) * bitsPerElem, 60L).as("mwm1"))
+      .select(((col("mwm1") + 1L) * 60L).as("mbits"))
+    def save(df: DataFrame, part: String): Unit =
+      df.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_$part")
+    save(geom, "geom")
+    save(bloomWords(bloomPosed(base.crossJoin(broadcast(geom)))), "words")
+    save(base.groupBy("h").agg(min(col("doc_id")).as("exact_match")), "hash")
+  }
+
+  /** d19's screen over the arrival slice against a FROZEN filter
+    * shipped by [[shipBloomIndex]] — the literal bloomPosed/
+    * bloomVerdicts algebra over loaded tables (rows identical to
+    * d19BloomScreen when the freeze covers the same corpus;
+    * AnnShipSpec pins it across a fresh session). */
+  def d19ScreenFrozen(spark: SparkSession, dir: String,
+                      name: String): DataFrame = {
+    val geom = spark.table(s"${name}_geom")
+    val inc = bloomBase(Tables.documents(spark, dir))
+      .filter(col("doc_id") % 10 >= 8)
+    bloomVerdicts(bloomPosed(inc.crossJoin(broadcast(geom))),
+        spark.table(s"${name}_words"), spark.table(s"${name}_hash"))
+      .orderBy("doc_id")
+  }
+
   /** qa05's swept filter sizes (bits per corpus element). Also
     * interpolated into the generated oracle SQL — the grid cannot
     * drift (the s14 pattern). 10 is d19's production setting. */

@@ -399,11 +399,6 @@ object Similarity {
       labelFiltered: Boolean = false,
       cacheCodes: Boolean = false): DataFrame = {
     val (coarse, f2c, assign) = ivf2Index(e)
-    val routeCols =
-      if (labelFiltered) Seq("q_id", "label", "cell") else Seq("q_id", "cell")
-    val routes = ivf2Routes(e, coarse, f2c, probeCoarse = 2, probeFine,
-        queryPred)
-      .select(routeCols.head, routeCols.tail: _*) // no query vector until rerank
     val d2 = pqDistances(e, boundedSeeds(e))
     val codesRaw = d2.groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
@@ -414,6 +409,26 @@ object Similarity {
     val codes = if (cacheCodes) OpCache.cached(codesRaw) else codesRaw
     val adcTab = d2.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))
+    ivfpqSearch(e, coarse, f2c, assign, codes, adcTab, queryPred,
+      probeFine, labelFiltered)
+  }
+
+  /** The IVFPQ SEARCH over prebuilt index components — the join
+    * algebra ivfpqFrom runs, factored out so the FROZEN-index path
+    * ([[searchFrozenIvfpq]], loading cells/codes written by
+    * [[shipIvfpqIndex]]) composes the LITERAL same plan over bucketed
+    * tables instead of a fresh build (the BloomStream/SpanStream
+    * shared-algebra rule). `assign` needs (vec_id, cell[, label]);
+    * `adcTab` is the query-side (q_id, m, cw_id, qd2) lookup table. */
+  private[graft] def ivfpqSearch(e: DataFrame, coarse: DataFrame,
+      f2c: DataFrame, assign: DataFrame, codes: DataFrame, adcTab: DataFrame,
+      queryPred: Column, probeFine: Int,
+      labelFiltered: Boolean): DataFrame = {
+    val routeCols =
+      if (labelFiltered) Seq("q_id", "label", "cell") else Seq("q_id", "cell")
+    val routes = ivf2Routes(e, coarse, f2c, probeCoarse = 2, probeFine,
+        queryPred)
+      .select(routeCols.head, routeCols.tail: _*) // no query vector until rerank
     // probed-cell members only — the IVF restriction (and the label
     // filter, when on) is applied BEFORE any distance work, so ADC
     // cost is per-probed-candidate
@@ -455,6 +470,66 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select(outCols.head, outCols.tail: _*)
       .orderBy("q_id", "rank")
+  }
+
+  /** SHIP the frozen IVFPQ index (VERDICT r8 next-round #3): a
+    * deployment freezes cells/codes once per corpus snapshot and
+    * every later session searches WITHOUT rebuilding — the
+    * similarity-family analog of the pipeline family's
+    * writeTrainingShards. What persists:
+    *  - coarse (8 rows), fine→coarse map (72 rows), PQ codebook
+    *    (64 rows), refined k-means centroids (s18's ≤64 rows) —
+    *    plain tables, broadcast-sized at any corpus size;
+    *  - the corpus cell assignment (vec_id, label, cell) and the PQ
+    *    codes (vec_id, m, cw_id) — the two CORPUS-SCALE frames,
+    *    written BUCKETED on vec_id with a shared bucket count, so
+    *    the search's candidates⋈codes equi-join (and the ADC
+    *    aggregate, whose grouping keys include vec_id) plan with NO
+    *    shuffle exchange on the corpus side (BucketingSpec rule:
+    *    both sides agree on key+count). Raw vectors do NOT ship —
+    *    they stay at rest in the embeddings table (at 100 TB the
+    *    index must not double vector storage); rerank re-reads the
+    *    20 rows/query it needs by id. */
+  def shipIvfpqIndex(spark: SparkSession, dir: String, name: String,
+                     buckets: Int = 8): Unit = {
+    val e = quantized(spark, dir)
+    val (coarse, f2c, assign) = ivf2Index(e)
+    val codes = pqDistances(e, boundedSeeds(e))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
+    graft.sources.AnnIndexStore.write(
+      graft.sources.FrozenAnnIndex(
+        coarse = coarse,
+        f2c = f2c.select("f_id", "c1", "f_qv", "f_nrm"),
+        codebook = boundedSeeds(e).select("vec_id", "qv", "nrm"),
+        refined = refinedCents(e),
+        assign = assign.select("vec_id", "label", "cell"),
+        codes = codes),
+      name, buckets)
+  }
+
+  /** SEARCH a frozen index shipped by [[shipIvfpqIndex]] from a
+    * fresh session: load the persisted components and run the
+    * literal [[ivfpqSearch]] algebra — query routing and the ADC
+    * lookup table are query-batch-sized and computed live (they
+    * depend on the arriving queries, not the corpus); everything
+    * corpus-scale reads from the bucketed tables. Rows are identical
+    * to the in-memory s13/s15 (AnnShipSpec pins it build→write→new
+    * session→load). */
+  def searchFrozenIvfpq(spark: SparkSession, dir: String, name: String,
+      queryPred: Column = col("vec_id") % 20 === 0,
+      probeFine: Int = 2,
+      labelFiltered: Boolean = false): DataFrame = {
+    val idx = graft.sources.AnnIndexStore.load(spark, name)
+    val e = quantized(spark, dir)
+    val coarse = idx.coarse
+    val f2c = idx.f2c
+    val adcTab = pqDistances(e.filter(queryPred),
+        idx.codebook.select(col("vec_id"), col("qv")))
+      .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))
+    ivfpqSearch(e, coarse, f2c, idx.assign, idx.codes, adcTab, queryPred,
+      probeFine, labelFiltered)
   }
 
   /** s14's probe grid — shared with the generated oracle SQL so the

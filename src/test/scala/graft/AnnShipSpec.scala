@@ -1,0 +1,136 @@
+package graft
+
+import graft.functions.TextFns.{qnorm2, quantize}
+import graft.operators.{Dedup, Similarity}
+import graft.sources.{AnnIndexStore, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Ship/load of the frozen similarity index (VERDICT r8 #3): a
+  * deployment freezes cells/codes/codebook once per corpus snapshot;
+  * a FRESH session must search the loaded index without rebuilding —
+  * and get exactly the in-memory rows — with the corpus-scale
+  * candidates⋈codes join planning shuffle-free off the bucketed
+  * layout. */
+class AnnShipSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def expanded(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+      case x => x
+    }
+    val nested = self.collect {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+    }
+    val cached = self.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }
+    self +: (nested ++ cached).flatMap(expanded)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("frozen IVFPQ index: write, load in a NEW session, search identically") {
+    Similarity.shipIvfpqIndex(spark, sf, "ship_ivfpq", buckets = 4)
+
+    // the in-memory answers, computed before any loaded plan exists
+    val wantS13 = rows(Similarity.s13AnnIvfPq(spark, sf))
+    val wantS15 = rows(Similarity.s15FilteredIvfPq(spark, sf))
+    spark.sharedState.cacheManager.clearCache() // no cross-path cache reuse
+
+    // a FRESH session (own session state; shared catalog — exactly
+    // what a new driver process sees through the metastore)
+    val s2 = spark.newSession()
+    try {
+      val gotS13 = Similarity.searchFrozenIvfpq(s2, sf, "ship_ivfpq")
+      assert(rows(gotS13) == wantS13,
+        "frozen-index s13 search must equal the in-memory rows")
+      val gotS15 = Similarity.searchFrozenIvfpq(s2, sf, "ship_ivfpq",
+        probeFine = 4, labelFiltered = true)
+      assert(rows(gotS15) == wantS15,
+        "frozen-index s15 search must equal the in-memory rows")
+
+      // the corpus-scale candidate⋈codes join must NOT shuffle the
+      // bucketed codes table: every path from a ShuffleExchange down
+      // to the codes scan must pass through a JOIN first — i.e. the
+      // codes rows reached their join (and the map-side ADC
+      // aggregation) straight off the bucketed scan. Downstream
+      // exchanges (the q_id top-k windows over query-sized frames)
+      // legitimately contain the scan transitively — they are above
+      // the join, which is exactly the allowed shape.
+      def codesShuffledRaw(p: SparkPlan): Boolean = p match {
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.tableIdentifier.exists(_.table.contains("ship_ivfpq_codes"))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          codesShuffledRaw(q.plan)
+        case a: AdaptiveSparkPlanExec => codesShuffledRaw(a.executedPlan)
+        case other => other.children.exists(codesShuffledRaw)
+      }
+      val search = Similarity.searchFrozenIvfpq(s2, sf, "ship_ivfpq")
+      search.collect() // materialize so AQE's final plan is inspectable
+      val offenders = expanded(physical(search))
+        .flatMap(_.collect { case e: ShuffleExchangeExec => e })
+        .filter(e => codesShuffledRaw(e.child))
+      assert(offenders.isEmpty,
+        "the bucketed codes table must reach its join without a shuffle")
+    } finally AnnIndexStore.drop(spark, "ship_ivfpq")
+  }
+
+  test("bucketed assign/codes: the ADC-shaped join+aggregate plans exchange-free") {
+    Similarity.shipIvfpqIndex(spark, sf, "ship_frag", buckets = 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = AnnIndexStore.load(spark, "ship_frag")
+      val frag = idx.assign.join(idx.codes, "vec_id")
+        .groupBy("vec_id", "m").agg(count(lit(1)).as("n"))
+      frag.collect()
+      val ex = expanded(physical(frag))
+        .flatMap(_.collect { case e: ShuffleExchangeExec => e })
+      assert(ex.isEmpty,
+        s"bucketed join+agg must not shuffle:\n${physical(frag)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      AnnIndexStore.drop(spark, "ship_frag")
+    }
+  }
+
+  test("shipped refined centroids equal a fresh two-round Lloyd build") {
+    Similarity.shipIvfpqIndex(spark, sf, "ship_ref", buckets = 4)
+    try {
+      val e = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", qnorm2(col("qv")))
+      val want = Similarity.refinedCents(e).orderBy("c_id")
+      val got = AnnIndexStore.load(spark, "ship_ref").refined.orderBy("c_id")
+      assert(got.count() > 0 && got.count() <= 64)
+      assert(rows(got) == rows(want),
+        "loaded refined centroids must equal the fresh build")
+    } finally AnnIndexStore.drop(spark, "ship_ref")
+  }
+
+  test("frozen Bloom screen: a new session's verdicts equal d19") {
+    Dedup.shipBloomIndex(spark, sf, "ship_bloom")
+    val want = rows(Dedup.d19BloomScreen(spark, sf))
+    spark.sharedState.cacheManager.clearCache()
+    val s2 = spark.newSession()
+    try {
+      assert(rows(Dedup.d19ScreenFrozen(s2, sf, "ship_bloom")) == want,
+        "frozen-filter screen must equal the in-memory d19 verdicts")
+    } finally Seq("geom", "words", "hash").foreach { p =>
+      spark.sql(s"DROP TABLE IF EXISTS ship_bloom_$p")
+    }
+  }
+}

@@ -161,6 +161,16 @@ class GraftApiSpec extends SparkSpec {
     assert(wd.nonEmpty && wd.forall(_.getAs[Long]("n_copies") >= 1))
     val tk = g.decayedTopk.collect()
     assert(tk.nonEmpty && tk.forall(_.getAs[Long]("rn") <= 5))
+    // frozen-index ship/search wiring (behavior pinned in AnnShipSpec)
+    g.shipAnnIndex("api_ann", buckets = 2)
+    try assert(g.searchFrozenAnn("api_ann").count() ===
+      g.ivfpq.count())
+    finally graft.sources.AnnIndexStore.drop(spark, "api_ann")
+    g.shipBloomFilter("api_bloom")
+    try assert(g.screenAgainstFrozenBloom("api_bloom").count() ===
+      graft.operators.Dedup.d19BloomScreen(spark, sf).count())
+    finally Seq("geom", "words", "hash").foreach(p =>
+      spark.sql(s"DROP TABLE IF EXISTS api_bloom_$p"))
   }
 
   test("round-9: streaming wrappers are reachable through the facade") {
