@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * the documents corpus N× with fresh ids — every replica is an exact
   * near-dup of its original, so clusters grow N× denser while the
   * corpus grows N× larger — and time the production near-dup path
-  * (xxhash64 signatures → banding → candidate pairs) plus
+  * (md5-prefix signatures → banding → candidate pairs) plus
   * star-contraction clustering over the resulting pair graph.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.Stress [multiplier]
@@ -256,6 +256,22 @@ object Stress {
     val hllExact = hllRow.getAs[Long]("exact_distinct")
     val hllSum = hllRow.getAs[Long]("sum_scaled")
 
+    // perceptual hash build (mm09) under replication: the hash is a
+    // pure per-doc function, so replicas produce IDENTICAL
+    // (h_hi, h_lo) — rows grow exactly mult× while wall tracks the
+    // char mass through the block groupBys. The PAIR join runs
+    // DEDUP-FIRST (the d20/span lesson): replicas are exact dups
+    // whose all-four-bands-equal buckets would otherwise go
+    // quadratic in mult — precisely the degenerate-bucket case
+    // phashPairs' maxBandOccupancy screen (ADVICE r8) exists for;
+    // exact dedup owns identical media, the perceptual join only
+    // sees keepers (pair count invariant across multipliers)
+    val nPh = time("phash build (mm09)")(
+      graft.operators.Multimodal.mm09From(docs).count())
+    val nPhPairs = time("phash pairs (dedup-first)")(
+      graft.operators.Multimodal.phashPairs(
+        graft.operators.Multimodal.mm09From(keepers)).count())
+
     // scene-aware sampling (mm07) over the replicated frame index:
     // both windows are partitioned by doc_id (bounded by item
     // length), so wall tracks the frame mass and the manifest grows
@@ -345,7 +361,7 @@ object Stress {
       graft.operators.Graph.closedByCorpus(incBase, corpusRep).count())
     corpusRep.unpersist()
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"mult":$mult}""")
     spark.stop()
   }
 }

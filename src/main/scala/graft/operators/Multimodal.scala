@@ -328,8 +328,13 @@ object Multimodal {
     * Scale shape: one generator explode (char mass, the t-family
     * class) feeding two hash groupBys on (doc, block) then (doc);
     * output is one row per doc. */
-  def mm09Phash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def mm09Phash(spark: SparkSession, dir: String): DataFrame =
+    mm09From(Tables.documents(spark, dir))
+
+  /** mm09's core over any (doc_id, text) frame — also driven at
+    * replicated scale by [[graft.Stress]]. */
+  private[graft] def mm09From(documents: DataFrame): DataFrame = {
+    val d = documents
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
       .filter(col("n") >= 1)
     val ch = d.select(col("doc_id"), col("n"), col("text"),
