@@ -161,19 +161,27 @@ object Bench {
       // flaky-slow query masquerade as fast and break cross-round
       // comparability)
       val t = if (times.length < 3) -1.0 else times.map(_._1).sorted.apply(1)
-      // contended = the pass that SUPPLIED the median ran above the
-      // load threshold even after the bounded wait, OR got markedly
+      // contended = the pass that SUPPLIED the median got markedly
       // less CPU per wall-second than this query's best pass (the
       // host-loadavg blind spot: this container reads the HOST's
       // 1-min load, which can sit under threshold while the host
       // steals our cores — but it cannot fake our own process-CPU
-      // ratio). Either way the median is a contention artifact, not
-      // a plan measurement, and downstream comparisons should skip
-      // it (per-pass `loads`/`cpus` stay in the artifact to audit).
+      // ratio), or ran above the load threshold WITH a depressed
+      // ratio corroborating (round 9: load alone no longer flags —
+      // the bench's own 13–22-core passes push the 1-min average
+      // past any fixed threshold near the end of the suite, so an
+      // idle run was flagging its heaviest healthy queries; and the
+      // pure relative check is guarded to medians ≥ 1s wall because
+      // sub-second queries read pass-1 cache builds as frac spread).
+      // Either way a flagged median is a contention artifact, not a
+      // plan measurement, and downstream comparisons should skip it
+      // (per-pass `loads`/`cpus` stay in the artifact to audit).
       val medianPass = if (times.length == 3) Some(times.sortBy(_._1).apply(1)) else None
       val maxFrac = times.map(_._3).foldLeft(-1.0)(math.max)
+      def fracLow(p: (Double, Double, Double), r: Double): Boolean =
+        p._3 >= 0 && maxFrac > 0 && p._3 < r * maxFrac
       val contended = medianPass.exists { p =>
-        p._2 > loadMax || (p._3 >= 0 && maxFrac > 0 && p._3 < 0.5 * maxFrac)
+        p._1 >= 1.0 && (fracLow(p, 0.5) || (p._2 > loadMax && fracLow(p, 0.75)))
       }
       // unstable = the timed passes themselves disagree by > 2× — a
       // deterministic plan re-run on identical cached inputs doesn't
@@ -191,12 +199,15 @@ object Bench {
       // median pass's process-CPU seconds per wall second sits below
       // a fixed fraction of the cores this run was GRANTED, the box
       // is being starved no matter how self-consistent the passes
-      // look. Guarded to medians ≥ 1s wall: sub-second passes are
-      // driver-latency-bound and legitimately leave cores idle (an
-      // idle-box calibration run put every ≥1s query's cpuFrac well
-      // above the floor; see docs/PLANS.md bench notes).
+      // look. Guarded to medians ≥ 1s wall, and the floor sits at 8%
+      // of granted cores: the idle-box calibration run read the
+      // LOWEST healthy ≥1s entry (s13_search_phase, ~15 small
+      // stage-latency-bound stages) at cpuFrac 4.4–6.3 of 32, while
+      // the r8 starvation artifact class (d20 16.8× inflated) lands
+      // near 0.7–1.0 — 0.08·cpus = 2.56 splits them with margin on
+      // both sides (see docs/PLANS.md bench notes).
       val starveFloor =
-        sys.env.getOrElse("SPARK_GRAFT_STARVE_FRAC", "0.2").toDouble * cpus
+        sys.env.getOrElse("SPARK_GRAFT_STARVE_FRAC", "0.08").toDouble * cpus
       val starved = medianPass.exists { p =>
         p._1 >= 1.0 && p._3 >= 0 && p._3 < starveFloor
       }

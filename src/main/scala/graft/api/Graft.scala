@@ -594,6 +594,11 @@ class Graft(val spark: SparkSession, dir: String) {
   def shipAnnIndex(name: String, buckets: Int = 8): Unit =
     Similarity.shipIvfpqIndex(spark, dir, name, buckets)
 
+  /** Append arriving vectors to a frozen index through its frozen
+    * quantizers (bucket layout preserved — AnnShipSpec). */
+  def appendToAnnIndex(newVecs: DataFrame, name: String): Unit =
+    Similarity.appendToFrozenIndex(newVecs, name)
+
   /** Search a frozen index shipped by [[shipAnnIndex]] — rows equal
     * the in-memory ivfpq/filteredIvfpq (AnnShipSpec). */
   def searchFrozenAnn(name: String, probeFine: Int = 2,

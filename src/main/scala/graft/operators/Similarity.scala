@@ -221,6 +221,18 @@ object Similarity {
       .groupBy("f_id").agg(min(col("cand")).as("m"))
       .select(col("f_id"), col("m.c").as("c1"))
       .join(fine, "f_id")
+    val assign = OpCache.cached(assignCells(e, coarse, f2c).join(e, "vec_id"))
+    (coarse, f2c, assign)
+  }
+
+  /** The coarse→fine cell assignment of any vector frame through
+    * GIVEN (possibly frozen) centroid frames — ivf2Index's corpus
+    * side, factored so [[appendToFrozenIndex]] can route an ARRIVING
+    * batch through a shipped index's quantizers (the d15/d18
+    * frozen-index discipline: nothing about the layout shifts as
+    * increments arrive). Returns (vec_id, cell). */
+  private[graft] def assignCells(e: DataFrame, coarse: DataFrame,
+                                 f2c: DataFrame): DataFrame = {
     // vector -> coarse (n × 8)
     val v2c = e.crossJoin(broadcast(coarse))
       .select(col("vec_id"),
@@ -229,14 +241,12 @@ object Similarity {
       .groupBy("vec_id").agg(min(col("cand")).as("m"))
       .select(col("vec_id"), col("m.c").as("c1"))
     // vector -> fine, restricted to the fines of its coarse cell
-    val assign = OpCache.cached(v2c.join(e, "vec_id").join(broadcast(f2c), "c1")
+    v2c.join(e, "vec_id").join(broadcast(f2c), "c1")
       .select(col("vec_id"),
         struct((lit(0.0) - qcos(qdot(col("qv"), col("f_qv")), col("nrm"), col("f_nrm"))).as("nc"),
           col("f_id").as("c")).as("cand"))
       .groupBy("vec_id").agg(min(col("cand")).as("m"))
       .select(col("vec_id"), col("m.c").as("cell"))
-      .join(e, "vec_id"))
-    (coarse, f2c, assign)
   }
 
   /** Query-side routing through the two-level index: top-probeCoarse
@@ -491,8 +501,9 @@ object Similarity {
     *    index must not double vector storage); rerank re-reads the
     *    20 rows/query it needs by id. */
   def shipIvfpqIndex(spark: SparkSession, dir: String, name: String,
-                     buckets: Int = 8): Unit = {
-    val e = quantized(spark, dir)
+                     buckets: Int = 8,
+                     corpusPred: Column = lit(true)): Unit = {
+    val e = quantized(spark, dir).filter(corpusPred)
     val (coarse, f2c, assign) = ivf2Index(e)
     val codes = pqDistances(e, boundedSeeds(e))
       .groupBy("vec_id", "m")
@@ -507,6 +518,36 @@ object Similarity {
         assign = assign.select("vec_id", "label", "cell"),
         codes = codes),
       name, buckets)
+  }
+
+  /** APPEND an arriving vector batch to a frozen index: assign and
+    * encode the arrivals through the index's FROZEN quantizers
+    * (loaded coarse/fine centroids and PQ codebook — the d15/d18
+    * frozen-index discipline: increments never move the layout) and
+    * append the resulting (vec_id, label, cell) and (vec_id, m,
+    * cw_id) rows to the bucketed tables, preserving the bucket spec
+    * so post-append searches keep the shuffle-free candidate join.
+    * Cost is O(arrivals × k): two broadcast assignments + one
+    * codebook distance groupBy — never a corpus pass. The staleness
+    * monitor (qa04) owns the WHEN-to-refreeze decision as appended
+    * mass drifts from the frozen centroids; re-freezing is one
+    * [[shipIvfpqIndex]] call. `newVecs` carries (vec_id, label,
+    * embedding); appending an already-present vec_id is the caller's
+    * bug (d01/d19 own arrival dedup). */
+  def appendToFrozenIndex(newVecs: DataFrame, name: String): Unit = {
+    val spark = newVecs.sparkSession
+    val idx = graft.sources.AnnIndexStore.load(spark, name)
+    val e = newVecs
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", qnorm2(col("qv")))
+    val assignNew = assignCells(e, idx.coarse, idx.f2c)
+      .join(e.select("vec_id", "label"), "vec_id")
+      .select("vec_id", "label", "cell")
+    val codesNew = pqDistances(e, idx.codebook)
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
+    graft.sources.AnnIndexStore.append(assignNew, codesNew, name)
   }
 
   /** SEARCH a frozen index shipped by [[shipIvfpqIndex]] from a
@@ -762,7 +803,7 @@ object Similarity {
     * training/encoding substrate shared by the flat-PQ queries (s04)
     * and the IVFPQ composition (s13). 4 subspaces × 16 dims; the
     * codebook broadcasts. */
-  private def pqDistances(e: DataFrame, cwSource: DataFrame): DataFrame = {
+  private[graft] def pqDistances(e: DataFrame, cwSource: DataFrame): DataFrame = {
     val M = 4
     val sub = 16
     def subviews(src: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -61,6 +61,26 @@ object AnnIndexStore {
       assign = spark.table(s"${name}_assign"),
       codes = spark.table(s"${name}_codes"))
 
+  /** Append arrival rows to the two corpus-scale tables, RE-USING
+    * each table's catalog bucket spec (a mismatched spec would
+    * silently land unbucketed files and the shuffle-free candidate
+    * join would quietly regress — the count is read back from the
+    * metastore, never assumed). The constant-size quantizer tables
+    * are immutable between freezes by design. */
+  def append(assign: DataFrame, codes: DataFrame, name: String): Unit = {
+    val spark = assign.sparkSession
+    def bucketsOf(t: String): Int = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
+    assign.write.mode("append").format("parquet")
+      .bucketBy(bucketsOf(s"${name}_assign"), "vec_id").sortBy("vec_id")
+      .saveAsTable(s"${name}_assign")
+    codes.write.mode("append").format("parquet")
+      .bucketBy(bucketsOf(s"${name}_codes"), "vec_id").sortBy("vec_id")
+      .saveAsTable(s"${name}_codes")
+  }
+
   /** Drop a freeze (test hygiene / retiring a snapshot). */
   def drop(spark: SparkSession, name: String): Unit =
     (Small ++ Bucketed).foreach { s =>

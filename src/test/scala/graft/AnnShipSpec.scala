@@ -121,6 +121,61 @@ class AnnShipSpec extends SparkSpec {
     } finally AnnIndexStore.drop(spark, "ship_ref")
   }
 
+  test("append routes arrivals through the frozen quantizers; post-append search == in-memory union") {
+    val basePred = col("vec_id") % 10 < 8
+    Similarity.shipIvfpqIndex(spark, sf, "ship_app", buckets = 4,
+      corpusPred = basePred)
+    try {
+      val arrivals = Tables.embeddings(spark, sf).filter(!basePred)
+        .select("vec_id", "label", "embedding")
+      assert(arrivals.count() > 0)
+      Similarity.appendToFrozenIndex(arrivals, "ship_app")
+
+      // expected: the SAME algebra in memory — base-corpus quantizers
+      // (frozen at ship time), full-corpus membership
+      val eAll = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", qnorm2(col("qv")))
+      val eBase = eAll.filter(basePred)
+      val (coarse, f2c, assignBase) = Similarity.ivf2Index(eBase)
+      val assignUnion = assignBase.select("vec_id", "label", "cell")
+        .union(Similarity.assignCells(eAll.filter(!basePred), coarse, f2c)
+          .join(eAll.select("vec_id", "label"), "vec_id")
+          .select("vec_id", "label", "cell"))
+      val cb = Similarity.boundedSeeds(eBase).select("vec_id", "qv", "nrm")
+      val codesUnion = Similarity.pqDistances(eAll, cb)
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
+      val qp = col("vec_id") % 20 === 0
+      val adcTab = Similarity.pqDistances(eAll.filter(qp), cb)
+        .select(col("vec_id").as("q_id"), col("m"), col("cw_id"),
+          col("d2").as("qd2"))
+      val want = rows(Similarity.ivfpqSearch(eAll, coarse, f2c, assignUnion,
+        codesUnion, adcTab, qp, probeFine = 2, labelFiltered = false))
+      spark.sharedState.cacheManager.clearCache()
+
+      val s2 = spark.newSession()
+      val got = rows(Similarity.searchFrozenIvfpq(s2, sf, "ship_app"))
+      assert(got == want,
+        "post-append frozen search must equal the in-memory union " +
+          "through identical frozen quantizers")
+
+      // bucket spec survived the append: the ADC-shaped fragment
+      // still plans exchange-free over BOTH file sets
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val idx = AnnIndexStore.load(spark, "ship_app")
+        val frag = idx.assign.join(idx.codes, "vec_id")
+          .groupBy("vec_id", "m").agg(count(lit(1)).as("n"))
+        frag.collect()
+        val ex = expanded(physical(frag))
+          .flatMap(_.collect { case e: ShuffleExchangeExec => e })
+        assert(ex.isEmpty, "append must preserve the bucket layout")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally AnnIndexStore.drop(spark, "ship_app")
+  }
+
   test("frozen Bloom screen: a new session's verdicts equal d19") {
     Dedup.shipBloomIndex(spark, sf, "ship_bloom")
     val want = rows(Dedup.d19BloomScreen(spark, sf))
