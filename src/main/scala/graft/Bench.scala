@@ -49,7 +49,12 @@ object Bench {
     // plan shape had no round-over-round signal): corpus-scale
     // PageRank (4 hint-free rank-join iterations) and the
     // increment-vs-frozen-corpus triangle accounting
-    "g03_pagerank", "g04_incremental_triangles")
+    "g03_pagerank", "g04_incremental_triangles",
+    // round 9b: the DISK-backed frozen-index search — the deployment
+    // read path (bucketed parquet assign/codes off the catalog, no
+    // rebuild, no cache), beside s13_search_phase's cache-backed
+    // attribution; the index ships once in prepare(), untimed
+    "s13_frozen_search")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
@@ -57,7 +62,9 @@ object Bench {
     * AnnQualitySpec pins the equality, so this measures the same
     * computation with the index build amortized out). */
   val benchOnly: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("s13_search_phase" -> (graft.operators.Similarity.s13SearchPhase _))
+    Map("s13_search_phase" -> (graft.operators.Similarity.s13SearchPhase _),
+      "s13_frozen_search" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.operators.Similarity.searchFrozenIvfpq(s, dir, "bench_frozen")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,11 +147,18 @@ object Bench {
     // m-queries share the synthesized maillog corpus; materialize it
     // outside the timed region so the bench measures the operator,
     // not the fixture generator
-    def prepare(name: String): Unit =
+    def prepare(name: String): Unit = {
       // every maillog query (m01..m12) shares the synthesized corpus;
       // NOT the mm* multimodal queries
       if (name.startsWith("m") && !name.startsWith("mm"))
         graft.operators.MaillogOps.materializeCorpus(spark, sfDir)
+      // the frozen-search entry reads a shipped index: ship it here,
+      // UNTIMED, overwriting any previous run's freeze (a stale
+      // freeze from another SF would silently change the measured
+      // candidate mass)
+      if (name == "s13_frozen_search")
+        graft.operators.Similarity.shipIvfpqIndex(spark, sfDir, "bench_frozen")
+    }
     // median of 3 timed passes after one warm pass (±30% run-to-run
     // variance on this box makes single timings meaningless). A
     // failing query reports -1 (and stderr), never a fake time.

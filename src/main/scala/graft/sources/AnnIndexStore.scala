@@ -81,9 +81,54 @@ object AnnIndexStore {
       .saveAsTable(s"${name}_codes")
   }
 
-  /** Drop a freeze (test hygiene / retiring a snapshot). */
+  /** COMPACT the two corpus-scale tables after a run of appends:
+    * each append lands one file per bucket, so a bucket accumulates
+    * one file per batch — reads stay correct (bucket pruning is
+    * per-directory-hash, not per-file) but the catalog can no longer
+    * report the in-bucket SORT (Spark only trusts sortBy metadata
+    * when a bucket is a single file), so sort-merge consumers
+    * re-sort. One rewrite per table restores one sorted file per
+    * bucket. The rewrite goes through a temp table + RENAME (Spark
+    * refuses to overwrite a table it is reading), keeping the same
+    * bucket spec — AnnShipSpec pins rows + plan shape across the
+    * compaction. */
+  def compact(spark: SparkSession, name: String): Unit =
+    Bucketed.foreach { s =>
+      val t = s"${name}_$s"
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      val buckets = meta.bucketSpec
+        .map(_.numBuckets)
+        .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
+      // force the REAL bucketed scan for the rewrite: with
+      // autoBucketedScan on, this plan hits a rule ordering trap —
+      // EnsureRequirements first removes an explicit
+      // repartition(buckets, vec_id) as redundant (the logical scan
+      // still claims HashPartitioning), then
+      // DisableUnnecessaryBucketedScan downgrades the scan to a
+      // size-packed read (the write expresses no distribution
+      // requirement), leaving mixed-bucket tasks that fan one file
+      // into EVERY bucket they touch (measured: 4 tasks × 2 buckets
+      // from an 8-file generation). Disabling autoBucketedScan pins
+      // one partition per bucket, so the write lands exactly one
+      // sorted file per bucket with NO shuffle at all.
+      val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, "false")
+      try
+        spark.table(t).write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "vec_id").sortBy("vec_id")
+          .saveAsTable(s"${t}_compacting")
+      finally spark.conf.set(k, prev)
+      spark.sql(s"DROP TABLE $t")
+      spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
+    }
+
+  /** Drop a freeze (test hygiene / retiring a snapshot) — including
+    * any half-finished compaction temp. */
   def drop(spark: SparkSession, name: String): Unit =
     (Small ++ Bucketed).foreach { s =>
       spark.sql(s"DROP TABLE IF EXISTS ${name}_$s")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_${s}_compacting")
     }
 }

@@ -173,6 +173,40 @@ class AnnShipSpec extends SparkSpec {
           .flatMap(_.collect { case e: ShuffleExchangeExec => e })
         assert(ex.isEmpty, "append must preserve the bucket layout")
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+      // COMPACTION: the append left >1 file in at least one bucket
+      // (one file set per write); compact() must collapse to exactly
+      // one file per non-empty bucket, preserve rows, and keep the
+      // exchange-free layout
+      def dataFiles(t: String): Seq[java.io.File] = {
+        val loc = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .location
+        new java.io.File(loc).listFiles().toSeq
+          .filter(f => f.getName.startsWith("part-"))
+      }
+      assert(dataFiles("ship_app_assign").length > 4,
+        "append should have landed a second file generation")
+      val before = rows(spark.table("ship_app_assign").orderBy("vec_id"))
+      AnnIndexStore.compact(spark, "ship_app")
+      assert(dataFiles("ship_app_assign").length <= 4,
+        "compaction must land at most one file per bucket: " +
+          dataFiles("ship_app_assign").map(_.getName).sorted.mkString(", "))
+      assert(rows(spark.table("ship_app_assign").orderBy("vec_id")) == before,
+        "compaction must preserve rows")
+      val postCompact = rows(Similarity.searchFrozenIvfpq(spark.newSession(),
+        sf, "ship_app"))
+      assert(postCompact == want, "post-compaction search unchanged")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val idx2 = AnnIndexStore.load(spark, "ship_app")
+        val frag2 = idx2.assign.join(idx2.codes, "vec_id")
+          .groupBy("vec_id", "m").agg(count(lit(1)).as("n"))
+        frag2.collect()
+        val ex2 = expanded(physical(frag2))
+          .flatMap(_.collect { case e: ShuffleExchangeExec => e })
+        assert(ex2.isEmpty, "compaction must preserve the bucket layout")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     } finally AnnIndexStore.drop(spark, "ship_app")
   }
 
