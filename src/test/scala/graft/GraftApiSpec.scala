@@ -135,6 +135,7 @@ class GraftApiSpec extends SparkSpec {
   }
 
   test("round-9: remaining round-8d/8e batch methods are reachable through the facade") {
+    import org.apache.spark.sql.functions.col
     // ADVICE r8: these were wired but never called through the facade
     val sk = g.skewAudit.collect()
     assert(sk.length === 10 &&
@@ -161,11 +162,21 @@ class GraftApiSpec extends SparkSpec {
     assert(wd.nonEmpty && wd.forall(_.getAs[Long]("n_copies") >= 1))
     val tk = g.decayedTopk.collect()
     assert(tk.nonEmpty && tk.forall(_.getAs[Long]("rn") <= 5))
-    // frozen-index ship/search wiring (behavior pinned in AnnShipSpec)
+    // frozen-index ship/search/append wiring (behavior pinned in
+    // AnnShipSpec; here the facade path end-to-end)
     g.shipAnnIndex("api_ann", buckets = 2)
-    try assert(g.searchFrozenAnn("api_ann").count() ===
-      g.ivfpq.count())
-    finally graft.sources.AnnIndexStore.drop(spark, "api_ann")
+    try {
+      assert(g.searchFrozenAnn("api_ann").count() === g.ivfpq.count())
+      val before = spark.table("api_ann_assign").count()
+      // a disjoint arrival batch: fresh ids, real vectors
+      val arrivals = graft.sources.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+          col("embedding"))
+      g.appendToAnnIndex(arrivals, "api_ann")
+      assert(spark.table("api_ann_assign").count() === before + arrivals.count())
+      assert(g.searchFrozenAnn("api_ann").count() > 0)
+    } finally graft.sources.AnnIndexStore.drop(spark, "api_ann")
     g.shipBloomFilter("api_bloom")
     try assert(g.screenAgainstFrozenBloom("api_bloom").count() ===
       graft.operators.Dedup.d19BloomScreen(spark, sf).count())
