@@ -135,6 +135,29 @@ object Stress {
       graft.operators.Similarity.ivfpqFrom(eq13,
         col("vec_id") % 20 === 0 && col("vec_id") < 10000000L).count())
 
+    // FROZEN-index lifecycle at replication scale (round 9): freeze
+    // the replicated corpus once (the per-snapshot build cost — two
+    // bounded-k assignment passes + codes + two Lloyd rounds +
+    // bucketed writes), then search it with the FIXED base query
+    // batch (the production asymmetry, matching the s13 probe) — the
+    // disk path's wall should track probed-cell occupancy exactly
+    // like the in-memory search while skipping the per-batch
+    // assignment/encoding entirely; finally append the base arrival
+    // slice through the frozen quantizers (O(arrivals×k), corpus
+    // replicas only raise the CANDIDATE mass, never the append cost)
+    time("ship frozen index")(
+      graft.operators.Similarity.shipIvfpqIndexFrom(eq13, "stress_frozen", 8))
+    val frozenQ = col("vec_id") % 20 === 0 && col("vec_id") < 10000000L
+    time("frozen search (disk)")(
+      graft.operators.Similarity.searchFrozenIvfpqFrom(
+        eq13, "stress_frozen", frozenQ).count())
+    val arrivalsRep = ebase.filter(col("vec_id") % 10 >= 8)
+      .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+        lit("x").as("label"), col("embedding"))
+    time("frozen append")(
+      graft.operators.Similarity.appendToFrozenIndex(arrivalsRep, "stress_frozen"))
+    graft.sources.AnnIndexStore.drop(spark, "stress_frozen")
+
     // FILTERED IVFPQ (s15) under the same asymmetry with an 8-way
     // label: the (cell, label) candidate key cuts ADC fan-out by the
     // label selectivity, so even at probeFine 4 (vs s13's 2) the

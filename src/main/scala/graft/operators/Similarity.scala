@@ -502,8 +502,13 @@ object Similarity {
     *    20 rows/query it needs by id. */
   def shipIvfpqIndex(spark: SparkSession, dir: String, name: String,
                      buckets: Int = 8,
-                     corpusPred: Column = lit(true)): Unit = {
-    val e = quantized(spark, dir).filter(corpusPred)
+                     corpusPred: Column = lit(true)): Unit =
+    shipIvfpqIndexFrom(quantized(spark, dir).filter(corpusPred), name, buckets)
+
+  /** The freeze over any (vec_id, label, qv, nrm) frame — also
+    * driven at replicated scale by [[graft.Stress]]. */
+  private[graft] def shipIvfpqIndexFrom(e: DataFrame, name: String,
+                                        buckets: Int): Unit = {
     val (coarse, f2c, assign) = ivf2Index(e)
     val codes = pqDistances(e, boundedSeeds(e))
       .groupBy("vec_id", "m")
@@ -561,16 +566,23 @@ object Similarity {
   def searchFrozenIvfpq(spark: SparkSession, dir: String, name: String,
       queryPred: Column = col("vec_id") % 20 === 0,
       probeFine: Int = 2,
+      labelFiltered: Boolean = false): DataFrame =
+    searchFrozenIvfpqFrom(quantized(spark, dir), name, queryPred,
+      probeFine, labelFiltered)
+
+  /** The frozen search over any (vec_id, label, qv, nrm) frame —
+    * [[graft.Stress]] drives it with a replicated corpus and a FIXED
+    * query batch (the production asymmetry). */
+  private[graft] def searchFrozenIvfpqFrom(e: DataFrame, name: String,
+      queryPred: Column, probeFine: Int = 2,
       labelFiltered: Boolean = false): DataFrame = {
+    val spark = e.sparkSession
     val idx = graft.sources.AnnIndexStore.load(spark, name)
-    val e = quantized(spark, dir)
-    val coarse = idx.coarse
-    val f2c = idx.f2c
     val adcTab = pqDistances(e.filter(queryPred),
         idx.codebook.select(col("vec_id"), col("qv")))
       .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))
-    ivfpqSearch(e, coarse, f2c, idx.assign, idx.codes, adcTab, queryPred,
-      probeFine, labelFiltered)
+    ivfpqSearch(e, idx.coarse, idx.f2c, idx.assign, idx.codes, adcTab,
+      queryPred, probeFine, labelFiltered)
   }
 
   /** s14's probe grid — shared with the generated oracle SQL so the
