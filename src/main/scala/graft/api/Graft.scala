@@ -567,6 +567,13 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Supplier-nation yearly market share, TPC-H Q8 shape (q44). */
   def marketShare: DataFrame = Analytics3.q44MarketShare(spark, dir)
 
+  /** Streaming horizon-windowed dedup (twin of q34): closed
+    * suppression windows under the watermark. */
+  def streamingWindowedDedup(eventStream: DataFrame,
+                             watermark: String = "0 seconds"):
+      Dataset[graft.streaming.EventStream.WinDedupRow] =
+    graft.streaming.EventStream.windowedDedup(eventStream, watermark)
+
   /** Streaming first-order transition edges (twin of q39). */
   def streamingTransitions(eventStream: DataFrame):
       Dataset[graft.streaming.EventStream.TransRow] =

@@ -200,6 +200,108 @@ object EventStream {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** A closed suppression window of the streaming horizon dedup —
+    * exactly one batch q34 row. */
+  case class WinDedupRow(user_id: Long, event_type: String, win: Long,
+                         keep_event_id: Long, n_copies: Long, span_s: Double)
+
+  private val DedupGapUs = 600L * 1000000 // q34's 10-minute horizon
+
+  /** Horizon-windowed dedup as a `StatefulProcessor` — the streaming
+    * twin of batch `Analytics3.q34WindowedDedup`: the SESSIONIZE
+    * machinery (buffer under the watermark, close only when no
+    * in-flight copy can extend or MERGE a window — the bridging-late-
+    * copy hazard is identical) keyed by the DEDUP key (user, type)
+    * with q34's 10-minute gap, emitting per closed window the opening
+    * keeper, copies absorbed, and span. State per key = copies within
+    * gap+lateness of the frontier + the cumulative window counter
+    * (q34's `win` numbering is per-key cumulative, so the counter
+    * must outlive each window — the SessionizeProcessor seq rule). */
+  private[streaming] class WindowDedupProcessor
+      extends StatefulProcessor[(Long, String), SessEvent, WinDedupRow] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
+    @transient private var seqState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState("wbuf", Encoders.product[BufEvent],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seqState = getHandle.getValueState("wseq", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def close(key: (Long, String), events: Seq[BufEvent]): WinDedupRow = {
+      val seq = (if (seqState.exists()) seqState.get() else 0L) + 1
+      seqState.update(seq)
+      WinDedupRow(key._1, key._2, seq, events.head.event_id,
+        events.size.toLong, (events.last.us - events.head.us) / 1000000.0)
+    }
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[SessEvent],
+                                 timerValues: TimerValues): Iterator[WinDedupRow] = {
+      var maxUs = Long.MinValue
+      var minUs = Long.MaxValue
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        maxUs = math.max(maxUs, us)
+        minUs = math.min(minUs, us)
+        buf.appendValue(BufEvent(us, e.event_id, e.event_type))
+      }
+      if (maxUs != Long.MinValue) {
+        getHandle.registerTimer(Math.floorDiv(maxUs, 1000) + DedupGapUs / 1000 + 1)
+        if (minUs != maxUs)
+          getHandle.registerTimer(Math.floorDiv(minUs, 1000) + DedupGapUs / 1000 + 1)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (Long, String), timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[WinDedupRow] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs * 1000
+      val events = {
+        val it = buf.get()
+        val b = Seq.newBuilder[BufEvent]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }.sortBy(e => (e.us, e.event_id))
+      if (events.isEmpty) return Iterator.empty
+      val windows = Seq.newBuilder[Seq[BufEvent]]
+      var cur = Seq.newBuilder[BufEvent]
+      var last = events.head.us
+      events.foreach { e =>
+        if (e.us - last > DedupGapUs) { windows += cur.result(); cur = Seq.newBuilder }
+        cur += e
+        last = math.max(last, e.us)
+      }
+      windows += cur.result()
+      val (closed, open) = windows.result()
+        .partition(s => s.last.us + DedupGapUs < wmUs)
+      if (closed.nonEmpty) {
+        buf.clear()
+        if (open.nonEmpty) buf.put(open.flatten.toArray)
+        closed.iterator.map(close(key, _))
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming horizon dedup over an event stream: emits each CLOSED
+    * suppression window (append semantics); replay with the
+    * watermark past the last event equals batch q34 row-for-row
+    * (spec-asserted). Batch inputs should use the batch operator. */
+  def windowedDedup(events: DataFrame,
+                    watermark: String = "0 seconds"): Dataset[WinDedupRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    MaillogStream.useRocksDbStateStore(spark)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts"), col("event_type"))
+      .as[SessEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new WindowDedupProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** A closed SCD2 validity interval (valid_to = the next state's
     * start — exactly the batch q32 rows whose valid_to is non-null). */
   case class ScdRow(user_id: Long, version: Long, state: String,

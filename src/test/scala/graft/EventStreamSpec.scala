@@ -260,6 +260,86 @@ class EventStreamSpec extends SparkSpec {
       "the late bridge event must merge the apparent sessions")
   }
 
+  test("streaming windowed dedup replay equals batch q34") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evwdedup").toString
+    val batchEvents = Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val maxTs = batchEvents.agg(max("ts")).first().getTimestamp(0)
+    batchEvents.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)))
+      .write.mode("append").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.windowedDedup(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wdedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("wdedup").filter($"user_id" >= 0)
+      .select($"user_id", $"event_type", $"win", $"keep_event_id",
+        $"n_copies", $"span_s")
+      .as[(Long, String, Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2, r._3))
+    val want = graft.operators.Analytics3.q34WindowedDedup(spark, sf)
+      .select($"user_id".cast("long"), $"event_type", $"win".cast("long"),
+        $"keep_event_id".cast("long"), $"n_copies".cast("long"), $"span_s")
+      .as[(Long, String, Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2, r._3))
+    assert(got.length === want.length,
+      s"all ${want.length} batch windows must close and emit (got ${got.length})")
+    assert(got.sameElements(want), "streamed suppression windows == batch q34")
+  }
+
+  test("late copy bridges two apparent dedup windows into one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wdlate").toString
+    val ckpt = Files.createTempDirectory("wdlate-ckpt").toString
+    val out = Files.createTempDirectory("wdlate-out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(Long, Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .repartition(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = EventStream.windowedDedup(streamed, watermark = "1 hour").toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: copies at 10:00 and 10:15 look like TWO suppression
+    // windows (15-min gap > the 10-min horizon) — an eager close
+    // would emit {10:00} and keep a wrong keeper for the 10:15 copy
+    writeBatch(Seq(
+      (5L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, 2L, ts("2024-01-01 10:15:00"), "view")))
+    runOnce()
+    // batch 2: a LATE copy (allowed by the 1-h watermark) at 10:07
+    // bridges the gap (7 then 8 minutes) — the truth is ONE window
+    writeBatch(Seq((5L, 3L, ts("2024-01-01 10:07:00"), "view")))
+    runOnce()
+    // batch 3: sentinel closes the watermark
+    writeBatch(Seq((-1L, 9L, ts("2024-01-01 15:00:00"), "view")))
+    runOnce()
+    val got = spark.read.parquet(out).filter($"user_id" === 5L)
+      .select($"win", $"keep_event_id", $"n_copies", $"span_s")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 1L, 3L, 900.0)),
+      "the late bridge copy must merge the apparent windows")
+  }
+
   test("streaming EWMA replay equals batch q35 bit-for-bit") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -229,6 +229,22 @@ class GraftApiSpec extends SparkSpec {
       .select($"from_type", $"to_type").as[(String, String)]
       .collect().sorted.toSeq
     assert(got === Seq(("click", "purchase"), ("view", "click")))
+
+    // horizon-windowed dedup through the facade: the fixture's three
+    // events carry DISTINCT types, so each (user, type) dedup key
+    // closes its own single-copy window (suppression semantics are
+    // pinned in EventStreamSpec; this is the facade wiring)
+    val q3 = g.streamingWindowedDedup(
+        spark.readStream.schema(spark.read.parquet(evDir).schema).parquet(evDir))
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("apiwd")
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val wd = spark.table("apiwd").filter($"user_id" === 7L)
+      .select($"win", $"keep_event_id", $"n_copies")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(wd.toSeq === Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L)))
   }
 
   test("registerSql exposes views + custom expressions to pure SQL") {
