@@ -603,11 +603,17 @@ object Analytics3 {
     * argmax over the group. Plan shape: ONE key-partitioned window
     * (lag + running sum — the q09/q32 class, bounded per-key state,
     * no corpus-wide sort) and one hash groupBy on the window key. */
-  def q34WindowedDedup(spark: SparkSession, dir: String): DataFrame = {
+  def q34WindowedDedup(spark: SparkSession, dir: String): DataFrame =
+    q34From(Tables.events(spark, dir))
+
+  /** q34's core over any (user_id, event_type, event_id, ts) frame —
+    * PropertySpec drives it on randomized data against a local
+    * reference. */
+  private[graft] def q34From(ev: DataFrame): DataFrame = {
     val horizonUs = 600L * 1000000L
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts"), col("event_id"))
-    val g = Tables.events(spark, dir)
+    val g = ev
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
       .withColumn("new_w",
         when(lag(col("ts"), 1).over(w).isNull ||
@@ -643,9 +649,15 @@ object Analytics3 {
     * over table data (PlanShapeSpec's ban concerns corpus-scale
     * windows; this one sees ≤ |users|·|types| rows, and row_number
     * per type is exactly the q02 top-k-per-group shape). */
-  def q40DecayedTopk(spark: SparkSession, dir: String): DataFrame = {
+  def q40DecayedTopk(spark: SparkSession, dir: String): DataFrame =
+    q40From(Tables.events(spark, dir))
+
+  /** q40's core over any (event_type, user_id, ts) frame —
+    * PropertySpec drives it on randomized data against a local
+    * reference. */
+  private[graft] def q40From(evIn: DataFrame): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
-    val ev = Tables.events(spark, dir)
+    val ev = evIn
       .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"))
     val mx = ev.agg(max(col("us")).as("max_us"))
     val scored = ev.crossJoin(broadcast(mx))

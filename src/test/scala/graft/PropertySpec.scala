@@ -819,4 +819,70 @@ class PropertySpec extends SparkSpec {
     assert(driftDrf < driftCtl - 100000.0,
       f"drifted batch must fit centroids worse: $driftDrf%.0f vs $driftCtl%.0f micro-cos")
   }
+
+  test("q34 windowed dedup equals the local gap-split reference on random events") {
+    val types = Seq("view", "click", "buy")
+    // bursty arrivals: small gaps inside bursts, occasional > 10-min
+    // jumps, duplicate timestamps to exercise the (ts, id) tie-break
+    val events = (1 to 400).map { i =>
+      val u = rnd.nextInt(6).toLong
+      val t = types(rnd.nextInt(types.size))
+      val us = rnd.nextInt(50) * 180L * 1000000L // 0..150 min on a 3-min grid
+      (u, t, i.toLong, new Timestamp(us / 1000))
+    }
+    val got = graft.operators.Analytics3.q34From(
+        events.toDF("user_id", "event_type", "event_id", "ts"))
+      .select("user_id", "event_type", "win", "keep_event_id", "n_copies", "span_s")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq.sorted
+
+    val gapUs = 600L * 1000000L
+    val want = events.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((u, t), es) =>
+      val sorted = es.map(e => (e._4.getTime * 1000L, e._3)).sortBy(identity)
+      val windows = Seq.newBuilder[Seq[(Long, Long)]]
+      var cur = Seq.newBuilder[(Long, Long)]
+      var last = sorted.head._1
+      sorted.foreach { e =>
+        if (e._1 - last > gapUs) { windows += cur.result(); cur = Seq.newBuilder }
+        cur += e
+        last = e._1
+      }
+      windows += cur.result()
+      windows.result().zipWithIndex.map { case (ws, i) =>
+        (u, t, (i + 1).toLong, ws.head._2, ws.size.toLong,
+          (ws.last._1 - ws.head._1) / 1000000.0)
+      }
+    }.sorted
+    assert(got == want, "q34 must equal the local gap-split reference")
+  }
+
+  test("q40 decayed top-k equals the local integer-weight reference on random events") {
+    val types = Seq("view", "click", "buy")
+    val events = (1 to 500).map { _ =>
+      val u = rnd.nextInt(20).toLong
+      val t = types(rnd.nextInt(types.size))
+      // ages spread over ~30 weeks so the 20-half-life cap is hit
+      val us = rnd.nextInt(30 * 7 * 24) * 3600L * 1000000L
+      (t, u, new Timestamp(us / 1000))
+    }
+    val got = graft.operators.Analytics3.q40From(
+        events.toDF("event_type", "user_id", "ts"))
+      .select("event_type", "rn", "user_id", "n_events", "score_units")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+
+    val weekUs = 7L * 86400L * 1000000L
+    val maxUs = events.map(_._3.getTime * 1000L).max
+    val scored = events.groupBy(e => (e._1, e._2)).map { case ((t, u), es) =>
+      val score = es.map { e =>
+        val age = math.min((maxUs - e._3.getTime * 1000L) / weekUs, 20L)
+        1L << (20 - age).toInt
+      }.sum
+      (t, u, es.size.toLong, score)
+    }.toSeq
+    val want = scored.groupBy(_._1).toSeq.flatMap { case (t, us) =>
+      us.sortBy(x => (-x._4, x._2)).take(5).zipWithIndex.map { case (x, i) =>
+        (t, (i + 1).toLong, x._2, x._3, x._4)
+      }
+    }.sorted
+    assert(got == want, "q40 must equal the local integer-weight reference")
+  }
 }
