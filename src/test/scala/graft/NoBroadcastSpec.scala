@@ -56,4 +56,28 @@ class NoBroadcastSpec extends SparkSpec {
       assert(default == shuffled, s"$name diverges without broadcast joins")
     }
   }
+
+  // round 9: the new queries' hint-free joins — q34 has none (pure
+  // window algebra) but q40's max-ts cross join must stay a bounded
+  // 1-row frame either way; the FROZEN search's candidates⋈codes
+  // join is the newest corpus-growing hint-free join (bucketed both
+  // sides) and must return identical rows when the loaded tables'
+  // joins flip to shuffle strategies
+  test("q40 + frozen search: identical results with broadcasting disabled") {
+    val default = rows(SparkEntry.queries("q40_decayed_topk")(spark, sf))
+    val shuffled = withNoBroadcast {
+      rows(SparkEntry.queries("q40_decayed_topk")(spark, sf))
+    }
+    assert(default == shuffled, "q40 diverges without broadcast joins")
+
+    graft.operators.Similarity.shipIvfpqIndex(spark, sf, "nb_frozen", buckets = 4)
+    try {
+      val d = rows(graft.operators.Similarity.searchFrozenIvfpq(spark, sf, "nb_frozen"))
+      spark.sharedState.cacheManager.clearCache()
+      val s = withNoBroadcast {
+        rows(graft.operators.Similarity.searchFrozenIvfpq(spark, sf, "nb_frozen"))
+      }
+      assert(d == s, "frozen search diverges without broadcast joins")
+    } finally graft.sources.AnnIndexStore.drop(spark, "nb_frozen")
+  }
 }
