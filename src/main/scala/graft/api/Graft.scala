@@ -585,6 +585,13 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Join-key skew audit for salting decisions (qa12). */
   def skewAudit: DataFrame = Analytics3.qa12SkewAudit(spark, dir)
 
+  /** Batch nearest-neighbor image resize over a binary media column
+    * (deterministic pure-JDK — see [[Multimodal.imageResize]]). */
+  def resizeImages(media: DataFrame, width: Int, height: Int,
+                   idCol: String = "doc_id", binCol: String = "media"):
+      Dataset[Multimodal.ResizedMedia] =
+    Multimodal.resizeBatch(media, width, height, idCol, binCol)
+
   /** Perceptual average-hash per media item (mm09). */
   def perceptualHashes: DataFrame = Multimodal.mm09Phash(spark, dir)
 

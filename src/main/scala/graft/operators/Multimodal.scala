@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -308,6 +308,61 @@ object Multimodal {
       y += 1
     }
     DecodedMedia(id, w, h, 1, sum / (w.toLong * h))
+  }
+
+  /** A resized image row: the re-encoded PNG bytes plus the new
+    * geometry — what a thumbnail/feature-extraction stage emits. */
+  case class ResizedMedia(id: Long, png: Array[Byte], width: Int, height: Int)
+
+  /** REAL image RESIZE on the pure JDK, fully DETERMINISTIC:
+    * nearest-neighbor sampling by exact integer math (src pixel of
+    * target (x, y) = (x·w div tw, y·h div th)) into a fresh RGB
+    * raster, re-encoded as PNG via `javax.imageio`. Deliberately NOT
+    * `Graphics2D.drawImage` interpolation — rendering-pipeline
+    * output can vary across JDK builds, and a training pipeline
+    * wants byte-stable artifacts (the engine's determinism rule
+    * applied to pixels). Block-constant images resize losslessly
+    * (every sampled pixel hits its block — MultimodalSpec pins exact
+    * pixel equality both down and up); production smoothing belongs
+    * in a model-side transform, not the data plumbing. Same seam as
+    * [[imageDecode]]: bytes in, typed row out, loud failure on
+    * undecodable input. */
+  def imageResize(id: Long, bytes: Array[Byte], tw: Int, th: Int): ResizedMedia = {
+    require(tw > 0 && th > 0, s"bad target geometry ${tw}x$th for id=$id")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image bytes for id=$id (${bytes.length} bytes)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(tw, th,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, img.getRGB((x.toLong * w / tw).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    ResizedMedia(id, bos.toByteArray, tw, th)
+  }
+
+  /** Batch resize over a binary media column — the [[decodeBatch]]
+    * plumbing with the resize slot: bytes stay on their partition,
+    * output carries the re-encoded PNGs (write them with the
+    * pipeline's ship step or feed [[imageAHash]]/[[imageDecode]]
+    * downstream). */
+  def resizeBatch(media: DataFrame, tw: Int, th: Int,
+                  idCol: String = "doc_id",
+                  binCol: String = "media"): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => imageResize(id, bytes, tw, th) }
+      }
   }
 
   /** mm09: perceptual average-hash (aHash) over the media byte

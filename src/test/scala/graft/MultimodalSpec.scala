@@ -201,6 +201,53 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === (0 until 3).map(s => (s.toLong, s.toLong + 100)).toSet)
   }
 
+  test("imageResize: deterministic nearest-neighbor, lossless on block-constant images") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // a 64×64 image constant on 8×8 cells (the aHash fixture class)
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = if (((y / 8) * 8 + (x / 8)) % 3 == 0) 220 else 35
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream(); ImageIO.write(img, "png", bos)
+    val src = bos.toByteArray
+
+    // DOWN 64→16: every sampled pixel hits its cell exactly
+    val down = Multimodal.imageResize(1L, src, 16, 16)
+    assert(down.width === 16 && down.height === 16)
+    val dImg = ImageIO.read(new java.io.ByteArrayInputStream(down.png))
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(dImg.getRGB(x, y) === img.getRGB(x * 4, y * 4))
+
+    // UP 16→64: x div 8 == (4·(x div 4)) div 8, so the round trip
+    // reconstructs the block-constant original pixel-for-pixel
+    val up = Multimodal.imageResize(1L, down.png, 64, 64)
+    val uImg = ImageIO.read(new java.io.ByteArrayInputStream(up.png))
+    for (y <- 0 until 64; x <- 0 until 64)
+      assert(uImg.getRGB(x, y) === img.getRGB(x, y), s"pixel ($x,$y)")
+
+    // determinism: identical bytes out on a second call
+    assert(Multimodal.imageResize(1L, src, 16, 16).png.toSeq === down.png.toSeq)
+
+    // the batch seam: bytes stay typed through mapPartitions and the
+    // resized rows decode to the requested geometry
+    import spark.implicits._
+    val media = Seq((1L, src), (2L, src)).toDF("doc_id", "media")
+    val batch = Multimodal.resizeBatch(media, 8, 8).collect().sortBy(_.id)
+    assert(batch.map(_.id).toSeq === Seq(1L, 2L))
+    batch.foreach { r =>
+      val m = ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+      assert(m.getWidth === 8 && m.getHeight === 8)
+    }
+
+    // loud failure on junk, like the decode slot
+    intercept[IllegalArgumentException] {
+      Multimodal.imageResize(9L, "not a png".getBytes, 4, 4)
+    }
+  }
+
   test("phashPairs hot-band cap bounds degenerate buckets (and misses only capped pairs)") {
     // ADVICE r8: blank/uniform media all aHash to the same value, so
     // one band bucket collects the whole flood and the self-join goes
