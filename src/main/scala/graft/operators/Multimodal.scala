@@ -657,6 +657,83 @@ object Multimodal {
     } finally in.close()
   }
 
+  /** A decimated audio row: re-encoded WAV bytes plus the new
+    * geometry — the audio analog of [[ResizedMedia]]. */
+  case class ResampledAudio(id: Long, wav: Array[Byte], sampleRate: Int,
+                            channels: Int, nSamples: Long)
+
+  /** REAL WAV downsample on the pure JDK, fully DETERMINISTIC:
+    * integer-FACTOR decimation — keep every `factor`-th PCM frame
+    * (all channels of it), divide the declared sample rate by the
+    * factor, re-encode as 16-bit little-endian WAV. The audio analog
+    * of [[imageResize]]'s nearest-neighbor rule, and deliberately
+    * not an interpolating resampler for the same reason: byte-stable
+    * artifacts (a model-side transform owns filtering; constant or
+    * frame-periodic signals decimate losslessly — spec-pinned).
+    * Integer factors only: arbitrary-ratio resampling needs
+    * interpolation by construction. Same loud-failure rule as
+    * [[wavDecode]]. */
+  def wavDecimate(id: Long, bytes: Array[Byte], factor: Int): ResampledAudio = {
+    require(factor >= 1, s"bad decimation factor $factor for id=$id")
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"undecodable audio bytes for id=$id (${bytes.length} bytes)", e)
+      }
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"expected 16-bit signed PCM for id=$id, got $fmt")
+      require(fmt.getSampleRate.toInt % factor == 0,
+        s"rate ${fmt.getSampleRate.toInt} not divisible by $factor for id=$id")
+      val data = in.readAllBytes()
+      val ch = fmt.getChannels
+      val be = fmt.isBigEndian
+      val frameBytes = 2 * ch
+      val nFrames = data.length / frameBytes
+      val outFrames = (nFrames + factor - 1) / factor
+      val out = new Array[Byte](outFrames * frameBytes)
+      var f = 0
+      var o = 0
+      while (f < nFrames) {
+        var b = 0
+        while (b < frameBytes) {
+          // normalize to little-endian output regardless of input
+          val src = f * frameBytes + (if (be) b ^ 1 else b)
+          out(o) = data(src)
+          b += 1
+          o += 1
+        }
+        f += factor
+      }
+      val outFmt = new javax.sound.sampled.AudioFormat(
+        fmt.getSampleRate / factor, 16, ch, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(out), outFmt, outFrames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      ResampledAudio(id, bos.toByteArray, fmt.getSampleRate.toInt / factor,
+        ch, outFrames.toLong)
+    } finally in.close()
+  }
+
+  /** Batch decimation over a binary audio column — the
+    * [[decodeAudioBatch]] plumbing with the resample slot. */
+  def decimateBatch(media: DataFrame, factor: Int,
+                    idCol: String = "doc_id",
+                    binCol: String = "media"): Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => wavDecimate(id, bytes, factor) }
+      }
+  }
+
   private val audioSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),

@@ -123,6 +123,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavDecimate keeps every factor-th frame exactly, halves the rate, and batches") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    // stereo fixture with a per-frame integer ramp so the expected
+    // decimated samples are the originals at even frame indices
+    val ch = 2
+    val frames = 301 // odd: exercises the ceil on the output count
+    val samples = Array.tabulate(frames * ch)(j => ((j * 53) % 1801 - 900).toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, j) =>
+      pcm(2 * j) = (s & 0xff).toByte
+      pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm),
+        new AudioFormat(16000f, 16, ch, true, false), frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val src = bos.toByteArray
+
+    val d = Multimodal.wavDecimate(7L, src, 2)
+    assert(d.sampleRate === 8000 && d.channels === ch && d.nSamples === 151)
+    // decode the decimated WAV and compare sample-for-sample against
+    // the even source frames (both channels of each kept frame)
+    val back = AudioSystem.getAudioInputStream(new ByteArrayInputStream(d.wav))
+    val data = back.readAllBytes(); back.close()
+    assert(data.length === 151 * ch * 2)
+    for (f <- 0 until 151; c <- 0 until ch) {
+      val got = ((data(2 * (f * ch + c) + 1) << 8) |
+        (data(2 * (f * ch + c)) & 0xff)).toShort
+      assert(got === samples(2 * f * ch + c), s"frame $f channel $c")
+    }
+    // determinism + factor-1 identity of the payload
+    assert(Multimodal.wavDecimate(7L, src, 2).wav.toSeq === d.wav.toSeq)
+    assert(Multimodal.wavDecimate(7L, src, 1).nSamples === frames.toLong)
+    // indivisible rate fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDecimate(7L, src, 3) // 16000 % 3 != 0
+    }
+    // the batch seam
+    import spark.implicits._
+    val media = Seq((1L, src), (2L, src)).toDF("doc_id", "media")
+    val batch = Multimodal.decimateBatch(media, 2).collect().sortBy(_.id)
+    assert(batch.map(_.id).toSeq === Seq(1L, 2L) &&
+      batch.forall(r => r.sampleRate === 8000 && r.nSamples === 151))
+  }
+
   test("fakeAudioDecode matches mm05's relational per-byte rule") {
     // the fake IS mm05's sample model (unsigned bytes, 8 kHz mono):
     // cross-check one document's RMS against the relational pipeline
