@@ -592,6 +592,13 @@ class Graft(val spark: SparkSession, dir: String) {
       Dataset[Multimodal.ResizedMedia] =
     Multimodal.resizeBatch(media, width, height, idCol, binCol)
 
+  /** Batch integer-factor WAV decimation over a binary audio column
+    * (deterministic — see [[Multimodal.wavDecimate]]). */
+  def decimateAudio(media: DataFrame, factor: Int,
+                    idCol: String = "doc_id", binCol: String = "media"):
+      Dataset[Multimodal.ResampledAudio] =
+    Multimodal.decimateBatch(media, factor, idCol, binCol)
+
   /** Perceptual average-hash per media item (mm09). */
   def perceptualHashes: DataFrame = Multimodal.mm09Phash(spark, dir)
 

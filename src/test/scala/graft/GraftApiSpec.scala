@@ -247,6 +247,35 @@ class GraftApiSpec extends SparkSpec {
     assert(wd.toSeq === Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L)))
   }
 
+  test("round-9: media transform facade methods are reachable") {
+    import spark.implicits._
+    // a 4×4 PNG and an 8-frame WAV, through the facade seams
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x336699)
+    val pb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pb)
+    val rz = g.resizeImages(Seq((1L, pb.toByteArray)).toDF("doc_id", "media"), 2, 2)
+      .collect()
+    assert(rz.length === 1 && rz.head.width === 2 && rz.head.height === 2)
+
+    val pcm = Array.tabulate(16)(j => (j * 100).toShort)
+    val bytes = new Array[Byte](32)
+    pcm.zipWithIndex.foreach { case (s, j) =>
+      bytes(2 * j) = (s & 0xff).toByte
+      bytes(2 * j + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val wb = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes),
+        new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false), 16L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wb)
+    val dc = g.decimateAudio(Seq((1L, wb.toByteArray)).toDF("doc_id", "media"), 2)
+      .collect()
+    assert(dc.length === 1 && dc.head.sampleRate === 4000 && dc.head.nSamples === 8)
+  }
+
   test("registerSql exposes views + custom expressions to pure SQL") {
     g.registerSql()
     val n = spark.sql(
