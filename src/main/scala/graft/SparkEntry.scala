@@ -185,7 +185,9 @@ object SparkEntry {
     "qa12_skew_audit" -> (Analytics3.qa12SkewAudit _),
     "g04_incremental_triangles" -> (Graph.g04IncrementalTriangles _),
     "s20_gram_matrix" -> (Similarity.s20GramMatrix _),
-    "q44_market_share" -> (Analytics3.q44MarketShare _)
+    "q44_market_share" -> (Analytics3.q44MarketShare _),
+    "q45_big_orders" -> (Analytics3.q45BigOrders _),
+    "q46_dormant_customers" -> (Analytics3.q46DormantCustomers _)
   )
 
   /** Two keys are intentionally absent (the driver records a

@@ -567,6 +567,70 @@ object Analytics3 {
       .orderBy("yr", "supp_nation")
   }
 
+  /** q45: LARGE-VOLUME ORDERS (the TPC-H Q18 shape, round 9) — the
+    * AGGREGATE-AS-JOIN-FILTER plan the engine hadn't exercised: a
+    * corpus-scale groupBy with a HAVING threshold (orders whose
+    * total line quantity exceeds 250 — ~1% of orders) whose
+    * surviving keys then JOIN BACK to the fact/dim tables for
+    * detail. Where q02 ranks within groups and q19 filters against a
+    * per-group mean, this filters groups on their OWN aggregate and
+    * rehydrates — the decision-support "find the whales, then
+    * explain them" query. sum_qty follows the decimal discipline
+    * (exact decimal sum, compared to the integer threshold exactly,
+    * double only at the edge).
+    *
+    * Plan shape: one map-side-combinable groupBy on l_orderkey; the
+    * HAVING filter prunes ~99% of groups BEFORE the joins, and the
+    * surviving-keys joins to orders/customer are hint-free (every
+    * side is corpus-scaled — Catalyst picks; NoBroadcastSpec class).
+    * No window anywhere. */
+  def q45BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > 250)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"),
+        col("qty_dec").cast("double").as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q46: DORMANT HIGH-VALUE CUSTOMERS (the TPC-H Q22 shape, round
+    * 9) — the GLOBAL-SCALAR + ANTI-JOIN composite: customers whose
+    * balance exceeds the average over positive-balance customers
+    * (one corpus scalar, broadcast as a 1-row frame — the q19
+    * per-group mean's global sibling) AND with no order since
+    * 2000-01-01 (anti join against the recent-buyer keys), rolled up
+    * per nation. The churn-risk report: money parked, activity gone.
+    * The threshold is ONE division of exact values (decimal sum cast
+    * double over the count), so both engines compare against the
+    * identical double.
+    *
+    * Plan shape: the scalar is a 1-row crossJoin broadcast (qa12
+    * totals pattern); the anti join is hint-free (recent-buyer keys
+    * are corpus-scaled); one final hash groupBy on the bounded
+    * nation key. */
+  def q46DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgPos = c.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_dormant"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("sum_bal"))
+      .orderBy("c_nationkey")
+  }
+
   /** qa12: join-key skew audit — the pre-flight report behind q37's
     * salted join: per-key row counts for a fact join key
     * (l_suppkey), the top-10 heaviest keys by exact count, each with
@@ -730,6 +794,31 @@ object Analytics3 {
           |  CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS share
           |FROM cells JOIN tot ON tot.yr = cells.yr
           |ORDER BY yr, supp_nation""".stripMargin,
+
+      "q45_big_orders" ->
+        """WITH big AS (
+          |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+          |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+          |SELECT o_orderkey, o_custkey, c_mktsegment,
+          |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+          |  o_totalprice, CAST(qty_dec AS DOUBLE) AS sum_qty
+          |FROM orders
+          |JOIN big ON o_orderkey = l_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "q46_dormant_customers" ->
+        """WITH ap AS (
+          |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+          |  FROM customer WHERE c_acctbal > 0),
+          |rec AS (SELECT DISTINCT o_custkey FROM orders
+          |        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+          |SELECT c_nationkey, COUNT(*) AS n_dormant,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          |FROM customer CROSS JOIN ap
+          |WHERE c_acctbal > avg_bal
+          |  AND NOT EXISTS (SELECT 1 FROM rec WHERE o_custkey = c_custkey)
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
       "qa12_skew_audit" ->
         """WITH per AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),

@@ -69,7 +69,10 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // running sum + windowed-keeper groupBy), decayed
                    // top-k (1-row broadcast + rank over the bounded
                    // score aggregate)
-                   "q34_windowed_dedup", "q40_decayed_topk")) {
+                   "q34_windowed_dedup", "q40_decayed_topk",
+                   // round 9b: HAVING-filtered aggregate join-back +
+                   // the global-scalar/anti-join composite
+                   "q45_big_orders", "q46_dormant_customers")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
