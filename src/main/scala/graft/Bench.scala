@@ -54,7 +54,10 @@ object Bench {
     // read path (bucketed parquet assign/codes off the catalog, no
     // rebuild, no cache), beside s13_search_phase's cache-backed
     // attribution; the index ships once in prepare(), untimed
-    "s13_frozen_search")
+    "s13_frozen_search",
+    // round 9b cont.: the HAVING-filtered aggregate join-back (the
+    // newest batch plan shape — group-prune BEFORE corpus joins)
+    "q45_big_orders")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
