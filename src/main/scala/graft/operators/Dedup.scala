@@ -514,9 +514,12 @@ object Dedup {
     val geom = base
       .agg(floorDiv(count(lit(1)) * bitsPerElem, 60L).as("mwm1"))
       .select(((col("mwm1") + 1L) * 60L).as("mbits"))
-    def save(df: DataFrame, part: String): Unit =
+    def save(df: DataFrame, part: String): Unit = {
+      // orphaned-location guard (see Bucketing.resetTable)
+      graft.sources.Bucketing.resetTable(spark, s"${name}_$part")
       df.write.mode("overwrite").format("parquet")
         .saveAsTable(s"${name}_$part")
+    }
     save(geom, "geom")
     save(bloomWords(bloomPosed(base.crossJoin(broadcast(geom)))), "words")
     save(base.groupBy("h").agg(min(col("doc_id")).as("exact_match")), "hash")

@@ -40,6 +40,10 @@ object AnnIndexStore {
   def write(idx: FrozenAnnIndex, name: String, buckets: Int = 8): Unit = {
     val p = parts(idx)
     Small.foreach { s =>
+      // reset first: an orphaned warehouse dir from a previous JVM
+      // fails saveAsTable with LOCATION_ALREADY_EXISTS (see
+      // Bucketing.resetTable; writeBucketed resets internally)
+      Bucketing.resetTable(p(s).sparkSession, s"${name}_$s")
       p(s).write.mode("overwrite").format("parquet")
         .saveAsTable(s"${name}_$s")
     }
@@ -112,6 +116,7 @@ object AnnIndexStore {
       // from an 8-file generation). Disabling autoBucketedScan pins
       // one partition per bucket, so the write lands exactly one
       // sorted file per bucket with NO shuffle at all.
+      Bucketing.resetTable(spark, s"${t}_compacting")
       val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val prev = spark.conf.get(k)
       spark.conf.set(k, "false")
@@ -125,10 +130,11 @@ object AnnIndexStore {
     }
 
   /** Drop a freeze (test hygiene / retiring a snapshot) — including
-    * any half-finished compaction temp. */
+    * any half-finished compaction temp and any orphaned warehouse
+    * directories a dead JVM left behind. */
   def drop(spark: SparkSession, name: String): Unit =
     (Small ++ Bucketed).foreach { s =>
-      spark.sql(s"DROP TABLE IF EXISTS ${name}_$s")
-      spark.sql(s"DROP TABLE IF EXISTS ${name}_${s}_compacting")
+      Bucketing.resetTable(spark, s"${name}_$s")
+      Bucketing.resetTable(spark, s"${name}_${s}_compacting")
     }
 }

@@ -22,12 +22,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Drop `table` AND clear any ORPHANED warehouse directory left by
+    * a previous JVM: the session catalog here is in-memory while the
+    * warehouse directories persist, so a process that exits between
+    * write and drop leaves a location the next process's catalog
+    * does not own — and `saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS instead of overwriting (measured: the
+    * bench's second run crashed on its own previous freeze). Every
+    * managed-table write path below goes through this first. */
+  def resetTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
+  }
+
   /** Write `df` as a bucketed, in-bucket-sorted managed table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    resetTable(df.sparkSession, table)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Read a bucketed table back (bucket metadata flows from the
     * catalog; a plain `read.parquet` of the files would lose it). */

@@ -210,6 +210,24 @@ class AnnShipSpec extends SparkSpec {
     } finally AnnIndexStore.drop(spark, "ship_app")
   }
 
+  test("ship overwrites an orphaned warehouse directory from a dead JVM") {
+    // the hazard: warehouse dirs persist across JVMs while the
+    // session catalog is in-memory — a process that died between
+    // write and drop leaves a location the next catalog doesn't own,
+    // and saveAsTable then throws LOCATION_ALREADY_EXISTS instead of
+    // overwriting (the bench hit exactly this on its second run)
+    val loc = new java.io.File(spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier("ship_orphan_coarse")))
+    loc.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(loc, "junk.parquet").toPath, "not parquet".getBytes)
+    try {
+      Similarity.shipIvfpqIndex(spark, sf, "ship_orphan", buckets = 2)
+      assert(Similarity.searchFrozenIvfpq(spark, sf, "ship_orphan").count() > 0)
+    } finally AnnIndexStore.drop(spark, "ship_orphan")
+    assert(!loc.exists() || loc.listFiles().isEmpty)
+  }
+
   test("frozen Bloom screen: a new session's verdicts equal d19") {
     Dedup.shipBloomIndex(spark, sf, "ship_bloom")
     val want = rows(Dedup.d19BloomScreen(spark, sf))
