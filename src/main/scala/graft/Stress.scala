@@ -151,8 +151,11 @@ object Stress {
     time("frozen search (disk)")(
       graft.operators.Similarity.searchFrozenIvfpqFrom(
         eq13, "stress_frozen", frozenQ).count())
+    // arrival ids land one stride PAST the last replica — derived
+    // from mult, so no multiplier can collide them with replica ids
+    // (appendToFrozenIndex's no-duplicate-vec_id precondition)
     val arrivalsRep = ebase.filter(col("vec_id") % 10 >= 8)
-      .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(mult.toLong * 10000000L)).as("vec_id"),
         lit("x").as("label"), col("embedding"))
     time("frozen append")(
       graft.operators.Similarity.appendToFrozenIndex(arrivalsRep, "stress_frozen"))

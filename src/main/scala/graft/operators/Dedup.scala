@@ -413,16 +413,28 @@ object Dedup {
     * factored so the streaming twin ([[graft.streaming.BloomStream]])
     * composes the LITERAL same column definitions over a
     * stream-static join. */
-  private[graft] def d19From(documents: DataFrame,
-      bitsPerElem: Long = 10L): DataFrame = {
+  /** The fixture's arrival slice (doc_id % 10 ∈ {8,9}) — ONE
+    * definition for d19From, the ship path and the frozen screen
+    * (review r9: it was restated three times; the frozen screen's
+    * verdicts equal d19's only while these stay in lockstep). */
+  private[graft] def bloomArrival: Column = col("doc_id") % 10 >= 8
+
+  /** Filter geometry from the corpus count alone (frozen-index rule:
+    * nothing about the filter shifts as increments arrive) — shared
+    * by the live screen and the ship path for the same reason. */
+  private[graft] def bloomGeom(corpusBase: DataFrame,
+                               bitsPerElem: Long): DataFrame = {
     import graft.functions.Fns.floorDiv
-    val isInc = col("doc_id") % 10 >= 8
-    val base = bloomBase(documents)
-    // filter geometry from the corpus count alone (frozen-index rule:
-    // nothing about the filter shifts as increments arrive)
-    val geom = base.filter(!isInc)
+    corpusBase
       .agg(floorDiv(count(lit(1)) * bitsPerElem, 60L).as("mwm1"))
       .select(((col("mwm1") + 1L) * 60L).as("mbits"))
+  }
+
+  private[graft] def d19From(documents: DataFrame,
+      bitsPerElem: Long = 10L): DataFrame = {
+    val isInc = bloomArrival
+    val base = bloomBase(documents)
+    val geom = bloomGeom(base.filter(!isInc), bitsPerElem)
     val posed = bloomPosed(base.crossJoin(broadcast(geom)))
     val corpBits = bloomWords(posed.filter(!isInc))
     val corpHash = base.filter(!isInc)
@@ -508,12 +520,8 @@ object Dedup {
     * it outgrows one. */
   def shipBloomIndex(spark: SparkSession, dir: String, name: String,
                      bitsPerElem: Long = 10L): Unit = {
-    import graft.functions.Fns.floorDiv
-    val isInc = col("doc_id") % 10 >= 8
-    val base = bloomBase(Tables.documents(spark, dir)).filter(!isInc)
-    val geom = base
-      .agg(floorDiv(count(lit(1)) * bitsPerElem, 60L).as("mwm1"))
-      .select(((col("mwm1") + 1L) * 60L).as("mbits"))
+    val base = bloomBase(Tables.documents(spark, dir)).filter(!bloomArrival)
+    val geom = bloomGeom(base, bitsPerElem)
     def save(df: DataFrame, part: String): Unit = {
       // orphaned-location guard (see Bucketing.resetTable)
       graft.sources.Bucketing.resetTable(spark, s"${name}_$part")
@@ -533,8 +541,7 @@ object Dedup {
   def d19ScreenFrozen(spark: SparkSession, dir: String,
                       name: String): DataFrame = {
     val geom = spark.table(s"${name}_geom")
-    val inc = bloomBase(Tables.documents(spark, dir))
-      .filter(col("doc_id") % 10 >= 8)
+    val inc = bloomBase(Tables.documents(spark, dir)).filter(bloomArrival)
     bloomVerdicts(bloomPosed(inc.crossJoin(broadcast(geom))),
         spark.table(s"${name}_words"), spark.table(s"${name}_hash"))
       .orderBy("doc_id")

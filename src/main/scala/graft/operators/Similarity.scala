@@ -410,18 +410,31 @@ object Similarity {
       cacheCodes: Boolean = false): DataFrame = {
     val (coarse, f2c, assign) = ivf2Index(e)
     val d2 = pqDistances(e, boundedSeeds(e))
-    val codesRaw = d2.groupBy("vec_id", "m")
-      .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
     // corpus-sized; cached only for the prebuilt-index cost split
     // (s13SearchPhase) and the probe sweep (s16) — one code build
     // shared across passes/settings instead of one per consumer
-    val codes = if (cacheCodes) OpCache.cached(codesRaw) else codesRaw
+    val codes = if (cacheCodes) OpCache.cached(codesOf(d2)) else codesOf(d2)
     val adcTab = d2.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))
     ivfpqSearch(e, coarse, f2c, assign, codes, adcTab, queryPred,
       probeFine, labelFiltered)
   }
+
+  /** The PQ ENCODING argmin — (vec_id, m, cw_id) from the distance
+    * table. ONE definition consumed by the in-memory search
+    * (ivfpqFrom), the freeze (shipIvfpqIndexFrom) and the arrival
+    * append (appendToFrozenIndex): the frozen path must stay
+    * bit-identical to the in-memory one for AnnShipSpec's equality
+    * to hold, so the tie-break lives in exactly one place (review
+    * r9 finding — it was inlined four times). */
+  private[graft] def codesOf(d2: DataFrame): DataFrame =
+    d2.groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
+
+  /** Codes straight from a corpus + codeword frame. */
+  private[graft] def pqCodes(e: DataFrame, cwSource: DataFrame): DataFrame =
+    codesOf(pqDistances(e, cwSource))
 
   /** The IVFPQ SEARCH over prebuilt index components — the join
     * algebra ivfpqFrom runs, factored out so the FROZEN-index path
@@ -510,10 +523,7 @@ object Similarity {
   private[graft] def shipIvfpqIndexFrom(e: DataFrame, name: String,
                                         buckets: Int): Unit = {
     val (coarse, f2c, assign) = ivf2Index(e)
-    val codes = pqDistances(e, boundedSeeds(e))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
+    val codes = pqCodes(e, boundedSeeds(e))
     graft.sources.AnnIndexStore.write(
       graft.sources.FrozenAnnIndex(
         coarse = coarse,
@@ -548,10 +558,7 @@ object Similarity {
     val assignNew = assignCells(e, idx.coarse, idx.f2c)
       .join(e.select("vec_id", "label"), "vec_id")
       .select("vec_id", "label", "cell")
-    val codesNew = pqDistances(e, idx.codebook)
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.cw_id").as("cw_id"))
+    val codesNew = pqCodes(e, idx.codebook)
     graft.sources.AnnIndexStore.append(assignNew, codesNew, name)
   }
 
@@ -834,9 +841,7 @@ object Similarity {
 
   private def pqCore(e: DataFrame, cwSource: DataFrame): DataFrame = {
     val d2 = pqDistances(e, cwSource)
-    val codes = d2.groupBy("vec_id", "m")
-      .agg(min(struct(col("d2"), col("cw_id"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.cw_id").as("code"))
+    val codes = codesOf(d2).withColumnRenamed("cw_id", "code")
     // queries' distances to every codeword: the ADC lookup table
     val adcTab = d2.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))

@@ -70,19 +70,45 @@ object AnnIndexStore {
     * silently land unbucketed files and the shuffle-free candidate
     * join would quietly regress — the count is read back from the
     * metastore, never assumed). The constant-size quantizer tables
-    * are immutable between freezes by design. */
+    * are immutable between freezes by design.
+    *
+    * CRASH-WINDOW DIRECTION (review r9): the two table appends are
+    * not one atomic commit, so the order is chosen for the SAFE
+    * failure mode — codes FIRST, assign second. A crash between
+    * them leaves arrivals present in codes but absent from assign:
+    * the search's candidate set comes from assign, so those
+    * arrivals are simply NOT SEARCHED YET (re-run the append after
+    * [[verifyConsistency]] flags the gap, or re-freeze). The
+    * opposite order would leave arrivals in assign but not codes,
+    * and the inner candidates⋈codes join would silently drop them
+    * from ADC scoring — wrong top-k with no error. NOTE the re-run
+    * contract: recovery from a half-append is verify → DROP the
+    * freeze → re-ship (or restore from the snapshot before the
+    * append); blindly re-appending the same batch would duplicate
+    * the committed codes rows. */
   def append(assign: DataFrame, codes: DataFrame, name: String): Unit = {
     val spark = assign.sparkSession
     def bucketsOf(t: String): Int = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
-    assign.write.mode("append").format("parquet")
-      .bucketBy(bucketsOf(s"${name}_assign"), "vec_id").sortBy("vec_id")
-      .saveAsTable(s"${name}_assign")
     codes.write.mode("append").format("parquet")
       .bucketBy(bucketsOf(s"${name}_codes"), "vec_id").sortBy("vec_id")
       .saveAsTable(s"${name}_codes")
+    assign.write.mode("append").format("parquet")
+      .bucketBy(bucketsOf(s"${name}_assign"), "vec_id").sortBy("vec_id")
+      .saveAsTable(s"${name}_assign")
+  }
+
+  /** Audit a freeze's assign/codes consistency: every assigned
+    * vector carries exactly M=4 code rows, so 4·|assign| = |codes|
+    * when the index is whole; a half-append (see [[append]]) shows
+    * up as extra codes. Two metadata-served parquet counts — cheap
+    * at any scale. Returns (n_assign, n_codes, consistent). */
+  def verifyConsistency(spark: SparkSession, name: String): (Long, Long, Boolean) = {
+    val na = spark.table(s"${name}_assign").count()
+    val nc = spark.table(s"${name}_codes").count()
+    (na, nc, nc == 4L * na)
   }
 
   /** COMPACT the two corpus-scale tables after a run of appends:
@@ -92,13 +118,23 @@ object AnnIndexStore {
     * report the in-bucket SORT (Spark only trusts sortBy metadata
     * when a bucket is a single file), so sort-merge consumers
     * re-sort. One rewrite per table restores one sorted file per
-    * bucket. The rewrite goes through a temp table + RENAME (Spark
-    * refuses to overwrite a table it is reading), keeping the same
-    * bucket spec — AnnShipSpec pins rows + plan shape across the
-    * compaction. */
+    * bucket. The rewrite goes through a temp table + a RENAME chain
+    * (Spark refuses to overwrite a table it is reading), keeping the
+    * same bucket spec — AnnShipSpec pins rows + plan shape across
+    * the compaction.
+    *
+    * CRASH SAFETY (review r9: the original DROP-then-RENAME had a
+    * window where a dying JVM lost the live table with appended
+    * arrivals recoverable only by hand): the swap is now
+    * `t → t_precompact; t_compacting → t; DROP t_precompact`, so at
+    * EVERY point either `t` exists or `t_precompact` does —
+    * [[recover]] (run automatically at the START of compact) renames
+    * a surviving `t_precompact` back when `t` is missing, making a
+    * crashed compaction self-healing on the next attempt. */
   def compact(spark: SparkSession, name: String): Unit =
     Bucketed.foreach { s =>
       val t = s"${name}_$s"
+      recoverTable(spark, t)
       val meta = spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       val buckets = meta.bucketSpec
@@ -125,9 +161,27 @@ object AnnIndexStore {
           .bucketBy(buckets, "vec_id").sortBy("vec_id")
           .saveAsTable(s"${t}_compacting")
       finally spark.conf.set(k, prev)
-      spark.sql(s"DROP TABLE $t")
+      Bucketing.resetTable(spark, s"${t}_precompact")
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}_precompact")
       spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
+      spark.sql(s"DROP TABLE ${t}_precompact")
     }
+
+  /** Self-healing for a compaction that died mid-swap: if `t` is
+    * gone but `t_precompact` survives, rename it back (the
+    * un-compacted data is complete — only the rewrite was lost). */
+  private def recoverTable(spark: SparkSession, t: String): Unit = {
+    val cat = spark.sessionState.catalog
+    def exists(n: String) = cat.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(n))
+    if (!exists(t) && exists(s"${t}_precompact"))
+      spark.sql(s"ALTER TABLE ${t}_precompact RENAME TO $t")
+  }
+
+  /** Restore every component of a freeze whose compaction crashed
+    * mid-swap (see [[compact]]); a no-op on a healthy freeze. */
+  def recover(spark: SparkSession, name: String): Unit =
+    Bucketed.foreach(s => recoverTable(spark, s"${name}_$s"))
 
   /** Drop a freeze (test hygiene / retiring a snapshot) — including
     * any half-finished compaction temp and any orphaned warehouse
@@ -136,5 +190,6 @@ object AnnIndexStore {
     (Small ++ Bucketed).foreach { s =>
       Bucketing.resetTable(spark, s"${name}_$s")
       Bucketing.resetTable(spark, s"${name}_${s}_compacting")
+      Bucketing.resetTable(spark, s"${name}_${s}_precompact")
     }
 }

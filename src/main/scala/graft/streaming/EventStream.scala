@@ -85,48 +85,53 @@ object EventStream {
   private[streaming] case class BufEvent(us: Long, event_id: Long,
                                          event_type: String)
 
-  /** Event-time sessionization as a `StatefulProcessor` — the
-    * streaming twin of the batch `Analytics.q09Sessionize` (30-minute
-    * gap), correct under ALLOWED LATENESS: events are only BUFFERED
-    * in `handleInputRows` (keyed ListState), and sessions close
+  /** The shared GAP-WINDOW machinery (review r9: it was duplicated
+    * verbatim between the sessionize and windowed-dedup processors —
+    * a one-sided fix to the lateness/timer logic would silently
+    * diverge the twins): events are only BUFFERED in
+    * `handleInputRows` (keyed ListState), and windows close
     * exclusively in `handleExpiredTimer` once the watermark proves no
     * in-flight event can extend OR MERGE them — an eager in-batch
     * close would mis-split when a late-but-on-time event later lands
-    * in an apparent gap and bridges two sessions. A session with last
+    * in an apparent gap and bridges two windows. A window with last
     * event L is closable iff L + gap < watermark: any still-possible
-    * event has t ≥ watermark, hence t − L > gap. Closable sessions
+    * event has t ≥ watermark, hence t − L > gap. Closable windows
     * always form a time-prefix of the buffer, so the buffer is
     * rewritten to the open tail and state stays O(events within
-    * gap+lateness of the frontier) per user. A timer made stale by a
-    * session extension is ignored via the watermark guard rather than
-    * deleted (one fewer state-store round trip). */
-  private[streaming] class SessionizeProcessor
-      extends StatefulProcessor[Long, SessEvent, SessionRow] {
+    * gap+lateness of the frontier) per key — plus the cumulative
+    * per-key window counter, which must OUTLIVE each close (batch
+    * sess_id/win numbering is cumulative over the key's history; a
+    * restart at 1 would collide with already-emitted rows). A timer
+    * made stale by an extension is ignored via the watermark guard
+    * rather than deleted (one fewer state-store round trip).
+    * Subclasses supply the gap, the state names (checkpoint
+    * identity) and the closed-window row. */
+  private[streaming] abstract class GapCloseProcessor[K, R](
+      gapUs: Long, bufName: String, seqName: String)
+      extends StatefulProcessor[K, SessEvent, R] {
     @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
-    // the per-user session counter must OUTLIVE each session (batch
-    // q09's sess_id is cumulative over the user's history): a close
-    // clears the session's events but not this counter, else the next
-    // session would restart at sess_id=1 and collide with an
-    // already-emitted row. O(users) × 8 bytes.
     @transient private var seqState: ValueState[Long] = _
 
+    /** Build the emitted row for a closed window (`seq` is the
+      * cumulative per-key window number; `events` arrive sorted by
+      * (us, event_id)). */
+    protected def closeRow(key: K, seq: Long, events: Seq[BufEvent]): R
+
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buf = getHandle.getListState("buf", Encoders.product[BufEvent],
+      buf = getHandle.getListState(bufName, Encoders.product[BufEvent],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-      seqState = getHandle.getValueState("seq", Encoders.scalaLong,
+      seqState = getHandle.getValueState(seqName, Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
 
-    private def close(user: Long, events: Seq[BufEvent]): SessionRow = {
+    private def close(key: K, events: Seq[BufEvent]): R = {
       val seq = (if (seqState.exists()) seqState.get() else 0L) + 1
       seqState.update(seq)
-      val ts = events.map(_.event_type).distinct.sorted
-      SessionRow(user, seq, events.size.toLong, ts.size.toLong,
-        (events.last.us - events.head.us) / 1000000.0, ts)
+      closeRow(key, seq, events)
     }
 
-    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
-                                 timerValues: TimerValues): Iterator[SessionRow] = {
+    override def handleInputRows(key: K, rows: Iterator[SessEvent],
+                                 timerValues: TimerValues): Iterator[R] = {
       var maxUs = Long.MinValue
       var minUs = Long.MaxValue
       rows.foreach { e =>
@@ -136,23 +141,23 @@ object EventStream {
         buf.appendValue(BufEvent(us, e.event_id, e.event_type))
       }
       // +1 ms: closable is STRICT (an event exactly at the watermark
-      // with t − L == gap still extends the session)
+      // with t − L == gap still extends the window)
       if (maxUs != Long.MinValue) {
-        getHandle.registerTimer(Math.floorDiv(maxUs, 1000) + GapUs / 1000 + 1)
+        getHandle.registerTimer(Math.floorDiv(maxUs, 1000) + gapUs / 1000 + 1)
         // ALSO fire at the batch's earliest possible close point: a
-        // batch spanning several sessions would otherwise hold its
+        // batch spanning several windows would otherwise hold its
         // closable prefix until the watermark passes the LAST
-        // session's end+gap — correct but with emission latency (and
-        // buffered-state residency) growing with the user's in-batch
+        // window's end+gap — correct but with emission latency (and
+        // buffered-state residency) growing with the key's in-batch
         // time span
         if (minUs != maxUs)
-          getHandle.registerTimer(Math.floorDiv(minUs, 1000) + GapUs / 1000 + 1)
+          getHandle.registerTimer(Math.floorDiv(minUs, 1000) + gapUs / 1000 + 1)
       }
       Iterator.empty
     }
 
-    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
-                                    expired: ExpiredTimerInfo): Iterator[SessionRow] = {
+    override def handleExpiredTimer(key: K, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[R] = {
       val wmUs = timerValues.getCurrentWatermarkInMs * 1000
       val events = {
         val it = buf.get()
@@ -161,24 +166,37 @@ object EventStream {
         b.result()
       }.sortBy(e => (e.us, e.event_id))
       if (events.isEmpty) return Iterator.empty
-      // split into sessions on the 30-minute gap
-      val sessions = Seq.newBuilder[Seq[BufEvent]]
+      // split into windows on the gap
+      val windows = Seq.newBuilder[Seq[BufEvent]]
       var cur = Seq.newBuilder[BufEvent]
       var last = events.head.us
       events.foreach { e =>
-        if (e.us - last > GapUs) { sessions += cur.result(); cur = Seq.newBuilder }
+        if (e.us - last > gapUs) { windows += cur.result(); cur = Seq.newBuilder }
         cur += e
         last = math.max(last, e.us)
       }
-      sessions += cur.result()
-      val all = sessions.result()
-      // closable sessions form a prefix (ordered by time)
-      val (closed, open) = all.partition(s => s.last.us + GapUs < wmUs)
+      windows += cur.result()
+      val all = windows.result()
+      // closable windows form a prefix (ordered by time)
+      val (closed, open) = all.partition(s => s.last.us + gapUs < wmUs)
       if (closed.nonEmpty) {
         buf.clear()
         if (open.nonEmpty) buf.put(open.flatten.toArray)
-        closed.iterator.map(close(user, _))
+        closed.iterator.map(close(key, _))
       } else Iterator.empty
+    }
+  }
+
+  /** Event-time sessionization — the streaming twin of the batch
+    * `Analytics.q09Sessionize` (30-minute gap) on the shared
+    * [[GapCloseProcessor]] machinery. */
+  private[streaming] class SessionizeProcessor
+      extends GapCloseProcessor[Long, SessionRow](GapUs, "buf", "seq") {
+    override protected def closeRow(user: Long, seq: Long,
+                                    events: Seq[BufEvent]): SessionRow = {
+      val ts = events.map(_.event_type).distinct.sorted
+      SessionRow(user, seq, events.size.toLong, ts.size.toLong,
+        (events.last.us - events.head.us) / 1000000.0, ts)
     }
   }
 
@@ -207,80 +225,20 @@ object EventStream {
 
   private val DedupGapUs = 600L * 1000000 // q34's 10-minute horizon
 
-  /** Horizon-windowed dedup as a `StatefulProcessor` — the streaming
-    * twin of batch `Analytics3.q34WindowedDedup`: the SESSIONIZE
-    * machinery (buffer under the watermark, close only when no
-    * in-flight copy can extend or MERGE a window — the bridging-late-
-    * copy hazard is identical) keyed by the DEDUP key (user, type)
-    * with q34's 10-minute gap, emitting per closed window the opening
-    * keeper, copies absorbed, and span. State per key = copies within
-    * gap+lateness of the frontier + the cumulative window counter
-    * (q34's `win` numbering is per-key cumulative, so the counter
-    * must outlive each window — the SessionizeProcessor seq rule). */
+  /** Horizon-windowed dedup — the streaming twin of batch
+    * `Analytics3.q34WindowedDedup` on the shared
+    * [[GapCloseProcessor]] machinery, keyed by the DEDUP key
+    * (user, type) with q34's 10-minute gap: per closed window the
+    * opening keeper, copies absorbed, and span (the bridging-late-
+    * copy hazard and the cumulative `win` numbering are the base
+    * class's contract, shared with sessionization by construction). */
   private[streaming] class WindowDedupProcessor
-      extends StatefulProcessor[(Long, String), SessEvent, WinDedupRow] {
-    @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
-    @transient private var seqState: ValueState[Long] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buf = getHandle.getListState("wbuf", Encoders.product[BufEvent],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
-      seqState = getHandle.getValueState("wseq", Encoders.scalaLong,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
-    }
-
-    private def close(key: (Long, String), events: Seq[BufEvent]): WinDedupRow = {
-      val seq = (if (seqState.exists()) seqState.get() else 0L) + 1
-      seqState.update(seq)
+      extends GapCloseProcessor[(Long, String), WinDedupRow](
+        DedupGapUs, "wbuf", "wseq") {
+    override protected def closeRow(key: (Long, String), seq: Long,
+                                    events: Seq[BufEvent]): WinDedupRow =
       WinDedupRow(key._1, key._2, seq, events.head.event_id,
         events.size.toLong, (events.last.us - events.head.us) / 1000000.0)
-    }
-
-    override def handleInputRows(key: (Long, String), rows: Iterator[SessEvent],
-                                 timerValues: TimerValues): Iterator[WinDedupRow] = {
-      var maxUs = Long.MinValue
-      var minUs = Long.MaxValue
-      rows.foreach { e =>
-        val us = micros(e.ts)
-        maxUs = math.max(maxUs, us)
-        minUs = math.min(minUs, us)
-        buf.appendValue(BufEvent(us, e.event_id, e.event_type))
-      }
-      if (maxUs != Long.MinValue) {
-        getHandle.registerTimer(Math.floorDiv(maxUs, 1000) + DedupGapUs / 1000 + 1)
-        if (minUs != maxUs)
-          getHandle.registerTimer(Math.floorDiv(minUs, 1000) + DedupGapUs / 1000 + 1)
-      }
-      Iterator.empty
-    }
-
-    override def handleExpiredTimer(key: (Long, String), timerValues: TimerValues,
-                                    expired: ExpiredTimerInfo): Iterator[WinDedupRow] = {
-      val wmUs = timerValues.getCurrentWatermarkInMs * 1000
-      val events = {
-        val it = buf.get()
-        val b = Seq.newBuilder[BufEvent]
-        while (it.hasNext) b += it.next()
-        b.result()
-      }.sortBy(e => (e.us, e.event_id))
-      if (events.isEmpty) return Iterator.empty
-      val windows = Seq.newBuilder[Seq[BufEvent]]
-      var cur = Seq.newBuilder[BufEvent]
-      var last = events.head.us
-      events.foreach { e =>
-        if (e.us - last > DedupGapUs) { windows += cur.result(); cur = Seq.newBuilder }
-        cur += e
-        last = math.max(last, e.us)
-      }
-      windows += cur.result()
-      val (closed, open) = windows.result()
-        .partition(s => s.last.us + DedupGapUs < wmUs)
-      if (closed.nonEmpty) {
-        buf.clear()
-        if (open.nonEmpty) buf.put(open.flatten.toArray)
-        closed.iterator.map(close(key, _))
-      } else Iterator.empty
-    }
   }
 
   /** Streaming horizon dedup over an event stream: emits each CLOSED

@@ -228,6 +228,42 @@ class AnnShipSpec extends SparkSpec {
     assert(!loc.exists() || loc.listFiles().isEmpty)
   }
 
+  test("compaction crash mid-swap self-heals; consistency audit flags a half-append") {
+    Similarity.shipIvfpqIndex(spark, sf, "ship_crash", buckets = 2)
+    try {
+      val want = rows(spark.table("ship_crash_assign").orderBy("vec_id"))
+      // simulate a JVM death between the two renames: the live table
+      // is gone, only the _precompact copy survives
+      spark.sql("ALTER TABLE ship_crash_assign RENAME TO ship_crash_assign_precompact")
+      AnnIndexStore.recover(spark, "ship_crash")
+      assert(rows(spark.table("ship_crash_assign").orderBy("vec_id")) == want,
+        "recover() must restore the pre-compaction table")
+      // and a full compact() over the recovered freeze still works
+      // (it runs the same recovery at start)
+      spark.sql("ALTER TABLE ship_crash_assign RENAME TO ship_crash_assign_precompact")
+      AnnIndexStore.compact(spark, "ship_crash")
+      assert(rows(spark.table("ship_crash_assign").orderBy("vec_id")) == want,
+        "compact() must self-heal before rewriting")
+
+      // consistency audit: whole index reads 4 codes per assigned
+      // vector; a half-append (codes committed, assign not) shows up
+      val (na, nc, ok) = AnnIndexStore.verifyConsistency(spark, "ship_crash")
+      assert(ok && nc == 4 * na)
+      // plant the half-append: 4 orphan code rows, no assignment
+      // (detached copies — appending a self-read would race the scan)
+      val codesTab = spark.table("ship_crash_codes")
+      val orphan = spark.createDataFrame(
+        spark.sparkContext.parallelize(codesTab.limit(4).collect().toSeq),
+        codesTab.schema)
+      val assignEmpty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.table("ship_crash_assign").schema)
+      AnnIndexStore.append(assignEmpty, orphan, "ship_crash")
+      val (_, _, ok2) = AnnIndexStore.verifyConsistency(spark, "ship_crash")
+      assert(!ok2, "the audit must flag codes without matching assignment")
+    } finally AnnIndexStore.drop(spark, "ship_crash")
+  }
+
   test("frozen Bloom screen: a new session's verdicts equal d19") {
     Dedup.shipBloomIndex(spark, sf, "ship_bloom")
     val want = rows(Dedup.d19BloomScreen(spark, sf))
