@@ -584,14 +584,21 @@ object Analytics3 {
     * surviving-keys joins to orders/customer are hint-free (every
     * side is corpus-scaled — Catalyst picks; NoBroadcastSpec class).
     * No window anywhere. */
-  def q45BigOrders(spark: SparkSession, dir: String): DataFrame = {
-    val big = Tables.lineitem(spark, dir)
+  def q45BigOrders(spark: SparkSession, dir: String): DataFrame =
+    q45From(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir))
+
+  /** q45's core over any lineitem/orders/customer frames —
+    * PropertySpec drives it on randomized data. */
+  private[graft] def q45From(lineitem: DataFrame, orders: DataFrame,
+                             customer: DataFrame): DataFrame = {
+    val big = lineitem
       .groupBy("l_orderkey")
       .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
       .filter(col("qty_dec") > 250)
-    Tables.orders(spark, dir)
+    orders
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"),
@@ -614,12 +621,16 @@ object Analytics3 {
     * totals pattern); the anti join is hint-free (recent-buyer keys
     * are corpus-scaled); one final hash groupBy on the bounded
     * nation key. */
-  def q46DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
+  def q46DormantCustomers(spark: SparkSession, dir: String): DataFrame =
+    q46From(Tables.customer(spark, dir), Tables.orders(spark, dir))
+
+  /** q46's core over any customer/orders frames — PropertySpec
+    * drives it on randomized data. */
+  private[graft] def q46From(c: DataFrame, orders: DataFrame): DataFrame = {
     val avgPos = c.filter(col("c_acctbal") > 0)
       .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
         .as("avg_bal"))
-    val recent = Tables.orders(spark, dir)
+    val recent = orders
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       .select(col("o_custkey"))
     c.crossJoin(broadcast(avgPos))

@@ -64,11 +64,16 @@ class NoBroadcastSpec extends SparkSpec {
   // sides) and must return identical rows when the loaded tables'
   // joins flip to shuffle strategies
   test("q40 + frozen search: identical results with broadcasting disabled") {
-    val default = rows(SparkEntry.queries("q40_decayed_topk")(spark, sf))
-    val shuffled = withNoBroadcast {
-      rows(SparkEntry.queries("q40_decayed_topk")(spark, sf))
+    // q45's HAVING join-backs and q46's anti join are also hint-free
+    // corpus joins — same contract
+    for (name <- Seq("q40_decayed_topk", "q45_big_orders",
+                     "q46_dormant_customers")) {
+      val default = rows(SparkEntry.queries(name)(spark, sf))
+      val shuffled = withNoBroadcast {
+        rows(SparkEntry.queries(name)(spark, sf))
+      }
+      assert(default == shuffled, s"$name diverges without broadcast joins")
     }
-    assert(default == shuffled, "q40 diverges without broadcast joins")
 
     graft.operators.Similarity.shipIvfpqIndex(spark, sf, "nb_frozen", buckets = 4)
     try {

@@ -885,4 +885,59 @@ class PropertySpec extends SparkSpec {
     }.sorted
     assert(got == want, "q40 must equal the local integer-weight reference")
   }
+
+  test("q45 big orders equals the local threshold reference on random data") {
+    // quantities with two decimals so the DECIMAL sum's exactness is
+    // exercised where double summation could drift near the threshold
+    val li = (1 to 600).map { i =>
+      (rnd.nextInt(80).toLong, (rnd.nextInt(5000) + 1) / 100.0, i)
+    }
+    val ords = (0 until 80).map { k =>
+      (k.toLong, (k % 11).toLong, new Timestamp(86400000L * k), 100.0 + k)
+    }
+    val cust = (0 until 11).map(u => (u.toLong, s"seg${u % 3}"))
+    val got = graft.operators.Analytics3.q45From(
+        li.toDF("l_orderkey", "l_quantity", "i"),
+        ords.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        cust.toDF("c_custkey", "c_mktsegment"))
+      .select("o_orderkey", "o_custkey", "c_mktsegment", "sum_qty")
+      .as[(Long, Long, String, Double)].collect().toSeq.sorted
+    val want = li.groupBy(_._1).toSeq.flatMap { case (ok, ls) =>
+      // exact cents sum — the decimal reference
+      val cents = ls.map(l => math.round(l._2 * 100)).sum
+      if (cents > 25000)
+        ords.find(_._1 == ok).map { o =>
+          (ok, o._2, s"seg${o._2 % 3}", cents / 100.0)
+        }
+      else None
+    }.sorted
+    assert(got == want, "q45 must equal the local threshold reference")
+  }
+
+  test("q46 dormant customers equals the local scalar+anti reference on random data") {
+    val cust = (0 until 120).map { u =>
+      (u.toLong, (u % 7).toLong, (rnd.nextInt(20000) - 5000) / 10.0)
+    }
+    val ords = (0 until 300).map { i =>
+      // ~half the orders are "recent"; customers 0..59 only
+      (i.toLong, rnd.nextInt(60).toLong,
+        new Timestamp(java.sql.Timestamp.valueOf(
+          if (rnd.nextBoolean()) "2001-01-01 00:00:00"
+          else "1999-01-01 00:00:00").getTime + rnd.nextInt(1000) * 3600000L))
+    }
+    val got = graft.operators.Analytics3.q46From(
+        cust.toDF("c_custkey", "c_nationkey", "c_acctbal"),
+        ords.toDF("o_orderkey", "o_custkey", "o_orderdate"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val cutoff = java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime
+    val pos = cust.filter(_._3 > 0)
+    val avg = pos.map(c => math.round(c._3 * 100)).sum.toDouble / 100.0 / pos.size
+    val recent = ords.filter(_._3.getTime >= cutoff).map(_._2).toSet
+    val want = cust
+      .filter(c => c._3 > avg && !recent.contains(c._1))
+      .groupBy(_._2).toSeq.map { case (nk, cs) =>
+        (nk, cs.size.toLong, cs.map(c => math.round(c._3 * 100)).sum / 100.0)
+      }.sorted
+    assert(got == want, "q46 must equal the local scalar+anti reference")
+  }
 }
