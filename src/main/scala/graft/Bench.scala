@@ -258,7 +258,11 @@ object Bench {
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     // full audit line first (per-pass walls/loads/cpu fractions) …
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"cpus":$cpuJson,"contended":$cont,"unstable":$unst,"starved":$strv,"errors":$errors,"sf":"$sfDir"}""")
+    // both lines carry metric:"total" for driver compatibility; the
+    // "kind" discriminator (ADVICE r9) lets a consumer keying on the
+    // metric name tell the truncation-prone audit line from the
+    // authoritative compact one instead of double-counting
+    println(s"""{"metric":"total","kind":"audit","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"cpus":$cpuJson,"contended":$cont,"unstable":$unst,"starved":$strv,"errors":$errors,"sf":"$sfDir"}""")
     // … and a COMPACT medians-only line LAST (VERDICT r8 #1: the
     // driver captures only the TAIL of sbt output, and with the
     // verbose line first, BENCH_r08's artifact lost the medians for
@@ -273,7 +277,7 @@ object Bench {
           if (s) Some("starved") else None).flatten.mkString("+")
         "\"" + k + "\":\"" + tags + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"flagged":$flagged,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","kind":"final","value":$total,"unit":"sec","queries":$qs,"flagged":$flagged,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

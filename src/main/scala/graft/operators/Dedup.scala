@@ -517,33 +517,59 @@ object Dedup {
     * words table is ≤ mbits/60 rows (1.25 bytes/corpus-doc of
     * payload) — broadcast-sized until a trillion-doc corpus, and the
     * probe joins are hint-free so Catalyst shuffles on `word` when
-    * it outgrows one. */
+    * it outgrows one.
+    *
+    * VERSIONED (VERDICT r9 #1, the AnnIndexStore mechanism): the
+    * three components land under `<name>_g<N>_<part>` and commit via
+    * one atomic pointer flip, so a re-freeze concurrent with a live
+    * screen is wholly-old or wholly-new, never a mixed filter (a new
+    * geometry probed against old words would silently mis-position
+    * every bit test). The superseded generation is retained for live
+    * readers and retired by the freeze after next. */
+  private val BloomParts = Seq("geom", "words", "hash")
+
   def shipBloomIndex(spark: SparkSession, dir: String, name: String,
                      bitsPerElem: Long = 10L): Unit = {
+    import graft.sources.{Bucketing, FreezeStore}
+    val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
+    val gen = prev + 1
     val base = bloomBase(Tables.documents(spark, dir)).filter(!bloomArrival)
     val geom = bloomGeom(base, bitsPerElem)
     def save(df: DataFrame, part: String): Unit = {
       // orphaned-location guard (see Bucketing.resetTable)
-      graft.sources.Bucketing.resetTable(spark, s"${name}_$part")
-      df.write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${name}_$part")
+      Bucketing.resetTable(spark, FreezeStore.genTable(name, gen, part))
+      df.withColumn("gen", lit(gen)).write.mode("overwrite").format("parquet")
+        .saveAsTable(FreezeStore.genTable(name, gen, part))
     }
     save(geom, "geom")
     save(bloomWords(bloomPosed(base.crossJoin(broadcast(geom)))), "words")
     save(base.groupBy("h").agg(min(col("doc_id")).as("exact_match")), "hash")
+    FreezeStore.flipPtr(spark, name, gen, Seq(0L))
+    if (prev - 1 >= 1) BloomParts.foreach(p =>
+      Bucketing.resetTable(spark, FreezeStore.genTable(name, prev - 1, p)))
   }
+
+  /** Drop a shipped Bloom screen — pointer and all generations. */
+  def dropBloomIndex(spark: SparkSession, name: String): Unit =
+    graft.sources.FreezeStore.dropAll(spark, name)
 
   /** d19's screen over the arrival slice against a FROZEN filter
     * shipped by [[shipBloomIndex]] — the literal bloomPosed/
     * bloomVerdicts algebra over loaded tables (rows identical to
     * d19BloomScreen when the freeze covers the same corpus;
-    * AnnShipSpec pins it across a fresh session). */
+    * AnnShipSpec pins it across a fresh session). The pointer is
+    * resolved ONCE here, so all three components come from one
+    * generation. */
   def d19ScreenFrozen(spark: SparkSession, dir: String,
                       name: String): DataFrame = {
-    val geom = spark.table(s"${name}_geom")
+    import graft.sources.FreezeStore
+    val (gen, _) = FreezeStore.readPtr(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen bloom screen named $name"))
+    def part(p: String) = spark.table(FreezeStore.genTable(name, gen, p))
+      .drop("gen")
     val inc = bloomBase(Tables.documents(spark, dir)).filter(bloomArrival)
-    bloomVerdicts(bloomPosed(inc.crossJoin(broadcast(geom))),
-        spark.table(s"${name}_words"), spark.table(s"${name}_hash"))
+    bloomVerdicts(bloomPosed(inc.crossJoin(broadcast(part("geom")))),
+        part("words"), part("hash"))
       .orderBy("doc_id")
   }
 

@@ -483,11 +483,23 @@ object Similarity {
     val rerankCols = Seq(col("q_id")) ++
       (if (labelFiltered) Seq(col("label")) else Nil) ++
       Seq(col("cell"), col("cand_id"), col("adc"),
-        qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos"))
+        // rerank COVERAGE (ADVICE r9): a frozen index can hold vec_ids
+        // the embeddings frame does not carry — an appendToFrozenIndex
+        // batch whose arrivals were never landed in the embeddings
+        // source. An inner join would silently drop them AND the
+        // in-corpus candidates they displaced from the ADC top-20, so
+        // the join below is LEFT and a missing exact vector fails
+        // loudly at evaluation instead
+        when(col("qv_c").isNull, raise_error(concat(
+            lit("frozen-index candidate missing from embeddings: vec_id="),
+            col("cand_id").cast("string"),
+            lit(" — land appended arrivals in the embeddings source before searching"))))
+          .otherwise(qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")))
+          .as("cos"))
     val outCols =
       if (labelFiltered) Seq("q_id", "label", "rank", "cand_id", "cell", "adc", "cos")
       else Seq("q_id", "rank", "cand_id", "cell", "adc", "cos")
-    top.join(broadcast(qSide), "q_id").join(cSide, "cand_id")
+    top.join(broadcast(qSide), "q_id").join(cSide, Seq("cand_id"), "left")
       .select(rerankCols: _*)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -548,7 +560,12 @@ object Similarity {
     * mass drifts from the frozen centroids; re-freezing is one
     * [[shipIvfpqIndex]] call. `newVecs` carries (vec_id, label,
     * embedding); appending an already-present vec_id is the caller's
-    * bug (d01/d19 own arrival dedup). */
+    * bug (d01/d19 own arrival dedup). CONTRACT: the same arrivals
+    * must also land in the embeddings source the searches read —
+    * the index stores cells/codes only, and the exact rerank re-reads
+    * vectors by id (a post-append search whose ADC top-20 reaches an
+    * arrival absent from the embeddings frame fails loudly — the
+    * ivfpqSearch coverage guard — rather than silently omitting it). */
   def appendToFrozenIndex(newVecs: DataFrame, name: String): Unit = {
     val spark = newVecs.sparkSession
     val idx = graft.sources.AnnIndexStore.load(spark, name)

@@ -36,7 +36,10 @@ object Bucketing {
       .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles returns NULL (not empty) on an I/O error or when
+        // the directory vanishes under a concurrent delete
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit
       }
       rm(loc)

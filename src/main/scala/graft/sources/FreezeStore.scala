@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+
+/** Atomic generation pointer for frozen-index families (VERDICT r9
+  * #1): a freeze that overwrites its tables in place exposes readers
+  * to MIXED generations — a re-freeze concurrent with a live search
+  * (exactly the workflow qa04's staleness trigger implies) could read
+  * half-old, half-new component tables. Instead every freeze writes
+  * its parts under versioned names (`<name>_g<N>_<part>`) and commits
+  * by flipping ONE tiny pointer table:
+  *
+  *  - `<name>_ptr` holds (gen, batch) rows — the live generation and
+  *    its COMMITTED append batches. Readers resolve the pointer once
+  *    at load; every table they then bind is from one generation, so
+  *    a search is wholly-old or wholly-new, never mixed.
+  *  - The flip is a rename chain (`ptr → ptr_old; ptr_new → ptr;
+  *    DROP ptr_old`) — the compact() pattern — so at every point
+  *    either `ptr` or `ptr_old` exists and [[recoverPtr]] restores a
+  *    crashed flip on the next load. A crash BEFORE the flip leaves
+  *    the new generation's tables orphaned and the pointer (hence
+  *    every reader) on the old generation — the write simply didn't
+  *    happen; orphans are cleared when their names are next reused.
+  *  - Appends commit the same way: data lands stamped with a fresh
+  *    batch id, INVISIBLE until the pointer's committed-batch list
+  *    grows to include it (readers filter to committed batches), so
+  *    the old two-table append crash window closes — a half-landed
+  *    batch is never searched and never double-counted.
+  *
+  * Crash-safety scope (ADVICE r9): these guarantees hold for
+  * within-process failures, and across processes only with a
+  * PERSISTENT metastore. This container's session catalog is
+  * in-memory — after a JVM death the catalog is empty and a freeze is
+  * simply re-shipped (Bucketing.resetTable clears the orphaned
+  * warehouse directories when their names are reused).
+  */
+object FreezeStore {
+
+  private def exists(spark: SparkSession, t: String): Boolean =
+    spark.sessionState.catalog.tableExists(TableIdentifier(t))
+
+  private def ptr(name: String) = s"${name}_ptr"
+
+  /** Heal a flip that crashed between its two renames: `ptr` gone,
+    * `ptr_old` surviving → the OLD state is still complete, rename it
+    * back (the write that crashed never committed). A surviving
+    * `ptr_old` NEXT TO a live `ptr` is a post-commit orphan — drop
+    * it. Run automatically by [[readPtr]], so recovery happens on
+    * the next load with no operator action. */
+  def recoverPtr(spark: SparkSession, name: String): Unit = {
+    val p = ptr(name)
+    if (!exists(spark, p) && exists(spark, s"${p}_old"))
+      spark.sql(s"ALTER TABLE ${p}_old RENAME TO $p")
+    else if (exists(spark, p) && exists(spark, s"${p}_old"))
+      spark.sql(s"DROP TABLE ${p}_old")
+  }
+
+  /** The live (generation, committed batch ids) — None before the
+    * first freeze. The pointer is a ≤(1+appends)-row table; one tiny
+    * collect per load. */
+  def readPtr(spark: SparkSession, name: String): Option[(Long, Seq[Long])] = {
+    recoverPtr(spark, name)
+    val p = ptr(name)
+    if (!exists(spark, p)) None
+    else {
+      val rows = spark.table(p).collect()
+      Some((rows.head.getLong(0), rows.map(_.getLong(1)).toSeq.sorted))
+    }
+  }
+
+  /** Commit a new pointer state atomically (rename chain). The new
+    * state is complete on disk (`ptr_new`) BEFORE the live name is
+    * touched; the only non-atomic window is between the two renames,
+    * which [[recoverPtr]] heals backward (old state wins — the
+    * in-flight commit is discarded, its data invisible). */
+  def flipPtr(spark: SparkSession, name: String, gen: Long,
+              batches: Seq[Long]): Unit = {
+    recoverPtr(spark, name)
+    val p = ptr(name)
+    import spark.implicits._
+    Bucketing.resetTable(spark, s"${p}_new")
+    batches.map(b => (gen, b)).toDF("gen", "batch")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${p}_new")
+    Bucketing.resetTable(spark, s"${p}_old") // stale post-commit orphan only
+    if (exists(spark, p)) spark.sql(s"ALTER TABLE $p RENAME TO ${p}_old")
+    else Bucketing.resetTable(spark, p) // clear a dead JVM's orphan dir
+    spark.sql(s"ALTER TABLE ${p}_new RENAME TO $p")
+    spark.sql(s"DROP TABLE IF EXISTS ${p}_old")
+    // the rename landed NEW files under the pointer's unchanged path —
+    // a same-session reader must not resolve a stale file listing
+    spark.catalog.refreshTable(p)
+  }
+
+  /** Versioned table name for one component of one generation. */
+  def genTable(name: String, gen: Long, part: String): String =
+    s"${name}_g${gen}_$part"
+
+  /** Drop every table of the family — pointer (and its in-flight
+    * temps) plus ALL generations found in the catalog (test hygiene /
+    * retiring an index). */
+  def dropAll(spark: SparkSession, name: String): Unit = {
+    val p = ptr(name)
+    Seq(p, s"${p}_new", s"${p}_old").foreach(Bucketing.resetTable(spark, _))
+    val genRe = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "_g\\d+_.*")
+    spark.sessionState.catalog.listTables("default")
+      .map(_.table).filter(t => genRe.matcher(t).matches())
+      .foreach(Bucketing.resetTable(spark, _))
+  }
+}

@@ -2,19 +2,22 @@ package graft
 
 import graft.functions.TextFns.{qnorm2, quantize}
 import graft.operators.{Dedup, Similarity}
-import graft.sources.{AnnIndexStore, Tables}
+import graft.sources.{AnnIndexStore, FreezeStore, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
-/** Ship/load of the frozen similarity index (VERDICT r8 #3): a
-  * deployment freezes cells/codes/codebook once per corpus snapshot;
-  * a FRESH session must search the loaded index without rebuilding —
-  * and get exactly the in-memory rows — with the corpus-scale
-  * candidates⋈codes join planning shuffle-free off the bucketed
-  * layout. */
+/** Ship/load of the frozen similarity index (VERDICT r8 #3, versioned
+  * generations + atomic pointer r9 #1): a deployment freezes
+  * cells/codes/codebook once per corpus snapshot; a FRESH session must
+  * search the loaded index without rebuilding — and get exactly the
+  * in-memory rows — with the corpus-scale candidates⋈codes join
+  * planning shuffle-free off the bucketed layout. Re-freezes and
+  * appends commit through one pointer flip, so a concurrent reader is
+  * wholly-old or wholly-new, never mixed, and a crash at any step
+  * self-heals on the next load. */
 class AnnShipSpec extends SparkSpec {
 
   private def physical(df: DataFrame): SparkPlan =
@@ -42,6 +45,39 @@ class AnnShipSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq
 
+  /** The live generation's physical table for one component. */
+  private def liveTable(name: String, part: String): String = {
+    val (gen, _) = FreezeStore.readPtr(spark, name).get
+    FreezeStore.genTable(name, gen, part)
+  }
+
+  private def assertNoCorpusShuffle(name: String, df: DataFrame): Unit = {
+    // the corpus-scale candidate⋈codes join must NOT shuffle the
+    // bucketed codes table: every path from a ShuffleExchange down to
+    // the codes scan must pass through a JOIN first — i.e. the codes
+    // rows reached their join (and the map-side ADC aggregation)
+    // straight off the bucketed scan. Downstream exchanges (the q_id
+    // top-k windows over query-sized frames) legitimately contain the
+    // scan transitively — they are above the join, which is exactly
+    // the allowed shape.
+    def codesShuffledRaw(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.tableIdentifier.exists(t =>
+          t.table.startsWith(s"${name}_g") && t.table.endsWith("_codes"))
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        codesShuffledRaw(q.plan)
+      case a: AdaptiveSparkPlanExec => codesShuffledRaw(a.executedPlan)
+      case other => other.children.exists(codesShuffledRaw)
+    }
+    df.collect() // materialize so AQE's final plan is inspectable
+    val offenders = expanded(physical(df))
+      .flatMap(_.collect { case e: ShuffleExchangeExec => e })
+      .filter(e => codesShuffledRaw(e.child))
+    assert(offenders.isEmpty,
+      "the bucketed codes table must reach its join without a shuffle")
+  }
+
   test("frozen IVFPQ index: write, load in a NEW session, search identically") {
     Similarity.shipIvfpqIndex(spark, sf, "ship_ivfpq", buckets = 4)
 
@@ -61,31 +97,8 @@ class AnnShipSpec extends SparkSpec {
         probeFine = 4, labelFiltered = true)
       assert(rows(gotS15) == wantS15,
         "frozen-index s15 search must equal the in-memory rows")
-
-      // the corpus-scale candidate⋈codes join must NOT shuffle the
-      // bucketed codes table: every path from a ShuffleExchange down
-      // to the codes scan must pass through a JOIN first — i.e. the
-      // codes rows reached their join (and the map-side ADC
-      // aggregation) straight off the bucketed scan. Downstream
-      // exchanges (the q_id top-k windows over query-sized frames)
-      // legitimately contain the scan transitively — they are above
-      // the join, which is exactly the allowed shape.
-      def codesShuffledRaw(p: SparkPlan): Boolean = p match {
-        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
-        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          s.tableIdentifier.exists(_.table.contains("ship_ivfpq_codes"))
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          codesShuffledRaw(q.plan)
-        case a: AdaptiveSparkPlanExec => codesShuffledRaw(a.executedPlan)
-        case other => other.children.exists(codesShuffledRaw)
-      }
-      val search = Similarity.searchFrozenIvfpq(s2, sf, "ship_ivfpq")
-      search.collect() // materialize so AQE's final plan is inspectable
-      val offenders = expanded(physical(search))
-        .flatMap(_.collect { case e: ShuffleExchangeExec => e })
-        .filter(e => codesShuffledRaw(e.child))
-      assert(offenders.isEmpty,
-        "the bucketed codes table must reach its join without a shuffle")
+      assertNoCorpusShuffle("ship_ivfpq",
+        Similarity.searchFrozenIvfpq(s2, sf, "ship_ivfpq"))
     } finally AnnIndexStore.drop(spark, "ship_ivfpq")
   }
 
@@ -185,14 +198,15 @@ class AnnShipSpec extends SparkSpec {
         new java.io.File(loc).listFiles().toSeq
           .filter(f => f.getName.startsWith("part-"))
       }
-      assert(dataFiles("ship_app_assign").length > 4,
+      val assignT = liveTable("ship_app", "assign")
+      assert(dataFiles(assignT).length > 4,
         "append should have landed a second file generation")
-      val before = rows(spark.table("ship_app_assign").orderBy("vec_id"))
+      val before = rows(spark.table(assignT).orderBy("vec_id"))
       AnnIndexStore.compact(spark, "ship_app")
-      assert(dataFiles("ship_app_assign").length <= 4,
+      assert(dataFiles(assignT).length <= 4,
         "compaction must land at most one file per bucket: " +
-          dataFiles("ship_app_assign").map(_.getName).sorted.mkString(", "))
-      assert(rows(spark.table("ship_app_assign").orderBy("vec_id")) == before,
+          dataFiles(assignT).map(_.getName).sorted.mkString(", "))
+      assert(rows(spark.table(assignT).orderBy("vec_id")) == before,
         "compaction must preserve rows")
       val postCompact = rows(Similarity.searchFrozenIvfpq(spark.newSession(),
         sf, "ship_app"))
@@ -210,6 +224,168 @@ class AnnShipSpec extends SparkSpec {
     } finally AnnIndexStore.drop(spark, "ship_app")
   }
 
+  test("RE-FREEZE while a reader is live: wholly-old or wholly-new, never mixed") {
+    Similarity.shipIvfpqIndex(spark, sf, "ship_live", buckets = 2)
+    try {
+      // a reader binds its plan to generation 1 BEFORE the re-freeze
+      val s2 = spark.newSession()
+      val liveReader = Similarity.searchFrozenIvfpq(s2, sf, "ship_live")
+      val want1 = rows(liveReader)
+      val gen1 = FreezeStore.readPtr(spark, "ship_live").get._1
+
+      // re-freeze over a DIFFERENT corpus slice (a staleness-triggered
+      // refresh) — new generation, one pointer flip
+      val basePred = col("vec_id") % 10 < 8
+      Similarity.shipIvfpqIndex(spark, sf, "ship_live", buckets = 2,
+        corpusPred = basePred)
+      assert(FreezeStore.readPtr(spark, "ship_live").get._1 == gen1 + 1)
+
+      // the live reader's plan still reads its own WHOLE generation
+      // (retained until the freeze after next) — wholly-old
+      assert(rows(liveReader) == want1,
+        "a reader bound before the re-freeze must keep its generation")
+
+      // a fresh load resolves the pointer — wholly-new: equal to the
+      // in-memory build over the new slice, on a fresh session
+      spark.sharedState.cacheManager.clearCache()
+      val eAll = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", qnorm2(col("qv")))
+      val eBase = eAll.filter(basePred)
+      val (coarse, f2c, assignBase) = Similarity.ivf2Index(eBase)
+      val cb = Similarity.boundedSeeds(eBase).select("vec_id", "qv", "nrm")
+      val codesBase = Similarity.pqCodes(eBase, cb)
+      val qp = col("vec_id") % 20 === 0
+      val adcTab = Similarity.pqDistances(eAll.filter(qp), cb)
+        .select(col("vec_id").as("q_id"), col("m"), col("cw_id"),
+          col("d2").as("qd2"))
+      val want2 = rows(Similarity.ivfpqSearch(eAll, coarse, f2c,
+        assignBase.select("vec_id", "label", "cell"), codesBase, adcTab,
+        qp, probeFine = 2, labelFiltered = false))
+      spark.sharedState.cacheManager.clearCache()
+      val got2 = rows(Similarity.searchFrozenIvfpq(spark.newSession(), sf,
+        "ship_live"))
+      assert(got2 == want2, "a fresh load must see the new generation whole")
+      assert(got2 != want1, "the two generations must actually differ " +
+        "for this test to prove anything")
+    } finally AnnIndexStore.drop(spark, "ship_live")
+  }
+
+  test("crash mid-pointer-flip self-heals backward on the next load") {
+    Similarity.shipIvfpqIndex(spark, sf, "ship_flip", buckets = 2)
+    try {
+      val want = rows(Similarity.searchFrozenIvfpq(spark, sf, "ship_flip"))
+      // simulate a JVM death between the flip's two renames: the live
+      // pointer is gone, only ptr_old survives
+      spark.sql("ALTER TABLE ship_flip_ptr RENAME TO ship_flip_ptr_old")
+      // the next load recovers the pointer and answers as before
+      val got = rows(Similarity.searchFrozenIvfpq(spark.newSession(), sf,
+        "ship_flip"))
+      assert(got == want, "recoverPtr must restore the crashed flip")
+      val (_, _, ok) = AnnIndexStore.verifyConsistency(spark, "ship_flip")
+      assert(ok)
+    } finally AnnIndexStore.drop(spark, "ship_flip")
+  }
+
+  test("crash mid-append: uncommitted batch is invisible; compact vacuums it") {
+    Similarity.shipIvfpqIndex(spark, sf, "ship_half", buckets = 2)
+    try {
+      val want = rows(Similarity.searchFrozenIvfpq(spark, sf, "ship_half"))
+      val codesT = liveTable("ship_half", "codes")
+      val rawBefore = spark.table(codesT).count()
+
+      // simulate an append that crashed AFTER landing codes rows but
+      // BEFORE the pointer flip: rows stamped with an uncommitted
+      // batch id (detached copies — appending a self-read would race,
+      // and collected ONCE up front: the source relation's file
+      // listing dies at compaction)
+      val bareSchema = spark.table(codesT).drop("batch", "gen").schema
+      val codes4 = spark.table(codesT).drop("batch", "gen")
+        .limit(4).collect().toSeq
+      def codes4Df() = spark.createDataFrame(
+        spark.sparkContext.parallelize(codes4), bareSchema)
+      val orphan = codes4Df()
+        .withColumn("batch", lit(1L)).withColumn("gen", lit(1L))
+      orphan.write.mode("append").format("parquet")
+        .bucketBy(2, "vec_id").sortBy("vec_id").saveAsTable(codesT)
+      assert(spark.table(codesT).count() == rawBefore + 4)
+
+      // the half-landed batch is INVISIBLE: search and audit unchanged
+      spark.sharedState.cacheManager.clearCache()
+      assert(rows(Similarity.searchFrozenIvfpq(spark.newSession(), sf,
+        "ship_half")) == want,
+        "an uncommitted batch must never reach a search")
+      val (na, nc, ok) = AnnIndexStore.verifyConsistency(spark, "ship_half")
+      assert(ok && nc == 4 * na,
+        "the audit reads committed rows only — a half-append is not " +
+          "an inconsistency, it is invisible")
+
+      // compact() vacuums the orphan rows physically
+      AnnIndexStore.compact(spark, "ship_half")
+      assert(spark.table(codesT).count() == rawBefore,
+        "compaction must vacuum uncommitted batches")
+      assert(rows(Similarity.searchFrozenIvfpq(spark.newSession(), sf,
+        "ship_half")) == want)
+
+      // and a COMMITTED append of codes without assignment (an
+      // operator bug, not a crash) still trips the 4·|assign|=|codes|
+      // audit — the committed-batch filter must not mask real damage
+      val assignEmpty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.table(liveTable("ship_half", "assign"))
+          .drop("batch", "gen").schema)
+      AnnIndexStore.append(assignEmpty, codes4Df(), "ship_half")
+      val (_, _, ok2) = AnnIndexStore.verifyConsistency(spark, "ship_half")
+      assert(!ok2, "the audit must flag committed codes without assignment")
+    } finally AnnIndexStore.drop(spark, "ship_half")
+  }
+
+  test("generation-stamp audit detects a hand-mixed freeze") {
+    Similarity.shipIvfpqIndex(spark, sf, "ship_mix", buckets = 2)
+    try {
+      val (_, _, ok) = AnnIndexStore.verifyConsistency(spark, "ship_mix")
+      assert(ok)
+      // splice one component's files from a different snapshot: same
+      // table NAME, foreign generation stamp (the versioned names
+      // prevent accidental mixing; the stamp detects deliberate or
+      // tooling-level file restores)
+      val t = liveTable("ship_mix", "refined")
+      val foreign = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          spark.table(t).withColumn("gen", lit(999L)).collect().toSeq),
+        spark.table(t).schema)
+      graft.sources.Bucketing.resetTable(spark, t)
+      foreign.write.format("parquet").saveAsTable(t)
+      val (_, _, ok2) = AnnIndexStore.verifyConsistency(spark, "ship_mix")
+      assert(!ok2, "a component with a foreign generation stamp must flag")
+    } finally AnnIndexStore.drop(spark, "ship_mix")
+  }
+
+  test("post-append search fails loudly when arrivals never landed in embeddings") {
+    val basePred = col("vec_id") % 10 < 8
+    Similarity.shipIvfpqIndex(spark, sf, "ship_cov", buckets = 2,
+      corpusPred = basePred)
+    try {
+      val arrivals = Tables.embeddings(spark, sf).filter(!basePred)
+        .select("vec_id", "label", "embedding")
+      Similarity.appendToFrozenIndex(arrivals, "ship_cov")
+      // the search's embeddings frame LACKS the appended vectors — the
+      // rerank must refuse (ADVICE r9: it used to silently drop them
+      // AND the in-corpus candidates they displaced from the top-20)
+      val eStale = Tables.embeddings(spark, sf).filter(basePred)
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", qnorm2(col("qv")))
+      val ex = intercept[Exception] {
+        Similarity.searchFrozenIvfpqFrom(eStale, "ship_cov",
+          col("vec_id") % 20 === 0).collect()
+      }
+      def msgs(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+      assert(msgs(ex).exists(_.contains("missing from embeddings")),
+        s"expected the coverage guard, got: $ex")
+    } finally AnnIndexStore.drop(spark, "ship_cov")
+  }
+
   test("ship overwrites an orphaned warehouse directory from a dead JVM") {
     // the hazard: warehouse dirs persist across JVMs while the
     // session catalog is in-memory — a process that died between
@@ -217,7 +393,7 @@ class AnnShipSpec extends SparkSpec {
     // and saveAsTable then throws LOCATION_ALREADY_EXISTS instead of
     // overwriting (the bench hit exactly this on its second run)
     val loc = new java.io.File(spark.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier("ship_orphan_coarse")))
+      org.apache.spark.sql.catalyst.TableIdentifier("ship_orphan_g1_coarse")))
     loc.mkdirs()
     java.nio.file.Files.write(
       new java.io.File(loc, "junk.parquet").toPath, "not parquet".getBytes)
@@ -228,43 +404,29 @@ class AnnShipSpec extends SparkSpec {
     assert(!loc.exists() || loc.listFiles().isEmpty)
   }
 
-  test("compaction crash mid-swap self-heals; consistency audit flags a half-append") {
+  test("compaction crash mid-swap self-heals") {
     Similarity.shipIvfpqIndex(spark, sf, "ship_crash", buckets = 2)
     try {
-      val want = rows(spark.table("ship_crash_assign").orderBy("vec_id"))
+      val assignT = liveTable("ship_crash", "assign")
+      val want = rows(spark.table(assignT).orderBy("vec_id"))
       // simulate a JVM death between the two renames: the live table
       // is gone, only the _precompact copy survives
-      spark.sql("ALTER TABLE ship_crash_assign RENAME TO ship_crash_assign_precompact")
+      spark.sql(s"ALTER TABLE $assignT RENAME TO ${assignT}_precompact")
       AnnIndexStore.recover(spark, "ship_crash")
-      assert(rows(spark.table("ship_crash_assign").orderBy("vec_id")) == want,
+      assert(rows(spark.table(assignT).orderBy("vec_id")) == want,
         "recover() must restore the pre-compaction table")
       // and a full compact() over the recovered freeze still works
       // (it runs the same recovery at start)
-      spark.sql("ALTER TABLE ship_crash_assign RENAME TO ship_crash_assign_precompact")
+      spark.sql(s"ALTER TABLE $assignT RENAME TO ${assignT}_precompact")
       AnnIndexStore.compact(spark, "ship_crash")
-      assert(rows(spark.table("ship_crash_assign").orderBy("vec_id")) == want,
+      assert(rows(spark.table(assignT).orderBy("vec_id")) == want,
         "compact() must self-heal before rewriting")
-
-      // consistency audit: whole index reads 4 codes per assigned
-      // vector; a half-append (codes committed, assign not) shows up
       val (na, nc, ok) = AnnIndexStore.verifyConsistency(spark, "ship_crash")
       assert(ok && nc == 4 * na)
-      // plant the half-append: 4 orphan code rows, no assignment
-      // (detached copies — appending a self-read would race the scan)
-      val codesTab = spark.table("ship_crash_codes")
-      val orphan = spark.createDataFrame(
-        spark.sparkContext.parallelize(codesTab.limit(4).collect().toSeq),
-        codesTab.schema)
-      val assignEmpty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        spark.table("ship_crash_assign").schema)
-      AnnIndexStore.append(assignEmpty, orphan, "ship_crash")
-      val (_, _, ok2) = AnnIndexStore.verifyConsistency(spark, "ship_crash")
-      assert(!ok2, "the audit must flag codes without matching assignment")
     } finally AnnIndexStore.drop(spark, "ship_crash")
   }
 
-  test("frozen Bloom screen: a new session's verdicts equal d19") {
+  test("frozen Bloom screen: a new session's verdicts equal d19; re-freeze is atomic") {
     Dedup.shipBloomIndex(spark, sf, "ship_bloom")
     val want = rows(Dedup.d19BloomScreen(spark, sf))
     spark.sharedState.cacheManager.clearCache()
@@ -272,8 +434,21 @@ class AnnShipSpec extends SparkSpec {
     try {
       assert(rows(Dedup.d19ScreenFrozen(s2, sf, "ship_bloom")) == want,
         "frozen-filter screen must equal the in-memory d19 verdicts")
-    } finally Seq("geom", "words", "hash").foreach { p =>
-      spark.sql(s"DROP TABLE IF EXISTS ship_bloom_$p")
-    }
+
+      // a reader bound before a re-freeze keeps its whole generation
+      // (a new geometry probed against old words would mis-position
+      // every bit test — the mixed-freeze hazard)
+      val liveReader = Dedup.d19ScreenFrozen(s2, sf, "ship_bloom")
+      liveReader.collect()
+      Dedup.shipBloomIndex(spark, sf, "ship_bloom", bitsPerElem = 2L)
+      assert(rows(liveReader) == want,
+        "a live bloom reader must keep its generation across a re-freeze")
+      spark.sharedState.cacheManager.clearCache()
+      val refreshed = rows(Dedup.d19ScreenFrozen(spark.newSession(), sf,
+        "ship_bloom"))
+      // 2 bits/doc saturates the filter — verdict mass shifts, proving
+      // the fresh load took the new generation whole
+      assert(refreshed != want, "the re-freeze must be visible to new loads")
+    } finally Dedup.dropBloomIndex(spark, "ship_bloom")
   }
 }

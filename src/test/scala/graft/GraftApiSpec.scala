@@ -167,21 +167,29 @@ class GraftApiSpec extends SparkSpec {
     g.shipAnnIndex("api_ann", buckets = 2)
     try {
       assert(g.searchFrozenAnn("api_ann").count() === g.ivfpq.count())
-      val before = spark.table("api_ann_assign").count()
+      def assignRows() =
+        graft.sources.AnnIndexStore.load(spark, "api_ann").assign.count()
+      val before = assignRows()
       // a disjoint arrival batch: fresh ids, real vectors
       val arrivals = graft.sources.Tables.embeddings(spark, sf)
         .filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
           col("embedding"))
       g.appendToAnnIndex(arrivals, "api_ann")
-      assert(spark.table("api_ann_assign").count() === before + arrivals.count())
-      assert(g.searchFrozenAnn("api_ann").count() > 0)
+      assert(assignRows() === before + arrivals.count())
+      // the arrivals were never landed in the embeddings SOURCE, so a
+      // search whose top-20 reaches one must refuse (the ADVICE r9
+      // coverage guard) instead of silently dropping it — and these
+      // arrivals are exact copies of existing vectors, so they reach it
+      val ex = intercept[Exception](g.searchFrozenAnn("api_ann").count())
+      def msgs(e: Throwable): Seq[String] = Option(e).toSeq
+        .flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+      assert(msgs(ex).exists(_.contains("missing from embeddings")))
     } finally graft.sources.AnnIndexStore.drop(spark, "api_ann")
     g.shipBloomFilter("api_bloom")
     try assert(g.screenAgainstFrozenBloom("api_bloom").count() ===
       graft.operators.Dedup.d19BloomScreen(spark, sf).count())
-    finally Seq("geom", "words", "hash").foreach(p =>
-      spark.sql(s"DROP TABLE IF EXISTS api_bloom_$p"))
+    finally graft.operators.Dedup.dropBloomIndex(spark, "api_bloom")
   }
 
   test("round-9: streaming wrappers are reachable through the facade") {
