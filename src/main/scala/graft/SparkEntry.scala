@@ -190,12 +190,12 @@ object SparkEntry {
     "q46_dormant_customers" -> (Analytics3.q46DormantCustomers _)
   )
 
-  /** Two keys are intentionally absent (the driver records a
-    * rows-only check for each): qa01/qa02 — sketch internals have no
-    * cross-engine oracle (qa02 is drift-bounded against the exact q31
-    * in ScalaTest). QueriesSpec enforces that every OTHER query
-    * carries oracle SQL (d02_production gained its oracle in round 9
-    * via md5-prefix term ids). */
+  /** EVERY key carries oracle SQL (QueriesSpec enforces it). The
+    * last rows-only keys retired in round 11: qa01/qa02 now run on
+    * the engine's own oracle-gated sketches (the qa07/qa10 HLL
+    * registers and qa08's histogram, integerized for qa02) instead
+    * of Spark-internal approx_count_distinct / percentile_approx
+    * bytes no second engine can replay. */
   def oracleSql: Map[String, String] = MaillogOracle.oracles ++
     TextAnalysis.oracles ++ Skew.oracles ++ Dedup.oracles ++ Similarity.oracles ++
     Multimodal.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++ Graph.oracles ++

@@ -294,22 +294,94 @@ object Analytics2 {
            sum(col("n_chars")).as("sum_chars"))
       .orderBy("source", "split")
 
-  /** qa01: approximate sketches — HLL distinct + quantile sketch per
-    * event_type. No cross-engine oracle exists for sketch internals
-    * (rows-only check); the exact counterparts are q05/q12. */
-  def qa01ApproxSketches(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
-        count(lit(1)).as("n"))
+  /** qa01: the approximate-sketch dashboard per event type — HLL
+    * distinct users + histogram median, RE-EXPRESSED over the
+    * engine's own oracle-gated sketches (VERDICT r10 #3: the original
+    * used Spark's engine-internal `approx_count_distinct` /
+    * `percentile_approx`, whose sketch bytes no second engine can
+    * replay — the suite's last rows-only keys). `approx_users` is the
+    * qa07/qa10 64-register HLL raw estimate over md5-hashed user ids
+    * (exact int64 register algebra; the ONE float op is the final
+    * literal/BIGINT division), `n_used` the touched-register count
+    * (what the small-range linear-counting correction reads — kept
+    * integer here so every reported column is bit-replayable; the
+    * drift spec applies the correction test-side), and `approx_p50`
+    * is qa08's 256-bin histogram edge over the SHARED frozen
+    * geometry/bin algebra. Exact counterparts: q05/q12.
+    *
+    * Scale shape: two map-side-combinable groupBys into bounded
+    * tables (≤ |types|·64 registers, ≤ |types|·256 bins) — the
+    * mergeable-sketch pass a 100 TB dashboard runs instead of
+    * exact distinct/percentile shuffles of the value universe. */
+  def qa01ApproxSketches(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Quality => Q}
+    val ev = OpCache.cached(Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value")))
+    // HLL registers per type over the user-id universe (qa10's shape)
+    val regs = Q.hllCells(
+        ev.select(col("event_type"), col("user_id").cast("string").as("term")))
+      .groupBy("event_type", "bucket").agg(max(col("rk")).as("max_rank"))
+    val hll = regs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_used"), sum(Q.hllPow(col("max_rank"))).as("sp"))
+      .select(col("event_type"), col("n_used"),
+        (lit(Q.HllNum) / (col("sp") +
+          (lit(Q.HllM) - col("n_used")) * lit(Q.HllPow55)).cast("double"))
+          .as("approx_users"))
+    // histogram p50 over qa08's shared geometry + bin projection
+    val stats = OpCache.cached(Analytics3.histGeometry(ev))
+    val cum = Analytics3.histogramOf(ev, stats)
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .join(broadcast(stats.select("event_type", "n")), "event_type")
+    val bin50 = cum.filter(col("cum") * 100 >= col("n") * 50)
+      .groupBy("event_type").agg(min(col("bin")).as("bin50"))
+    stats.join(hll, "event_type").join(bin50, "event_type")
+      .select(col("event_type"), col("n"), col("n_used"), col("approx_users"),
+        (col("vmin") + (col("bin50") + 1) *
+          ((col("vmax") - col("vmin")) / 256.0)).as("approx_p50"))
       .orderBy("event_type")
+  }
 
   val oracles: Map[String, String] = {
     val evCte =
       "ev AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events)"
     Map(
+      "qa01_approx_sketches" -> {
+        import graft.operators.{Quality => Q}
+        // the qa10 HLL fragment keyed by event_type over user ids +
+        // the qa08 histogram-median fragment — both generated from
+        // the SAME constants/fragments as the Spark side
+        raw"""WITH ev AS (SELECT event_type, user_id, value FROM events),
+           |ce AS (SELECT event_type, x % ${Q.HllM} AS bucket,
+           |         55 - (${Q.hllBitlenSql(s"(x // ${Q.HllM})")}) AS rk
+           |       FROM (SELECT event_type,
+           |               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS x
+           |             FROM ev) h),
+           |g AS (SELECT event_type, bucket, MAX(rk) AS max_rank FROM ce GROUP BY 1, 2),
+           |ga AS (SELECT event_type, COUNT(*) AS n_used,
+           |         CAST(SUM(${Q.hllPowSql("max_rank")}) AS BIGINT) AS sp
+           |       FROM g GROUP BY 1),
+           |st AS (SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+           |       FROM ev GROUP BY 1),
+           |bn AS (SELECT ev.event_type,
+           |    CASE WHEN vmax = vmin THEN 0
+           |         ELSE least(255, CAST(floor(((value - vmin) / (vmax - vmin)) * 256.0) AS BIGINT)) END AS bin
+           |  FROM ev JOIN st USING (event_type)),
+           |h2 AS (SELECT event_type, bin, COUNT(*) AS c FROM bn GROUP BY 1, 2),
+           |cm AS (SELECT event_type, bin,
+           |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM h2),
+           |s50 AS (SELECT cm.event_type, MIN(bin) AS bin50
+           |        FROM cm JOIN st USING (event_type) WHERE cum * 100 >= n * 50 GROUP BY 1)
+           |SELECT st.event_type, n, n_used,
+           |  ${Q.HllNum} / CAST(sp + (${Q.HllM} - n_used) * ${Q.HllPow55} AS DOUBLE) AS approx_users,
+           |  vmin + (bin50 + 1) * ((vmax - vmin) / 256.0) AS approx_p50
+           |FROM st JOIN ga USING (event_type) JOIN s50 USING (event_type)
+           |ORDER BY event_type""".stripMargin
+      },
       "q23_window_ranks" ->
         """SELECT o_orderpriority, o_orderkey, o_totalprice,
           |  ntile(4) OVER w AS quartile,

@@ -116,14 +116,77 @@ object Analytics3 {
       .orderBy("event_type")
   }
 
-  /** qa02: q31's documented petabyte path made concrete — the same
-    * robust-outlier report on `approx_percentile` sketches (KLL-style
-    * mergeable summaries; one map-side-combinable pass per percentile
-    * instead of a full value shuffle). No cross-engine oracle for
-    * sketch internals (rows-only, like qa01); the spec bounds its
-    * drift against the exact q31 instead. */
-  def qa02ApproxRobust(spark: SparkSession, dir: String): DataFrame =
-    robustOutliers(spark, dir, c => s"approx_percentile($c, 0.5, 10000)")
+  /** Exact int64 floor division for NON-NEGATIVE operands bounded
+    * well under 2^53 (all qa02 operands are ≤ cents-range·256 ≈ 10^7
+    * scale): a − pmod(a,b) is an exact multiple of b, and the double
+    * division of two exactly-representable int64s whose quotient is
+    * integral is exact — so the cast truncates nothing. Mirrors
+    * DuckDB's `//` on BIGINT for the same operand range. */
+  private def idiv(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Per-type 256-bin EXACT-INTEGER histogram median over an int64
+    * column — qa08's geometry with the float bin/edge math replaced
+    * by integer floor-div (bin = (v−lo)·256 div (hi−lo), edge =
+    * lo + (bin+1)·(hi−lo) div 256), so a decision built on the
+    * estimate never rides a float rounding edge and the oracle
+    * replays it bit-for-bit. One map-side-combinable groupBy into a
+    * ≤ |types|·256-cell table at any corpus size. */
+  private def histMedianInt(vals: DataFrame, vc: String, out: String): DataFrame = {
+    val st = vals.groupBy("event_type").agg(
+      count(lit(1)).as("n"), min(col(vc)).as("lo"), max(col(vc)).as("hi"))
+    val cum = vals.join(broadcast(st), "event_type")
+      .withColumn("bin", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(lit(255L),
+          idiv((col(vc) - col("lo")) * 256L, col("hi") - col("lo")))))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(st), "event_type")
+    cum.filter(col("cum") * 100 >= col("n") * 50)
+      .groupBy("event_type", "lo", "hi").agg(min(col("bin")).as("b50"))
+      .select(col("event_type"),
+        (col("lo") + idiv((col("b50") + 1) * (col("hi") - col("lo")),
+          lit(256L))).as(out))
+  }
+
+  /** qa02: q31's documented petabyte path made concrete — the robust
+    * outlier report with the exact percentiles replaced by the
+    * engine's own ORACLE-GATED histogram-median sketch (VERDICT r10
+    * #3: this key and qa01 were the suite's last rows-only entries,
+    * because the original rode Spark-internal `approx_percentile`
+    * bytes no second engine can replay). Same cents integerization
+    * as q31; median and MAD come from [[histMedianInt]]'s exact-
+    * integer 256-bin histograms, so every decision operand — the
+    * estimate, the deviation, the beyond-3·MAD outlier test — is
+    * int64 and DuckDB replays the whole report bit-for-bit. Two
+    * mergeable histogram passes (≤ |types|·256 cells) replace q31's
+    * two exact-percentile value shuffles — the shape a 100 TB
+    * deployment actually runs; the drift spec still bounds the
+    * estimates against exact q31. */
+  def qa02ApproxRobust(spark: SparkSession, dir: String): DataFrame = {
+    val ev = OpCache.cached(Tables.events(spark, dir)
+      .select(col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("cents")))
+    val med = histMedianInt(ev, "cents", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val mad = histMedianInt(dev.select("event_type", "adev"), "adev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("medv"), // constant within the group
+        max(col("mad")).as("madv"),
+        sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
+          .as("n_outliers")) // beyond 3·MAD — q31's rule on the estimates
+      .select(col("event_type"), col("n"),
+        (col("medv") / lit(100.0)).as("est_median"),
+        (col("madv") / lit(100.0)).as("est_mad"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
 
   /** qa03: SAMPLING-accuracy evaluation for heavy hitters — the exact
     * global top-10 users by event count, side-by-side with the
@@ -1025,6 +1088,49 @@ object Analytics3 {
           |FROM spine s CROSS JOIN ty
           |LEFT JOIN c ON c.h = s.h AND c.event_type = ty.event_type
           |ORDER BY s.h, ty.event_type""".stripMargin,
+
+      "qa02_approx_robust" ->
+        s"""WITH $evCte,
+          |e AS (SELECT event_type,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM ev),
+          |st1 AS (SELECT event_type, COUNT(*) AS n, MIN(cents) AS lo, MAX(cents) AS hi
+          |        FROM e GROUP BY 1),
+          |b1 AS (SELECT e.event_type,
+          |    CASE WHEN hi = lo THEN 0
+          |         ELSE least(255, ((cents - lo) * 256) // (hi - lo)) END AS bin
+          |  FROM e JOIN st1 USING (event_type)),
+          |h1 AS (SELECT event_type, bin, COUNT(*) AS c FROM b1 GROUP BY 1, 2),
+          |c1 AS (SELECT event_type, bin,
+          |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM h1),
+          |m1 AS (SELECT c1.event_type,
+          |    CAST(lo + (((MIN(bin) + 1) * (hi - lo)) // 256) AS BIGINT) AS med
+          |  FROM c1 JOIN st1 USING (event_type)
+          |  WHERE cum * 100 >= n * 50 GROUP BY c1.event_type, lo, hi),
+          |dv AS (SELECT e.event_type, cents, med,
+          |    ABS(cents - med) AS adev FROM e JOIN m1 USING (event_type)),
+          |st2 AS (SELECT event_type, COUNT(*) AS n2, MIN(adev) AS lo2, MAX(adev) AS hi2
+          |        FROM dv GROUP BY 1),
+          |b2 AS (SELECT dv.event_type,
+          |    CASE WHEN hi2 = lo2 THEN 0
+          |         ELSE least(255, ((adev - lo2) * 256) // (hi2 - lo2)) END AS bin
+          |  FROM dv JOIN st2 USING (event_type)),
+          |h2 AS (SELECT event_type, bin, COUNT(*) AS c FROM b2 GROUP BY 1, 2),
+          |c2 AS (SELECT event_type, bin,
+          |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM h2),
+          |m2 AS (SELECT c2.event_type,
+          |    CAST(lo2 + (((MIN(bin) + 1) * (hi2 - lo2)) // 256) AS BIGINT) AS mad
+          |  FROM c2 JOIN st2 USING (event_type)
+          |  WHERE cum * 100 >= n2 * 50 GROUP BY c2.event_type, lo2, hi2)
+          |SELECT d.event_type, COUNT(*) AS n,
+          |  CAST(MAX(d.med) AS DOUBLE) / 100.0 AS est_median,
+          |  CAST(MAX(m2.mad) AS DOUBLE) / 100.0 AS est_mad,
+          |  CAST(SUM(CASE WHEN d.adev > m2.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM dv d JOIN m2 USING (event_type)
+          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
       "q31_mad_outliers" ->
         s"""WITH $evCte,

@@ -496,21 +496,21 @@ object Quality {
     * log2() portability bets (DuckDB's bin() pads differently and
     * log2 rounds at boundaries). The same (0..53) loop emits the
     * Spark Column here and the oracle CASE in [[hllBitlenSql]]. */
-  private def hllBitlen(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def hllBitlen(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 to 53).foldLeft(lit(0): org.apache.spark.sql.Column)((acc, i) =>
       when(v >= (1L << i), lit(i + 1)).otherwise(acc))
 
-  private def hllBitlenSql(v: String): String =
+  private[operators] def hllBitlenSql(v: String): String =
     (53 to 0 by -1).map(i => s"WHEN $v >= ${1L << i} THEN ${i + 1}")
       .mkString("CASE ", " ", " ELSE 0 END")
 
   /** 2^(55 − rank) as a generated rank→literal CASE (ranks 1..55) —
     * the scaled harmonic-sum term, exact int64 on both engines. */
-  private def hllPow(rk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def hllPow(rk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (1 to 55).foldLeft(lit(0L): org.apache.spark.sql.Column)((acc, r) =>
       when(rk === r, lit(1L << (55 - r))).otherwise(acc))
 
-  private def hllPowSql(rk: String): String =
+  private[operators] def hllPowSql(rk: String): String =
     (1 to 55).map(r => s"WHEN $rk = $r THEN ${1L << (55 - r)}")
       .mkString("CASE ", " ", " ELSE 0 END")
 

@@ -188,7 +188,7 @@ class PlanShapeSpec extends SparkSpec {
   test("no query plans an unpartitioned window over table data") {
     // the round-1 scale-killers (m06 global rank, vocab row_number)
     // must stay dead: sweep every registered batch query
-    for ((name, fn) <- SparkEntry.queries if name != "qa01_approx_sketches") {
+    for ((name, fn) <- SparkEntry.queries) {
       val bad = windows(fn(spark, sf)).filter(_.partitionSpec.isEmpty)
       assert(bad.isEmpty, s"$name plans an unpartitioned window")
     }

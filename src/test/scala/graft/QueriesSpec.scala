@@ -9,19 +9,12 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or is documented rows-only") {
-    // qa01/qa02: sketch internals have no cross-engine oracle (qa02
-    // is drift-bounded against the exact q31 in Analytics3Spec).
-    // d02_production LEFT this set in round 9: its term ids are now
-    // the md5-prefix family DuckDB replays, so it carries full
-    // oracle SQL (VERDICT r8 next-round #2).
-    val rowsOnly = Set("qa01_approx_sketches", "qa02_approx_robust")
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has oracle SQL — no rows-only keys remain") {
+    // the rows-only whitelist emptied in round 11: qa01/qa02 were
+    // re-expressed on the engine's own oracle-gated sketches
+    // (d02_production left in round 9 via md5-prefix term ids)
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
-    // …and the whitelist stays MINIMAL: a key that gains an oracle
-    // must leave the set
-    val stale = rowsOnly.intersect(SparkEntry.oracleSql.keySet)
-    assert(stale.isEmpty, s"rows-only keys that now have oracles: $stale")
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
