@@ -23,7 +23,7 @@ object Similarity {
     * queries' DuckDB oracles (`vec_id % 50 = 0`) — change BOTH. */
   private[operators] val CentroidStride = 50
 
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     OpCache.cached(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", qnorm2(col("qv")))) // query side + candidate side
@@ -257,12 +257,26 @@ object Similarity {
     * default; [[graft.Stress]] pins a FIXED query batch so its probe
     * measures the production corpus-grows/queries-don't asymmetry
     * instead of the eval rule's corpus×query product). */
-  private def ivf2Routes(e: DataFrame, coarse: DataFrame, f2c: DataFrame,
-                         probeCoarse: Int, probeFine: Int,
-                         queryPred: Column = col("vec_id") % 20 === 0): DataFrame = {
-    val q = e.filter(queryPred)
+  /** The (q_id, label, qv_q, nq) query frame the eval rule selects
+    * out of the corpus — the ONE place the pred→frame projection
+    * lives, so the query-frame cores below ([[ivf2RoutesQ]],
+    * [[ivfpqSearchQ]] — what the STREAMING twin feeds with arriving
+    * micro-batches) compose the literal same plan. */
+  private def queryFrame(e: DataFrame, queryPred: Column): DataFrame =
+    e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("label"),
         col("qv").as("qv_q"), col("nrm").as("nq"))
+
+  private def ivf2Routes(e: DataFrame, coarse: DataFrame, f2c: DataFrame,
+                         probeCoarse: Int, probeFine: Int,
+                         queryPred: Column = col("vec_id") % 20 === 0): DataFrame =
+    ivf2RoutesQ(queryFrame(e, queryPred), coarse, f2c, probeCoarse, probeFine)
+
+  /** [[ivf2Routes]] over an EXPLICIT (q_id, label, qv_q, nq) query
+    * frame — the entry arriving query batches use. */
+  private[graft] def ivf2RoutesQ(q: DataFrame, coarse: DataFrame,
+                                 f2c: DataFrame, probeCoarse: Int,
+                                 probeFine: Int): DataFrame = {
     val wq1 = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c1"))
     val q2c = q.crossJoin(broadcast(coarse))
       .select(col("q_id"), col("label"), col("qv_q"), col("nq"), col("c1"),
@@ -446,11 +460,22 @@ object Similarity {
   private[graft] def ivfpqSearch(e: DataFrame, coarse: DataFrame,
       f2c: DataFrame, assign: DataFrame, codes: DataFrame, adcTab: DataFrame,
       queryPred: Column, probeFine: Int,
+      labelFiltered: Boolean): DataFrame =
+    ivfpqSearchQ(queryFrame(e, queryPred), e, coarse, f2c, assign, codes,
+      adcTab, probeFine, labelFiltered)
+
+  /** [[ivfpqSearch]] over an EXPLICIT query frame (q_id, label, qv_q,
+    * nq) — the shape [[searchFrozenForQueries]] (and through it the
+    * streaming twin) feeds with an ARRIVING query batch instead of an
+    * eval-rule selection out of the corpus. The corpus frame `e` is
+    * still needed for the exact rerank's candidate side only. */
+  private[graft] def ivfpqSearchQ(qe: DataFrame, e: DataFrame,
+      coarse: DataFrame, f2c: DataFrame, assign: DataFrame,
+      codes: DataFrame, adcTab: DataFrame, probeFine: Int,
       labelFiltered: Boolean): DataFrame = {
     val routeCols =
       if (labelFiltered) Seq("q_id", "label", "cell") else Seq("q_id", "cell")
-    val routes = ivf2Routes(e, coarse, f2c, probeCoarse = 2, probeFine,
-        queryPred)
+    val routes = ivf2RoutesQ(qe, coarse, f2c, probeCoarse = 2, probeFine)
       .select(routeCols.head, routeCols.tail: _*) // no query vector until rerank
     // probed-cell members only — the IVF restriction (and the label
     // filter, when on) is applied BEFORE any distance work, so ADC
@@ -476,8 +501,7 @@ object Similarity {
     val top = approx.withColumn("crn", row_number().over(cw20))
       .filter(col("crn") <= 20)
       .select(topCols: _*)
-    val qSide = e.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("qv").as("qv_q"), col("nrm").as("nq"))
+    val qSide = qe.select(col("q_id"), col("qv_q"), col("nq"))
     val cSide = e.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"), col("nrm").as("nc"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
     val rerankCols = Seq(col("q_id")) ++
@@ -607,6 +631,39 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("m"), col("cw_id"), col("d2").as("qd2"))
     ivfpqSearch(e, idx.coarse, idx.f2c, idx.assign, idx.codes, adcTab,
       queryPred, probeFine, labelFiltered)
+  }
+
+  /** SEARCH a frozen index for an EXPLICIT batch of arriving queries
+    * (vec_id, label, embedding) — the production read path's true
+    * shape: the query set is an argument, not an eval-rule selection
+    * out of the corpus. Routing and the ADC lookup table are
+    * query-batch-sized and computed live through the index's FROZEN
+    * quantizers; everything corpus-scale reads from the bucketed
+    * tables; `corpus` backs only the exact rerank (vectors stay at
+    * rest — the index ships cells/codes, never raw vectors). The
+    * pointer is resolved ONCE per call, so every table a call binds
+    * is from one generation — the property
+    * [[graft.streaming.AnnStream]] leans on to make each streaming
+    * micro-batch wholly-old-or-wholly-new across a mid-stream
+    * re-freeze. Rows equal [[searchFrozenIvfpq]] restricted to the
+    * same query ids (AnnStreamSpec pins it). */
+  def searchFrozenForQueries(queries: DataFrame, corpus: DataFrame,
+      name: String, probeFine: Int = 2,
+      labelFiltered: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    val idx = graft.sources.AnnIndexStore.load(spark, name)
+    val qe = queries
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", qnorm2(col("qv")))
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("qv").as("qv_q"), col("nrm").as("nq"))
+    val adcTab = pqDistances(
+        qe.select(col("q_id").as("vec_id"), col("qv_q").as("qv")),
+        idx.codebook.select(col("vec_id"), col("qv")))
+      .select(col("vec_id").as("q_id"), col("m"), col("cw_id"),
+        col("d2").as("qd2"))
+    ivfpqSearchQ(qe, corpus, idx.coarse, idx.f2c, idx.assign, idx.codes,
+      adcTab, probeFine, labelFiltered)
   }
 
   /** s14's probe grid — shared with the generated oracle SQL so the
