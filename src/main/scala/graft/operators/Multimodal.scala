@@ -487,6 +487,100 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The media E2E pipeline (VERDICT r9 #3 / r10 #4) — the three
+    * real-decode stages composed the way a media dedup deployment
+    * runs them: normalize ([[imageResize]] every image to one
+    * tw×th geometry, so hashes compare like for like), perceptual-
+    * hash ([[imageAHash]]'s 8×8 luma grid over the RESIZED pixels),
+    * then [[phashPairs]]' banded candidate join + exact hamming
+    * verify. Bytes never leave their partition until the hash
+    * reduces each image to two longs — the only shuffled data is
+    * (doc_id, h_hi, h_lo) band rows, so the pipeline's shuffle mass
+    * is corpus-COUNT-scaled, never corpus-BYTE-scaled (the property
+    * that matters at 100 TB of media). `maxBandOccupancy` passes
+    * through to the hot-bucket screen (blank/uniform media all hash
+    * identically — the d20-style cap bounds that bucket's fan-out).
+    * MultimodalSpec pins stage-composition equality + pair
+    * semantics; the bench drives it over a rendered PNG corpus. */
+  def mediaPipeline(media: DataFrame, tw: Int = 32, th: Int = 32,
+                    maxHamming: Int = 3, maxBandOccupancy: Long = 0L,
+                    idCol: String = "doc_id",
+                    binCol: String = "media"): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = resizeBatch(media, tw, th, idCol, binCol)
+      .mapPartitions(rows => rows.map(r => imageAHash(r.id, r.png)))
+      .toDF("doc_id", "h_hi", "h_lo")
+    phashPairs(hashes, maxHamming, maxBandOccupancy)
+  }
+
+  /** Deterministic synthetic PNG corpus for the media-pipeline bench
+    * (documents have no real image bytes): one 64×64 PNG per doc_id,
+    * pixel pattern keyed by the doc's GROUP (doc_id div 8) with a
+    * per-doc single-block perturbation — so each 8-doc group is a
+    * near-dup family the pipeline must pair (aHash hamming small
+    * within a group, far between groups), and band buckets stay
+    * bounded at the family size. Rendering is mapPartitions over ids
+    * only; run it UNTIMED at bench prepare. */
+  def syntheticPngCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val group = id / 8
+          val variant = (id % 8).toInt
+          // high-contrast CELL-level pattern (the aHash fixture
+          // class): each 8×8 cell wholly bright or dark, chosen by a
+          // mixed hash of (group, cell) — per-pixel noise would park
+          // every cell mean at the global mean and make the hash a
+          // coin flip, letting cross-family pairs slip under the
+          // hamming gate
+          // full murmur3 finalizer, decided on HIGH bits: the low
+          // bits of one odd multiply are a bijection of the INPUT's
+          // low bits (cell alone would decide the pattern and every
+          // family would collide)
+          def mix(x0: Long): Long = {
+            var x = x0
+            x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+            x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+            x ^= x >>> 33
+            x
+          }
+          val img = new java.awt.image.BufferedImage(64, 64,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 64) {
+              val cell = (y / 8) * 8 + (x / 8)
+              val on = ((mix(group * 64L + cell) >>> 32) & 7L) < 4L
+              val v = if (on) 230 else 20
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          // perturb ONE 8x8 cell per variant to white: flips at most
+          // that cell's bit (+ a <4-luma global-mean nudge no 230/20
+          // cell sits near), keeping the family within hamming <= 2
+          if (variant > 0) {
+            val cx = (variant % 8) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                img.setRGB(cx + xx, yy, 0xffffff)
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "media")
+  }
+
   /** Real-pixel aHash: the 8×8 average-luma grid over a decoded
     * image ([[imageDecode]]'s javax.imageio path), bit = cell mean >
     * global mean, packed as (h_hi, h_lo) — the image twin of

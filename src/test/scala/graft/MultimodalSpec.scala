@@ -248,6 +248,67 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === (0 until 3).map(s => (s.toLong, s.toLong + 100)).toSet)
   }
 
+  test("mediaPipeline e2e: resize→aHash→pairs equals the hand-composed stages") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // reuse the aHash fixture class: three distinct bases, each with
+    // a perturbed near-copy — rendered at a LARGER geometry (96×96)
+    // so the pipeline's resize stage actually does work
+    def base(seed: Int): BufferedImage = {
+      val img = new BufferedImage(96, 96, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 96; x <- 0 until 96) {
+        val cell = (y / 12) * 8 + (x / 12)
+        val on = ((cell * (seed * 2 + 3) + seed) % 7) < 3
+        val v = if (on) 230 else 20
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def perturb(img: BufferedImage): BufferedImage = {
+      val c = new BufferedImage(96, 96, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 96; x <- 0 until 96) c.setRGB(x, y, img.getRGB(x, y))
+      Seq((3, 5), (60, 33), (91, 90)).foreach { case (x, y) =>
+        val v = (c.getRGB(x, y) & 0xff) + 6
+        c.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      c
+    }
+    def bytes(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = spark.createDataFrame((0 until 3).flatMap { s =>
+      val b = base(s)
+      Seq((s.toLong, bytes(b)), (s.toLong + 100, bytes(perturb(b))))
+    }).toDF("doc_id", "media")
+
+    val pipe = Multimodal.mediaPipeline(media, tw = 32, th = 32)
+    // the composed operator == its stages run by hand
+    import spark.implicits._
+    val hand = Multimodal.phashPairs(
+      Multimodal.resizeBatch(media, 32, 32)
+        .mapPartitions(rs => rs.map(r => Multimodal.imageAHash(r.id, r.png)))
+        .toDF("doc_id", "h_hi", "h_lo"))
+    assert(pipe.collect().toSeq == hand.collect().toSeq,
+      "mediaPipeline must equal its hand-composed stages")
+    // and the pairs are exactly the three perturbed-copy families
+    val pairs = pipe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0 until 3).map(s => (s.toLong, s.toLong + 100)).toSet,
+      s"pipeline pairs wrong: $pairs")
+
+    // the rendered bench corpus drives the same pipeline: families
+    // (doc_id div 8) must produce pairs, and every pair stays within
+    // one family (cross-family hashes are far by construction)
+    val corpus = Multimodal.syntheticPngCorpus(spark, sf).limit(64)
+    val cPairs = Multimodal.mediaPipeline(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cPairs.nonEmpty, "the bench corpus must produce near-dup pairs")
+    assert(cPairs.forall { case (a, b) => a / 8 == b / 8 },
+      "no cross-family pair may survive the hamming verify")
+  }
+
   test("imageResize: deterministic nearest-neighbor, lossless on block-constant images") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
