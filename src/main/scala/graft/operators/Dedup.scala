@@ -853,7 +853,17 @@ object Dedup {
     * frames), two map-side-combinable groupBys on cell, one
     * full-outer join of k-row aggregates plus a 1-row totals
     * broadcast (the q19 pattern) — no corpus-sized shuffle, no
-    * window, cost O(n×k) like the screens it monitors. */
+    * window, cost O(n×k) like the screens it monitors.
+    *
+    * RE-FREEZE CADENCE (ADVICE r10): when this monitor TRIPS a
+    * refresh, mind the frozen store's retention contract — a reader
+    * bound to generation N survives exactly `retain` (default 1)
+    * subsequent re-freezes ([[graft.sources.AnnIndexStore.write]]).
+    * So the minimum safe interval between staleness-triggered
+    * re-freezes is the longest-running search you allow, or raise
+    * `retain` to cover the expected trip frequency; the per-batch
+    * streaming reader ([[graft.streaming.AnnStream]]) re-binds every
+    * micro-batch and is safe at any cadence. */
   def qa04IndexStaleness(spark: SparkSession, dir: String): DataFrame =
     qa04From(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 

@@ -513,7 +513,13 @@ object Similarity {
         // source. An inner join would silently drop them AND the
         // in-corpus candidates they displaced from the ADC top-20, so
         // the join below is LEFT and a missing exact vector fails
-        // loudly at evaluation instead
+        // loudly at evaluation instead. NOTE (ADVICE r10): the guard
+        // also fires for a row PRESENT with a NULL embedding — by
+        // design: a null vector cannot be indexed (quantize of null is
+        // null ⟹ no cell, no codes), so its appearance as an ADC
+        // candidate means the index and the source disagree; keep
+        // nulls out at ingest (filter before shipIvfpqIndex/append —
+        // the corpus contract), don't soften the failure here
         when(col("qv_c").isNull, raise_error(concat(
             lit("frozen-index candidate missing from embeddings: vec_id="),
             col("cand_id").cast("string"),

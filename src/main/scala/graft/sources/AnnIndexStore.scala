@@ -99,9 +99,14 @@ object AnnIndexStore {
     // the COMMIT: until this flip, readers resolve the previous
     // generation and none of the tables above are reachable
     FreezeStore.flipPtr(spark, name, gen, Seq(0L))
-    // retire generations past the retention window — the newest
-    // `retain` superseded ones may still back live readers' plans
-    if (prev - retain >= 1) dropGen(spark, name, prev - retain)
+    // retire EVERY generation past the retention window — the newest
+    // `retain` superseded ones may still back live readers' plans. A
+    // catalog sweep (not just gen prev−retain) so a `retain` lowered
+    // between freezes still clears the generations the larger window
+    // left behind; the listing is one in-memory catalog scan
+    FreezeStore.listGens(spark, name)
+      .filter(g => g < gen && g > 0 && g <= prev - retain)
+      .foreach(dropGen(spark, name, _))
   }
 
   /** Load the live freeze. Bucket metadata flows from the catalog

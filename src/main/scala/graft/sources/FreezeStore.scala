@@ -144,6 +144,18 @@ object FreezeStore {
   def genTable(name: String, gen: Long, part: String): String =
     s"${name}_g${gen}_$part"
 
+  /** Every generation number with at least one table in the catalog
+    * — the retention sweep's worklist (one in-memory catalog scan). */
+  def listGens(spark: SparkSession, name: String): Seq[Long] = {
+    val genRe = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "_g(\\d+)_.*")
+    spark.sessionState.catalog.listTables("default")
+      .map(_.table).flatMap { t =>
+        val m = genRe.matcher(t)
+        if (m.matches()) Some(m.group(1).toLong) else None
+      }.distinct.sorted
+  }
+
   /** Drop every table of the family — pointer (and its in-flight
     * temps) plus ALL generations found in the catalog (test hygiene /
     * retiring an index). */
