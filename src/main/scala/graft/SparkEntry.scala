@@ -181,13 +181,16 @@ object SparkEntry {
     "q41_profile" -> (Analytics3.q41Profile _),
     "q42_seasonal" -> (Analytics3.q42Seasonal _),
     "mm09_phash" -> (Multimodal.mm09Phash _),
+    "mm11_incremental_match" -> (Multimodal.mm11IncrementalMatch _),
     "q43_local_supplier" -> (Analytics3.q43LocalSupplier _),
     "qa12_skew_audit" -> (Analytics3.qa12SkewAudit _),
     "g04_incremental_triangles" -> (Graph.g04IncrementalTriangles _),
     "s20_gram_matrix" -> (Similarity.s20GramMatrix _),
     "q44_market_share" -> (Analytics3.q44MarketShare _),
     "q45_big_orders" -> (Analytics3.q45BigOrders _),
-    "q46_dormant_customers" -> (Analytics3.q46DormantCustomers _)
+    "q46_dormant_customers" -> (Analytics3.q46DormantCustomers _),
+    "q47_sole_fault" -> (Analytics3.q47SoleFault _),
+    "q48_dominant_supplier" -> (Analytics3.q48DominantSupplier _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -705,6 +705,89 @@ object Analytics3 {
       .orderBy("c_nationkey")
   }
 
+  /** q47: SOLE-FAULT SUPPLIER in multi-supplier orders (the TPC-H
+    * Q21 shape adapted to this fixture's columns — no
+    * commit/receipt dates, so "kept waiting" is the return flag):
+    * per supplier, the orders where THEY returned stock while every
+    * co-supplier delivered clean — Q21's double correlation (EXISTS
+    * another supplier's line, NOT EXISTS another supplier's failed
+    * line) over the same fact table.
+    *
+    * Spark-first re-expression: instead of the literal
+    * semi-join + anti-join pair (two corpus-scale shuffles of
+    * lineitem against itself), ONE map-side-combinable per-order
+    * aggregate computes (distinct suppliers, distinct returning
+    * suppliers), and the double correlation becomes the predicate
+    * `n_supp ≥ 2 AND n_ret_supp = 1` on the returning rows — the
+    * exists/not-exists pair holds exactly iff the returner is alone
+    * among ≥ 2 suppliers. One shuffle on o_orderkey, one
+    * supplier-bounded result join; counts only, no float edge. */
+  def q47SoleFault(spark: SparkSession, dir: String): DataFrame =
+    q47From(Tables.lineitem(spark, dir), Tables.supplier(spark, dir))
+
+  /** q47's core over any lineitem/supplier frames. */
+  private[graft] def q47From(lineitem: DataFrame,
+                             supplier: DataFrame): DataFrame = {
+    val perOrder = lineitem
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supp"))
+    val returners = lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    returners
+      .join(perOrder, "l_orderkey")
+      .filter(col("n_supp") >= 2 && col("n_ret_supp") === 1)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("numwait"))
+      .orderBy(desc("numwait"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** q48: DOMINANT PART SUPPLIER (the TPC-H Q20 shape adapted —
+    * no partsupp table, so "excess availability" becomes shipped
+    * share): for 1997 shipments, the (part, supplier) pairs whose
+    * quantity EXCEEDS HALF the part's total across ≥ 2 competing
+    * suppliers — Q20's correlated-aggregate semi-join (pair mass vs
+    * a per-part scalar) as two stacked aggregates on the same key.
+    *
+    * Oracle parity: quantities sum as DECIMAL(18,2) (exact,
+    * order-free) and the half test is the cross-multiplied
+    * `2·q > total` on decimals — no division, no float edge; the
+    * reported quantities cast to double only at the end.
+    *
+    * Scale shape: the pair aggregate is map-side combinable on
+    * (partkey, suppkey); the part scalar re-aggregates THAT result
+    * (pair-bounded, never a second corpus pass); one hint-free join
+    * back on partkey plus two broadcast-size dimension joins. */
+  def q48DominantSupplier(spark: SparkSession, dir: String): DataFrame =
+    q48From(Tables.lineitem(spark, dir), Tables.supplier(spark, dir),
+      Tables.part(spark, dir))
+
+  /** q48's core over any lineitem/supplier/part frames. */
+  private[graft] def q48From(lineitem: DataFrame, supplier: DataFrame,
+                             part: DataFrame): DataFrame = {
+    val ps = lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec2(col("l_quantity"))).as("q_dec"))
+    val perPart = ps.groupBy("l_partkey")
+      .agg(sum(col("q_dec")).as("t_dec"), count(lit(1)).as("n_supp"))
+    ps.join(perPart, "l_partkey")
+      .filter(col("n_supp") >= 2 && col("q_dec") * 2 > col("t_dec"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("s_suppkey"), col("s_name"), col("p_partkey"),
+        col("p_name"), col("n_supp"),
+        col("q_dec").cast("double").as("supp_qty"),
+        col("t_dec").cast("double").as("part_qty"))
+      .orderBy("s_suppkey", "p_partkey")
+  }
+
   /** qa12: join-key skew audit — the pre-flight report behind q37's
     * salted join: per-key row counts for a fact join key
     * (l_suppkey), the top-10 heaviest keys by exact count, each with
@@ -893,6 +976,38 @@ object Analytics3 {
           |WHERE c_acctbal > avg_bal
           |  AND NOT EXISTS (SELECT 1 FROM rec WHERE o_custkey = c_custkey)
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+      "q47_sole_fault" ->
+        """WITH po AS (SELECT l_orderkey,
+          |    COUNT(DISTINCT l_suppkey) AS n_supp,
+          |    COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp
+          |  FROM lineitem GROUP BY 1),
+          |r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+          |      WHERE l_returnflag = 'R'),
+          |w AS (SELECT r.l_suppkey, COUNT(*) AS numwait
+          |      FROM r JOIN po USING (l_orderkey)
+          |      WHERE n_supp >= 2 AND n_ret_supp = 1 GROUP BY 1)
+          |SELECT s_suppkey, s_name, s_nationkey, numwait
+          |FROM w JOIN supplier ON l_suppkey = s_suppkey
+          |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
+
+      "q48_dominant_supplier" ->
+        """WITH ps AS (SELECT l_partkey, l_suppkey,
+          |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_dec
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  GROUP BY 1, 2),
+          |pp AS (SELECT l_partkey, SUM(q_dec) AS t_dec, COUNT(*) AS n_supp
+          |       FROM ps GROUP BY 1)
+          |SELECT s_suppkey, s_name, p_partkey, p_name, n_supp,
+          |  CAST(q_dec AS DOUBLE) AS supp_qty,
+          |  CAST(t_dec AS DOUBLE) AS part_qty
+          |FROM ps JOIN pp USING (l_partkey)
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN part ON l_partkey = p_partkey
+          |WHERE n_supp >= 2 AND q_dec * 2 > t_dec
+          |ORDER BY s_suppkey, p_partkey""".stripMargin,
 
       "qa12_skew_audit" ->
         """WITH per AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),

@@ -388,7 +388,18 @@ object Multimodal {
 
   /** mm09's core over any (doc_id, text) frame — also driven at
     * replicated scale by [[graft.Stress]]. */
-  private[graft] def mm09From(documents: DataFrame): DataFrame = {
+  private[graft] def mm09From(documents: DataFrame): DataFrame =
+    aHashRelational(documents)
+      .select(col("doc_id"), col("h_hi"), col("h_lo"),
+        (bit_count(col("h_hi")) + bit_count(col("h_lo"))).cast("long").as("n_bits_set"))
+      .orderBy("doc_id")
+
+  /** The RELATIONAL byte-block aHash — mm09's algebra factored to a
+    * bare (doc_id, h_hi, h_lo) frame so [[mm11IncrementalMatch]] can
+    * hash the corpus and the arrival sides through ONE definition
+    * (the shared-algebra rule: the match's semantics are only as
+    * oracle-gated as both sides hashing identically). */
+  private[graft] def aHashRelational(documents: DataFrame): DataFrame = {
     val d = documents
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
       .filter(col("n") >= 1)
@@ -422,9 +433,6 @@ object Multimodal {
         sum(when(col("b") < 32,
             col("bit") * expr("shiftleft(cast(1 as bigint), cast(b as int))"))
           .otherwise(0L)).as("h_lo"))
-      .select(col("doc_id"), col("h_hi"), col("h_lo"),
-        (bit_count(col("h_hi")) + bit_count(col("h_lo"))).cast("long").as("n_bits_set"))
-      .orderBy("doc_id")
   }
 
   /** Near-dup pairs over a (doc_id, h_hi, h_lo) hash frame: banded
@@ -450,16 +458,26 @@ object Multimodal {
     * cap deliberately defaults OFF because it trades the pigeonhole
     * exactness guarantee for boundedness: pairs whose ONLY matching
     * band was capped are missed (spec-pinned in MultimodalSpec). */
-  def phashPairs(hashes: DataFrame, maxHamming: Int = 3,
-                 maxBandOccupancy: Long = 0L): DataFrame = {
-    require(maxHamming <= 3, "4x16 banding is exact only for hamming <= 3")
+  /** The 4×16-bit band rows of a (doc_id, h_hi, h_lo) hash frame —
+    * ONE definition shared by the self-join pair path
+    * ([[phashPairs]]) and the arrival-vs-corpus match path
+    * ([[crossMatch]] / the frozen media index): the pigeonhole
+    * exactness argument holds only while both sides band
+    * identically. */
+  private[graft] def bandRows(hashes: DataFrame): DataFrame = {
     val bandStructs = array(
       struct(lit(0).as("band"), shiftright(col("h_hi"), 16).as("bandval")),
       struct(lit(1).as("band"), col("h_hi").bitwiseAND(lit(0xffffL)).as("bandval")),
       struct(lit(2).as("band"), shiftright(col("h_lo"), 16).as("bandval")),
       struct(lit(3).as("band"), col("h_lo").bitwiseAND(lit(0xffffL)).as("bandval")))
-    val bb0 = hashes.select(col("doc_id"), explode(bandStructs).as("bs"))
+    hashes.select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bandval").as("bandval"))
+  }
+
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3,
+                 maxBandOccupancy: Long = 0L): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding is exact only for hamming <= 3")
+    val bb0 = bandRows(hashes)
     // optional hot-bucket screen: one map-side-combinable groupBy on
     // the band key, hint-free join back (the bucket-frequency frame
     // is corpus-derived — Catalyst broadcasts it while it fits)
@@ -487,6 +505,97 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** ARRIVAL-vs-CORPUS banded match — the incremental twin of
+    * [[phashPairs]]' self-join (the d15/d19 incremental rule applied
+    * to perceptual hashes): arriving media hashes are matched against
+    * a corpus-side hash frame through the SAME 4×16 banding
+    * ([[bandRows]] — pigeonhole-exact at hamming ≤ 3) and the same
+    * exact popcount verify, producing (doc_id, match_id, hamming)
+    * with the arrival on the left. Cost is O(arrivals × bucket
+    * occupancy), never a corpus self-join: the arrival side is
+    * batch-scaled, so Catalyst broadcasts it against the corpus band
+    * scan (hint-free — it shuffles on the band key only if a batch
+    * outgrows a broadcast). `maxBandOccupancy` caps CORPUS-side
+    * bucket fan-out (the phashPairs blank-media defense; capped
+    * buckets trade pigeonhole exactness for boundedness, same
+    * contract). This is the live algebra behind the frozen media
+    * index ([[graft.sources.MediaIndexStore]]) and its streaming
+    * twin — one definition for all three read paths. */
+  def crossMatch(arrivals: DataFrame, corpus: DataFrame,
+                 maxHamming: Int = 3,
+                 maxBandOccupancy: Long = 0L): DataFrame =
+    matchAgainst(arrivals, cappedBands(corpus, maxBandOccupancy), corpus,
+      maxHamming)
+
+  /** The corpus band rows with the optional hot-bucket cap applied —
+    * ALSO the frozen media index's persisted band component
+    * ([[graft.sources.MediaIndexStore.freeze]] bakes the cap at
+    * freeze time, the frozen-index rule: verdicts never shift as
+    * arrivals come). */
+  private[graft] def cappedBands(corpus: DataFrame,
+                                 maxBandOccupancy: Long): DataFrame = {
+    val cb0 = bandRows(corpus)
+    if (maxBandOccupancy <= 0) cb0
+    else cb0.join(
+      cb0.groupBy("band", "bandval").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= maxBandOccupancy)
+        .select(col("band"), col("bandval")),
+      Seq("band", "bandval"), "left_semi")
+  }
+
+  /** The match core over an already-banded corpus side — the ONE
+    * definition the live path ([[crossMatch]]), the frozen path
+    * ([[graft.sources.MediaIndexStore.matchFrozen]]) and its
+    * streaming twin all execute; the frozen==live row equality is
+    * structural, not re-proven (the BloomStream shared-algebra
+    * rule). */
+  private[graft] def matchAgainst(arrivals: DataFrame, corpBands: DataFrame,
+      corpus: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding is exact only for hamming <= 3")
+    val ab = bandRows(arrivals)
+    val cand = ab.as("a").join(corpBands.as("c"),
+        col("a.band") === col("c.band") && col("a.bandval") === col("c.bandval"))
+      .select(col("a.doc_id").as("doc_id"), col("c.doc_id").as("match_id"))
+      .distinct()
+    val ha = arrivals.select(col("doc_id"),
+      col("h_hi").as("hi_a"), col("h_lo").as("lo_a"))
+    val hc = corpus.select(col("doc_id").as("match_id"),
+      col("h_hi").as("hi_c"), col("h_lo").as("lo_c"))
+    cand.join(ha, "doc_id").join(hc, "match_id")
+      .select(col("doc_id"), col("match_id"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_c"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_c")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** mm11: INCREMENTAL MEDIA MATCH — re-encoded copies arrive and
+    * must be matched back to their corpus originals (the production
+    * read path of media dedup: d15's increment-vs-frozen-corpus
+    * shape on mm09's perceptual hashes). The fixture's texts sit
+    * ≥ 10 hamming apart (measured — no natural ≤ 3 pairs), so the
+    * arrival stream is DERIVED deterministically: each doc_id % 10
+    * ∈ {8,9} document arrives re-encoded (its first 4 bytes
+    * overwritten — the lossy-transcode analog) under a fresh id
+    * (+1,000,000). Both engines derive the identical arrivals, hash
+    * both sides through the one [[aHashRelational]] algebra, and
+    * match via [[crossMatch]]: most arrivals land within hamming ≤ 3
+    * of exactly their original (94/100 at sf0.01); the rest
+    * correctly fall outside the gate (a transcode CAN destroy a
+    * perceptual match — the monitor-worthy residue). The frozen
+    * twin ([[graft.sources.MediaIndexStore]]) answers this same
+    * query without re-hashing the corpus; MediaShipSpec pins the
+    * row-for-row equality. */
+  def mm11IncrementalMatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 8)
+    val arrDocs = docs.filter(col("doc_id") % 10 >= 8)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("~~~~"), expr("substr(text, 5)")).as("text"))
+    crossMatch(aHashRelational(arrDocs), aHashRelational(docs))
+      .orderBy("doc_id", "match_id")
+  }
+
   /** The media E2E pipeline (VERDICT r9 #3 / r10 #4) — the three
     * real-decode stages composed the way a media dedup deployment
     * runs them: normalize ([[imageResize]] every image to one
@@ -505,12 +614,24 @@ object Multimodal {
   def mediaPipeline(media: DataFrame, tw: Int = 32, th: Int = 32,
                     maxHamming: Int = 3, maxBandOccupancy: Long = 0L,
                     idCol: String = "doc_id",
-                    binCol: String = "media"): DataFrame = {
+                    binCol: String = "media"): DataFrame =
+    phashPairs(mediaHashes(media, tw, th, idCol, binCol),
+      maxHamming, maxBandOccupancy)
+
+  /** The normalize→hash front half of [[mediaPipeline]] factored out
+    * — each (id, bytes) image reduced to (doc_id, h_hi, h_lo) inside
+    * its partition (bytes never shuffle). ONE definition for the
+    * batch pipeline, the media-index freeze
+    * ([[graft.sources.MediaIndexStore]]) and the streaming match
+    * ([[graft.streaming.MediaStream]]): frozen and arriving media
+    * hash identically by construction. */
+  def mediaHashes(media: DataFrame, tw: Int = 32, th: Int = 32,
+                  idCol: String = "doc_id",
+                  binCol: String = "media"): DataFrame = {
     import media.sparkSession.implicits._
-    val hashes = resizeBatch(media, tw, th, idCol, binCol)
+    resizeBatch(media, tw, th, idCol, binCol)
       .mapPartitions(rows => rows.map(r => imageAHash(r.id, r.png)))
       .toDF("doc_id", "h_hi", "h_lo")
-    phashPairs(hashes, maxHamming, maxBandOccupancy)
   }
 
   /** Deterministic synthetic PNG corpus for the media-pipeline bench
@@ -983,6 +1104,49 @@ object Multimodal {
         |  CAST(SUM(CAST(ceil(n_chars / 32.0) AS BIGINT)) AS BIGINT) AS total_frames,
         |  COUNT(DISTINCT md5(text)) AS n_distinct
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "mm11_incremental_match" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE len(text) >= 8),
+        |allc AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, '~~~~' || substr(text, 5) AS text
+        |  FROM src WHERE doc_id % 10 >= 8),
+        |ch AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS code, len(text) AS n
+        |  FROM allc, LATERAL unnest(generate_series(1, len(text))) AS t(i)),
+        |blk AS (SELECT doc_id, (pos * 64) // n AS b,
+        |          CAST(SUM(code) AS BIGINT) AS s, COUNT(*) AS nb
+        |        FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS st,
+        |          CAST(SUM(nb) AS BIGINT) AS nt FROM blk GROUP BY 1),
+        |bits AS (SELECT blk.doc_id, b,
+        |           CASE WHEN CAST(s AS HUGEINT) * nt > CAST(st AS HUGEINT) * nb
+        |             THEN 1 ELSE 0 END AS bit
+        |         FROM blk JOIN tot ON tot.doc_id = blk.doc_id),
+        |h AS (SELECT doc_id,
+        |        CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS h_hi,
+        |        CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS h_lo
+        |      FROM bits GROUP BY 1),
+        |arr AS (SELECT * FROM h WHERE doc_id >= 1000000),
+        |corp AS (SELECT * FROM h WHERE doc_id < 1000000),
+        |ab AS (SELECT doc_id, band, bandval FROM arr, LATERAL (VALUES
+        |         (0, h_hi >> 16), (1, h_hi & 65535),
+        |         (2, h_lo >> 16), (3, h_lo & 65535)) AS b(band, bandval)),
+        |cb AS (SELECT doc_id, band, bandval FROM corp, LATERAL (VALUES
+        |         (0, h_hi >> 16), (1, h_hi & 65535),
+        |         (2, h_lo >> 16), (3, h_lo & 65535)) AS b(band, bandval)),
+        |cand AS (SELECT DISTINCT ab.doc_id AS doc_id, cb.doc_id AS match_id
+        |         FROM ab JOIN cb USING (band, bandval)),
+        |v AS (SELECT c.doc_id, c.match_id,
+        |        CAST(bit_count(xor(a.h_hi, k.h_hi)) +
+        |             bit_count(xor(a.h_lo, k.h_lo)) AS BIGINT) AS hamming
+        |      FROM cand c
+        |      JOIN arr a ON a.doc_id = c.doc_id
+        |      JOIN corp k ON k.doc_id = c.match_id)
+        |SELECT doc_id, match_id, hamming FROM v
+        |WHERE hamming <= 3 ORDER BY doc_id, match_id""".stripMargin,
 
     "mm09_phash" ->
       """WITH ch AS (

@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The FROZEN MEDIA-HASH INDEX — the perceptual-hash corpus shipped
+  * once so arriving media match against it WITHOUT re-decoding or
+  * re-hashing 100 TB of bytes (the shipIvfpqIndex/shipBloomIndex rule
+  * applied to media dedup: the decode+hash pass is one corpus pass
+  * per freeze; the match path is arrival-scaled only).
+  *
+  * Two components per generation:
+  *  - `hash` (doc_id, h_hi, h_lo) — each corpus image reduced to two
+  *    longs (16 bytes/doc of payload at ANY media size: the pipeline
+  *    property that shuffle/storage mass is corpus-COUNT-scaled,
+  *    never corpus-BYTE-scaled);
+  *  - `bands` (doc_id, band, bandval) — the 4×16-bit band rows with
+  *    the hot-bucket occupancy cap BAKED AT FREEZE TIME
+  *    ([[graft.operators.Multimodal.cappedBands]]): the frozen-index
+  *    rule that nothing about the screen shifts as arrivals come —
+  *    a cap recomputed per batch would let one arrival flood change
+  *    earlier verdicts.
+  *
+  * Neither table is bucketed, deliberately: the match joins put the
+  * BATCH side (arrivals — bounded per trigger) against the corpus
+  * scan, so Catalyst broadcasts the small side and the corpus side is
+  * scanned, never shuffled; bucketing would buy nothing the broadcast
+  * does not already give (contrast AnnIndexStore's corpus⋈corpus ADC
+  * joins, where bucketing IS the shuffle eliminator).
+  *
+  * VERSIONED like every frozen artifact ([[FreezeStore]]): each
+  * freeze is a new `<name>_g<N>_<part>` generation committed by one
+  * atomic pointer flip; a re-freeze concurrent with a live match is
+  * wholly-old-or-wholly-new; the retention window (`retain`) keeps
+  * superseded generations for bound readers (the AnnIndexStore.write
+  * contract — a bound plan survives exactly `retain` re-freezes).
+  */
+object MediaIndexStore {
+
+  private val Parts = Seq("hash", "bands")
+
+  private def gt(name: String, gen: Long, part: String): String =
+    FreezeStore.genTable(name, gen, part)
+
+  /** Freeze a (doc_id, h_hi, h_lo) corpus hash frame under `name` and
+    * commit atomically. `maxBandOccupancy` > 0 drops hot band buckets
+    * once, here (see class doc). Returns the committed generation. */
+  def freeze(hashes: DataFrame, name: String, retain: Int = 1,
+             maxBandOccupancy: Long = 0L): Long = {
+    require(retain >= 1, "retain must keep at least the superseded generation")
+    val spark = hashes.sparkSession
+    val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
+    val gen = prev + 1
+    def save(df: DataFrame, part: String): Unit = {
+      // orphaned-location guard (see Bucketing.resetTable)
+      Bucketing.resetTable(spark, gt(name, gen, part))
+      df.withColumn("gen", lit(gen)).write.mode("overwrite").format("parquet")
+        .saveAsTable(gt(name, gen, part))
+    }
+    save(hashes.select(col("doc_id"), col("h_hi"), col("h_lo")), "hash")
+    save(graft.operators.Multimodal.cappedBands(hashes, maxBandOccupancy),
+      "bands")
+    // the COMMIT: until this flip nothing above is reachable
+    FreezeStore.flipPtr(spark, name, gen, Seq(0L))
+    // retire every generation past the retention window (the
+    // AnnIndexStore catalog-sweep rule: a retain lowered between
+    // freezes still clears what the larger window left behind)
+    FreezeStore.listGens(spark, name)
+      .filter(g => g < gen && g > 0 && g <= prev - retain)
+      .foreach(g => Parts.foreach(p => Bucketing.resetTable(spark, gt(name, g, p))))
+    gen
+  }
+
+  /** Match an arriving (doc_id, h_hi, h_lo) batch against the frozen
+    * corpus — the LITERAL live algebra
+    * ([[graft.operators.Multimodal.matchAgainst]]) over the loaded
+    * tables, so frozen == live row-for-row is structural
+    * (MediaShipSpec pins it across a fresh freeze and a re-freeze).
+    * The pointer is resolved ONCE per call, so both components come
+    * from one generation and a per-micro-batch streaming caller
+    * re-binds fresh each trigger (safe at any re-freeze cadence). */
+  def matchFrozen(spark: SparkSession, arrivals: DataFrame, name: String,
+                  maxHamming: Int = 3): DataFrame = {
+    val (gen, _) = FreezeStore.readPtr(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen media index named $name"))
+    def part(p: String) = spark.table(gt(name, gen, p)).drop("gen")
+    graft.operators.Multimodal.matchAgainst(
+      arrivals, part("bands"), part("hash"), maxHamming)
+  }
+
+  /** The live generation number (staleness / audit hooks). */
+  def liveGen(spark: SparkSession, name: String): Option[Long] =
+    FreezeStore.readPtr(spark, name).map(_._1)
+
+  /** Drop the whole family — pointer and every generation. */
+  def drop(spark: SparkSession, name: String): Unit =
+    FreezeStore.dropAll(spark, name)
+}

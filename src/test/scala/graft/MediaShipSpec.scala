@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.sources.{FreezeStore, MediaIndexStore, Tables}
+import graft.streaming.MediaStream
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The frozen media-hash index: frozen match == the live crossMatch
+  * (the shared matchAgainst core makes it structural — this pins the
+  * store's load path), the incremental identity against the self-join
+  * pair path, the versioned re-freeze + retention sweep, and the
+  * streaming twin (per-batch pointer binding, checkpoint-restart
+  * replay, mid-stream re-freeze boundary). */
+class MediaShipSpec extends SparkSpec {
+
+  /** mm11's derived sides over the documents fixture (the driver key's
+    * own split): corpus = every doc's relational aHash, arrivals =
+    * re-encoded copies of the %10∈{8,9} docs under +1,000,000 ids. */
+  private def sides() = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 8)
+    val arrDocs = docs.filter(col("doc_id") % 10 >= 8)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("~~~~"), expr("substr(text, 5)")).as("text"))
+    (Multimodal.aHashRelational(arrDocs), Multimodal.aHashRelational(docs))
+  }
+
+  test("frozen match equals the live crossMatch (and the mm11 driver key)") {
+    val (arr, corp) = sides()
+    MediaIndexStore.drop(spark, "mediafr1")
+    try {
+      MediaIndexStore.freeze(corp, "mediafr1")
+      val want = Multimodal.crossMatch(arr, corp)
+        .orderBy("doc_id", "match_id").collect().toSeq
+      val got = MediaIndexStore.matchFrozen(spark, arr, "mediafr1")
+        .orderBy("doc_id", "match_id").collect().toSeq
+      assert(want.nonEmpty, "fixture must produce arrival matches")
+      assert(got == want, s"frozen match != live (${got.length} vs ${want.length})")
+      // and the driver key is exactly this algebra, ordered
+      val mm11 = Multimodal.mm11IncrementalMatch(spark, sf).collect().toSeq
+      assert(mm11 == want, "mm11 must be the ordered live crossMatch")
+    } finally MediaIndexStore.drop(spark, "mediafr1")
+  }
+
+  test("incremental identity: union self-join pairs = corpus pairs + batch pairs + cross matches") {
+    // constructed hash frame: a corpus-internal near pair (1,2), an
+    // arrival-internal near pair (101,102), a true cross match
+    // (3→103), and isolated docs on both sides
+    val corp = spark.createDataFrame(Seq(
+      (1L, 0x1111222233334444L, 0x5555666677778888L),
+      (2L, 0x1111222233334445L, 0x5555666677778888L), // ham 1 vs 1
+      (3L, 0x0f0f0f0f0f0f0f0fL, 0x00ff00ff00ff00ffL),
+      (4L, 0x123456789abcdef0L, 0x0fedcba987654321L)))
+      .toDF("doc_id", "h_hi", "h_lo")
+    val arr = spark.createDataFrame(Seq(
+      (101L, 0x7777000011110000L, 0x2222000033330000L),
+      (102L, 0x7777000011110001L, 0x2222000033330000L), // ham 1 vs 101
+      (103L, 0x0f0f0f0f0f0f0f1fL, 0x00ff00ff00ff00ffL), // ham 1 vs 3
+      (104L, 0x5a5a5a5a5a5a5a5aL, 0xa5a5a5a5a5a5a5a5L)))
+      .toDF("doc_id", "h_hi", "h_lo")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unionPairs = pairSet(Multimodal.phashPairs(corp.unionByName(arr)))
+    val corpPairs = pairSet(Multimodal.phashPairs(corp))
+    val arrPairs = pairSet(Multimodal.phashPairs(arr))
+    // crossMatch orients (arrival, corpus); arrival ids are larger, so
+    // the union self-join sees the same pair as (corpus, arrival)
+    val cross = Multimodal.crossMatch(arr, corp).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    assert(corpPairs == Set((1L, 2L, 1L)) && arrPairs == Set((101L, 102L, 1L))
+      && cross == Set((3L, 103L, 1L)), "constructed fixture must hit all three kinds")
+    assert(unionPairs == (corpPairs ++ arrPairs ++ cross),
+      "the incremental split must lose and invent nothing")
+  }
+
+  test("re-freeze is wholly-old-or-new and the retention window sweeps") {
+    val (arr, corp) = sides()
+    MediaIndexStore.drop(spark, "mediafr2")
+    try {
+      MediaIndexStore.freeze(corp, "mediafr2")
+      val r1 = MediaIndexStore.matchFrozen(spark, arr, "mediafr2")
+        .orderBy("doc_id", "match_id").collect().toSeq
+      // re-freeze over HALF the corpus: matches into the dropped half
+      // must vanish, and nothing may mix generations
+      val corp2 = corp.filter(col("doc_id") % 2 === 0)
+      MediaIndexStore.freeze(corp2, "mediafr2")
+      val r2 = MediaIndexStore.matchFrozen(spark, arr, "mediafr2")
+        .orderBy("doc_id", "match_id").collect().toSeq
+      val want2 = Multimodal.crossMatch(arr, corp2)
+        .orderBy("doc_id", "match_id").collect().toSeq
+      assert(r2 == want2, "post-re-freeze match must be wholly generation 2")
+      assert(r1 != r2 && r2.forall(r => r.getLong(1) % 2 == 0),
+        "the re-freeze must actually change answers for this test to prove anything")
+      // retention: gen 1 survives one re-freeze (a bound reader's
+      // window), the third freeze sweeps it
+      assert(FreezeStore.listGens(spark, "mediafr2") == Seq(1L, 2L))
+      MediaIndexStore.freeze(corp, "mediafr2")
+      assert(FreezeStore.listGens(spark, "mediafr2") == Seq(2L, 3L))
+    } finally MediaIndexStore.drop(spark, "mediafr2")
+  }
+
+  test("streaming match: restart replay + mid-stream re-freeze boundary") {
+    // real-decode path over the rendered PNG corpus: families of 8
+    // (doc div 8), variants within hamming <= 2 by construction
+    val png = Multimodal.syntheticPngCorpus(spark, sf)
+      .filter(col("doc_id") < 48).cache() // 6 whole families, deterministic
+    val corpusImgs = png.filter(col("doc_id") % 8 < 6)
+    val arrivalImgs = png.filter(col("doc_id") % 8 >= 6)
+    val in = Files.createTempDirectory("mediain").toString
+    val ckpt = Files.createTempDirectory("mediackpt").toString
+    val out = Files.createTempDirectory("mediaout").toString
+    MediaIndexStore.drop(spark, "mediafr3")
+    try {
+      MediaIndexStore.freeze(Multimodal.mediaHashes(corpusImgs), "mediafr3")
+      def runOnce(): Unit = {
+        val streamed = spark.readStream
+          .schema(spark.read.parquet(in).schema).parquet(in)
+        MediaStream.matchStream(streamed, "mediafr3", out, ckpt)
+          .awaitTermination()
+      }
+      val waveA = arrivalImgs.filter(col("doc_id") % 8 === 6)
+      val waveB = arrivalImgs.filter(col("doc_id") % 8 === 7)
+      val wantA = MediaIndexStore
+        .matchFrozen(spark, Multimodal.mediaHashes(waveA), "mediafr3")
+        .orderBy("doc_id", "match_id").collect().toSeq
+      waveA.write.mode("overwrite").parquet(in)
+      runOnce() // batch 0 binds generation 1
+
+      // staleness-triggered re-freeze BETWEEN batches: family 0's
+      // corpus members leave the index
+      MediaIndexStore.freeze(
+        Multimodal.mediaHashes(corpusImgs.filter(col("doc_id") >= 8)),
+        "mediafr3")
+      val wantB = MediaIndexStore
+        .matchFrozen(spark, Multimodal.mediaHashes(waveB), "mediafr3")
+        .orderBy("doc_id", "match_id").collect().toSeq
+      waveB.write.mode("append").parquet(in)
+      runOnce() // checkpoint restart; batch 1 binds generation 2
+
+      def batchRows(b: Int) = spark.read.parquet(s"$out/batch=$b")
+        .orderBy("doc_id", "match_id").collect().toSeq
+      assert(wantA.nonEmpty && batchRows(0) == wantA,
+        "batch 0 must be wholly generation 1")
+      assert(wantB.nonEmpty && batchRows(1) == wantB,
+        "batch 1 must be wholly generation 2")
+      assert(wantB.forall(_.getLong(1) >= 8),
+        "generation 2 must not answer from the dropped family")
+      assert(wantA.exists(_.getLong(1) < 8),
+        "generation 1 must have answered from the dropped family for " +
+          "the boundary to prove anything")
+    } finally {
+      MediaIndexStore.drop(spark, "mediafr3")
+      png.unpersist()
+    }
+  }
+}
