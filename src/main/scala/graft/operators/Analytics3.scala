@@ -770,11 +770,15 @@ object Analytics3 {
   /** q48's core over any lineitem/supplier/part frames. */
   private[graft] def q48From(lineitem: DataFrame, supplier: DataFrame,
                              part: DataFrame): DataFrame = {
-    val ps = lineitem
+    // OpCache'd: the pair frame branches into its own re-aggregate
+    // (perPart) AND the join-back — unpinned, each branch re-scans
+    // the corpus and repeats the pair shuffle (plan-audited); the
+    // cached frame is (part, supplier)-bounded, never corpus-sized
+    val ps = OpCache.cached(lineitem
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy("l_partkey", "l_suppkey")
-      .agg(sum(dec2(col("l_quantity"))).as("q_dec"))
+      .agg(sum(dec2(col("l_quantity"))).as("q_dec")))
     val perPart = ps.groupBy("l_partkey")
       .agg(sum(col("q_dec")).as("t_dec"), count(lit(1)).as("n_supp"))
     ps.join(perPart, "l_partkey")
