@@ -54,7 +54,8 @@ object MediaIndexStore {
     def save(df: DataFrame, part: String): Unit = {
       // orphaned-location guard (see Bucketing.resetTable)
       Bucketing.resetTable(spark, gt(name, gen, part))
-      df.withColumn("gen", lit(gen)).write.mode("overwrite").format("parquet")
+      df.withColumn("batch", lit(0L)).withColumn("gen", lit(gen))
+        .write.mode("overwrite").format("parquet")
         .saveAsTable(gt(name, gen, part))
     }
     save(hashes.select(col("doc_id"), col("h_hi"), col("h_lo")), "hash")
@@ -81,11 +82,51 @@ object MediaIndexStore {
     * re-binds fresh each trigger (safe at any re-freeze cadence). */
   def matchFrozen(spark: SparkSession, arrivals: DataFrame, name: String,
                   maxHamming: Int = 3): DataFrame = {
-    val (gen, _) = FreezeStore.readPtr(spark, name).getOrElse(
+    val (gen, batches) = FreezeStore.readPtr(spark, name).getOrElse(
       throw new IllegalStateException(s"no frozen media index named $name"))
-    def part(p: String) = spark.table(gt(name, gen, p)).drop("gen")
+    // committed batches only — a half-landed append is invisible (the
+    // AnnIndexStore reserve-then-commit contract); the filter is a
+    // pushed parquet predicate over the tiny batch column
+    def part(p: String) = spark.table(gt(name, gen, p))
+      .filter(col("batch").isin(batches: _*)).drop("batch", "gen")
     graft.operators.Multimodal.matchAgainst(
       arrivals, part("bands"), part("hash"), maxHamming)
+  }
+
+  /** APPEND an arriving (doc_id, h_hi, h_lo) batch to the live
+    * generation — the d15 absorb step: once matched, today's arrivals
+    * become tomorrow's corpus without re-hashing anything
+    * (O(arrivals); the corpus is never re-read).
+    *
+    * RESERVE-THEN-COMMIT (the [[AnnIndexStore.append]] protocol): the
+    * batch id is burnt into the pointer's high-water column by a
+    * metadata-only flip BEFORE any data lands, then both parts land
+    * stamped with it — invisible to every reader's committed-batch
+    * filter — and the final flip commits. A crash anywhere before the
+    * commit leaves invisible orphan rows and an index that answers
+    * exactly as before; the orphan's id is never reused.
+    *
+    * CAP CAVEAT (documented, not a bug): the freeze-time hot-bucket
+    * cap is NOT re-evaluated over appended rows — re-counting bucket
+    * occupancy corpus-wide would be the corpus pass this method
+    * exists to avoid. Appended band rows join uncapped until the next
+    * [[freeze]] re-bakes the cap over the full corpus (the same
+    * drift-then-re-freeze cadence qa04 schedules for the ANN index). */
+  def append(hashes: DataFrame, name: String): Unit = {
+    val spark = hashes.sparkSession
+    val (gen, batches, hwm) = FreezeStore.readPtrFull(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen media index named $name"))
+    val batch = hwm + 1
+    // RESERVE: readers unaffected; a crash from here on burns the id
+    FreezeStore.flipPtr(spark, name, gen, batches, hwm = batch)
+    def land(df: DataFrame, part: String): Unit =
+      df.withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
+        .write.mode("append").format("parquet")
+        .saveAsTable(gt(name, gen, part))
+    land(hashes.select(col("doc_id"), col("h_hi"), col("h_lo")), "hash")
+    land(graft.operators.Multimodal.bandRows(hashes), "bands")
+    // COMMIT: the batch becomes visible to new matches
+    FreezeStore.flipPtr(spark, name, gen, batches :+ batch, hwm = batch)
   }
 
   /** The live generation number (staleness / audit hooks). */

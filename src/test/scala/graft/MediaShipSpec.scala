@@ -101,6 +101,53 @@ class MediaShipSpec extends SparkSpec {
     } finally MediaIndexStore.drop(spark, "mediafr2")
   }
 
+  test("append is reserve-then-commit: uncommitted invisible, committed == live union") {
+    val (arr, corp) = sides()
+    val c1 = corp.filter(col("doc_id") % 2 === 0)
+    val c2 = corp.filter(col("doc_id") % 2 =!= 0)
+    MediaIndexStore.drop(spark, "mediafr4")
+    try {
+      MediaIndexStore.freeze(c1, "mediafr4")
+      def matched() = MediaIndexStore.matchFrozen(spark, arr, "mediafr4")
+        .orderBy("doc_id", "match_id").collect().toSeq
+      val before = matched()
+
+      // simulate an append that crashed AFTER reserving its id and
+      // landing rows but BEFORE the commit flip: identical content to
+      // the later real append — invisibility is decided by the batch
+      // id, never by the rows
+      val (gen, batches, hwm) =
+        FreezeStore.readPtrFull(spark, "mediafr4").get
+      FreezeStore.flipPtr(spark, "mediafr4", gen, batches, hwm = hwm + 1)
+      Seq("hash" -> c2.select(col("doc_id"), col("h_hi"), col("h_lo")),
+          "bands" -> graft.operators.Multimodal.bandRows(c2))
+        .foreach { case (p, df) =>
+          df.withColumn("batch", lit(hwm + 1)).withColumn("gen", lit(gen))
+            .write.mode("append").format("parquet")
+            .saveAsTable(FreezeStore.genTable("mediafr4", gen, p))
+        }
+      spark.sharedState.cacheManager.clearCache()
+      assert(matched() == before,
+        "a half-landed append must never reach a match")
+
+      // the real append reads the advanced high-water mark, burns a
+      // FRESH id past the orphan, and commits
+      MediaIndexStore.append(c2, "mediafr4")
+      val want = Multimodal.crossMatch(arr, c1.unionByName(c2))
+        .orderBy("doc_id", "match_id").collect().toSeq
+      val got = matched()
+      assert(got == want,
+        s"committed append must equal the live union (${got.length} vs ${want.length})")
+      assert(got != before && before.forall(r => r.getLong(1) % 2 == 0)
+        && got.exists(r => r.getLong(1) % 2 == 1),
+        "the append must actually add odd-corpus matches to prove anything")
+      val (_, batchesAfter, hwmAfter) =
+        FreezeStore.readPtrFull(spark, "mediafr4").get
+      assert(hwmAfter == hwm + 2 && !batchesAfter.contains(hwm + 1),
+        "the orphan's id must be burnt, never committed")
+    } finally MediaIndexStore.drop(spark, "mediafr4")
+  }
+
   test("streaming match: restart replay + mid-stream re-freeze boundary") {
     // real-decode path over the rendered PNG corpus: families of 8
     // (doc div 8), variants within hamming <= 2 by construction
