@@ -182,6 +182,7 @@ object SparkEntry {
     "q42_seasonal" -> (Analytics3.q42Seasonal _),
     "mm09_phash" -> (Multimodal.mm09Phash _),
     "mm11_incremental_match" -> (Multimodal.mm11IncrementalMatch _),
+    "mm12_band_drift" -> (Multimodal.mm12BandDrift _),
     "q43_local_supplier" -> (Analytics3.q43LocalSupplier _),
     "qa12_skew_audit" -> (Analytics3.qa12SkewAudit _),
     "g04_incremental_triangles" -> (Graph.g04IncrementalTriangles _),

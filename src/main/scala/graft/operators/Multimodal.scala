@@ -586,14 +586,66 @@ object Multimodal {
     * query without re-hashing the corpus; MediaShipSpec pins the
     * row-for-row equality. */
   def mm11IncrementalMatch(spark: SparkSession, dir: String): DataFrame = {
+    val (arr, corp) = incrementalSides(spark, dir)
+    crossMatch(arr, corp).orderBy("doc_id", "match_id")
+  }
+
+  /** The mm11/mm12 fixture sides — corpus = every doc's relational
+    * aHash, arrivals = the derived re-encoded copies (see
+    * [[mm11IncrementalMatch]]); ONE definition so the match and its
+    * staleness monitor grade the same stream. */
+  private def incrementalSides(spark: SparkSession,
+                               dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 8)
     val arrDocs = docs.filter(col("doc_id") % 10 >= 8)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("~~~~"), expr("substr(text, 5)")).as("text"))
-    crossMatch(aHashRelational(arrDocs), aHashRelational(docs))
-      .orderBy("doc_id", "match_id")
+    (aHashRelational(arrDocs), aHashRelational(docs))
+  }
+
+  /** mm12: BAND-DRIFT staleness monitor for the media-hash index —
+    * qa04's role (WHEN to re-freeze) for the media family: per band
+    * of the 4×16 LSH banding, how well the FROZEN corpus's bucket
+    * population still covers what arrives. Signals a deployment
+    * schedules a re-freeze (and re-bake of the hot-bucket cap) on:
+    *
+    *  - `n_new_buckets` / falling `hit_share`: arrival band values
+    *    unseen in the corpus — those arrivals cannot candidate-join
+    *    at all, so the index no longer covers arriving content (the
+    *    match's recall proxy, measured WITHOUT ground truth);
+    *  - `max_corp_occ`: the hottest corpus bucket — the cap-tuning
+    *    input (a growing hot bucket is the phashPairs degenerate-
+    *    media flood forming).
+    *
+    * All decision columns are exact integers (counts); `hit_share`
+    * is ONE division of exact counts (oracle-identical doubles).
+    * Scale shape: two map-side-combinable bucket aggregates, one
+    * bucket-bounded left join, 4 output rows at any corpus size. */
+  def mm12BandDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (arr, corp) = incrementalSides(spark, dir)
+    val cbo = bandRows(corp).groupBy("band", "bandval")
+      .agg(count(lit(1)).as("occ"))
+    val abo = bandRows(arr).groupBy("band", "bandval")
+      .agg(count(lit(1)).as("n"))
+    val cagg = cbo.groupBy("band")
+      .agg(count(lit(1)).as("n_corp_buckets"), max(col("occ")).as("max_corp_occ"))
+    val aagg = abo
+      .join(cbo.select(col("band"), col("bandval"), lit(1L).as("hit")),
+        Seq("band", "bandval"), "left")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_arr_buckets"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_new_buckets"),
+        sum(col("n")).as("n_arr_rows"),
+        sum(when(col("hit").isNotNull, col("n")).otherwise(0L)).as("n_arr_hit"))
+    cagg.join(aagg, "band")
+      .select(col("band").cast("long").as("band"),
+        col("n_corp_buckets"), col("max_corp_occ"),
+        col("n_arr_buckets"), col("n_new_buckets"),
+        col("n_arr_rows"), col("n_arr_hit"),
+        (col("n_arr_hit").cast("double") / col("n_arr_rows")).as("hit_share"))
+      .orderBy("band")
   }
 
   /** The media E2E pipeline (VERDICT r9 #3 / r10 #4) — the three
@@ -1147,6 +1199,55 @@ object Multimodal {
         |      JOIN corp k ON k.doc_id = c.match_id)
         |SELECT doc_id, match_id, hamming FROM v
         |WHERE hamming <= 3 ORDER BY doc_id, match_id""".stripMargin,
+
+    "mm12_band_drift" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE len(text) >= 8),
+        |allc AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, '~~~~' || substr(text, 5) AS text
+        |  FROM src WHERE doc_id % 10 >= 8),
+        |ch AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS code, len(text) AS n
+        |  FROM allc, LATERAL unnest(generate_series(1, len(text))) AS t(i)),
+        |blk AS (SELECT doc_id, (pos * 64) // n AS b,
+        |          CAST(SUM(code) AS BIGINT) AS s, COUNT(*) AS nb
+        |        FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS st,
+        |          CAST(SUM(nb) AS BIGINT) AS nt FROM blk GROUP BY 1),
+        |bits AS (SELECT blk.doc_id, b,
+        |           CASE WHEN CAST(s AS HUGEINT) * nt > CAST(st AS HUGEINT) * nb
+        |             THEN 1 ELSE 0 END AS bit
+        |         FROM blk JOIN tot ON tot.doc_id = blk.doc_id),
+        |h AS (SELECT doc_id,
+        |        CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS h_hi,
+        |        CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS h_lo
+        |      FROM bits GROUP BY 1),
+        |ab AS (SELECT doc_id, band, bandval FROM h, LATERAL (VALUES
+        |         (0, h_hi >> 16), (1, h_hi & 65535),
+        |         (2, h_lo >> 16), (3, h_lo & 65535)) AS b(band, bandval)
+        |       WHERE doc_id >= 1000000),
+        |cb AS (SELECT doc_id, band, bandval FROM h, LATERAL (VALUES
+        |         (0, h_hi >> 16), (1, h_hi & 65535),
+        |         (2, h_lo >> 16), (3, h_lo & 65535)) AS b(band, bandval)
+        |       WHERE doc_id < 1000000),
+        |cbo AS (SELECT band, bandval, COUNT(*) AS occ FROM cb GROUP BY 1, 2),
+        |abo AS (SELECT band, bandval, COUNT(*) AS n FROM ab GROUP BY 1, 2),
+        |cagg AS (SELECT band, COUNT(*) AS n_corp_buckets,
+        |           CAST(MAX(occ) AS BIGINT) AS max_corp_occ
+        |         FROM cbo GROUP BY 1),
+        |aagg AS (SELECT a.band, COUNT(*) AS n_arr_buckets,
+        |           CAST(SUM(CASE WHEN c.bandval IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_buckets,
+        |           CAST(SUM(a.n) AS BIGINT) AS n_arr_rows,
+        |           CAST(SUM(CASE WHEN c.bandval IS NOT NULL THEN a.n ELSE 0 END) AS BIGINT) AS n_arr_hit
+        |         FROM abo a LEFT JOIN cbo c
+        |           ON a.band = c.band AND a.bandval = c.bandval
+        |         GROUP BY 1)
+        |SELECT CAST(band AS BIGINT) AS band, n_corp_buckets, max_corp_occ,
+        |  n_arr_buckets, n_new_buckets, n_arr_rows, n_arr_hit,
+        |  CAST(n_arr_hit AS DOUBLE) / n_arr_rows AS hit_share
+        |FROM cagg JOIN aagg USING (band) ORDER BY band""".stripMargin,
 
     "mm09_phash" ->
       """WITH ch AS (
