@@ -85,4 +85,38 @@ class NoBroadcastSpec extends SparkSpec {
       assert(d == s, "frozen search diverges without broadcast joins")
     } finally graft.sources.AnnIndexStore.drop(spark, "nb_frozen")
   }
+
+  // round 11: the media match's band/hash joins are hint-free (the
+  // arrival side broadcasts while it fits, shuffles past that — the
+  // claim the scale story rests on), q47's order-aggregate join-back
+  // and q48's pair↔scalar join-back likewise; the FROZEN media match
+  // must answer identically when its loaded-table joins flip
+  test("media match + q47/q48: identical results with broadcasting disabled") {
+    for (name <- Seq("mm11_incremental_match", "mm12_band_drift",
+                     "q47_sole_fault", "q48_dominant_supplier")) {
+      val default = rows(SparkEntry.queries(name)(spark, sf))
+      val shuffled = withNoBroadcast {
+        rows(SparkEntry.queries(name)(spark, sf))
+      }
+      assert(default == shuffled, s"$name diverges without broadcast joins")
+    }
+
+    val corp = graft.operators.Multimodal.mm09Phash(spark, sf)
+      .select("doc_id", "h_hi", "h_lo")
+    graft.sources.MediaIndexStore.drop(spark, "nb_media")
+    try {
+      graft.sources.MediaIndexStore.freeze(corp, "nb_media")
+      val arr = corp.filter(org.apache.spark.sql.functions.col("doc_id") < 20)
+      val d = rows(graft.sources.MediaIndexStore
+        .matchFrozen(spark, arr, "nb_media", maxHamming = 0)
+        .orderBy("doc_id", "match_id"))
+      val s = withNoBroadcast {
+        rows(graft.sources.MediaIndexStore
+          .matchFrozen(spark, arr, "nb_media", maxHamming = 0)
+          .orderBy("doc_id", "match_id"))
+      }
+      assert(d.nonEmpty && d == s,
+        "frozen media match diverges without broadcast joins")
+    } finally graft.sources.MediaIndexStore.drop(spark, "nb_media")
+  }
 }
