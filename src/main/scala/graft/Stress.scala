@@ -298,6 +298,34 @@ object Stress {
       graft.operators.Multimodal.phashPairs(
         graft.operators.Multimodal.mm09From(keepers)).count())
 
+    // media-hash INDEX lifecycle (round 11b) under the production
+    // asymmetry (the d17/d19 pattern): frozen corpus replicated
+    // mult×, arrival batch FIXED — re-uploads of the base corpus
+    // slice under shifted ids, so every arrival matches its mult
+    // hash-identical replicas (matches = arrivals × mult, the raw
+    // candidate fan-out worst case; production runs dedup-first or
+    // the freeze-time cap — measured UNCAPPED here to read the
+    // growth). Freeze = one pass over the replicated hash corpus;
+    // match wall should track the candidate mass (mult× at fixed
+    // arrivals); append of the fixed batch should stay FLAT across
+    // multipliers — the O(arrivals) reserve-then-commit contract
+    val medCorp = graft.operators.Multimodal.mm09From(
+        docs.filter(col("doc_id") % 10 < 8))
+      .select("doc_id", "h_hi", "h_lo")
+    val medArr = graft.operators.Multimodal.mm09From(
+        base.filter(col("doc_id") % 10 < 8))
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        col("h_hi"), col("h_lo"))
+    graft.sources.MediaIndexStore.drop(spark, "stress_media")
+    time("media index freeze")(
+      graft.sources.MediaIndexStore.freeze(medCorp, "stress_media"))
+    val nMedMatch = time("media frozen match")(
+      graft.sources.MediaIndexStore
+        .matchFrozen(spark, medArr, "stress_media").count())
+    time("media append (fixed batch)")(
+      graft.sources.MediaIndexStore.append(medArr, "stress_media"))
+    graft.sources.MediaIndexStore.drop(spark, "stress_media")
+
     // scene-aware sampling (mm07) over the replicated frame index:
     // both windows are partitioned by doc_id (bounded by item
     // length), so wall tracks the frame mass and the manifest grows
@@ -387,7 +415,7 @@ object Stress {
       graft.operators.Graph.closedByCorpus(incBase, corpusRep).count())
     corpusRep.unpersist()
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"mult":$mult}""")
+    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"media_matches":$nMedMatch,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"mult":$mult}""")
     spark.stop()
   }
 }
