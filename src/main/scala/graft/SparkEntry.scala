@@ -191,7 +191,8 @@ object SparkEntry {
     "q45_big_orders" -> (Analytics3.q45BigOrders _),
     "q46_dormant_customers" -> (Analytics3.q46DormantCustomers _),
     "q47_sole_fault" -> (Analytics3.q47SoleFault _),
-    "q48_dominant_supplier" -> (Analytics3.q48DominantSupplier _)
+    "q48_dominant_supplier" -> (Analytics3.q48DominantSupplier _),
+    "q49_trade_flows" -> (Analytics3.q49TradeFlows _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -630,6 +630,48 @@ object Analytics3 {
       .orderBy("yr", "supp_nation")
   }
 
+  /** q49: TRADE FLOWS (the TPC-H Q7 shape, round 11b) — DIRECTIONAL
+    * nation-pair revenue: for every (supplier nation → customer
+    * nation) pair with the two nations distinct, yearly shipped
+    * revenue and item count. q43 localizes (nation == nation), q44
+    * shares within one region; this is the remaining classic — the
+    * TWO-DIMENSION-KEYED corpus join where each fact row carries one
+    * dimension attribute from each side of the trade.
+    *
+    * Plan shape: two broadcast dimension legs (supplier→nation,
+    * customer→nation — both bounded), two hint-free corpus joins
+    * (lineitem⋈orders on orderkey, ⋈customer-leg on custkey), the
+    * cross-nation filter BEFORE the aggregate, one
+    * map-side-combinable groupBy on the bounded
+    * (nation, nation, year) key. Revenue is the q01 exact-decimal
+    * discipline; year() matches on both engines over the shared
+    * timestamp column. */
+  def q49TradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(n.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val revenue = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_items"), sum(revenue).as("rev_dec"))
+      .select(col("supp_nation"), col("cust_nation"),
+        col("l_year").cast("long").as("l_year"), col("n_items"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** q45: LARGE-VOLUME ORDERS (the TPC-H Q18 shape, round 9) — the
     * AGGREGATE-AS-JOIN-FILTER plan the engine hadn't exercised: a
     * corpus-scale groupBy with a HAVING threshold (orders whose
@@ -1012,6 +1054,22 @@ object Analytics3 {
           |JOIN part ON l_partkey = p_partkey
           |WHERE n_supp >= 2 AND q_dec * 2 > t_dec
           |ORDER BY s_suppkey, p_partkey""".stripMargin,
+
+      "q49_trade_flows" ->
+        """WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+          |           FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+          |cn AS (SELECT c_custkey, n_name AS cust_nation
+          |       FROM customer JOIN nation ON c_nationkey = n_nationkey)
+          |SELECT supp_nation, cust_nation,
+          |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |  COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN cn ON o_custkey = c_custkey
+          |JOIN sn ON l_suppkey = s_suppkey
+          |WHERE supp_nation <> cust_nation
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
       "qa12_skew_audit" ->
         """WITH per AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
