@@ -55,4 +55,25 @@ object MediaStream {
           .save(s"$outDir/batch=$batchId")
       }
       .start()
+
+  /** Streaming twin of mm12's ARRIVAL side — the continuous
+    * band-occupancy counters a deployment watches between re-freezes
+    * (the stream_hll/stream_cms sketch pattern): arriving hashes band
+    * statelessly ([[graft.operators.Multimodal.bandRows]], the one
+    * shared banding definition) into ONE streaming groupBy in
+    * Complete mode — the rare unbounded-stream aggregation whose
+    * state is PROVABLY bounded with no watermark: at most one row
+    * per (band, 16-bit value) = 4·2¹⁶ rows ever, regardless of how
+    * much media arrives. Join the emitted counters against the
+    * frozen generation's own bucket table (static at freeze) for the
+    * continuous mm12 drift report; re-freeze when hit_share trips.
+    * Works on streaming AND batch (doc_id, h_hi, h_lo) frames —
+    * MediaShipSpec pins two-checkpoint replay == mm12's batch
+    * arrival buckets and the geometry bound. */
+  def bandCounters(hashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Multimodal.bandRows(hashes)
+      .groupBy("band", "bandval")
+      .agg(count(lit(1)).as("n"))
+  }
 }

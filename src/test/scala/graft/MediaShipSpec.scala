@@ -148,6 +148,42 @@ class MediaShipSpec extends SparkSpec {
     } finally MediaIndexStore.drop(spark, "mediafr4")
   }
 
+  test("streaming band counters: two-checkpoint replay equals mm12's arrival buckets") {
+    import spark.implicits._
+    val (arr, _) = sides()
+    val hashes = arr.select("doc_id", "h_hi", "h_lo")
+    val dir = Files.createTempDirectory("bandin").toFile
+    val ckpt = Files.createTempDirectory("bandckpt").toString
+    val schema = hashes.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = MediaStream.bandCounters(stream)
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName("band_counters")
+        .start()
+      q.awaitTermination()
+    }
+    hashes.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk1").toString)
+    runOnce()
+    hashes.filter($"doc_id" % 2 =!= 0).coalesce(1)
+      .write.parquet(new java.io.File(dir, "chunk2").toString)
+    runOnce()
+    val streamed = spark.table("band_counters")
+      .as[(Int, Long, Long)].collect()
+      .map { case (b, v, n) => (b, v) -> n }.toMap
+    val batch = MediaStream.bandCounters(hashes)
+      .as[(Int, Long, Long)].collect()
+      .map { case (b, v, n) => (b, v) -> n }.toMap
+    assert(batch.nonEmpty && streamed === batch,
+      "streamed band counters != batch arrival buckets")
+    // the bounded-state claim: the banding geometry is the cap
+    assert(streamed.size <= 4 * 65536)
+  }
+
   test("streaming match: restart replay + mid-stream re-freeze boundary") {
     // real-decode path over the rendered PNG corpus: families of 8
     // (doc div 8), variants within hamming <= 2 by construction
