@@ -643,6 +643,46 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Time-decayed top-k users per event type (q40). */
   def decayedTopk: DataFrame = Analytics3.q40DecayedTopk(spark, dir)
 
+  /** The media E2E dedup pipeline over a binary image frame:
+    * resize → perceptual hash → banded near-dup pairs (mm10). */
+  def mediaPipeline(media: DataFrame, tw: Int = 32, th: Int = 32,
+                    maxHamming: Int = 3): DataFrame =
+    Multimodal.mediaPipeline(media, tw, th, maxHamming)
+
+  /** Incremental media match: arriving re-encoded copies matched
+    * back to their corpus originals (mm11). */
+  def incrementalMediaMatch: DataFrame =
+    Multimodal.mm11IncrementalMatch(spark, dir)
+
+  /** Band-drift staleness monitor for the media index — the
+    * re-freeze trigger (mm12). */
+  def mediaBandDrift: DataFrame = Multimodal.mm12BandDrift(spark, dir)
+
+  /** Freeze a perceptual-hash corpus as a versioned named index;
+    * match arriving hash batches against it without re-hashing the
+    * corpus; absorb them with O(batch) appends. */
+  def freezeMediaIndex(hashes: DataFrame, name: String,
+                       retain: Int = 1, maxBandOccupancy: Long = 0L): Long =
+    graft.sources.MediaIndexStore.freeze(hashes, name, retain, maxBandOccupancy)
+
+  def matchFrozenMedia(arrivalHashes: DataFrame, name: String,
+                       maxHamming: Int = 3): DataFrame =
+    graft.sources.MediaIndexStore.matchFrozen(spark, arrivalHashes, name, maxHamming)
+
+  def appendMediaIndex(hashes: DataFrame, name: String): Unit =
+    graft.sources.MediaIndexStore.append(hashes, name)
+
+  /** Streaming media match against a frozen index (per-micro-batch
+    * pointer binding; idempotent per-batch-id sink). */
+  def streamingMediaMatch(mediaStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.MediaStream.matchStream(mediaStream, name, outDir, checkpoint)
+
+  /** Continuous band-occupancy counters (mm12's streaming twin —
+    * state bounded by the banding geometry). */
+  def streamingBandCounters(hashStream: DataFrame): DataFrame =
+    graft.streaming.MediaStream.bandCounters(hashStream)
+
   /** SQL front door: register every source table as a temp view
     * (`graft_documents`, `graft_events`, …) and the custom
     * expressions (`regexp_extract_groups`, `long_array_dot`) in the

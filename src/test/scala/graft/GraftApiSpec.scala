@@ -323,6 +323,25 @@ class GraftApiSpec extends SparkSpec {
     assert(m.getAs[Long]("message_size") === 9L)
   }
 
+  test("round-11 media family is reachable through the facade") {
+    val m = g.incrementalMediaMatch.collect()
+    assert(m.nonEmpty && m.forall(_.getLong(2) <= 3),
+      "mm11 matches within the hamming gate")
+    assert(g.mediaBandDrift.count() === 4, "one drift row per band")
+    val hashes = g.documents.sparkSession.createDataFrame(Seq(
+      (1L, 7L, 9L), (2L, 7L, 9L))).toDF("doc_id", "h_hi", "h_lo")
+    try {
+      g.freezeMediaIndex(hashes.filter(hashes("doc_id") === 1L), "api_media")
+      assert(g.matchFrozenMedia(hashes.filter(hashes("doc_id") === 2L),
+        "api_media").count() === 1)
+      g.appendMediaIndex(hashes.filter(hashes("doc_id") === 2L), "api_media")
+      assert(g.matchFrozenMedia(hashes, "api_media").count() === 4,
+        "both arrivals now match both absorbed corpus rows")
+      assert(g.streamingBandCounters(hashes).count() === 4,
+        "identical hashes share all four band buckets")
+    } finally graft.sources.MediaIndexStore.drop(g.documents.sparkSession, "api_media")
+  }
+
   test("NOQUEUE rejected deliveries land in the deliveries table") {
     // reference: SmtpRe's qid alternation is `([a-zA-Z0-9]+|NOQUEUE)`
     // (maillog2db.go:52) — a rejected delivery has no queue id but is
