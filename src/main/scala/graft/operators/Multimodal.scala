@@ -625,6 +625,13 @@ object Multimodal {
     * bucket-bounded left join, 4 output rows at any corpus size. */
   def mm12BandDrift(spark: SparkSession, dir: String): DataFrame = {
     val (arr, corp) = incrementalSides(spark, dir)
+    mm12From(arr, corp)
+  }
+
+  /** mm12's core over any arrival/corpus (doc_id, h_hi, h_lo) hash
+    * frames — PropertySpec injects a novel-content batch to show the
+    * drift signals move (the qa04From pattern). */
+  private[graft] def mm12From(arr: DataFrame, corp: DataFrame): DataFrame = {
     val cbo = bandRows(corp).groupBy("band", "bandval")
       .agg(count(lit(1)).as("occ"))
     val abo = bandRows(arr).groupBy("band", "bandval")

@@ -940,4 +940,39 @@ class PropertySpec extends SparkSpec {
       }.sorted
     assert(got == want, "q46 must equal the local scalar+anti reference")
   }
+
+  test("mm12 band-drift signals move when arriving media is novel") {
+    // corpus: 50 hashes over a small value family (bands populated);
+    // matched arrivals: exact re-uploads of corpus hashes — every
+    // band value known, hit_share 1.0, no new buckets. Novel
+    // arrivals: a DISJOINT value family (band values the corpus never
+    // produced) — zero hits, every bucket new. That separation IS the
+    // re-freeze trigger mm12 exists to provide.
+    val rnd = new Random(7)
+    val corpRows = (0L until 50L).map(i =>
+      (i, (rnd.nextInt(1 << 30)).toLong, (rnd.nextInt(1 << 30)).toLong))
+    val corp = corpRows.toDF("doc_id", "h_hi", "h_lo")
+    val matchedArr = corpRows.take(10).map { case (i, hi, lo) =>
+      (i + 1000L, hi, lo) }.toDF("doc_id", "h_hi", "h_lo")
+    // novel hashes with bit 31 set: corpus hashes are < 2^30, so
+    // their band-0/2 values (h >> 16) stay under 2^14 while novel
+    // band-0/2 values are >= 0x8000 — those two bands are GUARANTEED
+    // all-new (bands 1/3 are 16-bit masks and may collide by chance;
+    // the assertions only rely on the guaranteed bands)
+    val novelArr = (0L until 10L).map { i =>
+      val v = 0x8000_8000L | (i << 1)
+      (i + 2000L, v, v | 1L)
+    }.toDF("doc_id", "h_hi", "h_lo")
+    def signals(arr: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val rows = graft.operators.Multimodal.mm12From(arr, corp).collect()
+      (rows.map(_.getAs[Long]("n_new_buckets")).sum,
+        rows.map(_.getAs[Double]("hit_share")).min)
+    }
+    val (newMatched, hitMatched) = signals(matchedArr)
+    assert(newMatched == 0L && hitMatched == 1.0,
+      s"re-uploads must read fully covered ($newMatched new, $hitMatched hit)")
+    val (newNovel, hitNovel) = signals(novelArr)
+    assert(hitNovel < 1.0 && newNovel > 0L,
+      s"novel content must trip the monitor ($newNovel new, $hitNovel hit)")
+  }
 }
