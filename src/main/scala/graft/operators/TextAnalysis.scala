@@ -230,6 +230,11 @@ object TextAnalysis {
   private[graft] def bm25ScoredFrom(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // deliberately NOT spread across cores (Tables.spreadSmallScan):
+    // measured at sf0.1, repartitioning the raw text before tokenize
+    // costs more than the parallelism returns (1.02s → 1.41s) — this
+    // query is stage-latency-bound, not tokenize-bound, and at
+    // production scale the scan parallelizes by itself
     val d = docs.select(col("doc_id"), tokens(col("text")).as("t"))
     val tok = d.select(col("doc_id"), explode(col("t")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -32,6 +32,27 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Adaptive input-parallelism spread for scans whose file layout
+    * under-splits the cluster: parquet never splits inside a row
+    * group, so a corpus that arrives as a handful of small files (the
+    * sf0.1 fixture's `documents` is ONE 584 KB file = one row group =
+    * one scan partition) runs its entire map stage — tokenize,
+    * explode, decode — on one core no matter how many the session
+    * has. When the scan has fewer files than a quarter of the
+    * session's cores, hash-repartition on `key` so the map stage
+    * parallelizes; at production scale (thousands of files) the guard
+    * is false and the plan is untouched — no shuffle is ever added to
+    * a scan that is already wide. Values are unaffected either way
+    * (hash partitioning is deterministic on `key`). Only worth it
+    * when the map stage is genuinely CPU-heavy (image decode): for a
+    * cheap map stage the added shuffle costs more than the
+    * parallelism returns — measured on t18's tokenize (1.02s→1.41s
+    * at sf0.1), which is why the text queries do NOT use this. */
+  def spreadSmallScan(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length * 4 < cores) df.repartition(cores, key) else df
+  }
+
   /** events with `ts` as a microsecond TimestampType. The testdata
     * generator has shipped `ts` as INT64 nanos (read raw via the
     * nanosAsLong conf) and, newer, as native timestamp[us] (read as
