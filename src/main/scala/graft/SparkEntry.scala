@@ -192,7 +192,17 @@ object SparkEntry {
     "q46_dormant_customers" -> (Analytics3.q46DormantCustomers _),
     "q47_sole_fault" -> (Analytics3.q47SoleFault _),
     "q48_dominant_supplier" -> (Analytics3.q48DominantSupplier _),
-    "q49_trade_flows" -> (Analytics3.q49TradeFlows _)
+    "q49_trade_flows" -> (Analytics3.q49TradeFlows _),
+    "q50_order_counts" -> (Analytics4.q50OrderCounts _),
+    "q51_small_qty_revenue" -> (Analytics4.q51SmallQtyRevenue _),
+    "q52_returned_revenue" -> (Analytics4.q52ReturnedRevenue _),
+    "q53_promo_share" -> (Analytics4.q53PromoShare _),
+    "q54_top_supplier" -> (Analytics4.q54TopSupplier _),
+    "q55_part_variety" -> (Analytics4.q55PartVariety _),
+    "q56_bracket_revenue" -> (Analytics4.q56BracketRevenue _),
+    "q57_profit" -> (Analytics4.q57Profit _),
+    "q58_important_parts" -> (Analytics4.q58ImportantParts _),
+    "q59_unshipped_backlog" -> (Analytics4.q59UnshippedBacklog _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The
@@ -203,7 +213,8 @@ object SparkEntry {
     * bytes no second engine can replay. */
   def oracleSql: Map[String, String] = MaillogOracle.oracles ++
     TextAnalysis.oracles ++ Skew.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-    Multimodal.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++ Graph.oracles ++
+    Multimodal.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++
+    Analytics4.oracles ++ Graph.oracles ++
     Pipeline.oracles ++
     Quality.oracles ++ Map(
     "q01_pricing_summary" ->

@@ -170,6 +170,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(takes.nonEmpty, "top-10 must plan as TakeOrderedAndProject")
   }
 
+  test("q52/q59: global top-k via TakeOrdered, never a global sort or window") {
+    // the Q10/Q3 shapes rank the WHOLE aggregate by a computed
+    // measure — the scale-safe plan is per-partition top-k + a
+    // driver merge (TakeOrderedAndProject), not a range-partitioned
+    // global sort feeding a limit
+    for (name <- Seq("q52_returned_revenue", "q59_unshipped_backlog")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(windows(df).isEmpty, s"$name: sort+limit must not plan a window")
+      val takes = expanded(physical(df)).flatMap(_.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      })
+      assert(takes.nonEmpty, s"$name: top-k must plan as TakeOrderedAndProject")
+    }
+  }
+
   test("mm06/mm07/mm08: one doc_id hash shuffle feeds every scene/segment window") {
     // the un-sorted mm03 core claim: compositions see exactly one
     // data shuffle (hash on doc_id — the group/window keys all

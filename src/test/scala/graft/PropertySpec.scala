@@ -975,4 +975,84 @@ class PropertySpec extends SparkSpec {
     assert(hitNovel < 1.0 && newNovel > 0L,
       s"novel content must trip the monitor ($newNovel new, $hitNovel hit)")
   }
+
+  test("q51 correlated-avg filter equals the local cents reference on random data") {
+    // quantities/prices with two decimals so the cross-multiplied
+    // predicate 5·qty·n < Σqty is exercised where float division
+    // (qty < 0.2·avg) could flip rows near the boundary
+    val li = (1 to 800).map { i =>
+      (rnd.nextInt(60).toLong, (rnd.nextInt(5000) + 1) / 100.0,
+        (rnd.nextInt(100000) + 1) / 100.0, i)
+    }
+    val part = (0 until 60).map(p => (p.toLong, s"Brand#${p % 5 + 1}"))
+    val got = graft.operators.Analytics4.q51From(
+        li.toDF("l_partkey", "l_quantity", "l_extendedprice", "i"),
+        part.toDF("p_partkey", "p_brand"))
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    val brands = part.toMap
+    val perPart = li.groupBy(_._1).map { case (pk, ls) =>
+      pk -> (ls.size.toLong, ls.map(l => math.round(l._2 * 100)).sum)
+    }
+    val want = li
+      .filter { l =>
+        val (n, sq) = perPart(l._1)
+        brands(l._1).stripPrefix("Brand#").toInt <= 3 &&
+          5 * math.round(l._2 * 100) * n < sq
+      }
+      .groupBy(l => brands(l._1)).toSeq.map { case (b, ls) =>
+        (b, ls.size.toLong, ls.map(l => math.round(l._3 * 100)).sum / 100.0)
+      }.sorted
+    assert(got == want, "q51 must equal the local cents reference")
+  }
+
+  test("q54 max-of-aggregate join-back equals the local reference on random data") {
+    // revenue in exact 1e-4 units locally (cents · (100 − disc%)) —
+    // the decimal-equality claim: "equals the max" must not miss by
+    // an ulp even when several suppliers tie
+    val inWin = java.sql.Timestamp.valueOf("1997-02-01 00:00:00")
+    val outWin = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    val li = (1 to 500).map { i =>
+      (rnd.nextInt(12).toLong, (rnd.nextInt(100000) + 1) / 100.0,
+        rnd.nextInt(100) / 100.0, if (rnd.nextBoolean()) inWin else outWin, i)
+    }
+    // force a tie class ABOVE any reachable random total (≤ ~40
+    // in-window lines × 1000.00): two suppliers, one identical line
+    val tied = Seq((100L, 88888.88, 0.0, inWin, 9001),
+      (101L, 88888.88, 0.0, inWin, 9002))
+    val all = li ++ tied
+    val supp = ((0 until 12) ++ Seq(100, 101)).map(s => (s.toLong, s"supp$s"))
+    val got = graft.operators.Analytics4.q54From(
+        all.toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate", "i"),
+        supp.toDF("s_suppkey", "s_name"))
+      .as[(Long, String, Double)].collect().toSeq.sorted
+    val rev = all.filter(_._4 == inWin).groupBy(_._1).map { case (sk, ls) =>
+      sk -> ls.map(l => math.round(l._2 * 100) * (100 - math.round(l._3 * 100))).sum
+    }
+    val mx = rev.values.max
+    val want = rev.filter(_._2 == mx).keys.toSeq.sorted
+      .map(sk => (sk, s"supp$sk", mx / 10000.0))
+    assert(got == want, "q54 must equal the local max reference")
+  }
+
+  test("q58 global-fraction HAVING equals the local reference on random data") {
+    val li = (1 to 700).map { i =>
+      (rnd.nextInt(90).toLong, rnd.nextInt(20).toLong,
+        (rnd.nextInt(100000) + 1) / 100.0, (rnd.nextInt(5000) + 1) / 100.0, i)
+    }
+    val supp = (0 until 20).map(s => (s.toLong, (s % 6).toLong))
+    val nation = (0 until 6).map(n => (n.toLong, (n % 3).toLong))
+    val got = graft.operators.Analytics4.q58From(
+        li.toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity", "i"),
+        supp.toDF("s_suppkey", "s_nationkey"),
+        nation.toDF("n_nationkey", "n_regionkey"))
+      .as[(Long, Double)].collect().toSeq.sorted
+    val regionSupp = supp.filter(s => nation.toMap.apply(s._2) == 2L).map(_._1).toSet
+    val vals = li.filter(l => regionSupp(l._2)).groupBy(_._1).map { case (pk, ls) =>
+      pk -> ls.map(l => math.round(l._3 * 100) * math.round(l._4 * 100)).sum
+    }
+    val tv = vals.values.sum
+    val want = vals.filter { case (_, v) => v * 2000 > tv }
+      .toSeq.map { case (pk, v) => (pk, v / 10000.0) }.sorted
+    assert(got == want, "q58 must equal the local fraction reference")
+  }
 }
