@@ -585,6 +585,38 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Join-key skew audit for salting decisions (qa12). */
   def skewAudit: DataFrame = Analytics3.qa12SkewAudit(spark, dir)
 
+  /** Customer order-count distribution incl. the zero bucket, TPC-H
+    * Q13 shape (q50). */
+  def orderCountDistribution: DataFrame = Analytics4.q50OrderCounts(spark, dir)
+
+  /** Revenue carried by under-fifth-of-average-quantity lines per
+    * brand, TPC-H Q17 shape (q51). */
+  def smallQuantityRevenue: DataFrame = Analytics4.q51SmallQtyRevenue(spark, dir)
+
+  /** Top-20 customers by returned-item revenue, TPC-H Q10 shape (q52). */
+  def returnedRevenue: DataFrame = Analytics4.q52ReturnedRevenue(spark, dir)
+
+  /** Monthly promo revenue share, TPC-H Q14 shape (q53). */
+  def promoShare: DataFrame = Analytics4.q53PromoShare(spark, dir)
+
+  /** Quarterly max-revenue supplier(s), TPC-H Q15 shape (q54). */
+  def topSupplier: DataFrame = Analytics4.q54TopSupplier(spark, dir)
+
+  /** Distinct-supplier variety per part attribute, TPC-H Q16 shape (q55). */
+  def partVariety: DataFrame = Analytics4.q55PartVariety(spark, dir)
+
+  /** Disjunctive bracket revenue, TPC-H Q19 shape (q56). */
+  def bracketRevenue: DataFrame = Analytics4.q56BracketRevenue(spark, dir)
+
+  /** Profit by supplier nation and ship year, TPC-H Q9 shape (q57). */
+  def profitByNation: DataFrame = Analytics4.q57Profit(spark, dir)
+
+  /** Parts above a global value fraction, TPC-H Q11 shape (q58). */
+  def importantParts: DataFrame = Analytics4.q58ImportantParts(spark, dir)
+
+  /** Top-10 unshipped-backlog orders, TPC-H Q3 shape (q59). */
+  def unshippedBacklog: DataFrame = Analytics4.q59UnshippedBacklog(spark, dir)
+
   /** Batch nearest-neighbor image resize over a binary media column
     * (deterministic pure-JDK — see [[Multimodal.imageResize]]). */
   def resizeImages(media: DataFrame, width: Int, height: Int,

@@ -342,6 +342,22 @@ class GraftApiSpec extends SparkSpec {
     } finally graft.sources.MediaIndexStore.drop(g.documents.sparkSession, "api_media")
   }
 
+  test("round-11c decision-support shapes are reachable through the facade") {
+    assert(g.orderCountDistribution.count() > 0)
+    assert(g.smallQuantityRevenue.count() > 0)
+    assert(g.returnedRevenue.count() <= 20 && g.returnedRevenue.count() > 0)
+    assert(g.promoShare
+      .filter("promo_share >= 0 and promo_share <= 1 and promo_rev <= total_rev")
+      .count() === g.promoShare.count())
+    assert(g.topSupplier.count() > 0)
+    assert(g.partVariety.filter("supplier_cnt > 0").count() ===
+      g.partVariety.count())
+    assert(g.bracketRevenue.count() <= 3 && g.bracketRevenue.count() > 0)
+    assert(g.profitByNation.count() > 0)
+    assert(g.importantParts.count() > 0)
+    assert(g.unshippedBacklog.count() <= 10 && g.unshippedBacklog.count() > 0)
+  }
+
   test("NOQUEUE rejected deliveries land in the deliveries table") {
     // reference: SmtpRe's qid alternation is `([a-zA-Z0-9]+|NOQUEUE)`
     // (maillog2db.go:52) — a rejected delivery has no queue id but is

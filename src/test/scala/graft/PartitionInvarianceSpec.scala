@@ -72,7 +72,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "q34_windowed_dedup", "q40_decayed_topk",
                    // round 9b: HAVING-filtered aggregate join-back +
                    // the global-scalar/anti-join composite
-                   "q45_big_orders", "q46_dormant_customers")) {
+                   "q45_big_orders", "q46_dormant_customers",
+                   // round 11c: computed-measure TakeOrdered top-k
+                   // (double sort keys), decimal max join-back, the
+                   // global-fraction HAVING
+                   "q52_returned_revenue", "q59_unshipped_backlog",
+                   "q54_top_supplier", "q58_important_parts")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
