@@ -73,7 +73,12 @@ object Bench {
     // (arrivals decode+hash+match against the shipped hash index;
     // the corpus decodes ONCE at freeze, untimed here): the
     // O(arrivals) claim beside mm10's full-corpus pass
-    "mm11_frozen_match")
+    "mm11_frozen_match",
+    // round 11c: the widest join tree of the new decision-support
+    // family (lineitem ⋈ pruned part ⋈ supplier→nation with a
+    // DECIMAL(18,4) two-factor measure) — the classic multi-leg
+    // star-join aggregate as a round-over-round signal
+    "q57_profit")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
