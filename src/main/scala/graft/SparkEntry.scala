@@ -202,7 +202,9 @@ object SparkEntry {
     "q56_bracket_revenue" -> (Analytics4.q56BracketRevenue _),
     "q57_profit" -> (Analytics4.q57Profit _),
     "q58_important_parts" -> (Analytics4.q58ImportantParts _),
-    "q59_unshipped_backlog" -> (Analytics4.q59UnshippedBacklog _)
+    "q59_unshipped_backlog" -> (Analytics4.q59UnshippedBacklog _),
+    "s21_hard_negatives" -> (Similarity.s21HardNegatives _),
+    "p19_chunk_windows" -> ((s, d) => Pipeline.p19ChunkWindows(s, d))
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

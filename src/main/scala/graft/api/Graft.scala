@@ -617,6 +617,16 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Top-10 unshipped-backlog orders, TPC-H Q3 shape (q59). */
   def unshippedBacklog: DataFrame = Analytics4.q59UnshippedBacklog(spark, dir)
 
+  /** Contrastive-training hard negatives: per query, the top-5
+    * different-label neighbors with their margin below the nearest
+    * positive (s21). */
+  def hardNegatives: DataFrame = Similarity.s21HardNegatives(spark, dir)
+
+  /** Overlapping context windows — the long-document training/RAG
+    * chunker (p19): W-token windows at stride S with exact coverage. */
+  def chunkWindows(window: Long = 32L, stride: Long = 24L): DataFrame =
+    Pipeline.p19ChunkWindows(spark, dir, window, stride)
+
   /** Batch nearest-neighbor image resize over a binary media column
     * (deterministic pure-JDK — see [[Multimodal.imageResize]]). */
   def resizeImages(media: DataFrame, width: Int, height: Int,

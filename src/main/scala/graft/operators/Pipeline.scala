@@ -667,7 +667,63 @@ object Pipeline {
       .orderBy("epoch", "rank_id")
   }
 
+  /** p19: OVERLAPPING CONTEXT WINDOWS — the long-document →
+    * training-context split (and the RAG passage chunker): each
+    * document becomes ⌈(n−W)/S⌉+1 windows of W tokens at stride S
+    * (overlap W−S), the last window short only by the document's own
+    * tail. Where p02 PACKS many docs into one context, this SPLITS
+    * one doc across many — the two halves of context assembly.
+    *
+    * Chunk boundaries are pure integer algebra on the token count
+    * (ceil via (n−W+S−1) div S — positive operands, floor division
+    * identical in both engines), and the chunk text re-joins the
+    * SAME whitespace token array both engines split (1-based slice,
+    * mirroring the oracle's list_slice) — no float anywhere.
+    *
+    * Scale shape: a pure per-row explode — no join, no aggregate, no
+    * window; the only exchange is the final presentation sort. Chunk
+    * rows never leave their partition during construction, so the
+    * operator is embarrassingly parallel at any corpus size (the
+    * mapPartitions-free way to say mapPartitions). */
+  def p19ChunkWindows(spark: SparkSession, dir: String,
+                      window: Long = 32L, stride: Long = 24L): DataFrame =
+    p19From(Tables.documents(spark, dir), window, stride)
+
+  private[graft] def p19From(docs: DataFrame, window: Long = 32L,
+                             stride: Long = 24L): DataFrame = {
+    val d = docs
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    d.withColumn("n_chunks",
+        when(col("n") <= window, 1L)
+          .otherwise(expr(s"(n - $window + $stride - 1) div $stride") + 1L))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("n_tok", least(lit(window), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("n_chunks"),
+        col("start_tok"), col("n_tok"),
+        array_join(slice(col("t"), (col("start_tok") + 1).cast("int"),
+          col("n_tok").cast("int")), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p19_chunk_windows" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         |s AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    CAST(CASE WHEN len(t) <= 32 THEN 1
+         |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
+         |  FROM d),
+         |c AS (SELECT doc_id, t, n, n_chunks,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM s)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_chunks,
+         |  CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+         |  CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(t, chunk_id * 24 + 1,
+         |    chunk_id * 24 + least(32, n - chunk_id * 24)), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
     "p18_read_plan" ->
       raw"""WITH d AS (SELECT doc_id,
          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -1214,6 +1214,60 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** s21: HARD-NEGATIVE MINING — the contrastive-training curation
+    * step the similarity family existed to feed: per query, the
+    * top-5 highest-cosine candidates of a DIFFERENT label (the
+    * confusable negatives a triplet/InfoNCE trainer wants), each
+    * reported with its margin below the query's nearest SAME-label
+    * positive. A negative with margin ≤ 0 outranks every positive —
+    * the "hardest" class the miner exists to surface.
+    *
+    * The new predicate class here: the candidate filter depends on
+    * BOTH join sides (c_label ≠ q_label), not a constant — s09's
+    * filtered search prunes on a literal, this one on a per-query
+    * attribute carried through the broadcast.
+    *
+    * Oracle parity: cosines are the exact-integer qdot/qcos
+    * discipline; the margin subtracts two cosines that are
+    * themselves identical double expressions in both engines — one
+    * subtraction of identical operands, no accumulation.
+    *
+    * Scale shape: s01's evaluation-side brute scan (queries ≪
+    * corpus, broadcast query side, corpus scanned once, no shuffle
+    * of the big side) with the scored frame OpCache-pinned for its
+    * two consumers (positive top-1, negative top-5) — unpinned, both
+    * windows would re-scan the corpus join. Both windows partition
+    * by q_id. A production deployment swaps the brute candidate pass
+    * for the frozen IVFPQ index's top-k (s13's machinery) and keeps
+    * this ranking algebra unchanged. */
+  def s21HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val qs = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qv").as("qv_q"), col("nrm").as("nq"))
+    val scored = OpCache.cached(
+      e.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+          col("qv").as("qv_c"), col("nrm").as("nc"))
+        .join(broadcast(qs), col("q_id") =!= col("cand_id"))
+        .select(col("q_id"), col("q_label"), col("cand_id"), col("c_label"),
+          qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val pos = scored.filter(col("c_label") === col("q_label"))
+      .withColumn("prn", row_number().over(w)).filter(col("prn") === 1)
+      .select(col("q_id"), col("cand_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = scored.filter(col("c_label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("q_label"), col("rank"),
+        col("cand_id").as("neg_id"), col("c_label").as("neg_label"),
+        col("cos").as("neg_cos"))
+    neg.join(pos, "q_id")
+      .select(col("q_id"), col("q_label"), col("rank"), col("neg_id"),
+        col("neg_label"), col("neg_cos"), col("pos_id"), col("pos_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy("q_id", "rank")
+  }
+
   val oracles: Map[String, String] = {
     val qCte =
       """q AS (SELECT vec_id, label,
@@ -1827,6 +1881,28 @@ object Similarity {
           |SELECT q_id, rank, cand_id, cos FROM (
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM scored) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+      // s01's brute scan with the per-query label carried through:
+      // positives and negatives rank in separate windows over the
+      // SAME scored frame, margin = one subtraction of identical
+      // double expressions
+      "s21_hard_negatives" ->
+        ("WITH " + qCte + """,
+          |qs AS (SELECT vec_id AS q_id, label AS q_label, qv, nrm FROM n WHERE vec_id % 20 = 0),
+          |scored AS (SELECT a.q_id, a.q_label, b.vec_id AS cand_id, b.label AS c_label,
+          |    CAST((SELECT SUM(a.qv[i] * b.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+          |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+          |  FROM qs a JOIN n b ON a.q_id <> b.vec_id),
+          |pos AS (SELECT q_id, cand_id AS pos_id, cos AS pos_cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS prn
+          |  FROM scored WHERE c_label = q_label) p WHERE prn = 1),
+          |neg AS (SELECT q_id, q_label, rank, cand_id AS neg_id, c_label AS neg_label, cos AS neg_cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+          |  FROM scored WHERE c_label <> q_label) t WHERE rank <= 5)
+          |SELECT neg.q_id AS q_id, q_label, rank, neg_id, neg_label, neg_cos, pos_id, pos_cos,
+          |  pos_cos - neg_cos AS margin
+          |FROM neg JOIN pos ON neg.q_id = pos.q_id
+          |ORDER BY neg.q_id, rank""".stripMargin),
 
       // s08's hierarchy with label carried through assign/queries and
       // the candidate join tightened to (cell, label); fine probes

@@ -356,6 +356,14 @@ class GraftApiSpec extends SparkSpec {
     assert(g.profitByNation.count() > 0)
     assert(g.importantParts.count() > 0)
     assert(g.unshippedBacklog.count() <= 10 && g.unshippedBacklog.count() > 0)
+    // every mined negative really is cross-label, ranked inside its query
+    assert(g.hardNegatives.filter("neg_label = q_label").count() === 0)
+    assert(g.hardNegatives.filter("rank >= 1 and rank <= 5").count() ===
+      g.hardNegatives.count())
+    // chunker: every document appears, last chunk never empty
+    assert(g.chunkWindows().select("doc_id").distinct().count() ===
+      g.documents.count())
+    assert(g.chunkWindows().filter("n_tok < 1 or n_tok > 32").count() === 0)
   }
 
   test("NOQUEUE rejected deliveries land in the deliveries table") {

@@ -976,6 +976,69 @@ class PropertySpec extends SparkSpec {
       s"novel content must trip the monitor ($newNovel new, $hitNovel hit)")
   }
 
+  test("p19 chunk windows equal the local slicing reference on random lengths") {
+    // token counts straddling every regime: below the window, exactly
+    // the window, one past it, stride-aligned and not
+    val docs = (0 until 120).map { i =>
+      val n = rnd.nextInt(100) + 1
+      (i.toLong, (0 until n).map(t => s"w${i}_$t").mkString(" "))
+    }
+    val got = graft.operators.Pipeline.p19From(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq.sorted
+    val want = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+")
+      val n = t.length
+      val k = if (n <= 32) 1 else (n - 32 + 23) / 24 + 1
+      (0 until k).map { c =>
+        val start = c * 24
+        val len = math.min(32, n - start)
+        (id, c.toLong, k.toLong, start.toLong, len.toLong,
+          t.slice(start, start + len).mkString(" "))
+      }
+    }.sorted
+    assert(got == want, "p19 must equal the local slicing reference")
+    // the invariants the trainer relies on: every token covered by
+    // some chunk, no empty chunk
+    want.groupBy(_._1).foreach { case (_, cs) =>
+      val n = cs.map(c => c._4 + c._5).max
+      assert(cs.flatMap(c => c._4 until (c._4 + c._5)).toSet ==
+        (0L until n).toSet)
+      assert(cs.forall(_._5 >= 1))
+    }
+  }
+
+  test("s21 hard negatives equal the local margin reference on the fixture") {
+    // local: the same quantize/cos algebra as the operator (shared
+    // IEEE op order), positives and negatives ranked per query
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.round(x.toDouble * 10000)).toArray))
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum.toDouble) *
+          math.sqrt(b.map(x => x * x).sum.toDouble))
+    val want = e.filter(_._1 % 20 == 0).toSeq.flatMap { case (qid, qlab, qv) =>
+      val scored = e.filter(_._1 != qid).toSeq
+        .map { case (cid, clab, cv) => (cid, clab, cos(qv, cv)) }
+      val (posId, posCos) = scored.filter(_._2 == qlab)
+        .map(s => (s._1, s._3)).minBy { case (cid, c) => (-c, cid) }
+      scored.filter(_._2 != qlab).sortBy { case (cid, _, c) => (-c, cid) }
+        .take(5).zipWithIndex.map { case ((nid, nlab, ncos), i) =>
+          (qid, qlab.toLong, (i + 1).toLong, nid, nlab.toLong, ncos,
+            posId, posCos, posCos - ncos)
+        }
+    }.sorted
+    val got = graft.operators.Similarity.s21HardNegatives(spark, sf)
+      .select(col("q_id"), col("q_label").cast("long"), col("rank"),
+        col("neg_id"), col("neg_label").cast("long"), col("neg_cos"),
+        col("pos_id"), col("pos_cos"), col("margin"))
+      .as[(Long, Long, Long, Long, Long, Double, Long, Double, Double)]
+      .collect().toSeq.sorted
+    assert(got == want, "s21 must equal the local margin reference")
+  }
+
   test("q51 correlated-avg filter equals the local cents reference on random data") {
     // quantities/prices with two decimals so the cross-multiplied
     // predicate 5·qty·n < Σqty is exercised where float division
