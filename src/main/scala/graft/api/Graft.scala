@@ -627,6 +627,12 @@ class Graft(val spark: SparkSession, dir: String) {
   def chunkWindows(window: Long = 32L, stride: Long = 24L): DataFrame =
     Pipeline.p19ChunkWindows(spark, dir, window, stride)
 
+  /** Streaming twin of [[chunkWindows]] — p19's literal core over an
+    * arriving (doc_id, text) stream (stateless, append mode). */
+  def streamingChunkWindows(docStream: DataFrame, window: Long = 32L,
+                            stride: Long = 24L): DataFrame =
+    graft.streaming.QualityStream.chunkWindows(docStream, window, stride)
+
   /** Batch nearest-neighbor image resize over a binary media column
     * (deterministic pure-JDK — see [[Multimodal.imageResize]]). */
   def resizeImages(media: DataFrame, width: Int, height: Int,

@@ -690,7 +690,16 @@ object Pipeline {
     p19From(Tables.documents(spark, dir), window, stride)
 
   private[graft] def p19From(docs: DataFrame, window: Long = 32L,
-                             stride: Long = 24L): DataFrame = {
+                             stride: Long = 24L): DataFrame =
+    chunkCore(docs, window, stride).orderBy("doc_id", "chunk_id")
+
+  /** The sortless chunking core — ONE definition for the batch key
+    * (p19, which adds only the presentation sort) and the streaming
+    * twin ([[graft.streaming.QualityStream.chunkWindows]]): a
+    * stateless per-row explode, so batch and per-micro-batch rows
+    * are identical by construction. */
+  private[graft] def chunkCore(docs: DataFrame, window: Long = 32L,
+                               stride: Long = 24L): DataFrame = {
     val d = docs
       .select(col("doc_id"),
         graft.functions.TextFns.tokens(col("text")).as("t"))
@@ -705,7 +714,6 @@ object Pipeline {
         col("start_tok"), col("n_tok"),
         array_join(slice(col("t"), (col("start_tok") + 1).cast("int"),
           col("n_tok").cast("int")), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   val oracles: Map[String, String] = Map(

@@ -86,6 +86,17 @@ object QualityStream {
           (col("n_tokens") * col("n_tokens"))).as("gini"),
         (col("max_c").cast("double") / col("n_tokens")).as("top_share"))
 
+  /** Streaming context-window chunking — p19's literal core over an
+    * arriving (doc_id, text) stream: a stateless per-row explode, so
+    * it runs in append mode with no watermark and no state store,
+    * and per-micro-batch rows equal the batch key's by shared
+    * definition (QualityStreamSpec pins the replay). The chunker is
+    * the first thing an ingest pipeline runs on arriving documents —
+    * the natural streaming placement. */
+  def chunkWindows(docs: DataFrame, window: Long = 32L,
+                   stride: Long = 24L): DataFrame =
+    graft.operators.Pipeline.chunkCore(docs, window, stride)
+
   /** Per-document verdicts over any (doc_id, text) frame — batch or
     * streaming (the plan is stateless either way). */
   def qualityVerdicts(docs: DataFrame): DataFrame = {

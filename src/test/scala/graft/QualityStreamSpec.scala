@@ -132,4 +132,25 @@ class QualityStreamSpec extends SparkSpec {
     val want = Quality.t14QualityFilter(spark, sf).collect()
     assert(got.sameElements(want), "streamed gate != batch t14")
   }
+
+  test("the chunker runs STATELESS over a stream and matches the batch rows") {
+    val dir = Files.createTempDirectory("chunk").toString
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+
+    // append mode + no watermark: only a stateless plan can start
+    val q = QualityStream.chunkWindows(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunks")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("chunks").orderBy("doc_id", "chunk_id").collect()
+    val want = graft.operators.Pipeline.p19ChunkWindows(spark, sf).collect()
+    assert(got.sameElements(want), "streamed chunks != batch p19")
+  }
 }
