@@ -415,7 +415,32 @@ object Stress {
       graft.operators.Graph.closedByCorpus(incBase, corpusRep).count())
     corpusRep.unpersist()
 
-    println(s"""{"docs":$n,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"media_matches":$nMedMatch,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"mult":$mult}""")
+    // context-window chunker (p19) over the replicated corpus: a
+    // pure per-row explode — chunk rows grow exactly mult× (replicas
+    // chunk identically) and wall tracks the token mass with NO
+    // exchange at all (the embarrassingly-parallel floor the other
+    // probes read against)
+    val nChunks = time("chunk windows (p19)")(
+      graft.operators.Pipeline.chunkCore(docs).count())
+
+    // correlated-average filter (q51) with the FACT replicated and
+    // the DIMENSIONS fixed — how a fact table actually grows: both
+    // predicate sides scale mult× together (n and Σqty per part), so
+    // every line's verdict is REPLICATION-INVARIANT and the kept
+    // count must read exactly mult× the base (the integer
+    // cross-multiply means no float edge can flip a verdict at any
+    // multiplier); wall tracks the fact mass through the pruned
+    // per-part aggregate
+    val liq = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val liqRep = (0 until mult).map(_ => liq).reduce(_ union _)
+    val q51rep = graft.operators.Analytics4.q51From(liqRep,
+      graft.sources.Tables.part(spark, dir)).persist()
+    time("correlated avg (q51)")(q51rep.count())
+    val nQ51Kept = q51rep.agg(sum(col("n_small"))).head.getLong(0)
+    q51rep.unpersist()
+
+    println(s"""{"docs":$n,"chunks":$nChunks,"q51_kept":$nQ51Kept,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"media_matches":$nMedMatch,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"mult":$mult}""")
     spark.stop()
   }
 }
