@@ -633,6 +633,14 @@ class Graft(val spark: SparkSession, dir: String) {
                             stride: Long = 24L): DataFrame =
     graft.streaming.QualityStream.chunkWindows(docStream, window, stride)
 
+  /** Streaming twin of [[hardNegatives]]: arriving query vectors
+    * mine their confusable negatives per micro-batch against the
+    * at-rest corpus (idempotent by-batch sink). */
+  def streamingHardNegatives(queryStream: DataFrame, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.AnnStream.mineStream(queryStream,
+      graft.streaming.AnnStream.corpusFrame(spark, dir), outDir, checkpoint)
+
   /** Batch nearest-neighbor image resize over a binary media column
     * (deterministic pure-JDK — see [[Multimodal.imageResize]]). */
   def resizeImages(media: DataFrame, width: Int, height: Int,

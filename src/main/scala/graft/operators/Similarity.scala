@@ -1242,13 +1242,23 @@ object Similarity {
     * this ranking algebra unchanged. */
   def s21HardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir)
-    val qs = e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("qv").as("qv_q"), col("nrm").as("nq"))
-    val scored = OpCache.cached(
+    minedAgainst(
+      e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qv").as("qv_q"), col("nrm").as("nq")),
       e.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
-          col("qv").as("qv_c"), col("nrm").as("nc"))
-        .join(broadcast(qs), col("q_id") =!= col("cand_id"))
+        col("qv").as("qv_c"), col("nrm").as("nc")))
+  }
+
+  /** The mining RANKING ALGEBRA factored to one definition (the
+    * BloomStream/AnnStream shared-algebra rule): batch s21 and the
+    * streaming twin ([[graft.streaming.AnnStream.mineStream]]) both
+    * run literally this — positives and negatives rank in separate
+    * windows over ONE scored frame (OpCache-pinned for the two
+    * consumers), margin = one subtraction of identical doubles. */
+  private[graft] def minedAgainst(qs: DataFrame, cands: DataFrame): DataFrame = {
+    val scored = OpCache.cached(
+      cands.join(broadcast(qs), col("q_id") =!= col("cand_id"))
         .select(col("q_id"), col("q_label"), col("cand_id"), col("c_label"),
           qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos")))
     val w = Window.partitionBy(col("q_id"))
@@ -1267,6 +1277,21 @@ object Similarity {
         (col("pos_cos") - col("neg_cos")).as("margin"))
       .orderBy("q_id", "rank")
   }
+
+  /** Arriving RAW query vectors (vec_id, label, embedding) mined
+    * against the at-rest quantized corpus — the per-micro-batch core
+    * of the streaming miner: arrivals quantize exactly like the
+    * corpus did (shared [[graft.functions.TextFns.quantize]]), so a
+    * vector mined from the stream scores identically to the same
+    * vector mined in batch. */
+  private[graft] def minedForQueries(queries: DataFrame,
+                                     corpus: DataFrame): DataFrame =
+    minedAgainst(
+      queries.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          quantize(col("embedding")).as("qv_q"))
+        .withColumn("nq", qnorm2(col("qv_q"))),
+      corpus.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+        col("qv").as("qv_c"), col("nrm").as("nc")))
 
   val oracles: Map[String, String] = {
     val qCte =

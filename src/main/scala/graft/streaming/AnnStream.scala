@@ -72,4 +72,29 @@ object AnnStream {
     * the same quantized embeddings view every batch search reads. */
   def corpusFrame(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantized(spark, dir)
+
+  /** Streaming hard-negative mining — s21's literal ranking algebra
+    * over ARRIVING query vectors (vec_id, label, embedding) against
+    * the at-rest corpus: the online half of contrastive curation
+    * (new training examples mine their confusable negatives as they
+    * land, instead of a nightly corpus pass). Per-micro-batch
+    * `foreachBatch` for the same reason as [[searchStream]] — the
+    * two rank windows over the self-derived scored frame cannot plan
+    * inside an append-mode stream, and rebuilding them as state
+    * would fork the algebra batch s21's oracle gates. The idempotent
+    * by-batch-id sink gives the same exactly-once replay contract. */
+  def mineStream(queries: DataFrame, corpus: DataFrame,
+      outDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    queries.writeStream
+      .queryName("ann_mine")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.minedForQueries(batch, corpus)
+          .write.mode("overwrite").format("parquet")
+          .save(s"$outDir/batch=$batchId")
+      }
+      .start()
 }

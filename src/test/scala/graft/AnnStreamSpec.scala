@@ -106,4 +106,33 @@ class AnnStreamSpec extends SparkSpec {
         "test to prove anything")
     } finally AnnIndexStore.drop(spark, "annstream2")
   }
+
+  test("streamed hard-negative mining equals batch s21 through a restart") {
+    // no index here: the miner's corpus side is the at-rest quantized
+    // frame (batch s21's own candidate side) — what this pins is the
+    // shared minedAgainst algebra per micro-batch plus the idempotent
+    // by-batch replay across a checkpoint restart
+    val in = Files.createTempDirectory("mineq").toString
+    val ckpt = Files.createTempDirectory("mineckpt").toString
+    val out = Files.createTempDirectory("mineout").toString
+    val corpus = AnnStream.corpusFrame(spark, sf)
+    def runOnce(): Unit = {
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(in).schema).parquet(in)
+      AnnStream.mineStream(streamed, corpus, out, ckpt).awaitTermination()
+    }
+    // first arrival wave, then a checkpoint restart over the second
+    queries().filter(col("vec_id") % 40 === 0)
+      .write.mode("overwrite").parquet(in)
+    runOnce()
+    queries().filter(col("vec_id") % 40 =!= 0)
+      .write.mode("append").parquet(in)
+    runOnce()
+
+    val want = Similarity.s21HardNegatives(spark, sf)
+      .orderBy("q_id", "rank").collect().toSeq
+    val got = results(out)
+    assert(got.nonEmpty && got == want,
+      s"streamed mining != batch s21 (${got.length} vs ${want.length} rows)")
+  }
 }
