@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.Fns._
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fourth batch of core operators: the remaining classic
@@ -62,12 +63,16 @@ object Analytics4 {
     * cross-multiplies exactly (5·qty·n < Σqty, quantities as
     * DECIMAL(18,2), n integral), so no float edge can flip a row.
     *
-    * Scale shape: the per-part aggregate is PRUNED before it runs —
-    * the brand filter lands on `part` first and semi-joins the
-    * lineitem scan, so the (partkey → n, Σqty) aggregate covers only
-    * the ~12% of parts that can survive (never an all-parts pass;
-    * results are identical because non-brand parts can't reach the
-    * output). Both corpus joins are hint-free on partkey. */
+    * Scale shape: the brand filter lands on `part` first and
+    * semi-joins the lineitem scan, so only the ~12% of lines that
+    * can survive flow on (non-brand parts can't reach the output).
+    * The per-part (n, Σqty) then comes from ONE window partitioned
+    * on partkey — the classic Q17 aggregate-join form scans the
+    * fact table TWICE (once for the per-part aggregate, once for the
+    * probe; plan-audited here before the rewrite), and pinning the
+    * joined frame instead would cache a corpus-scale slice; the
+    * window computes both in a single scan + one hash exchange, with
+    * partitions bounded by lines-per-part at any corpus size. */
   def q51SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame =
     q51From(Tables.lineitem(spark, dir), Tables.part(spark, dir))
 
@@ -76,10 +81,10 @@ object Analytics4 {
     val bparts = part
       .filter(col("p_brand").isin(brands: _*))
       .select(col("p_partkey"), col("p_brand"))
-    val li = lineitem.join(bparts, col("l_partkey") === col("p_partkey"))
-    val pq = li.groupBy("l_partkey")
-      .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).as("sq"))
-    li.join(pq, "l_partkey")
+    val w = Window.partitionBy(col("l_partkey"))
+    lineitem.join(bparts, col("l_partkey") === col("p_partkey"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sq", sum(dec2(col("l_quantity"))).over(w))
       .filter(dec2(col("l_quantity")) * lit(5) * col("n") < col("sq"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_small"),
