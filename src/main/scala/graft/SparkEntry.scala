@@ -203,6 +203,7 @@ object SparkEntry {
     "q57_profit" -> (Analytics4.q57Profit _),
     "q58_important_parts" -> (Analytics4.q58ImportantParts _),
     "q59_unshipped_backlog" -> (Analytics4.q59UnshippedBacklog _),
+    "q60_cheapest_supplier" -> (Analytics4.q60CheapestSupplier _),
     "s21_hard_negatives" -> (Similarity.s21HardNegatives _),
     "p19_chunk_windows" -> ((s, d) => Pipeline.p19ChunkWindows(s, d))
   )

@@ -617,6 +617,9 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Top-10 unshipped-backlog orders, TPC-H Q3 shape (q59). */
   def unshippedBacklog: DataFrame = Analytics4.q59UnshippedBacklog(spark, dir)
 
+  /** Cheapest supplier per part, TPC-H Q2 shape (q60). */
+  def cheapestSupplier: DataFrame = Analytics4.q60CheapestSupplier(spark, dir)
+
   /** Contrastive-training hard negatives: per query, the top-5
     * different-label neighbors with their margin below the nearest
     * positive (s21). */

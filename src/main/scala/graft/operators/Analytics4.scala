@@ -339,6 +339,55 @@ object Analytics4 {
       .limit(10)
   }
 
+  /** q60: CHEAPEST SUPPLIER PER PART (the TPC-H Q2 shape adapted —
+    * no partsupp table, so "supply cost" is the supplier's average
+    * unit sale price for the part): for mid-size parts supplied
+    * through one region, the supplier offering the per-part MINIMUM
+    * unit price — the correlated `= (SELECT MIN …)` per-group
+    * subquery re-expressed as a rank-1 window over the per-pair
+    * aggregate, then dimension rehydration. The last of the classic
+    * silhouettes (q54 does the GLOBAL max; this is the per-group
+    * min with a join-back).
+    *
+    * Oracle parity: the unit price is never a float — both sums
+    * leave their DECIMAL(18,2) aggregates as exact integer CENTS
+    * (·100, cast long), and price_micro = (price_cents·10⁶) div
+    * qty_cents is one integer floor division, identical in both
+    * engines; ties close on suppkey. The ·10⁶ scale bounds
+    * price_cents < 2⁴³ (~88 billion dollars per (part, supplier)
+    * pair) before the multiply could overflow int64 — beyond that a
+    * deployment widens to DECIMAL(38,0) (the mm09 precedent).
+    *
+    * Scale shape: the region filter prunes the supplier dimension
+    * before its corpus join; ONE map-side-combinable groupBy on the
+    * (part, supplier) pair key; the rank window partitions on
+    * partkey (bounded by suppliers-per-part); the join-backs
+    * rehydrate from the two dimensions, hint-free. */
+  def q60CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_regionkey") === 3)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val ps = Tables.lineitem(spark, dir)
+      .join(supp.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("long").as("price_cents"),
+        (sum(dec2(col("l_quantity"))) * 100).cast("long").as("qty_cents"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("price_micro", expr("(price_cents * 1000000) div qty_cents"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("price_micro"), col("l_suppkey"))
+    ps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(Tables.part(spark, dir).filter(col("p_size").between(10, 20)),
+        col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"),
+        col("l_suppkey").as("s_suppkey"), col("s_name"),
+        col("price_micro"), col("n_lines"))
+      .orderBy("p_partkey")
+  }
+
   private val LineRevSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -452,6 +501,30 @@ object Analytics4 {
         |SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS value
         |FROM val CROSS JOIN tot
         |WHERE v * 2000 > tv
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q60_cheapest_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_cents,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 3
+        |  GROUP BY 1, 2),
+        |pm AS (SELECT l_partkey, l_suppkey, n_lines,
+        |    (price_cents * 1000000) // qty_cents AS price_micro,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY (price_cents * 1000000) // qty_cents, l_suppkey) AS rn
+        |  FROM ps)
+        |SELECT p_partkey, p_brand, l_suppkey AS s_suppkey, s_name,
+        |  price_micro, n_lines
+        |FROM pm
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1 AND p_size BETWEEN 10 AND 20
         |ORDER BY p_partkey""".stripMargin,
 
     "q59_unshipped_backlog" ->

@@ -356,6 +356,10 @@ class GraftApiSpec extends SparkSpec {
     assert(g.profitByNation.count() > 0)
     assert(g.importantParts.count() > 0)
     assert(g.unshippedBacklog.count() <= 10 && g.unshippedBacklog.count() > 0)
+    // per-part argmin: one row per surviving part, positive prices
+    assert(g.cheapestSupplier.select("p_partkey").distinct().count() ===
+      g.cheapestSupplier.count())
+    assert(g.cheapestSupplier.filter("price_micro <= 0").count() === 0)
     // every mined negative really is cross-label, ranked inside its query
     assert(g.hardNegatives.filter("neg_label = q_label").count() === 0)
     assert(g.hardNegatives.filter("rank >= 1 and rank <= 5").count() ===

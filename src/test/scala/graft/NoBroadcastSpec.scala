@@ -121,13 +121,14 @@ class NoBroadcastSpec extends SparkSpec {
   }
 
   // round 11c: the new TPC-H shapes' corpus-scale joins are hint-free
-  // — q50's customer⋈order-counts left join, q51's two partkey joins
-  // (pruned parts ⋈ lineitem, lineitem ⋈ per-part aggregate), q55's
-  // pair⋈part join, q57's three-leg profit join — results must not
-  // depend on Catalyst's strategy pick
-  test("q50/q51/q55/q57: identical results with broadcasting disabled") {
+  // — q50's customer⋈order-counts left join, q51's pruned
+  // parts⋈lineitem join, q55's pair⋈part join, q57's three-leg profit
+  // join, q60's pair-aggregate join-backs — results must not depend
+  // on Catalyst's strategy pick
+  test("q50/q51/q55/q57/q60: identical results with broadcasting disabled") {
     for (name <- Seq("q50_order_counts", "q51_small_qty_revenue",
-                     "q55_part_variety", "q57_profit")) {
+                     "q55_part_variety", "q57_profit",
+                     "q60_cheapest_supplier")) {
       val default = rows(SparkEntry.queries(name)(spark, sf))
       val shuffled = withNoBroadcast {
         rows(SparkEntry.queries(name)(spark, sf))

@@ -77,7 +77,8 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // (double sort keys), decimal max join-back, the
                    // global-fraction HAVING
                    "q52_returned_revenue", "q59_unshipped_backlog",
-                   "q54_top_supplier", "q58_important_parts")) {
+                   "q54_top_supplier", "q58_important_parts",
+                   "q60_cheapest_supplier")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
