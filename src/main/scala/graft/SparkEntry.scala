@@ -205,7 +205,8 @@ object SparkEntry {
     "q59_unshipped_backlog" -> (Analytics4.q59UnshippedBacklog _),
     "q60_cheapest_supplier" -> (Analytics4.q60CheapestSupplier _),
     "s21_hard_negatives" -> (Similarity.s21HardNegatives _),
-    "p19_chunk_windows" -> ((s, d) => Pipeline.p19ChunkWindows(s, d))
+    "p19_chunk_windows" -> ((s, d) => Pipeline.p19ChunkWindows(s, d)),
+    "p20_chunk_pack" -> ((s, d) => Pipeline.p20ChunkPack(s, d))
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

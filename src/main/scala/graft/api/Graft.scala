@@ -630,6 +630,12 @@ class Graft(val spark: SparkSession, dir: String) {
   def chunkWindows(window: Long = 32L, stride: Long = 24L): DataFrame =
     Pipeline.p19ChunkWindows(spark, dir, window, stride)
 
+  /** The composed ingest DAG: chunk every document, pack the chunks
+    * into context-length bins per source (p20). */
+  def chunkPack(window: Long = 32L, stride: Long = 24L,
+                contextLen: Long = 2048L): DataFrame =
+    Pipeline.p20ChunkPack(spark, dir, window, stride, contextLen)
+
   /** Streaming twin of [[chunkWindows]] — p19's literal core over an
     * arriving (doc_id, text) stream (stateless, append mode). */
   def streamingChunkWindows(docStream: DataFrame, window: Long = 32L,

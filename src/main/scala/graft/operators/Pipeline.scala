@@ -716,7 +716,62 @@ object Pipeline {
           col("n_tok").cast("int")), " ").as("chunk_text"))
   }
 
+  /** p20: CHUNK-THEN-PACK — the ingest DAG composed end-to-end:
+    * every document splits into p19's overlapping context windows
+    * and the CHUNKS pack into contextLen-token bins per source
+    * through p02's bucketed two-phase prefix sum, machinery
+    * verbatim. This is what a pretraining loader actually consumes:
+    * long documents window-split first (so no chunk straddles a
+    * document boundary), then bins filled in (doc, chunk) reading
+    * order.
+    *
+    * The packing key is doc_id·2²⁰ + chunk_id — dense, unique, and
+    * order-preserving as long as a document stays under 2²⁰ chunks
+    * (a ~25M-token document at the default stride; the fixture peaks
+    * at 4). Pure integer algebra both ways (key div/mod 2²⁰
+    * reconstructs the pair), so the oracle composes the two gated
+    * CTEs with no new float surface.
+    *
+    * Scale shape: p19's per-row explode + ONE doc_id equi-join to
+    * carry `source` + p02's two-phase prefix sum — no new shuffle
+    * class; everything downstream of the chunker is chunk-count-
+    * scaled, never byte-scaled. */
+  def p20ChunkPack(spark: SparkSession, dir: String,
+                   window: Long = 32L, stride: Long = 24L,
+                   contextLen: Long = 2048L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val packed = packTokens(
+      chunkCore(docs, window, stride)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select((col("doc_id") * lit(1048576L) + col("chunk_id")).as("doc_id"),
+          col("source"), col("n_tok").as("n_tokens")),
+      contextLen)
+    packed.select(expr("doc_id div 1048576").as("doc_id"),
+        (col("doc_id") % 1048576L).as("chunk_id"), col("source"),
+        col("n_tokens").as("n_tok"), col("bin_id"), col("bin_offset"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p20_chunk_pack" ->
+      raw"""WITH d AS (SELECT doc_id, source,
+         |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+         |s AS (SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n,
+         |    CAST(CASE WHEN len(t) <= 32 THEN 1
+         |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
+         |  FROM d),
+         |ch AS (SELECT doc_id, source, n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM s),
+         |ck AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, source,
+         |    CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok,
+         |    doc_id * 1048576 + chunk_id AS pk FROM ch),
+         |c AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+         |    ORDER BY pk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS start_tok FROM ck)
+         |SELECT doc_id, chunk_id, source, n_tok,
+         |  start_tok // 2048 AS bin_id, start_tok % 2048 AS bin_offset
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
     "p19_chunk_windows" ->
       raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
          |s AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
