@@ -78,7 +78,11 @@ object Bench {
     // family (lineitem ⋈ pruned part ⋈ supplier→nation with a
     // DECIMAL(18,4) two-factor measure) — the classic multi-leg
     // star-join aggregate as a round-over-round signal
-    "q57_profit")
+    "q57_profit",
+    // round 11c: the pipeline family's first bench entry — the
+    // composed ingest DAG (p19 chunk explode + p02's bucketed
+    // two-phase prefix-sum pack), the machinery every p-key shares
+    "p20_chunk_pack")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
