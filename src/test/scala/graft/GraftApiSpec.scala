@@ -368,6 +368,10 @@ class GraftApiSpec extends SparkSpec {
     assert(g.chunkWindows().select("doc_id").distinct().count() ===
       g.documents.count())
     assert(g.chunkWindows().filter("n_tok < 1 or n_tok > 32").count() === 0)
+    // composed pack: one packed row per chunk, offsets inside the bin
+    assert(g.chunkPack().count() === g.chunkWindows().count())
+    assert(g.chunkPack()
+      .filter("bin_offset < 0 or bin_offset >= 2048").count() === 0)
   }
 
   test("NOQUEUE rejected deliveries land in the deliveries table") {
