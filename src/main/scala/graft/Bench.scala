@@ -399,6 +399,9 @@ object Bench {
     // exit 0 without running another round of shutdown hooks.
     System.out.flush()
     try spark.stop() catch { case _: Throwable => () }
-    Runtime.getRuntime.halt(0)
+    // exit code agrees with the artifact (ADVICE r11): a run whose
+    // queries errored must not report success to an exit-code-reading
+    // caller; halt (not exit) still skips the shutdown-hook race
+    Runtime.getRuntime.halt(if (errors > 0) 1 else 0)
   }
 }

@@ -218,9 +218,18 @@ object Analytics4 {
     * predicate spanning BOTH join sides: no single-table residual
     * can represent it, so the filter must run post-join — the shape
     * verifies the engine doesn't mis-push a cross-table disjunction.
-    * (The single-table prefixes — p_brand ∈ {...}, p_size ≤ 50 —
-    * remain pushable; Catalyst extracts them via constraint
-    * propagation where it can.)
+    *
+    * SCAN PRUNING (VERDICT r11 #1 — Catalyst cannot extract
+    * single-table prefixes from inside a CASE, so the bare bracket
+    * shape joined the FULL fact table to the FULL part table before
+    * dropping ~everything): each side is pre-filtered with the UNION
+    * of its bracket prefixes — `br IS NOT NULL` implies one bracket's
+    * conjunction holds, which implies p_brand ∈ {1,2,3} ∧ p_size ∈
+    * [1,50] on the part side and l_quantity ∈ [1,35] on the fact
+    * side, so the pre-filters are semantics-preserving and land in
+    * PushedFilters on BOTH parquet scans (PlanShapeSpec pins it).
+    * The residual cross-table disjunction still runs post-join — the
+    * only place it can.
     *
     * Parity: bracket membership compares doubles/ints to integer
     * constants (exact in both engines); revenue is the standard
@@ -234,7 +243,11 @@ object Analytics4 {
       .when(col("p_brand") === "Brand#3" &&
         col("p_size").between(26, 50) && col("l_quantity").between(20, 35), 3L)
     Tables.lineitem(spark, dir)
-      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity").between(1, 35))
+      .join(Tables.part(spark, dir)
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+            col("p_size").between(1, 50)),
+        col("l_partkey") === col("p_partkey"))
       .select(br.as("br"), col("l_extendedprice"), col("l_discount"))
       .filter(col("br").isNotNull)
       .groupBy("br")

@@ -700,6 +700,14 @@ object Pipeline {
     * are identical by construction. */
   private[graft] def chunkCore(docs: DataFrame, window: Long = 32L,
                                stride: Long = 24L): DataFrame = {
+    // both reachable from the public Graft.chunkWindows/chunkPack API
+    // (ADVICE r11): stride ≤ 0 divides by zero in n_chunks; stride >
+    // window makes the last chunk's n_tok non-positive, where Spark's
+    // slice() and DuckDB's list_slice diverge (the phashPairs
+    // maxHamming require precedent)
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"chunk windows need window >= 1 and 1 <= stride <= window " +
+        s"(got window=$window, stride=$stride)")
     val d = docs
       .select(col("doc_id"),
         graft.functions.TextFns.tokens(col("text")).as("t"))
@@ -740,10 +748,23 @@ object Pipeline {
                    window: Long = 32L, stride: Long = 24L,
                    contextLen: Long = 2048L): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // the packing key's documented bound, ENFORCED (ADVICE r11): a
+    // document past 2²⁰ chunks or a doc_id ≥ 2⁴³ would silently
+    // corrupt bin ordering and the div/mod reconstruction — fail
+    // loudly per offending row instead (the Similarity qv_c.isNull
+    // raise_error precedent)
+    val key = when(col("n_chunks") >= lit(1048576L) ||
+        col("doc_id") < 0L || col("doc_id") >= lit(8796093022208L),
+        raise_error(concat(
+          lit("p20 packing key out of range: doc_id="),
+          col("doc_id").cast("string"),
+          lit(" n_chunks="), col("n_chunks").cast("string"),
+          lit(" — needs doc_id in [0, 2^43) and < 2^20 chunks/doc"))))
+      .otherwise(col("doc_id") * lit(1048576L) + col("chunk_id"))
     val packed = packTokens(
       chunkCore(docs, window, stride)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
-        .select((col("doc_id") * lit(1048576L) + col("chunk_id")).as("doc_id"),
+        .select(key.as("doc_id"),
           col("source"), col("n_tok").as("n_tokens")),
       contextLen)
     packed.select(expr("doc_id div 1048576").as("doc_id"),

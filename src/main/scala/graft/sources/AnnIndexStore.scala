@@ -151,19 +151,34 @@ object AnnIndexStore {
     * the orphan's id is never reused, so a committed re-run can
     * never expose a half-landed predecessor, and nothing ever scans
     * the data to find out. Cost: two tiny pointer flips + two
-    * O(arrivals) bucketed writes. */
+    * O(arrivals) bucketed writes.
+    *
+    * CONCURRENT APPENDS (ADVICE r11 — the read→reserve pair and the
+    * stale-list commit were each individually locked but not jointly
+    * atomic): the reserve sequence runs under the family lock, so two
+    * same-JVM appends draw DISTINCT batch ids; the commit RE-READS
+    * the pointer under the same lock and adds only its own batch to
+    * whatever is committed by then, so neither commit can drop the
+    * other's batch. A re-freeze landing mid-append bumps the
+    * generation — the commit detects it and fails LOUDLY (the rows
+    * sit invisible in a superseded generation; retry against the new
+    * freeze) instead of flipping the pointer backward. */
   def append(assign: DataFrame, codes: DataFrame, name: String): Unit = {
     val spark = assign.sparkSession
-    val (gen, batches, hwm) = FreezeStore.readPtrFull(spark, name).getOrElse(
-      throw new IllegalStateException(s"no frozen index named $name"))
     def bucketsOf(t: String): Int = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
-    val batch = hwm + 1
-    // RESERVE: same committed batches, advanced high-water — readers
-    // are unaffected; a crash from here on burns the id, nothing else
-    FreezeStore.flipPtr(spark, name, gen, batches, hwm = batch)
+    // RESERVE (atomic read+advance): same committed batches, advanced
+    // high-water — readers are unaffected; a crash from here on burns
+    // the id, nothing else
+    val (gen, batch) = FreezeStore.withFamilyLock(name) {
+      val (gen, batches, hwm) = FreezeStore.readPtrFull(spark, name).getOrElse(
+        throw new IllegalStateException(s"no frozen index named $name"))
+      val batch = hwm + 1
+      FreezeStore.flipPtr(spark, name, gen, batches, hwm = batch)
+      (gen, batch)
+    }
     def land(df: DataFrame, s: String): Unit = {
       val t = gt(name, gen, s)
       df.withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
@@ -173,8 +188,19 @@ object AnnIndexStore {
     }
     land(codes, "codes")
     land(assign, "assign")
-    // COMMIT: the batch becomes visible to new loads
-    FreezeStore.flipPtr(spark, name, gen, batches :+ batch, hwm = batch)
+    // COMMIT (atomic re-read+merge): the batch becomes visible to new
+    // loads without clobbering a concurrently committed sibling
+    FreezeStore.withFamilyLock(name) {
+      val (g2, cur, h2) = FreezeStore.readPtrFull(spark, name).getOrElse(
+        throw new IllegalStateException(s"frozen index $name vanished mid-append"))
+      if (g2 != gen)
+        throw new IllegalStateException(
+          s"append to $name lost a race with a re-freeze (gen $gen → $g2): " +
+            "the landed rows are invisible in the superseded generation; " +
+            "re-run the append against the live freeze")
+      FreezeStore.flipPtr(spark, name, gen, cur :+ batch,
+        hwm = math.max(h2, batch))
+    }
   }
 
   /** Audit the live freeze: over COMMITTED rows, every assigned

@@ -61,6 +61,18 @@ object FreezeStore {
   private def lockFor(name: String): Object =
     locks.computeIfAbsent(name, _ => new Object)
 
+  /** Run `body` holding the family's per-name JVM lock — reentrant
+    * with every pointer op here, so a caller can make a multi-step
+    * pointer sequence atomic against same-JVM concurrency. The append
+    * protocol uses it twice (ADVICE r11): once across
+    * read-high-water → reserve (two concurrent appends must draw
+    * DISTINCT batch ids), once across re-read → commit (a commit that
+    * flipped with a stale batch list would silently drop the batch a
+    * concurrent append committed in between). Keep `body` tiny —
+    * readers of the same family block on this lock. */
+  def withFamilyLock[A](name: String)(body: => A): A =
+    lockFor(name).synchronized(body)
+
   private def exists(spark: SparkSession, t: String): Boolean =
     spark.sessionState.catalog.tableExists(TableIdentifier(t))
 
@@ -122,6 +134,13 @@ object FreezeStore {
   def flipPtr(spark: SparkSession, name: String, gen: Long,
               batches: Seq[Long], hwm: Long = -1L): Unit =
     lockFor(name).synchronized {
+      // an empty batch list would write an empty pointer table, which
+      // readPtrFull rejects as corruption — and batches.max would
+      // throw AFTER resetTable already ran, failing mid-flip
+      // (ADVICE r11); reject at entry instead
+      require(batches.nonEmpty,
+        s"flipPtr($name): committed-batch list must be non-empty " +
+          "(a fresh freeze commits Seq(0L))")
       recoverPtr(spark, name)
       val p = ptr(name)
       val mark = math.max(hwm, batches.max)

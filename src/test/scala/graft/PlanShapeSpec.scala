@@ -200,6 +200,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q56: bracket prefixes reach BOTH parquet scans (VERDICT r11 #1)") {
+    // the CASE bracket itself is not pushable (cross-table
+    // disjunction), so pruning lives or dies on the explicit
+    // prefix-union pre-filters: the lineitem scan must push the
+    // quantity band, the part scan the brand set + size band — a
+    // refactor back to the bare-join shape scans both tables in full
+    val df = graft.operators.Analytics4.q56BracketRevenue(spark, sf)
+    val scans = expanded(physical(df)).flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    })
+    def scanWith(col: String) = scans.filter(_.schema.fieldNames.contains(col))
+    val li = scanWith("l_quantity")
+    val pt = scanWith("p_brand")
+    assert(li.nonEmpty && pt.nonEmpty, "expected a lineitem and a part scan")
+    assert(li.exists { s =>
+      val f = s.metadata("PushedFilters")
+      f.contains("l_quantity") && f.contains("35")
+    }, s"lineitem scan must push the quantity band: ${li.map(_.metadata("PushedFilters"))}")
+    assert(pt.exists { s =>
+      val f = s.metadata("PushedFilters")
+      f.contains("p_brand") && f.contains("Brand#") && f.contains("p_size")
+    }, s"part scan must push brand + size: ${pt.map(_.metadata("PushedFilters"))}")
+  }
+
   test("no query plans an unpartitioned window over table data") {
     // the round-1 scale-killers (m06 global rank, vocab row_number)
     // must stay dead: sweep every registered batch query
