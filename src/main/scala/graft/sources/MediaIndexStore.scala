@@ -147,6 +147,46 @@ object MediaIndexStore {
     }
   }
 
+  /** CLOSE THE DRIFT→REFREEZE LOOP (VERDICT r11 #5): mm12 /
+    * stream_band_drift are the WHEN-to-refreeze monitors and
+    * [[freeze]]'s `retain` is the reader-survival knob — this is the
+    * wiring between them. Grade an arriving hash batch against the
+    * LIVE generation with the mm12 drift algebra; if the aggregate
+    * hit share (arrival rows whose band value exists in the frozen
+    * corpus buckets — the recall proxy measured without ground
+    * truth) has fallen below `minHitShare`, re-freeze over
+    * corpus ∪ arrivals, re-baking the hot-bucket cap over the full
+    * merged population. Returns the new generation when it fired.
+    *
+    * The threshold compare is integer-exact: `minHitShare` is
+    * rounded once to basis points and cross-multiplied against the
+    * exact (hit, rows) counts — no float edge decides a refreeze.
+    *
+    * Scale shape: the drift grade is two bucket aggregates over
+    * (band, 16-bit value) domains + the tiny 4-row report — and the
+    * refreeze input is the HASH corpus (16 bytes/doc), never media
+    * bytes: the whole loop is corpus-COUNT-scaled. A bound reader
+    * survives the automated flip for `retain` further refreezes (the
+    * [[AnnIndexStore.write]] retention contract; RefreezeLoopSpec
+    * drives drift → refreeze → reader-survives end-to-end). */
+  def refreezeIfStale(spark: SparkSession, arrivals: DataFrame, name: String,
+                      minHitShare: Double = 0.5, retain: Int = 1,
+                      maxBandOccupancy: Long = 0L): Option[Long] = {
+    val (gen, batches) = FreezeStore.readPtr(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen media index named $name"))
+    val corp = spark.table(gt(name, gen, "hash"))
+      .filter(col("batch").isin(batches: _*))
+      .select(col("doc_id"), col("h_hi"), col("h_lo"))
+    val t = graft.operators.Multimodal.mm12From(arrivals, corp)
+      .agg(sum(col("n_arr_hit")).as("hit"), sum(col("n_arr_rows")).as("rows"))
+      .head()
+    val hit = if (t.isNullAt(0)) 0L else t.getLong(0)
+    val rows = if (t.isNullAt(1)) 0L else t.getLong(1)
+    val bp = math.round(minHitShare * 10000)
+    if (rows == 0L || hit * 10000 >= bp * rows) None
+    else Some(freeze(corp.unionByName(arrivals), name, retain, maxBandOccupancy))
+  }
+
   /** The live generation number (staleness / audit hooks). */
   def liveGen(spark: SparkSession, name: String): Option[Long] =
     FreezeStore.readPtr(spark, name).map(_._1)

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.sources.{FreezeStore, MediaIndexStore}
+import org.apache.spark.sql.functions._
+
+/** The automated drift→refreeze loop (VERDICT r11 #5): mm12 is the
+  * monitor, `retain` the reader-survival knob — this spec proves the
+  * WIRING between them works end-to-end: in-distribution arrivals do
+  * NOT trip a refreeze, novel-content arrivals DO, the absorbed
+  * arrivals answer as corpus afterwards, and a reader whose plan was
+  * bound BEFORE the automated flip keeps answering (retention held
+  * its generation) while new readers see wholly-new results. */
+class RefreezeLoopSpec extends SparkSpec {
+
+  /** Synthetic hash corpus: 64 docs with structured band values so
+    * hit/miss is fully controlled. */
+  private def corpus = spark.createDataFrame(
+    (0L until 64L).map(i => (i, 0x1000100010001000L + i, 0x2000200020002000L + i)))
+    .toDF("doc_id", "h_hi", "h_lo")
+
+  /** Arrivals whose band values all exist in the corpus (exact hash
+    * copies under new ids) — hit_share 1.0. */
+  private def familiarArrivals = corpus
+    .select((col("doc_id") + 1000L).as("doc_id"), col("h_hi"), col("h_lo"))
+
+  /** Arrivals with band values the corpus has never seen —
+    * hit_share 0.0. */
+  private def novelArrivals = spark.createDataFrame(
+    (0L until 32L).map(i => (2000L + i, 0x7abc000012340000L + (i << 16), 0x6def000056780000L + (i << 16))))
+    .toDF("doc_id", "h_hi", "h_lo")
+
+  test("in-distribution arrivals do not trip the refreeze") {
+    val name = "refreeze_loop1"
+    MediaIndexStore.drop(spark, name)
+    try {
+      MediaIndexStore.freeze(corpus, name)
+      assert(MediaIndexStore.refreezeIfStale(spark, familiarArrivals, name,
+        minHitShare = 0.5).isEmpty, "hit_share 1.0 must not refreeze")
+      assert(MediaIndexStore.liveGen(spark, name).contains(1L))
+      // empty arrival batches are a no-op, not a divide-by-zero
+      assert(MediaIndexStore.refreezeIfStale(spark,
+        novelArrivals.filter(lit(false)), name).isEmpty)
+    } finally MediaIndexStore.drop(spark, name)
+  }
+
+  test("drift → refreeze → absorbed arrivals answer as corpus") {
+    val name = "refreeze_loop2"
+    MediaIndexStore.drop(spark, name)
+    try {
+      MediaIndexStore.freeze(corpus, name)
+      // novel content: no band value matches ⟹ hit_share 0 < 0.5
+      val fired = MediaIndexStore.refreezeIfStale(spark, novelArrivals, name,
+        minHitShare = 0.5)
+      assert(fired.contains(2L), s"novel arrivals must trigger gen 2, got $fired")
+      assert(MediaIndexStore.liveGen(spark, name).contains(2L))
+      // the refreeze absorbed the arrivals: an exact copy of a novel
+      // arrival hash now matches it as corpus (hamming 0)
+      val probe = novelArrivals.limit(4)
+        .select((col("doc_id") + 7000L).as("doc_id"), col("h_hi"), col("h_lo"))
+      val hits = MediaIndexStore.matchFrozen(spark, probe, name)
+        .select("match_id").collect().map(_.getLong(0)).toSet
+      assert(hits.nonEmpty && hits.forall(id => id >= 2000L && id < 2032L),
+        s"absorbed arrivals must be matchable corpus now: $hits")
+      // and the merged population no longer reads as stale
+      assert(MediaIndexStore.refreezeIfStale(spark, novelArrivals, name,
+        minHitShare = 0.5).isEmpty, "post-refreeze the same content is covered")
+    } finally MediaIndexStore.drop(spark, name)
+  }
+
+  test("a reader bound before the automated flip survives it (retention)") {
+    val name = "refreeze_loop3"
+    MediaIndexStore.drop(spark, name)
+    try {
+      MediaIndexStore.freeze(corpus, name, retain = 1)
+      val probe = corpus.limit(8)
+        .select((col("doc_id") + 5000L).as("doc_id"), col("h_hi"), col("h_lo"))
+      // bind a reader plan to generation 1 and evaluate it once
+      val bound = MediaIndexStore.matchFrozen(spark, probe, name)
+      val before = bound.orderBy("doc_id", "match_id").collect().toSeq
+      assert(before.nonEmpty, "the bound reader must have matches to prove survival")
+
+      // the automated flip fires mid-"query"
+      assert(MediaIndexStore.refreezeIfStale(spark, novelArrivals, name,
+        minHitShare = 0.5, retain = 1).contains(2L))
+
+      // the BOUND plan re-evaluates against its own generation's
+      // tables — retention kept them through the flip
+      val after = bound.orderBy("doc_id", "match_id").collect().toSeq
+      assert(after == before,
+        "a generation-1-bound reader must answer identically through the flip")
+
+      // while a FRESH binding sees generation 2 (corpus ∪ arrivals):
+      // a novel-arrival copy matches now, which gen 1 could not do
+      val novelProbe = novelArrivals.limit(2)
+        .select((col("doc_id") + 9000L).as("doc_id"), col("h_hi"), col("h_lo"))
+      assert(MediaIndexStore.matchFrozen(spark, novelProbe, name).count() > 0)
+      assert(FreezeStore.listGens(spark, name) == Seq(1L, 2L),
+        "retain=1 keeps exactly the superseded generation")
+    } finally MediaIndexStore.drop(spark, name)
+  }
+}
