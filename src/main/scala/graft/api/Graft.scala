@@ -748,6 +748,29 @@ class Graft(val spark: SparkSession, dir: String) {
   def streamingBandCounters(hashStream: DataFrame): DataFrame =
     graft.streaming.MediaStream.bandCounters(hashStream)
 
+  /** The automated drift→refreeze loop for the media-hash index:
+    * grade an arriving hash batch with the mm12 drift algebra and
+    * re-freeze over corpus ∪ arrivals when the aggregate band hit
+    * share falls below `minHitShare` (integer-exact compare). Returns
+    * the new generation when it fired; bound readers survive the
+    * flip for `retain` further refreezes (RefreezeLoopSpec). */
+  def refreezeMediaIfStale(arrivalHashes: DataFrame, name: String,
+      minHitShare: Double = 0.5, retain: Int = 1,
+      maxBandOccupancy: Long = 0L): Option[Long] =
+    graft.sources.MediaIndexStore.refreezeIfStale(spark, arrivalHashes,
+      name, minHitShare, retain, maxBandOccupancy)
+
+  /** The automated drift→refreeze loop for the frozen ANN index:
+    * grade arrivals' fit against the LIVE generation's frozen fine
+    * centroids (qa04's signal) and re-freeze over corpus ∪ arrivals
+    * when the mean fit drops more than `maxFitDriftMicro`
+    * micro-cosines below the corpus's own (BigInt-exact compare).
+    * Returns the new generation when it fired. */
+  def refreezeAnnIfStale(corpus: DataFrame, arrivals: DataFrame,
+      name: String, maxFitDriftMicro: Long = 100000L,
+      buckets: Int = 8): Option[Long] =
+    Similarity.refreezeIfStale(corpus, arrivals, name, maxFitDriftMicro, buckets)
+
   /** SQL front door: register every source table as a temp view
     * (`graft_documents`, `graft_events`, …) and the custom
     * expressions (`regexp_extract_groups`, `long_array_dot`) in the

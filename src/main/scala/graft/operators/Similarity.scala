@@ -609,6 +609,61 @@ object Similarity {
     graft.sources.AnnIndexStore.append(assignNew, codesNew, name)
   }
 
+  /** CLOSE THE qa04 DRIFT→REFREEZE LOOP for the ANN index (VERDICT
+    * r11 #5's sibling for this family — media got
+    * [[graft.sources.MediaIndexStore.refreezeIfStale]]): grade an
+    * arriving batch's fit against the LIVE generation's FROZEN fine
+    * centroids (qa04's fit-drift signal, measured against the index
+    * actually serving searches rather than freshly derived
+    * centroids), and when the arrivals' mean cosine-to-own-centroid
+    * sits more than `maxFitDriftMicro` micro-cosines below the
+    * corpus's own, re-freeze over corpus ∪ arrivals through one
+    * [[shipIvfpqIndex]] pass. Returns the new generation when it
+    * fired.
+    *
+    * The trip decision is integer-exact: per-side fits are sums of
+    * floor(cos·1e6) longs over exact counts (the qa04 discipline),
+    * compared by BigInt cross-multiplication — no float edge decides
+    * a refreeze.
+    *
+    * Scale shape: two bounded-k broadcast fit passes (O(n×k), the
+    * cost class of the monitor itself) + the freeze's one corpus
+    * pass only when tripped. A bound reader survives the automated
+    * flip for `retain` further refreezes (the
+    * [[graft.sources.AnnIndexStore.write]] retention contract);
+    * RefreezeLoopSpec drives the full loop. `corpus` and `arrivals`
+    * carry (vec_id, label, embedding); the caller owns landing the
+    * same arrivals in the embeddings source (the
+    * [[appendToFrozenIndex]] contract). */
+  def refreezeIfStale(corpus: DataFrame, arrivals: DataFrame, name: String,
+                      maxFitDriftMicro: Long = 100000L,
+                      buckets: Int = 8): Option[Long] = {
+    val spark = corpus.sparkSession
+    val idx = graft.sources.AnnIndexStore.load(spark, name)
+    val cents = idx.f2c.select(col("f_id").as("c_id"),
+      col("f_qv").as("c_qv"), col("f_nrm").as("c_nrm"))
+    def quant(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", qnorm2(col("qv")))
+    val (qc, qa) = (quant(corpus), quant(arrivals))
+    def fit(e: DataFrame): (Long, Long) = {
+      val r = Dedup.cellFit(e.select("vec_id", "qv", "nrm"), cents)
+        .agg(sum(floor(col("cos") * 1000000.0).cast("long")).as("s"),
+          count(lit(1)).as("n")).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    }
+    val (cs, cn) = fit(qc)
+    val (as_, an) = fit(qa)
+    // stale ⇔ as/an < cs/cn − d ⇔ as·cn < cs·an − d·an·cn (exact)
+    val stale = an > 0 && cn > 0 &&
+      BigInt(as_) * cn < BigInt(cs) * an - BigInt(maxFitDriftMicro) * an * cn
+    if (!stale) None
+    else {
+      shipIvfpqIndexFrom(qc.unionByName(qa), name, buckets)
+      graft.sources.FreezeStore.readPtr(spark, name).map(_._1)
+    }
+  }
+
   /** SEARCH a frozen index shipped by [[shipIvfpqIndex]] from a
     * fresh session: load the persisted components and run the
     * literal [[ivfpqSearch]] algebra — query routing and the ADC

@@ -68,6 +68,73 @@ class RefreezeLoopSpec extends SparkSpec {
     } finally MediaIndexStore.drop(spark, name)
   }
 
+  test("ANN loop: frozen-centroid drift trips a refreeze; in-distribution does not") {
+    // the PropertySpec qa04 fixture: corpus clustered on 4 base
+    // directions + per-id jitter; control arrivals follow the same
+    // rule (good fit against the FROZEN fine centroids), drifted
+    // arrivals all point at dim 63 — a direction no frozen centroid
+    // occupies (fit collapses)
+    def vec(dir: Int, jitter: Int): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(dir) = 1.0f
+      a(32 + jitter % 16) = 0.2f
+      a.toSeq
+    }
+    def frame(ids: Seq[Long], drifted: Boolean) = {
+      spark.createDataFrame(ids.map { i =>
+        val (dir, jit) =
+          if (drifted) (63, 0) else (((i / 4) % 4).toInt * 8, i.toInt)
+        (i, "x", vec(dir, jit))
+      }).toDF("vec_id", "label", "embedding")
+    }
+    val name = "refreeze_ann1"
+    val corpus = frame(0L until 160L, drifted = false)
+    graft.sources.AnnIndexStore.drop(spark, name)
+    try {
+      // freeze gen 1 over the corpus (through the same quantize path
+      // refreezeIfStale uses)
+      val q = corpus.select(col("vec_id"), col("label"),
+          graft.functions.TextFns.quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", graft.functions.TextFns.qnorm2(col("qv")))
+      graft.operators.Similarity.shipIvfpqIndexFrom(q, name, buckets = 4)
+      assert(FreezeStore.readPtr(spark, name).map(_._1).contains(1L))
+
+      // in-distribution arrivals: fit matches the corpus's → no trip
+      assert(graft.operators.Similarity.refreezeIfStale(
+        corpus, frame(1000L until 1040L, drifted = false), name).isEmpty,
+        "control arrivals must not refreeze")
+      assert(FreezeStore.readPtr(spark, name).map(_._1).contains(1L))
+
+      // bind a reader to generation 1 and evaluate it once
+      val bound = graft.sources.AnnIndexStore.load(spark, name).assign
+      val before = bound.count()
+      assert(before == 160L)
+
+      // drifted arrivals: fit collapses → the loop fires
+      val fired = graft.operators.Similarity.refreezeIfStale(
+        corpus, frame(2000L until 2040L, drifted = true), name)
+      assert(fired.contains(2L), s"drifted arrivals must trigger gen 2, got $fired")
+
+      // the generation-1-bound reader answers through the flip …
+      assert(bound.count() == before,
+        "a gen-1-bound reader must survive the automated refreeze")
+      // … and the new generation absorbed the arrivals, consistently
+      val (na, nc, ok) = graft.sources.AnnIndexStore.verifyConsistency(spark, name)
+      assert(na == 200L && ok, s"gen 2 must hold corpus ∪ arrivals consistently ($na, $nc, $ok)")
+    } finally graft.sources.AnnIndexStore.drop(spark, name)
+  }
+
+  test("both loops are reachable through the api facade") {
+    val g = new graft.api.Graft(spark, sf)
+    val name = "refreeze_api1"
+    MediaIndexStore.drop(spark, name)
+    try {
+      MediaIndexStore.freeze(corpus, name)
+      assert(g.refreezeMediaIfStale(familiarArrivals, name).isEmpty)
+      assert(g.refreezeMediaIfStale(novelArrivals, name).contains(2L))
+    } finally MediaIndexStore.drop(spark, name)
+  }
+
   test("a reader bound before the automated flip survives it (retention)") {
     val name = "refreeze_loop3"
     MediaIndexStore.drop(spark, name)
