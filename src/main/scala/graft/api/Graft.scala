@@ -636,6 +636,14 @@ class Graft(val spark: SparkSession, dir: String) {
                 contextLen: Long = 2048L): DataFrame =
     Pipeline.p20ChunkPack(spark, dir, window, stride, contextLen)
 
+  /** Context assembly — the retrieval half of the ingest DAG (p21):
+    * rank the corpus's context-window chunks per query by BM25 at
+    * chunk granularity and assemble the top chunks in rank order
+    * under a token budget (the RAG prompt-builder step). */
+  def contextAssembly(window: Long = 32L, stride: Long = 24L,
+                      budget: Long = 96L): DataFrame =
+    Pipeline.p21ContextAssembly(spark, dir, window, stride, budget)
+
   /** Streaming twin of [[chunkWindows]] — p19's literal core over an
     * arriving (doc_id, text) stream (stateless, append mode). */
   def streamingChunkWindows(docStream: DataFrame, window: Long = 32L,

@@ -724,6 +724,24 @@ object Pipeline {
           col("n_tok").cast("int")), " ").as("chunk_text"))
   }
 
+  /** The dense (doc, chunk) → int64 key shared by p20's packing and
+    * p21's retrieval ranking: doc_id·2²⁰ + chunk_id — unique and
+    * order-preserving under the documented bound, which is ENFORCED
+    * (ADVICE r11): a document past 2²⁰ chunks or a doc_id ≥ 2⁴³
+    * would silently corrupt ordering and the div/mod reconstruction
+    * — fail loudly per offending row instead (the Similarity
+    * qv_c.isNull raise_error precedent). Expects doc_id / n_chunks /
+    * chunk_id columns in scope. */
+  private def chunkKey: Column =
+    when(col("n_chunks") >= lit(1048576L) ||
+        col("doc_id") < 0L || col("doc_id") >= lit(8796093022208L),
+        raise_error(concat(
+          lit("chunk packing key out of range: doc_id="),
+          col("doc_id").cast("string"),
+          lit(" n_chunks="), col("n_chunks").cast("string"),
+          lit(" — needs doc_id in [0, 2^43) and < 2^20 chunks/doc"))))
+      .otherwise(col("doc_id") * lit(1048576L) + col("chunk_id"))
+
   /** p20: CHUNK-THEN-PACK — the ingest DAG composed end-to-end:
     * every document splits into p19's overlapping context windows
     * and the CHUNKS pack into contextLen-token bins per source
@@ -748,23 +766,10 @@ object Pipeline {
                    window: Long = 32L, stride: Long = 24L,
                    contextLen: Long = 2048L): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // the packing key's documented bound, ENFORCED (ADVICE r11): a
-    // document past 2²⁰ chunks or a doc_id ≥ 2⁴³ would silently
-    // corrupt bin ordering and the div/mod reconstruction — fail
-    // loudly per offending row instead (the Similarity qv_c.isNull
-    // raise_error precedent)
-    val key = when(col("n_chunks") >= lit(1048576L) ||
-        col("doc_id") < 0L || col("doc_id") >= lit(8796093022208L),
-        raise_error(concat(
-          lit("p20 packing key out of range: doc_id="),
-          col("doc_id").cast("string"),
-          lit(" n_chunks="), col("n_chunks").cast("string"),
-          lit(" — needs doc_id in [0, 2^43) and < 2^20 chunks/doc"))))
-      .otherwise(col("doc_id") * lit(1048576L) + col("chunk_id"))
     val packed = packTokens(
       chunkCore(docs, window, stride)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
-        .select(key.as("doc_id"),
+        .select(chunkKey.as("doc_id"),
           col("source"), col("n_tok").as("n_tokens")),
       contextLen)
     packed.select(expr("doc_id div 1048576").as("doc_id"),
@@ -773,7 +778,130 @@ object Pipeline {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** p21: CONTEXT ASSEMBLY — the retrieval half of the ingest DAG
+    * (p19/p20 are the chunker half): for each query, rank the
+    * corpus's context-window chunks by BM25 AT CHUNK GRANULARITY and
+    * assemble the top chunks IN RANK ORDER under a token budget —
+    * exactly what a RAG prompt builder / retrieval-augmented
+    * pretraining mix does between the chunk store and the model:
+    * retrieve, rank, cut at the context budget.
+    *
+    * Composition is literal, not parallel re-implementation: the
+    * chunks are [[chunkCore]] (p19's gated explode, keyed by the
+    * shared p20 packing key), the ranking is t18's gated Okapi
+    * algebra ([[TextAnalysis.Bm25Queries]] — the one query set, and
+    * the identical float discipline: rational idf, literal 2.2/1.2
+    * constants, per-term floor to micro-units, integer per-chunk
+    * sums) with chunk df / chunk length standing in for document df
+    * / length (n_tok IS the chunk length — no re-count), and the
+    * budget cut is one running sum over the ≤10 ranked rows.
+    *
+    * Oracle parity: every score is the t18-gated float shape; the
+    * assembly is pure integers (prefix sum of n_tok, cum ≤ budget).
+    *
+    * Scale shape: chunk tf/df are map-side-combinable token
+    * groupBys; the query-term frame is BOUNDED (≤ queries×terms
+    * rows, broadcast); the top-10 is the t18 two-phase rank —
+    * (query, hash-bucket) window then the ≤ 10·32-row final rank,
+    * both PARTITIONED (no global window, PlanShapeSpec's sweep);
+    * the budget walk touches ≤ 10 rows/query. Nothing downstream of
+    * the chunker is byte-scaled. */
+  def p21ContextAssembly(spark: SparkSession, dir: String,
+                         window: Long = 32L, stride: Long = 24L,
+                         budget: Long = 96L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(budget >= 1, s"context budget must be positive (got $budget)")
+    val chunks = chunkCore(Tables.documents(spark, dir), window, stride)
+      .select(chunkKey.as("ck"), col("n_tok"),
+        graft.functions.TextFns.tokens(col("chunk_text")).as("t"))
+    val tok = chunks.select(col("ck"), explode(col("t")).as("term"))
+    val tf = tok.groupBy("ck", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = chunks.select(col("ck"), col("n_tok").as("dl"))
+    val stats = chunks.agg(count(lit(1)).as("n_chunks_tot"),
+        sum(col("n_tok")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_chunks_tot"))
+      .select("n_chunks_tot", "avgdl")
+    val q = TextAnalysis.Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val qdf = dfreq.join(broadcast(q), "term").crossJoin(broadcast(stats))
+    val idf = ((col("n_chunks_tot") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val den = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+    val micro = floor(idf * ((col("tf").cast("double") * lit(2.2)) / den) *
+      lit(1000000.0)).cast("long")
+    val scored = tf.join(broadcast(qdf), Seq("term"))
+      .join(dl, "ck")
+      .select(col("query_id"), col("ck"), micro.as("micro"))
+      .groupBy("query_id", "ck")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("micro")).as("score_micro"))
+    val ord = Seq(col("score_micro").desc, col("ck").asc)
+    val w1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    val wCum = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("p", pmod(xxhash64(col("ck")), lit(32)).cast("int"))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= 10)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 10)
+      .join(dl.select(col("ck"), col("dl").as("n_tok")), "ck")
+      .withColumn("cum_tok", sum(col("n_tok")).over(wCum))
+      .filter(col("cum_tok") <= budget)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        expr("ck div 1048576").as("doc_id"),
+        (col("ck") % 1048576L).as("chunk_id"),
+        col("n_tok"), col("cum_tok"), col("n_terms_hit"), col("score_micro"))
+      .orderBy("query_id", "rank")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p21_context_assembly" -> {
+      // the query VALUES are generated from the SAME Seq the Column
+      // plan reads (the t18 rule: the query set exists in one place)
+      val values = TextAnalysis.Bm25Queries.flatMap { case (qid, ts) =>
+        ts.map(t => s"($qid, '$t')") }.mkString(", ")
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         |s AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    CAST(CASE WHEN len(t) <= 32 THEN 1
+         |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
+         |  FROM d),
+         |c AS (SELECT doc_id, t, n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM s),
+         |ck AS (SELECT doc_id * 1048576 + chunk_id AS ck,
+         |    CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok,
+         |    string_split_regex(trim(array_to_string(list_slice(t, chunk_id * 24 + 1,
+         |      chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')), '\s+') AS ct
+         |  FROM c),
+         |tok AS (SELECT ck, unnest(ct) AS term FROM ck),
+         |tf AS (SELECT ck, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT n_chunks_tot, CAST(sum_dl AS DOUBLE) / n_chunks_tot AS avgdl FROM (
+         |  SELECT COUNT(*) AS n_chunks_tot, CAST(SUM(n_tok) AS BIGINT) AS sum_dl FROM ck) s0),
+         |q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+         |qdf AS (SELECT query_id, term, df FROM q JOIN dfreq USING (term)),
+         |dl AS (SELECT ck, n_tok AS dl FROM ck),
+         |ts AS (SELECT query_id, tf.ck,
+         |  CAST(floor(((CAST(n_chunks_tot - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |    * 1000000.0) AS BIGINT) AS micro
+         |  FROM tf JOIN qdf USING (term) JOIN dl ON dl.ck = tf.ck CROSS JOIN st),
+         |scored AS (SELECT query_id, ck, COUNT(*) AS n_terms_hit,
+         |  CAST(SUM(micro) AS BIGINT) AS score_micro FROM ts GROUP BY 1, 2),
+         |rk AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, ck) AS rank
+         |  FROM scored) r0 WHERE rank <= 10),
+         |asm AS (SELECT rk.query_id, rk.rank, rk.ck, rk.n_terms_hit, rk.score_micro,
+         |  dl.dl AS n_tok,
+         |  CAST(SUM(dl.dl) OVER (PARTITION BY rk.query_id ORDER BY rk.rank
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+         |  FROM rk JOIN dl ON dl.ck = rk.ck)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, ck // 1048576 AS doc_id,
+         |  ck % 1048576 AS chunk_id, n_tok, cum_tok, n_terms_hit, score_micro
+         |FROM asm WHERE cum_tok <= 96 ORDER BY query_id, rank""".stripMargin
+    },
+
     "p20_chunk_pack" ->
       raw"""WITH d AS (SELECT doc_id, source,
          |    string_split_regex(trim(text), '\s+') AS t FROM documents),
