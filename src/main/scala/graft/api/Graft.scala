@@ -768,6 +768,51 @@ class Graft(val spark: SparkSession, dir: String) {
     graft.sources.MediaIndexStore.refreezeIfStale(spark, arrivalHashes,
       name, minHitShare, retain, maxBandOccupancy)
 
+  /** Freeze the chunk-granular inverted text index over this
+    * corpus's p19 context windows — sparse retrieval's frozen index
+    * (postings + frozen IDF; see
+    * [[graft.sources.Bm25IndexStore]]). */
+  def freezeTextIndex(name: String, window: Long = 32L,
+                      stride: Long = 24L, buckets: Int = 8,
+                      retain: Int = 1): Long =
+    graft.sources.Bm25IndexStore.freeze(
+      Pipeline.chunkFrame(Tables.documents(spark, dir), window, stride),
+      name, buckets, retain)
+
+  /** Rank chunks against a frozen text index (term-pushed posting
+    * reads; scores identical to the live p21 ranking core). */
+  def searchTextIndex(name: String, queries: Seq[(Int, Seq[String])],
+                      topK: Int = 10): DataFrame =
+    graft.sources.Bm25IndexStore.searchFrozen(spark, name, queries, topK)
+
+  /** Append arriving documents' chunks to a frozen text index
+    * (frozen-IDF semantics — known terms searchable immediately,
+    * unseen vocabulary waits for the next freeze). */
+  def appendTextIndex(newDocs: DataFrame, name: String,
+                      window: Long = 32L, stride: Long = 24L): Unit =
+    graft.sources.Bm25IndexStore.append(
+      Pipeline.chunkFrame(newDocs, window, stride), name)
+
+  /** The automated drift→refreeze loop for the frozen text index:
+    * re-freeze when arrivals' unseen-vocabulary share trips the
+    * threshold (integer-exact compare). */
+  def refreezeTextIfStale(newDocs: DataFrame, name: String,
+                          maxUnseenShare: Double = 0.2,
+                          window: Long = 32L, stride: Long = 24L,
+                          buckets: Int = 8, retain: Int = 1): Option[Long] =
+    graft.sources.Bm25IndexStore.refreezeIfStale(spark,
+      Pipeline.chunkFrame(newDocs, window, stride), name,
+      maxUnseenShare, buckets, retain)
+
+  /** Streaming frozen-text-index search over an arriving
+    * (query_id, term) stream (per-micro-batch pointer binding;
+    * idempotent per-batch-id sink). */
+  def streamingTextSearch(queryStream: DataFrame, name: String,
+      outDir: String, checkpoint: String,
+      topK: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Bm25Stream.searchStream(queryStream, name, outDir,
+      checkpoint, topK)
+
   /** The automated drift→refreeze loop for the frozen ANN index:
     * grade arrivals' fit against the LIVE generation's frozen fine
     * centroids (qa04's signal) and re-freeze over corpus ∪ arrivals

@@ -810,11 +810,40 @@ object Pipeline {
                          window: Long = 32L, stride: Long = 24L,
                          budget: Long = 96L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     require(budget >= 1, s"context budget must be positive (got $budget)")
-    val chunks = chunkCore(Tables.documents(spark, dir), window, stride)
+    val wCum = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunkBm25Ranked(chunkFrame(Tables.documents(spark, dir), window, stride))
+      .withColumn("cum_tok", sum(col("n_tok")).over(wCum))
+      .filter(col("cum_tok") <= budget)
+      .select(col("query_id"), col("rank"),
+        expr("ck div 1048576").as("doc_id"),
+        (col("ck") % 1048576L).as("chunk_id"),
+        col("n_tok"), col("cum_tok"), col("n_terms_hit"), col("score_micro"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The (ck, n_tok, t) chunk frame p21 ranks and the frozen text
+    * index ([[graft.sources.Bm25IndexStore.freeze]]) persists — ONE
+    * definition of chunk identity (the shared packing key) and chunk
+    * tokenization, so the live and frozen retrieval paths cannot
+    * drift. */
+  private[graft] def chunkFrame(docs: DataFrame, window: Long = 32L,
+                                stride: Long = 24L): DataFrame =
+    chunkCore(docs, window, stride)
       .select(chunkKey.as("ck"), col("n_tok"),
         graft.functions.TextFns.tokens(col("chunk_text")).as("t"))
+
+  /** p21's ranked-retrieval core over any (ck, n_tok, t) chunk
+    * frame: top-10 chunks per [[TextAnalysis.Bm25Queries]] query by
+    * the t18-gated Okapi algebra at chunk granularity. Returns
+    * (query_id, rank, ck, n_tok, n_terms_hit, score_micro), total
+    * order (query_id, rank). Also the LIVE twin the frozen text
+    * index's search is spec-pinned against (TextIndexSpec). */
+  private[graft] def chunkBm25Ranked(chunks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = chunks.sparkSession
+    import spark.implicits._
     val tok = chunks.select(col("ck"), explode(col("t")).as("term"))
     val tf = tok.groupBy("ck", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -827,33 +856,35 @@ object Pipeline {
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
     val qdf = dfreq.join(broadcast(q), "term").crossJoin(broadcast(stats))
-    val idf = ((col("n_chunks_tot") - col("df")).cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5))
-    val den = col("tf").cast("double") + lit(1.2) *
-      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
-    val micro = floor(idf * ((col("tf").cast("double") * lit(2.2)) / den) *
-      lit(1000000.0)).cast("long")
     val scored = tf.join(broadcast(qdf), Seq("term"))
       .join(dl, "ck")
-      .select(col("query_id"), col("ck"), micro.as("micro"))
+      .select(col("query_id"), col("ck"), bm25Micro.as("micro"))
       .groupBy("query_id", "ck")
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("micro")).as("score_micro"))
     val ord = Seq(col("score_micro").desc, col("ck").asc)
     val w1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ord: _*)
     val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
-    val wCum = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored.withColumn("p", pmod(xxhash64(col("ck")), lit(32)).cast("int"))
       .withColumn("r1", row_number().over(w1)).filter(col("r1") <= 10)
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 10)
       .join(dl.select(col("ck"), col("dl").as("n_tok")), "ck")
-      .withColumn("cum_tok", sum(col("n_tok")).over(wCum))
-      .filter(col("cum_tok") <= budget)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        expr("ck div 1048576").as("doc_id"),
-        (col("ck") % 1048576L).as("chunk_id"),
-        col("n_tok"), col("cum_tok"), col("n_terms_hit"), col("score_micro"))
+        col("ck"), col("n_tok"), col("n_terms_hit"), col("score_micro"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The t18-gated Okapi per-term score in exact micro-units —
+    * literal constants, rational idf, ONE floor — over columns
+    * (tf, df, dl, n_chunks_tot, avgdl) in scope. ONE definition for
+    * the live ranking above and the frozen index's search
+    * ([[graft.sources.Bm25IndexStore.searchFrozen]]). */
+  private[graft] def bm25Micro: Column = {
+    val idf = ((col("n_chunks_tot") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val den = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+    floor(idf * ((col("tf").cast("double") * lit(2.2)) / den) *
+      lit(1000000.0)).cast("long")
   }
 
   val oracles: Map[String, String] = Map(

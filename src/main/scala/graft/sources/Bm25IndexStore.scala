@@ -1,0 +1,269 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The FROZEN INVERTED TEXT INDEX — sparse retrieval's member of the
+  * frozen-index lattice (dense ANN: [[AnnIndexStore]]; perceptual
+  * media: [[MediaIndexStore]]; exact membership: the shipped Bloom
+  * screen). Ships the chunk-granular BM25 state p21 computes live —
+  * postings, chunk lengths, document frequencies, corpus stats — so
+  * query batches rank against 100 TB of text WITHOUT re-tokenizing
+  * any of it: the tokenize+tf pass is one corpus pass per freeze;
+  * the search path reads posting lists for the query's terms only.
+  *
+  * Components per generation:
+  *  - `postings` (term, ck, tf) — corpus-scale, BUCKETED+sorted by
+  *    term: the search pre-filters `term IN (query terms)` with the
+  *    query set known at plan time, so parquet row-group pruning on
+  *    the SORTED term column makes search IO posting-list-scaled,
+  *    never corpus-scaled (the inverted-index property, expressed in
+  *    lakehouse primitives).
+  *  - `lens` (ck, dl) — chunk-count-scale (16 bytes/chunk).
+  *  - `dfreq` (term, df) — vocab-scale, bucketed by term.
+  *  - `stats` — ONE row (n_chunks_tot, sum_dl).
+  *
+  * FROZEN-IDF SEMANTICS (the real-world search-engine pattern —
+  * scores use an IDF snapshot refreshed periodically, not per
+  * insert): [[append]] lands new chunks' postings and lengths (they
+  * become SEARCHABLE for terms the freeze knows), but `dfreq` and
+  * `stats` stay frozen — re-deriving them per append would be the
+  * corpus pass this store exists to avoid, and a moving IDF would
+  * re-score already-ranked results (the MediaIndexStore cap-caveat
+  * discipline: nothing about the scoring frame shifts between
+  * freezes). Two documented consequences, both measured by
+  * [[staleness]] (the qa04/mm12 WHEN-to-refreeze role):
+  *  - a term absent from the frozen vocabulary has no df — chunks
+  *    carrying ONLY unseen terms cannot be retrieved until the next
+  *    freeze (the media band-miss analog);
+  *  - appended chunks score with freeze-time idf/avgdl (slightly
+  *    stale weights, exact same algebra).
+  *
+  * VERSIONED like every frozen artifact ([[FreezeStore]]): each
+  * freeze is a new generation committed by one atomic pointer flip
+  * (+ cross-process lease); appends are reserve-then-commit batches
+  * invisible until the pointer grows; bound readers survive
+  * `retain` re-freezes.
+  */
+object Bm25IndexStore {
+
+  private val Bucketed = Seq("postings", "dfreq")
+  private val Plain = Seq("lens", "stats")
+
+  private def gt(name: String, gen: Long, part: String): String =
+    FreezeStore.genTable(name, gen, part)
+
+  /** Freeze the chunk-granular text index over a (ck, n_tok, t)
+    * chunk frame ([[graft.operators.Pipeline.chunkFrame]] — the ONE
+    * chunk identity/tokenization definition). Returns the committed
+    * generation. One corpus pass: tf/df/lens/stats derive from a
+    * single explode+groupBy cascade, all map-side-combinable. */
+  def freeze(chunks: DataFrame, name: String, buckets: Int = 8,
+             retain: Int = 1): Long = {
+    require(retain >= 1, "retain must keep at least the superseded generation")
+    val spark = chunks.sparkSession
+    val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
+    val gen = prev + 1
+    val tok = chunks.select(col("ck"), explode(col("t")).as("term"))
+    val tf = tok.groupBy("ck", "term").agg(count(lit(1)).as("tf"))
+    def stamp(df: DataFrame): DataFrame =
+      df.withColumn("batch", lit(0L)).withColumn("gen", lit(gen))
+    Bucketing.writeBucketed(
+      stamp(tf.select(col("term"), col("ck"), col("tf"))),
+      gt(name, gen, "postings"), "term", buckets)
+    Bucketing.writeBucketed(
+      stamp(tf.groupBy("term").agg(count(lit(1)).as("df"))),
+      gt(name, gen, "dfreq"), "term", buckets)
+    Bucketing.resetTable(spark, gt(name, gen, "lens"))
+    stamp(chunks.select(col("ck"), col("n_tok").as("dl")))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(gt(name, gen, "lens"))
+    Bucketing.resetTable(spark, gt(name, gen, "stats"))
+    stamp(chunks.agg(count(lit(1)).as("n_chunks_tot"),
+        sum(col("n_tok")).as("sum_dl")))
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(gt(name, gen, "stats"))
+    FreezeStore.flipPtr(spark, name, gen, Seq(0L))
+    FreezeStore.listGens(spark, name)
+      .filter(g => g < gen && g > 0 && g <= prev - retain)
+      .foreach { g =>
+        (Bucketed ++ Plain).foreach(p =>
+          Bucketing.resetTable(spark, gt(name, g, p)))
+      }
+    gen
+  }
+
+  /** One generation-bound, committed-batch-filtered component. */
+  private def part(spark: SparkSession, name: String, gen: Long,
+                   batches: Seq[Long], p: String): DataFrame =
+    spark.table(gt(name, gen, p))
+      .filter(col("batch").isin(batches: _*)).drop("batch", "gen")
+
+  /** SEARCH the frozen index: top-`topK` chunks per query by the
+    * t18-gated Okapi algebra ([[graft.operators.Pipeline.bm25Micro]]
+    * — the literal live scoring expression over the persisted
+    * columns). Rows equal the live
+    * [[graft.operators.Pipeline.chunkBm25Ranked]] over the same
+    * corpus when no appends landed (TextIndexSpec pins it).
+    *
+    * The pointer resolves ONCE per call (wholly-one-generation); the
+    * query terms are driver-known, so `term IN (...)` is PUSHED into
+    * both bucketed scans — postings IO is posting-list-scaled. */
+  def searchFrozen(spark: SparkSession, name: String,
+                   queries: Seq[(Int, Seq[String])], topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val (gen, batches) = FreezeStore.readPtr(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen text index named $name"))
+    val terms = queries.flatMap(_._2).distinct
+    val q = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val postings = part(spark, name, gen, batches, "postings")
+      .filter(col("term").isin(terms: _*))
+    // dfreq/stats come from batch 0 ALONE by construction (frozen at
+    // freeze time — appends never write them); the filter keeps the
+    // read honest if tooling ever lands rows there
+    val dfreq = part(spark, name, gen, batches, "dfreq")
+      .filter(col("term").isin(terms: _*))
+    val lens = part(spark, name, gen, batches, "lens")
+    val stats = part(spark, name, gen, batches, "stats")
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_chunks_tot"))
+      .select("n_chunks_tot", "avgdl")
+    val qdf = dfreq.join(broadcast(q), "term").crossJoin(broadcast(stats))
+    val scored = postings.join(broadcast(qdf), Seq("term"))
+      .join(lens.select(col("ck"), col("dl")), "ck")
+      .select(col("query_id"), col("ck"),
+        graft.operators.Pipeline.bm25Micro.as("micro"))
+      .groupBy("query_id", "ck")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("micro")).as("score_micro"))
+    val ord = Seq(col("score_micro").desc, col("ck").asc)
+    val w1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored.withColumn("p", pmod(xxhash64(col("ck")), lit(32)).cast("int"))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= topK)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= topK)
+      .join(lens.select(col("ck"), col("dl").as("n_tok")), "ck")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("ck"), col("n_tok"), col("n_terms_hit"), col("score_micro"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** APPEND arriving chunks (the absorb step): postings and lengths
+    * land batch-stamped through the reserve-then-commit protocol
+    * (the [[AnnIndexStore.append]] concurrency contract — atomic
+    * reserve, re-read-merge commit, loud on a mid-append re-freeze).
+    * `dfreq`/`stats` stay FROZEN — see the class doc's frozen-IDF
+    * semantics; [[staleness]] measures the resulting drift and
+    * [[refreezeIfStale]] closes the loop. O(arrival chunks); never a
+    * corpus pass. */
+  def append(chunks: DataFrame, name: String): Unit = {
+    val spark = chunks.sparkSession
+    def bucketsOf(t: String): Int = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
+    val (gen, batch) = FreezeStore.withFamilyLock(name) {
+      val (gen, batches, hwm) = FreezeStore.readPtrFull(spark, name).getOrElse(
+        throw new IllegalStateException(s"no frozen text index named $name"))
+      val batch = hwm + 1
+      FreezeStore.flipPtr(spark, name, gen, batches, hwm = batch)
+      (gen, batch)
+    }
+    def stamp(df: DataFrame): DataFrame =
+      df.withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
+    val tok = chunks.select(col("ck"), explode(col("t")).as("term"))
+    val tf = tok.groupBy("ck", "term").agg(count(lit(1)).as("tf"))
+    val pt = gt(name, gen, "postings")
+    stamp(tf.select(col("term"), col("ck"), col("tf")))
+      .write.mode("append").format("parquet")
+      .bucketBy(bucketsOf(pt), "term").sortBy("term")
+      .saveAsTable(pt)
+    stamp(chunks.select(col("ck"), col("n_tok").as("dl")))
+      .write.mode("append").format("parquet")
+      .saveAsTable(gt(name, gen, "lens"))
+    FreezeStore.withFamilyLock(name) {
+      val (g2, cur, h2) = FreezeStore.readPtrFull(spark, name).getOrElse(
+        throw new IllegalStateException(s"frozen text index $name vanished mid-append"))
+      if (g2 != gen)
+        throw new IllegalStateException(
+          s"append to $name lost a race with a re-freeze (gen $gen → $g2): " +
+            "the landed rows are invisible in the superseded generation; " +
+            "re-run the append against the live freeze")
+      FreezeStore.flipPtr(spark, name, gen, cur :+ batch,
+        hwm = math.max(h2, batch))
+    }
+  }
+
+  /** STALENESS of the frozen vocabulary against an arriving chunk
+    * batch — the WHEN-to-refreeze monitor (qa04/mm12's role for
+    * sparse retrieval). One row: total arrival posting rows, how
+    * many carry terms UNSEEN in the frozen dfreq (those can never be
+    * retrieved by their unseen terms until a re-freeze), the unseen
+    * share, and the arrivals' length drift vs the frozen avgdl (the
+    * idf/avgdl-staleness proxy). All counts exact; shares are one
+    * division each. Cost: arrival-token-scale ⋈ vocab — never a
+    * corpus pass. */
+  def staleness(spark: SparkSession, arrivals: DataFrame,
+                name: String): DataFrame = {
+    val (gen, batches) = FreezeStore.readPtr(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen text index named $name"))
+    val dfreq = part(spark, name, gen, batches, "dfreq")
+    val stats = part(spark, name, gen, batches, "stats")
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_chunks_tot"))
+      .select("avgdl")
+    val tok = arrivals.select(col("ck"), explode(col("t")).as("term"))
+      .groupBy("ck", "term").agg(count(lit(1)).as("tf"))
+    tok.join(dfreq.select(col("term"), lit(1L).as("seen")), Seq("term"), "left")
+      .agg(count(lit(1)).as("n_postings"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .crossJoin(broadcast(
+        arrivals.agg((sum(col("n_tok")).cast("double") /
+          count(lit(1))).as("arr_avgdl"))))
+      .crossJoin(broadcast(stats))
+      .select(col("n_postings"), col("n_unseen"),
+        (col("n_unseen").cast("double") / col("n_postings")).as("unseen_share"),
+        col("arr_avgdl"), col("avgdl").as("frozen_avgdl"))
+  }
+
+  /** CLOSE THE DRIFT→REFREEZE LOOP for sparse retrieval (the
+    * [[MediaIndexStore.refreezeIfStale]] /
+    * [[graft.operators.Similarity.refreezeIfStale]] sibling): when
+    * the arrivals' unseen-term share exceeds `maxUnseenShare`
+    * (integer basis points, cross-multiplied — no float edge),
+    * re-freeze over the live generation's committed chunks ∪ the
+    * arrivals, re-deriving df/stats over the merged corpus. The
+    * chunk frame is reconstructed from the PERSISTED postings/lens
+    * (tf rows re-explode to token multiset — tokenize never reruns).
+    * Returns the new generation when it fired. */
+  def refreezeIfStale(spark: SparkSession, arrivals: DataFrame, name: String,
+                      maxUnseenShare: Double = 0.2, buckets: Int = 8,
+                      retain: Int = 1): Option[Long] = {
+    val r = staleness(spark, arrivals, name).head()
+    val (nPost, nUnseen) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    val bp = math.round(maxUnseenShare * 10000)
+    if (nPost == 0L || nUnseen * 10000 <= bp * nPost) None
+    else {
+      val (gen, batches) = FreezeStore.readPtr(spark, name).get
+      // rebuild (ck, n_tok, t) from the persisted inverted form:
+      // each (term, tf) posting contributes tf copies of the term —
+      // token ORDER is lost, which BM25 never reads (bag-of-words)
+      val corpus = part(spark, name, gen, batches, "postings")
+        .select(col("ck"),
+          explode(expr("array_repeat(term, cast(tf as int))")).as("term"))
+        .groupBy("ck").agg(collect_list(col("term")).as("t"))
+        .join(part(spark, name, gen, batches, "lens")
+          .select(col("ck"), col("dl").as("n_tok")), "ck")
+        .select("ck", "n_tok", "t")
+      Some(freeze(corpus.unionByName(arrivals.select("ck", "n_tok", "t")),
+        name, buckets, retain))
+    }
+  }
+
+  /** The live generation number (audit hooks). */
+  def liveGen(spark: SparkSession, name: String): Option[Long] =
+    FreezeStore.readPtr(spark, name).map(_._1)
+
+  /** Drop the whole family — pointer and every generation. */
+  def drop(spark: SparkSession, name: String): Unit =
+    FreezeStore.dropAll(spark, name)
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.Pipeline
+import graft.sources.{Bm25IndexStore, FreezeStore, Tables}
+import org.apache.spark.sql.functions._
+
+/** The frozen inverted text index: frozen search == the live p21
+  * ranking core over the same corpus (structural via the shared
+  * bm25Micro/chunkFrame definitions, pinned here row-for-row), the
+  * frozen-IDF append semantics (known-term arrivals searchable, new
+  * terms invisible until re-freeze), the staleness monitor reading
+  * exactly that gap, the drift→refreeze loop, and reader survival
+  * through an automated re-freeze. */
+class TextIndexSpec extends SparkSpec {
+
+  private def chunks(rows: Seq[(Long, Seq[String])]) =
+    spark.createDataFrame(rows.map { case (ck, ts) =>
+      (ck, ts.size.toLong, ts)
+    }).toDF("ck", "n_tok", "t")
+
+  test("frozen search equals the live p21 ranking core") {
+    val name = "textfr1"
+    Bm25IndexStore.drop(spark, name)
+    try {
+      val cf = Pipeline.chunkFrame(Tables.documents(spark, sf))
+      Bm25IndexStore.freeze(cf, name)
+      val live = Pipeline.chunkBm25Ranked(cf).collect().toSeq
+      val frozen = Bm25IndexStore.searchFrozen(spark, name,
+        graft.operators.TextAnalysis.Bm25Queries).collect().toSeq
+      assert(live.nonEmpty, "fixture must rank something")
+      assert(frozen == live,
+        s"frozen search != live ranking (${frozen.length} vs ${live.length})")
+    } finally Bm25IndexStore.drop(spark, name)
+  }
+
+  test("frozen-IDF append: known terms searchable, unseen terms invisible, staleness reads the gap") {
+    val name = "textfr2"
+    Bm25IndexStore.drop(spark, name)
+    try {
+      Bm25IndexStore.freeze(chunks(Seq(
+        1L -> Seq("alpha", "beta", "beta"),
+        2L -> Seq("alpha", "gamma"),
+        3L -> Seq("delta", "beta"))), name)
+      // arrival 10: a frozen-vocab term; arrival 11: ONLY unseen terms
+      val arrivals = chunks(Seq(
+        10L -> Seq("alpha", "epsilon"),
+        11L -> Seq("zeta", "zeta", "eta")))
+      Bm25IndexStore.append(arrivals, name)
+
+      // known-term search finds the appended chunk (scored with the
+      // FROZEN df — searchable without a re-freeze)
+      val hitsAlpha = Bm25IndexStore.searchFrozen(spark, name,
+        Seq(1 -> Seq("alpha"))).select("ck").collect().map(_.getLong(0)).toSet
+      assert(hitsAlpha == Set(1L, 2L, 10L),
+        s"appended known-term chunk must be searchable: $hitsAlpha")
+
+      // an unseen term retrieves NOTHING until the next freeze
+      assert(Bm25IndexStore.searchFrozen(spark, name,
+        Seq(1 -> Seq("zeta"))).count() == 0,
+        "unseen-vocabulary terms cannot retrieve before a re-freeze")
+
+      // the monitor reads exactly that: arrival postings alpha,
+      // epsilon, zeta, eta — 3 of 4 distinct (ck,term) rows unseen
+      val st = Bm25IndexStore.staleness(spark, arrivals, name).head()
+      assert(st.getAs[Long]("n_postings") == 4L &&
+        st.getAs[Long]("n_unseen") == 3L,
+        s"staleness must count unseen postings: $st")
+    } finally Bm25IndexStore.drop(spark, name)
+  }
+
+  test("drift → refreeze: unseen share trips it; the new generation retrieves new terms") {
+    val name = "textfr3"
+    Bm25IndexStore.drop(spark, name)
+    try {
+      Bm25IndexStore.freeze(chunks(Seq(
+        1L -> Seq("alpha", "beta"),
+        2L -> Seq("alpha", "gamma"))), name)
+      // in-vocabulary arrivals: no trip
+      assert(Bm25IndexStore.refreezeIfStale(spark,
+        chunks(Seq(20L -> Seq("alpha", "beta"))), name,
+        maxUnseenShare = 0.2).isEmpty)
+      assert(Bm25IndexStore.liveGen(spark, name).contains(1L))
+
+      // bind a reader to generation 1
+      val bound = Bm25IndexStore.searchFrozen(spark, name, Seq(1 -> Seq("alpha")))
+      val before = bound.collect().toSeq
+      assert(before.nonEmpty)
+
+      // novel-vocabulary arrivals: 2/2 postings unseen → refreeze
+      val novel = chunks(Seq(30L -> Seq("omega", "sigma")))
+      assert(Bm25IndexStore.refreezeIfStale(spark, novel, name,
+        maxUnseenShare = 0.2).contains(2L))
+
+      // the gen-1-bound reader answers through the automated flip …
+      assert(bound.collect().toSeq == before,
+        "a gen-1-bound reader must survive the refreeze")
+      // … and a fresh search retrieves by the previously unseen term
+      val hits = Bm25IndexStore.searchFrozen(spark, name,
+        Seq(1 -> Seq("omega"))).select("ck").collect().map(_.getLong(0)).toSet
+      assert(hits == Set(30L), s"re-freeze must absorb the new vocabulary: $hits")
+      // the rebuilt-from-postings corpus kept the old chunks whole
+      val alphaHits = Bm25IndexStore.searchFrozen(spark, name,
+        Seq(1 -> Seq("alpha"))).select("ck").collect().map(_.getLong(0)).toSet
+      assert(alphaHits == Set(1L, 2L),
+        s"refreeze must preserve the frozen corpus: $alphaHits")
+      assert(FreezeStore.listGens(spark, name) == Seq(1L, 2L))
+    } finally Bm25IndexStore.drop(spark, name)
+  }
+
+  test("streaming search: per-batch ranking equals the batch search (idempotent sink)") {
+    import spark.implicits._
+    val name = "textfr4"
+    val dirBase = java.nio.file.Files.createTempDirectory("bm25stream").toString
+    Bm25IndexStore.drop(spark, name)
+    try {
+      val cf = Pipeline.chunkFrame(Tables.documents(spark, sf))
+      Bm25IndexStore.freeze(cf, name)
+      val qdir = s"$dirBase/queries"
+      graft.operators.TextAnalysis.Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+        .coalesce(1).write.mode("overwrite").parquet(qdir)
+      val stream = spark.readStream
+        .schema("query_id INT, term STRING").parquet(qdir)
+      val q = graft.streaming.Bm25Stream.searchStream(stream, name,
+        s"$dirBase/out", s"$dirBase/ckpt")
+      q.awaitTermination()
+      val streamed = spark.read.parquet(s"$dirBase/out")
+        .select("query_id", "rank", "ck", "n_tok", "n_terms_hit", "score_micro")
+        .orderBy("query_id", "rank").collect().toSeq
+      val batch = Bm25IndexStore.searchFrozen(spark, name,
+        graft.operators.TextAnalysis.Bm25Queries)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed ranking must equal batch (${streamed.length} vs ${batch.length})")
+    } finally {
+      Bm25IndexStore.drop(spark, name)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirBase))
+    }
+  }
+}
