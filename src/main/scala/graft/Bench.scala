@@ -82,7 +82,12 @@ object Bench {
     // round 11c: the pipeline family's first bench entry — the
     // composed ingest DAG (p19 chunk explode + p02's bucketed
     // two-phase prefix-sum pack), the machinery every p-key shares
-    "p20_chunk_pack")
+    "p20_chunk_pack",
+    // round 12: the retrieval half of context assembly — chunk
+    // explode + chunk-granular BM25 (tf/df groupBys + broadcast
+    // query frame + two-phase top-k) + the budget prefix sum; the
+    // live twin the frozen text index is pinned against
+    "p21_context_assembly")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while

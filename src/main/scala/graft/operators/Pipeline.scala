@@ -844,12 +844,20 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val spark = chunks.sparkSession
     import spark.implicits._
+    // ONE tokenize pass: the posting frame is cached and everything
+    // else derives from it — dfreq re-aggregates it, chunk length is
+    // Σtf per chunk (EXACTLY n_tok: every token of the chunk is
+    // counted once), stats re-aggregate the lengths. The naive shape
+    // (dl/stats each re-reading the chunk frame) re-tokenized the
+    // corpus 4× — at 100 TB that is 3 extra corpus passes for data
+    // the postings already contain.
     val tok = chunks.select(col("ck"), explode(col("t")).as("term"))
-    val tf = tok.groupBy("ck", "term").agg(count(lit(1)).as("tf"))
+    val tf = OpCache.cached(
+      tok.groupBy("ck", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = chunks.select(col("ck"), col("n_tok").as("dl"))
-    val stats = chunks.agg(count(lit(1)).as("n_chunks_tot"),
-        sum(col("n_tok")).as("sum_dl"))
+    val dl = tf.groupBy("ck").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_chunks_tot"),
+        sum(col("dl")).as("sum_dl"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_chunks_tot"))
       .select("n_chunks_tot", "avgdl")
     val q = TextAnalysis.Bm25Queries
