@@ -173,6 +173,7 @@ object SparkEntry {
     "q37_salted_join" -> (Skew.q37SaltedJoin _),
     "t18_bm25" -> (TextAnalysis.t18Bm25 _),
     "t19_textrank" -> (TextAnalysis.t19Textrank _),
+    "t20_vocab_drift" -> (TextAnalysis.t20VocabDrift _),
     "q38_assoc_rules" -> (Analytics3.q38AssocRules _),
     "q39_transitions" -> (Analytics3.q39Transitions _),
     "g01_triangles" -> (Graph.g01Triangles _),

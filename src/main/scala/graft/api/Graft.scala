@@ -644,6 +644,12 @@ class Graft(val spark: SparkSession, dir: String) {
                       budget: Long = 96L): DataFrame =
     Pipeline.p21ContextAssembly(spark, dir, window, stride, budget)
 
+  /** Vocabulary drift of derived arrival regimes against this
+    * corpus's vocabulary (t20) — the text family's WHEN-to-refreeze
+    * monitor run live, one row per regime. */
+  def vocabDrift: DataFrame =
+    graft.operators.TextAnalysis.t20VocabDrift(spark, dir)
+
   /** Streaming twin of [[chunkWindows]] — p19's literal core over an
     * arriving (doc_id, text) stream (stateless, append mode). */
   def streamingChunkWindows(docStream: DataFrame, window: Long = 32L,
@@ -791,6 +797,15 @@ class Graft(val spark: SparkSession, dir: String) {
   def appendTextIndex(newDocs: DataFrame, name: String,
                       window: Long = 32L, stride: Long = 24L): Unit =
     graft.sources.Bm25IndexStore.append(
+      Pipeline.chunkFrame(newDocs, window, stride), name)
+
+  /** Vocabulary staleness of a frozen text index against arriving
+    * documents — the WHEN-to-refreeze monitor (t20's algebra over
+    * the persisted vocabulary; one row: unseen-posting share +
+    * length drift vs the frozen average). */
+  def textStaleness(newDocs: DataFrame, name: String,
+                    window: Long = 32L, stride: Long = 24L): DataFrame =
+    graft.sources.Bm25IndexStore.staleness(spark,
       Pipeline.chunkFrame(newDocs, window, stride), name)
 
   /** The automated drift→refreeze loop for the frozen text index:

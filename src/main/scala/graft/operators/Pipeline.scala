@@ -895,6 +895,34 @@ object Pipeline {
       lit(1000000.0)).cast("long")
   }
 
+  /** The VOCAB-DRIFT row — ONE definition for the live monitor
+    * (t20, [[graft.operators.TextAnalysis.t20VocabDrift]]) and the
+    * frozen text index's staleness read
+    * ([[graft.sources.Bm25IndexStore.staleness]] — same algebra over
+    * the persisted dfreq/stats instead of the live corpus): over an
+    * arrival chunk frame (ck, n_tok, t), a vocabulary frame (term)
+    * and a one-row (frozen_avgdl) frame, count arrival postings
+    * whose term the vocabulary has never seen (those chunks cannot
+    * be retrieved BY those terms until a re-freeze) plus the
+    * arrivals' length drift vs the frozen average. All counts exact;
+    * each share/average is ONE division of exact integers (oracle-
+    * identical doubles). Cost: arrival-token-scale ⋈ vocab — never a
+    * corpus pass. */
+  private[graft] def vocabDriftRow(arrivals: DataFrame, vocab: DataFrame,
+                                   frozenAvgdl: DataFrame): DataFrame = {
+    val tf = arrivals.select(col("ck"), explode(col("t")).as("term"))
+      .groupBy("ck", "term").agg(count(lit(1)).as("tf"))
+    tf.join(vocab.select(col("term"), lit(1L).as("seen")), Seq("term"), "left")
+      .agg(count(lit(1)).as("n_postings"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .crossJoin(broadcast(arrivals.agg(count(lit(1)).as("n_arr_chunks"),
+        (sum(col("n_tok")).cast("double") / count(lit(1))).as("arr_avgdl"))))
+      .crossJoin(broadcast(frozenAvgdl.select(col("frozen_avgdl"))))
+      .select(col("n_arr_chunks"), col("n_postings"), col("n_unseen"),
+        (col("n_unseen").cast("double") / col("n_postings")).as("unseen_share"),
+        col("arr_avgdl"), col("frozen_avgdl"))
+  }
+
   val oracles: Map[String, String] = Map(
     "p21_context_assembly" -> {
       // the query VALUES are generated from the SAME Seq the Column

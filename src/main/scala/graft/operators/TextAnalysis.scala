@@ -325,6 +325,62 @@ object TextAnalysis {
       .orderBy(col("rank_micro").desc, col("term"))
   }
 
+  /** t20: VOCAB DRIFT — the text family's WHEN-to-refreeze monitor
+    * as an oracle key (qa04's role for the semantic screens, mm12's
+    * for the media bands, here for sparse retrieval): how well the
+    * corpus's frozen vocabulary still covers what arrives. Two
+    * deterministically DERIVED arrival regimes (the mm11 fixture
+    * discipline — natural slices alone would show ~0 drift):
+    * `inject` re-uploads every doc_id%10==8 document with ONE novel
+    * token prepended (fresh content trickling in — ~2% unseen
+    * postings, below any refreeze trigger) and `reverse` re-uploads
+    * every %10==9 document with its text reversed (a distribution
+    * shift — ~97% unseen, fires any threshold). Drift row per
+    * regime = the literal [[Pipeline.vocabDriftRow]] algebra the
+    * frozen index's staleness read runs
+    * ([[graft.sources.Bm25IndexStore.staleness]] — TextIndexSpec
+    * pins live == frozen): unseen-share of arrival (ck,term)
+    * postings vs the corpus vocabulary + arrival length drift vs the
+    * corpus chunk average. Counts exact; each share/average ONE
+    * division of exact integers.
+    *
+    * Scale shape: the corpus contributes one chunk pass feeding two
+    * CACHED bounded derivatives (vocab ≤ vocabulary size, stats 1
+    * row); each regime is arrival-scaled tokenize + an
+    * arrival-postings ⋈ vocab join — never a corpus re-scan per
+    * regime, never all-pairs. */
+  def t20VocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val inject = docs.filter(col("doc_id") % 10 === 8)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("nv"), col("doc_id").cast("string"), lit(" "),
+          col("text")).as("text"))
+    val reversed = docs.filter(col("doc_id") % 10 === 9)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        reverse(col("text")).as("text"))
+    // ONE corpus tokenize pass (the p21 discipline): the cached
+    // posting frame feeds BOTH bounded derivatives — vocabulary =
+    // its distinct terms (chunk coverage is property-pinned, so
+    // chunk-token distinct == doc-token distinct) and the frozen
+    // length average = per-chunk Σtf (≡ n_tok exactly — tokens are
+    // whitespace-free and nonempty)
+    val ctf = OpCache.cached(Pipeline.chunkFrame(docs)
+      .select(col("ck"), explode(col("t")).as("term"))
+      .groupBy("ck", "term").agg(count(lit(1)).as("tf")))
+    val vocab = ctf.select("term").distinct()
+    val fstat = ctf.groupBy("ck").agg(sum(col("tf")).as("dl"))
+      .agg((sum(col("dl")).cast("double") /
+        count(lit(1))).as("frozen_avgdl"))
+    def row(arr: DataFrame, regime: String): DataFrame =
+      Pipeline.vocabDriftRow(Pipeline.chunkFrame(arr), vocab, fstat)
+        .withColumn("regime", lit(regime))
+    row(inject, "inject").unionByName(row(reversed, "reverse"))
+      .select(col("regime"), col("n_arr_chunks"), col("n_postings"),
+        col("n_unseen"), col("unseen_share"), col("arr_avgdl"),
+        col("frozen_avgdl"))
+      .orderBy("regime")
+  }
+
   /** t07: boilerplate detection — shingles that recur across a large
     * fraction of the corpus (headers, footers, licence blurbs) and
     * each document's share of them, the standard removal signal in a
@@ -373,6 +429,49 @@ object TextAnalysis {
   val oracles: Map[String, String] = {
     val dCte = "d AS (SELECT doc_id, n_chars, lang, text, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
     Map(
+      "t20_vocab_drift" ->
+        raw"""WITH d AS (SELECT doc_id, text FROM documents),
+           |arr AS (
+           |  SELECT 'inject' AS regime, doc_id + 1000000 AS doc_id,
+           |         'nv' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+           |  FROM d WHERE doc_id % 10 = 8
+           |  UNION ALL
+           |  SELECT 'reverse' AS regime, doc_id + 2000000 AS doc_id,
+           |         reverse(text) AS text
+           |  FROM d WHERE doc_id % 10 = 9),
+           |cd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+           |cs AS (SELECT t, CAST(len(t) AS BIGINT) AS n,
+           |    CAST(CASE WHEN len(t) <= 32 THEN 1
+           |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
+           |  FROM cd),
+           |cc AS (SELECT n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM cs),
+           |cck AS (SELECT CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok FROM cc),
+           |fstat AS (SELECT CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS frozen_avgdl FROM cck),
+           |vocab AS (SELECT DISTINCT unnest(t) AS term FROM cd),
+           |ad AS (SELECT regime, doc_id, string_split_regex(trim(text), '\s+') AS t FROM arr),
+           |asx AS (SELECT regime, doc_id, t, CAST(len(t) AS BIGINT) AS n,
+           |    CAST(CASE WHEN len(t) <= 32 THEN 1
+           |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
+           |  FROM ad),
+           |ac AS (SELECT regime, doc_id, t, n,
+           |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM asx),
+           |ack AS (SELECT regime, doc_id * 1048576 + chunk_id AS ck,
+           |    CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok,
+           |    string_split_regex(trim(array_to_string(list_slice(t, chunk_id * 24 + 1,
+           |      chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')), '\s+') AS ct
+           |  FROM ac),
+           |atok AS (SELECT regime, ck, unnest(ct) AS term FROM ack),
+           |atf AS (SELECT regime, ck, term, COUNT(*) AS tf FROM atok GROUP BY 1, 2, 3),
+           |drift AS (SELECT regime, COUNT(*) AS n_postings,
+           |    CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+           |  FROM atf a LEFT JOIN vocab v ON a.term = v.term GROUP BY 1),
+           |astat AS (SELECT regime, COUNT(*) AS n_arr_chunks,
+           |    CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS arr_avgdl FROM ack GROUP BY 1)
+           |SELECT regime, n_arr_chunks, n_postings, n_unseen,
+           |  CAST(n_unseen AS DOUBLE) / n_postings AS unseen_share,
+           |  arr_avgdl, frozen_avgdl
+           |FROM drift JOIN astat USING (regime) CROSS JOIN fstat
+           |ORDER BY regime""".stripMargin,
       "t07_boilerplate" ->
         """WITH sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i

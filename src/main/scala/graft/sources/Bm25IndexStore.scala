@@ -207,22 +207,14 @@ object Bm25IndexStore {
                 name: String): DataFrame = {
     val (gen, batches) = FreezeStore.readPtr(spark, name).getOrElse(
       throw new IllegalStateException(s"no frozen text index named $name"))
-    val dfreq = part(spark, name, gen, batches, "dfreq")
-    val stats = part(spark, name, gen, batches, "stats")
-      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_chunks_tot"))
-      .select("avgdl")
-    val tok = arrivals.select(col("ck"), explode(col("t")).as("term"))
-      .groupBy("ck", "term").agg(count(lit(1)).as("tf"))
-    tok.join(dfreq.select(col("term"), lit(1L).as("seen")), Seq("term"), "left")
-      .agg(count(lit(1)).as("n_postings"),
-        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
-      .crossJoin(broadcast(
-        arrivals.agg((sum(col("n_tok")).cast("double") /
-          count(lit(1))).as("arr_avgdl"))))
-      .crossJoin(broadcast(stats))
-      .select(col("n_postings"), col("n_unseen"),
-        (col("n_unseen").cast("double") / col("n_postings")).as("unseen_share"),
-        col("arr_avgdl"), col("avgdl").as("frozen_avgdl"))
+    // the LITERAL t20 drift algebra (Pipeline.vocabDriftRow — one
+    // definition, TextIndexSpec pins the equality) over the
+    // persisted vocabulary and frozen stats
+    graft.operators.Pipeline.vocabDriftRow(arrivals,
+      part(spark, name, gen, batches, "dfreq").select("term"),
+      part(spark, name, gen, batches, "stats")
+        .select((col("sum_dl").cast("double") / col("n_chunks_tot"))
+          .as("frozen_avgdl")))
   }
 
   /** CLOSE THE DRIFT→REFREEZE LOOP for sparse retrieval (the
@@ -239,7 +231,9 @@ object Bm25IndexStore {
                       maxUnseenShare: Double = 0.2, buckets: Int = 8,
                       retain: Int = 1): Option[Long] = {
     val r = staleness(spark, arrivals, name).head()
-    val (nPost, nUnseen) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    val nPost = r.getAs[Long]("n_postings")
+    val nUnseen = if (r.isNullAt(r.fieldIndex("n_unseen"))) 0L
+      else r.getAs[Long]("n_unseen")
     val bp = math.round(maxUnseenShare * 10000)
     if (nPost == 0L || nUnseen * 10000 <= bp * nPost) None
     else {

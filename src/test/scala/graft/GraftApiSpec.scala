@@ -374,6 +374,40 @@ class GraftApiSpec extends SparkSpec {
       .filter("bin_offset < 0 or bin_offset >= 2048").count() === 0)
   }
 
+  test("round-12 text-index family is reachable through the facade") {
+    val name = "api_text"
+    val ss = g.documents.sparkSession
+    try {
+      g.freezeTextIndex(name)
+      // frozen search answers and equals the live p21 ranking core
+      val qs = graft.operators.TextAnalysis.Bm25Queries
+      val frozen = g.searchTextIndex(name, qs).collect().toSeq
+      assert(frozen.nonEmpty)
+      assert(frozen == graft.operators.Pipeline.chunkBm25Ranked(
+        graft.operators.Pipeline.chunkFrame(g.documents.toDF()))
+        .collect().toSeq, "facade frozen search must equal the live core")
+      // staleness over fresh docs: novel ids → fully unseen vocabulary
+      import org.apache.spark.sql.functions.lit
+      val novel = ss.createDataFrame(Seq(
+        (9000001L, "zzznovelterm1 zzznovelterm2"))).toDF("doc_id", "text")
+      val st = g.textStaleness(novel, name).head()
+      assert(st.getAs[Long]("n_postings") === 2L &&
+        st.getAs[Long]("n_unseen") === 2L,
+        s"novel-vocabulary arrivals must read fully unseen: $st")
+      // the drift loop fires on them and the new generation retrieves
+      assert(g.refreezeTextIfStale(novel, name).contains(2L))
+      assert(g.searchTextIndex(name, Seq(1 -> Seq("zzznovelterm1")))
+        .count() === 1)
+      // the live monitor itself: two regimes, drift ordered
+      val drift = g.vocabDrift.collect()
+      assert(drift.length === 2)
+      val byRegime = drift.map(r =>
+        r.getAs[String]("regime") -> r.getAs[Double]("unseen_share")).toMap
+      assert(byRegime("reverse") > byRegime("inject"),
+        s"reversed text must drift harder than one injected token: $byRegime")
+    } finally graft.sources.Bm25IndexStore.drop(ss, name)
+  }
+
   test("NOQUEUE rejected deliveries land in the deliveries table") {
     // reference: SmtpRe's qid alternation is `([a-zA-Z0-9]+|NOQUEUE)`
     // (maillog2db.go:52) — a rejected delivery has no queue id but is

@@ -68,6 +68,29 @@ class TextIndexSpec extends SparkSpec {
     } finally Bm25IndexStore.drop(spark, name)
   }
 
+  test("frozen staleness equals the live t20 drift algebra over the same frames") {
+    val name = "textfr5"
+    Bm25IndexStore.drop(spark, name)
+    try {
+      val cf = Pipeline.chunkFrame(Tables.documents(spark, sf))
+      Bm25IndexStore.freeze(cf, name)
+      val arrivals = chunks(Seq(
+        10L -> Seq("alpha", "unseen1"),
+        11L -> Seq("unseen2", "unseen2", "unseen3")))
+      // live side: the t20 core over the SAME corpus-derived vocab
+      // and stats the freeze persisted
+      val vocab = cf.select(explode(col("t")).as("term")).distinct()
+      val fstat = cf.agg((sum(col("n_tok")).cast("double") /
+        count(lit(1))).as("frozen_avgdl"))
+      val live = Pipeline.vocabDriftRow(arrivals, vocab, fstat)
+        .collect().toSeq
+      val frozen = Bm25IndexStore.staleness(spark, arrivals, name)
+        .collect().toSeq
+      assert(live.nonEmpty && frozen == live,
+        s"frozen staleness must equal the live drift row: $frozen vs $live")
+    } finally Bm25IndexStore.drop(spark, name)
+  }
+
   test("drift → refreeze: unseen share trips it; the new generation retrieves new terms") {
     val name = "textfr3"
     Bm25IndexStore.drop(spark, name)
