@@ -699,6 +699,12 @@ class Graft(val spark: SparkSession, dir: String) {
   def appendToAnnIndex(newVecs: DataFrame, name: String): Unit =
     Similarity.appendToFrozenIndex(newVecs, name)
 
+  /** Compact the ANN index's live generation after a run of appends
+    * (one sorted file per bucket again — crash-safe rewrite; quiesce
+    * appends first — see [[graft.sources.AnnIndexStore.compact]]). */
+  def compactAnnIndex(name: String): Unit =
+    graft.sources.AnnIndexStore.compact(spark, name)
+
   /** Search a frozen index shipped by [[shipAnnIndex]] — rows equal
     * the in-memory ivfpq/filteredIvfpq (AnnShipSpec). */
   def searchFrozenAnn(name: String, probeFine: Int = 2,
@@ -751,6 +757,12 @@ class Graft(val spark: SparkSession, dir: String) {
   def appendMediaIndex(hashes: DataFrame, name: String): Unit =
     graft.sources.MediaIndexStore.append(hashes, name)
 
+  /** Compact the media index's live generation after a run of
+    * appends (crash-safe rewrite; quiesce appends first — see
+    * [[graft.sources.MediaIndexStore.compact]]). */
+  def compactMediaIndex(name: String, files: Int = 8): Unit =
+    graft.sources.MediaIndexStore.compact(spark, name, files)
+
   /** Streaming media match against a frozen index (per-micro-batch
     * pointer binding; idempotent per-batch-id sink). */
   def streamingMediaMatch(mediaStream: DataFrame, name: String,
@@ -798,6 +810,13 @@ class Graft(val spark: SparkSession, dir: String) {
                       window: Long = 32L, stride: Long = 24L): Unit =
     graft.sources.Bm25IndexStore.append(
       Pipeline.chunkFrame(newDocs, window, stride), name)
+
+  /** Compact the text index's live generation after a run of appends
+    * (restores one sorted file per postings bucket — crash-safe
+    * rewrite; quiesce appends first — see
+    * [[graft.sources.Bm25IndexStore.compact]]). */
+  def compactTextIndex(name: String): Unit =
+    graft.sources.Bm25IndexStore.compact(spark, name)
 
   /** Vocabulary staleness of a frozen text index against arriving
     * documents — the WHEN-to-refreeze monitor (t20's algebra over

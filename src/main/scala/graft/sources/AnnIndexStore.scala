@@ -239,64 +239,35 @@ object AnnIndexStore {
     *
     * CRASH SAFETY (within-process, or cross-process only with a
     * persistent metastore — this container's catalog is in-memory, so
-    * a dead JVM re-ships instead; ADVICE r9): the swap is
-    * `t → t_precompact; t_compacting → t; DROP t_precompact`, so at
-    * EVERY point either `t` exists or `t_precompact` does —
-    * [[recover]] (run automatically at the START of compact) renames
-    * a surviving `t_precompact` back when `t` is missing, making a
-    * crashed compaction self-healing on the next attempt. */
+    * a dead JVM re-ships instead; ADVICE r9): the rename-chain swap
+    * and its self-healing live in [[FreezeStore.compactTable]] (round
+    * 12: shared with the media and text stores). QUIESCED-WRITER
+    * operation: run only with no append in flight (the lakehouse
+    * OPTIMIZE contract — see the compactTable scaladoc for why the
+    * pointer cannot check it); under that contract, uncommitted
+    * batch rows are crashed-append orphans and the rewrite vacuums
+    * them (AnnShipSpec pins it). */
   def compact(spark: SparkSession, name: String): Unit = {
-    val (gen, batches) = liveGen(spark, name)
+    val (gen, batches) = FreezeStore.compactGate(spark, name)
     Bucketed.foreach { s =>
       val t = gt(name, gen, s)
-      recoverTable(spark, t)
+      FreezeStore.recoverTable(spark, t)
       val meta = spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       val buckets = meta.bucketSpec
         .map(_.numBuckets)
         .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
-      // force the REAL bucketed scan for the rewrite: with
-      // autoBucketedScan on, this plan hits a rule ordering trap —
-      // EnsureRequirements first removes an explicit
-      // repartition(buckets, vec_id) as redundant (the logical scan
-      // still claims HashPartitioning), then
-      // DisableUnnecessaryBucketedScan downgrades the scan to a
-      // size-packed read (the write expresses no distribution
-      // requirement), leaving mixed-bucket tasks that fan one file
-      // into EVERY bucket they touch (measured: 4 tasks × 2 buckets
-      // from an 8-file generation). Disabling autoBucketedScan pins
-      // one partition per bucket, so the write lands exactly one
-      // sorted file per bucket with NO shuffle at all.
-      Bucketing.resetTable(spark, s"${t}_compacting")
-      val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val prev = spark.conf.get(k)
-      spark.conf.set(k, "false")
-      try
-        spark.table(t).filter(col("batch").isin(batches: _*))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(buckets, "vec_id").sortBy("vec_id")
-          .saveAsTable(s"${t}_compacting")
-      finally spark.conf.set(k, prev)
-      Bucketing.resetTable(spark, s"${t}_precompact")
-      spark.sql(s"ALTER TABLE $t RENAME TO ${t}_precompact")
-      spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
-      spark.sql(s"DROP TABLE ${t}_precompact")
-      // the rename moved NEW files under t's unchanged path — drop any
-      // cached file listing keyed to it, or a same-session reader
-      // resolves vanished pre-compaction files (FAILED_READ_FILE)
-      spark.catalog.refreshTable(t)
+      // the REAL bucketed scan is forced for the rewrite — see
+      // FreezeStore.withForcedBucketedScan for the rule-ordering trap
+      // (measured here in round 9: 4 tasks × 2 buckets from an 8-file
+      // generation without the pin)
+      FreezeStore.compactTable(spark, t, batches, (df, staging) =>
+        FreezeStore.withForcedBucketedScan(spark) {
+          df.write.mode("overwrite").format("parquet")
+            .bucketBy(buckets, "vec_id").sortBy("vec_id")
+            .saveAsTable(staging)
+        })
     }
-  }
-
-  /** Self-healing for a compaction that died mid-swap: if `t` is
-    * gone but `t_precompact` survives, rename it back (the
-    * un-compacted data is complete — only the rewrite was lost). */
-  private def recoverTable(spark: SparkSession, t: String): Unit = {
-    val cat = spark.sessionState.catalog
-    def exists(n: String) = cat.tableExists(
-      org.apache.spark.sql.catalyst.TableIdentifier(n))
-    if (!exists(t) && exists(s"${t}_precompact"))
-      spark.sql(s"ALTER TABLE ${t}_precompact RENAME TO $t")
   }
 
   /** Restore a freeze whose pointer flip or compaction crashed
@@ -305,7 +276,7 @@ object AnnIndexStore {
   def recover(spark: SparkSession, name: String): Unit = {
     FreezeStore.recoverPtr(spark, name)
     FreezeStore.readPtr(spark, name).foreach { case (gen, _) =>
-      Bucketed.foreach(s => recoverTable(spark, gt(name, gen, s)))
+      Bucketed.foreach(s => FreezeStore.recoverTable(spark, gt(name, gen, s)))
     }
   }
 

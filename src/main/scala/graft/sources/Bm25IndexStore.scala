@@ -253,6 +253,38 @@ object Bm25IndexStore {
     }
   }
 
+  /** COMPACT the live generation after a run of appends (the
+    * [[AnnIndexStore.compact]] sibling): each append lands one file
+    * set per batch — postings lose their single-sorted-file-per-
+    * bucket property (Spark trusts sortBy metadata only then, so the
+    * term row-group pruning weakens) and lens accumulates small
+    * files. One crash-safe rewrite per table
+    * ([[FreezeStore.compactTable]] — rename-chain swap, self-healing)
+    * restores one sorted file per postings bucket and a bounded lens
+    * file count, folding away any orphaned uncommitted batch a
+    * crashed append left. QUIESCED-WRITER operation — run only with
+    * no append in flight (see [[FreezeStore.compactTable]]).
+    * dfreq/stats never grow (frozen at freeze) — not rewritten. */
+  def compact(spark: SparkSession, name: String): Unit = {
+    val (gen, batches) = FreezeStore.compactGate(spark, name)
+    val pt = gt(name, gen, "postings")
+    FreezeStore.recoverTable(spark, pt)
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(pt))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$pt is not bucketed"))
+    FreezeStore.compactTable(spark, pt, batches, (df, staging) =>
+      FreezeStore.withForcedBucketedScan(spark) {
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "term").sortBy("term")
+          .saveAsTable(staging)
+      })
+    FreezeStore.compactTable(spark, gt(name, gen, "lens"), batches,
+      (df, staging) => df.repartition(buckets)
+        .write.mode("overwrite").format("parquet").saveAsTable(staging))
+  }
+
   /** The live generation number (audit hooks). */
   def liveGen(spark: SparkSession, name: String): Option[Long] =
     FreezeStore.readPtr(spark, name).map(_._1)

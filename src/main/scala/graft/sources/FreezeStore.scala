@@ -330,6 +330,83 @@ object FreezeStore {
       }
     }
 
+  /** Heal a component table whose compaction died mid-swap: if `t`
+    * is gone but `t_precompact` survives, rename it back (the
+    * un-compacted data is complete — only the rewrite was lost). A
+    * no-op on a healthy table. */
+  private[sources] def recoverTable(spark: SparkSession, t: String): Unit =
+    if (!exists(spark, t) && exists(spark, s"${t}_precompact"))
+      spark.sql(s"ALTER TABLE ${t}_precompact RENAME TO $t")
+
+  /** Crash-safe COMPACT of one generation-component table shared by
+    * every frozen store (appends land one file set per batch — after
+    * many absorb cycles the read path pays per-file costs this
+    * rewrite collapses): keep only `batches` (the committed list —
+    * orphan rows from crashed appends are folded away), rewrite
+    * through `write` (which must saveAsTable the staging name it is
+    * given, preserving the store's bucket/sort layout), then swap via
+    * the rename chain `t → t_precompact; t_compacting → t; DROP
+    * t_precompact` — at EVERY point either `t` exists or
+    * `t_precompact` does, and [[recoverTable]] (run at entry) heals a
+    * crashed swap on the next attempt.
+    *
+    * QUIESCED-WRITER OPERATION (the lakehouse OPTIMIZE contract):
+    * callers must quiesce appends first — an appender mid-data-write
+    * would have its landed-but-uncommitted rows dropped by the
+    * rewrite and its table name swapped from under it. The pointer
+    * cannot check this (in-flight and crashed appends look identical,
+    * and a fresh append could begin right after any check) — the
+    * obligation is stated on every store's compact(). Under it, any
+    * uncommitted batch rows present are orphans of crashed appends,
+    * and folding them away is the vacuum half of compaction. */
+  private[sources] def compactTable(spark: SparkSession, t: String,
+      batches: Seq[Long],
+      write: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
+    recoverTable(spark, t)
+    Bucketing.resetTable(spark, s"${t}_compacting")
+    write(spark.table(t)
+      .filter(org.apache.spark.sql.functions.col("batch").isin(batches: _*)),
+      s"${t}_compacting")
+    Bucketing.resetTable(spark, s"${t}_precompact")
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}_precompact")
+    spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
+    spark.sql(s"DROP TABLE ${t}_precompact")
+    // the rename moved NEW files under t's unchanged path — drop any
+    // cached file listing keyed to it, or a same-session reader
+    // resolves vanished pre-compaction files (FAILED_READ_FILE)
+    spark.catalog.refreshTable(t)
+  }
+
+  /** A compaction entry's pointer read: the (gen, committed batches)
+    * the rewrite should keep. Reserved-but-uncommitted batch ids are
+    * NOT an error here — under the quiesced-writer contract they can
+    * only be orphans of CRASHED appends, and folding their invisible
+    * rows away is half of what compaction is for (AnnShipSpec pins
+    * the vacuum). The contract itself cannot be checked from the
+    * pointer: an in-flight append and a crashed one look identical
+    * (hwm > max committed), and a fresh append could begin right
+    * after any check — quiesce is the caller's obligation, stated on
+    * every store's compact(). */
+  private[sources] def compactGate(spark: SparkSession,
+                                   name: String): (Long, Seq[Long]) =
+    readPtrFull(spark, name).map { case (gen, batches, _) => (gen, batches) }
+      .getOrElse(
+        throw new IllegalStateException(s"no frozen family named $name"))
+
+  /** Run `body` with autoBucketedScan disabled — the bucketed-table
+    * rewrite trap (see [[graft.sources.AnnIndexStore.compact]]):
+    * EnsureRequirements first removes the explicit repartition as
+    * redundant, then DisableUnnecessaryBucketedScan downgrades the
+    * scan to a size-packed read, leaving mixed-bucket tasks that fan
+    * one file into every bucket they touch. Pinning the REAL bucketed
+    * scan lands exactly one sorted file per bucket with NO shuffle. */
+  private[sources] def withForcedBucketedScan[A](spark: SparkSession)(body: => A): A = {
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try body finally spark.conf.set(k, prev)
+  }
+
   /** Versioned table name for one component of one generation. */
   def genTable(name: String, gen: Long, part: String): String =
     s"${name}_g${gen}_$part"

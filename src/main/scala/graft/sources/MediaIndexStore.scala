@@ -188,6 +188,26 @@ object MediaIndexStore {
   }
 
   /** The live generation number (staleness / audit hooks). */
+  /** COMPACT the live generation after a run of appends (the
+    * [[AnnIndexStore.compact]] sibling for the media family): each
+    * absorb cycle lands one file set per batch in `hash` and `bands`
+    * — reads stay correct but the per-file open cost grows with every
+    * batch. One crash-safe rewrite per table
+    * ([[FreezeStore.compactTable]] — rename-chain swap, self-healing)
+    * bounds each to `files` parquet files, folding away any orphaned
+    * uncommitted batch a crashed append left. QUIESCED-WRITER
+    * operation — run only with no append in flight (see
+    * [[FreezeStore.compactTable]]). */
+  def compact(spark: SparkSession, name: String, files: Int = 8): Unit = {
+    require(files >= 1, s"compact needs files >= 1 (got $files)")
+    val (gen, batches) = FreezeStore.compactGate(spark, name)
+    Parts.foreach { p =>
+      FreezeStore.compactTable(spark, gt(name, gen, p), batches,
+        (df, staging) => df.repartition(files)
+          .write.mode("overwrite").format("parquet").saveAsTable(staging))
+    }
+  }
+
   def liveGen(spark: SparkSession, name: String): Option[Long] =
     FreezeStore.readPtr(spark, name).map(_._1)
 

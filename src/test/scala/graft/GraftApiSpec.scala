@@ -177,6 +177,9 @@ class GraftApiSpec extends SparkSpec {
           col("embedding"))
       g.appendToAnnIndex(arrivals, "api_ann")
       assert(assignRows() === before + arrivals.count())
+      // compaction through the facade: rows preserved across the swap
+      g.compactAnnIndex("api_ann")
+      assert(assignRows() === before + arrivals.count())
       // the arrivals were never landed in the embeddings SOURCE, so a
       // search whose top-20 reaches one must refuse (the ADVICE r9
       // coverage guard) instead of silently dropping it — and these
@@ -337,6 +340,9 @@ class GraftApiSpec extends SparkSpec {
       g.appendMediaIndex(hashes.filter(hashes("doc_id") === 2L), "api_media")
       assert(g.matchFrozenMedia(hashes, "api_media").count() === 4,
         "both arrivals now match both absorbed corpus rows")
+      // compaction through the facade: matches preserved across the swap
+      g.compactMediaIndex("api_media", files = 2)
+      assert(g.matchFrozenMedia(hashes, "api_media").count() === 4)
       assert(g.streamingBandCounters(hashes).count() === 4,
         "identical hashes share all four band buckets")
     } finally graft.sources.MediaIndexStore.drop(g.documents.sparkSession, "api_media")
@@ -396,6 +402,10 @@ class GraftApiSpec extends SparkSpec {
         s"novel-vocabulary arrivals must read fully unseen: $st")
       // the drift loop fires on them and the new generation retrieves
       assert(g.refreezeTextIfStale(novel, name).contains(2L))
+      assert(g.searchTextIndex(name, Seq(1 -> Seq("zzznovelterm1")))
+        .count() === 1)
+      // compaction through the facade: retrieval preserved across the swap
+      g.compactTextIndex(name)
       assert(g.searchTextIndex(name, Seq(1 -> Seq("zzznovelterm1")))
         .count() === 1)
       // the live monitor itself: two regimes, drift ordered

@@ -148,6 +148,43 @@ class MediaShipSpec extends SparkSpec {
     } finally MediaIndexStore.drop(spark, "mediafr4")
   }
 
+  test("compaction: appended batches collapse to bounded files, matches unchanged, appends continue") {
+    val name = "media_compact"
+    MediaIndexStore.drop(spark, name)
+    try {
+      val (arr, corp) = sides()
+      MediaIndexStore.freeze(corp, name)
+      // two absorb cycles: split the arrival batch deterministically
+      MediaIndexStore.append(arr.filter(col("doc_id") % 2 === 0), name)
+      MediaIndexStore.append(arr.filter(col("doc_id") % 2 === 1), name)
+      def files(part: String): Seq[java.io.File] = {
+        val t = FreezeStore.genTable(name, 1L, part)
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .location.getPath
+        new java.io.File(loc).listFiles().toSeq
+          .filter(_.getName.startsWith("part-"))
+      }
+      val before = MediaIndexStore.matchFrozen(spark, arr, name)
+        .orderBy("doc_id", "match_id").collect().toSeq
+      assert(before.nonEmpty, "arrivals must match the absorbed corpus")
+      val preFiles = files("bands").length
+      MediaIndexStore.compact(spark, name, files = 4)
+      assert(files("bands").length <= 4 && files("hash").length <= 4,
+        s"compaction must bound the file count (bands $preFiles → " +
+          s"${files("bands").length})")
+      assert(MediaIndexStore.matchFrozen(spark, arr, name)
+        .orderBy("doc_id", "match_id").collect().toSeq == before,
+        "post-compaction matches unchanged")
+      // the store keeps absorbing after the rewrite
+      MediaIndexStore.append(
+        arr.select((col("doc_id") + 5000000L).as("doc_id"),
+          col("h_hi"), col("h_lo")), name)
+      assert(MediaIndexStore.matchFrozen(spark, arr, name).count()
+        > before.length, "post-compaction append must be matchable")
+    } finally MediaIndexStore.drop(spark, name)
+  }
+
   test("streaming band counters: two-checkpoint replay equals mm12's arrival buckets") {
     import spark.implicits._
     val (arr, _) = sides()

@@ -130,6 +130,43 @@ class TextIndexSpec extends SparkSpec {
     } finally Bm25IndexStore.drop(spark, name)
   }
 
+  test("compaction: appended batches collapse to sorted buckets, search rows unchanged, appends continue") {
+    val name = "textfr6"
+    Bm25IndexStore.drop(spark, name)
+    try {
+      Bm25IndexStore.freeze(chunks(Seq(
+        1L -> Seq("alpha", "beta"),
+        2L -> Seq("alpha", "gamma"))), name, buckets = 4)
+      Bm25IndexStore.append(chunks(Seq(10L -> Seq("alpha", "alpha"))), name)
+      Bm25IndexStore.append(chunks(Seq(11L -> Seq("beta", "gamma"))), name)
+      def postingsFiles: Seq[java.io.File] = {
+        val t = FreezeStore.genTable(name, 1L, "postings")
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .location.getPath
+        new java.io.File(loc).listFiles().toSeq
+          .filter(_.getName.startsWith("part-"))
+      }
+      val q = Seq(1 -> Seq("alpha", "beta", "gamma"))
+      val before = Bm25IndexStore.searchFrozen(spark, name, q).collect().toSeq
+      assert(before.map(_.getLong(2)).toSet == Set(1L, 2L, 10L, 11L),
+        "both appended chunks must be searchable before compaction")
+      assert(postingsFiles.length > 4,
+        "two appends must have landed extra file generations")
+      Bm25IndexStore.compact(spark, name)
+      assert(postingsFiles.length <= 4,
+        s"compaction must land at most one file per bucket: " +
+          postingsFiles.map(_.getName).sorted.mkString(", "))
+      assert(Bm25IndexStore.searchFrozen(spark, name, q).collect().toSeq
+        == before, "post-compaction search rows unchanged")
+      // the store keeps absorbing after the rewrite
+      Bm25IndexStore.append(chunks(Seq(12L -> Seq("alpha"))), name)
+      assert(Bm25IndexStore.searchFrozen(spark, name,
+        Seq(1 -> Seq("alpha"))).select("ck").collect().map(_.getLong(0)).toSet
+        .contains(12L), "post-compaction append must be searchable")
+    } finally Bm25IndexStore.drop(spark, name)
+  }
+
   test("streaming search: per-batch ranking equals the batch search (idempotent sink)") {
     import spark.implicits._
     val name = "textfr4"
