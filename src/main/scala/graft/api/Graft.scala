@@ -620,6 +620,10 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Cheapest supplier per part, TPC-H Q2 shape (q60). */
   def cheapestSupplier: DataFrame = Analytics4.q60CheapestSupplier(spark, dir)
 
+  /** Late-shipped order counts per priority (q61 — the Q4-shape
+    * decorrelated inequality EXISTS). */
+  def lateOrders: DataFrame = Analytics4.q61LateOrders(spark, dir)
+
   /** Contrastive-training hard negatives: per query, the top-5
     * different-label neighbors with their margin below the nearest
     * positive (s21). */
@@ -846,6 +850,16 @@ class Graft(val spark: SparkSession, dir: String) {
       topK: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.Bm25Stream.searchStream(queryStream, name, outDir,
       checkpoint, topK)
+
+  /** Continuous vocabulary-drift monitor over an arriving
+    * (doc_id, text) stream — one staleness row per micro-batch
+    * against the live frozen generation (t20's role run
+    * continuously; pointer re-binds per trigger). */
+  def streamingTextDrift(docStream: DataFrame, name: String,
+      outDir: String, checkpoint: String, window: Long = 32L,
+      stride: Long = 24L): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Bm25Stream.driftStream(docStream, name, outDir,
+      checkpoint, window, stride)
 
   /** The automated drift→refreeze loop for the frozen ANN index:
     * grade arrivals' fit against the LIVE generation's frozen fine

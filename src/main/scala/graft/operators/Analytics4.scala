@@ -404,7 +404,52 @@ object Analytics4 {
   private val LineRevSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
+  /** q61: LATE-ORDER PRIORITY CHECK (the TPC-H Q4 shape) — per order
+    * priority, how many of one quarter's orders had at least one
+    * lineitem shipped more than 60 days after the order date: the
+    * correlated EXISTS with a CROSS-TABLE INEQUALITY predicate
+    * (q08's semi/anti family stops at equi-keys) — the classic probe
+    * of whether an engine decorrelates instead of running a
+    * per-order subquery.
+    *
+    * Oracle parity: pure integer counts over exact timestamp
+    * comparisons (midnight-aligned whole-day arithmetic in both
+    * engines) — no float surface.
+    *
+    * Scale shape: the quarter filter lands on the orders SCAN
+    * (pushed); the fact side is pre-filtered by the DERIVABLE bound
+    * l_shipdate > quarter_start + 60d — implied by the join
+    * inequality but not extractable by Catalyst (the q56 lesson:
+    * hand-push the single-table prefix) — then ONE left-semi hash
+    * join on orderkey carries the residual inequality; the final
+    * groupBy is over the bounded 5-value priority domain. Never a
+    * per-order probe, never a full fact scan surviving to the join. */
+  def q61LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1995-03-01").cast("timestamp")
+    val hi = lit("1995-06-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate")
+      .filter(col("l_shipdate") > lo + expr("INTERVAL 60 DAYS"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+      "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q61_late_orders" ->
+      raw"""SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-03-01'
+        |  AND o.o_orderdate < TIMESTAMP '1995-06-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_order_counts" ->
       """WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders
         |  WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY 1)

@@ -38,4 +38,34 @@ object Bm25Stream {
             .save(s"$outDir/batch=$batchId")
       }
       .start()
+
+  /** Streaming twin of the vocabulary-drift monitor (t20's role run
+    * continuously — the stream_band_drift sibling for sparse
+    * retrieval): each arriving (doc_id, text) micro-batch chunks
+    * statelessly through the ONE chunk definition
+    * ([[graft.operators.Pipeline.chunkFrame]]) and grades against
+    * the live frozen generation's vocabulary
+    * ([[Bm25IndexStore.staleness]] — the pointer re-binds per
+    * trigger, so the report always reads the CURRENT freeze across a
+    * mid-stream re-freeze). One drift row per micro-batch lands
+    * under its batch id (idempotent overwrite — checkpoint replays
+    * rewrite, never double-count); a deployment tails the rows and
+    * calls [[Bm25IndexStore.refreezeIfStale]] when unseen_share
+    * trips. Cost per trigger: arrival-scaled tokenize ⋈ vocab. */
+  def driftStream(docStream: DataFrame, name: String, outDir: String,
+                  checkpoint: String, window: Long = 32L, stride: Long = 24L,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .queryName(s"bm25_drift_$name")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Bm25IndexStore.staleness(batch.sparkSession,
+            graft.operators.Pipeline.chunkFrame(batch, window, stride), name)
+            .write.mode("overwrite").format("parquet")
+            .save(s"$outDir/batch=$batchId")
+      }
+      .start()
 }

@@ -366,6 +366,9 @@ class GraftApiSpec extends SparkSpec {
     assert(g.cheapestSupplier.select("p_partkey").distinct().count() ===
       g.cheapestSupplier.count())
     assert(g.cheapestSupplier.filter("price_micro <= 0").count() === 0)
+    // q61: every priority's late count is bounded by its quarter total
+    val lo = g.lateOrders.collect()
+    assert(lo.nonEmpty && lo.forall(_.getAs[Long]("n_orders") > 0))
     // every mined negative really is cross-label, ranked inside its query
     assert(g.hardNegatives.filter("neg_label = q_label").count() === 0)
     assert(g.hardNegatives.filter("rank >= 1 and rank <= 5").count() ===

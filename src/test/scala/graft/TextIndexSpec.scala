@@ -167,6 +167,56 @@ class TextIndexSpec extends SparkSpec {
     } finally Bm25IndexStore.drop(spark, name)
   }
 
+  test("streaming drift: per-micro-batch staleness equals the batch read over the same arrivals") {
+    import spark.implicits._
+    val name = "textfr7"
+    val dirBase = java.nio.file.Files.createTempDirectory("bm25drift").toString
+    Bm25IndexStore.drop(spark, name)
+    try {
+      val docs = Tables.documents(spark, sf)
+      Bm25IndexStore.freeze(Pipeline.chunkFrame(docs), name)
+      // two deterministic arrival slices: one in-vocabulary re-upload,
+      // one novel-vocabulary batch (t20's regimes, one per file)
+      val arrDir = s"$dirBase/arrivals"
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .limit(5).coalesce(1)
+        .write.mode("overwrite").parquet(s"$arrDir/p=0")
+      Seq((2000001L, "zzznovel1 zzznovel2 zzznovel1"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$arrDir/p=1")
+      val g = new graft.api.Graft(spark, sf)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$arrDir/p=*")
+      val q = g.streamingTextDrift(stream, name,
+        s"$dirBase/out", s"$dirBase/ckpt")
+      q.awaitTermination()
+      val outs = new java.io.File(s"$dirBase/out").listFiles()
+        .filter(_.getName.startsWith("batch=")).sortBy(_.getName)
+      assert(outs.length == 2, s"one drift row per micro-batch: ${outs.length}")
+      // each batch's streamed row == the batch staleness over that slice
+      val streamed = spark.read.parquet(s"$dirBase/out")
+        .select("n_arr_chunks", "n_postings", "n_unseen", "unseen_share")
+        .collect().toSet
+      val expect = Seq(s"$arrDir/p=0", s"$arrDir/p=1").map { p =>
+        Bm25IndexStore.staleness(spark,
+          Pipeline.chunkFrame(spark.read.parquet(p)), name)
+          .select("n_arr_chunks", "n_postings", "n_unseen", "unseen_share")
+          .head()
+      }.toSet
+      assert(streamed == expect,
+        s"streamed drift rows must equal batch staleness: $streamed vs $expect")
+      // the novel batch reads fully unseen; the re-upload reads zero
+      val shares = spark.read.parquet(s"$dirBase/out")
+        .select("unseen_share").collect().map(_.getDouble(0)).sorted
+      assert(shares.head == 0.0 && shares.last == 1.0,
+        s"regimes must bracket the drift signal: ${shares.toSeq}")
+    } finally {
+      Bm25IndexStore.drop(spark, name)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirBase))
+    }
+  }
+
   test("streaming search: per-batch ranking equals the batch search (idempotent sink)") {
     import spark.implicits._
     val name = "textfr4"
