@@ -440,7 +440,72 @@ object Stress {
     val nQ51Kept = q51rep.agg(sum(col("n_small"))).head.getLong(0)
     q51rep.unpersist()
 
-    println(s"""{"docs":$n,"chunks":$nChunks,"q51_kept":$nQ51Kept,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"media_matches":$nMedMatch,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"mult":$mult}""")
+    // vocabulary drift (t20) under the production asymmetry: corpus
+    // replicated (its VOCABULARY is replication-invariant — replicas
+    // introduce no terms, and frozen_avgdl is a per-chunk mean that
+    // replication preserves), arrivals FIXED at the base inject
+    // regime → every drift counter must read IDENTICAL at any
+    // multiplier while the probe pays the grown corpus's one posting
+    // pass. The flat-counters/growing-corpus reading is the d17/d18
+    // frozen-screen stress shape applied to sparse retrieval.
+    val ctfRep = graft.operators.Pipeline.chunkFrame(docs)
+      .select(col("ck"), explode(col("t")).as("term"))
+      .groupBy("ck", "term").agg(count(lit(1)).as("tf")).persist()
+    val vocabRep = ctfRep.select("term").distinct()
+    val fstatRep = ctfRep.groupBy("ck").agg(sum(col("tf")).as("dl"))
+      .agg((sum(col("dl")).cast("double") /
+        count(lit(1))).as("frozen_avgdl"))
+    val arrInject = base.filter(col("doc_id") % 10 === 8)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("nv"), col("doc_id").cast("string"), lit(" "),
+          col("text")).as("text"))
+    val driftRow = time("vocab drift (t20)")(
+      graft.operators.Pipeline.vocabDriftRow(
+        graft.operators.Pipeline.chunkFrame(arrInject),
+        vocabRep, fstatRep).head())
+    val nDriftPost = driftRow.getAs[Long]("n_postings")
+    val nDriftUnseen = driftRow.getAs[Long]("n_unseen")
+    ctfRep.unpersist()
+
+    // frozen text-index lifecycle at replication scale (the
+    // AnnIndexStore/MediaIndexStore stress shape): freeze pays ONE
+    // pass over the grown corpus; search is posting-list-scaled (the
+    // query terms' lists grow mult×; the corpus never re-tokenizes);
+    // the append of the FIXED base arrival batch must stay FLAT
+    // (O(arrivals)); compact is the bounded bucketed rewrite
+    graft.sources.Bm25IndexStore.drop(spark, "stress_text")
+    time("text freeze")(graft.sources.Bm25IndexStore.freeze(
+      graft.operators.Pipeline.chunkFrame(docs), "stress_text"))
+    val nTextSearch = time("text frozen search")(
+      graft.sources.Bm25IndexStore.searchFrozen(spark, "stress_text",
+        graft.operators.TextAnalysis.Bm25Queries).count())
+    time("text append (flat)")(graft.sources.Bm25IndexStore.append(
+      graft.operators.Pipeline.chunkFrame(arrInject), "stress_text"))
+    time("text compact")(
+      graft.sources.Bm25IndexStore.compact(spark, "stress_text"))
+    val nTextSearch2 = graft.sources.Bm25IndexStore.searchFrozen(spark,
+      "stress_text", graft.operators.TextAnalysis.Bm25Queries).count()
+    graft.sources.Bm25IndexStore.drop(spark, "stress_text")
+
+    // inequality semi-join (q61) with BOTH sides replicated on one
+    // order stride (how the order/line pair actually grows): each
+    // replica's orders meet only their own lineitems, so the late
+    // count must read exactly mult× the base — pure integer counts
+    // over exact timestamp arithmetic, no edge to flip
+    val oB = graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val oRep = (0 until mult).map(k => oB.select(
+      (col("o_orderkey") + lit(k * 100000000L)).as("o_orderkey"),
+      col("o_orderdate"), col("o_orderpriority"))).reduce(_ union _)
+    val lRep = (0 until mult).map(k => graft.sources.Tables
+      .lineitem(spark, dir).select(
+        (col("l_orderkey") + lit(k * 100000000L)).as("l_orderkey"),
+        col("l_shipdate"))).reduce(_ union _)
+    val nLate = time("late orders (q61)")(
+      graft.operators.Analytics4.q61From(oRep, lRep)
+        .agg(sum(col("n_orders"))).head.getLong(0))
+
+    println(s"""{"docs":$n,"chunks":$nChunks,"drift_postings":$nDriftPost,"drift_unseen":$nDriftUnseen,"text_search":$nTextSearch,"text_search_post":$nTextSearch2,"late_orders":$nLate,"q51_kept":$nQ51Kept,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"media_matches":$nMedMatch,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"mult":$mult}""")
     spark.stop()
   }
 }

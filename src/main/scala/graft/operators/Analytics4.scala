@@ -424,12 +424,18 @@ object Analytics4 {
     * join on orderkey carries the residual inequality; the final
     * groupBy is over the bounded 5-value priority domain. Never a
     * per-order probe, never a full fact scan surviving to the join. */
-  def q61LateOrders(spark: SparkSession, dir: String): DataFrame = {
+  def q61LateOrders(spark: SparkSession, dir: String): DataFrame =
+    q61From(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  /** q61's core over any (orders, lineitem) pair — the replication
+    * stress probe reuses it verbatim. */
+  private[graft] def q61From(orders: DataFrame,
+                             lineitem: DataFrame): DataFrame = {
     val lo = lit("1995-03-01").cast("timestamp")
     val hi = lit("1995-06-01").cast("timestamp")
-    val o = Tables.orders(spark, dir)
+    val o = orders
       .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
-    val l = Tables.lineitem(spark, dir)
+    val l = lineitem
       .select("l_orderkey", "l_shipdate")
       .filter(col("l_shipdate") > lo + expr("INTERVAL 60 DAYS"))
     o.join(l, col("o_orderkey") === col("l_orderkey") &&

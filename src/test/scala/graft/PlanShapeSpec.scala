@@ -224,6 +224,32 @@ class PlanShapeSpec extends SparkSpec {
     }, s"part scan must push brand + size: ${pt.map(_.metadata("PushedFilters"))}")
   }
 
+  test("q61: the derived shipdate bound reaches the fact scan and the join is semi") {
+    // the EXISTS inequality itself is not pushable (cross-table);
+    // pruning lives on the hand-derived l_shipdate > window_lo + 60d
+    // prefix — a refactor back to the bare decorrelated join would
+    // scan lineitem in full
+    val df = graft.operators.Analytics4.q61LateOrders(spark, sf)
+    val plan = physical(df)
+    val scans = expanded(plan).flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    })
+    val li = scans.filter(_.schema.fieldNames.contains("l_shipdate"))
+    val o = scans.filter(_.schema.fieldNames.contains("o_orderdate"))
+    assert(li.nonEmpty && o.nonEmpty, "expected a lineitem and an orders scan")
+    assert(li.exists(_.metadata("PushedFilters").contains("l_shipdate")),
+      s"fact scan must push the derived shipdate bound: " +
+        li.map(_.metadata("PushedFilters")))
+    assert(o.exists { s =>
+      val f = s.metadata("PushedFilters")
+      f.contains("o_orderdate") && f.contains("1995-03-01")
+    }, s"orders scan must push the quarter: ${o.map(_.metadata("PushedFilters"))}")
+    assert(expanded(plan).flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.sql == "LEFT SEMI" => j
+    }).nonEmpty, "the EXISTS must plan as one semi join, not a per-order probe")
+  }
+
   test("no query plans an unpartitioned window over table data") {
     // the round-1 scale-killers (m06 global rank, vocab row_number)
     // must stay dead: sweep every registered batch query
