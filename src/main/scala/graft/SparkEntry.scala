@@ -209,7 +209,8 @@ object SparkEntry {
     "s21_hard_negatives" -> (Similarity.s21HardNegatives _),
     "p19_chunk_windows" -> ((s, d) => Pipeline.p19ChunkWindows(s, d)),
     "p20_chunk_pack" -> ((s, d) => Pipeline.p20ChunkPack(s, d)),
-    "p21_context_assembly" -> ((s, d) => Pipeline.p21ContextAssembly(s, d))
+    "p21_context_assembly" -> ((s, d) => Pipeline.p21ContextAssembly(s, d)),
+    "p22_incremental_bm25" -> ((s, d) => Pipeline.p22IncrementalBm25(s, d))
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -455,10 +455,7 @@ object Stress {
     val fstatRep = ctfRep.groupBy("ck").agg(sum(col("tf")).as("dl"))
       .agg((sum(col("dl")).cast("double") /
         count(lit(1))).as("frozen_avgdl"))
-    val arrInject = base.filter(col("doc_id") % 10 === 8)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("nv"), col("doc_id").cast("string"), lit(" "),
-          col("text")).as("text"))
+    val arrInject = graft.operators.TextAnalysis.injectArrivals(base)
     val driftRow = time("vocab drift (t20)")(
       graft.operators.Pipeline.vocabDriftRow(
         graft.operators.Pipeline.chunkFrame(arrInject),

@@ -654,6 +654,13 @@ class Graft(val spark: SparkSession, dir: String) {
   def vocabDrift: DataFrame =
     graft.operators.TextAnalysis.t20VocabDrift(spark, dir)
 
+  /** Incremental BM25 (p22): rank corpus ∪ derived arrivals under
+    * freeze-time weights — the frozen-IDF append semantics run live
+    * (row-for-row what a freeze → append → searchFrozen lifecycle
+    * serves; TextIndexSpec pins it). */
+  def incrementalBm25: DataFrame =
+    Pipeline.p22IncrementalBm25(spark, dir)
+
   /** Streaming twin of [[chunkWindows]] — p19's literal core over an
     * arriving (doc_id, text) stream (stateless, append mode). */
   def streamingChunkWindows(docStream: DataFrame, window: Long = 32L,

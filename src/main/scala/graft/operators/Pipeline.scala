@@ -823,6 +823,53 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** p22: INCREMENTAL BM25 — the frozen-IDF append semantics as an
+    * oracle key (the mm11 role for sparse retrieval): a corpus is
+    * frozen, the derived `inject` arrival batch lands afterwards
+    * ([[TextAnalysis.injectArrivals]] — t20's mild regime), and the
+    * ranking runs over corpus ∪ arrival postings UNDER FREEZE-TIME
+    * WEIGHTS — df and corpus stats computed from the corpus alone,
+    * exactly what [[graft.sources.Bm25IndexStore.append]] +
+    * [[graft.sources.Bm25IndexStore.searchFrozen]] serve (known-term
+    * arrival chunks searchable immediately with slightly stale
+    * weights; unseen-vocabulary postings drop at the df join — the
+    * documented frozen-IDF consequence, visible here as the `nv…`
+    * tokens never scoring). TextIndexSpec pins this key row-for-row
+    * against a REAL freeze → append → searchFrozen lifecycle over
+    * the same corpus — the store's whole incremental read path is
+    * thereby oracle-hash-gated, not just spec-fixture-gated.
+    *
+    * Composition is literal: [[bm25Rank]] (THE ranking core the live
+    * p21 and the frozen search also run) under corpus-only
+    * df/stats, merged tf, merged lengths.
+    *
+    * Scale shape: ONE cached corpus posting pass feeds df/stats and
+    * the merged frame; arrivals contribute O(arrival tokens); the
+    * rank is the two-phase partitioned top-k. Never a corpus
+    * re-tokenize, never all-pairs. */
+  def p22IncrementalBm25(spark: SparkSession, dir: String,
+                         window: Long = 32L, stride: Long = 24L): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val ctf = OpCache.cached(chunkFrame(docs, window, stride)
+      .select(col("ck"), explode(col("t")).as("term"))
+      .groupBy("ck", "term").agg(count(lit(1)).as("tf")))
+    val atf = chunkFrame(TextAnalysis.injectArrivals(docs), window, stride)
+      .select(col("ck"), explode(col("t")).as("term"))
+      .groupBy("ck", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = ctf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = ctf.groupBy("ck").agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("n_chunks_tot"), sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_chunks_tot"))
+      .select("n_chunks_tot", "avgdl")
+    val merged = ctf.unionByName(atf)
+    val dl = merged.groupBy("ck").agg(sum(col("tf")).as("dl"))
+    val q = TextAnalysis.Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    bm25Rank(merged, dl, dfreq, stats, q)
+  }
+
   /** The (ck, n_tok, t) chunk frame p21 ranks and the frozen text
     * index ([[graft.sources.Bm25IndexStore.freeze]]) persists — ONE
     * definition of chunk identity (the shared packing key) and chunk
@@ -841,7 +888,6 @@ object Pipeline {
     * order (query_id, rank). Also the LIVE twin the frozen text
     * index's search is spec-pinned against (TextIndexSpec). */
   private[graft] def chunkBm25Ranked(chunks: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = chunks.sparkSession
     import spark.implicits._
     // ONE tokenize pass: the posting frame is cached and everything
@@ -863,6 +909,26 @@ object Pipeline {
     val q = TextAnalysis.Bm25Queries
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
+    bm25Rank(tf, dl, dfreq, stats, q)
+  }
+
+  /** THE ranking core — one definition of "score postings under
+    * these weights and take the two-phase top-k" shared by the live
+    * p21 ranking (self-derived weights), the incremental p22 key
+    * (frozen corpus weights over merged postings) and the frozen
+    * index's search ([[graft.sources.Bm25IndexStore.searchFrozen]]
+    * over the persisted tables): tf (ck, term, tf) ⋈ the bounded
+    * (query ⋈ df ⋈ stats) broadcast frame before anything wide, the
+    * hint-free dl join, the t18-gated micro-unit Okapi score, and
+    * the two-phase PARTITIONED top-k (local top-k in 32 hash
+    * partitions of chunk space → top-k of the ≤ k·32 survivors — no
+    * reducer ever sees a query's full match list). Expects columns:
+    * tf (ck, term, tf), dl (ck, dl), dfreq (term, df), stats
+    * (n_chunks_tot, avgdl) — ONE row, q (query_id, term). */
+  private[graft] def bm25Rank(tf: DataFrame, dl: DataFrame,
+                              dfreq: DataFrame, stats: DataFrame,
+                              q: DataFrame, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qdf = dfreq.join(broadcast(q), "term").crossJoin(broadcast(stats))
     val scored = tf.join(broadcast(qdf), Seq("term"))
       .join(dl, "ck")
@@ -873,8 +939,8 @@ object Pipeline {
     val w1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ord: _*)
     val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
     scored.withColumn("p", pmod(xxhash64(col("ck")), lit(32)).cast("int"))
-      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= 10)
-      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 10)
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= topK)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= topK)
       .join(dl.select(col("ck"), col("dl").as("n_tok")), "ck")
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("ck"), col("n_tok"), col("n_terms_hit"), col("score_micro"))
@@ -924,6 +990,64 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "p22_incremental_bm25" -> {
+      val values = TextAnalysis.Bm25Queries.flatMap { case (qid, ts) =>
+        ts.map(t => s"($qid, '$t')") }.mkString(", ")
+      raw"""WITH d AS (SELECT doc_id, text FROM documents),
+         |arr AS (SELECT doc_id + 1000000 AS doc_id,
+         |    'nv' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+         |  FROM d WHERE doc_id % 10 = 8),
+         |cd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+         |cs AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    CAST(CASE WHEN len(t) <= 32 THEN 1
+         |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
+         |  FROM cd),
+         |cc AS (SELECT doc_id, t, n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM cs),
+         |cck AS (SELECT doc_id * 1048576 + chunk_id AS ck,
+         |    CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok,
+         |    string_split_regex(trim(array_to_string(list_slice(t, chunk_id * 24 + 1,
+         |      chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')), '\s+') AS ct
+         |  FROM cc),
+         |ctok AS (SELECT ck, unnest(ct) AS term FROM cck),
+         |ctf AS (SELECT ck, term, COUNT(*) AS tf FROM ctok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM ctf GROUP BY 1),
+         |st AS (SELECT n_chunks_tot, CAST(sum_dl AS DOUBLE) / n_chunks_tot AS avgdl FROM (
+         |  SELECT COUNT(*) AS n_chunks_tot, CAST(SUM(n_tok) AS BIGINT) AS sum_dl FROM cck) s0),
+         |ad AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM arr),
+         |asx AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    CAST(CASE WHEN len(t) <= 32 THEN 1
+         |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
+         |  FROM ad),
+         |ac AS (SELECT doc_id, t, n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM asx),
+         |ack AS (SELECT doc_id * 1048576 + chunk_id AS ck,
+         |    CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok,
+         |    string_split_regex(trim(array_to_string(list_slice(t, chunk_id * 24 + 1,
+         |      chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')), '\s+') AS ct
+         |  FROM ac),
+         |atok AS (SELECT ck, unnest(ct) AS term FROM ack),
+         |atf AS (SELECT ck, term, COUNT(*) AS tf FROM atok GROUP BY 1, 2),
+         |tf AS (SELECT * FROM ctf UNION ALL SELECT * FROM atf),
+         |dl AS (SELECT ck, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+         |qdf AS (SELECT query_id, q.term, df FROM q JOIN dfreq ON q.term = dfreq.term),
+         |ts AS (SELECT query_id, tf.ck,
+         |  CAST(floor(((CAST(n_chunks_tot - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |    * 1000000.0) AS BIGINT) AS micro
+         |  FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON dl.ck = tf.ck CROSS JOIN st),
+         |scored AS (SELECT query_id, ck, COUNT(*) AS n_terms_hit,
+         |  CAST(SUM(micro) AS BIGINT) AS score_micro FROM ts GROUP BY 1, 2),
+         |rk AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, ck) AS rank
+         |  FROM scored) r0 WHERE rank <= 10)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, rk.ck, dl.dl AS n_tok,
+         |  n_terms_hit, score_micro
+         |FROM rk JOIN dl ON dl.ck = rk.ck
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
     "p21_context_assembly" -> {
       // the query VALUES are generated from the SAME Seq the Column
       // plan reads (the t18 rule: the query set exists in one place)

@@ -349,12 +349,20 @@ object TextAnalysis {
     * row); each regime is arrival-scaled tokenize + an
     * arrival-postings ⋈ vocab join — never a corpus re-scan per
     * regime, never all-pairs. */
-  def t20VocabDrift(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val inject = docs.filter(col("doc_id") % 10 === 8)
+  /** The derived `inject` arrival regime t20, p22 and the stress
+    * probe share — ONE definition: every doc_id%10==8 document
+    * re-uploads under a fresh id with ONE novel token prepended
+    * (fresh content trickling in; the mm11 derived-fixture
+    * discipline). */
+  private[graft] def injectArrivals(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 8)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("nv"), col("doc_id").cast("string"), lit(" "),
           col("text")).as("text"))
+
+  def t20VocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val inject = injectArrivals(docs)
     val reversed = docs.filter(col("doc_id") % 10 === 9)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         reverse(col("text")).as("text"))

@@ -111,41 +111,25 @@ object Bm25IndexStore {
     * both bucketed scans — postings IO is posting-list-scaled. */
   def searchFrozen(spark: SparkSession, name: String,
                    queries: Seq[(Int, Seq[String])], topK: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val (gen, batches) = FreezeStore.readPtr(spark, name).getOrElse(
       throw new IllegalStateException(s"no frozen text index named $name"))
     val terms = queries.flatMap(_._2).distinct
     val q = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
-    val postings = part(spark, name, gen, batches, "postings")
-      .filter(col("term").isin(terms: _*))
     // dfreq/stats come from batch 0 ALONE by construction (frozen at
     // freeze time — appends never write them); the filter keeps the
     // read honest if tooling ever lands rows there
-    val dfreq = part(spark, name, gen, batches, "dfreq")
-      .filter(col("term").isin(terms: _*))
-    val lens = part(spark, name, gen, batches, "lens")
-    val stats = part(spark, name, gen, batches, "stats")
-      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_chunks_tot"))
-      .select("n_chunks_tot", "avgdl")
-    val qdf = dfreq.join(broadcast(q), "term").crossJoin(broadcast(stats))
-    val scored = postings.join(broadcast(qdf), Seq("term"))
-      .join(lens.select(col("ck"), col("dl")), "ck")
-      .select(col("query_id"), col("ck"),
-        graft.operators.Pipeline.bm25Micro.as("micro"))
-      .groupBy("query_id", "ck")
-      .agg(count(lit(1)).as("n_terms_hit"), sum(col("micro")).as("score_micro"))
-    val ord = Seq(col("score_micro").desc, col("ck").asc)
-    val w1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ord: _*)
-    val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
-    scored.withColumn("p", pmod(xxhash64(col("ck")), lit(32)).cast("int"))
-      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= topK)
-      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= topK)
-      .join(lens.select(col("ck"), col("dl").as("n_tok")), "ck")
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("ck"), col("n_tok"), col("n_terms_hit"), col("score_micro"))
-      .orderBy("query_id", "rank")
+    graft.operators.Pipeline.bm25Rank(
+      part(spark, name, gen, batches, "postings")
+        .filter(col("term").isin(terms: _*)),
+      part(spark, name, gen, batches, "lens").select(col("ck"), col("dl")),
+      part(spark, name, gen, batches, "dfreq")
+        .filter(col("term").isin(terms: _*)),
+      part(spark, name, gen, batches, "stats")
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_chunks_tot"))
+        .select("n_chunks_tot", "avgdl"),
+      q, topK)
   }
 
   /** APPEND arriving chunks (the absorb step): postings and lengths

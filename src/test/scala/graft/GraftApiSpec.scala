@@ -411,6 +411,10 @@ class GraftApiSpec extends SparkSpec {
       g.compactTextIndex(name)
       assert(g.searchTextIndex(name, Seq(1 -> Seq("zzznovelterm1")))
         .count() === 1)
+      // incremental ranking: 10 rows per query, ranks dense
+      val inc = g.incrementalBm25.collect()
+      assert(inc.nonEmpty && inc.forall(r => r.getAs[Long]("rank") >= 1 &&
+        r.getAs[Long]("rank") <= 10))
       // the live monitor itself: two regimes, drift ordered
       val drift = g.vocabDrift.collect()
       assert(drift.length === 2)

@@ -130,6 +130,29 @@ class TextIndexSpec extends SparkSpec {
     } finally Bm25IndexStore.drop(spark, name)
   }
 
+  test("freeze → append → searchFrozen equals the oracle-gated p22 incremental key") {
+    val name = "textfr8"
+    Bm25IndexStore.drop(spark, name)
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"))
+      Bm25IndexStore.freeze(Pipeline.chunkFrame(docs), name)
+      Bm25IndexStore.append(Pipeline.chunkFrame(
+        graft.operators.TextAnalysis.injectArrivals(docs)), name)
+      val frozen = Bm25IndexStore.searchFrozen(spark, name,
+        graft.operators.TextAnalysis.Bm25Queries).collect().toSeq
+      val live = Pipeline.p22IncrementalBm25(spark, sf).collect().toSeq
+      assert(live.nonEmpty && frozen == live,
+        "the store's incremental read path must equal the oracle-gated " +
+          s"p22 key (${frozen.length} vs ${live.length})")
+      // at least one appended (id ≥ 1,000,000·2²⁰) chunk ranked — the
+      // frozen-IDF 'searchable immediately' half is exercised, not
+      // vacuously true
+      assert(live.exists(_.getLong(2) >= 1000000L * 1048576L),
+        "fixture must surface an arrival chunk in some top-10")
+    } finally Bm25IndexStore.drop(spark, name)
+  }
+
   test("compaction: appended batches collapse to sorted buckets, search rows unchanged, appends continue") {
     val name = "textfr6"
     Bm25IndexStore.drop(spark, name)
