@@ -206,6 +206,7 @@ object SparkEntry {
     "q59_unshipped_backlog" -> (Analytics4.q59UnshippedBacklog _),
     "q60_cheapest_supplier" -> (Analytics4.q60CheapestSupplier _),
     "q61_late_orders" -> (Analytics4.q61LateOrders _),
+    "q62_priority_split" -> (Analytics4.q62PrioritySplit _),
     "s21_hard_negatives" -> (Similarity.s21HardNegatives _),
     "p19_chunk_windows" -> ((s, d) => Pipeline.p19ChunkWindows(s, d)),
     "p20_chunk_pack" -> ((s, d) => Pipeline.p20ChunkPack(s, d)),

@@ -624,6 +624,10 @@ class Graft(val spark: SparkSession, dir: String) {
     * decorrelated inequality EXISTS). */
   def lateOrders: DataFrame = Analytics4.q61LateOrders(spark, dir)
 
+  /** Urgent-vs-rest late-shipment counts per line status (q62 — the
+    * Q12-shape conditional count pair). */
+  def prioritySplit: DataFrame = Analytics4.q62PrioritySplit(spark, dir)
+
   /** Contrastive-training hard negatives: per query, the top-5
     * different-label neighbors with their margin below the nearest
     * positive (s21). */

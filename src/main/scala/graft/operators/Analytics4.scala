@@ -446,7 +446,53 @@ object Analytics4 {
       .orderBy("o_orderpriority")
   }
 
+  /** q62: LATE-SHIPMENT PRIORITY SPLIT (the TPC-H Q12 shape) — per
+    * line status, the two-branch conditional count (urgent/high vs
+    * the rest) over one year's late-shipped lines: the
+    * CASE-inside-SUM pivot device at fact scale (q53's conditional
+    * share does revenue; this is Q12's canonical count pair over a
+    * join).
+    *
+    * Oracle parity: pure integer counts; the late predicate is exact
+    * midnight-aligned timestamp arithmetic.
+    *
+    * Scale shape: the year window lands on the lineitem SCAN plus
+    * the derived l_shipdate > window_lo + 30d is subsumed by it (the
+    * q61 bound discipline — here the window's own lower edge already
+    * dominates); orders project to two columns before the join;
+    * ONE equi-join with the residual inequality, then a
+    * map-side-combinable conditional aggregate over the bounded
+    * 2-value status domain. */
+  def q62PrioritySplit(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate", "l_linestatus")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q62_priority_split" ->
+      raw"""SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q61_late_orders" ->
       raw"""SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o

@@ -854,9 +854,12 @@ object Pipeline {
     val ctf = OpCache.cached(chunkFrame(docs, window, stride)
       .select(col("ck"), explode(col("t")).as("term"))
       .groupBy("ck", "term").agg(count(lit(1)).as("tf")))
-    val atf = chunkFrame(TextAnalysis.injectArrivals(docs), window, stride)
-      .select(col("ck"), explode(col("t")).as("term"))
-      .groupBy("ck", "term").agg(count(lit(1)).as("tf"))
+    // cached like ctf: `merged` is read twice (tf join + lengths) —
+    // without the cache each read re-tokenizes the arrival slice
+    val atf = OpCache.cached(
+      chunkFrame(TextAnalysis.injectArrivals(docs), window, stride)
+        .select(col("ck"), explode(col("t")).as("term"))
+        .groupBy("ck", "term").agg(count(lit(1)).as("tf")))
     val dfreq = ctf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = ctf.groupBy("ck").agg(sum(col("tf")).as("dl"))
       .agg(count(lit(1)).as("n_chunks_tot"), sum(col("dl")).as("sum_dl"))

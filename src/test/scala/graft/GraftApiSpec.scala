@@ -369,6 +369,11 @@ class GraftApiSpec extends SparkSpec {
     // q61: every priority's late count is bounded by its quarter total
     val lo = g.lateOrders.collect()
     assert(lo.nonEmpty && lo.forall(_.getAs[Long]("n_orders") > 0))
+    // q62: both branches populated per status, counts disjoint-add
+    val ps = g.prioritySplit.collect()
+    assert(ps.nonEmpty && ps.forall(r =>
+      r.getAs[Long]("high_line_count") > 0 &&
+        r.getAs[Long]("low_line_count") > 0))
     // every mined negative really is cross-label, ranked inside its query
     assert(g.hardNegatives.filter("neg_label = q_label").count() === 0)
     assert(g.hardNegatives.filter("rank >= 1 and rank <= 5").count() ===
