@@ -211,7 +211,8 @@ object SparkEntry {
     "p19_chunk_windows" -> ((s, d) => Pipeline.p19ChunkWindows(s, d)),
     "p20_chunk_pack" -> ((s, d) => Pipeline.p20ChunkPack(s, d)),
     "p21_context_assembly" -> ((s, d) => Pipeline.p21ContextAssembly(s, d)),
-    "p22_incremental_bm25" -> ((s, d) => Pipeline.p22IncrementalBm25(s, d))
+    "p22_incremental_bm25" -> ((s, d) => Pipeline.p22IncrementalBm25(s, d)),
+    "p23_diverse_context" -> ((s, d) => Pipeline.p23DiverseContext(s, d))
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -658,6 +658,13 @@ class Graft(val spark: SparkSession, dir: String) {
   def vocabDrift: DataFrame =
     graft.operators.TextAnalysis.t20VocabDrift(spark, dir)
 
+  /** Diverse context assembly (p23): p21's retrieval with the
+    * best-chunk-per-document diversity cut before the token budget
+    * (the RAG near-duplicate-context guard). */
+  def diverseContext(window: Long = 32L, stride: Long = 24L,
+                     budget: Long = 96L): DataFrame =
+    Pipeline.p23DiverseContext(spark, dir, window, stride, budget)
+
   /** Incremental BM25 (p22): rank corpus ∪ derived arrivals under
     * freeze-time weights — the frozen-IDF append semantics run live
     * (row-for-row what a freeze → append → searchFrozen lifecycle

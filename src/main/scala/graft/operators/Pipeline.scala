@@ -823,6 +823,42 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** p23: DIVERSE CONTEXT — p21's assembly with the DIVERSITY CUT a
+    * production RAG prompt builder applies between ranking and the
+    * budget (overlapping windows of one document otherwise fill the
+    * whole context with near-identical text): keep each query's best
+    * chunk PER DOCUMENT, re-rank the survivors densely, then cut at
+    * the token budget. Pure composition — [[chunkBm25Ranked]]'s
+    * gated top-10 in, two query-partitioned row_numbers (≤ 10 rows
+    * per partition by construction) and the integer prefix sum out.
+    *
+    * Scale shape: identical to p21 up to the ranking; everything
+    * after operates on ≤ 10 rows/query (bounded windows, never
+    * corpus-scaled). */
+  def p23DiverseContext(spark: SparkSession, dir: String,
+                        window: Long = 32L, stride: Long = 24L,
+                        budget: Long = 96L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"context budget must be positive (got $budget)")
+    val ranked = chunkBm25Ranked(
+      chunkFrame(Tables.documents(spark, dir), window, stride))
+    val wD = Window.partitionBy(col("query_id"), expr("ck div 1048576"))
+      .orderBy(col("rank"))
+    val wQ = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val wCum = Window.partitionBy(col("query_id")).orderBy(col("new_rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("dr", row_number().over(wD)).filter(col("dr") === 1)
+      .withColumn("new_rank", row_number().over(wQ))
+      .withColumn("cum_tok", sum(col("n_tok")).over(wCum))
+      .filter(col("cum_tok") <= budget)
+      .select(col("query_id"), col("new_rank").cast("long").as("rank"),
+        expr("ck div 1048576").as("doc_id"),
+        (col("ck") % 1048576L).as("chunk_id"),
+        col("n_tok"), col("cum_tok"), col("n_terms_hit"), col("score_micro"))
+      .orderBy("query_id", "rank")
+  }
+
   /** p22: INCREMENTAL BM25 — the frozen-IDF append semantics as an
     * oracle key (the mm11 role for sparse retrieval): a corpus is
     * frozen, the derived `inject` arrival batch lands afterwards
@@ -992,6 +1028,45 @@ object Pipeline {
         col("arr_avgdl"), col("frozen_avgdl"))
   }
 
+  /** The shared chunk-rank CTE chain (everything through the top-10
+    * `rk` frame) p21 and p23 both open with — the query VALUES are
+    * generated from the SAME Seq the Column plans read (the t18
+    * rule: the query set exists in one place). */
+  private lazy val p21RankCtes: String = {
+    val values = TextAnalysis.Bm25Queries.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid, '$t')") }.mkString(", ")
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+       |s AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+       |    CAST(CASE WHEN len(t) <= 32 THEN 1
+       |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
+       |  FROM d),
+       |c AS (SELECT doc_id, t, n,
+       |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM s),
+       |ck AS (SELECT doc_id * 1048576 + chunk_id AS ck,
+       |    CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok,
+       |    string_split_regex(trim(array_to_string(list_slice(t, chunk_id * 24 + 1,
+       |      chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')), '\s+') AS ct
+       |  FROM c),
+       |tok AS (SELECT ck, unnest(ct) AS term FROM ck),
+       |tf AS (SELECT ck, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT n_chunks_tot, CAST(sum_dl AS DOUBLE) / n_chunks_tot AS avgdl FROM (
+       |  SELECT COUNT(*) AS n_chunks_tot, CAST(SUM(n_tok) AS BIGINT) AS sum_dl FROM ck) s0),
+       |q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+       |qdf AS (SELECT query_id, term, df FROM q JOIN dfreq USING (term)),
+       |dl AS (SELECT ck, n_tok AS dl FROM ck),
+       |ts AS (SELECT query_id, tf.ck,
+       |  CAST(floor(((CAST(n_chunks_tot - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+       |    * 1000000.0) AS BIGINT) AS micro
+       |  FROM tf JOIN qdf USING (term) JOIN dl ON dl.ck = tf.ck CROSS JOIN st),
+       |scored AS (SELECT query_id, ck, COUNT(*) AS n_terms_hit,
+       |  CAST(SUM(micro) AS BIGINT) AS score_micro FROM ts GROUP BY 1, 2),
+       |rk AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, ck) AS rank
+       |  FROM scored) r0 WHERE rank <= 10),""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "p22_incremental_bm25" -> {
       val values = TextAnalysis.Bm25Queries.flatMap { case (qid, ts) =>
@@ -1051,41 +1126,8 @@ object Pipeline {
          |ORDER BY query_id, rank""".stripMargin
     },
 
-    "p21_context_assembly" -> {
-      // the query VALUES are generated from the SAME Seq the Column
-      // plan reads (the t18 rule: the query set exists in one place)
-      val values = TextAnalysis.Bm25Queries.flatMap { case (qid, ts) =>
-        ts.map(t => s"($qid, '$t')") }.mkString(", ")
-      raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-         |s AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
-         |    CAST(CASE WHEN len(t) <= 32 THEN 1
-         |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
-         |  FROM d),
-         |c AS (SELECT doc_id, t, n,
-         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM s),
-         |ck AS (SELECT doc_id * 1048576 + chunk_id AS ck,
-         |    CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok,
-         |    string_split_regex(trim(array_to_string(list_slice(t, chunk_id * 24 + 1,
-         |      chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')), '\s+') AS ct
-         |  FROM c),
-         |tok AS (SELECT ck, unnest(ct) AS term FROM ck),
-         |tf AS (SELECT ck, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |st AS (SELECT n_chunks_tot, CAST(sum_dl AS DOUBLE) / n_chunks_tot AS avgdl FROM (
-         |  SELECT COUNT(*) AS n_chunks_tot, CAST(SUM(n_tok) AS BIGINT) AS sum_dl FROM ck) s0),
-         |q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
-         |qdf AS (SELECT query_id, term, df FROM q JOIN dfreq USING (term)),
-         |dl AS (SELECT ck, n_tok AS dl FROM ck),
-         |ts AS (SELECT query_id, tf.ck,
-         |  CAST(floor(((CAST(n_chunks_tot - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-         |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
-         |    * 1000000.0) AS BIGINT) AS micro
-         |  FROM tf JOIN qdf USING (term) JOIN dl ON dl.ck = tf.ck CROSS JOIN st),
-         |scored AS (SELECT query_id, ck, COUNT(*) AS n_terms_hit,
-         |  CAST(SUM(micro) AS BIGINT) AS score_micro FROM ts GROUP BY 1, 2),
-         |rk AS (SELECT * FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, ck) AS rank
-         |  FROM scored) r0 WHERE rank <= 10),
+    "p21_context_assembly" ->
+      raw"""${p21RankCtes}
          |asm AS (SELECT rk.query_id, rk.rank, rk.ck, rk.n_terms_hit, rk.score_micro,
          |  dl.dl AS n_tok,
          |  CAST(SUM(dl.dl) OVER (PARTITION BY rk.query_id ORDER BY rk.rank
@@ -1093,8 +1135,23 @@ object Pipeline {
          |  FROM rk JOIN dl ON dl.ck = rk.ck)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, ck // 1048576 AS doc_id,
          |  ck % 1048576 AS chunk_id, n_tok, cum_tok, n_terms_hit, score_micro
-         |FROM asm WHERE cum_tok <= 96 ORDER BY query_id, rank""".stripMargin
-    },
+         |FROM asm WHERE cum_tok <= 96 ORDER BY query_id, rank""".stripMargin,
+
+    "p23_diverse_context" ->
+      raw"""${p21RankCtes}
+         |dv AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id, ck // 1048576
+         |    ORDER BY rank) AS dr FROM rk) d0 WHERE dr = 1),
+         |rr AS (SELECT query_id, ck, n_terms_hit, score_micro,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rank FROM dv),
+         |asm AS (SELECT rr.query_id, rr.rank, rr.ck, rr.n_terms_hit, rr.score_micro,
+         |  dl.dl AS n_tok,
+         |  CAST(SUM(dl.dl) OVER (PARTITION BY rr.query_id ORDER BY rr.rank
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+         |  FROM rr JOIN dl ON dl.ck = rr.ck)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, ck // 1048576 AS doc_id,
+         |  ck % 1048576 AS chunk_id, n_tok, cum_tok, n_terms_hit, score_micro
+         |FROM asm WHERE cum_tok <= 96 ORDER BY query_id, rank""".stripMargin,
 
     "p20_chunk_pack" ->
       raw"""WITH d AS (SELECT doc_id, source,

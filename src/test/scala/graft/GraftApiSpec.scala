@@ -416,6 +416,14 @@ class GraftApiSpec extends SparkSpec {
       g.compactTextIndex(name)
       assert(g.searchTextIndex(name, Seq(1 -> Seq("zzznovelterm1")))
         .count() === 1)
+      // diverse context: at most ONE chunk per (query, document),
+      // ranks dense from 1, budget respected
+      val dc = g.diverseContext().collect()
+      assert(dc.nonEmpty)
+      assert(dc.map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id")))
+        .distinct.length === dc.length,
+        "diversity cut must keep one chunk per (query, doc)")
+      assert(dc.forall(_.getAs[Long]("cum_tok") <= 96L))
       // incremental ranking: 10 rows per query, ranks dense
       val inc = g.incrementalBm25.collect()
       assert(inc.nonEmpty && inc.forall(r => r.getAs[Long]("rank") >= 1 &&
