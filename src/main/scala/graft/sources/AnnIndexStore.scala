@@ -169,37 +169,18 @@ object AnnIndexStore {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
-    // RESERVE (atomic read+advance): same committed batches, advanced
-    // high-water — readers are unaffected; a crash from here on burns
-    // the id, nothing else
-    val (gen, batch) = FreezeStore.withFamilyLock(name) {
-      val (gen, batches, hwm) = FreezeStore.readPtrFull(spark, name).getOrElse(
-        throw new IllegalStateException(s"no frozen index named $name"))
-      val batch = hwm + 1
-      FreezeStore.flipPtr(spark, name, gen, batches, hwm = batch)
-      (gen, batch)
-    }
-    def land(df: DataFrame, s: String): Unit = {
-      val t = gt(name, gen, s)
-      df.withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
-        .write.mode("append").format("parquet")
-        .bucketBy(bucketsOf(t), "vec_id").sortBy("vec_id")
-        .saveAsTable(t)
-    }
-    land(codes, "codes")
-    land(assign, "assign")
-    // COMMIT (atomic re-read+merge): the batch becomes visible to new
-    // loads without clobbering a concurrently committed sibling
-    FreezeStore.withFamilyLock(name) {
-      val (g2, cur, h2) = FreezeStore.readPtrFull(spark, name).getOrElse(
-        throw new IllegalStateException(s"frozen index $name vanished mid-append"))
-      if (g2 != gen)
-        throw new IllegalStateException(
-          s"append to $name lost a race with a re-freeze (gen $gen → $g2): " +
-            "the landed rows are invisible in the superseded generation; " +
-            "re-run the append against the live freeze")
-      FreezeStore.flipPtr(spark, name, gen, cur :+ batch,
-        hwm = math.max(h2, batch))
+    // the ONE reserve-then-commit protocol (FreezeStore.appendBatch);
+    // this store's part: bucket-preserving batch-stamped landings
+    FreezeStore.appendBatch(spark, name) { (gen, batch) =>
+      def land(df: DataFrame, s: String): Unit = {
+        val t = gt(name, gen, s)
+        df.withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
+          .write.mode("append").format("parquet")
+          .bucketBy(bucketsOf(t), "vec_id").sortBy("vec_id")
+          .saveAsTable(t)
+      }
+      land(codes, "codes")
+      land(assign, "assign")
     }
   }
 

@@ -146,35 +146,22 @@ object Bm25IndexStore {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
-    val (gen, batch) = FreezeStore.withFamilyLock(name) {
-      val (gen, batches, hwm) = FreezeStore.readPtrFull(spark, name).getOrElse(
-        throw new IllegalStateException(s"no frozen text index named $name"))
-      val batch = hwm + 1
-      FreezeStore.flipPtr(spark, name, gen, batches, hwm = batch)
-      (gen, batch)
-    }
-    def stamp(df: DataFrame): DataFrame =
-      df.withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
-    val tok = chunks.select(col("ck"), explode(col("t")).as("term"))
-    val tf = tok.groupBy("ck", "term").agg(count(lit(1)).as("tf"))
-    val pt = gt(name, gen, "postings")
-    stamp(tf.select(col("term"), col("ck"), col("tf")))
-      .write.mode("append").format("parquet")
-      .bucketBy(bucketsOf(pt), "term").sortBy("term")
-      .saveAsTable(pt)
-    stamp(chunks.select(col("ck"), col("n_tok").as("dl")))
-      .write.mode("append").format("parquet")
-      .saveAsTable(gt(name, gen, "lens"))
-    FreezeStore.withFamilyLock(name) {
-      val (g2, cur, h2) = FreezeStore.readPtrFull(spark, name).getOrElse(
-        throw new IllegalStateException(s"frozen text index $name vanished mid-append"))
-      if (g2 != gen)
-        throw new IllegalStateException(
-          s"append to $name lost a race with a re-freeze (gen $gen → $g2): " +
-            "the landed rows are invisible in the superseded generation; " +
-            "re-run the append against the live freeze")
-      FreezeStore.flipPtr(spark, name, gen, cur :+ batch,
-        hwm = math.max(h2, batch))
+    // the ONE reserve-then-commit protocol (FreezeStore.appendBatch);
+    // this store's part: posting + length landings, postings keeping
+    // the term bucket/sort layout
+    FreezeStore.appendBatch(spark, name) { (gen, batch) =>
+      def stamp(df: DataFrame): DataFrame =
+        df.withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
+      val tok = chunks.select(col("ck"), explode(col("t")).as("term"))
+      val tf = tok.groupBy("ck", "term").agg(count(lit(1)).as("tf"))
+      val pt = gt(name, gen, "postings")
+      stamp(tf.select(col("term"), col("ck"), col("tf")))
+        .write.mode("append").format("parquet")
+        .bucketBy(bucketsOf(pt), "term").sortBy("term")
+        .saveAsTable(pt)
+      stamp(chunks.select(col("ck"), col("n_tok").as("dl")))
+        .write.mode("append").format("parquet")
+        .saveAsTable(gt(name, gen, "lens"))
     }
   }
 

@@ -330,6 +330,48 @@ object FreezeStore {
       }
     }
 
+  /** The RESERVE-THEN-COMMIT append protocol — ONE definition shared
+    * by every frozen store ([[graft.sources.AnnIndexStore.append]] /
+    * [[graft.sources.MediaIndexStore.append]] /
+    * [[graft.sources.Bm25IndexStore.append]] are thin data-landing
+    * wrappers over it):
+    *
+    *  1. RESERVE (atomic read+advance under the family lock — two
+    *     concurrent appends draw DISTINCT batch ids): same committed
+    *     batch list, advanced high-water mark. Readers unaffected; a
+    *     crash from here on burns the id, nothing else.
+    *  2. `land(gen, batch)` writes batch-stamped data — INVISIBLE to
+    *     every reader's committed-batch filter until step 3.
+    *  3. COMMIT (atomic re-read+merge under the lock): adds only this
+    *     batch to whatever is committed by then, so concurrent
+    *     commits cannot drop each other's batches. A re-freeze that
+    *     landed mid-append bumped the generation — detected here and
+    *     failed LOUDLY (the rows sit invisible in a superseded
+    *     generation; retry against the live freeze) instead of
+    *     flipping the pointer backward. */
+  def appendBatch(spark: SparkSession, name: String)
+                 (land: (Long, Long) => Unit): Unit = {
+    val (gen, batch) = withFamilyLock(name) {
+      val (g, batches, hwm) = readPtrFull(spark, name).getOrElse(
+        throw new IllegalStateException(s"no frozen family named $name"))
+      val b = hwm + 1
+      flipPtr(spark, name, g, batches, hwm = b)
+      (g, b)
+    }
+    land(gen, batch)
+    withFamilyLock(name) {
+      val (g2, cur, h2) = readPtrFull(spark, name).getOrElse(
+        throw new IllegalStateException(
+          s"frozen family $name vanished mid-append"))
+      if (g2 != gen)
+        throw new IllegalStateException(
+          s"append to $name lost a race with a re-freeze (gen $gen → $g2): " +
+            "the landed rows are invisible in the superseded generation; " +
+            "re-run the append against the live freeze")
+      flipPtr(spark, name, gen, cur :+ batch, hwm = math.max(h2, batch))
+    }
+  }
+
   /** Heal a component table whose compaction died mid-swap: if `t`
     * is gone but `t_precompact` survives, rename it back (the
     * un-compacted data is complete — only the rewrite was lost). A

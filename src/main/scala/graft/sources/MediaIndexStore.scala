@@ -114,36 +114,15 @@ object MediaIndexStore {
     * drift-then-re-freeze cadence qa04 schedules for the ANN index). */
   def append(hashes: DataFrame, name: String): Unit = {
     val spark = hashes.sparkSession
-    // RESERVE (atomic read+advance under the family lock — the
-    // AnnIndexStore.append concurrency contract, ADVICE r11): two
-    // same-JVM appends draw distinct ids; readers unaffected; a crash
-    // from here on burns the id
-    val (gen, batch) = FreezeStore.withFamilyLock(name) {
-      val (gen, batches, hwm) = FreezeStore.readPtrFull(spark, name).getOrElse(
-        throw new IllegalStateException(s"no frozen media index named $name"))
-      val batch = hwm + 1
-      FreezeStore.flipPtr(spark, name, gen, batches, hwm = batch)
-      (gen, batch)
-    }
-    def land(df: DataFrame, part: String): Unit =
-      df.withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
-        .write.mode("append").format("parquet")
-        .saveAsTable(gt(name, gen, part))
-    land(hashes.select(col("doc_id"), col("h_hi"), col("h_lo")), "hash")
-    land(graft.operators.Multimodal.bandRows(hashes), "bands")
-    // COMMIT (atomic re-read+merge): visible to new matches without
-    // clobbering a concurrently committed sibling; a mid-append
-    // re-freeze fails loudly instead of flipping the pointer backward
-    FreezeStore.withFamilyLock(name) {
-      val (g2, cur, h2) = FreezeStore.readPtrFull(spark, name).getOrElse(
-        throw new IllegalStateException(s"frozen media index $name vanished mid-append"))
-      if (g2 != gen)
-        throw new IllegalStateException(
-          s"append to $name lost a race with a re-freeze (gen $gen → $g2): " +
-            "the landed rows are invisible in the superseded generation; " +
-            "re-run the append against the live freeze")
-      FreezeStore.flipPtr(spark, name, gen, cur :+ batch,
-        hwm = math.max(h2, batch))
+    // the ONE reserve-then-commit protocol (FreezeStore.appendBatch);
+    // this store's part: batch-stamped hash + band landings
+    FreezeStore.appendBatch(spark, name) { (gen, batch) =>
+      def land(df: DataFrame, part: String): Unit =
+        df.withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
+          .write.mode("append").format("parquet")
+          .saveAsTable(gt(name, gen, part))
+      land(hashes.select(col("doc_id"), col("h_hi"), col("h_lo")), "hash")
+      land(graft.operators.Multimodal.bandRows(hashes), "bands")
     }
   }
 
