@@ -470,8 +470,13 @@ object Analytics4 {
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_shipdate", "l_linestatus")
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+    // derived single-table bound (the q61 discipline): the join
+    // inequality implies o_orderdate < window_hi − 30d — pushed here
+    // because Catalyst cannot extract it from the cross-table
+    // predicate; prunes ~70% of the orders side pre-join
     val o = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .filter(col("o_orderdate") < hi - expr("INTERVAL 30 DAYS"))
     l.join(o, col("l_orderkey") === col("o_orderkey") &&
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .groupBy("l_linestatus")
