@@ -561,6 +561,43 @@ class Graft(val spark: SparkSession, dir: String) {
   /** The frozen co-purchase edge index the triangle stream probes. */
   def corpusEdgeIndex: DataFrame = Graph.corpusEdgeIndex(spark, dir)
 
+  /** Banded degree-drift monitor for the graph corpus — the
+    * WHEN-to-refreeze signal for the edge index (g05). */
+  def graphDegreeDrift: DataFrame = Graph.g05DegreeDrift(spark, dir)
+
+  /** Freeze a canonical (x < y) edge frame as a versioned named
+    * index; probe arriving edges against it without rebuilding the
+    * corpus pair fan-out; absorb them with O(batch) appends. */
+  def freezeGraphIndex(edges: DataFrame, name: String, buckets: Int = 8,
+                       retain: Int = 1): Long =
+    graft.sources.GraphIndexStore.freeze(edges, name, buckets, retain)
+
+  /** Triangles arriving edges close against a frozen edge index
+    * (the g04 1-new-edge / TriStream probe algebra, served off the
+    * shipped bucketed table). */
+  def probeFrozenGraph(probe: DataFrame, name: String): DataFrame =
+    graft.sources.GraphIndexStore.closedFrozen(spark, probe, name)
+
+  def appendGraphIndex(newEdges: DataFrame, name: String): Unit =
+    graft.sources.GraphIndexStore.append(newEdges, name)
+
+  /** g05's banded drift over the PERSISTED corpus edges. */
+  def graphStaleness(arrivals: DataFrame, name: String): DataFrame =
+    graft.sources.GraphIndexStore.staleness(spark, arrivals, name)
+
+  /** The automated drift→refreeze loop for the frozen edge index:
+    * trips integer-exactly on the arrivals' unseen-endpoint share. */
+  def refreezeGraphIfStale(arrivals: DataFrame, name: String,
+      maxUnseenShare: Double = 0.2, buckets: Int = 8,
+      retain: Int = 1): Option[Long] =
+    graft.sources.GraphIndexStore.refreezeIfStale(spark, arrivals, name,
+      maxUnseenShare, buckets, retain)
+
+  /** Compact the edge index's live generation (lease-held crash-safe
+    * rewrite — see [[graft.sources.GraphIndexStore.compact]]). */
+  def compactGraphIndex(name: String, vacuumOrphans: Boolean = false): Unit =
+    graft.sources.GraphIndexStore.compact(spark, name, vacuumOrphans)
+
   /** Exact Gram (second-moment) matrix of the embedding corpus (s20). */
   def gramMatrix: DataFrame = Similarity.s20GramMatrix(spark, dir)
 
@@ -722,10 +759,12 @@ class Graft(val spark: SparkSession, dir: String) {
     Similarity.appendToFrozenIndex(newVecs, name)
 
   /** Compact the ANN index's live generation after a run of appends
-    * (one sorted file per bucket again — crash-safe rewrite; quiesce
-    * appends first — see [[graft.sources.AnnIndexStore.compact]]). */
-  def compactAnnIndex(name: String): Unit =
-    graft.sources.AnnIndexStore.compact(spark, name)
+    * (one sorted file per bucket again — crash-safe rewrite, whole
+    * window under the family lease so a racing append blocks or
+    * fails loudly; `vacuumOrphans` folds crashed appends' invisible
+    * rows — see [[graft.sources.AnnIndexStore.compact]]). */
+  def compactAnnIndex(name: String, vacuumOrphans: Boolean = false): Unit =
+    graft.sources.AnnIndexStore.compact(spark, name, vacuumOrphans)
 
   /** Search a frozen index shipped by [[shipAnnIndex]] — rows equal
     * the in-memory ivfpq/filteredIvfpq (AnnShipSpec). */
@@ -780,10 +819,11 @@ class Graft(val spark: SparkSession, dir: String) {
     graft.sources.MediaIndexStore.append(hashes, name)
 
   /** Compact the media index's live generation after a run of
-    * appends (crash-safe rewrite; quiesce appends first — see
+    * appends (crash-safe rewrite, lease-held window — see
     * [[graft.sources.MediaIndexStore.compact]]). */
-  def compactMediaIndex(name: String, files: Int = 8): Unit =
-    graft.sources.MediaIndexStore.compact(spark, name, files)
+  def compactMediaIndex(name: String, files: Int = 8,
+                        vacuumOrphans: Boolean = false): Unit =
+    graft.sources.MediaIndexStore.compact(spark, name, files, vacuumOrphans)
 
   /** Streaming media match against a frozen index (per-micro-batch
     * pointer binding; idempotent per-batch-id sink). */
@@ -835,10 +875,10 @@ class Graft(val spark: SparkSession, dir: String) {
 
   /** Compact the text index's live generation after a run of appends
     * (restores one sorted file per postings bucket — crash-safe
-    * rewrite; quiesce appends first — see
+    * rewrite, lease-held window — see
     * [[graft.sources.Bm25IndexStore.compact]]). */
-  def compactTextIndex(name: String): Unit =
-    graft.sources.Bm25IndexStore.compact(spark, name)
+  def compactTextIndex(name: String, vacuumOrphans: Boolean = false): Unit =
+    graft.sources.Bm25IndexStore.compact(spark, name, vacuumOrphans)
 
   /** Vocabulary staleness of a frozen text index against arriving
     * documents — the WHEN-to-refreeze monitor (t20's algebra over

@@ -223,33 +223,39 @@ object AnnIndexStore {
     * a dead JVM re-ships instead; ADVICE r9): the rename-chain swap
     * and its self-healing live in [[FreezeStore.compactTable]] (round
     * 12: shared with the media and text stores). QUIESCED-WRITER
-    * operation: run only with no append in flight (the lakehouse
-    * OPTIMIZE contract — see the compactTable scaladoc for why the
-    * pointer cannot check it); under that contract, uncommitted
-    * batch rows are crashed-append orphans and the rewrite vacuums
-    * them (AnnShipSpec pins it). */
-  def compact(spark: SparkSession, name: String): Unit = {
-    val (gen, batches) = FreezeStore.compactGate(spark, name)
-    Bucketed.foreach { s =>
-      val t = gt(name, gen, s)
-      FreezeStore.recoverTable(spark, t)
-      val meta = spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
-      val buckets = meta.bucketSpec
-        .map(_.numBuckets)
-        .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
-      // the REAL bucketed scan is forced for the rewrite — see
-      // FreezeStore.withForcedBucketedScan for the rule-ordering trap
-      // (measured here in round 9: 4 tasks × 2 buckets from an 8-file
-      // generation without the pin)
-      FreezeStore.compactTable(spark, t, batches, (df, staging) =>
-        FreezeStore.withForcedBucketedScan(spark) {
-          df.write.mode("overwrite").format("parquet")
-            .bucketBy(buckets, "vec_id").sortBy("vec_id")
-            .saveAsTable(staging)
-        })
+    * operation, LEASE-ENFORCED (VERDICT r12 #4): the whole compact
+    * window holds the family's cross-process lease, so a concurrent
+    * append blocks at its reserve (or fails loudly at its wait
+    * deadline) instead of landing data mid-rewrite and losing it to
+    * the vacuum — FreezeRaceSpec drives the race. A reserved-but-
+    * uncommitted batch id fails the gate by default (it may be a
+    * LIVE append mid-land); pass `vacuumOrphans = true` after
+    * verifying writers are quiesced to fold crashed appends' orphan
+    * rows away (AnnShipSpec pins the vacuum). */
+  def compact(spark: SparkSession, name: String,
+              vacuumOrphans: Boolean = false): Unit =
+    FreezeStore.withFamilyLease(spark, name) {
+      val (gen, batches) = FreezeStore.compactGate(spark, name, vacuumOrphans)
+      Bucketed.foreach { s =>
+        val t = gt(name, gen, s)
+        FreezeStore.recoverTable(spark, t)
+        val meta = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        val buckets = meta.bucketSpec
+          .map(_.numBuckets)
+          .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
+        // the REAL bucketed scan is forced for the rewrite — see
+        // FreezeStore.withForcedBucketedScan for the rule-ordering trap
+        // (measured here in round 9: 4 tasks × 2 buckets from an 8-file
+        // generation without the pin)
+        FreezeStore.compactTable(spark, t, batches, (df, staging) =>
+          FreezeStore.withForcedBucketedScan(spark) {
+            df.write.mode("overwrite").format("parquet")
+              .bucketBy(buckets, "vec_id").sortBy("vec_id")
+              .saveAsTable(staging)
+          })
+      }
     }
-  }
 
   /** Restore a freeze whose pointer flip or compaction crashed
     * mid-swap (see [[FreezeStore.recoverPtr]] / [[compact]]); a no-op

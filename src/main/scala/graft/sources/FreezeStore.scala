@@ -18,19 +18,31 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   *    (`Files.write(..., CREATE_NEW)`); while the file exists the
   *    family's commit path is owned.
   *  - A holder that dies leaves the file behind — liveness comes from
-  *    the HEARTBEAT: holders of long operations refresh the file's
-  *    mtime; a file whose mtime is older than `staleMs` is presumed
-  *    abandoned and broken (deleted + re-created exclusively; two
-  *    breakers racing is benign — exactly one CREATE_NEW wins).
+  *    the HEARTBEAT: [[FreezeStore]] renews the file's mtime from a
+  *    background thread for the whole hold (ADVICE r12: the explicit
+  *    heartbeat existed but no production holder called it, so any
+  *    hold longer than `staleMs` — a flip's staging write under load,
+  *    a compaction — invited a break of a LIVE writer); a file whose
+  *    mtime is older than `staleMs` is presumed abandoned and broken.
+  *  - Ownership is CHECKED, not assumed (ADVICE r12): the lease file
+  *    carries a per-acquire token (holder id + nonce), and both the
+  *    stale-break and [[Lease.release]] capture the file by ATOMIC
+  *    RENAME before acting on it — a rename moves exactly the inode
+  *    that was at the path, so two breakers can't both "win", and a
+  *    holder that was broken while stalled can never delete the NEW
+  *    holder's lease file (its release captures, sees a foreign
+  *    token, and puts the file back). A broken holder finds out the
+  *    moment it next heartbeats or commits: [[Lease.checkOwned]]
+  *    re-reads the token and throws LOUDLY, so its in-flight commit
+  *    aborts instead of proceeding concurrently with the breaker's.
   *  - `acquire` that cannot get the lease within `waitMs` throws
   *    LOUDLY, naming the current holder — a blocked second driver is
   *    a visible condition, never a silent backward heal.
   *
-  * The lease guards POINTER operations only (flip + crash recovery
-  * — milliseconds-long holds); data writes to generation tables
-  * never take it (they are invisible until the flip). [[AnnIndexStore.compact]]'s
-  * table-swap window has the same cross-process exposure and the
-  * same fix if a deployment ever needs it; in this container the
+  * The lease guards POINTER operations (flip + crash recovery), the
+  * append protocol's reserve/commit sequences, and compaction's
+  * table-swap window; bulk data writes to generation tables never
+  * take it (they are invisible until the flip). In this container the
   * catalog is per-JVM in-memory, so the lease mechanics are what a
   * spec can exercise — two drivers sharing a REAL metastore
   * additionally need that metastore's rename to be atomic (the
@@ -38,58 +50,120 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   */
 object FreezeLease {
 
-  /** An acquired lease. Releasing is idempotent; `heartbeat` renews
-    * the claim for holds longer than `staleMs` (no background thread
-    * — callers with long critical sections call it explicitly). */
-  final class Lease private[FreezeLease] (val path: Path, val holder: String) {
+  /** An acquired lease, identified by a per-acquire token (first
+    * line: holder id, for error messages; second line: nonce).
+    * Releasing is idempotent and ownership-checked; `heartbeat`
+    * renews the claim (FreezeStore runs it on a background thread
+    * for the whole hold). */
+  final class Lease private[FreezeLease] (val path: Path, val holder: String,
+                                          private[FreezeLease] val token: String) {
     @volatile private var released = false
-    def heartbeat(): Unit =
-      if (!released)
-        Files.setLastModifiedTime(path,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-    def release(): Unit = {
+    /** True while the lease file still carries OUR token. */
+    private def ownedNow(): Boolean =
+      try new String(Files.readAllBytes(path), "UTF-8") == token
+      catch { case _: java.io.IOException => false }
+    /** Renew the claim; throws if the lease was broken from under us
+      * (a stalled holder must abort, not race the breaker). */
+    def heartbeat(): Unit = {
+      checkOwned()
+      Files.setLastModifiedTime(path,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    /** Background-thread heartbeat: never throws; returns false once
+      * the lease is lost so the pumping thread can stop. */
+    private[sources] def heartbeatQuietly(): Boolean =
+      try { heartbeat(); true } catch { case _: Throwable => false }
+    /** Throw unless this lease still owns the family — the guard
+      * every commit point runs immediately before its rename chain,
+      * so a holder that stalled past staleMs and was broken fails
+      * LOUDLY instead of interleaving with the new holder's commit. */
+    def checkOwned(): Unit =
+      if (released || !ownedNow())
+        throw new IllegalStateException(
+          s"commit lease at $path no longer held by $holder — the hold " +
+            "stalled past staleMs and a waiter broke it; abort this " +
+            "commit and retry against the family's current state")
+    /** Ownership-checked release: capture the file at the path by
+      * atomic rename, delete it only if it is OURS; a foreign token
+      * (we were broken; the file is the new holder's) is put back. */
+    def release(): Unit = if (!released) {
       released = true
-      Files.deleteIfExists(path)
+      val tmp = path.resolveSibling(
+        path.getFileName.toString + ".rel-" + java.util.UUID.randomUUID().toString.take(8))
+      try {
+        Files.move(path, tmp, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (new String(Files.readAllBytes(tmp), "UTF-8") == token)
+          Files.deleteIfExists(tmp)
+        else
+          // not ours: we were broken and captured the NEW holder's
+          // file — restore it (a third racer creating in the gap
+          // surfaces at the new holder's next heartbeat, loudly)
+          Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: java.io.IOException => () } // already gone
       ()
     }
   }
+
+  private def leasePath(dir: Path, name: String): Path =
+    dir.resolve(s"graft_$name.lease")
+
+  private def fileBytes(holder: String, nonce: String): Array[Byte] =
+    s"$holder\n$nonce".getBytes("UTF-8")
 
   /** One attempt: create-exclusive, else break a stale holder once.
     * Returns None while a live (fresh-heartbeat) holder exists. */
   def tryAcquire(dir: Path, name: String, holder: String,
                  staleMs: Long): Option[Lease] = {
     Files.createDirectories(dir)
-    val p = dir.resolve(s"graft_$name.lease")
-    def create(): Option[Lease] =
+    val p = leasePath(dir, name)
+    def create(): Option[Lease] = {
+      val nonce = java.util.UUID.randomUUID().toString.take(12)
       try {
-        Files.write(p, holder.getBytes("UTF-8"),
+        Files.write(p, fileBytes(holder, nonce),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        Some(new Lease(p, holder))
+        Some(new Lease(p, holder, s"$holder\n$nonce"))
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => None
       }
+    }
     create().orElse {
       val age =
         try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
         catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
       if (age > staleMs) {
-        // presumed-dead holder: break once and retry the exclusive
-        // create — if another breaker got there first, this attempt
-        // simply fails and the caller's loop retries
-        try Files.deleteIfExists(p)
-        catch { case _: java.io.IOException => () }
+        // presumed-dead holder: CAPTURE the stale file by atomic
+        // rename (exactly one of N racing breakers moves the inode;
+        // the losers get NoSuchFile and simply retry), re-verify it
+        // is still stale — the holder may have heartbeated between
+        // our age read and the move, in which case it goes straight
+        // back — then discard it and race the exclusive create
+        val grab = p.resolveSibling(
+          p.getFileName.toString + ".brk-" + java.util.UUID.randomUUID().toString.take(8))
+        try {
+          Files.move(p, grab, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          val freshAfterAll = try {
+            System.currentTimeMillis() -
+              Files.getLastModifiedTime(grab).toMillis <= staleMs
+          } catch { case _: java.io.IOException => false }
+          if (freshAfterAll)
+            Files.move(grab, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          else
+            Files.deleteIfExists(grab)
+        } catch { case _: java.io.IOException => () }
         create()
       } else None
     }
   }
 
-  /** Who holds the lease right now (best-effort, for error messages). */
+  /** Who holds the lease right now (best-effort, for error messages)
+    * — the holder id line, without the acquire nonce. */
   def currentHolder(dir: Path, name: String): Option[String] =
     try {
-      val p = dir.resolve(s"graft_$name.lease")
-      if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8"))
+      val p = leasePath(dir, name)
+      if (Files.exists(p))
+        Some(new String(Files.readAllBytes(p), "UTF-8").linesIterator.next())
       else None
-    } catch { case _: java.io.IOException => None }
+    } catch { case _: java.io.IOException | _: NoSuchElementException => None }
 
   /** Acquire or fail loudly after `waitMs`. */
   def acquire(dir: Path, name: String, holder: String,
@@ -182,7 +256,9 @@ object FreezeStore {
     * DISTINCT batch ids), once across re-read → commit (a commit that
     * flipped with a stale batch list would silently drop the batch a
     * concurrent append committed in between). Keep `body` tiny —
-    * readers of the same family block on this lock. */
+    * readers of the same family block on this lock. LOCK ORDER: when
+    * combined with the cross-process lease, the lease comes FIRST
+    * (never acquire the lease while holding this lock). */
   def withFamilyLock[A](name: String)(body: => A): A =
     lockFor(name).synchronized(body)
 
@@ -215,15 +291,79 @@ object FreezeStore {
       }
   }
 
+  // families whose lease THIS THREAD currently holds — makes
+  // withLease reentrant, so a multi-step sequence (append's
+  // reserve/commit, a store's compact) can hold ONE lease across
+  // nested pointer ops without self-deadlock. LOCK ORDER (ADVICE
+  // r12): the lease is always acquired BEFORE the per-name JVM lock
+  // and never while holding it — a thread holding the JVM lock and
+  // waiting on the lease opposite a lease-holder waiting on the JVM
+  // lock would deadlock until the acquire deadline.
+  private val heldLeases =
+    new ThreadLocal[java.util.HashMap[String, FreezeLease.Lease]] {
+      override def initialValue() =
+        new java.util.HashMap[String, FreezeLease.Lease]()
+    }
+
+  /** The lease this thread holds for `name`, if any — compactTable's
+    * pre-swap ownership check reads it. */
+  private def heldLease(name: String): Option[FreezeLease.Lease] =
+    Option(heldLeases.get.get(name))
+
+  /** The family name of a generation-component table
+    * (`<name>_g<N>_<part>` → `<name>`); identity for other names. */
+  private def familyOf(t: String): String = {
+    val m = java.util.regex.Pattern.compile("(.+)_g\\d+_.+").matcher(t)
+    if (m.matches()) m.group(1) else t
+  }
+
   /** Run `body` holding the family's CROSS-PROCESS commit lease
     * (see [[FreezeLease]]); stale/wait knobs are runtime confs so a
-    * deployment (or a spec) can tune them per-session. */
-  private def withLease[A](spark: SparkSession, name: String)(body: => A): A = {
-    val staleMs = spark.conf.get("spark.graft.lease.staleMs", "30000").toLong
-    val waitMs = spark.conf.get("spark.graft.lease.waitMs", "60000").toLong
-    val l = FreezeLease.acquire(leaseDir(spark), name, holderId, staleMs, waitMs)
-    try body finally l.release()
-  }
+    * deployment (or a spec) can tune them per-session. Reentrant per
+    * thread (the outer hold's heartbeat keeps pumping); a FRESH hold
+    * starts a daemon heartbeat thread for its whole duration (ADVICE
+    * r12: without it, any hold longer than staleMs — a staging write
+    * under load, a compaction rewrite — invited a stale-break of a
+    * live writer). */
+  private[sources] def withLease[A](spark: SparkSession, name: String)
+                                   (body: => A): A =
+    heldLease(name) match {
+      case Some(_) => body // reentrant: the outer hold owns release
+      case None =>
+        val staleMs = spark.conf.get("spark.graft.lease.staleMs", "30000").toLong
+        val waitMs = spark.conf.get("spark.graft.lease.waitMs", "60000").toLong
+        val l = FreezeLease.acquire(leaseDir(spark), name, holderId, staleMs, waitMs)
+        val pump = new Thread(() => {
+          var alive = true
+          while (alive) {
+            try Thread.sleep(math.max(staleMs / 3, 25L))
+            catch { case _: InterruptedException => alive = false }
+            if (alive) alive = l.heartbeatQuietly()
+          }
+        }, s"graft-lease-heartbeat-$name")
+        pump.setDaemon(true)
+        pump.start()
+        heldLeases.get.put(name, l)
+        try body
+        finally {
+          heldLeases.get.remove(name)
+          pump.interrupt()
+          l.release()
+        }
+    }
+
+  /** Run `body` under the family's cross-process lease — the stores'
+    * compaction entry point (VERDICT r12 #4): holding the lease for
+    * the whole compact window turns the QUIESCED-WRITER convention
+    * into an enforced contract — a concurrent append's reserve (or a
+    * re-freeze's flip) blocks at the lease until the compact
+    * finishes, or fails loudly at its wait deadline naming this
+    * holder; it can no longer land data mid-rewrite and have it
+    * silently vacuumed as an orphan. The heartbeat thread keeps the
+    * hold alive across rewrites longer than staleMs. */
+  private[sources] def withFamilyLease[A](spark: SparkSession, name: String)
+                                         (body: => A): A =
+    withLease(spark, name)(body)
 
   /** The heal itself — callers hold BOTH the JVM lock and the
     * cross-process lease. Re-checks every condition under the lease,
@@ -250,12 +390,13 @@ object FreezeStore {
     * window, not a crash; this caller waits the lease out (then
     * re-checks and finds nothing to heal) or fails loudly at the
     * wait deadline. A healthy family (no `ptr_old`) takes NO lease —
-    * the read fast path stays free of file ops. */
+    * the read fast path stays free of file ops. Lease OUTSIDE the
+    * JVM lock (the one lock order, see withLease). */
   def recoverPtr(spark: SparkSession, name: String): Unit =
-    lockFor(name).synchronized {
-      if (exists(spark, s"${ptr(name)}_old"))
-        withLease(spark, name)(healUnsafe(spark, name))
-    }
+    if (exists(spark, s"${ptr(name)}_old"))
+      withLease(spark, name) {
+        lockFor(name).synchronized(healUnsafe(spark, name))
+      }
 
   /** The live (generation, committed batch ids) — None before the
     * first freeze. The pointer is a ≤(1+appends)-row table; one tiny
@@ -266,9 +407,12 @@ object FreezeStore {
   /** [[readPtr]] plus the generation's issued-batch high-water mark
     * (the max batch id ever RESERVED — committed or orphaned by a
     * crashed append; see [[graft.sources.AnnIndexStore.append]]). */
-  def readPtrFull(spark: SparkSession, name: String): Option[(Long, Seq[Long], Long)] =
+  def readPtrFull(spark: SparkSession, name: String): Option[(Long, Seq[Long], Long)] = {
+    // heal first (lease-then-lock — recoverPtr owns the ordering), then
+    // read under the JVM lock alone: a healthy-family read never touches
+    // the lease file, and the lock hides a same-JVM flip's rename window
+    recoverPtr(spark, name)
     lockFor(name).synchronized {
-      recoverPtr(spark, name)
       val p = ptr(name)
       if (!exists(spark, p)) None
       else {
@@ -285,6 +429,7 @@ object FreezeStore {
           rows.map(_.getLong(2)).max))
       }
     }
+  }
 
   /** Commit a new pointer state atomically (rename chain). The new
     * state is complete on disk (`ptr_new`) BEFORE the live name is
@@ -296,21 +441,22 @@ object FreezeStore {
     * committed batch and must be passed explicitly when RESERVING an
     * id ahead of the data landing (the append protocol). */
   def flipPtr(spark: SparkSession, name: String, gen: Long,
-              batches: Seq[Long], hwm: Long = -1L): Unit =
-    lockFor(name).synchronized {
-      // an empty batch list would write an empty pointer table, which
-      // readPtrFull rejects as corruption — and batches.max would
-      // throw AFTER resetTable already ran, failing mid-flip
-      // (ADVICE r11); reject at entry instead
-      require(batches.nonEmpty,
-        s"flipPtr($name): committed-batch list must be non-empty " +
-          "(a fresh freeze commits Seq(0L))")
-      // the whole commit — heal, staging write, rename chain — runs
-      // under ONE cross-process lease hold (VERDICT r11 #4): a second
-      // driver's flip or heal blocks at the lease, never interleaves
-      // with this window; the JVM lock above already serializes
-      // same-process callers
-      withLease(spark, name) {
+              batches: Seq[Long], hwm: Long = -1L): Unit = {
+    // an empty batch list would write an empty pointer table, which
+    // readPtrFull rejects as corruption — and batches.max would
+    // throw AFTER resetTable already ran, failing mid-flip
+    // (ADVICE r11); reject at entry instead
+    require(batches.nonEmpty,
+      s"flipPtr($name): committed-batch list must be non-empty " +
+        "(a fresh freeze commits Seq(0L))")
+    // the whole commit — heal, staging write, rename chain — runs
+    // under ONE cross-process lease hold (VERDICT r11 #4): a second
+    // driver's flip or heal blocks at the lease, never interleaves
+    // with this window. Lease OUTSIDE the JVM lock (the one order);
+    // the lock then serializes same-process callers and hides the
+    // rename window from same-JVM readers.
+    withLease(spark, name) {
+      lockFor(name).synchronized {
         healUnsafe(spark, name)
         val p = ptr(name)
         val mark = math.max(hwm, batches.max)
@@ -319,6 +465,12 @@ object FreezeStore {
         batches.map(b => (gen, b, mark)).toDF("gen", "batch", "hwm")
           .coalesce(1).write.mode("overwrite").format("parquet")
           .saveAsTable(s"${p}_new")
+        // the point of no return: verify the lease is still OURS
+        // before the live name is touched (ADVICE r12 — a holder that
+        // stalled through the staging write and was broken must abort
+        // here, loudly, instead of interleaving its rename chain with
+        // the breaker's)
+        heldLeases.get.get(name).checkOwned()
         Bucketing.resetTable(spark, s"${p}_old") // stale post-commit orphan only
         if (exists(spark, p)) spark.sql(s"ALTER TABLE $p RENAME TO ${p}_old")
         else Bucketing.resetTable(spark, p) // clear a dead JVM's orphan dir
@@ -329,6 +481,7 @@ object FreezeStore {
         spark.catalog.refreshTable(p)
       }
     }
+  }
 
   /** The RESERVE-THEN-COMMIT append protocol — ONE definition shared
     * by every frozen store ([[graft.sources.AnnIndexStore.append]] /
@@ -336,39 +489,54 @@ object FreezeStore {
     * [[graft.sources.Bm25IndexStore.append]] are thin data-landing
     * wrappers over it):
     *
-    *  1. RESERVE (atomic read+advance under the family lock — two
-    *     concurrent appends draw DISTINCT batch ids): same committed
-    *     batch list, advanced high-water mark. Readers unaffected; a
-    *     crash from here on burns the id, nothing else.
+    *  1. RESERVE (atomic read+advance under the family LEASE + JVM
+    *     lock — concurrent appends, same-JVM or cross-process, draw
+    *     DISTINCT batch ids): same committed batch list, advanced
+    *     high-water mark. Readers unaffected; a crash from here on
+    *     burns the id, nothing else.
     *  2. `land(gen, batch)` writes batch-stamped data — INVISIBLE to
-    *     every reader's committed-batch filter until step 3.
-    *  3. COMMIT (atomic re-read+merge under the lock): adds only this
-    *     batch to whatever is committed by then, so concurrent
-    *     commits cannot drop each other's batches. A re-freeze that
-    *     landed mid-append bumped the generation — detected here and
-    *     failed LOUDLY (the rows sit invisible in a superseded
-    *     generation; retry against the live freeze) instead of
-    *     flipping the pointer backward. */
+    *     every reader's committed-batch filter until step 3. The
+    *     lease is NOT held here: bulk data writes must not block
+    *     other appenders' reserves.
+    *  3. COMMIT (atomic re-read+merge under the same lease + lock):
+    *     adds only this batch to whatever is committed by then, so
+    *     concurrent commits cannot drop each other's batches. A
+    *     re-freeze that landed mid-append bumped the generation —
+    *     detected here and failed LOUDLY (the rows sit invisible in a
+    *     superseded generation; retry against the live freeze)
+    *     instead of flipping the pointer backward.
+    *
+    * CROSS-PROCESS ATOMICITY (ADVICE r12 — previously the lease was
+    * taken separately inside each flipPtr, so two DRIVERS could read
+    * the same hwm and reserve the same id): each read-modify-write
+    * pair now runs under ONE family-lease hold — the read and its
+    * flip are a single cross-process critical section, so the
+    * distinct-batch-id and no-dropped-commit guarantees hold across
+    * processes sharing a persistent metastore, not just same-JVM. */
   def appendBatch(spark: SparkSession, name: String)
                  (land: (Long, Long) => Unit): Unit = {
-    val (gen, batch) = withFamilyLock(name) {
-      val (g, batches, hwm) = readPtrFull(spark, name).getOrElse(
-        throw new IllegalStateException(s"no frozen family named $name"))
-      val b = hwm + 1
-      flipPtr(spark, name, g, batches, hwm = b)
-      (g, b)
+    val (gen, batch) = withLease(spark, name) {
+      withFamilyLock(name) {
+        val (g, batches, hwm) = readPtrFull(spark, name).getOrElse(
+          throw new IllegalStateException(s"no frozen family named $name"))
+        val b = hwm + 1
+        flipPtr(spark, name, g, batches, hwm = b)
+        (g, b)
+      }
     }
     land(gen, batch)
-    withFamilyLock(name) {
-      val (g2, cur, h2) = readPtrFull(spark, name).getOrElse(
-        throw new IllegalStateException(
-          s"frozen family $name vanished mid-append"))
-      if (g2 != gen)
-        throw new IllegalStateException(
-          s"append to $name lost a race with a re-freeze (gen $gen → $g2): " +
-            "the landed rows are invisible in the superseded generation; " +
-            "re-run the append against the live freeze")
-      flipPtr(spark, name, gen, cur :+ batch, hwm = math.max(h2, batch))
+    withLease(spark, name) {
+      withFamilyLock(name) {
+        val (g2, cur, h2) = readPtrFull(spark, name).getOrElse(
+          throw new IllegalStateException(
+            s"frozen family $name vanished mid-append"))
+        if (g2 != gen)
+          throw new IllegalStateException(
+            s"append to $name lost a race with a re-freeze (gen $gen → $g2): " +
+              "the landed rows are invisible in the superseded generation; " +
+              "re-run the append against the live freeze")
+        flipPtr(spark, name, gen, cur :+ batch, hwm = math.max(h2, batch))
+      }
     }
   }
 
@@ -392,13 +560,19 @@ object FreezeStore {
     * `t_precompact` does, and [[recoverTable]] (run at entry) heals a
     * crashed swap on the next attempt.
     *
-    * QUIESCED-WRITER OPERATION (the lakehouse OPTIMIZE contract):
-    * callers must quiesce appends first — an appender mid-data-write
-    * would have its landed-but-uncommitted rows dropped by the
-    * rewrite and its table name swapped from under it. The pointer
-    * cannot check this (in-flight and crashed appends look identical,
-    * and a fresh append could begin right after any check) — the
-    * obligation is stated on every store's compact(). Under it, any
+    * QUIESCED-WRITER OPERATION, NOW LEASE-ENFORCED (VERDICT r12 #4):
+    * every store's compact() holds the family lease for its whole
+    * window ([[withFamilyLease]]), and the append protocol's reserve
+    * and commit run under the same lease — so an append arriving
+    * mid-compact BLOCKS at its reserve (or commit) until the compact
+    * finishes, or fails loudly at its wait deadline naming the
+    * compacting holder; it can no longer land data mid-rewrite and
+    * have it silently vacuumed as an "orphan" (FreezeRaceSpec drives
+    * the race). What the lease still cannot tell apart is an append
+    * that reserved and CRASHED before compact started vs one paused
+    * between reserve and landing with its lease released — both look
+    * like hwm > max(committed) — so callers still must not START a
+    * compact with an append mid-land; under that contract, any
     * uncommitted batch rows present are orphans of crashed appends,
     * and folding them away is the vacuum half of compaction. */
   private[sources] def compactTable(spark: SparkSession, t: String,
@@ -409,6 +583,11 @@ object FreezeStore {
     write(spark.table(t)
       .filter(org.apache.spark.sql.functions.col("batch").isin(batches: _*)),
       s"${t}_compacting")
+    // the point of no return: if this compact runs under a family
+    // lease (every store's compact does), verify it is still OURS
+    // before the live name is swapped — a compact stalled past
+    // staleMs whose lease was broken must abort loudly here
+    heldLease(familyOf(t)).foreach(_.checkOwned())
     Bucketing.resetTable(spark, s"${t}_precompact")
     spark.sql(s"ALTER TABLE $t RENAME TO ${t}_precompact")
     spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
@@ -420,20 +599,38 @@ object FreezeStore {
   }
 
   /** A compaction entry's pointer read: the (gen, committed batches)
-    * the rewrite should keep. Reserved-but-uncommitted batch ids are
-    * NOT an error here — under the quiesced-writer contract they can
-    * only be orphans of CRASHED appends, and folding their invisible
-    * rows away is half of what compaction is for (AnnShipSpec pins
-    * the vacuum). The contract itself cannot be checked from the
-    * pointer: an in-flight append and a crashed one look identical
-    * (hwm > max committed), and a fresh append could begin right
-    * after any check — quiesce is the caller's obligation, stated on
-    * every store's compact(). */
-  private[sources] def compactGate(spark: SparkSession,
-                                   name: String): (Long, Seq[Long]) =
-    readPtrFull(spark, name).map { case (gen, batches, _) => (gen, batches) }
-      .getOrElse(
-        throw new IllegalStateException(s"no frozen family named $name"))
+    * the rewrite should keep. Every store's compact() calls this
+    * INSIDE its [[withFamilyLease]] hold (VERDICT r12 #4), so the
+    * batch list read here cannot be invalidated by a concurrent
+    * append or re-freeze before the rewrites finish — a fresh append
+    * blocks at its lease-guarded reserve until the compact's hold
+    * ends.
+    *
+    * A RESERVED-BUT-UNCOMMITTED batch id (hwm > max committed) is
+    * ambiguous from the pointer alone: a crashed append's orphan
+    * (whose invisible rows the rewrite should vacuum) or a LIVE
+    * append between its reserve and its commit (whose rows the
+    * rewrite would destroy). The gate REFUSES the ambiguity by
+    * default — compacting with an append in flight fails loudly here
+    * instead of silently vacuuming it — and folds orphans only under
+    * an explicit `vacuumOrphans = true` from an operator who has
+    * verified the writers are quiesced. Combined with the lease (an
+    * append cannot RESERVE mid-compact), a racing append now either
+    * lands intact or fails loudly; it never vanishes (FreezeRaceSpec
+    * drives both orders; AnnShipSpec pins the explicit vacuum). */
+  private[sources] def compactGate(spark: SparkSession, name: String,
+      vacuumOrphans: Boolean = false): (Long, Seq[Long]) = {
+    val (gen, batches, hwm) = readPtrFull(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen family named $name"))
+    if (hwm > batches.max && !vacuumOrphans)
+      throw new IllegalStateException(
+        s"compact($name): batch id $hwm is reserved but not committed — " +
+          "an append is either in flight (compacting now would vacuum " +
+          "its rows) or crashed mid-land (its invisible rows are safe to " +
+          "fold). Quiesce writers, then re-run with vacuumOrphans = true " +
+          "to fold crashed appends' orphans")
+    (gen, batches)
+  }
 
   /** Run `body` with autoBucketedScan disabled — the bucketed-table
     * rewrite trap (see [[graft.sources.AnnIndexStore.compact]]):

@@ -175,15 +175,19 @@ object MediaIndexStore {
     * ([[FreezeStore.compactTable]] — rename-chain swap, self-healing)
     * bounds each to `files` parquet files, folding away any orphaned
     * uncommitted batch a crashed append left. QUIESCED-WRITER
-    * operation — run only with no append in flight (see
-    * [[FreezeStore.compactTable]]). */
-  def compact(spark: SparkSession, name: String, files: Int = 8): Unit = {
+    * operation, LEASE-ENFORCED (VERDICT r12 #4): the whole window
+    * holds the family lease, so a concurrent append blocks at its
+    * reserve or fails loudly (see [[FreezeStore.compactTable]]). */
+  def compact(spark: SparkSession, name: String, files: Int = 8,
+              vacuumOrphans: Boolean = false): Unit = {
     require(files >= 1, s"compact needs files >= 1 (got $files)")
-    val (gen, batches) = FreezeStore.compactGate(spark, name)
-    Parts.foreach { p =>
-      FreezeStore.compactTable(spark, gt(name, gen, p), batches,
-        (df, staging) => df.repartition(files)
-          .write.mode("overwrite").format("parquet").saveAsTable(staging))
+    FreezeStore.withFamilyLease(spark, name) {
+      val (gen, batches) = FreezeStore.compactGate(spark, name, vacuumOrphans)
+      Parts.foreach { p =>
+        FreezeStore.compactTable(spark, gt(name, gen, p), batches,
+          (df, staging) => df.repartition(files)
+            .write.mode("overwrite").format("parquet").saveAsTable(staging))
+      }
     }
   }
 

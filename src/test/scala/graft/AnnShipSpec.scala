@@ -323,8 +323,16 @@ class AnnShipSpec extends SparkSpec {
         "the audit reads committed rows only — a half-append is not " +
           "an inconsistency, it is invisible")
 
-      // compact() vacuums the orphan rows physically
-      AnnIndexStore.compact(spark, "ship_half")
+      // compact() vacuums the orphan rows physically — under the
+      // EXPLICIT vacuum flag (round 13: the gate refuses a
+      // reserved-but-uncommitted id by default, since it cannot tell
+      // a crashed append's orphan from a live one mid-land)
+      val refused = intercept[IllegalStateException] {
+        AnnIndexStore.compact(spark, "ship_half")
+      }
+      assert(refused.getMessage.contains("reserved but not committed"),
+        s"default compact must refuse the ambiguous orphan: $refused")
+      AnnIndexStore.compact(spark, "ship_half", vacuumOrphans = true)
       assert(spark.table(codesT).count() == rawBefore,
         "compaction must vacuum uncommitted batches")
       assert(rows(Similarity.searchFrozenIvfpq(spark.newSession(), sf,

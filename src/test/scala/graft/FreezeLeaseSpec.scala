@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * to what a second driver would hit. */
 class FreezeLeaseSpec extends SparkSpec {
 
-  private def dir = Paths.get("/tmp/graft_lease_spec")
+  // unique per run (ADVICE r12): a crashed prior run's fresh-mtime
+  // lease file in a FIXED directory would make the first acquire
+  // fail for up to staleMs — a flaky-rerun hazard, not a product bug
+  private val dir = Files.createTempDirectory("graft_lease_spec")
 
   test("lease: exclusive while held, reacquirable after release") {
     val a = FreezeLease.tryAcquire(dir, "famA", "holder-a", staleMs = 60000)
@@ -56,6 +59,38 @@ class FreezeLeaseSpec extends SparkSpec {
     assert(FreezeLease.tryAcquire(dir, "famD", "impatient", staleMs = 60000).isEmpty,
       "a heartbeated lease must not be broken")
     a.release()
+  }
+
+  test("ownership: a broken holder's release must NOT delete the new holder's lease") {
+    val a = FreezeLease.tryAcquire(dir, "famO", "stalled-holder", 60000).get
+    // the holder stalls past staleMs (no heartbeat) and is broken
+    Files.setLastModifiedTime(a.path,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000))
+    val b = FreezeLease.tryAcquire(dir, "famO", "new-holder", staleMs = 60000).get
+    // the stalled holder resumes and releases: ADVICE r12 — the old
+    // unchecked delete here removed the NEW holder's file, reopening
+    // the exact cross-process window the lease exists to close
+    a.release()
+    assert(FreezeLease.currentHolder(dir, "famO").contains("new-holder"),
+      "release of a broken lease must leave the new holder's file intact")
+    // and the new holder still operates normally
+    b.heartbeat()
+    b.release()
+    assert(FreezeLease.currentHolder(dir, "famO").isEmpty)
+  }
+
+  test("ownership: a broken holder's heartbeat/checkOwned throws LOUDLY") {
+    val a = FreezeLease.tryAcquire(dir, "famP", "stalled-holder", 60000).get
+    Files.setLastModifiedTime(a.path,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000))
+    val b = FreezeLease.tryAcquire(dir, "famP", "breaker", staleMs = 60000).get
+    // the stalled holder's next commit-point check must abort it —
+    // never proceed concurrently with the breaker's commit
+    intercept[IllegalStateException] { a.heartbeat() }
+    intercept[IllegalStateException] { a.checkOwned() }
+    b.release()
   }
 
   test("lease: acquire fails LOUDLY at the deadline, naming the holder") {

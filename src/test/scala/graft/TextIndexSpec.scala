@@ -130,6 +130,45 @@ class TextIndexSpec extends SparkSpec {
     } finally Bm25IndexStore.drop(spark, name)
   }
 
+  test("refreeze after append of the SAME arrivals: absorbed chunks are not frozen twice") {
+    // ADVICE r12: the natural monitor flow — append a batch, then run
+    // the staleness check with that same batch — used to union the
+    // arrivals into the new freeze on top of the reconstructed corpus
+    // (which already contains them once committed): doubled tf,
+    // duplicate lens rows, skewed stats. The defensive ck anti-join
+    // makes the double-submission idempotent.
+    val name = "textfr9"
+    val ref = "textfr9_ref"
+    Bm25IndexStore.drop(spark, name)
+    Bm25IndexStore.drop(spark, ref)
+    try {
+      val corpus = chunks(Seq(
+        1L -> Seq("alpha", "beta"),
+        2L -> Seq("alpha", "gamma")))
+      // mixed batch: a known-vocab chunk + one of ONLY novel terms,
+      // so the append absorbs both and the drift check still trips
+      val arrivals = chunks(Seq(
+        10L -> Seq("alpha", "alpha"),
+        11L -> Seq("omega", "omega", "sigma")))
+      Bm25IndexStore.freeze(corpus, name)
+      Bm25IndexStore.append(arrivals, name)
+      val fired = Bm25IndexStore.refreezeIfStale(spark, arrivals, name,
+        maxUnseenShare = 0.2)
+      assert(fired.contains(2L), s"novel vocabulary must trip: $fired")
+      // reference: ONE clean freeze over corpus ∪ arrivals
+      Bm25IndexStore.freeze(corpus.unionByName(arrivals), ref)
+      val q = Seq(1 -> Seq("alpha", "beta"), 2 -> Seq("omega"))
+      val got = Bm25IndexStore.searchFrozen(spark, name, q).collect().toSeq
+      val want = Bm25IndexStore.searchFrozen(spark, ref, q).collect().toSeq
+      assert(got.nonEmpty && got == want,
+        s"double-submitted arrivals must freeze once (${got.length} rows vs " +
+          s"${want.length}); scores diverge when tf doubles")
+    } finally {
+      Bm25IndexStore.drop(spark, name)
+      Bm25IndexStore.drop(spark, ref)
+    }
+  }
+
   test("freeze → append → searchFrozen equals the oracle-gated p22 incremental key") {
     val name = "textfr8"
     Bm25IndexStore.drop(spark, name)
