@@ -187,6 +187,7 @@ object SparkEntry {
     "q43_local_supplier" -> (Analytics3.q43LocalSupplier _),
     "qa12_skew_audit" -> (Analytics3.qa12SkewAudit _),
     "g04_incremental_triangles" -> (Graph.g04IncrementalTriangles _),
+    "g05_degree_drift" -> (Graph.g05DegreeDrift _),
     "s20_gram_matrix" -> (Similarity.s20GramMatrix _),
     "q44_market_share" -> (Analytics3.q44MarketShare _),
     "q45_big_orders" -> (Analytics3.q45BigOrders _),
@@ -208,11 +209,13 @@ object SparkEntry {
     "q61_late_orders" -> (Analytics4.q61LateOrders _),
     "q62_priority_split" -> (Analytics4.q62PrioritySplit _),
     "s21_hard_negatives" -> (Similarity.s21HardNegatives _),
+    "s22_frozen_filtered" -> (Similarity.s22FrozenFiltered _),
     "p19_chunk_windows" -> ((s, d) => Pipeline.p19ChunkWindows(s, d)),
     "p20_chunk_pack" -> ((s, d) => Pipeline.p20ChunkPack(s, d)),
     "p21_context_assembly" -> ((s, d) => Pipeline.p21ContextAssembly(s, d)),
     "p22_incremental_bm25" -> ((s, d) => Pipeline.p22IncrementalBm25(s, d)),
-    "p23_diverse_context" -> ((s, d) => Pipeline.p23DiverseContext(s, d))
+    "p23_diverse_context" -> ((s, d) => Pipeline.p23DiverseContext(s, d)),
+    "p24_crossdoc_context" -> ((s, d) => Pipeline.p24CrossdocContext(s, d))
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -220,6 +220,81 @@ object Graph {
       .filter(col("l_orderkey") % 10 < 8)
       .select(col("l_orderkey"), col("l_partkey")))
 
+  /** g05: GRAPH DEGREE-DRIFT monitor (VERDICT r12 #6) — the
+    * WHEN-to-refreeze signal for the frozen edge index, completing
+    * the monitor lattice (qa04 dense / mm12 media / t20 sparse /
+    * THIS graph): arriving edges concentrating on few corpus nodes
+    * (occupancy skew toward high-degree bands) is exactly the signal
+    * that the frozen adjacency no longer spreads arriving work — the
+    * per-probe O(deg_corpus(x)) cost contract of
+    * [[closedByCorpus]]/g04 degrades on hot nodes; and edges landing
+    * on UNSEEN nodes (band −1) cannot close 1-new-edge triangles
+    * against the corpus at all (the media band-miss / t20
+    * unseen-vocabulary analog). Corpus/increment split is g04's
+    * (orders %10 <8 vs ≥8, increment anti-joined).
+    *
+    * Output: one row per corpus-degree band (d_old div 8; −1 =
+    * unseen), with exact node/endpoint counts, each share/mean ONE
+    * division of exact integers, skew/drift a difference of two such
+    * divisions (the qa04 float discipline). */
+  def g05DegreeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val old = OpCache.cached(corpusEdgeIndex(spark, dir))
+    val newE = orderPairs(li.filter(col("l_orderkey") % 10 >= 8))
+      .join(old, Seq("x", "y"), "left_anti")
+    degreeDriftBands(old, newE)
+  }
+
+  /** The banded degree-drift frame — ONE definition for the live g05
+    * key and the frozen edge index's staleness read
+    * ([[graft.sources.GraphIndexStore.staleness]] — same algebra over
+    * the persisted edges), so the monitor cannot drift between the
+    * live and frozen paths. Inputs are (x < y)-canonical edge frames.
+    *
+    * Scale shape: two node-scaled degree aggregates (map-side
+    * combinable), one hint-free full-outer join on the node key, a
+    * bounded-band groupBy, a 1-row totals broadcast — no window, no
+    * corpus² anywhere; cost class O(edges), the same as the probes it
+    * monitors. */
+  private[graft] def degreeDriftBands(old: DataFrame,
+                                      newE: DataFrame): DataFrame = {
+    def inc(e: DataFrame) =
+      e.select(col("x").as("u")).unionAll(e.select(col("y").as("u")))
+    val dOld = inc(old).groupBy("u").agg(count(lit(1)).as("d_old"))
+    val dNew = inc(newE).groupBy("u").agg(count(lit(1)).as("d_new"))
+    val banded = dOld.join(dNew, Seq("u"), "full_outer")
+      .select(
+        when(col("d_old").isNull, lit(-1L))
+          .otherwise(expr("d_old div 8")).as("band"),
+        coalesce(col("d_old"), lit(0L)).as("d_old"),
+        coalesce(col("d_new"), lit(0L)).as("d_new"))
+    val perBand = banded.groupBy("band").agg(
+      sum(when(col("d_old") > 0, 1L).otherwise(0L)).as("n_nodes_corp"),
+      sum(col("d_old")).as("n_end_corp"),
+      sum(when(col("d_new") > 0, 1L).otherwise(0L)).as("n_nodes_new"),
+      sum(col("d_new")).as("n_end_new"))
+    val totals = perBand.agg(sum(col("n_end_corp")).as("tot_corp"),
+      sum(col("n_end_new")).as("tot_new"))
+    perBand.crossJoin(broadcast(totals))
+      .select(col("band"), col("n_nodes_corp"), col("n_end_corp"),
+        col("n_nodes_new"), col("n_end_new"),
+        (col("n_end_corp").cast("double") / col("tot_corp")).as("corp_share"),
+        (col("n_end_new").cast("double") / col("tot_new")).as("new_share"))
+      .withColumn("occ_skew", col("new_share") - col("corp_share"))
+      .withColumn("corp_mean_deg",
+        when(col("n_nodes_corp") > 0,
+          col("n_end_corp").cast("double") / col("n_nodes_corp")))
+      .withColumn("new_mean_deg",
+        when(col("n_nodes_new") > 0,
+          col("n_end_new").cast("double") / col("n_nodes_new")))
+      .withColumn("deg_drift",
+        when(col("n_nodes_corp") > 0 && col("n_nodes_new") > 0,
+          col("n_end_new").cast("double") / col("n_nodes_new") -
+            col("n_end_corp").cast("double") / col("n_nodes_corp")))
+      .orderBy("band")
+  }
+
   /** Damped-iteration count shared between the Column loop and the
     * generated oracle CTEs (the t19 rule: one constant, two engines). */
   private[graft] val PageRankIters = 4
@@ -266,6 +341,43 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "g05_degree_drift" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |oldp AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |         WHERE a.l_orderkey % 10 < 8),
+        |newp0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |         WHERE a.l_orderkey % 10 >= 8),
+        |newe AS (SELECT x, y FROM newp0 WHERE NOT EXISTS
+        |         (SELECT 1 FROM oldp o WHERE o.x = newp0.x AND o.y = newp0.y)),
+        |dold AS (SELECT u, COUNT(*) AS d_old FROM
+        |  (SELECT x AS u FROM oldp UNION ALL SELECT y FROM oldp) GROUP BY 1),
+        |dnew AS (SELECT u, COUNT(*) AS d_new FROM
+        |  (SELECT x AS u FROM newe UNION ALL SELECT y FROM newe) GROUP BY 1),
+        |j AS (SELECT CASE WHEN d_old IS NULL THEN CAST(-1 AS BIGINT)
+        |        ELSE d_old // 8 END AS band,
+        |        COALESCE(d_old, 0) AS d_old, COALESCE(d_new, 0) AS d_new
+        |      FROM dold FULL OUTER JOIN dnew USING (u)),
+        |pb AS (SELECT band,
+        |        CAST(SUM(CASE WHEN d_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes_corp,
+        |        CAST(SUM(d_old) AS BIGINT) AS n_end_corp,
+        |        CAST(SUM(CASE WHEN d_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes_new,
+        |        CAST(SUM(d_new) AS BIGINT) AS n_end_new
+        |      FROM j GROUP BY band),
+        |tot AS (SELECT CAST(SUM(n_end_corp) AS BIGINT) AS tot_corp,
+        |        CAST(SUM(n_end_new) AS BIGINT) AS tot_new FROM pb)
+        |SELECT band, n_nodes_corp, n_end_corp, n_nodes_new, n_end_new,
+        |  CAST(n_end_corp AS DOUBLE) / tot_corp AS corp_share,
+        |  CAST(n_end_new AS DOUBLE) / tot_new AS new_share,
+        |  CAST(n_end_new AS DOUBLE) / tot_new - CAST(n_end_corp AS DOUBLE) / tot_corp AS occ_skew,
+        |  CASE WHEN n_nodes_corp > 0 THEN CAST(n_end_corp AS DOUBLE) / n_nodes_corp END AS corp_mean_deg,
+        |  CASE WHEN n_nodes_new > 0 THEN CAST(n_end_new AS DOUBLE) / n_nodes_new END AS new_mean_deg,
+        |  CASE WHEN n_nodes_corp > 0 AND n_nodes_new > 0
+        |    THEN CAST(n_end_new AS DOUBLE) / n_nodes_new - CAST(n_end_corp AS DOUBLE) / n_nodes_corp
+        |  END AS deg_drift
+        |FROM pb CROSS JOIN tot ORDER BY band""".stripMargin,
+
     "g04_incremental_triangles" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |oldp AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM li a JOIN li b

@@ -859,6 +859,65 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** p24: CROSS-DOCUMENT DIVERSE CONTEXT (VERDICT r12 #3) — p23's
+    * diversity cut dedups per (query, document), but near-identical
+    * text in DIFFERENT documents (mirrors, boilerplate — exactly what
+    * d02/d13 find) still floods a context with one passage repeated
+    * under distinct doc_ids. This adds the CONTENT cut: collapse
+    * ranked chunks sharing a d13-normalized content hash
+    * ([[Dedup.normText]] + md5 over the chunk text — the CCNet-style
+    * fuzzy-exact key, ONE definition with d13) alongside the per-doc
+    * cut, both computed on the original rank (keep a chunk iff it is
+    * the best of its document AND the best of its content group),
+    * re-rank the survivors densely, cut at the token budget.
+    *
+    * The corpus is documents ∪ an exact MIRROR of the doc_id%10==3
+    * slice under doc_id+1,000,000 (the p22 injectArrivals pattern —
+    * the fixture's documents table has no byte-identical cross-doc
+    * pairs at gate SF, and a diversity cut proven on a corpus where
+    * it cannot fire proves nothing; a crawl's mirror sites are
+    * exactly this shape). The mirrored copy of a top-ranked chunk
+    * ties its original's score and lands adjacent in the top-10 —
+    * the content cut visibly collapses it at BOTH gate SFs.
+    *
+    * Scale shape: identical to p21/p23 up to the ranking; the content
+    * keys come from the chunker's frame (per-row md5, no new shuffle
+    * class) and join the ≤ 10·|queries|-row BROADCAST ranked frame —
+    * everything after the join operates on ≤ 10 rows/query (bounded
+    * windows, never corpus-scaled). */
+  def p24CrossdocContext(spark: SparkSession, dir: String,
+                         window: Long = 32L, stride: Long = 24L,
+                         budget: Long = 96L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"context budget must be positive (got $budget)")
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = base.unionByName(base.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val ranked = chunkBm25Ranked(chunkFrame(docs, window, stride))
+    val keys = chunkCore(docs, window, stride)
+      .select(chunkKey.as("ck"),
+        md5(Dedup.normText(col("chunk_text"))).as("content_key"))
+    val wD = Window.partitionBy(col("query_id"), expr("ck div 1048576"))
+      .orderBy(col("rank"))
+    val wC = Window.partitionBy(col("query_id"), col("content_key"))
+      .orderBy(col("rank"))
+    val wQ = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val wCum = Window.partitionBy(col("query_id")).orderBy(col("new_rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keys.join(broadcast(ranked), "ck")
+      .withColumn("dr", row_number().over(wD))
+      .withColumn("cr", row_number().over(wC))
+      .filter(col("dr") === 1 && col("cr") === 1)
+      .withColumn("new_rank", row_number().over(wQ))
+      .withColumn("cum_tok", sum(col("n_tok")).over(wCum))
+      .filter(col("cum_tok") <= budget)
+      .select(col("query_id"), col("new_rank").cast("long").as("rank"),
+        expr("ck div 1048576").as("doc_id"),
+        (col("ck") % 1048576L).as("chunk_id"),
+        col("n_tok"), col("cum_tok"), col("n_terms_hit"), col("score_micro"))
+      .orderBy("query_id", "rank")
+  }
+
   /** p22: INCREMENTAL BM25 — the frozen-IDF append semantics as an
     * oracle key (the mm11 role for sparse retrieval): a corpus is
     * frozen, the derived `inject` arrival batch lands afterwards
@@ -1152,6 +1211,70 @@ object Pipeline {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, ck // 1048576 AS doc_id,
          |  ck % 1048576 AS chunk_id, n_tok, cum_tok, n_terms_hit, score_micro
          |FROM asm WHERE cum_tok <= 96 ORDER BY query_id, rank""".stripMargin,
+
+    // the content key is the d13 normalization verbatim (lower →
+    // strip non-alphanumerics → collapse spaces → md5), applied to
+    // the same joined chunk text both engines slice; the corpus is
+    // documents ∪ the %10==3 mirror slice (standalone CTE chain —
+    // p21RankCtes reads the raw table), so the chain through `rk`
+    // is p21's with `d` swapped for the mirrored `d0`
+    "p24_crossdoc_context" -> {
+      val values = TextAnalysis.Bm25Queries.flatMap { case (qid, ts) =>
+        ts.map(t => s"($qid, '$t')") }.mkString(", ")
+      raw"""WITH d0 AS (SELECT doc_id, text FROM documents
+         |     UNION ALL
+         |     SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |     WHERE doc_id % 10 = 3),
+         |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d0),
+         |s AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    CAST(CASE WHEN len(t) <= 32 THEN 1
+         |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
+         |  FROM d),
+         |c AS (SELECT doc_id, t, n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM s),
+         |ck AS (SELECT doc_id * 1048576 + chunk_id AS ck,
+         |    CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok,
+         |    string_split_regex(trim(array_to_string(list_slice(t, chunk_id * 24 + 1,
+         |      chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')), '\s+') AS ct
+         |  FROM c),
+         |tok AS (SELECT ck, unnest(ct) AS term FROM ck),
+         |tf AS (SELECT ck, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT n_chunks_tot, CAST(sum_dl AS DOUBLE) / n_chunks_tot AS avgdl FROM (
+         |  SELECT COUNT(*) AS n_chunks_tot, CAST(SUM(n_tok) AS BIGINT) AS sum_dl FROM ck) s0),
+         |q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+         |qdf AS (SELECT query_id, term, df FROM q JOIN dfreq USING (term)),
+         |dl AS (SELECT ck, n_tok AS dl FROM ck),
+         |ts AS (SELECT query_id, tf.ck,
+         |  CAST(floor(((CAST(n_chunks_tot - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |    * 1000000.0) AS BIGINT) AS micro
+         |  FROM tf JOIN qdf USING (term) JOIN dl ON dl.ck = tf.ck CROSS JOIN st),
+         |scored AS (SELECT query_id, ck, COUNT(*) AS n_terms_hit,
+         |  CAST(SUM(micro) AS BIGINT) AS score_micro FROM ts GROUP BY 1, 2),
+         |rk AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, ck) AS rank
+         |  FROM scored) r0 WHERE rank <= 10),
+         |nk AS (SELECT doc_id * 1048576 + chunk_id AS ck,
+         |  md5(trim(regexp_replace(regexp_replace(lower(array_to_string(list_slice(t, chunk_id * 24 + 1,
+         |    chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')), '[^a-z0-9 ]', ' ', 'g'), '  *', ' ', 'g'))) AS content_key
+         |  FROM c),
+         |dv AS (SELECT * FROM (
+         |  SELECT rk.*, nk.content_key,
+         |    row_number() OVER (PARTITION BY query_id, rk.ck // 1048576 ORDER BY rank) AS dr,
+         |    row_number() OVER (PARTITION BY query_id, nk.content_key ORDER BY rank) AS cr
+         |  FROM rk JOIN nk ON nk.ck = rk.ck) d0 WHERE dr = 1 AND cr = 1),
+         |rr AS (SELECT query_id, ck, n_terms_hit, score_micro,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rank FROM dv),
+         |asm AS (SELECT rr.query_id, rr.rank, rr.ck, rr.n_terms_hit, rr.score_micro,
+         |  dl.dl AS n_tok,
+         |  CAST(SUM(dl.dl) OVER (PARTITION BY rr.query_id ORDER BY rr.rank
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+         |  FROM rr JOIN dl ON dl.ck = rr.ck)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, ck // 1048576 AS doc_id,
+         |  ck % 1048576 AS chunk_id, n_tok, cum_tok, n_terms_hit, score_micro
+         |FROM asm WHERE cum_tok <= 96 ORDER BY query_id, rank""".stripMargin
+    },
 
     "p20_chunk_pack" ->
       raw"""WITH d AS (SELECT doc_id, source,

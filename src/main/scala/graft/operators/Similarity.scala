@@ -679,6 +679,27 @@ object Similarity {
     searchFrozenIvfpqFrom(quantized(spark, dir), name, queryPred,
       probeFine, labelFiltered)
 
+  /** s22: FILTERED SEARCH ON THE FROZEN ANN INDEX (VERDICT r12 #1 —
+    * the one capability the shipped index couldn't serve): s15's
+    * tenant/label-scoped IVFPQ search off the SHIPPED bucketed tables
+    * instead of a live corpus build. The shipped `assign` already
+    * carries (vec_id, label, cell), so the label filter tightens the
+    * candidate join key to (cell, label) exactly as live — the index
+    * layout stays label-agnostic and shared across tenants, only the
+    * probe key narrows (the s11/s15 rule); fine probes at 4 per the
+    * nprobe-under-filter rule. Rows are EXACTLY s15's (AnnShipSpec
+    * pins frozen==live; the oracle is literally s15's SQL, so the
+    * frozen filtered read path is full-oracle-gated). This key runs
+    * the whole lifecycle — ship, then search — because the driver's
+    * Verify starts from a fresh session; the bench's
+    * s15_frozen_filtered entry times the search alone with the ship
+    * amortized out (the 100 TB read-path number). */
+  def s22FrozenFiltered(spark: SparkSession, dir: String): DataFrame = {
+    shipIvfpqIndex(spark, dir, "s22_frozen")
+    searchFrozenIvfpq(spark, dir, "s22_frozen",
+      probeFine = 4, labelFiltered = true)
+  }
+
   /** The frozen search over any (vec_id, label, qv, nrm) frame —
     * [[graft.Stress]] drives it with a replicated corpus and a FIXED
     * query batch (the production asymmetry). */
@@ -1619,7 +1640,7 @@ object Similarity {
     val s17Values = FilteredProbeGrid.map(pf => s"(CAST($pf AS INTEGER))")
       .mkString(", ")
 
-    Map(
+    val m = Map(
       "s18_kmeans_refine" -> s18Sql,
       "s19_refined_recall" -> s19Sql,
 
@@ -2385,5 +2406,10 @@ object Similarity {
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank FROM scored) t
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
     )
+    // s22 serves s15's EXACT rows off the shipped index (AnnShipSpec
+    // pins the equality; the oracle is therefore literally s15's SQL
+    // — the frozen read path is thereby full-oracle-gated, not just
+    // spec-pinned)
+    m + ("s22_frozen_filtered" -> m("s15_filtered_ivfpq"))
   }
 }

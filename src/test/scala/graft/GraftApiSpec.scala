@@ -438,6 +438,45 @@ class GraftApiSpec extends SparkSpec {
     } finally graft.sources.Bm25IndexStore.drop(ss, name)
   }
 
+  test("round-13 graph-index family is reachable through the facade") {
+    val name = "api_graph"
+    val ss = g.documents.sparkSession
+    try {
+      // live monitor: bands ordered, shares sum to ~1 on each side
+      val drift = g.graphDegreeDrift.collect()
+      assert(drift.nonEmpty)
+      assert(math.abs(drift.map(_.getAs[Double]("corp_share")).sum - 1.0) < 1e-9)
+      // frozen lifecycle: freeze the corpus edges, probe equals live
+      g.freezeGraphIndex(g.corpusEdgeIndex, name, buckets = 4)
+      import org.apache.spark.sql.functions.col
+      val li = graft.sources.Tables.lineitem(ss, sf)
+        .select("l_orderkey", "l_partkey")
+      val probe = graft.operators.Graph.orderPairs(
+          li.filter(col("l_orderkey") % 10 >= 8))
+        .join(g.corpusEdgeIndex, Seq("x", "y"), "left_anti")
+      val got = g.probeFrozenGraph(probe, name).collect().toSeq
+      assert(got.nonEmpty)
+      assert(got.map(_.toString).sorted ==
+        graft.operators.Graph.closedByCorpus(probe, g.corpusEdgeIndex)
+          .collect().toSeq.map(_.toString).sorted,
+        "facade frozen probe must equal the live closure")
+      // staleness over novel edges reads fully unseen → refreeze fires
+      val novel = ss.createDataFrame(Seq(
+        (9000001L, 9000002L), (9000002L, 9000003L))).toDF("x", "y")
+      val st = g.graphStaleness(novel, name)
+        .filter(col("band") === -1L).head()
+      assert(st.getAs[Long]("n_end_new") === 4L,
+        s"novel-node arrivals must land in the unseen band: $st")
+      assert(g.refreezeGraphIfStale(novel, name).contains(2L))
+      assert(g.probeFrozenGraph(ss.createDataFrame(
+        Seq((9000001L, 9000003L))).toDF("x", "y"), name).count() === 1L,
+        "the refrozen index must close the novel wedge")
+      g.compactGraphIndex(name)
+      assert(g.probeFrozenGraph(ss.createDataFrame(
+        Seq((9000001L, 9000003L))).toDF("x", "y"), name).count() === 1L)
+    } finally graft.sources.GraphIndexStore.drop(ss, name)
+  }
+
   test("NOQUEUE rejected deliveries land in the deliveries table") {
     // reference: SmtpRe's qid alternation is `([a-zA-Z0-9]+|NOQUEUE)`
     // (maillog2db.go:52) — a rejected delivery has no queue id but is

@@ -1,0 +1,163 @@
+package graft
+
+import graft.operators.Graph
+import graft.sources.{FreezeStore, GraphIndexStore, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The frozen co-purchase edge index (VERDICT r12 #6): frozen probes
+  * equal the live closedByCorpus algebra over the same frames,
+  * appends absorb arrivals through the reserve-then-commit protocol,
+  * the staleness read is the g05 banded drift over the persisted
+  * edges, and the drift→refreeze loop trips integer-exactly on the
+  * unseen-endpoint share — completing the freeze/append/search/
+  * monitor/refreeze lattice for the fourth family (dense ANN, media,
+  * sparse text, GRAPH). */
+class GraphShipSpec extends SparkSpec {
+
+  private def edgesDf(rows: Seq[(Long, Long)]): DataFrame =
+    spark.createDataFrame(rows).toDF("x", "y")
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString).sorted
+
+  test("frozen probe equals the live closedByCorpus over the corpus edge set") {
+    val name = "graphfr1"
+    GraphIndexStore.drop(spark, name)
+    try {
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      val old = Graph.corpusEdgeIndex(spark, sf)
+      val probe = Graph.orderPairs(li.filter(col("l_orderkey") % 10 >= 8))
+        .join(old, Seq("x", "y"), "left_anti")
+      GraphIndexStore.freeze(old, name, buckets = 4)
+      val want = rows(Graph.closedByCorpus(probe, old))
+      val got = rows(GraphIndexStore.closedFrozen(spark, probe, name))
+      assert(want.nonEmpty, "fixture must close some corpus triangles")
+      assert(got == want,
+        s"frozen probe != live closedByCorpus (${got.length} vs ${want.length})")
+    } finally GraphIndexStore.drop(spark, name)
+  }
+
+  test("append absorbs arrivals: post-append probes close against the grown corpus") {
+    val name = "graphfr2"
+    GraphIndexStore.drop(spark, name)
+    try {
+      // corpus: a triangle-free path 1-2-3; arrivals add 1-3 (closing
+      // nothing as corpus YET) plus a hub edge
+      GraphIndexStore.freeze(edgesDf(Seq(1L -> 2L, 2L -> 3L)), name, buckets = 2)
+      // probe 1-3 against the frozen corpus: closes the 1-2-3 wedge
+      assert(rows(GraphIndexStore.closedFrozen(spark, edgesDf(Seq(1L -> 3L)), name))
+        == Seq("[1,3,2]"), "the wedge must close via corpus node 2")
+      // absorb 1-3; a later probe 2-4 has no closure, but 3-4 then 2-4…
+      GraphIndexStore.append(edgesDf(Seq(1L -> 3L, 3L -> 4L)), name)
+      val (gen, batches) = FreezeStore.readPtr(spark, name).get
+      assert(gen == 1L && batches == Seq(0L, 1L),
+        s"the append must commit batch 1: $batches")
+      // probe 2-4: corpus now holds 2-3 and 3-4 → closes through 3
+      assert(rows(GraphIndexStore.closedFrozen(spark, edgesDf(Seq(2L -> 4L)), name))
+        == Seq("[2,4,3]"), "post-append probes must see the absorbed edges")
+    } finally GraphIndexStore.drop(spark, name)
+  }
+
+  test("staleness over the persisted edges equals the live g05 drift core") {
+    val name = "graphfr3"
+    GraphIndexStore.drop(spark, name)
+    try {
+      val old = Graph.corpusEdgeIndex(spark, sf)
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      val arrivals = Graph.orderPairs(li.filter(col("l_orderkey") % 10 >= 8))
+        .join(old, Seq("x", "y"), "left_anti")
+      GraphIndexStore.freeze(old, name, buckets = 4)
+      val want = rows(Graph.degreeDriftBands(old, arrivals))
+      val got = rows(GraphIndexStore.staleness(spark, arrivals, name))
+      assert(want.nonEmpty && got == want,
+        "the frozen staleness read must equal the live banded drift")
+    } finally GraphIndexStore.drop(spark, name)
+  }
+
+  test("drift → refreeze: unseen-endpoint share trips it; the new generation absorbs") {
+    val name = "graphfr4"
+    GraphIndexStore.drop(spark, name)
+    try {
+      GraphIndexStore.freeze(edgesDf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)),
+        name, buckets = 2)
+      // in-corpus arrivals: 0/2 unseen endpoints → no trip
+      assert(GraphIndexStore.refreezeIfStale(spark, edgesDf(Seq(1L -> 3L)),
+        name, maxUnseenShare = 0.2).isEmpty)
+      assert(GraphIndexStore.liveGen(spark, name).contains(1L))
+      // empty arrivals: a no-op, not a divide-by-zero
+      assert(GraphIndexStore.refreezeIfStale(spark,
+        edgesDf(Seq(1L -> 2L)).filter(lit(false)), name).isEmpty)
+
+      // bind a reader to generation 1 — a probe that genuinely
+      // closes (the 2-3-4 wedge), so survival is non-vacuous
+      val bound = GraphIndexStore.closedFrozen(spark, edgesDf(Seq(2L -> 4L)), name)
+      val before = rows(bound)
+      assert(before == Seq("[2,4,3]"))
+
+      // novel-node arrivals: 10-11, 11-12 → 4/4 endpoints unseen → trip
+      val fired = GraphIndexStore.refreezeIfStale(spark,
+        edgesDf(Seq(10L -> 11L, 11L -> 12L)), name, maxUnseenShare = 0.2)
+      assert(fired.contains(2L), s"novel nodes must trigger gen 2: $fired")
+      // the bound reader answers through the automated flip
+      assert(rows(bound) == before,
+        "a gen-1-bound reader must survive the refreeze")
+      // a fresh probe closes against the absorbed arrivals (10-12
+      // wedge through 11) and the old corpus stays whole
+      assert(rows(GraphIndexStore.closedFrozen(spark,
+        edgesDf(Seq(10L -> 12L)), name)) == Seq("[10,12,11]"),
+        "the refreeze must absorb the novel edges")
+      assert(rows(GraphIndexStore.closedFrozen(spark,
+        edgesDf(Seq(2L -> 4L)), name)) == before,
+        "the refreeze must keep the old corpus whole")
+      assert(FreezeStore.listGens(spark, name) == Seq(1L, 2L))
+    } finally GraphIndexStore.drop(spark, name)
+  }
+
+  test("refreeze after append of the SAME arrivals: absorbed edges not frozen twice") {
+    val name = "graphfr5"
+    GraphIndexStore.drop(spark, name)
+    try {
+      GraphIndexStore.freeze(edgesDf(Seq(1L -> 2L)), name, buckets = 2)
+      val arrivals = edgesDf(Seq(10L -> 11L, 11L -> 12L))
+      GraphIndexStore.append(arrivals, name)
+      val fired = GraphIndexStore.refreezeIfStale(spark, arrivals, name,
+        maxUnseenShare = 0.2)
+      // the appended endpoints are corpus now — the monitor reads
+      // them as seen, so the same batch cannot re-trip (idempotent
+      // append-then-monitor flow)
+      assert(fired.isEmpty,
+        s"already-absorbed arrivals must not re-trip the refreeze: $fired")
+      // and a genuinely novel batch that trips does not duplicate
+      // edges the corpus already carries (the defensive anti-join)
+      val mixed = edgesDf(Seq(10L -> 11L, 20L -> 21L, 21L -> 22L))
+      assert(GraphIndexStore.refreezeIfStale(spark, mixed, name,
+        maxUnseenShare = 0.2).contains(2L))
+      val n = GraphIndexStore.edges(spark, name)
+        .groupBy("x", "y").count().filter(col("count") > 1).count()
+      assert(n == 0, "no edge may appear twice after the refreeze")
+      assert(GraphIndexStore.edges(spark, name).count() == 5L,
+        "gen 2 = {1-2, 10-11, 11-12, 20-21, 21-22} — nothing twice")
+    } finally GraphIndexStore.drop(spark, name)
+  }
+
+  test("compaction: appended batches collapse, probes unchanged, appends continue") {
+    val name = "graphfr6"
+    GraphIndexStore.drop(spark, name)
+    try {
+      GraphIndexStore.freeze(edgesDf(Seq(1L -> 2L, 2L -> 3L)), name, buckets = 2)
+      GraphIndexStore.append(edgesDf(Seq(1L -> 3L)), name)
+      GraphIndexStore.append(edgesDf(Seq(3L -> 4L)), name)
+      val probe = edgesDf(Seq(2L -> 4L))
+      val before = rows(GraphIndexStore.closedFrozen(spark, probe, name))
+      assert(before == Seq("[2,4,3]"))
+      GraphIndexStore.compact(spark, name)
+      assert(rows(GraphIndexStore.closedFrozen(spark, probe, name)) == before,
+        "post-compaction probes unchanged")
+      GraphIndexStore.append(edgesDf(Seq(4L -> 5L)), name)
+      assert(rows(GraphIndexStore.closedFrozen(spark,
+        edgesDf(Seq(3L -> 5L)), name)) == Seq("[3,5,4]"),
+        "post-compaction append must be probe-visible")
+    } finally GraphIndexStore.drop(spark, name)
+  }
+}
