@@ -93,7 +93,12 @@ object Bench {
     // the shipped postings with the tokenize+tf pass amortized out
     // and `term IN (query terms)` pushed into the bucketed scans:
     // the sparse sibling of s13_frozen_search / mm11_frozen_match
-    "p21_frozen_search")
+    "p21_frozen_search",
+    // round 13: the tenant-filtered frozen ANN read path (VERDICT r12
+    // #1) — s15's (cell, label)-tightened candidate join served off
+    // the shipped bucketed index, beside the unfiltered
+    // s13_frozen_search; the index ships once in prepare(), untimed
+    "s15_frozen_filtered")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
@@ -110,6 +115,12 @@ object Bench {
     Map("s13_search_phase" -> (graft.operators.Similarity.s13SearchPhase _),
       "s13_frozen_search" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
         graft.operators.Similarity.searchFrozenIvfpq(s, dir, "bench_frozen")),
+      // the label-filtered frozen read (rows == live s15): same
+      // shipped index, candidate join tightened to (cell, label),
+      // fine probes at 4 (the nprobe-under-filter rule)
+      "s15_frozen_filtered" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.operators.Similarity.searchFrozenIvfpq(s, dir, "bench_frozen",
+          probeFine = 4, labelFiltered = true)),
       "p21_frozen_search" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
         graft.sources.Bm25IndexStore.searchFrozen(s, "bench_text",
           graft.operators.TextAnalysis.Bm25Queries)),
@@ -151,8 +162,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
 
-    // JVM/codegen warm-up outside the timed region
-    SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    // JVM/codegen warm-up outside the timed region — DEDICATED
+    // queries spanning the machinery classes (scan-agg, join, window,
+    // text explode), not just q01 (VERDICT r12 #2: q01 doubled as
+    // warm-up and first timed entry, so its timed passes kept
+    // absorbing residual whole-JVM compilation and flagging starved)
+    Seq("q01_pricing_summary", "q03_join_revenue", "q07_window_running",
+        "t01_token_stats")
+      .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+    graft.operators.OpCache.release(spark)
+    spark.catalog.clearCache()
 
     // contention sentinel: the box's 1-min load average at each pass
     // (VERDICT r4 #3 — BENCH_r04 recorded a 2.08s d02 median that an
@@ -238,7 +257,7 @@ object Bench {
       // UNTIMED, overwriting any previous run's freeze (a stale
       // freeze from another SF would silently change the measured
       // candidate mass)
-      if (name == "s13_frozen_search")
+      if (name == "s13_frozen_search" || name == "s15_frozen_filtered")
         graft.operators.Similarity.shipIvfpqIndex(spark, sfDir, "bench_frozen")
       // freeze the inverted text index over the corpus chunks,
       // UNTIMED (the one tokenize+tf pass per freeze — the search
@@ -300,8 +319,14 @@ object Bench {
     // optional name filter (local probing only — the driver passes no
     // args, so the artifact always covers the full headline set)
     val toRun = if (args.nonEmpty) headline.filter(args.toSet) else headline
-    val results = toRun.map { name =>
-      prepare(name)
+
+    // one measurement attempt: a warm pass + 3 timed passes + the
+    // three contention flags over ITS OWN passes
+    case class Attempt(median: Double, passes: Seq[(Double, Double, Double)],
+                       contended: Boolean, unstable: Boolean, starved: Boolean) {
+      def flagged: Boolean = median >= 0 && (contended || unstable || starved)
+    }
+    def attempt(name: String): Attempt = {
       val warm = timeOnce(name) // warm this query's codegen/broadcast paths
       val times = Seq(timeOnce(name), timeOnce(name), timeOnce(name)).flatten
       // median of exactly 3 passes; ANY failed pass reports -1 rather
@@ -363,41 +388,77 @@ object Bench {
       val starved = medianPass.exists { p =>
         p._1 >= 1.0 && p._3 >= 0 && p._3 < starveFloor
       }
+      Attempt(t, warm.toSeq ++ times, contended, unstable, starved)
+    }
+
+    val results = toRun.map { name =>
+      prepare(name)
+      val first = attempt(name)
+      // SELF-HEALING ARTIFACT (VERDICT r12 #2): two rounds running,
+      // the committed artifact's headline medians were environmental
+      // (r11's total, r12's q45/s13_frozen_search) — the flags caught
+      // the pollution but the driver's 2×-baseline gate and
+      // round-over-round deltas still read the polluted numbers. When
+      // an attempt's median is flagged and wait budget remains, wait
+      // the load out and re-measure ONCE; the headline median is the
+      // unflagged attempt's (if both stay flagged, the smaller — less
+      // polluted — wins), and the displaced first median is recorded
+      // in `retried` so nothing is hidden. Forced-noise retry test:
+      // docs/PLANS.md round-13 notes.
+      val (chosen, passes, retriedFrom) =
+        if (first.flagged && waitBudgetNs > 0) {
+          awaitIdle()
+          val second = attempt(name)
+          val pick =
+            if (!second.flagged && second.median >= 0) second
+            else if (second.median >= 0 &&
+              (first.median < 0 || second.median < first.median)) second
+            else first
+          (pick, first.passes ++ second.passes, Some(first.median))
+        } else (first, first.passes, None)
       // operators register self-join inputs in the bounded OpCache;
       // drop them so later queries aren't timed against a polluted
       // block manager
       graft.operators.OpCache.release(spark)
       spark.catalog.clearCache()
-      val all = warm.toSeq ++ times
-      (name, t, all.map(x => f"${x._1}%.3f"), all.map(x => f"${x._2}%.2f"),
-        contended, all.map(x => f"${x._3}%.3f"), unstable, starved)
+      (name, chosen, passes, retriedFrom)
     }
-    val qs = results.map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, a, _, _) => "\"" + k + "\":" + a.median }
       .mkString("{", ",", "}")
-    val pp = results.map { case (k, _, ts, _, _, _, _, _) =>
-      "\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
+    // per-pass walls (warm pass first; a retried entry's 8 passes are
+    // first attempt then second — the audit keeps both attempts)
+    val pp = results.map { case (k, _, ps, _) =>
+      "\"" + k + "\":[" + ps.map(x => f"${x._1}%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
     // per-pass 1-min load averages, parallel to `passes`
-    val lds = results.map { case (k, _, _, ls, _, _, _, _) =>
-      "\"" + k + "\":[" + ls.mkString(",") + "]" }.mkString("{", ",", "}")
-    val cont = results.map { case (k, _, _, _, c, _, _, _) =>
-      "\"" + k + "\":" + c }.mkString("{", ",", "}")
+    val lds = results.map { case (k, _, ps, _) =>
+      "\"" + k + "\":[" + ps.map(x => f"${x._2}%.2f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val cont = results.map { case (k, a, _, _) =>
+      "\"" + k + "\":" + a.contended }.mkString("{", ",", "}")
     // per-pass process-CPU-per-wall-second fractions, parallel to
     // `passes` (-1 when the JVM doesn't expose process CPU time)
-    val cpuJson = results.map { case (k, _, _, _, _, cs, _, _) =>
-      "\"" + k + "\":[" + cs.mkString(",") + "]" }.mkString("{", ",", "}")
-    val unst = results.map { case (k, _, _, _, _, _, u, _) =>
-      "\"" + k + "\":" + u }.mkString("{", ",", "}")
-    val strv = results.map { case (k, _, _, _, _, _, _, s) =>
-      "\"" + k + "\":" + s }.mkString("{", ",", "}")
+    val cpuJson = results.map { case (k, _, ps, _) =>
+      "\"" + k + "\":[" + ps.map(x => f"${x._3}%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val unst = results.map { case (k, a, _, _) =>
+      "\"" + k + "\":" + a.unstable }.mkString("{", ",", "}")
+    val strv = results.map { case (k, a, _, _) =>
+      "\"" + k + "\":" + a.starved }.mkString("{", ",", "}")
+    // sparse: entries whose first attempt was flagged and re-measured
+    // — value is the DISPLACED first-attempt median (the headline
+    // `queries` value is the chosen attempt's)
+    val retr = results.collect { case (k, _, _, Some(m)) =>
+      "\"" + k + "\":" + m }.mkString("{", ",", "}")
     // failures (-1 sentinels) must not shrink the total they failed in
-    val errors = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val errors = results.count(_._2.median < 0)
+    val total = results.map(_._2.median).filter(_ >= 0).sum
     // full audit line first (per-pass walls/loads/cpu fractions) …
     // both lines carry metric:"total" for driver compatibility; the
     // "kind" discriminator (ADVICE r9) lets a consumer keying on the
     // metric name tell the truncation-prone audit line from the
     // authoritative compact one instead of double-counting
-    println(s"""{"metric":"total","kind":"audit","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"cpus":$cpuJson,"contended":$cont,"unstable":$unst,"starved":$strv,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","kind":"audit","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"cpus":$cpuJson,"contended":$cont,"unstable":$unst,"starved":$strv,"retried":$retr,"errors":$errors,"sf":"$sfDir"}""")
     // … and a COMPACT medians-only line LAST (VERDICT r8 #1: the
     // driver captures only the TAIL of sbt output, and with the
     // verbose line first, BENCH_r08's artifact lost the medians for
@@ -406,13 +467,13 @@ object Bench {
     // queries appear in "flagged") so growth in the suite can't push
     // it past the capture)
     val flagged = results.collect {
-      case (k, _, _, _, c, _, u, s) if c || u || s =>
-        val tags = Seq(if (c) Some("contended") else None,
-          if (u) Some("unstable") else None,
-          if (s) Some("starved") else None).flatten.mkString("+")
+      case (k, a, _, _) if a.contended || a.unstable || a.starved =>
+        val tags = Seq(if (a.contended) Some("contended") else None,
+          if (a.unstable) Some("unstable") else None,
+          if (a.starved) Some("starved") else None).flatten.mkString("+")
         "\"" + k + "\":\"" + tags + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","kind":"final","value":$total,"unit":"sec","queries":$qs,"flagged":$flagged,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","kind":"final","value":$total,"unit":"sec","queries":$qs,"flagged":$flagged,"retried":$retr,"errors":$errors,"sf":"$sfDir"}""")
     // the artifact lines are printed; nothing after this point may
     // flip the exit code. One observed run SIGABRTed (exit 134)
     // during JVM shutdown AFTER a clean 9-minute pass — a streaming

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Sparse retrieval's SERVING-LATENCY ops card (VERDICT r12 #7 — the
+  * [[DaemonLatency]] sibling): the frozen text index has throughput
+  * numbers (freeze one corpus pass; search posting-list-scaled) but
+  * no arrival→answered latency at a continuous trigger, which is the
+  * number a query-serving deployment actually provisions against.
+  * This tool freezes the index once (untimed — the amortized build),
+  * starts [[graft.streaming.Bm25Stream.searchStream]] at a
+  * ProcessingTime trigger over a file-source query stream, then
+  * lands query waves (unique query_id per wave) and polls the
+  * per-batch result dirs for each wave's answer. Latency =
+  * write-to-visible wall time — file-source discovery, trigger wait,
+  * the frozen search (pointer bind + term-pushed posting reads +
+  * two-phase top-k) and the sink commit; the whole path a caller
+  * experiences. Wave 0 is recorded separately as the COLD number
+  * (stream boot + first codegen).
+  *
+  * Not part of the driver contract; a measurement main like
+  * [[Probe]]/[[Stress]]. Prints ONE JSON line.
+  *
+  * Usage: runMain graft.Bm25Latency [waves] [triggerSec]
+  */
+object Bm25Latency {
+
+  def main(args: Array[String]): Unit = {
+    val waves = args.headOption.map(_.toInt).getOrElse(8)
+    val trigSec = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.local(cores = cpus, appName = "graft-bm25-latency")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val runDir = s"/tmp/graft-bm25-latency-${java.lang.System.nanoTime()}"
+    val qDir = s"$runDir/queries"
+    val outDir = s"$runDir/out"
+    Files.createDirectories(Paths.get(qDir))
+
+    val name = "lat_text"
+    graft.sources.Bm25IndexStore.drop(spark, name)
+    val tF = java.lang.System.nanoTime()
+    graft.sources.Bm25IndexStore.freeze(
+      graft.operators.Pipeline.chunkFrame(
+        graft.sources.Tables.documents(spark, sfDir)), name)
+    val freezeSec = (java.lang.System.nanoTime() - tF) / 1e9
+
+    val qStream = spark.readStream
+      .schema("query_id INT, term STRING").parquet(qDir)
+    val sq = streaming.Bm25Stream.searchStream(qStream, name, outDir,
+      s"$runDir/ckpt", trigger = Trigger.ProcessingTime(s"$trigSec seconds"))
+
+    def visible(qid: Int): Boolean =
+      try spark.read.parquet(s"$outDir/batch=*")
+        .filter(col("query_id") === qid).limit(1).count() > 0
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+    val lats = scala.collection.mutable.ArrayBuffer[Double]()
+    var cold = -1.0
+    for (w <- 0 to waves) {
+      val qid = 1000 + w
+      val t0 = java.lang.System.nanoTime()
+      Seq((qid, "hash"), (qid, "join"), (qid, "window"))
+        .toDF("query_id", "term")
+        .coalesce(1).write.mode("append").parquet(qDir)
+      val deadline = t0 + 180L * 1000000000L
+      while (!visible(qid) && java.lang.System.nanoTime() < deadline)
+        Thread.sleep(50)
+      require(visible(qid), s"wave $w never answered")
+      val sec = (java.lang.System.nanoTime() - t0) / 1e9
+      if (w == 0) cold = sec else lats += sec
+      System.err.println(f"[bm25-latency] wave $w: $sec%.2fs" +
+        (if (w == 0) " (cold)" else ""))
+    }
+
+    def q(v: Seq[Double], f: Double): Double = {
+      val s = v.sorted
+      s(math.min(s.size - 1, (f * s.size).toInt))
+    }
+    println(f"""{"metric":"bm25_latency","trigger":"ProcessingTime(${trigSec}s)","unit":"sec","sf":"$sfDir","waves":$waves,"freeze_sec":$freezeSec%.2f,"cold":$cold%.2f,"median":${q(lats.toSeq, 0.5)}%.3f,"p90":${q(lats.toSeq, 0.9)}%.3f}""")
+
+    System.out.flush()
+    try sq.stop() catch { case _: Throwable => () }
+    graft.sources.Bm25IndexStore.drop(spark, name)
+    try spark.stop() catch { case _: Throwable => () }
+    Runtime.getRuntime.halt(0)
+  }
+}
