@@ -413,6 +413,29 @@ object Stress {
       .join(corpusRep, Seq("x", "y"), "left_anti")
     val nClosed = time("corpus-closing tris (g04)")(
       graft.operators.Graph.closedByCorpus(incBase, corpusRep).count())
+
+    // FROZEN edge-index lifecycle at replication scale (round 13 —
+    // the Ann/Media/Bm25 stress shape for the fourth family): freeze
+    // pays ONE bucketed write of the grown corpus; the FIXED base
+    // arrival batch probes the SHIPPED table with closures IDENTICAL
+    // to the live screen above (same algebra, persisted operand);
+    // append of the fixed batch must stay FLAT (O(arrivals)); compact
+    // is the bounded bucketed rewrite
+    graft.sources.GraphIndexStore.drop(spark, "stress_graph")
+    time("graph freeze")(graft.sources.GraphIndexStore.freeze(
+      corpusRep, "stress_graph"))
+    val nFrozenClosed = time("graph frozen probe")(
+      graft.sources.GraphIndexStore.closedFrozen(spark, incBase,
+        "stress_graph").count())
+    require(nFrozenClosed == nClosed,
+      s"frozen probe must equal the live screen: $nFrozenClosed vs $nClosed")
+    time("graph append (flat)")(graft.sources.GraphIndexStore.append(
+      incBase, "stress_graph"))
+    time("graph compact")(
+      graft.sources.GraphIndexStore.compact(spark, "stress_graph"))
+    val nGraphEdges = graft.sources.GraphIndexStore
+      .edges(spark, "stress_graph").count()
+    graft.sources.GraphIndexStore.drop(spark, "stress_graph")
     corpusRep.unpersist()
 
     // context-window chunker (p19) over the replicated corpus: a
@@ -502,7 +525,7 @@ object Stress {
       graft.operators.Analytics4.q61From(oRep, lRep)
         .agg(sum(col("n_orders"))).head.getLong(0))
 
-    println(s"""{"docs":$n,"chunks":$nChunks,"drift_postings":$nDriftPost,"drift_unseen":$nDriftUnseen,"text_search":$nTextSearch,"text_search_post":$nTextSearch2,"late_orders":$nLate,"q51_kept":$nQ51Kept,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"media_matches":$nMedMatch,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"mult":$mult}""")
+    println(s"""{"docs":$n,"chunks":$nChunks,"drift_postings":$nDriftPost,"drift_unseen":$nDriftUnseen,"text_search":$nTextSearch,"text_search_post":$nTextSearch2,"late_orders":$nLate,"q51_kept":$nQ51Kept,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"media_matches":$nMedMatch,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"graph_frozen_closed":$nFrozenClosed,"graph_edges":$nGraphEdges,"mult":$mult}""")
     spark.stop()
   }
 }

@@ -598,6 +598,17 @@ class Graft(val spark: SparkSession, dir: String) {
   def compactGraphIndex(name: String, vacuumOrphans: Boolean = false): Unit =
     graft.sources.GraphIndexStore.compact(spark, name, vacuumOrphans)
 
+  /** Streaming probe against a frozen edge index (per-micro-batch
+    * pointer binding; idempotent per-batch-id sink). */
+  def streamingGraphProbe(edgeStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.GraphStream.probeStream(edgeStream, name, outDir, checkpoint)
+
+  /** Streaming g05 drift monitor against a frozen edge index. */
+  def streamingGraphDrift(edgeStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.GraphStream.driftStream(edgeStream, name, outDir, checkpoint)
+
   /** Exact Gram (second-moment) matrix of the embedding corpus (s20). */
   def gramMatrix: DataFrame = Similarity.s20GramMatrix(spark, dir)
 

@@ -241,8 +241,13 @@ object Graph {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
     val old = OpCache.cached(corpusEdgeIndex(spark, dir))
-    val newE = orderPairs(li.filter(col("l_orderkey") % 10 >= 8))
-      .join(old, Seq("x", "y"), "left_anti")
+    // cached like g04's increment: the incidence unionAll reads newE
+    // from BOTH endpoint branches and union branches get no
+    // common-subexpression reuse — uncached, the pair fan-out +
+    // anti-join pipeline would run twice (plan-audited round 13)
+    val newE = OpCache.cached(
+      orderPairs(li.filter(col("l_orderkey") % 10 >= 8))
+        .join(old, Seq("x", "y"), "left_anti"))
     degreeDriftBands(old, newE)
   }
 

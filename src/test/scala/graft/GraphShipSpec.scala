@@ -141,6 +141,64 @@ class GraphShipSpec extends SparkSpec {
     } finally GraphIndexStore.drop(spark, name)
   }
 
+  test("streaming probe: per-batch closures equal the batch probe; drift rows equal staleness") {
+    import spark.implicits._
+    val name = "graphfr7"
+    val dirBase = java.nio.file.Files.createTempDirectory("graphstream").toString
+    GraphIndexStore.drop(spark, name)
+    try {
+      // corpus: path 1-2-3-4 plus 5-6 (so both slices close something)
+      GraphIndexStore.freeze(edgesDf(Seq(
+        1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)), name, buckets = 2)
+      // two deterministic arrival slices, one file each → one batch each:
+      // slice 0 closes the 1-2-3 wedge; slice 1 closes 3-4-5 and carries
+      // an unseen-node edge (the drift signal)
+      val arrDir = s"$dirBase/arrivals"
+      Seq((1L, 3L)).toDF("x", "y")
+        .coalesce(1).write.mode("overwrite").parquet(s"$arrDir/p=0")
+      Seq((3L, 5L), (10L, 11L)).toDF("x", "y")
+        .coalesce(1).write.mode("append").parquet(s"$arrDir/p=1")
+      def stream() = spark.readStream.schema("x BIGINT, y BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(s"$arrDir/p=*")
+
+      val qp = graft.streaming.GraphStream.probeStream(stream(), name,
+        s"$dirBase/probe", s"$dirBase/ckpt_p")
+      qp.awaitTermination()
+      val outs = new java.io.File(s"$dirBase/probe").listFiles()
+        .filter(_.getName.startsWith("batch=")).sortBy(_.getName)
+      assert(outs.length == 2, s"one result set per micro-batch: ${outs.length}")
+      // the batch=N dir layout adds an inferred partition column —
+      // compare the payload columns only
+      val streamed = spark.read.parquet(s"$dirBase/probe")
+        .select("x", "y", "w").collect().map(_.toString).toSet
+      val expect = Seq(s"$arrDir/p=0", s"$arrDir/p=1").flatMap { p =>
+        GraphIndexStore.closedFrozen(spark, spark.read.parquet(p), name)
+          .select("x", "y", "w").collect().map(_.toString)
+      }.toSet
+      assert(streamed.nonEmpty && streamed == expect,
+        s"streamed closures must equal per-slice batch probes: $streamed vs $expect")
+
+      val qd = graft.streaming.GraphStream.driftStream(stream(), name,
+        s"$dirBase/drift", s"$dirBase/ckpt_d")
+      qd.awaitTermination()
+      val drifted = spark.read.parquet(s"$dirBase/drift")
+        .select("band", "n_end_new").collect().map(_.toString).toSet
+      val dExpect = Seq(s"$arrDir/p=0", s"$arrDir/p=1").flatMap { p =>
+        GraphIndexStore.staleness(spark, spark.read.parquet(p), name)
+          .select("band", "n_end_new").collect().map(_.toString)
+      }.toSet
+      assert(drifted == dExpect,
+        s"streamed drift must equal batch staleness: $drifted vs $dExpect")
+      // the unseen-node edge surfaces in band −1 of some batch
+      assert(spark.read.parquet(s"$dirBase/drift")
+        .filter(col("band") === -1L).count() > 0,
+        "the novel-node slice must land drift mass in the unseen band")
+    } finally {
+      GraphIndexStore.drop(spark, name)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirBase))
+    }
+  }
+
   test("compaction: appended batches collapse, probes unchanged, appends continue") {
     val name = "graphfr6"
     GraphIndexStore.drop(spark, name)
