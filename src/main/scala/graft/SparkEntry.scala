@@ -188,6 +188,8 @@ object SparkEntry {
     "qa12_skew_audit" -> (Analytics3.qa12SkewAudit _),
     "g04_incremental_triangles" -> (Graph.g04IncrementalTriangles _),
     "g05_degree_drift" -> (Graph.g05DegreeDrift _),
+    "g06_frozen_closures" -> (Graph.g06FrozenClosures _),
+    "t21_rrf_fusion" -> (TextAnalysis.t21RrfFusion _),
     "s20_gram_matrix" -> (Similarity.s20GramMatrix _),
     "q44_market_share" -> (Analytics3.q44MarketShare _),
     "q45_big_orders" -> (Analytics3.q45BigOrders _),

@@ -609,6 +609,10 @@ class Graft(val spark: SparkSession, dir: String) {
       outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.GraphStream.driftStream(edgeStream, name, outDir, checkpoint)
 
+  /** Reciprocal-rank fusion of the BM25 and TF-IDF document rankings
+    * (t21) — the hybrid-retrieval serving shape. */
+  def rrfFusion: DataFrame = TextAnalysis.t21RrfFusion(spark, dir)
+
   /** Exact Gram (second-moment) matrix of the embedding corpus (s20). */
   def gramMatrix: DataFrame = Similarity.s20GramMatrix(spark, dir)
 

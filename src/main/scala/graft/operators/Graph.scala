@@ -251,6 +251,27 @@ object Graph {
     degreeDriftBands(old, newE)
   }
 
+  /** g06: FROZEN-PROBE closures as a full-oracle key (the s22 rule
+    * applied to the graph family — the frozen read path gated by
+    * hash, not just spec-pinned): freeze the corpus edge set into
+    * [[graft.sources.GraphIndexStore]] and probe the arriving
+    * orders' increment edges against the SHIPPED bucketed table —
+    * the literal [[closedByCorpus]] algebra, so rows equal g04's
+    * 1-new-edge category enumerated (x, y, w) instead of counted.
+    * The key runs freeze→probe (the driver's Verify starts fresh);
+    * the bench's g04_frozen_probe entry times the probe alone. */
+  def g06FrozenClosures(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GraphIndexStore.freeze(
+      corpusEdgeIndex(spark, dir), "g06_frozen")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val inc = orderPairs(li.filter(col("l_orderkey") % 10 >= 8))
+      .join(graft.sources.GraphIndexStore.edges(spark, "g06_frozen"),
+        Seq("x", "y"), "left_anti")
+    graft.sources.GraphIndexStore.closedFrozen(spark, inc, "g06_frozen")
+      .orderBy("x", "y", "w")
+  }
+
   /** The banded degree-drift frame — ONE definition for the live g05
     * key and the frozen edge index's staleness read
     * ([[graft.sources.GraphIndexStore.staleness]] — same algebra over
@@ -346,6 +367,25 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // g04's c1 category ENUMERATED: same oldp/newe/oldinc CTEs, rows
+    // instead of a count (the frozen probe serves exactly these)
+    "g06_frozen_closures" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |oldp AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |         WHERE a.l_orderkey % 10 < 8),
+        |newp0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |         WHERE a.l_orderkey % 10 >= 8),
+        |newe AS (SELECT x, y FROM newp0 WHERE NOT EXISTS
+        |         (SELECT 1 FROM oldp o WHERE o.x = newp0.x AND o.y = newp0.y)),
+        |oldinc AS (SELECT x AS u, y AS w FROM oldp UNION ALL SELECT y, x FROM oldp)
+        |SELECT t.x, t.y, t.w FROM
+        |  (SELECT ne.x, ne.y, oi.w FROM newe ne JOIN oldinc oi ON oi.u = ne.x) t
+        |WHERE EXISTS (SELECT 1 FROM oldp o
+        |  WHERE o.x = least(t.y, t.w) AND o.y = greatest(t.y, t.w))
+        |ORDER BY x, y, w""".stripMargin,
+
     "g05_degree_drift" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |oldp AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM li a JOIN li b

@@ -276,6 +276,86 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** t21: RECIPROCAL-RANK FUSION — the hybrid-retrieval standard
+    * (Cormack et al.: fuse rankings from different scorers by
+    * Σ 1/(k + rank), k=60): t18's Okapi BM25 top-10 fused with a
+    * TF-IDF top-10 over the same queries — the two lexical scorers
+    * disagree exactly where their length normalization differs, and
+    * the fusion is what a production retrieval stack actually serves
+    * when it can't pick one. Documents ranked by only ONE scorer
+    * contribute that term alone (the standard missing-rank = 0
+    * convention, via the full-outer join).
+    *
+    * Float discipline: each RRF term is ONE division of exact
+    * integers (1.0/(60+rank)); the fused score is one fixed-order
+    * sum of the two — identical operands, identical doubles, both
+    * engines. The TF-IDF side scores floor(tf · (n_docs+1)/(df+1) ·
+    * 1e6) per posting (the t18 rational-idf discipline), summed as
+    * exact longs.
+    *
+    * Plan shape: BOTH rankings are the t18 two-phase partitioned
+    * top-k off the SAME cached posting frame (tf is OpCache'd — one
+    * tokenize pass feeds both scorers); the fusion full-outer join
+    * and the final rank window operate on ≤ 20 rows/query. */
+  def t21RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val d = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val tf = OpCache.cached(
+      d.select(col("doc_id"), explode(col("t")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .select("n_docs", "avgdl")
+    val q = Bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val qdf = dfreq.join(broadcast(q), "term").crossJoin(broadcast(stats))
+    // the two scorers over the one posting frame
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val den = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+    val bm25Micro = floor(idf * ((col("tf").cast("double") * lit(2.2)) / den) *
+      lit(1000000.0)).cast("long")
+    val tfidfMicro = floor(col("tf").cast("double") *
+      ((col("n_docs").cast("double") + lit(1.0)) /
+        (col("df").cast("double") + lit(1.0))) * lit(1000000.0)).cast("long")
+    def ranked(micro: org.apache.spark.sql.Column,
+               needDl: Boolean): DataFrame = {
+      val joined = tf.join(broadcast(qdf), Seq("term"))
+      val scored = (if (needDl) joined.join(dl, "doc_id") else joined)
+        .select(col("query_id"), col("doc_id"), micro.as("micro"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("micro")).as("score_micro"))
+      val ord = Seq(col("score_micro").desc, col("doc_id").asc)
+      val w1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ord: _*)
+      val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+      scored.withColumn("p", pmod(xxhash64(col("doc_id")), lit(32)).cast("int"))
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= 10)
+        .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    }
+    val r1 = ranked(bm25Micro, needDl = true)
+      .withColumnRenamed("rank", "rank_bm25")
+    val r2 = ranked(tfidfMicro, needDl = false)
+      .withColumnRenamed("rank", "rank_tfidf")
+    val fused = r1.join(r2, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_tfidf")), lit(0.0)))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rank_bm25").cast("long").as("rank_bm25"),
+        col("rank_tfidf").cast("long").as("rank_tfidf"), col("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
   /** TextRank damped-iteration count — generated into both engines'
     * unrolled iteration chains (the s14 shared-fragment rule). */
   private[graft] val TextRankIters = 4
@@ -437,6 +517,43 @@ object TextAnalysis {
   val oracles: Map[String, String] = {
     val dCte = "d AS (SELECT doc_id, n_chars, lang, text, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
     Map(
+      // both scorers' CTEs mirror the Spark expressions exactly (the
+      // t18 float discipline; the per-row floor-to-micro longs sum
+      // exactly); each RRF term is ONE division of exact integers,
+      // fused in one fixed-order sum
+      "t21_rrf_fusion" -> {
+        val values = Bm25Queries.flatMap { case (qid, ts) =>
+          ts.map(t => s"($qid, '$t')") }.mkString(", ")
+        raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+           |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+           |st AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM (
+           |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl) s0),
+           |q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+           |qdf AS (SELECT query_id, term, df FROM q JOIN dfreq USING (term)),
+           |b AS (SELECT query_id, tf.doc_id,
+           |  CAST(SUM(CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+           |    * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+           |  FROM tf JOIN qdf USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+           |  GROUP BY 1, 2),
+           |rk1 AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank_bm25 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank FROM b) t WHERE rank <= 10),
+           |ti AS (SELECT query_id, tf.doc_id,
+           |  CAST(SUM(CAST(floor(CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+           |  FROM tf JOIN qdf USING (term) CROSS JOIN st GROUP BY 1, 2),
+           |rk2 AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank_tfidf FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank FROM ti) t WHERE rank <= 10),
+           |f AS (SELECT query_id, doc_id, rank_bm25, rank_tfidf,
+           |  COALESCE(1.0 / (60 + rank_bm25), 0.0) + COALESCE(1.0 / (60 + rank_tfidf), 0.0) AS rrf
+           |  FROM rk1 FULL OUTER JOIN rk2 USING (query_id, doc_id))
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rank_bm25, rank_tfidf, rrf FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM f) t
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+
       "t20_vocab_drift" ->
         raw"""WITH d AS (SELECT doc_id, text FROM documents),
            |arr AS (

@@ -474,6 +474,17 @@ class GraftApiSpec extends SparkSpec {
       g.compactGraphIndex(name)
       assert(g.probeFrozenGraph(ss.createDataFrame(
         Seq((9000001L, 9000003L))).toDF("x", "y"), name).count() === 1L)
+      // hybrid retrieval: RRF fused ranks dense from 1, both source
+      // ranks bounded to their top-10s
+      val rrf = g.rrfFusion.collect()
+      assert(rrf.nonEmpty && rrf.forall(r =>
+        r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 10))
+      assert(rrf.exists(r => !r.isNullAt(r.fieldIndex("rank_bm25")) &&
+        !r.isNullAt(r.fieldIndex("rank_tfidf"))),
+        "some docs must be ranked by BOTH scorers")
+      assert(rrf.exists(r => r.isNullAt(r.fieldIndex("rank_bm25")) ||
+        r.isNullAt(r.fieldIndex("rank_tfidf"))),
+        "the scorers must genuinely disagree for the fusion to matter")
     } finally graft.sources.GraphIndexStore.drop(ss, name)
   }
 
