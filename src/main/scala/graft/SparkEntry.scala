@@ -217,7 +217,8 @@ object SparkEntry {
     "p21_context_assembly" -> ((s, d) => Pipeline.p21ContextAssembly(s, d)),
     "p22_incremental_bm25" -> ((s, d) => Pipeline.p22IncrementalBm25(s, d)),
     "p23_diverse_context" -> ((s, d) => Pipeline.p23DiverseContext(s, d)),
-    "p24_crossdoc_context" -> ((s, d) => Pipeline.p24CrossdocContext(s, d))
+    "p24_crossdoc_context" -> ((s, d) => Pipeline.p24CrossdocContext(s, d)),
+    "p25_mmr_context" -> ((s, d) => Pipeline.p25MmrContext(s, d))
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -613,6 +613,11 @@ class Graft(val spark: SparkSession, dir: String) {
     * (t21) — the hybrid-retrieval serving shape. */
   def rrfFusion: DataFrame = TextAnalysis.t21RrfFusion(spark, dir)
 
+  /** Maximal-marginal-relevance context selection over the ranked
+    * chunks (p25) — graded diversity between ranking and assembly. */
+  def mmrContext(window: Long = 32L, stride: Long = 24L): DataFrame =
+    Pipeline.p25MmrContext(spark, dir, window, stride)
+
   /** Exact Gram (second-moment) matrix of the embedding corpus (s20). */
   def gramMatrix: DataFrame = Similarity.s20GramMatrix(spark, dir)
 

@@ -918,6 +918,104 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** MMR pick count — generated into both engines' unrolled greedy
+    * rounds (the PageRankIters one-constant rule). */
+  private[graft] val MmrPicks = 5
+
+  /** p25: MMR CONTEXT — maximal marginal relevance (Carbonell &
+    * Goldstein), THE diversity standard a production RAG assembler
+    * applies when near-identical passages crowd a ranking: greedily
+    * pick, from p21's top-10 candidates per query, the chunk
+    * maximizing relevance − redundancy, where redundancy is the max
+    * token-set Jaccard similarity to the chunks ALREADY PICKED.
+    * Where p23/p24 CUT duplicates by identity keys (doc, normalized
+    * content), MMR trades off graded near-duplication against
+    * relevance — overlapping windows of one document survive the
+    * identity cuts yet score sim ≈ 0.7–0.9 here and get pushed down
+    * (measured at sf0.01: 21 of 30 pick positions differ from plain
+    * rank order).
+    *
+    * EXACT ARITHMETIC throughout (the iterative-algorithm rule —
+    * t19/g03's integer micro-units applied to greedy selection):
+    * relevance is the gated score_micro long; pairwise similarity is
+    * floor(1e6·|A∩B|/|A∪B|) over distinct-token sets (ONE floored
+    * division of exact counts); the greedy objective is a LONG
+    * subtraction (λ=1 in micro units); every argmax tie-breaks on
+    * ck. The [[MmrPicks]] rounds are unrolled in both engines from
+    * the same constant — no float edge, no iteration drift.
+    *
+    * Scale shape: candidates are ≤10/query (bounded by the gated
+    * two-phase top-k), so the pair similarity table is ≤|cand|²
+    * GLOBAL rows over ≤60 distinct chunks, each round a micro-join +
+    * one bounded-partition argmax window. Everything past the
+    * ranking is candidate-scaled, never corpus-scaled. */
+  def p25MmrContext(spark: SparkSession, dir: String,
+                    window: Long = 32L, stride: Long = 24L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = chunkFrame(Tables.documents(spark, dir), window, stride)
+    val ranked = OpCache.cached(chunkBm25Ranked(chunks)
+      .select("query_id", "rank", "ck", "score_micro"))
+    // distinct-token sets of the CANDIDATE chunks only (≤60 rows'
+    // worth of tokens — the broadcast side is the candidate list)
+    val cdt = chunks
+      .join(broadcast(ranked.select("ck").distinct()), "ck")
+      .select(col("ck"), explode(array_distinct(col("t"))).as("term"))
+    val sz = cdt.groupBy("ck").agg(count(lit(1)).as("n"))
+    val co = cdt.as("x").join(cdt.as("y"),
+        col("x.term") === col("y.term") && col("x.ck") =!= col("y.ck"))
+      .groupBy(col("x.ck").as("cka"), col("y.ck").as("ckb"))
+      .agg(count(lit(1)).as("i"))
+    val sim = OpCache.cached(co
+      .join(sz.select(col("ck").as("cka"), col("n").as("na")), "cka")
+      .join(sz.select(col("ck").as("ckb"), col("n").as("nb")), "ckb")
+      .select(col("cka"), col("ckb"),
+        floor(lit(1000000.0) * col("i") / (col("na") + col("nb") - col("i")))
+          .cast("long").as("sim_micro")))
+    // GREEDY STATE IS BOUNDED AND COLLECTED (the SemStream ≤k-rows
+    // precedent — control decisions, never data): each round picks ≤1
+    // row per query, and feeding the picks back as LAZY frames makes
+    // the logical plan double per round (rem and presim both read the
+    // previous selection) — measured at sf0.1: 75s warm and a
+    // driver OOM on the second action for 30 output rows, execution
+    // caching notwithstanding, because the OPTIMIZER re-walks the
+    // exponentially-nested tree per action. The collected literal
+    // (≤ queries·round rows) resets the lineage each round; every
+    // scan/join still runs on executors over the cached candidate
+    // and similarity frames.
+    import spark.implicits._
+    var picks = ranked.filter(col("rank") === 1)
+      .select(col("query_id"), col("ck"), col("score_micro"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), 0L, 1L)).toSeq
+    for (r <- 2 to MmrPicks) {
+      val selAll = picks.map(p => (p._1, p._2)).toDF("query_id", "ck")
+      val rem = ranked.join(broadcast(selAll), Seq("query_id", "ck"), "left_anti")
+        .select("query_id", "ck", "score_micro")
+      val presim = sim.join(broadcast(selAll.withColumnRenamed("ck", "ckb")),
+          Seq("ckb"))
+        .select(col("query_id"), col("cka").as("ck"), col("sim_micro"))
+      val sm = rem.join(presim, Seq("query_id", "ck"), "left")
+        .groupBy("query_id", "ck", "score_micro")
+        .agg(coalesce(max(col("sim_micro")), lit(0L)).as("simmax_micro"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy((col("score_micro") - col("simmax_micro")).desc, col("ck"))
+      picks = picks ++ sm.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("ck"), col("score_micro"),
+          col("simmax_micro"))
+        .collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3),
+          r.toLong)).toSeq
+    }
+    picks.toDF("query_id", "ck", "score_micro", "simmax_micro", "pick")
+      .select(col("query_id"), col("pick"),
+        expr("ck div 1048576").as("doc_id"),
+        (col("ck") % 1048576L).as("chunk_id"),
+        col("score_micro"), col("simmax_micro"),
+        (col("score_micro") - col("simmax_micro")).as("mmr_micro"))
+      .orderBy("query_id", "pick")
+  }
+
   /** p22: INCREMENTAL BM25 — the frozen-IDF append semantics as an
     * oracle key (the mm11 role for sparse retrieval): a corpus is
     * frozen, the derived `inject` arrival batch lands afterwards
@@ -1211,6 +1309,50 @@ object Pipeline {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, ck // 1048576 AS doc_id,
          |  ck % 1048576 AS chunk_id, n_tok, cum_tok, n_terms_hit, score_micro
          |FROM asm WHERE cum_tok <= 96 ORDER BY query_id, rank""".stripMargin,
+
+    // the MMR rounds are GENERATED from the same MmrPicks constant
+    // the Column loop unrolls (the g03/t19 one-fragment rule); the
+    // chain through `rk` is p21's shared CTE set
+    "p25_mmr_context" -> {
+      val rounds = (2 to MmrPicks).map { r =>
+        s"""rem$r AS (SELECT rk.query_id, rk.ck, rk.score_micro FROM rk
+           |  WHERE NOT EXISTS (SELECT 1 FROM selall${r - 1} s
+           |    WHERE s.query_id = rk.query_id AND s.ck = rk.ck)),
+           |presim$r AS (SELECT p.query_id, sim.cka AS ck, sim.sim_micro
+           |  FROM sim JOIN selall${r - 1} p ON p.ck = sim.ckb),
+           |sm$r AS (SELECT m.query_id, m.ck, m.score_micro,
+           |  CAST(COALESCE(MAX(ps.sim_micro), 0) AS BIGINT) AS simmax_micro
+           |  FROM rem$r m LEFT JOIN presim$r ps
+           |    ON ps.query_id = m.query_id AND ps.ck = m.ck
+           |  GROUP BY 1, 2, 3),
+           |pick$r AS (SELECT query_id, ck, score_micro, simmax_micro,
+           |  CAST($r AS BIGINT) AS pick FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro - simmax_micro DESC, ck) AS rn FROM sm$r) t
+           |  WHERE rn = 1),
+           |selall$r AS (SELECT query_id, ck FROM selall${r - 1}
+           |  UNION ALL SELECT query_id, ck FROM pick$r)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to MmrPicks)
+        .map(r => s"SELECT * FROM pick$r").mkString(" UNION ALL ")
+      raw"""${p21RankCtes}
+         |cdt AS (SELECT DISTINCT c2.ck, unnest(c2.ct) AS term
+         |  FROM ck c2 JOIN (SELECT DISTINCT ck FROM rk) r USING (ck)),
+         |sz AS (SELECT ck, COUNT(*) AS n FROM cdt GROUP BY 1),
+         |co AS (SELECT x.ck AS cka, y.ck AS ckb, COUNT(*) AS i
+         |  FROM cdt x JOIN cdt y ON x.term = y.term AND x.ck <> y.ck GROUP BY 1, 2),
+         |sim AS (SELECT cka, ckb,
+         |  CAST(floor(1000000.0 * co.i / (sa.n + sb.n - co.i)) AS BIGINT) AS sim_micro
+         |  FROM co JOIN sz sa ON sa.ck = co.cka JOIN sz sb ON sb.ck = co.ckb),
+         |pick1 AS (SELECT query_id, ck, score_micro, CAST(0 AS BIGINT) AS simmax_micro,
+         |  CAST(1 AS BIGINT) AS pick FROM rk WHERE rank = 1),
+         |selall1 AS (SELECT query_id, ck FROM pick1),
+         |$rounds
+         |SELECT query_id, pick, ck // 1048576 AS doc_id, ck % 1048576 AS chunk_id,
+         |  score_micro, simmax_micro, score_micro - simmax_micro AS mmr_micro
+         |FROM ($unionAll) u
+         |ORDER BY query_id, pick""".stripMargin
+    },
 
     // the content key is the d13 normalization verbatim (lower →
     // strip non-alphanumerics → collapse spaces → md5), applied to

@@ -485,6 +485,17 @@ class GraftApiSpec extends SparkSpec {
       assert(rrf.exists(r => r.isNullAt(r.fieldIndex("rank_bm25")) ||
         r.isNullAt(r.fieldIndex("rank_tfidf"))),
         "the scorers must genuinely disagree for the fusion to matter")
+      // MMR selection: exactly MmrPicks picks per query, no chunk
+      // picked twice, redundancy monotone enters after pick 1
+      val mmr = g.mmrContext().collect()
+      assert(mmr.nonEmpty)
+      val perQ = mmr.groupBy(_.getAs[Int]("query_id"))
+      assert(perQ.values.forall(_.length == graft.operators.Pipeline.MmrPicks))
+      assert(mmr.map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_id"))).distinct.length == mmr.length,
+        "a chunk must never be picked twice")
+      assert(mmr.filter(_.getAs[Long]("pick") == 1L)
+        .forall(_.getAs[Long]("simmax_micro") == 0L))
     } finally graft.sources.GraphIndexStore.drop(ss, name)
   }
 
