@@ -42,6 +42,13 @@ object Bench {
     // adjacency intersections) and the TPC-H Q5-shape snowflake join
     // (selective-dimension-first join order)
     "g01_triangles", "q43_local_supplier",
+    // the HAVING-filtered aggregate join-back (group-prune BEFORE
+    // corpus joins), moved HERE from its round-9b slot after
+    // s13_frozen_search (VERDICT r13 #7: it flagged starved on the
+    // driver box in two of three rounds while reading <1s idle — it
+    // ran immediately after the s13 family's heavy cache churn;
+    // beside its q43 sibling the adjacency is a light scan-agg)
+    "q45_big_orders",
     // round 8e cont.: the one-pass second-moment aggregate (native
     // long[] buffer — the cheap-exact-summary floor beside qa07)
     "s20_gram_matrix",
@@ -55,9 +62,6 @@ object Bench {
     // rebuild, no cache), beside s13_search_phase's cache-backed
     // attribution; the index ships once in prepare(), untimed
     "s13_frozen_search",
-    // round 9b cont.: the HAVING-filtered aggregate join-back (the
-    // newest batch plan shape — group-prune BEFORE corpus joins)
-    "q45_big_orders",
     // round 11: the MAILLOG DAEMON itself — the component closest to
     // the reference's real workload (tail→parse→4 stateful tables):
     // one full AvailableNow run over a pre-spooled text corpus, all
@@ -347,11 +351,54 @@ object Bench {
     // args, so the artifact always covers the full headline set)
     val toRun = if (args.nonEmpty) headline.filter(args.toSet) else headline
 
+    // PER-ENTRY REFERENCE BANDS (VERDICT r13 #1): the committed
+    // artifact's medians were environmentally polluted three rounds
+    // running, and the noise flags (contended/unstable/starved) are
+    // relative or per-pass — a box that is UNIFORMLY 3–5× slow
+    // defeats all three (r13: mm10 5.14s vs 1.74s judge-idle,
+    // unflagged). The band is the reference point noise detection
+    // can't supply: min of the last 3 rounds' UNFLAGGED driver
+    // headline medians (tools/make_bands.py regenerates the file
+    // from the BENCH_r*.json artifacts each round). Any median > 2×
+    // its band flags `overband` REGARDLESS of cpuFrac/load/spread,
+    // and the retry budget is spent in band-deviation order (below).
+    // Bands apply only at the SF they were measured at; entries new
+    // this round have no band until the next regeneration.
+    val bandsPath = sys.env.getOrElse("SPARK_GRAFT_BANDS", "docs/bench_bands.json")
+    val bands: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(bandsPath)), "UTF-8")
+      val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      if (!sfOk) {
+        System.err.println(s"[bench] bands at $bandsPath are for a " +
+          s"different SF than $sfDir — overband flagging disabled")
+        Map.empty
+      } else {
+        val body = txt.drop(txt.indexOf("\"bands\""))
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch {
+      case _: java.io.IOException =>
+        System.err.println(s"[bench] no bands file at $bandsPath — " +
+          "overband flagging disabled")
+        Map.empty
+    }
+
     // one measurement attempt: a warm pass + 3 timed passes + the
-    // three contention flags over ITS OWN passes
+    // three contention flags over ITS OWN passes + the absolute
+    // band check
     case class Attempt(median: Double, passes: Seq[(Double, Double, Double)],
-                       contended: Boolean, unstable: Boolean, starved: Boolean) {
-      def flagged: Boolean = median >= 0 && (contended || unstable || starved)
+                       contended: Boolean, unstable: Boolean, starved: Boolean,
+                       overband: Boolean) {
+      def flagged: Boolean =
+        median >= 0 && (contended || unstable || starved || overband)
+      def tags: String = Seq(
+        if (contended) Some("contended") else None,
+        if (unstable) Some("unstable") else None,
+        if (starved) Some("starved") else None,
+        if (overband) Some("overband") else None).flatten.mkString("+")
     }
     def attempt(name: String): Attempt = {
       val warm = timeOnce(name) // warm this query's codegen/broadcast paths
@@ -415,40 +462,67 @@ object Bench {
       val starved = medianPass.exists { p =>
         p._1 >= 1.0 && p._3 >= 0 && p._3 < starveFloor
       }
-      Attempt(t, warm.toSeq ++ times, contended, unstable, starved)
+      // overband = the ABSOLUTE reference check (VERDICT r13 #1):
+      // median more than 2× this entry's cross-round floor band —
+      // regardless of cpuFrac, load, or pass agreement, because a
+      // uniformly-starved box keeps all three relative signals calm
+      val overband = t >= 0 && bands.get(name).exists(b => t > 2.0 * b)
+      Attempt(t, warm.toSeq ++ times, contended, unstable, starved, overband)
     }
 
-    val results = toRun.map { name =>
+    // PHASE 1 — the sweep: one attempt per entry, roster order.
+    // Retries no longer run inline (VERDICT r13 #1: the shared
+    // waitBudget drained in roster order, so q45 — flagged, late in
+    // the roster — shipped its polluted 8.52s headline unretried
+    // while earlier, milder flags spent the budget).
+    val sweep = toRun.map { name =>
       prepare(name)
       val first = attempt(name)
-      // SELF-HEALING ARTIFACT (VERDICT r12 #2): two rounds running,
-      // the committed artifact's headline medians were environmental
-      // (r11's total, r12's q45/s13_frozen_search) — the flags caught
-      // the pollution but the driver's 2×-baseline gate and
-      // round-over-round deltas still read the polluted numbers. When
-      // an attempt's median is flagged and wait budget remains, wait
-      // the load out and re-measure ONCE; the headline median is the
-      // unflagged attempt's (if both stay flagged, the smaller — less
-      // polluted — wins), and the displaced first median is recorded
-      // in `retried` so nothing is hidden. Forced-noise retry test:
-      // docs/PLANS.md round-13 notes.
-      val (chosen, passes, retriedFrom) =
-        if (first.flagged && waitBudgetNs > 0) {
-          awaitIdle()
-          val second = attempt(name)
-          val pick =
-            if (!second.flagged && second.median >= 0) second
-            else if (second.median >= 0 &&
-              (first.median < 0 || second.median < first.median)) second
-            else first
-          (pick, first.passes ++ second.passes, Some(first.median))
-        } else (first, first.passes, None)
       // operators register self-join inputs in the bounded OpCache;
       // drop them so later queries aren't timed against a polluted
       // block manager
       graft.operators.OpCache.release(spark)
       spark.catalog.clearCache()
-      (name, chosen, passes, retriedFrom)
+      (name, first)
+    }
+    // PHASE 2 — SELF-HEALING RETRIES, worst band-deviation first
+    // (VERDICT r12 #2 + r13 #1): every flagged entry queues; the
+    // queue is ordered by median/band descending (an entry with no
+    // band sorts at deviation 2.0 — behind any real overband, ahead
+    // of nothing banded-and-healthy), and each retry waits the load
+    // out, re-prepares its fixture (idempotent, untimed) and
+    // re-measures ONCE while budget remains. The headline median is
+    // the unflagged attempt's (if both stay flagged, the smaller —
+    // less polluted — wins); the displaced first median is recorded
+    // in `retried` so nothing is hidden. Forced-load demo: docs/
+    // PLANS.md round-14 notes.
+    val byName = scala.collection.mutable.LinkedHashMap[
+      String, (Attempt, Seq[(Double, Double, Double)], Option[Double])]()
+    sweep.foreach { case (n, a) => byName(n) = (a, a.passes, None) }
+    val retryQueue = sweep
+      .filter { case (_, a) => a.flagged }
+      .sortBy { case (n, a) =>
+        -bands.get(n).map(b => a.median / b).getOrElse(2.0) }
+    retryQueue.foreach { case (name, first) =>
+      if (waitBudgetNs > 0) {
+        System.err.println(f"[bench] retrying $name (flags=${first.tags}, " +
+          f"median=${first.median}%.2fs, band=${bands.get(name).map(b => f"$b%.2f").getOrElse("none")})")
+        awaitIdle()
+        prepare(name)
+        val second = attempt(name)
+        graft.operators.OpCache.release(spark)
+        spark.catalog.clearCache()
+        val pick =
+          if (!second.flagged && second.median >= 0) second
+          else if (second.median >= 0 &&
+            (first.median < 0 || second.median < first.median)) second
+          else first
+        byName(name) = (pick, first.passes ++ second.passes, Some(first.median))
+      }
+    }
+    val results = toRun.map { name =>
+      val (a, ps, retriedFrom) = byName(name)
+      (name, a, ps, retriedFrom)
     }
     val qs = results.map { case (k, a, _, _) => "\"" + k + "\":" + a.median }
       .mkString("{", ",", "}")
@@ -472,6 +546,13 @@ object Bench {
       "\"" + k + "\":" + a.unstable }.mkString("{", ",", "}")
     val strv = results.map { case (k, a, _, _) =>
       "\"" + k + "\":" + a.starved }.mkString("{", ",", "}")
+    val over = results.map { case (k, a, _, _) =>
+      "\"" + k + "\":" + a.overband }.mkString("{", ",", "}")
+    // sparse: the reference band each entry was checked against (the
+    // audit for the overband verdicts; entries new this round are
+    // absent until tools/make_bands.py regenerates the file)
+    val bnds = results.collect { case (k, _, _, _) if bands.contains(k) =>
+      "\"" + k + "\":" + bands(k) }.mkString("{", ",", "}")
     // sparse: entries whose first attempt was flagged and re-measured
     // — value is the DISPLACED first-attempt median (the headline
     // `queries` value is the chosen attempt's)
@@ -485,7 +566,7 @@ object Bench {
     // "kind" discriminator (ADVICE r9) lets a consumer keying on the
     // metric name tell the truncation-prone audit line from the
     // authoritative compact one instead of double-counting
-    println(s"""{"metric":"total","kind":"audit","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"cpus":$cpuJson,"contended":$cont,"unstable":$unst,"starved":$strv,"retried":$retr,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","kind":"audit","value":$total,"unit":"sec","queries":$qs,"passes":$pp,"loads":$lds,"cpus":$cpuJson,"contended":$cont,"unstable":$unst,"starved":$strv,"overband":$over,"bands":$bnds,"retried":$retr,"errors":$errors,"sf":"$sfDir"}""")
     // … and a COMPACT medians-only line LAST (VERDICT r8 #1: the
     // driver captures only the TAIL of sbt output, and with the
     // verbose line first, BENCH_r08's artifact lost the medians for
@@ -494,11 +575,8 @@ object Bench {
     // queries appear in "flagged") so growth in the suite can't push
     // it past the capture)
     val flagged = results.collect {
-      case (k, a, _, _) if a.contended || a.unstable || a.starved =>
-        val tags = Seq(if (a.contended) Some("contended") else None,
-          if (a.unstable) Some("unstable") else None,
-          if (a.starved) Some("starved") else None).flatten.mkString("+")
-        "\"" + k + "\":\"" + tags + "\""
+      case (k, a, _, _) if a.flagged =>
+        "\"" + k + "\":\"" + a.tags + "\""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","kind":"final","value":$total,"unit":"sec","queries":$qs,"flagged":$flagged,"retried":$retr,"errors":$errors,"sf":"$sfDir"}""")
     // the artifact lines are printed; nothing after this point may

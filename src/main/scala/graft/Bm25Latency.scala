@@ -58,7 +58,12 @@ object Bm25Latency {
     def visible(qid: Int): Boolean =
       try spark.read.parquet(s"$outDir/batch=*")
         .filter(col("query_id") === qid).limit(1).count() > 0
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+      // non-fatal, not just AnalysisException (ADVICE r13): the
+      // streaming sink overwrites per-batch dirs, so files can vanish
+      // between this read's listing and its scan — that surfaces as
+      // FileNotFoundException/SparkException and must read as "not
+      // yet visible", not abort the whole measurement mid-run
+      catch { case scala.util.control.NonFatal(_) => false }
 
     val lats = scala.collection.mutable.ArrayBuffer[Double]()
     var cold = -1.0

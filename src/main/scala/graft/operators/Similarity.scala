@@ -639,6 +639,11 @@ object Similarity {
                       maxFitDriftMicro: Long = 100000L,
                       buckets: Int = 8): Option[Long] = {
     val spark = corpus.sparkSession
+    // ONE lease hold across index load → drift grade → re-ship
+    // (ADVICE r13, the sibling stores' rule: a pointer read outside
+    // the lease lets a committed append landing before the flip be
+    // silently dropped from the new generation)
+    graft.sources.FreezeStore.withFamilyLease(spark, name) {
     val idx = graft.sources.AnnIndexStore.load(spark, name)
     val cents = idx.f2c.select(col("f_id").as("c_id"),
       col("f_qv").as("c_qv"), col("f_nrm").as("c_nrm"))
@@ -661,6 +666,7 @@ object Similarity {
     else {
       shipIvfpqIndexFrom(qc.unionByName(qa), name, buckets)
       graft.sources.FreezeStore.readPtr(spark, name).map(_._1)
+    }
     }
   }
 

@@ -78,6 +78,10 @@ object AnnIndexStore {
             retain: Int = 1): Unit = {
     require(retain >= 1, "retain must keep at least the superseded generation")
     val spark = idx.coarse.sparkSession
+    // whole readPtr → component writes → flip under ONE family lease
+    // (ADVICE r13: gen assignment outside it let two freezers race
+    // the same generation tables); flipPtr re-enters the hold
+    FreezeStore.withFamilyLease(spark, name) {
     val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
     val gen = prev + 1
     val p = parts(idx)
@@ -107,6 +111,7 @@ object AnnIndexStore {
     FreezeStore.listGens(spark, name)
       .filter(g => g < gen && g > 0 && g <= prev - retain)
       .foreach(dropGen(spark, name, _))
+    }
   }
 
   /** Load the live freeze. Bucket metadata flows from the catalog

@@ -69,6 +69,10 @@ object Bm25IndexStore {
              retain: Int = 1): Long = {
     require(retain >= 1, "retain must keep at least the superseded generation")
     val spark = chunks.sparkSession
+    // whole readPtr → component writes → flip under ONE family lease
+    // (ADVICE r13: gen assignment outside it let two freezers race
+    // the same generation tables); flipPtr re-enters the hold
+    FreezeStore.withFamilyLease(spark, name) {
     val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
     val gen = prev + 1
     val tok = chunks.select(col("ck"), explode(col("t")).as("term"))
@@ -100,6 +104,7 @@ object Bm25IndexStore {
           Bucketing.resetTable(spark, gt(name, g, p)))
       }
     gen
+    }
   }
 
   /** One generation-bound, committed-batch-filtered component. */
@@ -220,7 +225,12 @@ object Bm25IndexStore {
     * skewed stats). */
   def refreezeIfStale(spark: SparkSession, arrivals: DataFrame, name: String,
                       maxUnseenShare: Double = 0.2, buckets: Int = 8,
-                      retain: Int = 1): Option[Long] = {
+                      retain: Int = 1): Option[Long] =
+    // ONE lease hold across staleness read → corpus rebuild → freeze
+    // (ADVICE r13: the pointer read binding (gen, batches) outside
+    // the lease let a committed append landing before the flip be
+    // silently dropped from the new generation)
+    FreezeStore.withFamilyLease(spark, name) {
     val r = staleness(spark, arrivals, name).head()
     val nPost = r.getAs[Long]("n_postings")
     val nUnseen = if (r.isNullAt(r.fieldIndex("n_unseen"))) 0L

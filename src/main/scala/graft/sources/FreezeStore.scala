@@ -10,9 +10,15 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   * flip's two-rename window from same-JVM readers, but a SECOND
   * driver process on the same warehouse could still observe a
   * mid-flip state and "heal" the commit backward. This lease closes
-  * that window with the filesystem primitive every shared POSIX /
-  * HDFS / object-store-with-preconditions warehouse offers:
-  * CREATE-EXCLUSIVE on a lock file under the warehouse directory.
+  * that window with CREATE-EXCLUSIVE on a lock file under the
+  * warehouse directory. SCOPE (ADVICE r13): the implementation is
+  * java.nio file ops, so the lease dir must be a LOCALLY-MOUNTED
+  * shared POSIX path (a local disk for same-box drivers, NFS/EFS for
+  * multi-box); a non-file warehouse URI fails loudly at leaseDir
+  * unless spark.graft.lease.dir remaps the lock files to such a
+  * mount. (HDFS/object stores offer equivalent primitives — atomic
+  * create / preconditioned put — but would need their own client
+  * here, not a silent local fallback.)
   *
   *  - `acquire` loops on an atomic create-exclusive
   *    (`Files.write(..., CREATE_NEW)`); while the file exists the
@@ -40,9 +46,17 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   *    a visible condition, never a silent backward heal.
   *
   * The lease guards POINTER operations (flip + crash recovery), the
-  * append protocol's reserve/commit sequences, and compaction's
-  * table-swap window; bulk data writes to generation tables never
-  * take it (they are invisible until the flip). In this container the
+  * append protocol's reserve/commit sequences, compaction's
+  * table-swap window, and — since ADVICE r13 — each store's WHOLE
+  * freeze/refreeze sequence (generation assignment through flip:
+  * two unleased freezers would compute the same gen = readPtr+1 and
+  * race the same tables; an unleased refreeze would drop a committed
+  * append that landed after its corpus read). APPEND bulk landings
+  * still never take it (they are invisible until the commit flip and
+  * must not block other appenders' reserves); freeze bulk writes now
+  * run under the hold — freezes are rare, the heartbeat keeps long
+  * holds alive, and a concurrent append then blocks or fails loudly
+  * at its reserve instead of at its gen-bump commit check. In this container the
   * catalog is per-JVM in-memory, so the lease mechanics are what a
   * spec can exercise — two drivers sharing a REAL metastore
   * additionally need that metastore's rename to be atomic (the
@@ -96,9 +110,24 @@ object FreezeLease {
           Files.deleteIfExists(tmp)
         else
           // not ours: we were broken and captured the NEW holder's
-          // file — restore it (a third racer creating in the gap
-          // surfaces at the new holder's next heartbeat, loudly)
-          Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // file — restore it with CREATE-NEW semantics (ADVICE r13:
+          // the old ATOMIC_MOVE put-back is a POSIX rename, which
+          // silently REPLACES a third acquirer's freshly created
+          // lease — two holders could then each pass a checkOwned
+          // taken on opposite sides of the put-back). A plain move
+          // fails on an occupied target; if a third acquirer landed
+          // in the gap, we delete NOTHING — the capture stays behind
+          // as a logged tombstone and the broken second holder
+          // surfaces at its next heartbeat/checkOwned, loudly.
+          try Files.move(tmp, path)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              System.err.println(
+                s"[freeze-lease] release by $holder captured a foreign " +
+                  s"lease at $path and a new holder re-created it before " +
+                  s"the put-back; captured token left at tombstone $tmp " +
+                  "— its holder will fail checkOwned loudly")
+          }
       } catch { case _: java.io.IOException => () } // already gone
       ()
     }
@@ -284,17 +313,37 @@ object FreezeStore {
   }
 
   /** The warehouse directory as a local path — where lease files
-    * live, next to the tables they guard. */
+    * live, next to the tables they guard. ONLY locally-mounted
+    * warehouses qualify (ADVICE r13: the old RuntimeException catch —
+    * meant for single-slash "file:/x" URIs — also swallowed the
+    * FileSystemNotFoundException an hdfs:// or s3:// URI throws,
+    * silently degrading the "cross-process" lease to a driver-LOCAL
+    * path that guards nothing across machines). A non-file scheme now
+    * fails LOUDLY: the lease's create-exclusive/rename primitives are
+    * java.nio file ops, so a remote warehouse needs the lease dir
+    * remapped to a shared mount via spark.graft.lease.dir. */
   private def leaseDir(spark: SparkSession): java.nio.file.Path = {
+    spark.conf.getOption("spark.graft.lease.dir") match {
+      case Some(d) => return Paths.get(d)
+      case None => ()
+    }
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val uri = new java.net.URI(wh)
     if (uri.getScheme == null) Paths.get(wh)
-    else
+    else if (uri.getScheme == "file")
       try Paths.get(uri)
       catch {
         // "file:/x" single-slash URIs round-trip through getPath
         case _: RuntimeException => Paths.get(uri.getPath)
       }
+    else
+      throw new IllegalStateException(
+        s"FreezeLease needs a locally-mounted lease directory, but the " +
+          s"warehouse is '$wh' (scheme ${uri.getScheme}): java.nio " +
+          "create-exclusive/rename cannot reach it, and falling back to " +
+          "a driver-local path would make the cross-process commit lease " +
+          "guard nothing across machines. Point spark.graft.lease.dir at " +
+          "a shared POSIX mount (NFS/EFS-style) visible to every driver.")
   }
 
   // families whose lease THIS THREAD currently holds — makes
@@ -366,9 +415,18 @@ object FreezeStore {
     * finishes, or fails loudly at its wait deadline naming this
     * holder; it can no longer land data mid-rewrite and have it
     * silently vacuumed as an orphan. The heartbeat thread keeps the
-    * hold alive across rewrites longer than staleMs. */
-  private[sources] def withFamilyLease[A](spark: SparkSession, name: String)
-                                         (body: => A): A =
+    * hold alive across rewrites longer than staleMs.
+    *
+    * PUBLIC (ADVICE r13): every store's read-modify-write sequence —
+    * freeze's gen = readPtr+1 → bulk write → flip, refreezeIfStale's
+    * corpus read → union → freeze — must run under ONE hold, or two
+    * concurrent freezers pick the same generation / a committed
+    * append landing mid-refreeze is silently dropped from the new
+    * generation. Reentrant per thread, so the wrapped freeze's own
+    * flipPtr nests free. Operators outside this package
+    * (Similarity.refreezeIfStale) take it through here. */
+  def withFamilyLease[A](spark: SparkSession, name: String)
+                        (body: => A): A =
     withLease(spark, name)(body)
 
   /** The heal itself — callers hold BOTH the JVM lock and the

@@ -38,22 +38,28 @@ object GraphIndexStore {
     FreezeStore.genTable(name, gen, "edges")
 
   /** Freeze a canonical (x < y) edge frame as the new live
-    * generation. Returns the committed generation. */
+    * generation. Returns the committed generation. The WHOLE
+    * readPtr → writeBucketed → flipPtr sequence holds the family
+    * lease (ADVICE r13: gen = readPtr+1 computed outside it let two
+    * concurrent freezers pick the same generation, race the same gen
+    * table, and last-flip-wins over possibly mixed contents). */
   def freeze(edges: DataFrame, name: String, buckets: Int = 8,
              retain: Int = 1): Long = {
     require(retain >= 1, "retain must keep at least the superseded generation")
     val spark = edges.sparkSession
-    val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
-    val gen = prev + 1
-    Bucketing.writeBucketed(
-      edges.select(col("x"), col("y"))
-        .withColumn("batch", lit(0L)).withColumn("gen", lit(gen)),
-      gt(name, gen), "x", buckets)
-    FreezeStore.flipPtr(spark, name, gen, Seq(0L))
-    FreezeStore.listGens(spark, name)
-      .filter(g => g < gen && g > 0 && g <= prev - retain)
-      .foreach(g => Bucketing.resetTable(spark, gt(name, g)))
-    gen
+    FreezeStore.withFamilyLease(spark, name) {
+      val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
+      val gen = prev + 1
+      Bucketing.writeBucketed(
+        edges.select(col("x"), col("y"))
+          .withColumn("batch", lit(0L)).withColumn("gen", lit(gen)),
+        gt(name, gen), "x", buckets)
+      FreezeStore.flipPtr(spark, name, gen, Seq(0L))
+      FreezeStore.listGens(spark, name)
+        .filter(g => g < gen && g > 0 && g <= prev - retain)
+        .foreach(g => Bucketing.resetTable(spark, gt(name, g)))
+      gen
+    }
   }
 
   /** The live generation's COMMITTED edges (pointer resolved once —
@@ -117,7 +123,14 @@ object GraphIndexStore {
     * generation when it fired. */
   def refreezeIfStale(spark: SparkSession, arrivals: DataFrame, name: String,
                       maxUnseenShare: Double = 0.2, buckets: Int = 8,
-                      retain: Int = 1): Option[Long] = {
+                      retain: Int = 1): Option[Long] =
+    // ONE lease hold across corpus read → drift grade → union →
+    // freeze (ADVICE r13: with the pointer read outside the lease, an
+    // append that reserved AND committed between that read and the
+    // freeze's flip was silently dropped from the new generation —
+    // the lost-update class appendBatch/compact already closed). The
+    // nested freeze's own flipPtr re-enters the same hold.
+    FreezeStore.withFamilyLease(spark, name) {
     val corp = edges(spark, name)
     val corpNodes = corp.select(col("x").as("u"))
       .unionAll(corp.select(col("y").as("u"))).distinct()

@@ -49,6 +49,10 @@ object MediaIndexStore {
              maxBandOccupancy: Long = 0L): Long = {
     require(retain >= 1, "retain must keep at least the superseded generation")
     val spark = hashes.sparkSession
+    // whole readPtr → component writes → flip under ONE family lease
+    // (ADVICE r13: gen assignment outside it let two freezers race
+    // the same generation tables); flipPtr re-enters the hold
+    FreezeStore.withFamilyLease(spark, name) {
     val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
     val gen = prev + 1
     def save(df: DataFrame, part: String): Unit = {
@@ -70,6 +74,7 @@ object MediaIndexStore {
       .filter(g => g < gen && g > 0 && g <= prev - retain)
       .foreach(g => Parts.foreach(p => Bucketing.resetTable(spark, gt(name, g, p))))
     gen
+    }
   }
 
   /** Match an arriving (doc_id, h_hi, h_lo) batch against the frozen
@@ -150,7 +155,12 @@ object MediaIndexStore {
     * drives drift → refreeze → reader-survives end-to-end). */
   def refreezeIfStale(spark: SparkSession, arrivals: DataFrame, name: String,
                       minHitShare: Double = 0.5, retain: Int = 1,
-                      maxBandOccupancy: Long = 0L): Option[Long] = {
+                      maxBandOccupancy: Long = 0L): Option[Long] =
+    // ONE lease hold across pointer read → drift grade → freeze
+    // (ADVICE r13: binding (gen, batches) outside the lease let a
+    // committed append landing before the flip be silently dropped
+    // from the new generation)
+    FreezeStore.withFamilyLease(spark, name) {
     val (gen, batches) = FreezeStore.readPtr(spark, name).getOrElse(
       throw new IllegalStateException(s"no frozen media index named $name"))
     val corp = spark.table(gt(name, gen, "hash"))
