@@ -109,7 +109,14 @@ object Bench {
     // pair fan-out ran once at the untimed freeze): the fourth
     // family's sibling of s13_frozen_search / mm11_frozen_match /
     // p21_frozen_search
-    "g04_frozen_probe")
+    "g04_frozen_probe",
+    // round 14: the HYBRID dense+sparse serving read path (VERDICT
+    // r13 #2) — one query batch searching BOTH shipped indexes
+    // (doc-granular Bm25IndexStore postings + the IVFPQ
+    // AnnIndexStore) and fusing by RRF; both ships run in prepare(),
+    // untimed — the timed work is posting-list-scaled text IO +
+    // probed-cell ADC + a ≤20-rows/query fusion
+    "t22_hybrid_frozen")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
@@ -135,6 +142,12 @@ object Bench {
       "p21_frozen_search" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
         graft.sources.Bm25IndexStore.searchFrozen(s, "bench_text",
           graft.operators.TextAnalysis.Bm25Queries)),
+      // the hybrid serving read path: frozen BM25 search + frozen
+      // IVFPQ search + the shared RRF fusion (HybridShipSpec pins the
+      // rows against the storeless live twin)
+      "t22_hybrid_frozen" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.operators.TextAnalysis.hybridFrozenSearch(s, dir,
+          "bench_hybrid_text", "bench_hybrid_ann")),
       // the frozen graph probe: timed work = the arrival slice's own
       // pair fan-out + the two adjacency-scaled probe joins against
       // the shipped edge table (the corpus fan-out ran at prepare)
@@ -298,6 +311,16 @@ object Bench {
         graft.sources.Bm25IndexStore.freeze(
           graft.operators.Pipeline.chunkFrame(
             graft.sources.Tables.documents(spark, sfDir)), "bench_text")
+      }
+      // ship BOTH hybrid indexes, UNTIMED (the serving entry times
+      // search+fuse only — the ship cost is the families' existing
+      // freeze entries' story)
+      if (name == "t22_hybrid_frozen") {
+        graft.sources.Bm25IndexStore.drop(spark, "bench_hybrid_text")
+        graft.sources.Bm25IndexStore.freeze(
+          graft.operators.TextAnalysis.docChunkFrame(spark, sfDir),
+          "bench_hybrid_text")
+        graft.operators.Similarity.shipIvfpqIndex(spark, sfDir, "bench_hybrid_ann")
       }
       // spool the synthesized maillog corpus as text files, UNTIMED
       // (the daemon bench measures the streaming engine, not fixture

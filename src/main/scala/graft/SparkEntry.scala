@@ -218,7 +218,8 @@ object SparkEntry {
     "p22_incremental_bm25" -> ((s, d) => Pipeline.p22IncrementalBm25(s, d)),
     "p23_diverse_context" -> ((s, d) => Pipeline.p23DiverseContext(s, d)),
     "p24_crossdoc_context" -> ((s, d) => Pipeline.p24CrossdocContext(s, d)),
-    "p25_mmr_context" -> ((s, d) => Pipeline.p25MmrContext(s, d))
+    "p25_mmr_context" -> ((s, d) => Pipeline.p25MmrContext(s, d)),
+    "t22_hybrid_fusion" -> (TextAnalysis.t22HybridFusion _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -342,19 +342,159 @@ object TextAnalysis {
       .withColumnRenamed("rank", "rank_bm25")
     val r2 = ranked(tfidfMicro, needDl = false)
       .withColumnRenamed("rank", "rank_tfidf")
-    val fused = r1.join(r2, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("rank_tfidf")), lit(0.0)))
-    val wF = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-    fused.withColumn("rank", row_number().over(wF).cast("long"))
-      .filter(col("rank") <= 10)
+    rrfFuse(r1, r2, "rank_bm25", "rank_tfidf")
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("rank_bm25").cast("long").as("rank_bm25"),
         col("rank_tfidf").cast("long").as("rank_tfidf"), col("rrf"))
       .orderBy("query_id", "rank")
   }
+
+  /** RECIPROCAL-RANK FUSION of two (query_id, doc_id, <rankCol>)
+    * rankings — ONE definition for t21 (BM25+TF-IDF), t22
+    * (BM25+dense) and the frozen serving path ([[hybridFrozen]]), so
+    * the combiner cannot drift between the lexical, hybrid and
+    * shipped-index variants. Missing-rank contributes 0 (full-outer,
+    * the standard convention); each RRF term is ONE division of
+    * exact integers, fused in one fixed-order two-term sum —
+    * identical operands, identical doubles, both engines. The final
+    * rank window runs on ≤ 2·topK rows/query. */
+  private[graft] def rrfFuse(r1: DataFrame, r2: DataFrame,
+                             c1: String, c2: String,
+                             topK: Int = 10): DataFrame = {
+    val fused = r1.join(r2, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col(c1)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col(c2)), lit(0.0)))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** t22's query-vector rule, shared with the generated oracle VALUES
+    * clause: BM25 query `qid` searches densely with the embedding of
+    * vec_id = qid·20 (the s01 every-20th eval-vector convention, so
+    * the dense side reuses the family's deterministic fixture rule). */
+  private[graft] val HybridQueryVecStride = 20L
+
+  /** t22: HYBRID DENSE+SPARSE RETRIEVAL FUSION — the real-world
+    * standard t21 stops short of (VERDICT r13 #2): production hybrid
+    * search fuses lexical BM25 with dense-vector similarity, RRF
+    * being the standard combiner (Cormack et al. — [[rrfFuse]], the
+    * ONE fusion definition t21 already runs). The sparse side is
+    * t18's Okapi BM25 top-10 verbatim ([[t18From]] — same micro-unit
+    * float discipline); the dense side is the exact-cosine top-10
+    * over the embeddings table for a deterministic query vector per
+    * BM25 query (vec_id = query_id·[[HybridQueryVecStride]] — the
+    * s01 fixture rule), under the id identity the testdata publishes
+    * (vec_id ≡ doc_id). Docs ranked by only one modality contribute
+    * that term alone (full-outer, missing-rank = 0).
+    *
+    * Float discipline: cosines are the family's exact-integer
+    * dot/norm quotient ([[graft.functions.TextFns.qcos]] — identical
+    * double ops both engines); each RRF term ONE division of exact
+    * integers, fused in one fixed-order sum.
+    *
+    * Plan shape (the 100 TB story): the BM25 side is t18's
+    * postings-pruned broadcast plan; the dense side broadcasts the
+    * 6-row query-vector frame against the corpus scan (one pass, no
+    * corpus shuffle) and runs the SAME two-phase partitioned top-k as
+    * the text side (local top-10 per (query, hash(doc) mod 32), then
+    * top-10 of ≤320 survivors) — no reducer ever sees a query's full
+    * corpus-sized candidate list (the brute s01 window shape would).
+    * The fusion join + final rank operate on ≤ 20 rows/query. */
+  def t22HybridFusion(spark: SparkSession, dir: String): DataFrame = {
+    val bm25 = t18From(Tables.documents(spark, dir))
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank_bm25"))
+    val dense = denseRanked(spark, dir)
+    rrfFuse(bm25, dense, "rank_bm25", "rank_dense")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rank_bm25").cast("long").as("rank_bm25"),
+        col("rank_dense").cast("long").as("rank_dense"), col("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The dense half of t22: exact-cosine top-10 per query vector
+    * (vec_id = qid·stride, self excluded — the s01 convention), as a
+    * (query_id, doc_id, rank_dense) frame. Two-phase partitioned
+    * top-k; the query frame is a bounded broadcast. */
+  private[graft] def denseRanked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns.{qcos, qdot}
+    val e = Similarity.quantized(spark, dir)
+    val qmap = Bm25Queries.map(_._1)
+      .map(q => (q, q * HybridQueryVecStride)).toDF("query_id", "q_vec")
+    val qs = e.join(broadcast(qmap), col("vec_id") === col("q_vec"))
+      .select(col("query_id"), col("q_vec"),
+        col("qv").as("qv_q"), col("nrm").as("nq"))
+    val scored = e
+      .select(col("vec_id").as("doc_id"), col("qv").as("qv_c"), col("nrm").as("nc"))
+      .join(broadcast(qs), col("doc_id") =!= col("q_vec"))
+      .select(col("query_id"), col("doc_id"),
+        qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos"))
+    val ord = Seq(col("cos").desc, col("doc_id").asc)
+    val w1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored.withColumn("p", pmod(xxhash64(col("doc_id")), lit(32)).cast("int"))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= 10)
+      .withColumn("rank_dense", row_number().over(w2)).filter(col("rank_dense") <= 10)
+      .select("query_id", "doc_id", "rank_dense")
+  }
+
+  /** The FROZEN serving shape of t22 (VERDICT r13 #2): BM25 searched
+    * off the shipped inverted index
+    * ([[graft.sources.Bm25IndexStore.searchFrozen]] over a
+    * doc-granular freeze — ck ≡ doc_id, so the frozen ranking core
+    * IS t18's algebra over persisted postings) fused with the dense
+    * ranks off the shipped IVFPQ index
+    * ([[Similarity.searchFrozenIvfpq]] restricted to the hybrid
+    * query vectors) through the ONE [[rrfFuse]] definition.
+    * HybridShipSpec pins the output against the LIVE twin computed
+    * with no store at all (t18 ranks + live s13 IVFPQ ranks) — the
+    * composed serving path is frozen==live end to end. The bench's
+    * t22_hybrid_frozen entry times search+fuse with both ships
+    * amortized out (the 100 TB read-path number). */
+  def hybridFrozen(spark: SparkSession, dir: String,
+                   textName: String = "t22_text",
+                   annName: String = "t22_ann",
+                   ship: Boolean = true): DataFrame = {
+    if (ship) {
+      graft.sources.Bm25IndexStore.drop(spark, textName)
+      graft.sources.Bm25IndexStore.freeze(docChunkFrame(spark, dir), textName)
+      Similarity.shipIvfpqIndex(spark, dir, annName)
+    }
+    hybridFrozenSearch(spark, dir, textName, annName)
+  }
+
+  /** The timed read path of [[hybridFrozen]] — both indexes must
+    * already be shipped. */
+  private[graft] def hybridFrozenSearch(spark: SparkSession, dir: String,
+      textName: String, annName: String): DataFrame = {
+    val qids = Bm25Queries.map(_._1.toLong * HybridQueryVecStride)
+    val bm25 = graft.sources.Bm25IndexStore
+      .searchFrozen(spark, textName, Bm25Queries)
+      .select(col("query_id"), col("ck").as("doc_id"),
+        col("rank").cast("long").as("rank_bm25"))
+    val dense = Similarity
+      .searchFrozenIvfpq(spark, dir, annName,
+        queryPred = col("vec_id").isin(qids: _*))
+      .select((col("q_id") / HybridQueryVecStride).cast("int").as("query_id"),
+        col("cand_id").as("doc_id"),
+        col("rank").cast("long").as("rank_dense"))
+    rrfFuse(bm25, dense, "rank_bm25", "rank_dense")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rank_bm25"), col("rank_dense"), col("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The documents table as a DOC-granular chunk frame (ck ≡ doc_id,
+    * one chunk per document) — feeds [[graft.sources.Bm25IndexStore]]
+    * so the frozen index serves t18's doc-level ranking exactly. */
+  private[graft] def docChunkFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("ck"), tokens(col("text")).as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
 
   /** TextRank damped-iteration count — generated into both engines'
     * unrolled iteration chains (the s14 shared-fragment rule). */
@@ -550,6 +690,54 @@ object TextAnalysis {
            |  COALESCE(1.0 / (60 + rank_bm25), 0.0) + COALESCE(1.0 / (60 + rank_tfidf), 0.0) AS rrf
            |  FROM rk1 FULL OUTER JOIN rk2 USING (query_id, doc_id))
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rank_bm25, rank_tfidf, rrf FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM f) t
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+
+      // BM25 chain = t21's rk1 CTEs verbatim (the same t18-gated
+      // micro-unit algebra); dense chain = the s01 quantize/cosine
+      // CTEs with the query vectors picked by the generated
+      // (query_id, q_vec) VALUES; fusion = the t21 RRF algebra with
+      // the dense rank in the second slot
+      "t22_hybrid_fusion" -> {
+        val values = Bm25Queries.flatMap { case (qid, ts) =>
+          ts.map(t => s"($qid, '$t')") }.mkString(", ")
+        val qvecs = Bm25Queries.map(_._1)
+          .map(q => s"($q, ${q * HybridQueryVecStride})").mkString(", ")
+        raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+           |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+           |st AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM (
+           |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl) s0),
+           |q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+           |qdf AS (SELECT query_id, term, df FROM q JOIN dfreq USING (term)),
+           |b AS (SELECT query_id, tf.doc_id,
+           |  CAST(SUM(CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+           |    * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+           |  FROM tf JOIN qdf USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+           |  GROUP BY 1, 2),
+           |rk1 AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank_bm25 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank FROM b) t WHERE rank <= 10),
+           |qm AS (SELECT * FROM (VALUES $qvecs) AS v(query_id, q_vec)),
+           |qz AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |nv AS (SELECT vec_id, qv,
+           |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM qz),
+           |dq AS (SELECT query_id, q_vec, qv AS qv_q, nrm AS nq FROM qm JOIN nv ON vec_id = q_vec),
+           |ds AS (SELECT query_id, b2.vec_id AS doc_id,
+           |    CAST((SELECT SUM(a.qv_q[i] * b2.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+           |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b2.nrm AS DOUBLE))) AS cos
+           |  FROM dq a JOIN nv b2 ON b2.vec_id <> a.q_vec),
+           |rk2 AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank_dense FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank FROM ds) t WHERE rank <= 10),
+           |f AS (SELECT query_id, doc_id, rank_bm25, rank_dense,
+           |  COALESCE(1.0 / (60 + rank_bm25), 0.0) + COALESCE(1.0 / (60 + rank_dense), 0.0) AS rrf
+           |  FROM rk1 FULL OUTER JOIN rk2 USING (query_id, doc_id))
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rank_bm25, rank_dense, rrf FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM f) t
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       },
