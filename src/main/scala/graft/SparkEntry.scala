@@ -219,7 +219,9 @@ object SparkEntry {
     "p23_diverse_context" -> ((s, d) => Pipeline.p23DiverseContext(s, d)),
     "p24_crossdoc_context" -> ((s, d) => Pipeline.p24CrossdocContext(s, d)),
     "p25_mmr_context" -> ((s, d) => Pipeline.p25MmrContext(s, d)),
-    "t22_hybrid_fusion" -> (TextAnalysis.t22HybridFusion _)
+    "t22_hybrid_fusion" -> (TextAnalysis.t22HybridFusion _),
+    "t23_quality_classifier" -> (Quality.t23QualityClassifier _),
+    "p26_classifier_curation" -> (Pipeline.p26ClassifierCuration _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -613,6 +613,33 @@ class Graft(val spark: SparkSession, dir: String) {
     * (t21) — the hybrid-retrieval serving shape. */
   def rrfFusion: DataFrame = TextAnalysis.t21RrfFusion(spark, dir)
 
+  /** Hybrid dense+sparse retrieval: BM25 document ranks fused with
+    * exact-cosine dense ranks by reciprocal-rank fusion (t22). */
+  def hybridFusion: DataFrame = TextAnalysis.t22HybridFusion(spark, dir)
+
+  /** The FROZEN hybrid serving path (t22's production shape): both
+    * shipped indexes searched and fused — ships on first call, pass
+    * ship=false to serve off an existing freeze. */
+  def hybridFrozenFusion(textName: String = "t22_text",
+      annName: String = "t22_ann", ship: Boolean = true): DataFrame =
+    TextAnalysis.hybridFrozen(spark, dir, textName, annName, ship)
+
+  /** Model-based quality classifier over hashed token features (t23)
+    * — score, margin, keep/drop verdict and top contributing
+    * features per document. */
+  def qualityClassifier: DataFrame = Quality.t23QualityClassifier(spark, dir)
+
+  /** Classifier-gated curation (p26): p01's rule pipeline with the
+    * t23 learned gate as the final keep/drop authority. */
+  def classifierCuration: DataFrame = Pipeline.p26ClassifierCuration(spark, dir)
+
+  /** Streaming twin of the t23 classifier: score arriving documents
+    * against a frozen vocabulary artifact, per-micro-batch. */
+  def streamingClassifier(docStream: DataFrame, vocab: DataFrame,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.QualityStream.classifierStream(docStream, vocab,
+      outDir, checkpoint)
+
   /** Maximal-marginal-relevance context selection over the ranked
     * chunks (p25) — graded diversity between ranking and assembly. */
   def mmrContext(window: Long = 32L, stride: Long = 24L): DataFrame =

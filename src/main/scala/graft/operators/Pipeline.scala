@@ -257,6 +257,31 @@ object Pipeline {
     * (same convention as d10/t08/t11, pinned by NoBroadcastSpec);
     * d12's list contains only train-split ids by construction, so a
     * plain left-anti is exactly "decontaminate the train split". */
+  /** p26: CLASSIFIER-GATED CURATION (VERDICT r13 #3's composition
+    * step) — p01's rule-based curation pipeline with t23's
+    * model-based quality gate composed in, the way a production
+    * pretraining pipeline actually stacks them: heuristics first
+    * (cheap, high-recall), the learned classifier as the final
+    * keep/drop authority. The gate is LITERALLY
+    * [[Quality.classifierScores]] (one definition with the t23 key
+    * and the streaming twin); the output carries the classifier's
+    * exact score and margin beside the rule-based quality so a
+    * curation audit sees both signals per surviving document.
+    * Plan: p01's plan + one classifier aggregate + a doc_id
+    * equi-join — no new corpus-scale shape. */
+  def p26ClassifierCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val tok = docs.select(col("doc_id"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+    val cls = Quality.classifierScores(tok, graft.functions.TextFns.vocab(tok))
+      .select(col("doc_id"), col("score"), col("margin"), col("keep"))
+    p01Curation(spark, dir)
+      .join(cls, "doc_id")
+      .filter(col("keep"))
+      .select("doc_id", "n_chars", "quality", "score", "margin", "split")
+      .orderBy("doc_id")
+  }
+
   def p09CurationStrict(spark: SparkSession, dir: String): DataFrame = {
     val removal = Dedup.d12Decontaminate(spark, dir)
       .select(col("train_doc").as("doc_id"))
@@ -1756,6 +1781,34 @@ object Pipeline {
         |WHERE qq.quality >= 0.5
         |  AND (lab.cluster_id IS NULL OR lab.cluster_id = d0.doc_id)
         |  AND d0.doc_id NOT IN (SELECT doc_id FROM rm9)
+        |ORDER BY doc_id""".stripMargin),
+
+    "p26_classifier_curation" ->
+      ("WITH RECURSIVE " + Dedup.shCte + ",\n" + Dedup.sigCte + ",\n" +
+        Dedup.candCte + ",\n" + Dedup.clusterCte + ",\n" +
+        TextAnalysis.qualityCtes + s""",
+        |ctok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents),
+        |cvoc AS (SELECT term, row_number() OVER (ORDER BY term) AS tid FROM (SELECT DISTINCT term FROM ctok) x),
+        |cfeat AS (SELECT doc_id, tid % ${Quality.ClassifierDim} AS f, COUNT(*) AS cnt
+        |          FROM ctok JOIN cvoc USING (term) GROUP BY 1, 2),
+        |ccls AS (SELECT doc_id,
+        |           CAST(SUM(cnt * ((1103515245 * (f + 1) + 12345) % 197 - 98)) AS BIGINT) AS score,
+        |           CAST(SUM(cnt) AS BIGINT) AS ntk
+        |         FROM cfeat GROUP BY 1),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT d0.doc_id, d0.n_chars, qq.quality, ccls.score,
+        |  CAST(ccls.score AS DOUBLE) / ccls.ntk AS margin,
+        |  CASE WHEN (d0.doc_id * 2654435761) % 4294967296 % 10 = 0 THEN 'test'
+        |       WHEN (d0.doc_id * 2654435761) % 4294967296 % 10 = 1 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents d0
+        |JOIN qq USING (doc_id)
+        |JOIN keep USING (doc_id)
+        |JOIN ccls ON ccls.doc_id = d0.doc_id
+        |LEFT JOIN lab ON lab.doc_id = d0.doc_id
+        |WHERE qq.quality >= 0.5
+        |  AND (lab.cluster_id IS NULL OR lab.cluster_id = d0.doc_id)
+        |  AND ccls.score >= 0
         |ORDER BY doc_id""".stripMargin),
 
     "p01_curation" ->

@@ -725,7 +725,105 @@ object Quality {
       .withColumn("err_abs", col("est_raw") - col("exact_distinct"))
   }
 
+  /** t23's hashed-feature dimensionality — generated into both
+    * engines (the t16 generated-constant rule). */
+  private[graft] val ClassifierDim = 64L
+
+  /** t23's FROZEN weight vector: weight of feature bucket f is
+    * ((1103515245·(f+1) + 12345) mod 197) − 98 — the s02
+    * random-hyperplane component rule, pure int64 math shared with
+    * the oracle. A production deployment loads trained weights from
+    * a frozen artifact instead; the SCORING algebra (hash → bucket →
+    * weight → margin) is identical. */
+  private[graft] def classifierWeight(
+      f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (lit(1103515245L) * (f + 1) + 12345L) % 197 - 98
+
+  /** t23: MODEL-BASED QUALITY CLASSIFIER (VERDICT r13 #3) — the one
+    * standard pretraining-curation stage the rule-based t02/t14 pair
+    * stops short of: production pipelines (CCNet/DCLM/FineWeb class)
+    * gate documents on a LEARNED classifier score, served as a linear
+    * model over hashed token features. Here the weight vector is a
+    * fixed generated-integer artifact ([[classifierWeight]] — frozen
+    * weights are data, not training, in the serving path; the
+    * t16/qa07 precedent), features are the token's vocabulary id mod
+    * [[ClassifierDim]], and the verdict is the sign of the exact
+    * integer score. Output per doc: token count, score, per-token
+    * margin (ONE division of exact integers), keep/drop verdict and
+    * the top-3 contributing feature buckets with their exact
+    * contributions — the audit view a curation reviewer reads.
+    *
+    * Feature ids use the rank vocabulary for cross-engine parity
+    * (the TextFns scale note: a production caller swaps in
+    * xxhash64(term) — content-hashed, corpus-independent — and skips
+    * the vocab join entirely; every downstream step only assumes
+    * "term → int64 id").
+    *
+    * Plan shape (100 TB): tokenize + explode + ONE map-side-combinable
+    * groupBy to (doc, feature) — 64 buckets cap the per-doc row count;
+    * the vocab join is hint-free (corpus-scaled vocabulary, the
+    * t08/d10 rule); the top-3 window is partitioned by doc_id over
+    * ≤64 rows/doc. No corpus², no driver state. */
+  def t23QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    classifierScores(tok, vocab(tok)).orderBy("doc_id")
+  }
+
+  /** The classifier core over an exploded (doc_id, term) token frame
+    * and a (term, tid) vocabulary — ONE definition for the batch key,
+    * the streaming twin ([[graft.streaming.QualityStream
+    * .classifierStream]] — frozen vocabulary, per-micro-batch scoring)
+    * and the p26 curation composition, so the gate cannot drift
+    * between the key, the stream and the pipeline. */
+  private[graft] def classifierScores(tok: DataFrame,
+                                      vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = tok.join(vocab, "term")
+      .groupBy(col("doc_id"), (col("tid") % ClassifierDim).as("f"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("c", col("cnt") * classifierWeight(col("f")))
+    // top-3 features by |contribution| (f unique per doc → total
+    // order); ≤64 rows per doc_id partition
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(abs(col("c")).desc, col("f").asc)
+    feat.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"), sum(col("c")).as("score"),
+        max(when(col("rn") === 1, col("f"))).as("f1"),
+        max(when(col("rn") === 1, col("c"))).as("c1"),
+        max(when(col("rn") === 2, col("f"))).as("f2"),
+        max(when(col("rn") === 2, col("c"))).as("c2"),
+        max(when(col("rn") === 3, col("f"))).as("f3"),
+        max(when(col("rn") === 3, col("c"))).as("c3"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score").cast("double") / col("n_tokens")).as("margin"),
+        (col("score") >= 0).as("keep"),
+        col("f1"), col("c1"), col("f2"), col("c2"), col("f3"), col("c3"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "t23_quality_classifier" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+         |v AS (SELECT term, row_number() OVER (ORDER BY term) AS tid FROM (SELECT DISTINCT term FROM tok) x),
+         |feat AS (SELECT doc_id, tid % $ClassifierDim AS f, COUNT(*) AS cnt
+         |         FROM tok JOIN v USING (term) GROUP BY 1, 2),
+         |wc AS (SELECT doc_id, f, cnt,
+         |         cnt * ((1103515245 * (f + 1) + 12345) % 197 - 98) AS c FROM feat),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY abs(c) DESC, f) AS rn FROM wc)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(c) AS BIGINT) AS score,
+         |  CAST(SUM(c) AS DOUBLE) / SUM(cnt) AS margin,
+         |  SUM(c) >= 0 AS keep,
+         |  CAST(MAX(CASE WHEN rn = 1 THEN f END) AS BIGINT) AS f1,
+         |  CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS c1,
+         |  CAST(MAX(CASE WHEN rn = 2 THEN f END) AS BIGINT) AS f2,
+         |  CAST(MAX(CASE WHEN rn = 2 THEN c END) AS BIGINT) AS c2,
+         |  CAST(MAX(CASE WHEN rn = 3 THEN f END) AS BIGINT) AS f3,
+         |  CAST(MAX(CASE WHEN rn = 3 THEN c END) AS BIGINT) AS c3
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "qa09_bottomk_sample" ->
       raw"""WITH st AS (SELECT DISTINCT source, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
          |tv AS (SELECT term, ('0x' || substr(md5(term), 1, 15))::BIGINT AS hval

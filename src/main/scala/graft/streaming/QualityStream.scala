@@ -97,6 +97,40 @@ object QualityStream {
                    stride: Long = 24L): DataFrame =
     graft.operators.Pipeline.chunkCore(docs, window, stride)
 
+  /** STREAMING twin of the t23 model-based quality classifier: score
+    * arriving documents against a FROZEN vocabulary+weight artifact
+    * — the serving shape of a learned curation gate (weights/vocab
+    * are frozen at train time; arrivals only read them). foreachBatch
+    * with per-batch-id overwrite sinks (the GraphStream idempotent-
+    * replay pattern): the scoring core is LITERALLY
+    * [[graft.operators.Quality.classifierScores]], so the streamed
+    * gate cannot drift from the oracle-gated batch key. The frozen
+    * vocab binds once at stream start — correct here, because the
+    * classifier's feature space IS the frozen artifact (unseen
+    * arrival terms drop out of the vocab join by design: an unseen
+    * token has no learned weight, the standard hashing-trick serving
+    * convention under a frozen vocabulary). */
+  def classifierStream(docStream: DataFrame, vocab: DataFrame,
+      outDir: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .queryName("quality_classifier")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val tok = batch.select(col("doc_id"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+          graft.operators.Quality.classifierScores(tok, vocab)
+            .write.mode("overwrite").format("parquet")
+            .save(s"$outDir/batch=$batchId")
+        }
+      }
+      .start()
+
   /** Per-document verdicts over any (doc_id, text) frame — batch or
     * streaming (the plan is stateless either way). */
   def qualityVerdicts(docs: DataFrame): DataFrame = {

@@ -499,6 +499,43 @@ class GraftApiSpec extends SparkSpec {
     } finally graft.sources.GraphIndexStore.drop(ss, name)
   }
 
+  test("round-14 hybrid+classifier family is reachable through the facade") {
+    import org.apache.spark.sql.functions._
+    // hybrid live fusion: fused ranks dense from 1, every row backed
+    // by at least one modality, and BOTH modalities represented
+    val hf = g.hybridFusion.collect()
+    assert(hf.nonEmpty && hf.forall(r =>
+      r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 10))
+    assert(hf.forall(r => !r.isNullAt(r.fieldIndex("rank_bm25")) ||
+      !r.isNullAt(r.fieldIndex("rank_dense"))))
+    assert(hf.exists(r => !r.isNullAt(r.fieldIndex("rank_bm25"))) &&
+      hf.exists(r => !r.isNullAt(r.fieldIndex("rank_dense"))),
+      "both modalities must contribute to the fusion")
+    // classifier: exact margin identity, both verdict classes, top
+    // features ordered by |contribution|
+    val cls = g.qualityClassifier.collect()
+    assert(cls.nonEmpty)
+    assert(cls.forall(r => r.getAs[Boolean]("keep") ==
+      (r.getAs[Long]("score") >= 0L)))
+    assert(cls.exists(_.getAs[Boolean]("keep")) &&
+      cls.exists(!_.getAs[Boolean]("keep")),
+      "both keep/drop classes must be populated")
+    assert(cls.filter(r => !r.isNullAt(r.fieldIndex("c1")) &&
+        !r.isNullAt(r.fieldIndex("c2")))
+      .forall(r => math.abs(r.getAs[Long]("c1")) >=
+        math.abs(r.getAs[Long]("c2"))),
+      "top features must be ordered by |contribution|")
+    // classifier-gated curation: a subset of the rule-based curation,
+    // every survivor classifier-positive
+    val cur = g.classifierCuration.collect()
+    assert(cur.nonEmpty && cur.forall(_.getAs[Long]("score") >= 0L))
+    val p01Ids = g.curated.collect().map(_.doc_id).toSet
+    assert(cur.forall(r => p01Ids(r.getAs[Long]("doc_id"))),
+      "p26 must be a strict gate over p01's survivors")
+    assert(cur.length < p01Ids.size,
+      "the learned gate must genuinely cut (non-vacuous composition)")
+  }
+
   test("NOQUEUE rejected deliveries land in the deliveries table") {
     // reference: SmtpRe's qid alternation is `([a-zA-Z0-9]+|NOQUEUE)`
     // (maillog2db.go:52) — a rejected delivery has no queue id but is

@@ -22,6 +22,50 @@ class QualityStreamSpec extends SparkSpec {
     assert(got.sameElements(want), "per-row gate diverges from batch t14")
   }
 
+  test("streaming classifier: per-batch scores equal the batch core under the frozen vocab") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // the FROZEN artifact: vocabulary (and through it the weight
+    // table) built from the full corpus, bound once at stream start
+    val tokAll = docs.select(col("doc_id"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+    val vocab = graft.functions.TextFns.vocab(tokAll).cache()
+    val base = Files.createTempDirectory("clsstream").toString
+    try {
+      // two deterministic arrival slices, one file each → one batch each
+      docs.filter($"doc_id" % 2 === 0).coalesce(1)
+        .write.parquet(s"$base/in/p=0")
+      docs.filter($"doc_id" % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/in/p=1")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
+      val q = QualityStream.classifierStream(stream, vocab,
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      val outs = new java.io.File(s"$base/out").listFiles()
+        .filter(_.getName.startsWith("batch="))
+      assert(outs.length == 2, s"one result set per micro-batch: ${outs.length}")
+      val streamed = spark.read.parquet(s"$base/out")
+        .drop("batch") // inferred partition column
+        .collect().map(_.toString).sorted.toSeq
+      // the batch twin: the SAME core over the full corpus — valid
+      // because scoring is per-doc independent given the frozen vocab
+      val want = Quality.classifierScores(tokAll, vocab)
+        .collect().map(_.toString).sorted.toSeq
+      assert(want.nonEmpty && streamed == want,
+        s"streamed classifier scores != batch core (${streamed.length} vs ${want.length})")
+      // both verdict classes must be present (a degenerate gate
+      // proves nothing)
+      val verdicts = spark.read.parquet(s"$base/out")
+        .groupBy("keep").count().collect()
+      assert(verdicts.length == 2, s"both keep/drop classes expected: ${verdicts.toSeq}")
+    } finally {
+      vocab.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("streaming CMS counters: two-checkpoint replay equals the batch counter table") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
