@@ -116,7 +116,13 @@ object Bench {
     // AnnIndexStore) and fusing by RRF; both ships run in prepare(),
     // untimed — the timed work is posting-list-scaled text IO +
     // probed-cell ADC + a ≤20-rows/query fusion
-    "t22_hybrid_frozen")
+    "t22_hybrid_frozen",
+    // round 14: the graph family's RE-RANK read path (VERDICT r13
+    // #6) — arrival weighted pairs + the (x, y) merge against the
+    // SHIPPED weighted edge index + one damped rank chain over the
+    // merge; the corpus pair fan-out and freeze ran in prepare(),
+    // untimed (beside g04_frozen_probe's closure read path)
+    "g07_rerank_phase")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
@@ -142,6 +148,11 @@ object Bench {
       "p21_frozen_search" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
         graft.sources.Bm25IndexStore.searchFrozen(s, "bench_text",
           graft.operators.TextAnalysis.Bm25Queries)),
+      // the incremental-PageRank read path: arrival weighted pairs +
+      // merge against the shipped weighted edges + one rank chain
+      // (GraphShipSpec pins g07 against the storeless twin)
+      "g07_rerank_phase" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.operators.Graph.rerankFrozen(s, dir, "bench_graph_w")),
       // the hybrid serving read path: frozen BM25 search + frozen
       // IVFPQ search + the shared RRF fusion (HybridShipSpec pins the
       // rows against the storeless live twin)
@@ -311,6 +322,15 @@ object Bench {
         graft.sources.Bm25IndexStore.freeze(
           graft.operators.Pipeline.chunkFrame(
             graft.sources.Tables.documents(spark, sfDir)), "bench_text")
+      }
+      // freeze the WEIGHTED corpus edges, UNTIMED (the one corpus
+      // pair fan-out per freeze — the re-rank entry times the
+      // arrival-scaled merge + one rank chain only)
+      if (name == "g07_rerank_phase") {
+        graft.sources.GraphIndexStore.drop(spark, "bench_graph_w")
+        graft.sources.GraphIndexStore.freeze(
+          graft.operators.Graph.corpusWeightedEdges(spark, sfDir),
+          "bench_graph_w")
       }
       // ship BOTH hybrid indexes, UNTIMED (the serving entry times
       // search+fuse only — the ship cost is the families' existing

@@ -221,7 +221,8 @@ object SparkEntry {
     "p25_mmr_context" -> ((s, d) => Pipeline.p25MmrContext(s, d)),
     "t22_hybrid_fusion" -> (TextAnalysis.t22HybridFusion _),
     "t23_quality_classifier" -> (Quality.t23QualityClassifier _),
-    "p26_classifier_curation" -> (Pipeline.p26ClassifierCuration _)
+    "p26_classifier_curation" -> (Pipeline.p26ClassifierCuration _),
+    "g07_incremental_pagerank" -> (Graph.g07IncrementalPagerank _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -613,6 +613,12 @@ class Graft(val spark: SparkSession, dir: String) {
     * (t21) — the hybrid-retrieval serving shape. */
   def rrfFusion: DataFrame = TextAnalysis.t21RrfFusion(spark, dir)
 
+  /** Incremental PageRank on the frozen co-purchase graph (g07):
+    * freeze→append→re-derive with the rank drift vs the frozen
+    * corpus. */
+  def incrementalPagerank: DataFrame =
+    graft.operators.Graph.g07IncrementalPagerank(spark, dir)
+
   /** Hybrid dense+sparse retrieval: BM25 document ranks fused with
     * exact-cosine dense ranks by reciprocal-rank fusion (t22). */
   def hybridFusion: DataFrame = TextAnalysis.t22HybridFusion(spark, dir)

@@ -347,6 +347,16 @@ object Graph {
     val cw = OpCache.cached(
       a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
         .groupBy("x", "y").agg(count(lit(1)).as("w")))
+    pagerankFrom(cw)
+      .orderBy(col("rank_micro").desc, col("part"))
+  }
+
+  /** The damped integer fixed point over a canonical weighted edge
+    * frame (x, y, w) — ONE definition for g03 (live corpus build)
+    * and g07's re-rank over the frozen∪appended merge, so the rank
+    * algebra cannot drift between the from-scratch and incremental
+    * paths. Returns (part, n_nbrs, wt, rank_micro), unordered. */
+  private[graft] def pagerankFrom(cw: DataFrame): DataFrame = {
     val e = OpCache.cached(
       cw.select(col("x").as("u"), col("y").as("v"), col("w"))
         .unionAll(cw.select(col("y").as("u"), col("x").as("v"), col("w"))))
@@ -363,10 +373,134 @@ object Graph {
     }
     r.join(wu.select(col("u").as("part"), col("wt"), col("n_nbrs")), "part")
       .select(col("part"), col("n_nbrs"), col("wt"), col("r").as("rank_micro"))
-      .orderBy(col("rank_micro").desc, col("part"))
   }
 
+  /** The weighted corpus edge frame (orders %10 < 8 — g04's frozen
+    * slice) — what g07 freezes: co-purchase weight = number of
+    * corpus orders sharing the pair. ONE definition for the key, the
+    * bench prepare and the ship spec. */
+  private[graft] def corpusWeightedEdges(spark: SparkSession,
+                                         dir: String): DataFrame =
+    weightedPairs(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_orderkey") % 10 < 8))
+
+  /** Weighted canonical pairs of an (l_orderkey, l_partkey) slice:
+    * distinct per order first (a part can repeat within an order),
+    * then weight = co-occurring order count. */
+  private[graft] def weightedPairs(rows: DataFrame): DataFrame = {
+    val op = rows.distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("x"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("y"))
+    a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+  }
+
+  /** g07: INCREMENTAL PAGERANK ON THE FROZEN GRAPH (VERDICT r13 #6 —
+    * the one graph operator without an incremental story): the
+    * freeze→append→re-derive loop the other three families already
+    * run (d15 dense / mm11 media / p22 sparse text), closed for the
+    * rank frame. The weighted corpus edges (orders %10 < 8) FREEZE
+    * into [[graft.sources.GraphIndexStore]] — carrying `w`, the
+    * store's weighted form; arriving orders (%10 ≥ 8) contribute
+    * only their own weighted pairs, MERGED with the persisted
+    * weights by one (x, y) hash aggregate (order slices are disjoint
+    * by the %10 split, so weights add — never a corpus re-scan); the
+    * damped fixed point re-derives over the merge through the ONE
+    * [[pagerankFrom]] definition. Output joins the re-derived rank
+    * against the frozen-corpus rank (both chains in exact integer
+    * micro-units) so the key IS the drift view: rank_new,
+    * rank_frozen (null for parts the corpus never saw), and their
+    * exact delta — what a deployment reads to decide whether the
+    * append moved the ranking enough to re-ship downstream
+    * consumers.
+    *
+    * The key runs freeze→merge→re-rank (the driver's Verify starts
+    * fresh — the g06 rule); the bench's g07_rerank_phase entry times
+    * the read path alone (arrival aggregate + merge + ONE rank
+    * chain) with the freeze amortized out. */
+  def g07IncrementalPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val name = "g07_frozen"
+    graft.sources.GraphIndexStore.freeze(
+      corpusWeightedEdges(spark, dir), name)
+    val frozen = OpCache.cached(
+      graft.sources.GraphIndexStore.edges(spark, name))
+    val rNew = pagerankFrom(mergedWeights(spark, dir, frozen))
+    val rOld = pagerankFrom(frozen)
+      .select(col("part"), col("rank_micro").as("rank_frozen"))
+    rNew.join(rOld, Seq("part"), "left")
+      .select(col("part"), col("n_nbrs"), col("wt"),
+        col("rank_micro").as("rank_new"), col("rank_frozen"),
+        (col("rank_micro") - col("rank_frozen")).as("delta_micro"))
+      .orderBy(col("rank_new").desc, col("part"))
+  }
+
+  /** g07's READ PATH over an already-shipped weighted edge index —
+    * what a deployment repeats per append cycle (the bench's
+    * g07_rerank_phase entry; the freeze ran once, untimed): arrival
+    * weighted pairs + the (x, y) merge aggregate + ONE damped rank
+    * chain over the merge. */
+  private[graft] def rerankFrozen(spark: SparkSession, dir: String,
+                                  name: String): DataFrame =
+    pagerankFrom(mergedWeights(spark, dir,
+      graft.sources.GraphIndexStore.edges(spark, name)))
+
+  /** The arrival-merge step of g07 — arrival weighted pairs (orders
+    * %10 ≥ 8) summed into the frozen weights on the (x, y) key.
+    * O(arrivals) new work + one hash aggregate over frozen∪arrival
+    * edge rows; shared by the key and the bench read-path entry. */
+  private[graft] def mergedWeights(spark: SparkSession, dir: String,
+                                   frozen: DataFrame): DataFrame = {
+    val arr = weightedPairs(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_orderkey") % 10 >= 8))
+    OpCache.cached(frozen.select("x", "y", "w").unionByName(arr)
+      .groupBy("x", "y").agg(sum(col("w")).as("w")))
+  }
+
+  /** The g03 iteration chain with a NAME SUFFIX, generated from the
+    * same [[PageRankIters]] constant — g07 unrolls TWO of these (one
+    * over the frozen corpus weights, one over the merge), so both
+    * engines execute the same integer steps twice. */
+  private def rankChainCtes(sfx: String): String =
+    (1 to PageRankIters).map { i =>
+      s"""c$i$sfx AS (SELECT e$sfx.v AS part, CAST(SUM((r${i - 1}$sfx.r * e$sfx.w) // wu$sfx.wt) AS BIGINT) AS s
+         |  FROM e$sfx JOIN wu$sfx ON e$sfx.u = wu$sfx.u JOIN r${i - 1}$sfx ON r${i - 1}$sfx.part = e$sfx.u GROUP BY e$sfx.v),
+         |r$i$sfx AS (SELECT part, 150000 + (s * 85) // 100 AS r FROM c$i$sfx)""".stripMargin
+    }.mkString(",\n")
+
+  private def rankChainHead(sfx: String): String =
+    s"""e$sfx AS (SELECT x AS u, y AS v, w FROM cw$sfx UNION ALL SELECT y, x, w FROM cw$sfx),
+       |wu$sfx AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wt, COUNT(*) AS n_nbrs FROM e$sfx GROUP BY u),
+       |r0$sfx AS (SELECT u AS part, CAST(1000000 AS BIGINT) AS r FROM wu$sfx)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "g07_incremental_pagerank" ->
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |opo AS (SELECT DISTINCT l_orderkey, l_partkey FROM li WHERE l_orderkey % 10 < 8),
+        |cwo AS (SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+        |        FROM opo a JOIN opo b
+        |          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |        GROUP BY 1, 2),
+        |opn AS (SELECT DISTINCT l_orderkey, l_partkey FROM li WHERE l_orderkey % 10 >= 8),
+        |cwn AS (SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+        |        FROM opn a JOIN opn b
+        |          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |        GROUP BY 1, 2),
+        |cwm AS (SELECT x, y, CAST(SUM(w) AS BIGINT) AS w FROM
+        |        (SELECT x, y, w FROM cwo UNION ALL SELECT x, y, w FROM cwn) u0
+        |        GROUP BY 1, 2),
+        |${rankChainHead("o")},
+        |${rankChainCtes("o")},
+        |${rankChainHead("m")},
+        |${rankChainCtes("m")}
+        |SELECT rm.part, wum.n_nbrs, wum.wt, rm.r AS rank_new,
+        |  ro.r AS rank_frozen, rm.r - ro.r AS delta_micro
+        |FROM r${PageRankIters}m rm
+        |JOIN wum ON wum.u = rm.part
+        |LEFT JOIN r${PageRankIters}o ro ON ro.part = rm.part
+        |ORDER BY rank_new DESC, rm.part""".stripMargin,
+
     // g04's c1 category ENUMERATED: same oldp/newe/oldinc CTEs, rows
     // instead of a count (the frozen probe serves exactly these)
     "g06_frozen_closures" ->

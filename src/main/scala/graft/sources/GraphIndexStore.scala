@@ -37,12 +37,20 @@ object GraphIndexStore {
   private def gt(name: String, gen: Long): String =
     FreezeStore.genTable(name, gen, "edges")
 
+  /** The persisted edge columns: (x, y) always; a weighted frame
+    * (g07's re-rank corpus) also carries `w` — probes and the drift
+    * monitor ignore it, the PageRank re-derivation reads it. */
+  private def edgeCols(edges: DataFrame): Seq[org.apache.spark.sql.Column] =
+    (Seq("x", "y") ++ (if (edges.columns.contains("w")) Seq("w") else Nil))
+      .map(col)
+
   /** Freeze a canonical (x < y) edge frame as the new live
-    * generation. Returns the committed generation. The WHOLE
-    * readPtr → writeBucketed → flipPtr sequence holds the family
-    * lease (ADVICE r13: gen = readPtr+1 computed outside it let two
-    * concurrent freezers pick the same generation, race the same gen
-    * table, and last-flip-wins over possibly mixed contents). */
+    * generation (optionally weighted — see [[edgeCols]]). Returns
+    * the committed generation. The WHOLE readPtr → writeBucketed →
+    * flipPtr sequence holds the family lease (ADVICE r13: gen =
+    * readPtr+1 computed outside it let two concurrent freezers pick
+    * the same generation, race the same gen table, and
+    * last-flip-wins over possibly mixed contents). */
   def freeze(edges: DataFrame, name: String, buckets: Int = 8,
              retain: Int = 1): Long = {
     require(retain >= 1, "retain must keep at least the superseded generation")
@@ -51,7 +59,7 @@ object GraphIndexStore {
       val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
       val gen = prev + 1
       Bucketing.writeBucketed(
-        edges.select(col("x"), col("y"))
+        edges.select(edgeCols(edges): _*)
           .withColumn("batch", lit(0L)).withColumn("gen", lit(gen)),
         gt(name, gen), "x", buckets)
       FreezeStore.flipPtr(spark, name, gen, Seq(0L))
@@ -96,7 +104,7 @@ object GraphIndexStore {
       .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
     FreezeStore.appendBatch(spark, name) { (gen, batch) =>
       val t = gt(name, gen)
-      newEdges.select(col("x"), col("y"))
+      newEdges.select(edgeCols(newEdges): _*)
         .withColumn("batch", lit(batch)).withColumn("gen", lit(gen))
         .write.mode("append").format("parquet")
         .bucketBy(bucketsOf(t), "x").sortBy("x")

@@ -199,6 +199,57 @@ class GraphShipSpec extends SparkSpec {
     }
   }
 
+  test("weighted freeze: w survives the store roundtrip and appends; probes ignore it") {
+    val name = "graphfrw1"
+    GraphIndexStore.drop(spark, name)
+    try {
+      val weighted = spark.createDataFrame(Seq(
+        (1L, 2L, 3L), (2L, 3L, 5L))).toDF("x", "y", "w")
+      GraphIndexStore.freeze(weighted, name, buckets = 2)
+      assert(rows(GraphIndexStore.edges(spark, name)) ==
+        rows(weighted), "the weighted frame must roundtrip exactly")
+      // appends carry their own weights through the batch protocol
+      GraphIndexStore.append(
+        spark.createDataFrame(Seq((3L, 4L, 7L))).toDF("x", "y", "w"), name)
+      assert(GraphIndexStore.edges(spark, name).count() == 3L)
+      assert(GraphIndexStore.edges(spark, name)
+        .filter(col("x") === 3L).select("w").head().getLong(0) == 7L)
+      // the closure probe reads (x, y) only — weights don't disturb it
+      assert(rows(GraphIndexStore.closedFrozen(spark,
+        edgesDf(Seq(1L -> 3L)), name)) == Seq("[1,3,2]"))
+    } finally GraphIndexStore.drop(spark, name)
+  }
+
+  test("g07 re-rank equals the storeless twin; merge adds weights on shared pairs") {
+    val name = "g07_frozen" // the key's own family name — exercise it
+    GraphIndexStore.drop(spark, name)
+    try {
+      val got = rows(Graph.g07IncrementalPagerank(spark, sf))
+      // the storeless twin: both chains over live-computed weights
+      val cwo = Graph.corpusWeightedEdges(spark, sf)
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      val cwn = Graph.weightedPairs(li.filter(col("l_orderkey") % 10 >= 8))
+      val cwm = cwo.unionByName(cwn).groupBy("x", "y")
+        .agg(org.apache.spark.sql.functions.sum(col("w")).as("w"))
+      val rNew = Graph.pagerankFrom(cwm)
+      val rOld = Graph.pagerankFrom(cwo)
+        .select(col("part"), col("rank_micro").as("rank_frozen"))
+      val want = rows(rNew.join(rOld, Seq("part"), "left")
+        .select(col("part"), col("n_nbrs"), col("wt"),
+          col("rank_micro").as("rank_new"), col("rank_frozen"),
+          (col("rank_micro") - col("rank_frozen")).as("delta_micro"))
+        .orderBy(col("rank_new").desc, col("part")))
+      assert(want.nonEmpty && got == want,
+        s"frozen re-rank != storeless twin (${got.length} vs ${want.length})")
+      // non-vacuous increment: some pair must gain weight in the merge
+      val gained = cwm.join(cwo.withColumnRenamed("w", "w_old"), Seq("x", "y"))
+        .filter(col("w") > col("w_old")).count()
+      val fresh = cwm.join(cwo, Seq("x", "y"), "left_anti").count()
+      assert(gained > 0 || fresh > 0,
+        "the arrival slice must change the edge weights")
+    } finally GraphIndexStore.drop(spark, name)
+  }
+
   test("compaction: appended batches collapse, probes unchanged, appends continue") {
     val name = "graphfr6"
     GraphIndexStore.drop(spark, name)
