@@ -539,6 +539,16 @@ object Bench {
     // less polluted — wins); the displaced first median is recorded
     // in `retried` so nothing is hidden. Forced-load demo: docs/
     // PLANS.md round-14 notes.
+    // The retry phase gets its own budget FLOOR (round 14): a sweep
+    // that drains the shared pool waiting out mid-run load leaves
+    // ZERO retries for the queue — observed live this round (three
+    // flagged entries, empty `retried`), the same shape as r13's
+    // q45 even after deviation ordering, because ordering can't help
+    // an empty pool. Topping the budget back up to the reserve keeps
+    // sweep waits bounded while guaranteeing the heal pass runs.
+    val retryReserveNs =
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_WAIT_SEC", "120").toLong * 1000000000L
+    waitBudgetNs = math.max(waitBudgetNs, retryReserveNs)
     val byName = scala.collection.mutable.LinkedHashMap[
       String, (Attempt, Seq[(Double, Double, Double)], Option[Double])]()
     sweep.foreach { case (n, a) => byName(n) = (a, a.passes, None) }

@@ -58,3 +58,28 @@ object Profile {
     spark.stop()
   }
 }
+
+/** Warm-pass curve for one SparkEntry/bench query — the idle-drift
+  * profiling recipe (PLANS round-13 #1): N passes with the OpCache
+  * RETAINED across passes (bench-like adjacency), printing each wall
+  * so a rising 3-pass median can be split into "descending JIT/cache
+  * shoulder" vs genuine growth. Usage:
+  * `runMain graft.ProfilePasses <query> [passes]` with
+  * SPARK_GRAFT_SF_DIR set. Not part of the driver contract. */
+object ProfilePasses {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("p21_context_assembly")
+    val passes = args.lift(1).map(_.toInt).getOrElse(8)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(cores = 32, appName = "graft-profile")
+    val fn = Bench.benchOnly.getOrElse(name, SparkEntry.queries(name))
+    val walls = (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"""{"metric":"pass_curve","query":"$name","sf":"$dir","walls":[${
+      walls.map(w => f"$w%.3f").mkString(",")}]}""")
+    spark.stop()
+  }
+}

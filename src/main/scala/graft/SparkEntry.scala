@@ -222,7 +222,9 @@ object SparkEntry {
     "t22_hybrid_fusion" -> (TextAnalysis.t22HybridFusion _),
     "t23_quality_classifier" -> (Quality.t23QualityClassifier _),
     "p26_classifier_curation" -> (Pipeline.p26ClassifierCuration _),
-    "g07_incremental_pagerank" -> (Graph.g07IncrementalPagerank _)
+    "g07_incremental_pagerank" -> (Graph.g07IncrementalPagerank _),
+    "t24_gate_calibration" -> (Quality.t24GateCalibration _),
+    "t25_filtered_hybrid" -> (TextAnalysis.t25FilteredHybrid _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -630,6 +630,11 @@ class Graft(val spark: SparkSession, dir: String) {
       annName: String = "t22_ann", ship: Boolean = true): DataFrame =
     TextAnalysis.hybridFrozen(spark, dir, textName, annName, ship)
 
+  /** Tenant-filtered hybrid fusion (t25): label-scoped dense + BM25
+    * candidates fused by RRF — the s15 key-tightening rule applied
+    * to the hybrid path. */
+  def filteredHybridFusion: DataFrame = TextAnalysis.t25FilteredHybrid(spark, dir)
+
   /** Model-based quality classifier over hashed token features (t23)
     * — score, margin, keep/drop verdict and top contributing
     * features per document. */
@@ -638,6 +643,10 @@ class Graft(val spark: SparkSession, dir: String) {
   /** Classifier-gated curation (p26): p01's rule pipeline with the
     * t23 learned gate as the final keep/drop authority. */
   def classifierCuration: DataFrame = Pipeline.p26ClassifierCuration(spark, dir)
+
+  /** Classifier threshold-sweep calibration (t24): keep mass and
+    * rule-gate agreement per candidate margin threshold. */
+  def gateCalibration: DataFrame = Quality.t24GateCalibration(spark, dir)
 
   /** Streaming twin of the t23 classifier: score arriving documents
     * against a frozen vocabulary artifact, per-micro-batch. */

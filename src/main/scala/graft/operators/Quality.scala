@@ -802,7 +802,97 @@ object Quality {
         col("f1"), col("c1"), col("f2"), col("c2"), col("f3"), col("c3"))
   }
 
+  /** t24's threshold grid in MILLI-margin units (margin = score per
+    * token) — generated into both engines (the qa05/s14 sweep rule):
+    * the operating points a curation team actually tunes between. */
+  private[graft] val GateThresholdGrid: Seq[Long] =
+    Seq(-20L, -10L, -5L, 0L, 5L, 10L, 20L)
+
+  /** t24: CLASSIFIER GATE CALIBRATION (round 14 continuation of t23)
+    * — the threshold-sweep operating curve a curation team reads
+    * before picking the learned gate's cutoff (qa05's
+    * bloom-geometry-curve role for the classifier; DCLM-class
+    * pipelines publish exactly this table): per candidate threshold
+    * θ (milli-margin units, [[GateThresholdGrid]]), the corpus keep
+    * mass under `score·1000 ≥ θ·n_tokens` (exact cross-multiplied
+    * integers — no float margin ever compared) and the agreement
+    * structure against the rule-based t02/p01 gate (quality ≥ 0.5):
+    * both-keep / classifier-only / rules-only counts, kept token
+    * mass, and the agreement share (ONE division of exact integers).
+    * The rule gate's 0.5 compare is integer-exact the qualityCtes
+    * way on the oracle side and the same double compare both engines
+    * evaluate identically (quality is a sum of exact divisions — the
+    * t02 hash-green precedent).
+    *
+    * Plan shape: t23's (doc, feature) aggregate reduced to one
+    * per-doc (score, n_tokens) frame + t02's per-doc quality — both
+    * corpus-scaled, joined once on doc_id; the 7-row threshold grid
+    * broadcast-crosses the per-doc frame and ONE bounded groupBy
+    * (≤ grid size) emits the curve. No window, no corpus². */
+  def t24GateCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val cls = classifierScores(tok, vocab(tok))
+      .select("doc_id", "n_tokens", "score")
+    val qual = graft.operators.TextAnalysis.t02Quality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val perDoc = cls.join(qual, "doc_id")
+      .withColumn("rules_keep", col("quality") >= 0.5)
+    val grid = GateThresholdGrid.toDF("theta_milli")
+    perDoc.crossJoin(broadcast(grid))
+      .withColumn("cls_keep",
+        col("score") * 1000 >= col("theta_milli") * col("n_tokens"))
+      .groupBy("theta_milli")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cls_keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("cls_keep"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
+        sum(when(col("cls_keep") && col("rules_keep"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("cls_keep") && !col("rules_keep"), 1L).otherwise(0L)).as("n_cls_only"),
+        sum(when(!col("cls_keep") && col("rules_keep"), 1L).otherwise(0L)).as("n_rules_only"))
+      .withColumn("agree_share",
+        (col("n_both") + (col("n_docs") - col("n_keep") - col("n_rules_only")))
+          .cast("double") / col("n_docs"))
+      .orderBy("theta_milli")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t24_gate_calibration" -> {
+      val grid = GateThresholdGrid.mkString("(", "), (", ")")
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+         |v AS (SELECT term, row_number() OVER (ORDER BY term) AS tid FROM (SELECT DISTINCT term FROM tok) x),
+         |feat AS (SELECT doc_id, tid % $ClassifierDim AS f, COUNT(*) AS cnt
+         |         FROM tok JOIN v USING (term) GROUP BY 1, 2),
+         |cls AS (SELECT doc_id,
+         |          CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |          CAST(SUM(cnt * ((1103515245 * (f + 1) + 12345) % 197 - 98)) AS BIGINT) AS score
+         |        FROM feat GROUP BY 1),
+         |mq AS (SELECT doc_id, len(t) AS nt, len(list_distinct(t)) AS nd,
+         |         len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS nstop
+         |       FROM d),
+         |qq AS (SELECT doc_id,
+         |         0.4 * (CAST(nd AS DOUBLE) / nt) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / nt) + 0.3 * least(1.0, nt / 100.0) AS quality
+         |       FROM mq),
+         |pd AS (SELECT cls.doc_id, n_tokens, score, quality >= 0.5 AS rules_keep
+         |       FROM cls JOIN qq ON qq.doc_id = cls.doc_id),
+         |g AS (SELECT * FROM (VALUES $grid) AS v(theta_milli)),
+         |m AS (SELECT theta_milli, doc_id, n_tokens, rules_keep,
+         |        score * 1000 >= theta_milli * n_tokens AS cls_keep
+         |      FROM pd CROSS JOIN g)
+         |SELECT CAST(theta_milli AS BIGINT) AS theta_milli, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN cls_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN cls_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  CAST(SUM(CASE WHEN cls_keep AND rules_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN cls_keep AND NOT rules_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_cls_only,
+         |  CAST(SUM(CASE WHEN NOT cls_keep AND rules_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_rules_only,
+         |  CAST(SUM(CASE WHEN cls_keep AND rules_keep THEN 1 ELSE 0 END)
+         |    + (COUNT(*) - SUM(CASE WHEN cls_keep THEN 1 ELSE 0 END)
+         |       - SUM(CASE WHEN NOT cls_keep AND rules_keep THEN 1 ELSE 0 END)) AS DOUBLE)
+         |    / COUNT(*) AS agree_share
+         |FROM m GROUP BY theta_milli ORDER BY theta_milli""".stripMargin
+    },
+
     "t23_quality_classifier" ->
       raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
          |tok AS (SELECT doc_id, unnest(t) AS term FROM d),

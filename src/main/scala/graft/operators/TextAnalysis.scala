@@ -442,6 +442,74 @@ object TextAnalysis {
       .select("query_id", "doc_id", "rank_dense")
   }
 
+  /** t25: TENANT-FILTERED HYBRID FUSION (round 14 — the s15
+    * key-tightening rule applied to t22): production hybrid search
+    * is almost always SCOPED (a tenant, a collection, a language
+    * shard) — the index stays shared and label-agnostic, only the
+    * candidate set narrows. Each hybrid query carries its query
+    * vector's label; the dense side is the exact-cosine top-10 over
+    * SAME-LABEL candidates (the s09 filtered algebra); the sparse
+    * side is t18's BM25 with GLOBAL corpus statistics (df/avgdl/N —
+    * the shared index's scores don't change per tenant, the s15
+    * layout rule) but candidates filtered to the query's label
+    * before top-k (vec_id ≡ doc_id gives each doc its label). Fusion
+    * is the ONE [[rrfFuse]] combiner.
+    *
+    * Plan shape: the label map rides the SAME broadcast query frame
+    * on both sides (6 rows); the BM25 chain gains one hint-free
+    * label equi-join on doc_id before its two-phase top-k (the s13
+    * code-join class); the dense side's candidate join key TIGHTENS
+    * to (label) — filtering thins work, never adds a corpus pass. */
+  def t25FilteredHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns.{qcos, qdot}
+    val e = Similarity.quantized(spark, dir)
+    val qmap = Bm25Queries.map(_._1)
+      .map(q => (q, q * HybridQueryVecStride)).toDF("query_id", "q_vec")
+    // the 6-row query frame with its labels — broadcast on both sides
+    val qs = e.join(broadcast(qmap), col("vec_id") === col("q_vec"))
+      .select(col("query_id"), col("q_vec"), col("label"),
+        col("qv").as("qv_q"), col("nrm").as("nq"))
+    // dense: same-label candidates only (the s09 rule), two-phase top-k
+    val scored = e.select(col("vec_id").as("doc_id"), col("label"),
+        col("qv").as("qv_c"), col("nrm").as("nc"))
+      .join(broadcast(qs), Seq("label"))
+      .filter(col("doc_id") =!= col("q_vec"))
+      .select(col("query_id"), col("label"), col("doc_id"),
+        qcos(qdot(col("qv_q"), col("qv_c")), col("nq"), col("nc")).as("cos"))
+    val ordD = Seq(col("cos").desc, col("doc_id").asc)
+    val wd1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ordD: _*)
+    val wd2 = Window.partitionBy(col("query_id")).orderBy(ordD: _*)
+    val dense = scored
+      .withColumn("p", pmod(xxhash64(col("doc_id")), lit(32)).cast("int"))
+      .withColumn("r1", row_number().over(wd1)).filter(col("r1") <= 10)
+      .withColumn("rank_dense", row_number().over(wd2)).filter(col("rank_dense") <= 10)
+      .select("query_id", "doc_id", "rank_dense")
+    // sparse: t18's global-stats scores, candidates label-filtered
+    // BEFORE top-k (one hint-free doc_id equi-join against the
+    // 1-label-per-doc map restricted to each query's label)
+    val docLabels = e.select(col("vec_id").as("doc_id"), col("label"))
+    val bm25Scored = bm25ScoredFrom(Tables.documents(spark, dir))
+      .join(docLabels, "doc_id")
+      .join(broadcast(qs.select(col("query_id"), col("label"))),
+        Seq("query_id", "label"))
+    val ordB = Seq(col("score_micro").desc, col("doc_id").asc)
+    val wb1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ordB: _*)
+    val wb2 = Window.partitionBy(col("query_id")).orderBy(ordB: _*)
+    val sparse = bm25Scored
+      .withColumn("p", pmod(xxhash64(col("doc_id")), lit(32)).cast("int"))
+      .withColumn("r1", row_number().over(wb1)).filter(col("r1") <= 10)
+      .withColumn("rank_bm25", row_number().over(wb2)).filter(col("rank_bm25") <= 10)
+      .select("query_id", "doc_id", "rank_bm25")
+    val qlab = qs.select(col("query_id"), col("label"))
+    rrfFuse(sparse, dense, "rank_bm25", "rank_dense")
+      .join(broadcast(qlab), "query_id")
+      .select(col("query_id"), col("label"), col("rank"), col("doc_id"),
+        col("rank_bm25").cast("long").as("rank_bm25"),
+        col("rank_dense").cast("long").as("rank_dense"), col("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The FROZEN serving shape of t22 (VERDICT r13 #2): BM25 searched
     * off the shipped inverted index
     * ([[graft.sources.Bm25IndexStore.searchFrozen]] over a
@@ -740,6 +808,58 @@ object TextAnalysis {
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rank_bm25, rank_dense, rrf FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM f) t
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+
+      // t22's chains with the label threaded through: the dense
+      // candidate join tightens to the query's label (s09 rule); the
+      // BM25 scores stay GLOBAL (s15 shared-index rule) and only the
+      // candidate set filters on the doc's label before top-k
+      "t25_filtered_hybrid" -> {
+        val values = Bm25Queries.flatMap { case (qid, ts) =>
+          ts.map(t => s"($qid, '$t')") }.mkString(", ")
+        val qvecs = Bm25Queries.map(_._1)
+          .map(q => s"($q, ${q * HybridQueryVecStride})").mkString(", ")
+        raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+           |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+           |st AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM (
+           |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl) s0),
+           |q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+           |qdf AS (SELECT query_id, term, df FROM q JOIN dfreq USING (term)),
+           |b AS (SELECT query_id, tf.doc_id,
+           |  CAST(SUM(CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+           |    * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+           |  FROM tf JOIN qdf USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+           |  GROUP BY 1, 2),
+           |qm AS (SELECT * FROM (VALUES $qvecs) AS v(query_id, q_vec)),
+           |qz AS (SELECT vec_id, label,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |nv AS (SELECT vec_id, label, qv,
+           |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS nrm FROM qz),
+           |dq AS (SELECT query_id, q_vec, label, qv AS qv_q, nrm AS nq FROM qm JOIN nv ON vec_id = q_vec),
+           |bl AS (SELECT b.query_id, b.doc_id, b.s
+           |  FROM b JOIN nv el ON el.vec_id = b.doc_id
+           |         JOIN dq ON dq.query_id = b.query_id AND el.label = dq.label),
+           |rk1 AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank_bm25 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank FROM bl) t WHERE rank <= 10),
+           |ds AS (SELECT query_id, b2.vec_id AS doc_id,
+           |    CAST((SELECT SUM(a.qv_q[i] * b2.qv[i]) FROM generate_series(1, 64) g(i)) AS BIGINT)
+           |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b2.nrm AS DOUBLE))) AS cos
+           |  FROM dq a JOIN nv b2 ON b2.label = a.label AND b2.vec_id <> a.q_vec),
+           |rk2 AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank_dense FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank FROM ds) t WHERE rank <= 10),
+           |f AS (SELECT query_id, doc_id, rank_bm25, rank_dense,
+           |  COALESCE(1.0 / (60 + rank_bm25), 0.0) + COALESCE(1.0 / (60 + rank_dense), 0.0) AS rrf
+           |  FROM rk1 FULL OUTER JOIN rk2 USING (query_id, doc_id))
+           |SELECT f.query_id, dq.label, CAST(rank AS BIGINT) AS rank, doc_id,
+           |  rank_bm25, rank_dense, rrf FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM f) f
+           |JOIN dq ON dq.query_id = f.query_id
+           |WHERE rank <= 10 ORDER BY f.query_id, rank""".stripMargin
       },
 
       "t20_vocab_drift" ->

@@ -525,6 +525,34 @@ class GraftApiSpec extends SparkSpec {
       .forall(r => math.abs(r.getAs[Long]("c1")) >=
         math.abs(r.getAs[Long]("c2"))),
       "top features must be ordered by |contribution|")
+    // tenant-filtered hybrid: every fused candidate belongs to its
+    // query's label scope (both modalities are label-tightened)
+    val fh = g.filteredHybridFusion.collect()
+    assert(fh.nonEmpty && fh.forall(r =>
+      r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 10))
+    val labelOf = g.embeddings.collect()
+      .map(e => e.vec_id -> e.label).toMap
+    assert(fh.forall(r => labelOf(r.getAs[Long]("doc_id")) ==
+      r.getAs[Int]("label")),
+      "every fused doc must carry the query's label (scoped search)")
+    // the scope genuinely changes the answer vs the unfiltered hybrid
+    val unf = g.hybridFusion.collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(fh.exists(r => !unf((r.getAs[Int]("query_id"),
+      r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))),
+      "the label filter must move at least one fused rank")
+    // calibration curve: one row per grid threshold, keep mass
+    // monotone non-increasing in θ (a tighter gate keeps fewer),
+    // agreement bounded to [0, 1]
+    val cal = g.gateCalibration.collect()
+    assert(cal.length == graft.operators.Quality.GateThresholdGrid.length)
+    val keeps = cal.sortBy(_.getAs[Long]("theta_milli"))
+      .map(_.getAs[Long]("n_keep")).toSeq
+    assert(keeps.sliding(2).forall(p => p.head >= p.last),
+      s"keep mass must be monotone non-increasing in θ: $keeps")
+    assert(cal.forall(r => r.getAs[Double]("agree_share") >= 0.0 &&
+      r.getAs[Double]("agree_share") <= 1.0))
     // classifier-gated curation: a subset of the rule-based curation,
     // every survivor classifier-positive
     val cur = g.classifierCuration.collect()
