@@ -438,6 +438,32 @@ object Stress {
     graft.sources.GraphIndexStore.drop(spark, "stress_graph")
     corpusRep.unpersist()
 
+    // INCREMENTAL PAGERANK (g07) at replication scale (round 14):
+    // freeze the replicated WEIGHTED corpus once; the FIXED base
+    // arrival slice merges into replica 0 only (id strides keep
+    // replicas disjoint), then ONE rank chain re-derives over the
+    // merge. The honest cost statement: the re-rank is O(corpus
+    // nodes · iters) per refresh — what the frozen index SAVES is
+    // the corpus pair fan-out (paid at freeze), so merge+chain wall
+    // should track the edge mass while the MERGE's new work stays
+    // O(arrivals). Replicas are disjoint isomorphic graphs, so the
+    // node count must read exactly mult× the base graph's.
+    val cwRep = graft.operators.Graph.weightedPairs(
+      lirep.filter(col("l_orderkey") % 10 < 8)).persist()
+    cwRep.count()
+    graft.sources.GraphIndexStore.drop(spark, "stress_graph_w")
+    time("g07 weighted freeze")(graft.sources.GraphIndexStore.freeze(
+      cwRep, "stress_graph_w"))
+    val arrW = graft.operators.Graph.weightedPairs(
+      lib.filter(col("l_orderkey") % 10 >= 8))
+    val mergedW = graft.sources.GraphIndexStore
+      .edges(spark, "stress_graph_w").select("x", "y", "w")
+      .unionByName(arrW).groupBy("x", "y").agg(sum(col("w")).as("w"))
+    val nRank = time("g07 merge+rank chain")(
+      graft.operators.Graph.pagerankFrom(mergedW).count())
+    graft.sources.GraphIndexStore.drop(spark, "stress_graph_w")
+    cwRep.unpersist()
+
     // context-window chunker (p19) over the replicated corpus: a
     // pure per-row explode — chunk rows grow exactly mult× (replicas
     // chunk identically) and wall tracks the token mass with NO
@@ -525,7 +551,7 @@ object Stress {
       graft.operators.Analytics4.q61From(oRep, lRep)
         .agg(sum(col("n_orders"))).head.getLong(0))
 
-    println(s"""{"docs":$n,"chunks":$nChunks,"drift_postings":$nDriftPost,"drift_unseen":$nDriftUnseen,"text_search":$nTextSearch,"text_search_post":$nTextSearch2,"late_orders":$nLate,"q51_kept":$nQ51Kept,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"media_matches":$nMedMatch,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"graph_frozen_closed":$nFrozenClosed,"graph_edges":$nGraphEdges,"mult":$mult}""")
+    println(s"""{"docs":$n,"chunks":$nChunks,"drift_postings":$nDriftPost,"drift_unseen":$nDriftUnseen,"text_search":$nTextSearch,"text_search_post":$nTextSearch2,"late_orders":$nLate,"q51_kept":$nQ51Kept,"pairs":$nPairs,"nodes":$nNodes,"clusters":$nClusters,"keepers":$nKeep,"dedup_first_pairs":$nPairs2,"span_pairs":$nSpan,"contain_pairs":$nContain,"fuzzy_nn":$nFuzzy,"inc_span_pairs":$nIncSpan,"vecs":$nVecs,"sem_nodes":$nSemNodes,"sem_keepers":$nSemKeep,"sem_inc_rows":$nSemInc,"sem_inc_keep":$nSemIncKeep,"stale_cells":$nStaleCells,"packed":$nPack,"inc_rows":$nInc,"inc_keep":$nKeepInc,"bloom_rows":$nBloom,"km_cells":$nKmCells,"bm25_rows":$nBm,"tr_terms":$nTrTerms,"tr_mass":$trMass,"lm_rows":$nLm,"hll_exact":$hllExact,"hll_sum":$hllSum,"phash_rows":$nPh,"phash_pairs":$nPhPairs,"media_matches":$nMedMatch,"scene_rows":$nScene,"events":$nEv,"hist_cells":$nHistCells,"scd_rows":$nScd,"retention_rows":$nRet,"tri_edges":$nTriEdges,"triangles":$nTri,"closed_tris":$nClosed,"graph_frozen_closed":$nFrozenClosed,"graph_edges":$nGraphEdges,"g07_rank_nodes":$nRank,"mult":$mult}""")
     spark.stop()
   }
 }

@@ -648,6 +648,14 @@ class Graft(val spark: SparkSession, dir: String) {
     * rule-gate agreement per candidate margin threshold. */
   def gateCalibration: DataFrame = Quality.t24GateCalibration(spark, dir)
 
+  /** Streaming hybrid search: arriving (terms + vector) queries
+    * search both shipped indexes per micro-batch and fuse by RRF. */
+  def streamingHybridSearch(queries: DataFrame, corpus: DataFrame,
+      textName: String, annName: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.HybridStream.searchStream(queries, corpus,
+      textName, annName, outDir, checkpoint)
+
   /** Streaming twin of the t23 classifier: score arriving documents
     * against a frozen vocabulary artifact, per-micro-batch. */
   def streamingClassifier(docStream: DataFrame, vocab: DataFrame,

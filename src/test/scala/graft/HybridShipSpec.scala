@@ -87,6 +87,53 @@ class HybridShipSpec extends SparkSpec {
     }
   }
 
+  test("streaming hybrid: per-batch fused rows equal the batch frozen serving path") {
+    import spark.implicits._
+    val (textName, annName) = ("hybridfr4_text", "hybridfr4_ann")
+    Bm25IndexStore.drop(spark, textName)
+    graft.sources.AnnIndexStore.drop(spark, annName)
+    val base = java.nio.file.Files.createTempDirectory("hybridstream").toString
+    try {
+      // ship both indexes once (the serving precondition)
+      TextAnalysis.hybridFrozen(spark, sf, textName, annName)
+      // the 6 hybrid queries as arriving rows — terms from the shared
+      // query set, dense vector = the t22 rule's corpus embedding
+      val emb = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val qrows = TextAnalysis.Bm25Queries
+        .map { case (qid, ts) => (qid, ts, qid.toLong *
+          TextAnalysis.HybridQueryVecStride) }
+        .toDF("query_id", "terms", "vec_id")
+        .join(emb, "vec_id")
+        .select("query_id", "terms", "vec_id", "label", "embedding")
+      // two slices → two micro-batches
+      qrows.filter($"query_id" % 2 === 0).coalesce(1)
+        .write.parquet(s"$base/in/p=0")
+      qrows.filter($"query_id" % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/in/p=1")
+      val stream = spark.readStream.schema(qrows.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
+      val q = graft.streaming.HybridStream.searchStream(stream,
+        graft.streaming.AnnStream.corpusFrame(spark, sf),
+        textName, annName, s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      val outs = new java.io.File(s"$base/out").listFiles()
+        .filter(_.getName.startsWith("batch="))
+      assert(outs.length == 2, s"one result set per micro-batch: ${outs.length}")
+      val streamed = spark.read.parquet(s"$base/out")
+        .select("query_id", "rank", "doc_id", "rank_bm25", "rank_dense", "rrf")
+        .collect().map(_.toString).sorted.toSeq
+      val want = rows(TextAnalysis.hybridFrozen(spark, sf, textName, annName,
+        ship = false)).sorted
+      assert(want.nonEmpty && streamed == want,
+        s"streamed hybrid != batch frozen serving (${streamed.length} vs ${want.length})")
+    } finally {
+      Bm25IndexStore.drop(spark, textName)
+      graft.sources.AnnIndexStore.drop(spark, annName)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("re-serving reuses the shipped generation: no re-ship on the read path") {
     val (textName, annName) = ("hybridfr3_text", "hybridfr3_ann")
     Bm25IndexStore.drop(spark, textName)
