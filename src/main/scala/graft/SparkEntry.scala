@@ -224,7 +224,8 @@ object SparkEntry {
     "p26_classifier_curation" -> (Pipeline.p26ClassifierCuration _),
     "g07_incremental_pagerank" -> (Graph.g07IncrementalPagerank _),
     "t24_gate_calibration" -> (Quality.t24GateCalibration _),
-    "t25_filtered_hybrid" -> (TextAnalysis.t25FilteredHybrid _)
+    "t25_filtered_hybrid" -> (TextAnalysis.t25FilteredHybrid _),
+    "t26_score_drift" -> (Quality.t26ScoreDrift _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

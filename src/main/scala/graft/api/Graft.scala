@@ -648,6 +648,11 @@ class Graft(val spark: SparkSession, dir: String) {
     * rule-gate agreement per candidate margin threshold. */
   def gateCalibration: DataFrame = Quality.t24GateCalibration(spark, dir)
 
+  /** Classifier score-drift monitor (t26): unseen-token share and
+    * mean-margin drift of derived arrival regimes vs the corpus —
+    * the WHEN-to-recalibrate signal for the frozen gate. */
+  def scoreDrift: DataFrame = Quality.t26ScoreDrift(spark, dir)
+
   /** Streaming hybrid search: arriving (terms + vector) queries
     * search both shipped indexes per micro-batch and fuse by RRF. */
   def streamingHybridSearch(queries: DataFrame, corpus: DataFrame,

@@ -802,6 +802,70 @@ object Quality {
         col("f1"), col("c1"), col("f2"), col("c2"), col("f3"), col("c3"))
   }
 
+  /** t26: CLASSIFIER SCORE DRIFT (round 14 — the monitor lattice
+    * member for the learned gate: qa04 dense / mm12 media / t20
+    * sparse / g05 graph / THIS the classifier): the
+    * WHEN-to-recalibrate signal for a frozen classifier artifact.
+    * Arrivals score through the FROZEN vocabulary+weights exactly as
+    * the serving stream does (unseen terms drop out of the vocab
+    * join — the hashing-trick serving convention), over t20's two
+    * DERIVED arrival regimes (`inject`: %10==8 docs re-uploaded with
+    * ONE novel token prepended, ~2% unseen — below any trigger;
+    * `reverse`: %10==9 docs text-reversed, ~97% unseen — fires any
+    * threshold). Output per regime: doc/token masses, the
+    * unseen-token share (the feature-coverage loss — tokens the
+    * frozen model simply cannot see), the keep share of scored docs,
+    * the mean margin (Σscore/Σscored-tokens, ONE division of exact
+    * integers) and its exact-arithmetic drift vs the corpus baseline
+    * (a difference of two such divisions — the qa04 float
+    * discipline). A deployment reads unseen_share as "retrain the
+    * vocabulary", margin_drift as "recalibrate the threshold".
+    *
+    * Plan: ONE corpus tokenize pass feeds the vocab and the 1-row
+    * baseline (both bounded, cached); each regime is arrival-scaled
+    * tokenize ⋈ vocab — never a corpus re-scan per regime (the t20
+    * shape). */
+  def t26ScoreDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val tokAll = OpCache.cached(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("term")))
+    val v = OpCache.cached(vocab(tokAll))
+    val baseline = classifierScores(tokAll, v)
+      .agg(sum(col("score")).as("c_score"), sum(col("n_tokens")).as("c_tok"))
+      .select((col("c_score").cast("double") / col("c_tok")).as("corpus_margin"))
+    val inject = graft.operators.TextAnalysis.injectArrivals(docs)
+    val reversed = docs.filter(col("doc_id") % 10 === 9)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        reverse(col("text")).as("text"))
+    def regimeRow(arr: DataFrame, regime: String): DataFrame = {
+      val atok = OpCache.cached(arr.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term")))
+      // n_tok_arr − n_tok_scored IS the unseen count (classifier
+      // scoring inner-joins the vocab), so no separate probe join
+      val masses = atok.agg(count(lit(1)).as("n_tok_arr"))
+      val perDoc = classifierScores(atok, v)
+      val nDocs = arr.agg(count(lit(1)).as("n_docs"))
+      perDoc.agg(count(lit(1)).as("n_docs_scored"),
+          coalesce(sum(when(col("keep"), 1L)), lit(0L)).as("n_keep"),
+          sum(col("score")).as("a_score"), sum(col("n_tokens")).as("n_tok_scored"))
+        .crossJoin(broadcast(nDocs))
+        .crossJoin(broadcast(masses))
+        .crossJoin(broadcast(baseline))
+        .select(lit(regime).as("regime"), col("n_docs"), col("n_docs_scored"),
+          col("n_keep"), col("n_tok_arr"), col("n_tok_scored"),
+          ((col("n_tok_arr") - col("n_tok_scored")).cast("double") /
+            col("n_tok_arr")).as("unseen_share"),
+          when(col("n_tok_scored") > 0,
+            col("a_score").cast("double") / col("n_tok_scored")).as("mean_margin"),
+          col("corpus_margin"),
+          when(col("n_tok_scored") > 0,
+            col("a_score").cast("double") / col("n_tok_scored") -
+              col("corpus_margin")).as("margin_drift"))
+    }
+    regimeRow(inject, "inject").unionByName(regimeRow(reversed, "reverse"))
+      .orderBy("regime")
+  }
+
   /** t24's threshold grid in MILLI-margin units (margin = score per
     * token) — generated into both engines (the qa05/s14 sweep rule):
     * the operating points a curation team actually tunes between. */
@@ -857,6 +921,47 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    "t26_score_drift" ->
+      raw"""WITH d AS (SELECT doc_id, text FROM documents),
+         |cd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM cd),
+         |v AS (SELECT term, row_number() OVER (ORDER BY term) AS tid FROM (SELECT DISTINCT term FROM tok) x),
+         |cfeat AS (SELECT doc_id, tid % $ClassifierDim AS f, COUNT(*) AS cnt
+         |          FROM tok JOIN v USING (term) GROUP BY 1, 2),
+         |base AS (SELECT CAST(SUM(cnt * ((1103515245 * (f + 1) + 12345) % 197 - 98)) AS DOUBLE)
+         |           / SUM(cnt) AS corpus_margin FROM cfeat),
+         |arr AS (
+         |  SELECT 'inject' AS regime, doc_id + 1000000 AS doc_id,
+         |         'nv' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+         |  FROM d WHERE doc_id % 10 = 8
+         |  UNION ALL
+         |  SELECT 'reverse' AS regime, doc_id + 2000000 AS doc_id,
+         |         reverse(text) AS text
+         |  FROM d WHERE doc_id % 10 = 9),
+         |atok AS (SELECT regime, doc_id,
+         |    unnest(string_split_regex(trim(text), '\s+')) AS term FROM arr),
+         |am AS (SELECT regime, COUNT(*) AS n_tok_arr FROM atok GROUP BY 1),
+         |an AS (SELECT regime, COUNT(*) AS n_docs FROM arr GROUP BY 1),
+         |afeat AS (SELECT regime, doc_id, tid % $ClassifierDim AS f, COUNT(*) AS cnt
+         |          FROM atok JOIN v USING (term) GROUP BY 1, 2, 3),
+         |acls AS (SELECT regime, doc_id,
+         |           CAST(SUM(cnt * ((1103515245 * (f + 1) + 12345) % 197 - 98)) AS BIGINT) AS score,
+         |           CAST(SUM(cnt) AS BIGINT) AS n_tokens
+         |         FROM afeat GROUP BY 1, 2),
+         |ag AS (SELECT regime, COUNT(*) AS n_docs_scored,
+         |         CAST(COALESCE(SUM(CASE WHEN score >= 0 THEN 1 END), 0) AS BIGINT) AS n_keep,
+         |         CAST(SUM(score) AS BIGINT) AS a_score,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS n_tok_scored
+         |       FROM acls GROUP BY 1)
+         |SELECT ag.regime, n_docs, n_docs_scored, n_keep, n_tok_arr, n_tok_scored,
+         |  CAST(n_tok_arr - n_tok_scored AS DOUBLE) / n_tok_arr AS unseen_share,
+         |  CASE WHEN n_tok_scored > 0 THEN CAST(a_score AS DOUBLE) / n_tok_scored END AS mean_margin,
+         |  corpus_margin,
+         |  CASE WHEN n_tok_scored > 0
+         |    THEN CAST(a_score AS DOUBLE) / n_tok_scored - corpus_margin END AS margin_drift
+         |FROM ag JOIN am USING (regime) JOIN an USING (regime) CROSS JOIN base
+         |ORDER BY ag.regime""".stripMargin,
+
     "t24_gate_calibration" -> {
       val grid = GateThresholdGrid.mkString("(", "), (", ")")
       raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

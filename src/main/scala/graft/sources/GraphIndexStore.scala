@@ -95,7 +95,12 @@ object GraphIndexStore {
     * become part of the corpus every later probe closes against.
     * Arrivals must be canonical and not already present (the caller
     * anti-joins — [[graft.operators.Graph.g04IncrementalTriangles]]'s
-    * own increment discipline). O(arrivals); never a corpus pass. */
+    * own increment discipline). O(arrivals); never a corpus pass.
+    * WEIGHTED families: an appended (x, y) the corpus already holds
+    * is legal and ADDITIVE — batch rows carry their own weights and
+    * weighted readers aggregate per (x, y) across batches (the g07
+    * merge, [[graft.operators.Graph.mergedWeights]]); a
+    * [[refreezeIfStale]] later collapses them physically. */
   def append(newEdges: DataFrame, name: String): Unit = {
     val spark = newEdges.sparkSession
     def bucketsOf(t: String): Int = spark.sessionState.catalog
@@ -153,7 +158,20 @@ object GraphIndexStore {
     val nUnseen = if (t.isNullAt(1)) 0L else t.getLong(1)
     val bp = math.round(maxUnseenShare * 10000)
     if (nEnd == 0L || nUnseen * 10000 <= bp * nEnd) None
-    else {
+    else if (corp.columns.contains("w")) {
+      // weighted family (the g07 store): arrival edges MERGE —
+      // weights on shared (x, y) pairs ADD (the g07 disjoint-slice
+      // rule), so the anti-join absorb below would be wrong here
+      // (it drops the weight an already-known edge gained). Arrivals
+      // must carry their own weights.
+      require(arrivals.columns.contains("w"),
+        s"frozen edge family $name is weighted — arrivals need a w column")
+      Some(freeze(
+        corp.select(col("x"), col("y"), col("w"))
+          .unionByName(arrivals.select(col("x"), col("y"), col("w")))
+          .groupBy("x", "y").agg(sum(col("w")).as("w")),
+        name, buckets, retain))
+    } else {
       val fresh = arrivals.select("x", "y")
         .join(corp, Seq("x", "y"), "left_anti")
       Some(freeze(corp.unionByName(fresh), name, buckets, retain))

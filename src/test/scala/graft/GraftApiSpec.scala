@@ -553,6 +553,18 @@ class GraftApiSpec extends SparkSpec {
       s"keep mass must be monotone non-increasing in θ: $keeps")
     assert(cal.forall(r => r.getAs[Double]("agree_share") >= 0.0 &&
       r.getAs[Double]("agree_share") <= 1.0))
+    // score-drift monitor: the derived regimes bracket any trigger —
+    // inject stays under 5% unseen, reverse fires past 90%
+    val sd = g.scoreDrift.collect().map(r =>
+      r.getAs[String]("regime") -> r).toMap
+    assert(sd.keySet == Set("inject", "reverse"))
+    assert(sd("inject").getAs[Double]("unseen_share") < 0.05,
+      "inject must read as benign fresh content")
+    assert(sd("reverse").getAs[Double]("unseen_share") > 0.9,
+      "reverse must read as a distribution shift")
+    assert(math.abs(sd("inject").getAs[Double]("margin_drift")) <
+      math.abs(sd("reverse").getAs[Double]("margin_drift")),
+      "the shifted regime must drift further than the benign one")
     // classifier-gated curation: a subset of the rule-based curation,
     // every survivor classifier-positive
     val cur = g.classifierCuration.collect()

@@ -220,6 +220,35 @@ class GraphShipSpec extends SparkSpec {
     } finally GraphIndexStore.drop(spark, name)
   }
 
+  test("weighted drift → refreeze MERGES weights (shared pairs add, novel pairs land)") {
+    val name = "graphfrw2"
+    GraphIndexStore.drop(spark, name)
+    try {
+      GraphIndexStore.freeze(spark.createDataFrame(Seq(
+        (1L, 2L, 3L), (2L, 3L, 5L))).toDF("x", "y", "w"), name, buckets = 2)
+      // arrivals: a known pair gaining weight + two novel-node edges
+      // (4/6 endpoints unseen → trips the 20% gate)
+      val arr = spark.createDataFrame(Seq(
+        (1L, 2L, 4L), (10L, 11L, 1L), (11L, 12L, 2L))).toDF("x", "y", "w")
+      val fired = GraphIndexStore.refreezeIfStale(spark, arr, name,
+        maxUnseenShare = 0.2)
+      assert(fired.contains(2L), s"novel nodes must trigger gen 2: $fired")
+      val got = rows(GraphIndexStore.edges(spark, name))
+      // 1-2 MERGED to 3+4=7 (the additive rule — the unweighted
+      // anti-join absorb would have dropped the gained weight)
+      assert(got == rows(spark.createDataFrame(Seq(
+        (1L, 2L, 7L), (2L, 3L, 5L), (10L, 11L, 1L), (11L, 12L, 2L)))
+        .toDF("x", "y", "w")),
+        s"weighted refreeze must merge, not anti-join: $got")
+      // weightless arrivals against a weighted family fail LOUDLY
+      val thrown = intercept[IllegalArgumentException] {
+        GraphIndexStore.refreezeIfStale(spark,
+          edgesDf(Seq(20L -> 21L, 21L -> 22L)), name, maxUnseenShare = 0.2)
+      }
+      assert(thrown.getMessage.contains("weighted"))
+    } finally GraphIndexStore.drop(spark, name)
+  }
+
   test("g07 re-rank equals the storeless twin; merge adds weights on shared pairs") {
     val name = "g07_frozen" // the key's own family name — exercise it
     GraphIndexStore.drop(spark, name)
