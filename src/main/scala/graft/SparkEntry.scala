@@ -225,7 +225,8 @@ object SparkEntry {
     "g07_incremental_pagerank" -> (Graph.g07IncrementalPagerank _),
     "t24_gate_calibration" -> (Quality.t24GateCalibration _),
     "t25_filtered_hybrid" -> (TextAnalysis.t25FilteredHybrid _),
-    "t26_score_drift" -> (Quality.t26ScoreDrift _)
+    "t26_score_drift" -> (Quality.t26ScoreDrift _),
+    "t27_train_classifier" -> (Quality.t27TrainClassifier _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -648,6 +648,11 @@ class Graft(val spark: SparkSession, dir: String) {
     * rule-gate agreement per candidate margin threshold. */
   def gateCalibration: DataFrame = Quality.t24GateCalibration(spark, dir)
 
+  /** In-engine classifier training (t27): pocket batch perceptron
+    * over the hashed-feature space — the training curve and the
+    * pocket-flagged weight artifact, all exact integers. */
+  def trainClassifier: DataFrame = Quality.t27TrainClassifier(spark, dir)
+
   /** Classifier score-drift monitor (t26): unseen-token share and
     * mean-margin drift of derived arrival regimes vs the corpus —
     * the WHEN-to-recalibrate signal for the frozen gate. */

@@ -866,6 +866,86 @@ object Quality {
       .orderBy("regime")
   }
 
+  /** t27's epoch count — generated into both engines' unrolled
+    * update chains (the t19/g03 iteration rule). */
+  private[graft] val PerceptronEpochs = 8
+
+  /** t27: TRAIN THE QUALITY CLASSIFIER IN-ENGINE (round 14 — the
+    * missing FIRST step of the gate's lifecycle, now closed
+    * end-to-end: t27 TRAIN -> t24 calibrate -> t23 serve ->
+    * stream_classifier stream -> t26 monitor): a POCKET batch
+    * perceptron over the hashed-feature space, with EVERY step in
+    * exact integer arithmetic so the whole training run is
+    * DuckDB-replayable. Features are length-NORMALIZED exact
+    * integers x = (cnt·1e6) div n_tokens (the raw counts carry a
+    * document-length confound that swamps any per-bucket signal —
+    * measured: un-normalized batch updates limit-cycle at the
+    * majority-class floor); the target is the stop-density rule
+    * nstop·12 >= n_tokens (+1 natural-prose-like / −1 — an integer
+    * cross-multiply, genuinely linearly expressible over the buckets
+    * the 7 stopwords hash into, yet noisy through hash collisions —
+    * a REAL learning problem, not a tautology). Per unrolled epoch e
+    * (sign(0)=+1, rate 1): evaluate n_err under w_{e−1}, then add
+    * Σ_err y·x per feature — and because batch perceptron OSCILLATES
+    * by nature (measured: epoch errors cycle 123→24→83→…), the
+    * POCKET rule marks the best evaluated epoch (min n_err, earliest
+    * tie) — the artifact a deployment freezes into t23's weight
+    * slot. Output grain (epoch, f): the weights EVALUATED in that
+    * epoch, its exact error count, and the pocket flag — the
+    * training curve and the final artifact in one frame.
+    *
+    * Plan: the (doc, feature) frame and the label frame build once
+    * (cached); each epoch is a broadcast of the 64-row weight vector
+    * + two hash aggregates — the g03/t19 iterative-join class. The
+    * weight state is CONTROL-scaled (64 rows) and referenced twice
+    * per epoch (scoring + update), so it is literal-materialized per
+    * epoch — the p25 exponential-lineage rule. */
+  def t27TrainClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val d = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val stopArr = array(graft.operators.TextAnalysis.Stopwords.map(lit): _*)
+    val meta = d.select(col("doc_id"), size(col("t")).cast("long").as("nt"),
+      size(filter(col("t"), x => array_contains(stopArr, x)))
+        .cast("long").as("nstop"))
+    val tok = d.select(col("doc_id"), explode(col("t")).as("term"))
+    // length-normalized exact-integer features
+    val feat = OpCache.cached(tok.join(vocab(tok), "term")
+      .groupBy(col("doc_id"), (col("tid") % ClassifierDim).as("f"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(meta.select("doc_id", "nt"), "doc_id")
+      .select(col("doc_id"), col("f"),
+        expr("(cnt * 1000000) div nt").as("x")))
+    // the stop-density target: an exact integer cross-multiply
+    val y = OpCache.cached(meta.select(col("doc_id"),
+      when(col("nstop") * 12 >= col("nt"), 1L).otherwise(-1L).as("y")))
+    var w: Seq[(Long, Long)] = (0L until ClassifierDim).map(f => (f, 0L))
+    val epochs = (1 to PerceptronEpochs).map { e =>
+      val wEval = w
+      val wDf = wEval.toDF("f", "w")
+      val scored = feat.join(broadcast(wDf), "f")
+        .groupBy("doc_id").agg(sum(col("x") * col("w")).as("s"))
+      val errs = scored.join(y, "doc_id")
+        .filter((col("y") === 1L && col("s") < 0) ||
+          (col("y") === -1L && col("s") >= 0))
+        .select("doc_id", "y")
+      // ≤64-row update + a 1-row error count — bounded control state,
+      // collected per epoch (the p25 literal-reset rule)
+      val upd = feat.join(errs, "doc_id")
+        .groupBy("f").agg(sum(col("y") * col("x")).as("dd"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val errCount = errs.count()
+      w = w.map { case (f, wv) => (f, wv + upd.getOrElse(f, 0L)) }
+      (e, wEval, errCount)
+    }
+    val pocketEpoch = epochs.minBy { case (e, _, n) => (n, e) }._1
+    epochs.map { case (e, wE, nErr) =>
+      wE.map { case (f, wv) =>
+        (e.toLong, f, wv, nErr, e == pocketEpoch) }
+        .toDF("epoch", "f", "w", "n_err", "is_pocket")
+    }.reduce(_ unionByName _).orderBy("epoch", "f")
+  }
+
   /** t24's threshold grid in MILLI-margin units (margin = score per
     * token) — generated into both engines (the qa05/s14 sweep rule):
     * the operating points a curation team actually tunes between. */
@@ -921,6 +1001,53 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    "t27_train_classifier" -> {
+      // every chain CTE is AS MATERIALIZED: each w_e is referenced by
+      // THREE later CTEs (s_{e+1}, w_{e+1}, its epoch row), and
+      // DuckDB's default inlining re-evaluates the whole prefix per
+      // reference — the un-materialized 8-epoch chain ran for
+      // minutes; materialized it reads in ~0.6s (measured)
+      val epochCtes = (1 to PerceptronEpochs).map { e =>
+        s"""s$e AS MATERIALIZED (SELECT feat27.doc_id, CAST(SUM(x * w) AS BIGINT) AS s
+           |  FROM feat27 JOIN w${e - 1} USING (f) GROUP BY 1),
+           |er$e AS MATERIALIZED (SELECT s$e.doc_id, y FROM s$e JOIN lab27 USING (doc_id)
+           |  WHERE (y = 1 AND s < 0) OR (y = -1 AND s >= 0)),
+           |u$e AS MATERIALIZED (SELECT f, CAST(SUM(y * x) AS BIGINT) AS dd
+           |  FROM feat27 JOIN er$e USING (doc_id) GROUP BY 1),
+           |w$e AS MATERIALIZED (SELECT f, w + COALESCE(dd, 0) AS w FROM w${e - 1} LEFT JOIN u$e USING (f)),
+           |n$e AS MATERIALIZED (SELECT COUNT(*) AS n_err FROM er$e)""".stripMargin
+      }.mkString(",\n")
+      // epoch e reports the weights it EVALUATED (w_{e-1}) beside its
+      // error count — matching the pocket semantics
+      val epochRows = (1 to PerceptronEpochs).map { e =>
+        s"SELECT CAST($e AS BIGINT) AS epoch, f, w, n_err FROM w${e - 1} CROSS JOIN n$e"
+      }.mkString("\n|UNION ALL\n|")
+      raw"""WITH dq27 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |meta27 AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+        |  CAST(len(list_filter(t, q -> list_contains(['the','a','of','and','to','in','is'], q))) AS BIGINT) AS nstop
+        |  FROM dq27),
+        |lab27 AS MATERIALIZED (SELECT doc_id,
+        |  CASE WHEN nstop * 12 >= nt THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+        |  FROM meta27),
+        |tok27 AS (SELECT doc_id, unnest(t) AS term FROM dq27),
+        |v27 AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
+        |  FROM (SELECT DISTINCT term FROM tok27) x),
+        |feat27 AS MATERIALIZED (SELECT f0.doc_id, f, (cnt * 1000000) // nt AS x FROM
+        |  (SELECT doc_id, tid % $ClassifierDim AS f, COUNT(*) AS cnt
+        |   FROM tok27 JOIN v27 USING (term) GROUP BY 1, 2) f0
+        |  JOIN meta27 ON meta27.doc_id = f0.doc_id),
+        |w0 AS (SELECT CAST(unnest(generate_series(0, ${ClassifierDim - 1})) AS BIGINT) AS f,
+        |  CAST(0 AS BIGINT) AS w),
+        |$epochCtes,
+        |rows27 AS MATERIALIZED (
+        |$epochRows),
+        |m27 AS (SELECT MIN(n_err) AS me FROM (SELECT DISTINCT epoch, n_err FROM rows27) z),
+        |p27 AS (SELECT MIN(epoch) AS pe FROM rows27, m27 WHERE n_err = me)
+        |SELECT epoch, f, w, n_err, epoch = pe AS is_pocket
+        |FROM rows27 CROSS JOIN p27
+        |ORDER BY epoch, f""".stripMargin
+    },
+
     "t26_score_drift" ->
       raw"""WITH d AS (SELECT doc_id, text FROM documents),
          |cd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),

@@ -553,6 +553,23 @@ class GraftApiSpec extends SparkSpec {
       s"keep mass must be monotone non-increasing in θ: $keeps")
     assert(cal.forall(r => r.getAs[Double]("agree_share") >= 0.0 &&
       r.getAs[Double]("agree_share") <= 1.0))
+    // in-engine training: exactly one pocket epoch, and it carries
+    // the minimum error count of the curve; epoch 1 evaluates the
+    // all-zero weights (sign(0)=+1 ⇒ errors = the negative class)
+    val tr = g.trainClassifier.collect()
+    assert(tr.length == 8 * 64, s"8 epochs x 64 features: ${tr.length}")
+    val byEpoch = tr.groupBy(_.getAs[Long]("epoch"))
+      .map { case (e, rs) => e -> (rs.head.getAs[Long]("n_err"),
+        rs.head.getAs[Boolean]("is_pocket")) }
+    val minErr = byEpoch.values.map(_._1).min
+    val pockets = byEpoch.filter(_._2._2)
+    assert(pockets.size == 1 && pockets.head._2._1 == minErr,
+      s"exactly one pocket epoch at the curve minimum: $byEpoch")
+    assert(byEpoch(1L)._1 > minErr,
+      "training must improve on the all-zero start")
+    assert(tr.filter(_.getAs[Long]("epoch") == 1L)
+      .forall(_.getAs[Long]("w") == 0L),
+      "epoch 1 reports the evaluated (all-zero) weights")
     // score-drift monitor: the derived regimes bracket any trigger —
     // inject stays under 5% unseen, reverse fires past 90%
     val sd = g.scoreDrift.collect().map(r =>
