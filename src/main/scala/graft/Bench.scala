@@ -204,96 +204,13 @@ object Bench {
               .filter(org.apache.spark.sql.functions.col("doc_id") % 8 >= 6)),
           "bench_media")))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
-
-    // JVM/codegen warm-up outside the timed region — DEDICATED
-    // queries spanning the machinery classes (scan-agg, join, window,
-    // text explode), not just q01 (VERDICT r12 #2: q01 doubled as
-    // warm-up and first timed entry, so its timed passes kept
-    // absorbing residual whole-JVM compilation and flagging starved)
-    Seq("q01_pricing_summary", "q03_join_revenue", "q07_window_running",
-        "t01_token_stats")
-      .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
-    graft.operators.OpCache.release(spark)
-    spark.catalog.clearCache()
-
-    // contention sentinel: the box's 1-min load average at each pass
-    // (VERDICT r4 #3 — BENCH_r04 recorded a 2.08s d02 median that an
-    // idle-box re-run read as 0.78s; per-pass loads make a contended
-    // median machine-distinguishable from a plan regression)
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    def loadNow(): Double = osBean.getSystemLoadAverage
-    // process-CPU time is the contention signal loadavg can't fake
-    // (VERDICT r6 #1: this container reports the HOST's loadavg, so
-    // the load sentinel sat under threshold while the host stole
-    // ~3.8× of s13's wall time): when the host steals cores, the
-    // CPU-seconds THIS process gets per wall-second drops, and that
-    // ratio is measured from inside the process
-    val sunBean = osBean match {
-      case b: com.sun.management.OperatingSystemMXBean => Some(b)
-      case _ => None
-    }
-    def procCpuNs(): Long = sunBean.map(_.getProcessCpuTime).getOrElse(-1L)
-
-    // act on the sentinel, not just record it (VERDICT r5 #2: two
-    // rounds running, the official artifact's medians were contended
-    // outliers): before each timed pass, wait — bounded — for the
-    // 1-min load to drop below the threshold; a pass that still
-    // starts hot is marked so the MEDIAN can be flagged `contended`
-    // and round-over-round comparisons skip it instead of reading a
-    // loaded box as a plan regression. The threshold is external load
-    // ON TOP of our own just-finished passes' contribution to the
-    // 1-min average, so it is deliberately not tight.
-    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "3.0").toDouble
-    // TOTAL wait budget across the whole run (0 disables waiting): a
-    // per-pass budget on a genuinely-contended box would stretch an
-    // 18-query × 4-pass run by an hour; a shared budget fixes the
-    // common case (residual load from whatever ran just before the
-    // bench) and degrades to flagged-but-untimed-waits past it
-    var waitBudgetNs =
-      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "300").toLong * 1000000000L
-    def awaitIdle(): Double = {
-      var ld = loadNow()
-      while (ld > loadMax && waitBudgetNs > 0) {
-        Thread.sleep(5000)
-        waitBudgetNs -= 5000000000L
-        ld = loadNow()
-      }
-      ld
-    }
-
-    // per pass: (wall sec, max(load at start, load at end), cpu frac)
-    // — the end-of-pass load sample closes ADVICE r6's mid-pass blind
-    // spot (start-only sampling let a pass that became contended
-    // mid-run supply an unflagged median); cpuFrac = process CPU
-    // seconds per wall second, comparable ACROSS passes of the same
-    // query (the work is identical, so a starved pass shows a lower
-    // fraction)
-    def timeOnce(name: String): Option[(Double, Double, Double)] = {
-      val fn = benchOnly.getOrElse(name, SparkEntry.queries(name))
-      val ld0 = awaitIdle()
-      val cpu0 = procCpuNs()
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        val wallNs = System.nanoTime() - t0
-        val ld = math.max(ld0, loadNow())
-        val cpuFrac =
-          if (cpu0 < 0) -1.0 else (procCpuNs() - cpu0).toDouble / wallNs
-        Some((wallNs / 1e9, ld, cpuFrac))
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-      }
-    }
-    // m-queries share the synthesized maillog corpus; materialize it
-    // outside the timed region so the bench measures the operator,
-    // not the fixture generator
-    def prepare(name: String): Unit = {
+  /** Land the UNTIMED fixture an entry reads — shared by the bench
+    * sweep/retries AND [[Explain]] (ADVICE round 14: Explain carried
+    * a verbatim copy of two of these blocks and silently lacked the
+    * other four, so it either drifted from the benched fixture
+    * recipe or threw on the uncovered entries). */
+  def prepareFixture(spark: org.apache.spark.sql.SparkSession,
+                     sfDir: String, name: String): Unit = {
       // every maillog BATCH query (m01..m13) shares the synthesized
       // corpus; NOT the mm* multimodal queries, NOT the daemon run
       // (which reads its own spool)
@@ -383,6 +300,97 @@ object Bench {
         System.err.println(s"[bench] mm11_frozen_match: $n arriving images")
       }
     }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
+
+    // JVM/codegen warm-up outside the timed region — DEDICATED
+    // queries spanning the machinery classes (scan-agg, join, window,
+    // text explode), not just q01 (VERDICT r12 #2: q01 doubled as
+    // warm-up and first timed entry, so its timed passes kept
+    // absorbing residual whole-JVM compilation and flagging starved)
+    Seq("q01_pricing_summary", "q03_join_revenue", "q07_window_running",
+        "t01_token_stats")
+      .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+    graft.operators.OpCache.release(spark)
+    spark.catalog.clearCache()
+
+    // contention sentinel: the box's 1-min load average at each pass
+    // (VERDICT r4 #3 — BENCH_r04 recorded a 2.08s d02 median that an
+    // idle-box re-run read as 0.78s; per-pass loads make a contended
+    // median machine-distinguishable from a plan regression)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadNow(): Double = osBean.getSystemLoadAverage
+    // process-CPU time is the contention signal loadavg can't fake
+    // (VERDICT r6 #1: this container reports the HOST's loadavg, so
+    // the load sentinel sat under threshold while the host stole
+    // ~3.8× of s13's wall time): when the host steals cores, the
+    // CPU-seconds THIS process gets per wall-second drops, and that
+    // ratio is measured from inside the process
+    val sunBean = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def procCpuNs(): Long = sunBean.map(_.getProcessCpuTime).getOrElse(-1L)
+
+    // act on the sentinel, not just record it (VERDICT r5 #2: two
+    // rounds running, the official artifact's medians were contended
+    // outliers): before each timed pass, wait — bounded — for the
+    // 1-min load to drop below the threshold; a pass that still
+    // starts hot is marked so the MEDIAN can be flagged `contended`
+    // and round-over-round comparisons skip it instead of reading a
+    // loaded box as a plan regression. The threshold is external load
+    // ON TOP of our own just-finished passes' contribution to the
+    // 1-min average, so it is deliberately not tight.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "3.0").toDouble
+    // TOTAL wait budget across the whole run (0 disables waiting): a
+    // per-pass budget on a genuinely-contended box would stretch an
+    // 18-query × 4-pass run by an hour; a shared budget fixes the
+    // common case (residual load from whatever ran just before the
+    // bench) and degrades to flagged-but-untimed-waits past it
+    var waitBudgetNs =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "300").toLong * 1000000000L
+    def awaitIdle(): Double = {
+      var ld = loadNow()
+      while (ld > loadMax && waitBudgetNs > 0) {
+        Thread.sleep(5000)
+        waitBudgetNs -= 5000000000L
+        ld = loadNow()
+      }
+      ld
+    }
+
+    // per pass: (wall sec, max(load at start, load at end), cpu frac)
+    // — the end-of-pass load sample closes ADVICE r6's mid-pass blind
+    // spot (start-only sampling let a pass that became contended
+    // mid-run supply an unflagged median); cpuFrac = process CPU
+    // seconds per wall second, comparable ACROSS passes of the same
+    // query (the work is identical, so a starved pass shows a lower
+    // fraction)
+    def timeOnce(name: String): Option[(Double, Double, Double)] = {
+      val fn = benchOnly.getOrElse(name, SparkEntry.queries(name))
+      val ld0 = awaitIdle()
+      val cpu0 = procCpuNs()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val wallNs = System.nanoTime() - t0
+        val ld = math.max(ld0, loadNow())
+        val cpuFrac =
+          if (cpu0 < 0) -1.0 else (procCpuNs() - cpu0).toDouble / wallNs
+        Some((wallNs / 1e9, ld, cpuFrac))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+      }
+    }
+    // m-queries share the synthesized maillog corpus; materialize it
+    // outside the timed region so the bench measures the operator,
+    // not the fixture generator
+    def prepare(name: String): Unit = Bench.prepareFixture(spark, sfDir, name)
     // median of 3 timed passes after one warm pass (±30% run-to-run
     // variance on this box makes single timings meaningless). A
     // failing query reports -1 (and stderr), never a fake time.
@@ -546,8 +554,14 @@ object Bench {
     // q45 even after deviation ordering, because ordering can't help
     // an empty pool. Topping the budget back up to the reserve keeps
     // sweep waits bounded while guaranteeing the heal pass runs.
-    val retryReserveNs =
-      sys.env.getOrElse("SPARK_GRAFT_RETRY_WAIT_SEC", "120").toLong * 1000000000L
+    // SPARK_GRAFT_LOAD_WAIT_SEC=0 still means "never wait, never
+    // re-measure" unless the retry reserve is set EXPLICITLY — the
+    // floor must not override the documented raw-run knob.
+    val retryReserveNs = sys.env.get("SPARK_GRAFT_RETRY_WAIT_SEC")
+      .map(_.toLong)
+      .getOrElse(
+        if (sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").contains("0")) 0L
+        else 120L) * 1000000000L
     waitBudgetNs = math.max(waitBudgetNs, retryReserveNs)
     val byName = scala.collection.mutable.LinkedHashMap[
       String, (Attempt, Seq[(Double, Double, Double)], Option[Double])]()

@@ -11,21 +11,10 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n===== $name =====")
-      // frozen read-path entries (bench-only) need their fixture
-      // shipped first — same fixtures Bench.prepare lands, untimed
-      if (name == "t22_hybrid_frozen") {
-        graft.sources.Bm25IndexStore.drop(spark, "bench_hybrid_text")
-        graft.sources.Bm25IndexStore.freeze(
-          graft.operators.TextAnalysis.docChunkFrame(spark, sfDir),
-          "bench_hybrid_text")
-        graft.operators.Similarity.shipIvfpqIndex(spark, sfDir, "bench_hybrid_ann")
-      }
-      if (name == "g07_rerank_phase") {
-        graft.sources.GraphIndexStore.drop(spark, "bench_graph_w")
-        graft.sources.GraphIndexStore.freeze(
-          graft.operators.Graph.corpusWeightedEdges(spark, sfDir),
-          "bench_graph_w")
-      }
+      // land the entry's fixture first — THE bench recipe, shared
+      // (Explain used to carry a drifting copy of two of the blocks
+      // and threw on the other fixture-dependent entries)
+      Bench.prepareFixture(spark, sfDir, name)
       Bench.benchOnly.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
         .explain("formatted")
     }

@@ -24,6 +24,9 @@ object HybridLatency {
 
   def main(args: Array[String]): Unit = {
     val waves = args.headOption.map(_.toInt).getOrElse(8)
+    require(waves >= 1,
+      "need at least one timed wave beyond the cold wave 0 — the " +
+        "quantiles are over the steady-state waves only")
     val trigSec = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt

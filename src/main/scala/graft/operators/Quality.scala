@@ -925,16 +925,20 @@ object Quality {
       val wDf = wEval.toDF("f", "w")
       val scored = feat.join(broadcast(wDf), "f")
         .groupBy("doc_id").agg(sum(col("x") * col("w")).as("s"))
+      // persisted: the error frame feeds TWO actions (the update
+      // collect and the count) — uncached, each re-runs the epoch's
+      // scoring join, doubling every epoch's corpus pass
       val errs = scored.join(y, "doc_id")
         .filter((col("y") === 1L && col("s") < 0) ||
           (col("y") === -1L && col("s") >= 0))
-        .select("doc_id", "y")
+        .select("doc_id", "y").persist()
       // ≤64-row update + a 1-row error count — bounded control state,
       // collected per epoch (the p25 literal-reset rule)
       val upd = feat.join(errs, "doc_id")
         .groupBy("f").agg(sum(col("y") * col("x")).as("dd"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val errCount = errs.count()
+      errs.unpersist()
       w = w.map { case (f, wv) => (f, wv + upd.getOrElse(f, 0L)) }
       (e, wEval, errCount)
     }

@@ -110,17 +110,25 @@ object FreezeLease {
           Files.deleteIfExists(tmp)
         else
           // not ours: we were broken and captured the NEW holder's
-          // file — restore it with CREATE-NEW semantics (ADVICE r13:
-          // the old ATOMIC_MOVE put-back is a POSIX rename, which
-          // silently REPLACES a third acquirer's freshly created
-          // lease — two holders could then each pass a checkOwned
-          // taken on opposite sides of the put-back). A plain move
-          // fails on an occupied target; if a third acquirer landed
-          // in the gap, we delete NOTHING — the capture stays behind
-          // as a logged tombstone and the broken second holder
-          // surfaces at its next heartbeat/checkOwned, loudly.
-          try Files.move(tmp, path)
-          catch {
+          // file — restore it with TRUE create-exclusive semantics
+          // (ADVICE r13, tightened round 14: the first fix used a
+          // plain Files.move, but the Unix provider implements a
+          // no-REPLACE move as an existence check followed by
+          // rename(2) — a TOCTOU window where a third acquirer's
+          // file created between the check and the rename is still
+          // silently replaced. An O_EXCL CREATE_NEW write of the
+          // captured bytes is atomic at the filesystem level: it
+          // either restores the foreign token or fails because a
+          // third acquirer occupies the path — in which case we
+          // delete NOTHING; the capture stays behind as a logged
+          // tombstone and the broken second holder surfaces at its
+          // next heartbeat/checkOwned, loudly.)
+          try {
+            Files.write(path, Files.readAllBytes(tmp),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            Files.deleteIfExists(tmp)
+          } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               System.err.println(
                 s"[freeze-lease] release by $holder captured a foreign " +

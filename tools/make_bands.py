@@ -46,13 +46,20 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "bench_bands.json"))
     args = ap.parse_args()
 
-    rounds = sorted(
-        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
-        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    use = rounds[-args.rounds:]
+    # keep (round, path) PAIRS from the glob — re-deriving a
+    # zero-padded filename from the round number breaks on unpadded
+    # or otherwise-named artifacts the glob legitimately matched, and
+    # a glob hit the regex rejects (e.g. BENCH_rerun.json) must be
+    # skipped, not crash the comprehension
+    hits = []
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            hits.append((int(m.group(1)), path))
+    use = sorted(hits)[-args.rounds:]
     bands, sf, used = {}, None, []
-    for r in use:
-        with open(os.path.join(REPO, f"BENCH_r{r:02d}.json")) as fh:
+    for r, path in use:
+        with open(path) as fh:
             d = json.load(fh)
         f = final_line(d.get("tail") or "")
         if f is None:
