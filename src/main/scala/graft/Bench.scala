@@ -554,14 +554,16 @@ object Bench {
     // q45 even after deviation ordering, because ordering can't help
     // an empty pool. Topping the budget back up to the reserve keeps
     // sweep waits bounded while guaranteeing the heal pass runs.
-    // SPARK_GRAFT_LOAD_WAIT_SEC=0 still means "never wait, never
-    // re-measure" unless the retry reserve is set EXPLICITLY — the
-    // floor must not override the documented raw-run knob.
+    // An EXPLICIT SPARK_GRAFT_LOAD_WAIT_SEC is honored as the retry
+    // floor too (ADVICE r14: the old floor only honored the literal
+    // "0", so a user capping total waits at e.g. 30s still got up to
+    // 120s of retry waiting); the 120s default applies only when
+    // neither knob is set. SPARK_GRAFT_RETRY_WAIT_SEC still overrides
+    // both when set explicitly.
     val retryReserveNs = sys.env.get("SPARK_GRAFT_RETRY_WAIT_SEC")
+      .orElse(sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC"))
       .map(_.toLong)
-      .getOrElse(
-        if (sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").contains("0")) 0L
-        else 120L) * 1000000000L
+      .getOrElse(120L) * 1000000000L
     waitBudgetNs = math.max(waitBudgetNs, retryReserveNs)
     val byName = scala.collection.mutable.LinkedHashMap[
       String, (Attempt, Seq[(Double, Double, Double)], Option[Double])]()

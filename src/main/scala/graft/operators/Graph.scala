@@ -426,7 +426,15 @@ object Graph {
     val frozen = OpCache.cached(
       graft.sources.GraphIndexStore.edges(spark, name))
     val rNew = pagerankFrom(mergedWeights(spark, dir, frozen))
-    val rOld = pagerankFrom(frozen)
+    // (x, y)-aggregate before ranking (ADVICE r14): the store's
+    // append contract allows weighted multi-batch families where
+    // duplicate (x, y) rows must SUM — and split weights change the
+    // integer-division rank chain (a//c + b//c != (a+b)//c). The
+    // freeze above is single-batch today, so the aggregate is an
+    // identity there, but the reader now honors the documented
+    // weighted-reader rule for any accumulated family.
+    val rOld = pagerankFrom(
+      frozen.groupBy("x", "y").agg(sum(col("w")).as("w")))
       .select(col("part"), col("rank_micro").as("rank_frozen"))
     rNew.join(rOld, Seq("part"), "left")
       .select(col("part"), col("n_nbrs"), col("wt"),
@@ -458,6 +466,74 @@ object Graph {
       .groupBy("x", "y").agg(sum(col("w")).as("w")))
   }
 
+  /** g08's edge screen: a pair must share ≥ this many orders to be a
+    * community edge (weight-1 pairs are co-purchase noise — the g02
+    * n_xy ≥ 2 rule; one constant, two engines). */
+  private[graft] val CommunityMinWeight = 2L
+
+  /** g08: COMMUNITIES over the weighted co-purchase graph (VERDICT
+    * r14 #2 — the graph family counts triangles and ranks nodes but
+    * never PARTITIONS the graph): connected components of the
+    * weight-≥2 subgraph (genuinely co-bought pairs, g02's screen),
+    * each community reported with exact counting outputs — size,
+    * internal edge count, edge mass (Σw), brand diversity and the
+    * dominant brand (argmax by part count, smallest brand on ties —
+    * one min(struct) agg, no window over the corpus). The community
+    * id is the component's minimum part key — deterministic in any
+    * engine, so the whole frame is oracle-checkable (DuckDB re-labels
+    * via a recursive min-reachable CTE).
+    *
+    * Plan shape (100 TB): the edge build is the per-order-bounded
+    * pair fan-out + one (x, y) hash agg ([[weightedPairs]]); labels
+    * come from [[Components.starContraction]] — O(log n) alternating
+    * contraction rounds REGARDLESS of component diameter (the
+    * Kiveris SoCC'14 algorithm the dedup family already runs), each
+    * round two equi-join + groupBy passes over the (sparse,
+    * weight-screened) edge set, only a per-round Boolean on the
+    * driver. Everything after labeling is node-scaled: two hash
+    * aggregates + one hint-free part-dimension join. The oracle's
+    * transitive-closure recursion is the TEST-GATE shape only — the
+    * engine side never materializes reachability. */
+  def g08Communities(spark: SparkSession, dir: String): DataFrame =
+    communitiesFrom(
+      weightedPairs(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")))
+        .filter(col("w") >= CommunityMinWeight),
+      Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+
+  /** g08's core over any canonical weighted edge frame (x, y, w) and
+    * a (p_partkey, p_brand) dimension — ComponentsSpec drives it with
+    * constructed graphs and pins the disjoint-replica invariant
+    * (communities of 10 disjoint offset copies = 10× the rows, labels
+    * shifted). */
+  private[graft] def communitiesFrom(edges: DataFrame,
+                                     parts: DataFrame): DataFrame = {
+    val e = OpCache.cached(edges)
+    val labels = OpCache.cached(Components.starContraction(
+      e.select(col("x").as("doc_a"), col("y").as("doc_b"))))
+    // every edge's endpoints share a component, so ONE endpoint join
+    // labels the edge
+    val em = e.join(labels.select(col("node").as("x"),
+        col("label").as("community")), "x")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("edge_mass"))
+    val pb = labels
+      .join(parts.select(col("p_partkey").as("node"), col("p_brand")), "node")
+      .groupBy(col("label").as("community"), col("p_brand"))
+      .agg(count(lit(1)).as("n_b"))
+    val brands = pb.groupBy("community")
+      .agg(sum(col("n_b")).as("n_parts"), count(lit(1)).as("n_brands"),
+        min(struct((lit(0L) - col("n_b")).as("nc"), col("p_brand").as("b")))
+          .as("m"))
+      .select(col("community"), col("n_parts"), col("n_brands"),
+        col("m.b").as("top_brand"), (lit(0L) - col("m.nc")).as("top_brand_parts"))
+    brands.join(em, "community")
+      .select(col("community"), col("n_parts"), col("n_edges"),
+        col("edge_mass"), col("n_brands"), col("top_brand"),
+        col("top_brand_parts"))
+      .orderBy("community")
+  }
+
   /** The g03 iteration chain with a NAME SUFFIX, generated from the
     * same [[PageRankIters]] constant — g07 unrolls TWO of these (one
     * over the frozen corpus weights, one over the merge), so both
@@ -475,6 +551,36 @@ object Graph {
        |r0$sfx AS (SELECT u AS part, CAST(1000000 AS BIGINT) AS r FROM wu$sfx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // components via a RECURSIVE reachability CTE + min label — the
+    // oracle may materialize closure pairs (test-SF-bounded; the
+    // engine side never does, see g08Communities scaladoc)
+    "g08_communities" ->
+      s"""WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS x, b.l_partkey AS y, CAST(COUNT(*) AS BIGINT) AS w
+        |      FROM op a JOIN op b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= $CommunityMinWeight),
+        |sym AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+        |reach(n, m) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) nn
+        |  UNION
+        |  SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m),
+        |lbl AS (SELECT n, CAST(MIN(m) AS BIGINT) AS community FROM reach GROUP BY n),
+        |em AS (SELECT community, COUNT(*) AS n_edges, CAST(SUM(w) AS BIGINT) AS edge_mass
+        |       FROM e JOIN lbl ON lbl.n = e.x GROUP BY 1),
+        |pb AS (SELECT community, p_brand, COUNT(*) AS n_b
+        |       FROM lbl JOIN part ON p_partkey = n GROUP BY 1, 2),
+        |tb AS (SELECT community, p_brand AS top_brand, n_b AS top_brand_parts
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY community
+        |               ORDER BY n_b DESC, p_brand) AS rn FROM pb) z
+        |       WHERE rn = 1),
+        |sz AS (SELECT community, CAST(SUM(n_b) AS BIGINT) AS n_parts,
+        |         COUNT(*) AS n_brands FROM pb GROUP BY 1)
+        |SELECT community, n_parts, n_edges, edge_mass, n_brands,
+        |  top_brand, top_brand_parts
+        |FROM sz JOIN em USING (community) JOIN tb USING (community)
+        |ORDER BY community""".stripMargin,
+
     "g07_incremental_pagerank" ->
       s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |opo AS (SELECT DISTINCT l_orderkey, l_partkey FROM li WHERE l_orderkey % 10 < 8),

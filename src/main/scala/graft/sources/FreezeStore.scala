@@ -111,22 +111,22 @@ object FreezeLease {
         else
           // not ours: we were broken and captured the NEW holder's
           // file — restore it with TRUE create-exclusive semantics
-          // (ADVICE r13, tightened round 14: the first fix used a
-          // plain Files.move, but the Unix provider implements a
-          // no-REPLACE move as an existence check followed by
-          // rename(2) — a TOCTOU window where a third acquirer's
-          // file created between the check and the rename is still
-          // silently replaced. An O_EXCL CREATE_NEW write of the
-          // captured bytes is atomic at the filesystem level: it
-          // either restores the foreign token or fails because a
-          // third acquirer occupies the path — in which case we
-          // delete NOTHING; the capture stays behind as a logged
-          // tombstone and the broken second holder surfaces at its
-          // next heartbeat/checkOwned, loudly.)
+          // (ADVICE r13, tightened r14, closed r15: the r14 fix used
+          // an O_EXCL CREATE_NEW write, which is create-THEN-write —
+          // a crash between the two leaves an EMPTY lease file that
+          // waiters must wait out staleMs to break, a state the old
+          // ATOMIC_MOVE restore could never produce. A hard LINK of
+          // the already-complete capture is a single atomic syscall:
+          // the path either appears fully populated with the foreign
+          // token or the link fails because a third acquirer occupies
+          // it — in which case we delete NOTHING; the capture stays
+          // behind as a logged tombstone and the broken second holder
+          // surfaces at its next heartbeat/checkOwned, loudly. The
+          // link also preserves the capture's mtime, so the restore
+          // no longer extends the foreign holder's staleness
+          // deadline the way a fresh write did.)
           try {
-            Files.write(path, Files.readAllBytes(tmp),
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
+            Files.createLink(path, tmp)
             Files.deleteIfExists(tmp)
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>

@@ -49,9 +49,12 @@ object HybridStream {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           // bounded control frames: the batch's query terms (for the
-          // IN-pushdown) and the q_id → query_id map
-          val qt = batch.select("query_id", "terms").collect()
-            .map(r => (r.getInt(0), r.getSeq[String](1))).toSeq
+          // IN-pushdown) and the q_id → query_id map. query_id is
+          // cast explicitly (ADVICE r14): a caller whose stream
+          // carries a LongType query_id otherwise got an opaque
+          // ClassCastException inside foreachBatch at runtime.
+          val qt = batch.select(col("query_id").cast("int"), col("terms"))
+            .collect().map(r => (r.getInt(0), r.getSeq[String](1))).toSeq
           val qmap = batch.select(col("query_id"), col("vec_id").as("q_id"))
           val bm25 = Bm25IndexStore.searchFrozen(spark, textName, qt)
             .select(col("query_id"), col("ck").as("doc_id"),
