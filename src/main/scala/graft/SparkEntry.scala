@@ -226,7 +226,9 @@ object SparkEntry {
     "t24_gate_calibration" -> (Quality.t24GateCalibration _),
     "t25_filtered_hybrid" -> (TextAnalysis.t25FilteredHybrid _),
     "t26_score_drift" -> (Quality.t26ScoreDrift _),
-    "t27_train_classifier" -> (Quality.t27TrainClassifier _)
+    "t27_train_classifier" -> (Quality.t27TrainClassifier _),
+    "t28_train_bpe" -> (Quality.t28TrainBpe _),
+    "g08_communities" -> (Graph.g08Communities _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

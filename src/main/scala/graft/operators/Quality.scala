@@ -355,6 +355,112 @@ object Quality {
       s"regexp_replace($acc, '$pat', '$rep', 'g')"
     }
 
+  /** t28's merge-round count (the trained table's size, matching the
+    * fixed table's 12 rules) and its symbol alphabet: PUA page
+    * 0xE101.. — disjoint from t16's fixed-table page 0xE000.. so a
+    * trained table can coexist with the fixed one in one pipeline
+    * (and, like t16's, the symbols cannot collide with corpus text). */
+  private[graft] val BpeTrainRounds = 12
+  private[graft] def bpeTrainSym(r: Int): String = (0xE100 + r).toChar.toString
+
+  /** Apply ANY ranked merge table by LITERAL (non-regex) replacement
+    * — the trained-table twin of [[bpeTokenCount]]'s fixed-table
+    * regex fold. Trained pairs come from corpus words and may carry
+    * regex metacharacters ("e.", "s)"), so the trained path never
+    * goes through a pattern engine; on the fixed table (letters/PUA
+    * only) the two folds are equal, which is what lets a trained
+    * table drop into t16's slot (BpeTrainSpec pins both facts). */
+  private[graft] def bpeTokenCountWith(merges: Seq[(String, String)])(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val merged = merges.foldLeft(lower(text)) {
+      case (acc, (pat, rep)) => replace(acc, lit(pat), lit(rep))
+    }
+    length(regexp_replace(merged, "\\s+", "")).cast("long")
+  }
+
+  /** t28: TRAIN THE BPE MERGE TABLE IN-ENGINE (VERDICT r14 #1 — the
+    * single highest-leverage gap in the pipeline story: t16/p14's
+    * tokenizer-faithful token counts fold a HAND-FIXED 12-rule table,
+    * so the budgets they feed are faithful to a toy). This is the
+    * real induction step — iterative most-frequent-pair merges, the
+    * published BPE algorithm (Sennrich et al. 2016; reference
+    * implementations count adjacent symbol pairs weighted by word
+    * frequency, merge the argmax globally, repeat) — run as exact
+    * integer relational algebra so the WHOLE training run is
+    * DuckDB-replayable, the t27 oracle-unrolled-training precedent.
+    *
+    * Mechanics per round r (1..12): over the word-frequency table
+    * (words = whitespace tokens of lower(text) — t16's alphabet
+    * convention), count every ADJACENT symbol pair (position-based,
+    * so "aaa" yields (a,a) twice — the standard symbol-pair count),
+    * weighted by word frequency; the argmax pair (max count, then
+    * lexicographically smallest — a deterministic 1-row limit) merges
+    * GLOBALLY into the fresh symbol [[bpeTrainSym]](r) by literal
+    * leftmost non-overlapping replacement (`replace`, not a regex —
+    * corpus pairs can carry metacharacters; leftmost-non-overlap is
+    * the same greedy application order both engines implement).
+    * Later rounds see earlier symbols, so learned rules chain
+    * hierarchically exactly like the fixed table's ("the" = merge(th)
+    * + e). Output grain (merge_round): the learned pair, its symbol,
+    * its exact weighted count, and the corpus token mass remaining
+    * after the merge — the training curve AND the shippable artifact
+    * (pair → sym, ranked) in one frame.
+    *
+    * Plan shape (100 TB): the corpus compresses to its WORD-FREQUENCY
+    * table in one map-side-combinable groupBy (vocabulary-scaled —
+    * Heaps' law, the t08 rule) and every round after that touches
+    * only that table: one pair explode (≤ word-length fan-out) + one
+    * map-side-combinable pair groupBy + a 1-row argmax collect
+    * (bounded control state, the t27 rule) + one per-row literal
+    * replace. Round frames persist and the previous round unpersists
+    * (the t27 literal-reset rule — an unpersisted chain would re-run
+    * every earlier round's replace per argmax action). Nothing
+    * re-scans the corpus after the first groupBy. */
+  def t28TrainBpe(spark: SparkSession, dir: String): DataFrame =
+    trainBpeFrom(spark, Tables.documents(spark, dir), BpeTrainRounds)
+
+  /** t28's core over any (text) frame — BpeTrainSpec drives it with
+    * a hand-checkable corpus against a plain-Scala reference
+    * implementation. Returns one row per merge round. */
+  private[graft] def trainBpeFrom(spark: SparkSession, docs: DataFrame,
+                                  rounds: Int): DataFrame = {
+    import spark.implicits._
+    var cur = docs
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist()
+    val learned = (1 to rounds).map { r =>
+      val top = cur.filter(length(col("w")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"BPE training round $r: no adjacent pairs left to merge")
+      val pair = top(0).getString(0)
+      val cnt = top(0).getLong(1)
+      val sym = bpeTrainSym(r)
+      // replacement with a FRESH symbol is injective on the word set
+      // (the symbol occurs nowhere yet, so the original word is
+      // recoverable), hence no re-aggregation is needed
+      val next = cur
+        .select(replace(col("w"), lit(pair), lit(sym)).as("w"), col("freq"))
+        .persist()
+      val tokensAfter = next
+        .agg(sum(col("freq") * length(col("w"))).as("t"))
+        .collect()(0).getLong(0)
+      cur.unpersist()
+      cur = next
+      (r.toLong, pair, sym, cnt, tokensAfter)
+    }
+    cur.unpersist()
+    learned.toDF("merge_round", "pair", "merged_sym", "pair_freq",
+        "tokens_after")
+      .orderBy("merge_round")
+  }
+
   /** qa06's sketch geometry: depth 4 × width 1024 counters, hash
     * family from the engine's LCG seeds (offsets 11..14 so the
     * constants are disjoint from minhash/simhash/bloom). Counter
@@ -1005,6 +1111,33 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    "t28_train_bpe" -> {
+      // the t27 unrolled-training-loop template: every round CTE is
+      // AS MATERIALIZED (each w_r is referenced by three later CTEs;
+      // DuckDB's default inlining would re-evaluate the whole prefix
+      // per reference)
+      val roundCtes = (1 to BpeTrainRounds).map { r =>
+        val sym = bpeTrainSym(r)
+        s"""p$r AS MATERIALIZED (SELECT substr(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS c
+           |  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+           |        FROM w${r - 1} WHERE length(w) >= 2) x$r GROUP BY 1),
+           |a$r AS MATERIALIZED (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
+           |w$r AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM a$r), '$sym') AS w, freq FROM w${r - 1}),
+           |n$r AS MATERIALIZED (SELECT CAST(SUM(freq * length(w)) AS BIGINT) AS tokens_after FROM w$r)""".stripMargin
+      }.mkString(",\n")
+      val roundRows = (1 to BpeTrainRounds).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_round, pair, '${bpeTrainSym(r)}' AS merged_sym, c AS pair_freq, tokens_after FROM a$r CROSS JOIN n$r"
+      }.mkString("\nUNION ALL\n")
+      raw"""WITH w0 AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+         |    FROM documents) tw
+         |  GROUP BY w),
+         |$roundCtes
+         |$roundRows
+         |ORDER BY merge_round""".stripMargin
+    },
+
     "t27_train_classifier" -> {
       // every chain CTE is AS MATERIALIZED: each w_e is referenced by
       // THREE later CTEs (s_{e+1}, w_{e+1}, its epoch row), and

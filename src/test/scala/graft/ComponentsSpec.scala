@@ -73,4 +73,57 @@ class ComponentsSpec extends SparkSpec {
     val labels = collectLabels(Components.starContraction(pairsDf(pairs)))
     assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  // ---- g08 communities over a constructed weighted graph ----
+
+  private def edgesDf(e: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    e.toDF("x", "y", "w")
+  }
+
+  private def partsDf(p: Seq[(Long, String)]) = {
+    import spark.implicits._
+    p.toDF("p_partkey", "p_brand")
+  }
+
+  test("g08 core: sizes, edge mass and brand argmax on a known graph") {
+    // two communities: {1,2,3} (triangle, mass 2+3+4) and {10,11}
+    val e = Seq((1L, 2L, 2L), (2L, 3L, 3L), (1L, 3L, 4L), (10L, 11L, 5L))
+    val p = Seq(1L -> "A", 2L -> "B", 3L -> "B", 10L -> "C", 11L -> "C")
+    val got = graft.operators.Graph.communitiesFrom(edgesDf(e), partsDf(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 9L, 2L, "B", 2L),   // B wins 2-1; ties break smallest
+      (10L, 2L, 1L, 5L, 1L, "C", 2L)))
+  }
+
+  test("g08 brand tie breaks to the smallest brand") {
+    val e = Seq((1L, 2L, 2L))
+    val p = Seq(1L -> "Z", 2L -> "A")
+    val got = graft.operators.Graph.communitiesFrom(edgesDf(e), partsDf(p))
+      .collect().map(r => (r.getString(5), r.getLong(6))).toSeq
+    assert(got == Seq(("A", 1L)))
+  }
+
+  test("g08 disjoint-replica invariant: 10 offset copies = 10x the communities") {
+    val base = Seq((1L, 2L, 2L), (2L, 3L, 3L), (10L, 11L, 5L))
+    val parts = Seq(1L -> "A", 2L -> "B", 3L -> "B", 10L -> "C", 11L -> "C")
+    val off = 1000L
+    val e10 = (0 until 10).flatMap(k =>
+      base.map { case (x, y, w) => (x + k * off, y + k * off, w) })
+    val p10 = (0 until 10).flatMap(k =>
+      parts.map { case (n, b) => (n + k * off, b) })
+    val one = graft.operators.Graph.communitiesFrom(edgesDf(base), partsDf(parts))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6))).toSeq
+    val ten = graft.operators.Graph.communitiesFrom(edgesDf(e10), partsDf(p10))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6))).toSeq
+    // each replica is an isomorphic copy: same rows with shifted ids
+    val expected = (0 until 10).flatMap(k => one.map {
+      case (c, np, ne, em, nb, tb, tp) => (c + k * off, np, ne, em, nb, tb, tp)
+    }).sortBy(_._1)
+    assert(ten == expected)
+  }
 }
