@@ -658,6 +658,33 @@ class Graft(val spark: SparkSession, dir: String) {
     * the WHEN-to-recalibrate signal for the frozen gate. */
   def scoreDrift: DataFrame = Quality.t26ScoreDrift(spark, dir)
 
+  /** Train on the given corpus and FREEZE the pocket classifier
+    * artifact (vocabulary + weights + drift baseline) as a new
+    * generation of the named family (round 15 — the t27→serve loop's
+    * persistence step). */
+  def freezeClassifier(docs: DataFrame, name: String): Long =
+    graft.sources.ClassifierStore.freeze(docs, name)
+
+  /** Score (doc_id, text) rows against the live frozen classifier
+    * artifact — the serving read path. */
+  def scoreClassifierFrozen(docs: DataFrame, name: String): DataFrame =
+    graft.sources.ClassifierStore.scoreFrozen(spark, docs, name)
+
+  /** Threshold-sweep calibration of the live frozen artifact (the
+    * t24 role on the frozen path). */
+  def calibrateClassifierFrozen(docs: DataFrame, name: String): DataFrame =
+    graft.sources.ClassifierStore.calibrateFrozen(spark, docs, name)
+
+  /** The automated drift→refreeze loop for the learned gate: grade
+    * arrivals against the frozen artifact (unseen-token share +
+    * score drift vs the stored corpus baseline), RETRAIN on corpus ∪
+    * arrivals and flip the pointer when the vocabulary went stale.
+    * Returns the new generation when it fired (RefreezeLoopSpec). */
+  def refreezeClassifierIfStale(corpus: DataFrame, arrivals: DataFrame,
+      name: String, maxUnseenShare: Double = 0.2): Option[Long] =
+    graft.sources.ClassifierStore.refreezeIfStale(spark, corpus, arrivals,
+      name, maxUnseenShare)
+
   /** Streaming hybrid search: arriving (terms + vector) queries
     * search both shipped indexes per micro-batch and fuse by RRF. */
   def streamingHybridSearch(queries: DataFrame, corpus: DataFrame,

@@ -1008,15 +1008,36 @@ object Quality {
     * epoch — the p25 exponential-lineage rule. */
   def t27TrainClassifier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val (_, epochs) = trainEpochsFrom(spark,
+      Tables.documents(spark, dir).select("doc_id", "text"))
+    val pocketEpoch = epochs.minBy { case (e, _, n) => (n, e) }._1
+    epochs.map { case (e, wE, nErr) =>
+      wE.map { case (f, wv) =>
+        (e.toLong, f, wv, nErr, e == pocketEpoch) }
+        .toDF("epoch", "f", "w", "n_err", "is_pocket")
+    }.reduce(_ unionByName _).orderBy("epoch", "f")
+  }
+
+  /** t27's training loop over any (doc_id, text) frame — ONE
+    * definition for the oracle key and
+    * [[graft.sources.ClassifierStore.freeze]] (the refreeze loop's
+    * retrain action, round 15), so a retrained artifact cannot drift
+    * from the oracle-gated training algebra. Returns the (cached)
+    * training vocabulary — the artifact's feature space — and, per
+    * epoch, the weights EVALUATED in that epoch with their exact
+    * error count. */
+  private[graft] def trainEpochsFrom(spark: SparkSession, docs: DataFrame)
+      : (DataFrame, Seq[(Int, Seq[(Long, Long)], Long)]) = {
+    import spark.implicits._
     val d = docs.select(col("doc_id"), tokens(col("text")).as("t"))
     val stopArr = array(graft.operators.TextAnalysis.Stopwords.map(lit): _*)
     val meta = d.select(col("doc_id"), size(col("t")).cast("long").as("nt"),
       size(filter(col("t"), x => array_contains(stopArr, x)))
         .cast("long").as("nstop"))
     val tok = d.select(col("doc_id"), explode(col("t")).as("term"))
+    val v = OpCache.cached(vocab(tok))
     // length-normalized exact-integer features
-    val feat = OpCache.cached(tok.join(vocab(tok), "term")
+    val feat = OpCache.cached(tok.join(v, "term")
       .groupBy(col("doc_id"), (col("tid") % ClassifierDim).as("f"))
       .agg(count(lit(1)).as("cnt"))
       .join(meta.select("doc_id", "nt"), "doc_id")
@@ -1028,9 +1049,7 @@ object Quality {
     var w: Seq[(Long, Long)] = (0L until ClassifierDim).map(f => (f, 0L))
     val epochs = (1 to PerceptronEpochs).map { e =>
       val wEval = w
-      val wDf = wEval.toDF("f", "w")
-      val scored = feat.join(broadcast(wDf), "f")
-        .groupBy("doc_id").agg(sum(col("x") * col("w")).as("s"))
+      val scored = pocketScores(feat, wEval.toDF("f", "w"))
       // persisted: the error frame feeds TWO actions (the update
       // collect and the count) — uncached, each re-runs the epoch's
       // scoring join, doubling every epoch's corpus pass
@@ -1048,12 +1067,56 @@ object Quality {
       w = w.map { case (f, wv) => (f, wv + upd.getOrElse(f, 0L)) }
       (e, wEval, errCount)
     }
-    val pocketEpoch = epochs.minBy { case (e, _, n) => (n, e) }._1
-    epochs.map { case (e, wE, nErr) =>
-      wE.map { case (f, wv) =>
-        (e.toLong, f, wv, nErr, e == pocketEpoch) }
-        .toDF("epoch", "f", "w", "n_err", "is_pocket")
-    }.reduce(_ unionByName _).orderBy("epoch", "f")
+    (v, epochs)
+  }
+
+  /** The pocket artifact of one training run: the vocabulary, the
+    * best evaluated epoch's weights (min n_err, earliest tie — the
+    * pocket rule) and that epoch's exact error count. */
+  private[graft] def pocketArtifact(spark: SparkSession, docs: DataFrame)
+      : (DataFrame, Seq[(Long, Long)], Long) = {
+    val (v, epochs) = trainEpochsFrom(spark, docs)
+    val (_, w, n) = epochs.minBy { case (e, _, n) => (n, e) }
+    (v, w, n)
+  }
+
+  /** The t27 evaluation join: per-doc score s = Σ x·w of a
+    * length-normalized feature frame against a ≤64-row weight frame
+    * (broadcast control state) — ONE definition for the training
+    * loop's per-epoch evaluation and the frozen artifact's serving
+    * read ([[frozenScores]]), so the serving sign convention can
+    * never drift from the trained decision rule. */
+  private[graft] def pocketScores(feat: DataFrame,
+                                  weights: DataFrame): DataFrame =
+    feat.join(broadcast(weights), "f")
+      .groupBy("doc_id").agg(sum(col("x") * col("w")).as("s"))
+
+  /** SERVING scores of a (doc_id, text) frame under a FROZEN
+    * (vocab, weights) artifact — the t27 evaluation rule as the read
+    * path: x = (cnt·10⁶) div nt exactly as trained, s = Σ x·w through
+    * the ONE [[pocketScores]] join, keep = s ≥ 0 (sign(0)=+1, the
+    * training convention). Terms unseen by the frozen vocabulary
+    * drop out of the join (the hashing-trick serving convention —
+    * t26's monitored feature-coverage loss); n_tokens still counts
+    * EVERY arrival token, so the normalization matches training and
+    * n_tokens − n_tokens_seen is the per-doc unseen mass. */
+  private[graft] def frozenScores(docs: DataFrame, vocabDf: DataFrame,
+                                  weights: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val nt = d.select(col("doc_id"), size(col("t")).cast("long").as("nt"))
+    val feat = d.select(col("doc_id"), explode(col("t")).as("term"))
+      .join(vocabDf, "term")
+      .groupBy(col("doc_id"), (col("tid") % ClassifierDim).as("f"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(nt, "doc_id")
+      .select(col("doc_id"), col("f"), col("cnt"),
+        expr("(cnt * 1000000) div nt").as("x"))
+    val seen = feat.groupBy("doc_id").agg(sum(col("cnt")).as("n_tokens_seen"))
+    pocketScores(feat.select("doc_id", "f", "x"), weights)
+      .join(seen, "doc_id")
+      .join(nt.select(col("doc_id"), col("nt").as("n_tokens")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_tokens_seen"),
+        col("s").as("score"), (col("s") >= 0).as("keep"))
   }
 
   /** t24's threshold grid in MILLI-margin units (margin = score per

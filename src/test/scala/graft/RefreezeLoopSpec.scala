@@ -135,6 +135,129 @@ class RefreezeLoopSpec extends SparkSpec {
     } finally MediaIndexStore.drop(spark, name)
   }
 
+  // ---- classifier leg (round 15, VERDICT r14 #3): t27 trains, the
+  // store freezes, arrivals grade, the loop retrains on drift ----
+
+  /** Stop-dense "prose" and stopword-free "junk" docs — the t27
+    * stop-density target is decidable on both halves. */
+  private def classifierCorpus = {
+    import spark.implicits._
+    val prose = (0 until 16).map(i =>
+      (i.toLong, s"the cat$i is in the hat and the dog is of a house to the tree$i"))
+    val junk = (0 until 16).map(i =>
+      (100L + i, s"zx$i qy kv wm gr pl nt br xz$i vv ww kk"))
+    (prose ++ junk).toDF("doc_id", "text")
+  }
+
+  /** t26's reverse regime: the same docs text-reversed under fresh
+    * ids — almost every token unseen by the trained vocabulary. */
+  private def reversedArrivals = classifierCorpus
+    .select((col("doc_id") + 2000L).as("doc_id"), reverse(col("text")).as("text"))
+
+  test("classifier freeze serves exactly the trained pocket decision rule") {
+    val name = "refreeze_cls1"
+    graft.sources.ClassifierStore.drop(spark, name)
+    try {
+      val docs = classifierCorpus
+      graft.sources.ClassifierStore.freeze(docs, name)
+      assert(graft.sources.ClassifierStore.liveGen(spark, name).contains(1L))
+      // re-derive the pocket artifact (deterministic) and sign-check
+      val (v, w, _) = graft.operators.Quality.pocketArtifact(spark, docs)
+      import spark.implicits._
+      val expected = graft.operators.Quality
+        .frozenScores(docs, v, w.toDF("f", "w"))
+        .select("doc_id", "score", "keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val served = graft.sources.ClassifierStore.scoreFrozen(spark, docs, name)
+        .select("doc_id", "score", "keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(served == expected)
+    } finally graft.sources.ClassifierStore.drop(spark, name)
+  }
+
+  test("classifier loop: familiar arrivals no-op; drifted arrivals retrain and re-pin") {
+    val name = "refreeze_cls2"
+    graft.sources.ClassifierStore.drop(spark, name)
+    try {
+      val docs = classifierCorpus
+      graft.sources.ClassifierStore.freeze(docs, name)
+      // re-uploads of known text: unseen share 0 — never a retrain
+      val familiar = docs.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      assert(graft.sources.ClassifierStore.refreezeIfStale(
+        spark, docs, familiar, name).isEmpty)
+      // empty arrival batches are a no-op, not a divide-by-zero
+      assert(graft.sources.ClassifierStore.refreezeIfStale(
+        spark, docs, familiar.filter(lit(false)), name).isEmpty)
+      assert(graft.sources.ClassifierStore.liveGen(spark, name).contains(1L))
+
+      // gen-1 artifact is feature-blind to the reversed arrivals
+      val before = graft.sources.ClassifierStore
+        .scoreFrozen(spark, reversedArrivals, name)
+        .agg(coalesce(sum(col("n_tokens_seen")), lit(0L))).collect()(0).getLong(0)
+      val stale = graft.sources.ClassifierStore
+        .staleness(spark, reversedArrivals, name).collect()(0)
+      assert(stale.getAs[Double]("unseen_share") > 0.5,
+        s"reverse regime must read mostly-unseen, got $stale")
+
+      // the loop fires: retrain on corpus ∪ arrivals, pointer flips
+      val fired = graft.sources.ClassifierStore.refreezeIfStale(
+        spark, docs, reversedArrivals, name)
+      assert(fired.contains(2L), s"drifted arrivals must trigger gen 2, got $fired")
+      assert(graft.sources.ClassifierStore.liveGen(spark, name).contains(2L))
+
+      // the refrozen gate SEES the drifted content now: every arrival
+      // token is in the retrained vocabulary, and the scores moved
+      val afterRows = graft.sources.ClassifierStore
+        .scoreFrozen(spark, reversedArrivals, name)
+        .select("n_tokens", "n_tokens_seen").collect()
+      assert(afterRows.nonEmpty &&
+        afterRows.forall(r => r.getLong(0) == r.getLong(1)),
+        "post-retrain, the arrival vocabulary must be fully covered")
+      val after = afterRows.map(_.getLong(1)).sum
+      assert(after > before, "refrozen scores must move off the blind baseline")
+      // absorbed arrivals no longer read as stale
+      assert(graft.sources.ClassifierStore.refreezeIfStale(
+        spark, docs, reversedArrivals, name).isEmpty)
+    } finally graft.sources.ClassifierStore.drop(spark, name)
+  }
+
+  test("classifier calibration curve is monotone and anchored at the serving gate") {
+    val name = "refreeze_cls3"
+    graft.sources.ClassifierStore.drop(spark, name)
+    try {
+      val docs = classifierCorpus
+      graft.sources.ClassifierStore.freeze(docs, name)
+      val curve = graft.sources.ClassifierStore
+        .calibrateFrozen(spark, docs, name).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      // keep mass never grows as the threshold rises
+      assert(curve.zip(curve.tail).forall { case ((_, a, ta), (_, b, tb)) =>
+        b <= a && tb <= ta })
+      val keepAtZero = curve.find(_._1 == 0L).get._2
+      val servedKeep = graft.sources.ClassifierStore
+        .scoreFrozen(spark, docs, name).filter(col("keep")).count()
+      assert(keepAtZero == servedKeep,
+        "the theta=0 operating point IS the serving gate")
+    } finally graft.sources.ClassifierStore.drop(spark, name)
+  }
+
+  test("the classifier loop is reachable through the api facade") {
+    val g = new graft.api.Graft(spark, sf)
+    val name = "refreeze_cls_api"
+    graft.sources.ClassifierStore.drop(spark, name)
+    try {
+      val docs = classifierCorpus
+      assert(g.freezeClassifier(docs, name) == 1L)
+      assert(g.scoreClassifierFrozen(docs, name).count() == docs.count())
+      assert(g.calibrateClassifierFrozen(docs, name).count() ==
+        graft.operators.Quality.GateThresholdGrid.size)
+      val familiar = docs.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      assert(g.refreezeClassifierIfStale(docs, familiar, name).isEmpty)
+      assert(g.refreezeClassifierIfStale(docs, reversedArrivals, name)
+        .contains(2L))
+    } finally graft.sources.ClassifierStore.drop(spark, name)
+  }
+
   test("a reader bound before the automated flip survives it (retention)") {
     val name = "refreeze_loop3"
     MediaIndexStore.drop(spark, name)
