@@ -72,6 +72,10 @@ object ProfilePasses {
     val passes = args.lift(1).map(_.toInt).getOrElse(8)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(cores = 32, appName = "graft-profile")
+    // land the entry's untimed fixture exactly as the bench would
+    // (round 15: fixture-dependent entries — frozen indexes, the PNG
+    // corpus, the maillog spool — previously threw here)
+    Bench.prepareFixture(spark, dir, name)
     val fn = Bench.benchOnly.getOrElse(name, SparkEntry.queries(name))
     val walls = (1 to passes).map { _ =>
       val t0 = System.nanoTime()

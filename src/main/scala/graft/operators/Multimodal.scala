@@ -552,12 +552,20 @@ object Multimodal {
   private[graft] def matchAgainst(arrivals: DataFrame, corpBands: DataFrame,
       corpus: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4x16 banding is exact only for hamming <= 3")
-    val ab = bandRows(arrivals)
+    // cached: the arrival frame feeds TWO join branches (band probe +
+    // popcount verify) and gets no cross-branch reuse — when arrivals
+    // are the mm11 decode+hash pipeline, the uncached plan decodes
+    // every arriving image TWICE (round-15 profile pass: the dual
+    // decode is most of the gap between the mm11_frozen_match bench
+    // reads and its band). The frame is batch-scaled (3 longs/row) —
+    // exactly the cache's bounded admission class.
+    val arr = OpCache.cached(arrivals)
+    val ab = bandRows(arr)
     val cand = ab.as("a").join(corpBands.as("c"),
         col("a.band") === col("c.band") && col("a.bandval") === col("c.bandval"))
       .select(col("a.doc_id").as("doc_id"), col("c.doc_id").as("match_id"))
       .distinct()
-    val ha = arrivals.select(col("doc_id"),
+    val ha = arr.select(col("doc_id"),
       col("h_hi").as("hi_a"), col("h_lo").as("lo_a"))
     val hc = corpus.select(col("doc_id").as("match_id"),
       col("h_hi").as("hi_c"), col("h_lo").as("lo_c"))
