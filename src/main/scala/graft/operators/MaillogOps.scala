@@ -343,10 +343,19 @@ object MaillogOps {
     * a message shape silently drops rows from the four tables; this
     * report makes the drop visible per process). One projection of
     * four boolean flags + one groupBy on the (tiny) process set. */
-  def m10ParseCoverage(spark: SparkSession, dir: String): DataFrame = {
+  def m10ParseCoverage(spark: SparkSession, dir: String): DataFrame =
+    coverageOf(parsedLogs(spark, dir)).orderBy("log_process")
+
+  /** m10's coverage aggregate over ANY parsed-lines frame — ONE
+    * definition for the batch key and the daemon-side running
+    * monitor ([[graft.streaming.MaillogStream.coverageUpdates]],
+    * round 15), so the continuous unmatched-line signal cannot drift
+    * from the oracle-checked batch report. State/output is bounded
+    * by the postfix process-name set. */
+  private[graft] def coverageOf(parsed: DataFrame): DataFrame = {
     val msg = col("log_message")
     def hit(re: String) = when(msg.rlike(re), 1L).otherwise(0L)
-    parsedLogs(spark, dir)
+    parsed
       .select(col("log_process"),
         hit(QmgrRe).as("q"), hit(SmtpdRe).as("c"),
         hit(CleanupRe).as("m"), hit(SmtpRe).as("s"))
@@ -356,7 +365,6 @@ object MaillogOps {
         sum(col("m")).as("n_cleanup"), sum(col("s")).as("n_smtp"),
         sum(when(col("q") + col("c") + col("m") + col("s") === 0, 1L)
           .otherwise(0L)).as("n_unmatched"))
-      .orderBy("log_process")
   }
 
   /** m09: sender deliverability scorecard — per envelope sender, the

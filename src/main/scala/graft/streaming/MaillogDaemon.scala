@@ -128,6 +128,10 @@ object MaillogDaemon {
       dbUrl: String = "", // overrides the mysql:// URL for other JDBC DBs
       stateTtlMs: Long = 0L, debug: Boolean = false,
       maxFilesPerTrigger: Int = 0,
+      // round 15: start the m10 parse-coverage monitor beside the
+      // four tables (stream_parse_drift — the 24/7 unmatched-line
+      // signal); snapshots land as parquet under out/
+      coverage: Boolean = false,
       // reference injects the wall-clock year (maillog2db.go:444);
       // override for replaying archived logs deterministically
       year: Int = 0)
@@ -185,6 +189,9 @@ object MaillogDaemon {
       case "-debug" :: v :: t if v == "true" || v == "false" =>
         go(t, c.copy(debug = v.toBoolean))
       case "-debug" :: t => go(t, c.copy(debug = true))
+      case "-coverage" :: v :: t if v == "true" || v == "false" =>
+        go(t, c.copy(coverage = v.toBoolean))
+      case "-coverage" :: t => go(t, c.copy(coverage = true))
       case "-maillog" :: v :: t => go(t, c.copy(maillog = v))
       case "-logfile" :: v :: t => go(t, c.copy(logfile = v))
       case "-out" :: v :: t => go(t, c.copy(out = v))
@@ -342,7 +349,16 @@ object MaillogDaemon {
           "delivery_statusext")))
       .start()
 
-    val qs = Seq(logs, clients, messages, deliveries)
+    // the optional 5th stream: the m10 coverage monitor (Complete-
+    // mode bounded aggregate; cumulative snapshot overwritten per
+    // micro-batch — an ops view, parquet regardless of DB config)
+    val coverage =
+      if (c.coverage)
+        Seq(MaillogStream.coverageStream(parsed,
+          s"${c.out}/pfmaillog2db_coverage", ckpt("coverage"), trigger))
+      else Seq.empty
+
+    val qs = Seq(logs, clients, messages, deliveries) ++ coverage
     // the tailer outlives nothing: when the last daemon query
     // terminates, close it — otherwise the poll thread follows the
     // file forever, and a restarted daemon on the same checkpoint

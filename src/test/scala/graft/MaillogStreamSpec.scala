@@ -81,6 +81,70 @@ class MaillogStreamSpec extends SparkSpec {
     assert(patches.filter($"queueid" === "AB1").count() === 4)
   }
 
+  // a line with a VALID header whose message matches no branch regex
+  // — exactly the format-drift signal the monitor exists to surface
+  private val driftLine =
+    "Jan 02 03:07:00 mx1 postfix/smtpd[101]: connect from unknown[1.2.3.4]"
+
+  test("stream_parse_drift: streamed coverage snapshot == batch m10 on the same spool") {
+    val dir = Files.createTempDirectory("maillog-cov").toFile
+    val ckpt = Files.createTempDirectory("ckpt-cov").toString
+    val out = Files.createTempDirectory("out-cov").toString + "/coverage"
+    val avail = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+
+    Files.write(new java.io.File(dir, "maillog.1").toPath,
+      lines1.mkString("\n").getBytes)
+    val q1 = MaillogStream.coverageStream(
+      MaillogStream.parsedStream(spark, dir.getAbsolutePath).toDF(),
+      out, ckpt, avail)
+    q1.awaitTermination()
+
+    // second file + drifted line under the SAME checkpoint: the
+    // Complete-mode snapshot must read as cumulative totals (replay
+    // semantics — the restart is the daemon-restart scenario)
+    Files.write(new java.io.File(dir, "maillog.2").toPath,
+      (lines2 :+ driftLine).mkString("\n").getBytes)
+    val q2 = MaillogStream.coverageStream(
+      MaillogStream.parsedStream(spark, dir.getAbsolutePath).toDF(),
+      out, ckpt, avail)
+    q2.awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("log_process", "n_lines", "n_qmgr", "n_smtpd", "n_cleanup",
+        "n_smtp", "n_unmatched")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+
+    val streamed = rows(spark.read.parquet(out))
+    // batch m10 aggregate over the SAME spool through the one shared
+    // definition (coverageOf) — the test-oracle pin
+    val batch = rows(graft.operators.MaillogOps.coverageOf(
+      Maillog.parsed(spark.read.text(dir.getAbsolutePath)
+        .withColumnRenamed("value", "line"))))
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // and the drift signal actually fires: the unknown message shape
+    // reads as an unmatched line on its process
+    assert(streamed.exists { case (p, _, _, _, _, _, u) =>
+      p == "postfix/smtpd" && u == 1L })
+  }
+
+  test("the daemon starts the coverage monitor behind -coverage") {
+    val dir = Files.createTempDirectory("maillog-cov2").toFile
+    Files.write(new java.io.File(dir, "maillog.1").toPath,
+      (lines1 ++ lines2 :+ driftLine).mkString("\n").getBytes)
+    val root = Files.createTempDirectory("daemon-cov").toString
+    val qs = graft.streaming.MaillogDaemon.start(spark,
+      args = Array("-maillog", dir.getAbsolutePath,
+        "-out", s"$root/out", "-checkpoint", s"$root/ckpt", "-coverage"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(qs.size == 5, "the -coverage flag must add the fifth stream")
+    qs.foreach(_.awaitTermination())
+    val cov = spark.read.parquet(s"$root/out/pfmaillog2db_coverage")
+    assert(cov.count() > 0)
+    assert(cov.filter($"log_process" === "postfix/smtpd")
+      .select("n_unmatched").collect()(0).getLong(0) == 1L)
+  }
+
   test("jdbc upsert sql is well-formed mysql") {
     val sink = new JdbcUpsertSink("jdbc:mysql://h/db", "messages",
       Seq("message_queueid"), "u", "p")
