@@ -122,7 +122,11 @@ object Bench {
     // SHIPPED weighted edge index + one damped rank chain over the
     // merge; the corpus pair fan-out and freeze ran in prepare(),
     // untimed (beside g04_frozen_probe's closure read path)
-    "g07_rerank_phase")
+    "g07_rerank_phase",
+    // round 15: graph communities — the driver-loop contraction
+    // family's bench signal (alternating star rounds to a fixpoint
+    // over the weight-screened edge set, then node-scaled aggregates)
+    "g08_communities")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while

@@ -228,6 +228,7 @@ object SparkEntry {
     "t26_score_drift" -> (Quality.t26ScoreDrift _),
     "t27_train_classifier" -> (Quality.t27TrainClassifier _),
     "t28_train_bpe" -> (Quality.t28TrainBpe _),
+    "t29_trained_tokens" -> (Quality.t29TrainedTokens _),
     "g08_communities" -> (Graph.g08Communities _)
   )
 

@@ -619,6 +619,19 @@ class Graft(val spark: SparkSession, dir: String) {
   def incrementalPagerank: DataFrame =
     graft.operators.Graph.g07IncrementalPagerank(spark, dir)
 
+  /** Communities of the weight-≥2 co-purchase graph (g08): connected
+    * components by alternating star contraction, with per-community
+    * size / edge mass / dominant-brand outputs. */
+  def communities: DataFrame = graft.operators.Graph.g08Communities(spark, dir)
+
+  /** In-engine BPE merge-table induction (t28): the learned ranked
+    * table and its training curve, all exact integers. */
+  def trainBpe: DataFrame = Quality.t28TrainBpe(spark, dir)
+
+  /** Token counts under the t28-trained merge table beside the fixed
+    * t16 table (t29) — the trained tokenizer applied as a budget. */
+  def trainedTokens: DataFrame = Quality.t29TrainedTokens(spark, dir)
+
   /** Hybrid dense+sparse retrieval: BM25 document ranks fused with
     * exact-cosine dense ranks by reciprocal-rank fusion (t22). */
   def hybridFusion: DataFrame = TextAnalysis.t22HybridFusion(spark, dir)

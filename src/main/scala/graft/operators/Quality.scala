@@ -1119,6 +1119,39 @@ object Quality {
         col("s").as("score"), (col("s") >= 0).as("keep"))
   }
 
+  /** t29: TOKEN COUNTS UNDER THE TRAINED TABLE (round 15 — t28's
+    * application step, closing the loop the fixed-table t16 opened:
+    * train the merges in-engine, then BUDGET with them): per
+    * document, the whitespace count, the token count under the
+    * TRAINED 12-rule table (t28's run re-derived, applied through
+    * the literal [[bpeTokenCountWith]] fold) and under the FIXED
+    * t16 table, plus their ratio (a division of identical integer
+    * operands). The strongest cross-engine pin in the family: both
+    * engines must independently reproduce every learned merge AND
+    * every per-document fold of those merges — one drifted argmax
+    * anywhere in the 12 rounds changes downstream counts and fails
+    * the hash.
+    *
+    * Plan shape: training as t28 (vocabulary-scaled rounds); the
+    * learned table collects as 12 rows of bounded control state
+    * (the t27 rule) and the counting pass is pure per-row Column
+    * algebra inside the scan's codegen stage — the t16 shape with a
+    * trained table in the slot. */
+  def t29TrainedTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val trained = trainBpeFrom(spark, docs.select("doc_id", "text"),
+        BpeTrainRounds)
+      .select("pair", "merged_sym").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        bpeTokenCountWith(trained)(col("text")).as("n_bpe_trained"),
+        bpeTokenCount(col("text")).as("n_bpe_fixed"))
+      .withColumn("trained_per_fixed",
+        col("n_bpe_trained").cast("double") / col("n_bpe_fixed"))
+      .orderBy("doc_id")
+  }
+
   /** t24's threshold grid in MILLI-margin units (margin = score per
     * token) — generated into both engines (the qa05/s14 sweep rule):
     * the operating points a curation team actually tunes between. */
@@ -1199,6 +1232,38 @@ object Quality {
          |$roundCtes
          |$roundRows
          |ORDER BY merge_round""".stripMargin
+    },
+
+    "t29_trained_tokens" -> {
+      // t28's training chain verbatim, then the per-doc fold applies
+      // each round's learned pair via a scalar subquery (a constant
+      // at execution — the engines fold the tables THEY derived, so
+      // the hash gate pins the whole train→apply pipeline)
+      val roundCtes = (1 to BpeTrainRounds).map { r =>
+        val sym = bpeTrainSym(r)
+        s"""p$r AS MATERIALIZED (SELECT substr(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS c
+           |  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+           |        FROM w${r - 1} WHERE length(w) >= 2) x$r GROUP BY 1),
+           |a$r AS MATERIALIZED (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
+           |w$r AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM a$r), '$sym') AS w, freq FROM w${r - 1})""".stripMargin
+      }.mkString(",\n")
+      val trainedFold = (1 to BpeTrainRounds).foldLeft("lower(text)") {
+        case (acc, r) =>
+          s"replace($acc, (SELECT pair FROM a$r), '${bpeTrainSym(r)}')"
+      }
+      raw"""WITH w0 AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+         |    FROM documents) tw
+         |  GROUP BY w),
+         |$roundCtes
+         |SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+         |  CAST(length(regexp_replace($trainedFold, '\s+', '', 'g')) AS BIGINT) AS n_bpe_trained,
+         |  CAST(length(regexp_replace(${bpeMergeSql("lower(text)")}, '\s+', '', 'g')) AS BIGINT) AS n_bpe_fixed,
+         |  CAST(CAST(length(regexp_replace($trainedFold, '\s+', '', 'g')) AS BIGINT) AS DOUBLE)
+         |    / CAST(length(regexp_replace(${bpeMergeSql("lower(text)")}, '\s+', '', 'g')) AS BIGINT) AS trained_per_fixed
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
 
     "t27_train_classifier" -> {
