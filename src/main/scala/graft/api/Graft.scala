@@ -713,6 +713,15 @@ class Graft(val spark: SparkSession, dir: String) {
     graft.streaming.QualityStream.classifierStream(docStream, vocab,
       outDir, checkpoint)
 
+  /** Streaming serving of the TRAINED frozen classifier artifact:
+    * each micro-batch scores through the store's serving read, with
+    * the pointer re-bound per batch (a mid-stream refreeze lands
+    * between batches). */
+  def streamingClassifierFrozen(docStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.QualityStream.frozenClassifierStream(docStream, name,
+      outDir, checkpoint)
+
   /** Maximal-marginal-relevance context selection over the ranked
     * chunks (p25) — graded diversity between ranking and assembly. */
   def mmrContext(window: Long = 32L, stride: Long = 24L): DataFrame =

@@ -131,6 +131,37 @@ object QualityStream {
       }
       .start()
 
+  /** STREAMING twin of the STORE-BACKED classifier serving path
+    * (round 15 — [[classifierStream]] serves the fixed generated
+    * weights; this serves the TRAINED pocket artifact a
+    * [[graft.sources.ClassifierStore.freeze]] shipped): arriving
+    * documents score per micro-batch through
+    * [[graft.sources.ClassifierStore.scoreFrozen]] — the literal
+    * training evaluation rule over the persisted vocab+weights. The
+    * pointer resolves ONCE PER MICRO-BATCH (the GraphStream decision
+    * record), so a mid-stream [[graft.sources.ClassifierStore
+    * .refreezeIfStale]] lands between batches and every scored batch
+    * is wholly one generation; per-batch-id overwrite sinks keep
+    * checkpoint replays idempotent. */
+  def frozenClassifierStream(docStream: DataFrame, name: String,
+      outDir: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .queryName(s"frozen_classifier_$name")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.ClassifierStore
+            .scoreFrozen(batch.sparkSession, batch, name)
+            .write.mode("overwrite").format("parquet")
+            .save(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** Per-document verdicts over any (doc_id, text) frame — batch or
     * streaming (the plan is stateless either way). */
   def qualityVerdicts(docs: DataFrame): DataFrame = {

@@ -66,6 +66,42 @@ class QualityStreamSpec extends SparkSpec {
     }
   }
 
+  test("frozen-classifier stream: per-batch scores equal the store's serving read") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val name = "qs_frozen_cls"
+    graft.sources.ClassifierStore.drop(spark, name)
+    val base = Files.createTempDirectory("fclsstream").toString
+    try {
+      // the shipped TRAINED artifact (t27 pocket run over the corpus)
+      graft.sources.ClassifierStore.freeze(docs, name)
+      docs.filter($"doc_id" % 2 === 0).coalesce(1)
+        .write.parquet(s"$base/in/p=0")
+      docs.filter($"doc_id" % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/in/p=1")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
+      val q = QualityStream.frozenClassifierStream(stream, name,
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      val outs = new java.io.File(s"$base/out").listFiles()
+        .filter(_.getName.startsWith("batch="))
+      assert(outs.length == 2, s"one result set per micro-batch: ${outs.length}")
+      val streamed = spark.read.parquet(s"$base/out")
+        .drop("batch").collect().map(_.toString).sorted.toSeq
+      // per-doc scoring is independent given the frozen artifact, so
+      // the batch serving read over the full corpus is the twin
+      val want = graft.sources.ClassifierStore.scoreFrozen(spark, docs, name)
+        .collect().map(_.toString).sorted.toSeq
+      assert(want.nonEmpty && streamed == want,
+        s"streamed frozen scores != serving read (${streamed.length} vs ${want.length})")
+    } finally {
+      graft.sources.ClassifierStore.drop(spark, name)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("streaming CMS counters: two-checkpoint replay equals the batch counter table") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
