@@ -229,7 +229,8 @@ object SparkEntry {
     "t27_train_classifier" -> (Quality.t27TrainClassifier _),
     "t28_train_bpe" -> (Quality.t28TrainBpe _),
     "t29_trained_tokens" -> (Quality.t29TrainedTokens _),
-    "g08_communities" -> (Graph.g08Communities _)
+    "g08_communities" -> (Graph.g08Communities _),
+    "g09_community_bridges" -> (Graph.g09CommunityBridges _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

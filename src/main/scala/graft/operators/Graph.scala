@@ -534,6 +534,66 @@ object Graph {
       .orderBy("community")
   }
 
+  /** g09: COMMUNITY-BRIDGE monitor (round 15 — g08's
+    * WHEN-to-refreeze signal, completing the new key's lifecycle the
+    * way g05 does for the edge index): how much would the arriving
+    * orders' co-purchase edges RESHAPE the frozen communities? The
+    * corpus slice (orders %10 < 8, the g04 freeze discipline) labels
+    * through the ONE g08 contraction; every arrival pair (%10 ≥ 8)
+    * classifies by its endpoints' frozen labels —
+    *  - `intra`:  both ends in ONE community (no structural change);
+    *  - `bridge`: ends in TWO communities (a refreeze MERGES them —
+    *    the signal that invalidates downstream per-community
+    *    artifacts);
+    *  - `attach`: one end unseen (community grows);
+    *  - `novel`:  both ends unseen (new structure forming outside
+    *    the frozen view — the g05 band −1 analog).
+    * Output per kind: exact edge/weight masses and the distinct
+    * label-pair count (for `bridge`, the number of distinct merge
+    * events — the refreeze's blast radius). A deployment trips a
+    * re-freeze on bridge mass, not on raw arrival volume.
+    *
+    * Plan shape: labels are node-scaled (the g08 contraction over
+    * the weight-screened corpus slice); arrivals join them twice
+    * hint-free (label frame grows with the corpus — the g03 rank
+    * rule) and ONE bounded groupBy (≤4 rows) emits the monitor.
+    * Never a corpus re-scan per arrival batch. */
+  def g09CommunityBridges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val corpusEdges = weightedPairs(li.filter(col("l_orderkey") % 10 < 8))
+      .filter(col("w") >= CommunityMinWeight)
+    val labels = OpCache.cached(Components.starContraction(
+      corpusEdges.select(col("x").as("doc_a"), col("y").as("doc_b"))))
+    val arr = weightedPairs(li.filter(col("l_orderkey") % 10 >= 8))
+    val j = arr
+      .join(labels.select(col("node").as("x"), col("label").as("la")),
+        Seq("x"), "left")
+      .join(labels.select(col("node").as("y"), col("label").as("lb")),
+        Seq("y"), "left")
+    // explicit CASE orientation (no engine-specific null handling in
+    // least/greatest): lo/hi are the sorted label pair, −1 = unseen
+    val lo = when(col("la").isNull, col("lb"))
+      .when(col("lb").isNull, col("la"))
+      .when(col("la") <= col("lb"), col("la")).otherwise(col("lb"))
+    val hi = when(col("la").isNull, col("lb"))
+      .when(col("lb").isNull, col("la"))
+      .when(col("la") <= col("lb"), col("lb")).otherwise(col("la"))
+    j.select(
+        when(col("la").isNotNull && col("lb").isNotNull &&
+          col("la") === col("lb"), "intra")
+          .when(col("la").isNotNull && col("lb").isNotNull, "bridge")
+          .when(col("la").isNotNull || col("lb").isNotNull, "attach")
+          .otherwise("novel").as("kind"),
+        col("w"),
+        coalesce(lo, lit(-1L)).as("cla"),
+        coalesce(hi, lit(-1L)).as("clb"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("w_mass"),
+        countDistinct(col("cla"), col("clb")).as("n_label_pairs"))
+      .orderBy("kind")
+  }
+
   /** The g03 iteration chain with a NAME SUFFIX, generated from the
     * same [[PageRankIters]] constant — g07 unrolls TWO of these (one
     * over the frozen corpus weights, one over the merge), so both
@@ -580,6 +640,41 @@ object Graph {
         |  top_brand, top_brand_parts
         |FROM sz JOIN em USING (community) JOIN tb USING (community)
         |ORDER BY community""".stripMargin,
+
+    "g09_community_bridges" ->
+      s"""WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |opo AS (SELECT DISTINCT l_orderkey, l_partkey FROM li WHERE l_orderkey % 10 < 8),
+        |e AS (SELECT a.l_partkey AS x, b.l_partkey AS y, CAST(COUNT(*) AS BIGINT) AS w
+        |      FROM opo a JOIN opo b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= $CommunityMinWeight),
+        |sym AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+        |reach(n, m) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) nn
+        |  UNION
+        |  SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m),
+        |lbl AS (SELECT n, CAST(MIN(m) AS BIGINT) AS community FROM reach GROUP BY n),
+        |opn AS (SELECT DISTINCT l_orderkey, l_partkey FROM li WHERE l_orderkey % 10 >= 8),
+        |arr AS (SELECT a.l_partkey AS x, b.l_partkey AS y, CAST(COUNT(*) AS BIGINT) AS w
+        |        FROM opn a JOIN opn b
+        |          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |        GROUP BY 1, 2),
+        |jj AS (SELECT arr.w, lx.community AS la, ly.community AS lb
+        |       FROM arr LEFT JOIN lbl lx ON lx.n = arr.x
+        |                LEFT JOIN lbl ly ON ly.n = arr.y),
+        |cl AS (SELECT w,
+        |        CASE WHEN la IS NOT NULL AND lb IS NOT NULL AND la = lb THEN 'intra'
+        |             WHEN la IS NOT NULL AND lb IS NOT NULL THEN 'bridge'
+        |             WHEN la IS NOT NULL OR lb IS NOT NULL THEN 'attach'
+        |             ELSE 'novel' END AS kind,
+        |        COALESCE(CASE WHEN la IS NULL THEN lb WHEN lb IS NULL THEN la
+        |                      WHEN la <= lb THEN la ELSE lb END, -1) AS cla,
+        |        COALESCE(CASE WHEN la IS NULL THEN lb WHEN lb IS NULL THEN la
+        |                      WHEN la <= lb THEN lb ELSE la END, -1) AS clb
+        |       FROM jj)
+        |SELECT kind, COUNT(*) AS n_edges, CAST(SUM(w) AS BIGINT) AS w_mass,
+        |  COUNT(DISTINCT (cla, clb)) AS n_label_pairs
+        |FROM cl GROUP BY kind ORDER BY kind""".stripMargin,
 
     "g07_incremental_pagerank" ->
       s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
