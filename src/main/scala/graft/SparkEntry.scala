@@ -230,7 +230,8 @@ object SparkEntry {
     "t28_train_bpe" -> (Quality.t28TrainBpe _),
     "t29_trained_tokens" -> (Quality.t29TrainedTokens _),
     "g08_communities" -> (Graph.g08Communities _),
-    "g09_community_bridges" -> (Graph.g09CommunityBridges _)
+    "g09_community_bridges" -> (Graph.g09CommunityBridges _),
+    "p27_trained_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p27TrainedPack(s, d))
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

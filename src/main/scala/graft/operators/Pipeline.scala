@@ -142,6 +142,32 @@ object Pipeline {
         Quality.bpeTokenCount(col("text")).as("n_tokens")),
       contextLen).orderBy("doc_id")
 
+  /** p27: SEQUENCE PACKING UNDER THE TRAINED TOKENIZER (round 15 —
+    * the t28→t29→budget composition landing in the packing path:
+    * p14 budgets with the hand-fixed merge table; this is the same
+    * oracle-gated packer with the IN-ENGINE-TRAINED table in the
+    * slot — what a production pipeline actually does once its
+    * tokenizer is trained on its own corpus). The 12 learned merges
+    * re-derive through the one t28 definition, collect as bounded
+    * control state (the t27 rule), and the per-doc counts fold
+    * through the literal [[Quality.bpeTokenCountWith]]; packing is
+    * the p02/p14 bucketed two-phase prefix sum. The oracle prefixes
+    * the training chain and folds with scalar subqueries over ITS
+    * OWN chain — the t29 train→apply pin extended through the
+    * packing arithmetic. */
+  def p27TrainedPack(spark: SparkSession, dir: String,
+                     contextLen: Long = 2048L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val trained = Quality.trainBpeFrom(spark,
+        docs.select("doc_id", "text"), Quality.BpeTrainRounds)
+      .select("pair", "merged_sym").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    packTokens(docs
+      .select(col("doc_id"), col("source"),
+        Quality.bpeTokenCountWith(trained)(col("text")).as("n_tokens")),
+      contextLen).orderBy("doc_id")
+  }
+
   /** p03: token-budget selection — keep the highest-quality documents
     * of each source until that source's running token count exceeds
     * the budget (the mixture-construction step: every source gets a
@@ -1726,6 +1752,21 @@ object Pipeline {
 
     // p02's packing with the budget column swapped for the generated
     // mini-BPE count (same merge table as t16's oracle)
+    "p27_trained_pack" ->
+      raw"""WITH ${Quality.BpeTrainW0},
+         |${Quality.bpeTrainCtes(withTokensAfter = false)},
+         |d AS (SELECT doc_id, source,
+         |    CAST(length(regexp_replace(${Quality.bpeTrainedFoldSql("lower(text)")}, '\s+', '', 'g')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens,
+         |  start_tok // 2048 AS bin_id,
+         |  start_tok % 2048 AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "p14_bpe_pack" ->
       raw"""WITH d AS (SELECT doc_id, source,
          |    CAST(length(regexp_replace(${Quality.bpeMergeSql("lower(text)")}, '\s+', '', 'g')) AS BIGINT) AS n_tokens

@@ -1206,30 +1206,47 @@ object Quality {
       .orderBy("theta_milli")
   }
 
-  val oracles: Map[String, String] = Map(
-    "t28_train_bpe" -> {
-      // the t27 unrolled-training-loop template: every round CTE is
-      // AS MATERIALIZED (each w_r is referenced by three later CTEs;
-      // DuckDB's default inlining would re-evaluate the whole prefix
-      // per reference)
-      val roundCtes = (1 to BpeTrainRounds).map { r =>
-        val sym = bpeTrainSym(r)
+  /** The t28 training run as oracle CTEs — ONE generator for the
+    * t28 / t29 / p27 oracles (the rankChainCtes suffix rule: one
+    * constant, one text, three keys). Every round CTE is AS
+    * MATERIALIZED (the t27 rule: each w_r is referenced by several
+    * later CTEs and DuckDB's default inlining re-evaluates the whole
+    * prefix per reference). */
+  private[operators] val BpeTrainW0: String =
+    raw"""w0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+       |    FROM documents) tw
+       |  GROUP BY w)""".stripMargin
+
+  private[operators] def bpeTrainCtes(withTokensAfter: Boolean): String =
+    (1 to BpeTrainRounds).map { r =>
+      val sym = bpeTrainSym(r)
+      val base =
         s"""p$r AS MATERIALIZED (SELECT substr(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS c
            |  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
            |        FROM w${r - 1} WHERE length(w) >= 2) x$r GROUP BY 1),
            |a$r AS MATERIALIZED (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
-           |w$r AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM a$r), '$sym') AS w, freq FROM w${r - 1}),
-           |n$r AS MATERIALIZED (SELECT CAST(SUM(freq * length(w)) AS BIGINT) AS tokens_after FROM w$r)""".stripMargin
-      }.mkString(",\n")
+           |w$r AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM a$r), '$sym') AS w, freq FROM w${r - 1})""".stripMargin
+      if (withTokensAfter)
+        base + s",\nn$r AS MATERIALIZED (SELECT CAST(SUM(freq * length(w)) AS BIGINT) AS tokens_after FROM w$r)"
+      else base
+    }.mkString(",\n")
+
+  /** The trained-table fold of `inner`, each round's pair applied
+    * via a scalar subquery over the chain above. */
+  private[operators] def bpeTrainedFoldSql(inner: String): String =
+    (1 to BpeTrainRounds).foldLeft(inner) { case (acc, r) =>
+      s"replace($acc, (SELECT pair FROM a$r), '${bpeTrainSym(r)}')"
+    }
+
+  val oracles: Map[String, String] = Map(
+    "t28_train_bpe" -> {
       val roundRows = (1 to BpeTrainRounds).map { r =>
         s"SELECT CAST($r AS BIGINT) AS merge_round, pair, '${bpeTrainSym(r)}' AS merged_sym, c AS pair_freq, tokens_after FROM a$r CROSS JOIN n$r"
       }.mkString("\nUNION ALL\n")
-      raw"""WITH w0 AS MATERIALIZED (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-         |    FROM documents) tw
-         |  GROUP BY w),
-         |$roundCtes
+      s"""WITH $BpeTrainW0,
+         |${bpeTrainCtes(withTokensAfter = true)}
          |$roundRows
          |ORDER BY merge_round""".stripMargin
     },
@@ -1239,24 +1256,9 @@ object Quality {
       // each round's learned pair via a scalar subquery (a constant
       // at execution — the engines fold the tables THEY derived, so
       // the hash gate pins the whole train→apply pipeline)
-      val roundCtes = (1 to BpeTrainRounds).map { r =>
-        val sym = bpeTrainSym(r)
-        s"""p$r AS MATERIALIZED (SELECT substr(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS c
-           |  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
-           |        FROM w${r - 1} WHERE length(w) >= 2) x$r GROUP BY 1),
-           |a$r AS MATERIALIZED (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
-           |w$r AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM a$r), '$sym') AS w, freq FROM w${r - 1})""".stripMargin
-      }.mkString(",\n")
-      val trainedFold = (1 to BpeTrainRounds).foldLeft("lower(text)") {
-        case (acc, r) =>
-          s"replace($acc, (SELECT pair FROM a$r), '${bpeTrainSym(r)}')"
-      }
-      raw"""WITH w0 AS MATERIALIZED (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-         |    FROM documents) tw
-         |  GROUP BY w),
-         |$roundCtes
+      val trainedFold = bpeTrainedFoldSql("lower(text)")
+      raw"""WITH $BpeTrainW0,
+         |${bpeTrainCtes(withTokensAfter = false)}
          |SELECT doc_id,
          |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
          |  CAST(length(regexp_replace($trainedFold, '\s+', '', 'g')) AS BIGINT) AS n_bpe_trained,
