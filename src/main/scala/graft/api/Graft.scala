@@ -587,6 +587,32 @@ class Graft(val spark: SparkSession, dir: String) {
 
   /** The automated drift→refreeze loop for the frozen edge index:
     * trips integer-exactly on the arrivals' unseen-endpoint share. */
+  /** Freeze the community view of raw weighted co-purchase pairs:
+    * pairs persist unscreened, the g08 contraction's labels persist
+    * beside them (round 15 — the g08/g09 lifecycle's persistence
+    * step). */
+  def freezeCommunities(pairs: DataFrame, name: String): Long =
+    graft.sources.GraphIndexStore.freezeCommunities(pairs, name)
+
+  /** g09's bridge monitor served off the shipped community labels. */
+  def communityBridgesFrozen(arrivals: DataFrame, name: String): DataFrame =
+    graft.sources.GraphIndexStore.communityBridges(spark, arrivals, name)
+
+  /** The automated drift→refreeze loop for the community view:
+    * re-contract over the weight-merged pair multiset when the
+    * arrivals' non-intra share trips. */
+  def refreezeCommunitiesIfStale(arrivals: DataFrame, name: String,
+      maxOutsideShare: Double = 0.5): Option[Long] =
+    graft.sources.GraphIndexStore.refreezeCommunitiesIfStale(spark,
+      arrivals, name, maxOutsideShare)
+
+  /** Streaming twin of the community-bridge monitor: per micro-batch
+    * bands against the live frozen labels. */
+  def streamingCommunityBridges(pairStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.GraphStream.bridgesStream(pairStream, name, outDir,
+      checkpoint)
+
   def refreezeGraphIfStale(arrivals: DataFrame, name: String,
       maxUnseenShare: Double = 0.2, buckets: Int = 8,
       retain: Int = 1): Option[Long] =

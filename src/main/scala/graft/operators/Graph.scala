@@ -566,6 +566,17 @@ object Graph {
     val labels = OpCache.cached(Components.starContraction(
       corpusEdges.select(col("x").as("doc_a"), col("y").as("doc_b"))))
     val arr = weightedPairs(li.filter(col("l_orderkey") % 10 >= 8))
+    bridgeBands(arr, labels).orderBy("kind")
+  }
+
+  /** The g09 classify-and-band aggregate over any arrival (x, y, w)
+    * frame and a (node, label) frame — ONE definition for the live
+    * key, the frozen community index's staleness read
+    * ([[graft.sources.GraphIndexStore.communityBridges]] — same
+    * algebra over the persisted labels) and its streaming twin, so
+    * the monitor cannot drift between the three paths. */
+  private[graft] def bridgeBands(arr: DataFrame,
+                                 labels: DataFrame): DataFrame = {
     val j = arr
       .join(labels.select(col("node").as("x"), col("label").as("la")),
         Seq("x"), "left")
@@ -591,7 +602,6 @@ object Graph {
       .groupBy("kind")
       .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("w_mass"),
         countDistinct(col("cla"), col("clb")).as("n_label_pairs"))
-      .orderBy("kind")
   }
 
   /** The g03 iteration chain with a NAME SUFFIX, generated from the

@@ -201,6 +201,105 @@ object GraphIndexStore {
         })
     }
 
+  // ---- the COMMUNITY view (round 15 — g08/g09's frozen lifecycle):
+  // a community family persists the RAW weighted pairs (no screen —
+  // the screen is a derivation, and merged weights can push a pair
+  // OVER it on refreeze) plus the contraction labels of the
+  // weight-screened subgraph, both under one generation ----
+
+  /** FREEZE the community view of a raw weighted canonical pair
+    * frame (x, y, w): the pairs persist unscreened (bucketed by x),
+    * the g08 contraction runs over the `minWeight`-screened subset
+    * and its (node, label) frame persists bucketed by node — the
+    * serving join key ([[communityBridges]] probes arrivals against
+    * it, arrival-scaled). Returns the committed generation; one
+    * family lease across train→write→flip (the freeze rule). */
+  def freezeCommunities(pairs: DataFrame, name: String,
+                        minWeight: Long =
+                          graft.operators.Graph.CommunityMinWeight,
+                        buckets: Int = 8, retain: Int = 1): Long = {
+    require(retain >= 1, "retain must keep at least the superseded generation")
+    val spark = pairs.sparkSession
+    FreezeStore.withFamilyLease(spark, name) {
+      val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
+      val gen = prev + 1
+      def stamp(df: DataFrame): DataFrame =
+        df.withColumn("batch", lit(0L)).withColumn("gen", lit(gen))
+      Bucketing.writeBucketed(stamp(pairs.select("x", "y", "w")),
+        gt(name, gen), "x", buckets)
+      val labels = graft.operators.Components.starContraction(
+        pairs.filter(col("w") >= minWeight)
+          .select(col("x").as("doc_a"), col("y").as("doc_b")))
+      Bucketing.writeBucketed(stamp(labels.select("node", "label")),
+        FreezeStore.genTable(name, gen, "labels"), "node", buckets)
+      FreezeStore.flipPtr(spark, name, gen, Seq(0L))
+      FreezeStore.listGens(spark, name)
+        .filter(g => g < gen && g > 0 && g <= prev - retain)
+        .foreach { g =>
+          Bucketing.resetTable(spark, gt(name, g))
+          Bucketing.resetTable(spark, FreezeStore.genTable(name, g, "labels"))
+        }
+      gen
+    }
+  }
+
+  /** The live generation's committed community labels. Fails loudly
+    * on an edge-only family (frozen via [[freeze]] — no labels). */
+  def labels(spark: SparkSession, name: String): DataFrame = {
+    val (gen, batches) = FreezeStore.readPtr(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen community index named $name"))
+    val t = FreezeStore.genTable(name, gen, "labels")
+    require(spark.catalog.tableExists(t),
+      s"frozen family $name carries no community labels — freeze it " +
+        "through freezeCommunities, not freeze")
+    spark.table(t)
+      .filter(col("batch").isin(batches: _*)).drop("batch", "gen")
+  }
+
+  /** g09's monitor served off the SHIPPED labels — the literal
+    * [[graft.operators.Graph.bridgeBands]] algebra (one definition
+    * with the live key and the streaming twin), classifying an
+    * arriving (x, y, w) pair batch by its endpoints' frozen
+    * communities. Arrival-scaled: two hint-free label joins + a
+    * ≤4-row groupBy; never a corpus re-scan. */
+  def communityBridges(spark: SparkSession, arrivals: DataFrame,
+                       name: String): DataFrame =
+    graft.operators.Graph.bridgeBands(arrivals, labels(spark, name))
+
+  /** CLOSE THE DRIFT→REFREEZE LOOP for the community view: when the
+    * arrivals' NON-intra edge share (bridge + attach + novel — the
+    * mass the frozen partition fails to describe) exceeds
+    * `maxOutsideShare` (integer basis points, cross-multiplied),
+    * re-freeze over the weight-MERGED pair multiset: arrival weights
+    * ADD to the persisted raw weights on the (x, y) key (the g07
+    * disjoint-slice rule — and the reason the store persists
+    * UNSCREENED pairs: a merge can push a sub-threshold pair OVER
+    * the community screen, which a screened-only store could never
+    * recover). The contraction re-runs over the merged, re-screened
+    * graph. Returns the new generation when it fired. */
+  def refreezeCommunitiesIfStale(spark: SparkSession, arrivals: DataFrame,
+                                 name: String,
+                                 maxOutsideShare: Double = 0.5,
+                                 minWeight: Long =
+                                   graft.operators.Graph.CommunityMinWeight,
+                                 buckets: Int = 8,
+                                 retain: Int = 1): Option[Long] =
+    FreezeStore.withFamilyLease(spark, name) {
+      val bands = communityBridges(spark, arrivals, name)
+        .agg(coalesce(sum(col("n_edges")), lit(0L)).as("n"),
+          coalesce(sum(when(col("kind") =!= "intra", col("n_edges"))),
+            lit(0L)).as("outside")).head()
+      val n = bands.getLong(0)
+      val outside = bands.getLong(1)
+      val bp = math.round(maxOutsideShare * 10000)
+      if (n == 0L || outside * 10000 <= bp * n) None
+      else Some(freezeCommunities(
+        edges(spark, name).select("x", "y", "w")
+          .unionByName(arrivals.select("x", "y", "w"))
+          .groupBy("x", "y").agg(sum(col("w")).as("w")),
+        name, minWeight, buckets, retain))
+    }
+
   /** The live generation number (audit hooks). */
   def liveGen(spark: SparkSession, name: String): Option[Long] =
     FreezeStore.readPtr(spark, name).map(_._1)

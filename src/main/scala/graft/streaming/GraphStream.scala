@@ -69,4 +69,29 @@ object GraphStream {
             .save(s"$outDir/batch=$batchId")
       }
       .start()
+
+  /** Per micro-batch: the g09 community-bridge bands of the arriving
+    * weighted (x, y, w) pairs against the LIVE frozen community
+    * labels ([[GraphIndexStore.communityBridges]] — the literal
+    * bridgeBands algebra, one definition with the live key). A
+    * deployment tails the bridge/novel mass and calls
+    * [[GraphIndexStore.refreezeCommunitiesIfStale]] when the
+    * non-intra share trips (round 15). Pointer re-binds per batch —
+    * a mid-stream community refreeze lands between batches. */
+  def bridgesStream(pairStream: DataFrame, name: String, outDir: String,
+                    checkpoint: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    pairStream.writeStream
+      .queryName(s"graph_bridges_$name")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          GraphIndexStore.communityBridges(batch.sparkSession,
+            batch.select("x", "y", "w"), name)
+            .write.mode("overwrite").format("parquet")
+            .save(s"$outDir/batch=$batchId")
+      }
+      .start()
 }

@@ -279,6 +279,123 @@ class GraphShipSpec extends SparkSpec {
     } finally GraphIndexStore.drop(spark, name)
   }
 
+  // ---- the COMMUNITY view (round 15): freeze labels, serve g09's
+  // bridge monitor off them, refreeze over the weight merge ----
+
+  private def wpairs(rows: Seq[(Long, Long, Long)]): DataFrame =
+    spark.createDataFrame(rows).toDF("x", "y", "w")
+
+  /** Communities {1,2,3} and {10,11}; pair (20,21) sits at w=1,
+    * BELOW the screen — persisted raw but unlabeled. */
+  private def communityCorpus = wpairs(Seq(
+    (1L, 2L, 2L), (2L, 3L, 3L), (10L, 11L, 5L), (20L, 21L, 1L)))
+
+  test("frozen community bridges equal the live bridgeBands; screen respected") {
+    val name = "graphcom1"
+    GraphIndexStore.drop(spark, name)
+    try {
+      GraphIndexStore.freezeCommunities(communityCorpus, name, buckets = 2)
+      // labels: only the screened subgraph is labeled
+      val lbl = GraphIndexStore.labels(spark, name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+        s"sub-threshold pairs must stay unlabeled: $lbl")
+      // one arrival of each kind
+      val arr = wpairs(Seq(
+        (1L, 2L, 1L),   // intra (community 1)
+        (3L, 10L, 1L),  // bridge (1 x 10)
+        (1L, 99L, 1L),  // attach
+        (98L, 99L, 1L)))// novel
+      val got = GraphIndexStore.communityBridges(spark, arr, name)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == Set(("intra", 1L, 1L, 1L), ("bridge", 1L, 1L, 1L),
+        ("attach", 1L, 1L, 1L), ("novel", 1L, 1L, 1L)), s"bands: $got")
+      // frozen == live (one definition over the same frames)
+      val live = graft.operators.Graph.bridgeBands(arr,
+        GraphIndexStore.labels(spark, name)).collect()
+        .map(_.toString).sorted.toSeq
+      val frozen = GraphIndexStore.communityBridges(spark, arr, name)
+        .collect().map(_.toString).sorted.toSeq
+      assert(frozen == live)
+      // an edge-only family refuses the community read loudly
+      GraphIndexStore.drop(spark, "graphcom1e")
+      GraphIndexStore.freeze(edgesDf(Seq(1L -> 2L)), "graphcom1e", buckets = 2)
+      intercept[IllegalArgumentException] {
+        GraphIndexStore.communityBridges(spark, arr, "graphcom1e")
+      }
+      GraphIndexStore.drop(spark, "graphcom1e")
+    } finally GraphIndexStore.drop(spark, name)
+  }
+
+  test("community refreeze: non-intra share trips it; weight merge crosses the screen") {
+    val name = "graphcom2"
+    GraphIndexStore.drop(spark, name)
+    try {
+      GraphIndexStore.freezeCommunities(communityCorpus, name, buckets = 2)
+      // intra-only arrivals: outside share 0 — never a retrain
+      assert(GraphIndexStore.refreezeCommunitiesIfStale(spark,
+        wpairs(Seq((1L, 3L, 1L))), name).isEmpty)
+      // empty arrivals: no-op, not a divide-by-zero
+      assert(GraphIndexStore.refreezeCommunitiesIfStale(spark,
+        wpairs(Seq()).filter(lit(false)), name).isEmpty)
+      assert(GraphIndexStore.liveGen(spark, name).contains(1L))
+
+      // drifted batch: a second (20,21) observation + novel structure
+      // → outside share 1.0 fires the loop; the persisted w=1 and the
+      // arrival w=1 MERGE to w=2, crossing the community screen —
+      // exactly what a screened-only store could never recover
+      val drifted = wpairs(Seq((20L, 21L, 1L), (30L, 31L, 2L)))
+      val fired = GraphIndexStore.refreezeCommunitiesIfStale(spark,
+        drifted, name)
+      assert(fired.contains(2L), s"drifted arrivals must retrain: $fired")
+      val lbl2 = GraphIndexStore.labels(spark, name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lbl2.get(20L).contains(20L) && lbl2.get(21L).contains(20L),
+        s"the merged (20,21) weight must cross the screen: $lbl2")
+      assert(lbl2.get(30L).contains(30L) && lbl2.get(31L).contains(30L))
+      // the same pair now reads INTRA — absorbed
+      val again = GraphIndexStore.communityBridges(spark,
+        wpairs(Seq((20L, 21L, 1L))), name).collect()
+      assert(again.length == 1 && again(0).getString(0) == "intra")
+    } finally GraphIndexStore.drop(spark, name)
+  }
+
+  test("streaming bridges: per-batch bands equal the batch monitor per slice") {
+    val name = "graphcom3"
+    GraphIndexStore.drop(spark, name)
+    val base = java.nio.file.Files.createTempDirectory("gbridge").toString
+    try {
+      GraphIndexStore.freezeCommunities(communityCorpus, name, buckets = 2)
+      val s1 = Seq((1L, 2L, 1L), (3L, 10L, 1L))
+      val s2 = Seq((1L, 99L, 1L), (98L, 99L, 2L))
+      wpairs(s1).coalesce(1).write.parquet(s"$base/in/p=0")
+      wpairs(s2).coalesce(1).write.mode("append").parquet(s"$base/in/p=1")
+      val stream = spark.readStream.schema(wpairs(s1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
+      val q = graft.streaming.GraphStream.bridgesStream(stream, name,
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      val outs = new java.io.File(s"$base/out").listFiles()
+        .filter(_.getName.startsWith("batch=")).sortBy(_.getName)
+      assert(outs.length == 2, s"one band set per micro-batch: ${outs.length}")
+      // match each landed batch to its slice's batch monitor (file
+      // order != batch order under maxFilesPerTrigger is possible;
+      // compare as a multiset of result sets)
+      def setOf(df: DataFrame) = df
+        .select("kind", "n_edges", "w_mass", "n_label_pairs")
+        .collect().map(_.toString).sorted.toSeq
+      val streamed = outs.map(f =>
+        setOf(spark.read.parquet(f.getAbsolutePath))).toSet
+      val want = Set(s1, s2).map(s =>
+        setOf(GraphIndexStore.communityBridges(spark, wpairs(s), name)))
+      assert(streamed == want, s"streamed=$streamed want=$want")
+    } finally {
+      GraphIndexStore.drop(spark, name)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("compaction: appended batches collapse, probes unchanged, appends continue") {
     val name = "graphfr6"
     GraphIndexStore.drop(spark, name)
