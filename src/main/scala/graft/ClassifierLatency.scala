@@ -64,6 +64,10 @@ object ClassifierLatency {
         .filter(col("doc_id") === idBase).limit(1).count() > 0
       catch { case scala.util.control.NonFatal(_) => false }
 
+    // loop-invariant, hoisted OUT of the timed window (round-15
+    // review fix: a per-wave Spark job inside it inflated every
+    // reported latency)
+    val minId = baseArr.select(min(col("doc_id"))).collect()(0).getLong(0)
     val lats = scala.collection.mutable.ArrayBuffer[Double]()
     var cold = -1.0
     for (w <- 0 to waves) {
@@ -71,8 +75,7 @@ object ClassifierLatency {
       val t0 = java.lang.System.nanoTime()
       baseArr.select((col("doc_id") + off).as("doc_id"), col("text"))
         .coalesce(1).write.mode("append").parquet(inDir)
-      val probe = off + baseArr.select(min(col("doc_id")))
-        .collect()(0).getLong(0)
+      val probe = off + minId
       val deadline = t0 + 180L * 1000000000L
       while (!visible(probe) && java.lang.System.nanoTime() < deadline)
         Thread.sleep(50)

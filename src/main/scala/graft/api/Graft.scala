@@ -587,6 +587,12 @@ class Graft(val spark: SparkSession, dir: String) {
 
   /** The automated drift→refreeze loop for the frozen edge index:
     * trips integer-exactly on the arrivals' unseen-endpoint share. */
+  def refreezeGraphIfStale(arrivals: DataFrame, name: String,
+      maxUnseenShare: Double = 0.2, buckets: Int = 8,
+      retain: Int = 1): Option[Long] =
+    graft.sources.GraphIndexStore.refreezeIfStale(spark, arrivals, name,
+      maxUnseenShare, buckets, retain)
+
   /** Freeze the community view of raw weighted co-purchase pairs:
     * pairs persist unscreened, the g08 contraction's labels persist
     * beside them (round 15 — the g08/g09 lifecycle's persistence
@@ -612,12 +618,6 @@ class Graft(val spark: SparkSession, dir: String) {
       outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.GraphStream.bridgesStream(pairStream, name, outDir,
       checkpoint)
-
-  def refreezeGraphIfStale(arrivals: DataFrame, name: String,
-      maxUnseenShare: Double = 0.2, buckets: Int = 8,
-      retain: Int = 1): Option[Long] =
-    graft.sources.GraphIndexStore.refreezeIfStale(spark, arrivals, name,
-      maxUnseenShare, buckets, retain)
 
   /** Compact the edge index's live generation (lease-held crash-safe
     * rewrite — see [[graft.sources.GraphIndexStore.compact]]). */

@@ -561,8 +561,12 @@ object Graph {
   def g09CommunityBridges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    val corpusEdges = weightedPairs(li.filter(col("l_orderkey") % 10 < 8))
-      .filter(col("w") >= CommunityMinWeight)
+    // cached BEFORE the contraction (round-15 review fix): its two
+    // eager localCheckpoints (nodes + edges) would otherwise run the
+    // per-order pair fan-out twice
+    val corpusEdges = OpCache.cached(
+      weightedPairs(li.filter(col("l_orderkey") % 10 < 8))
+        .filter(col("w") >= CommunityMinWeight))
     val labels = OpCache.cached(Components.starContraction(
       corpusEdges.select(col("x").as("doc_a"), col("y").as("doc_b"))))
     val arr = weightedPairs(li.filter(col("l_orderkey") % 10 >= 8))

@@ -158,10 +158,8 @@ object Pipeline {
   def p27TrainedPack(spark: SparkSession, dir: String,
                      contextLen: Long = 2048L): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val trained = Quality.trainBpeFrom(spark,
-        docs.select("doc_id", "text"), Quality.BpeTrainRounds)
-      .select("pair", "merged_sym").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val trained = Quality.trainBpeMerges(spark,
+      docs.select("doc_id", "text"), Quality.BpeTrainRounds)
     packTokens(docs
       .select(col("doc_id"), col("source"),
         Quality.bpeTokenCountWith(trained)(col("text")).as("n_tokens")),

@@ -425,6 +425,23 @@ object Quality {
   private[graft] def trainBpeFrom(spark: SparkSession, docs: DataFrame,
                                   rounds: Int): DataFrame = {
     import spark.implicits._
+    trainLoop(docs, rounds, withCurve = true)
+      .toDF("merge_round", "pair", "merged_sym", "pair_freq",
+        "tokens_after")
+      .orderBy("merge_round")
+  }
+
+  /** The learned merge table alone — for the APPLY-side callers
+    * (t29, p27) that discard the training curve (round-15 review
+    * fix: the curve's per-round tokens_after aggregate is 12 extra
+    * driver round-trips they never read). */
+  private[graft] def trainBpeMerges(spark: SparkSession, docs: DataFrame,
+                                    rounds: Int): Seq[(String, String)] =
+    trainLoop(docs, rounds, withCurve = false)
+      .map { case (_, pair, sym, _, _) => (pair, sym) }
+
+  private def trainLoop(docs: DataFrame, rounds: Int, withCurve: Boolean)
+      : Seq[(Long, String, String, Long, Long)] = {
     var cur = docs
       .select(explode(tokens(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -448,17 +465,17 @@ object Quality {
       val next = cur
         .select(replace(col("w"), lit(pair), lit(sym)).as("w"), col("freq"))
         .persist()
-      val tokensAfter = next
-        .agg(sum(col("freq") * length(col("w"))).as("t"))
-        .collect()(0).getLong(0)
+      val tokensAfter =
+        if (withCurve)
+          next.agg(sum(col("freq") * length(col("w"))).as("t"))
+            .collect()(0).getLong(0)
+        else -1L
       cur.unpersist()
       cur = next
       (r.toLong, pair, sym, cnt, tokensAfter)
     }
     cur.unpersist()
-    learned.toDF("merge_round", "pair", "merged_sym", "pair_freq",
-        "tokens_after")
-      .orderBy("merge_round")
+    learned
   }
 
   /** qa06's sketch geometry: depth 4 × width 1024 counters, hash
@@ -1111,12 +1128,20 @@ object Quality {
       .join(nt, "doc_id")
       .select(col("doc_id"), col("f"), col("cnt"),
         expr("(cnt * 1000000) div nt").as("x"))
-    val seen = feat.groupBy("doc_id").agg(sum(col("cnt")).as("n_tokens_seen"))
-    pocketScores(feat.select("doc_id", "f", "x"), weights)
-      .join(seen, "doc_id")
-      .join(nt.select(col("doc_id"), col("nt").as("n_tokens")), "doc_id")
-      .select(col("doc_id"), col("n_tokens"), col("n_tokens_seen"),
-        col("s").as("score"), (col("s") >= 0).as("keep"))
+    val seen = feat.groupBy("doc_id").agg(sum(col("cnt")).as("seen"))
+    // EVERY document gets a verdict (round-15 review fix: the inner
+    // joins silently dropped docs whose every token is outside the
+    // frozen vocabulary — an ingest gate that neither keeps nor
+    // drops): a fully-novel doc has no surviving features, so by the
+    // convention s = 0 and keep = (0 ≥ 0) = true, exactly what the
+    // left joins + coalesce produce
+    nt.join(pocketScores(feat.select("doc_id", "f", "x"), weights),
+        Seq("doc_id"), "left")
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        coalesce(col("seen"), lit(0L)).as("n_tokens_seen"),
+        coalesce(col("s"), lit(0L)).as("score"),
+        (coalesce(col("s"), lit(0L)) >= 0).as("keep"))
   }
 
   /** t29: TOKEN COUNTS UNDER THE TRAINED TABLE (round 15 — t28's
@@ -1139,10 +1164,8 @@ object Quality {
     * trained table in the slot. */
   def t29TrainedTokens(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val trained = trainBpeFrom(spark, docs.select("doc_id", "text"),
-        BpeTrainRounds)
-      .select("pair", "merged_sym").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val trained = trainBpeMerges(spark, docs.select("doc_id", "text"),
+      BpeTrainRounds)
     docs.select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
         bpeTokenCountWith(trained)(col("text")).as("n_bpe_trained"),

@@ -145,32 +145,35 @@ object ClassifierStore {
   def staleness(spark: SparkSession, arrivals: DataFrame,
                 name: String): DataFrame = {
     val (gen, batches) = livePtr(spark, name)
+    // ONE pass over the arrivals (round-15 review fix: the first cut
+    // tokenized them three times for one monitor row): frozenScores
+    // now emits a row for EVERY doc, so the doc count, the token
+    // masses and the score mass all fall out of the scored frame —
+    // n_docs_scored counts docs with ≥1 frozen-vocabulary token (the
+    // feature-coverage view; a fully-novel doc serves as keep@0 but
+    // carries no signal)
     val scored = scoreFrozen(spark, arrivals, name)
-      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("tok_of_scored"),
-        coalesce(sum(col("n_tokens_seen")), lit(0L)).as("n_tok_seen"),
-        count(lit(1)).as("n_docs_scored"),
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("n_tokens_seen") > 0, 1L)), lit(0L))
+          .as("n_docs_scored"),
         coalesce(sum(when(col("keep"), 1L)), lit(0L)).as("n_keep"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tok_arr"),
+        coalesce(sum(col("n_tokens_seen")), lit(0L)).as("n_tok_seen"),
         coalesce(sum(col("score")), lit(0L)).as("sum_score"))
-    val masses = arrivals
-      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
-      .agg(count(lit(1)).as("n_tok_arr"))
-    val nArr = arrivals.agg(count(lit(1)).as("n_docs"))
     val base = part(spark, name, gen, batches, "stats")
       .select(col("n_docs").as("c_docs"), col("sum_score").as("c_score"))
-    scored.crossJoin(broadcast(masses)).crossJoin(broadcast(nArr))
-      .crossJoin(broadcast(base))
+    scored.crossJoin(broadcast(base))
       .select(col("n_docs"), col("n_docs_scored"), col("n_keep"),
         col("n_tok_arr"), col("n_tok_seen"),
         when(col("n_tok_arr") > 0,
           (col("n_tok_arr") - col("n_tok_seen")).cast("double") /
             col("n_tok_arr")).as("unseen_share"),
-        when(col("n_docs_scored") > 0,
-          col("sum_score").cast("double") / col("n_docs_scored"))
-          .as("mean_score"),
+        when(col("n_docs") > 0,
+          col("sum_score").cast("double") / col("n_docs")).as("mean_score"),
         when(col("c_docs") > 0,
           col("c_score").cast("double") / col("c_docs")).as("corpus_score"),
-        when(col("n_docs_scored") > 0 && col("c_docs") > 0,
-          col("sum_score").cast("double") / col("n_docs_scored") -
+        when(col("n_docs") > 0 && col("c_docs") > 0,
+          col("sum_score").cast("double") / col("n_docs") -
             col("c_score").cast("double") / col("c_docs")).as("score_drift"))
   }
 

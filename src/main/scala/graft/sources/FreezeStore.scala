@@ -135,6 +135,25 @@ object FreezeLease {
                   s"lease at $path and a new holder re-created it before " +
                   s"the put-back; captured token left at tombstone $tmp " +
                   "— its holder will fail checkOwned loudly")
+            case _: UnsupportedOperationException =>
+              // no hard links on this filesystem (round-15 review
+              // fix: the exception would otherwise escape release()'s
+              // IOException-only handling): fall back to the O_EXCL
+              // exclusive-create write — atomic at the path, only the
+              // capture's mtime is not preserved
+              try {
+                Files.write(path, Files.readAllBytes(tmp),
+                  java.nio.file.StandardOpenOption.CREATE_NEW,
+                  java.nio.file.StandardOpenOption.WRITE)
+                Files.deleteIfExists(tmp)
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  System.err.println(
+                    s"[freeze-lease] release by $holder captured a foreign " +
+                      s"lease at $path and a new holder re-created it before " +
+                      s"the put-back; captured token left at tombstone $tmp " +
+                      "— its holder will fail checkOwned loudly")
+              }
           }
       } catch { case _: java.io.IOException => () } // already gone
       ()
@@ -398,10 +417,23 @@ object FreezeStore {
         val l = FreezeLease.acquire(leaseDir(spark), name, holderId, staleMs, waitMs)
         val pump = new Thread(() => {
           var alive = true
+          var misses = 0
           while (alive) {
             try Thread.sleep(math.max(staleMs / 3, 25L))
             catch { case _: InterruptedException => alive = false }
-            if (alive) alive = l.heartbeatQuietly()
+            if (alive) {
+              // tolerate TRANSIENT misses (round-15 review fix): a
+              // broken foreign holder's release() captures this file
+              // by rename and puts it straight back — a tick landing
+              // inside that window reads NoSuchFile once, and a pump
+              // that exits on it leaves a live long hold with a
+              // never-refreshed mtime, GUARANTEEING a stale-break
+              // mid-hold. Three consecutive misses (a full staleMs)
+              // means the lease is genuinely gone — then stop; the
+              // hold's next checkOwned fails loudly.
+              if (l.heartbeatQuietly()) misses = 0 else misses += 1
+              alive = misses < 3
+            }
           }
         }, s"graft-lease-heartbeat-$name")
         pump.setDaemon(true)

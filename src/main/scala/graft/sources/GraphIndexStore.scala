@@ -225,10 +225,13 @@ object GraphIndexStore {
       val gen = prev + 1
       def stamp(df: DataFrame): DataFrame =
         df.withColumn("batch", lit(0L)).withColumn("gen", lit(gen))
-      Bucketing.writeBucketed(stamp(pairs.select("x", "y", "w")),
-        gt(name, gen), "x", buckets)
+      // cached once (round-15 review fix): the bucketed raw write +
+      // the contraction's two eager localCheckpoints would otherwise
+      // evaluate the (expensive, per-order fan-out) pairs plan 3×
+      val p = graft.operators.OpCache.cached(pairs.select("x", "y", "w"))
+      Bucketing.writeBucketed(stamp(p), gt(name, gen), "x", buckets)
       val labels = graft.operators.Components.starContraction(
-        pairs.filter(col("w") >= minWeight)
+        p.filter(col("w") >= minWeight)
           .select(col("x").as("doc_a"), col("y").as("doc_b")))
       Bucketing.writeBucketed(stamp(labels.select("node", "label")),
         FreezeStore.genTable(name, gen, "labels"), "node", buckets)
