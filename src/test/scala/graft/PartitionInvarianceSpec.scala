@@ -78,7 +78,14 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // global-fraction HAVING
                    "q52_returned_revenue", "q59_unshipped_backlog",
                    "q54_top_supplier", "q58_important_parts",
-                   "q60_cheapest_supplier")) {
+                   "q60_cheapest_supplier",
+                   // round 15: the 12-round argmax training loop +
+                   // its trained-fold application and packing, the
+                   // contraction-labeled communities and their
+                   // arrival-classify monitor
+                   "t28_train_bpe", "t29_trained_tokens",
+                   "p27_trained_pack", "g08_communities",
+                   "g09_community_bridges")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
