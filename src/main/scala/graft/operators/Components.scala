@@ -87,24 +87,51 @@ object Components {
     rewired.union(parent).filter(col("u") =!= col("v")).distinct()
   }
 
+  /** Release a superseded round's localCheckpoint blocks eagerly
+    * (g08 cost pass, VERDICT r15 #3/#4: every round's blocks used to
+    * stay pinned until the loop's frames were garbage-collected).
+    * Safe ONLY for frames nothing downstream references — a released
+    * checkpoint cannot recompute (the lineage was truncated), so the
+    * final round's frame is never passed here. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Alternating large-star/small-star contraction to a fixpoint.
     * At convergence the edge set is a forest of depth-1 stars rooted
-    * at each component's min node; labels read straight off it. */
+    * at each component's min node; labels read straight off it.
+    *
+    * Per-round cost (g08 cost pass, VERDICT r15 #4): ONE job — the
+    * lazy localCheckpoint materializes inside the same count() action
+    * that reads the new edge count (the old shape ran an eager
+    * checkpoint job + two count jobs + an except job every round).
+    * The count compare gates the membership probe: a round that
+    * changed the edge count — almost every pre-convergence round —
+    * skips the except job entirely; the membership check runs only on
+    * count-stable rounds (usually just the final one), where it alone
+    * decides the fixpoint. Convergence semantics are unchanged:
+    * fixpoint ⟺ same count AND no edge outside the previous set
+    * (both sides distinct), so labels stay bit-identical. */
   def starContraction(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val nodes = pairs.select(col("doc_a").as("node"))
       .union(pairs.select(col("doc_b").as("node")))
       .distinct().localCheckpoint(true)
     var edges = pairs.toDF("u", "v")
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
+    var edgeCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixpoint test on the canonical orientation: same count and
-      // no edge outside the previous set (both sides distinct)
-      val changed = next.count() != edges.count() ||
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextCount = next.count()
+      val changed = nextCount != edgeCount ||
         next.except(edges).limit(1).count() > 0
+      releaseCheckpoint(edges) // superseded round — nothing reads it again
       edges = next
+      edgeCount = nextCount
       converged = !changed
       iter += 1
     }

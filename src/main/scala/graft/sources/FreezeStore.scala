@@ -135,12 +135,18 @@ object FreezeLease {
                   s"lease at $path and a new holder re-created it before " +
                   s"the put-back; captured token left at tombstone $tmp " +
                   "— its holder will fail checkOwned loudly")
-            case _: UnsupportedOperationException =>
-              // no hard links on this filesystem (round-15 review
-              // fix: the exception would otherwise escape release()'s
-              // IOException-only handling): fall back to the O_EXCL
-              // exclusive-create write — atomic at the path, only the
-              // capture's mtime is not preserved
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              // hard links unavailable on this filesystem — either
+              // unsupported outright or rejected with a
+              // FileSystemException/IOException (ADVICE r15: only
+              // UnsupportedOperationException used to take this
+              // branch; the IOException flavors fell through to the
+              // outer silent catch, leaving the foreign holder's
+              // lease absent with the capture stranded as a
+              // tombstone — the exact state this restore exists to
+              // prevent). Fall back to the O_EXCL exclusive-create
+              // write — atomic at the path, only the capture's mtime
+              // is not preserved.
               try {
                 Files.write(path, Files.readAllBytes(tmp),
                   java.nio.file.StandardOpenOption.CREATE_NEW,
@@ -152,6 +158,15 @@ object FreezeLease {
                     s"[freeze-lease] release by $holder captured a foreign " +
                       s"lease at $path and a new holder re-created it before " +
                       s"the put-back; captured token left at tombstone $tmp " +
+                      "— its holder will fail checkOwned loudly")
+                case e: java.io.IOException =>
+                  // put-back abandoned (ADVICE r15: log it — the
+                  // foreign holder WILL fail checkOwned and needs the
+                  // tombstone to explain why)
+                  System.err.println(
+                    s"[freeze-lease] release by $holder ABANDONED the " +
+                      s"put-back of a foreign lease at $path (${e.getClass.getSimpleName}: " +
+                      s"${e.getMessage}); captured token left at tombstone $tmp " +
                       "— its holder will fail checkOwned loudly")
               }
           }

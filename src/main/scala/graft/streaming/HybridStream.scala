@@ -50,11 +50,20 @@ object HybridStream {
           val spark = batch.sparkSession
           // bounded control frames: the batch's query terms (for the
           // IN-pushdown) and the q_id → query_id map. query_id is
-          // cast explicitly (ADVICE r14): a caller whose stream
-          // carries a LongType query_id otherwise got an opaque
-          // ClassCastException inside foreachBatch at runtime.
-          val qt = batch.select(col("query_id").cast("int"), col("terms"))
-            .collect().map(r => (r.getInt(0), r.getSeq[String](1))).toSeq
+          // cast through LONG and range-checked (ADVICE r14 fixed the
+          // opaque ClassCastException on LongType streams; ADVICE r15
+          // fixed the fix — a bare cast("int") silently TRUNCATED ids
+          // above Int.MaxValue into wrong query_ids in the fused
+          // output; searchFrozen's control-frame key stays Int, so an
+          // id outside Int range must fail loudly instead).
+          val qt = batch.select(col("query_id").cast("long"), col("terms"))
+            .collect().map { r =>
+              val qid = r.getLong(0)
+              require(qid >= Int.MinValue && qid <= Int.MaxValue,
+                s"hybrid stream query_id $qid does not fit in Int — " +
+                  "searchFrozen keys queries by Int; re-key the stream")
+              (qid.toInt, r.getSeq[String](1))
+            }.toSeq
           val qmap = batch.select(col("query_id"), col("vec_id").as("q_id"))
           val bm25 = Bm25IndexStore.searchFrozen(spark, textName, qt)
             .select(col("query_id"), col("ck").as("doc_id"),

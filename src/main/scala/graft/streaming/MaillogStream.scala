@@ -225,9 +225,19 @@ object MaillogStream {
     graft.operators.MaillogOps.coverageOf(parsed)
 
   /** The coverage monitor as a runnable sink: one cumulative
-    * snapshot table per micro-batch (overwrite — the Complete-mode
-    * output IS the whole state, so replays are idempotent and the
-    * landed parquet always reads as the current totals). */
+    * snapshot table per micro-batch. Each snapshot lands in its own
+    * `snap=<batchId>` directory (ADVICE r15: the old same-directory
+    * overwrite let a concurrent ops reader — the monitor's stated
+    * consumer — observe a deleted or partially-written snapshot
+    * mid-overwrite; every other sink here already writes per-batch
+    * dirs). The Complete-mode output IS the whole state, so replays
+    * land an identical snapshot under the replayed id — idempotent —
+    * and [[latestCoverage]] always resolves a fully-written dir.
+    * Superseded snapshots are pruned down to the two most recent:
+    * the 24/7 daemon must not accumulate one dir per trigger, and
+    * keeping the runner-up means a reader that resolved "latest"
+    * just before the next snapshot landed never has its directory
+    * deleted mid-read. */
   def coverageStream(parsed: DataFrame, outDir: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     coverageUpdates(parsed)
@@ -235,10 +245,31 @@ object MaillogStream {
       .outputMode(OutputMode.Complete)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/snap=$batchId")
+        coverageSnapIds(outDir).sorted.dropRight(2).foreach { old =>
+          val dir = new java.io.File(outDir, s"snap=$old")
+          dir.listFiles() match {
+            case null => ()
+            case fs => fs.foreach(_.delete()); dir.delete(); ()
+          }
+        }
       }
       .start()
+
+  private def coverageSnapIds(outDir: String): Seq[Long] =
+    Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("snap="))
+      .map(_.getName.stripPrefix("snap=").toLong).toSeq
+
+  /** Resolve the newest complete coverage snapshot under `outDir` —
+    * the ops-reader entry point matching [[coverageStream]]'s
+    * per-batch layout. */
+  def latestCoverage(spark: SparkSession, outDir: String): DataFrame = {
+    val ids = coverageSnapIds(outDir)
+    require(ids.nonEmpty, s"no coverage snapshot under $outDir yet")
+    spark.read.parquet(s"$outDir/snap=${ids.max}")
+  }
 
   /** `transformWithState` runs only on the RocksDB state store
     * provider — also the provider you'd pick for a large deployment

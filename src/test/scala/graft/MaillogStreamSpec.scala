@@ -115,7 +115,12 @@ class MaillogStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
 
-    val streamed = rows(spark.read.parquet(out))
+    val streamed = rows(MaillogStream.latestCoverage(spark, out))
+    // per-batch layout (ADVICE r15): two AvailableNow runs landed two
+    // snapshots; both retained (prune keeps the runner-up so a reader
+    // that just resolved it never loses the dir mid-read)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("snap=")) == 2)
     // batch m10 aggregate over the SAME spool through the one shared
     // definition (coverageOf) — the test-oracle pin
     val batch = rows(graft.operators.MaillogOps.coverageOf(
@@ -139,7 +144,8 @@ class MaillogStreamSpec extends SparkSpec {
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     assert(qs.size == 5, "the -coverage flag must add the fifth stream")
     qs.foreach(_.awaitTermination())
-    val cov = spark.read.parquet(s"$root/out/pfmaillog2db_coverage")
+    val cov = graft.streaming.MaillogStream.latestCoverage(
+      spark, s"$root/out/pfmaillog2db_coverage")
     assert(cov.count() > 0)
     assert(cov.filter($"log_process" === "postfix/smtpd")
       .select("n_unmatched").collect()(0).getLong(0) == 1L)
