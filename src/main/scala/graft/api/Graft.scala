@@ -724,6 +724,38 @@ class Graft(val spark: SparkSession, dir: String) {
     graft.sources.ClassifierStore.refreezeIfStale(spark, corpus, arrivals,
       name, maxUnseenShare)
 
+  /** Train the BPE merge table on the given corpus and FREEZE it as
+    * a new generation of the named tokenizer family (round 16 — the
+    * t28→serve loop's persistence step; t29/p27's per-call retrain
+    * becomes train-once-serve-many). */
+  def freezeTokenizer(docs: DataFrame, name: String,
+      rounds: Int = graft.operators.Quality.BpeTrainRounds): Long =
+    graft.sources.TokenizerStore.freeze(docs, name, rounds)
+
+  /** Tokenize (doc_id, text) rows under the live frozen merge table —
+    * the serving read path (per-row fold, arrival-scaled). */
+  def tokenizeFrozen(docs: DataFrame, name: String): DataFrame =
+    graft.sources.TokenizerStore.tokenCountsFrozen(spark, docs, name)
+
+  /** Compression-ratio drift of an arriving batch vs the frozen
+    * tokenizer's stored training baseline — the WHEN-to-retrain
+    * signal for the merge table. */
+  def tokenizerStaleness(arrivals: DataFrame, name: String): DataFrame =
+    graft.sources.TokenizerStore.staleness(spark, arrivals, name)
+
+  /** The automated drift→refreeze loop for the tokenizer: retrain on
+    * corpus ∪ arrivals and flip the pointer when the arrivals stop
+    * compressing under the frozen rules. Returns the new generation
+    * when it fired (RefreezeLoopSpec). */
+  def refreezeTokenizerIfStale(corpus: DataFrame, arrivals: DataFrame,
+      name: String, maxRatioDrift: Double = 0.10): Option[Long] =
+    graft.sources.TokenizerStore.refreezeIfStale(spark, corpus, arrivals,
+      name, maxRatioDrift)
+
+  /** Tokenizer merge-count calibration curve (t30): compression vs
+    * table size from one training run. */
+  def mergeCalibration: DataFrame = Quality.t30MergeCalibration(spark, dir)
+
   /** Streaming hybrid search: arriving (terms + vector) queries
     * search both shipped indexes per micro-batch and fuse by RRF. */
   def streamingHybridSearch(queries: DataFrame, corpus: DataFrame,

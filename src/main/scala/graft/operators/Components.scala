@@ -93,7 +93,7 @@ object Components {
     * Safe ONLY for frames nothing downstream references — a released
     * checkpoint cannot recompute (the lineage was truncated), so the
     * final round's frame is never passed here. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false); ()

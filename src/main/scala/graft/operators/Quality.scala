@@ -451,10 +451,20 @@ object Quality {
 
   private def trainLoop(docs: DataFrame, rounds: Int, withCurve: Boolean)
       : (Seq[(Long, String, String, Long, Long)], Long) = {
+    // each round's word-frequency frame is LOCALLY CHECKPOINTED, not
+    // merely persisted (round 16: t30's 24-round run OOM'd the test
+    // JVM building EXPLAIN STRINGS — persist caches the data but the
+    // logical plan still accretes one replace+groupBy layer per
+    // round, and Spark renders the full lineage per executed query;
+    // the checkpoint truncates it, so plan size is O(1) in rounds).
+    // Lazy checkpoints: the round's first action (argmax / curve agg
+    // / the explicit foreachPartition below) materializes the blocks,
+    // no extra job; superseded rounds release eagerly (the
+    // Components.starContraction rule).
     var cur = docs
       .select(explode(tokens(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .persist()
+      .localCheckpoint(false)
     // round-0 mass (one agg over the vocab-scaled persisted frame):
     // the pre-merge symbol count the training curve starts from
     val tokens0 =
@@ -480,7 +490,7 @@ object Quality {
       // recoverable), hence no re-aggregation is needed
       val next = cur
         .select(replace(col("w"), lit(pair), lit(sym)).as("w"), col("freq"))
-        .persist()
+        .localCheckpoint(false)
       val tokensAfter =
         if (withCurve)
           next.agg(sum(col("freq") * length(col("w"))).as("t"))
@@ -488,7 +498,7 @@ object Quality {
         else {
           // materialize next BEFORE releasing cur (ADVICE r15): on
           // the withCurve=false path nothing else forces next into
-          // the cache before cur.unpersist(), so each round's argmax
+          // the cache before cur's release, so each round's argmax
           // would recompute the full replace-chain lineage back to
           // the corpus scan — O(rounds) corpus re-scans instead of
           // the documented "one groupBy, then vocab-scaled rounds".
@@ -497,11 +507,11 @@ object Quality {
           next.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
           -1L
         }
-      cur.unpersist()
+      Components.releaseCheckpoint(cur)
       cur = next
       (r.toLong, pair, sym, cnt, tokensAfter)
     }
-    cur.unpersist()
+    Components.releaseCheckpoint(cur)
     (learned, tokens0)
   }
 

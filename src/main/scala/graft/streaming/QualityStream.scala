@@ -162,6 +162,36 @@ object QualityStream {
       }
       .start()
 
+  /** STREAMING twin of the STORE-BACKED tokenizer serving path
+    * (round 16 — the tokenizer family's member of the
+    * [[frozenClassifierStream]] lattice): arriving documents
+    * tokenize per micro-batch through
+    * [[graft.sources.TokenizerStore.tokenCountsFrozen]] — the
+    * literal t31 fold over the persisted merge table. The pointer
+    * resolves ONCE PER MICRO-BATCH (the GraphStream decision
+    * record), so a mid-stream [[graft.sources.TokenizerStore
+    * .refreezeIfStale]] lands between batches and every tokenized
+    * batch is wholly one generation; per-batch-id overwrite sinks
+    * keep checkpoint replays idempotent. */
+  def frozenTokenizerStream(docStream: DataFrame, name: String,
+      outDir: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .queryName(s"frozen_tokenizer_$name")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.TokenizerStore
+            .tokenCountsFrozen(batch.sparkSession, batch, name)
+            .write.mode("overwrite").format("parquet")
+            .save(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** Per-document verdicts over any (doc_id, text) frame — batch or
     * streaming (the plan is stateless either way). */
   def qualityVerdicts(docs: DataFrame): DataFrame = {

@@ -86,6 +86,34 @@ class BpeTrainSpec extends SparkSpec {
     assert(viaFold == reported)
   }
 
+  test("t30: the calibration sweep is a prefix-stable projection of one run") {
+    // training to max(grid) rounds yields every smaller setting's
+    // exact curve as a prefix — round r's argmax depends only on
+    // rounds 1..r−1, never on how far training will continue. This
+    // is the fact that lets t30 sweep three table sizes with ONE
+    // training run instead of three.
+    val long = Quality.trainBpeCurve(docsDf, 12)._1
+    val short = Quality.trainBpeCurve(docsDf, 5)._1
+    assert(long.take(5) == short)
+    // and both runs agree on the round-0 mass (the sweep denominator)
+    assert(Quality.trainBpeCurve(docsDf, 5)._2 ==
+      Quality.trainBpeCurve(docsDf, 12)._2)
+  }
+
+  test("t30: compression is strictly monotone over the grid and anchored at round 0") {
+    val rows = Quality.t30MergeCalibration(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq ==
+      Quality.BpeCalibrationGrid.map(_.toLong))
+    // tokens_after strictly decreases as the table grows; every
+    // ratio is in (0, 1) and equals its own exact division
+    assert(rows.zip(rows.tail).forall { case ((_, a, _, _), (_, b, _, _)) =>
+      b < a })
+    assert(rows.forall { case (_, after, before, ratio) =>
+      after < before && ratio == after.toDouble / before })
+  }
+
   test("fixed table: literal fold == t16's regex fold on the fixture corpus") {
     val docs = graft.sources.Tables.documents(spark, sf)
     // compare via the public t16 key so the regex fold is the real one

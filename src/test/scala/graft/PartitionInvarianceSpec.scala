@@ -85,7 +85,10 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // arrival-classify monitor
                    "t28_train_bpe", "t29_trained_tokens",
                    "p27_trained_pack", "g08_communities",
-                   "g09_community_bridges")) {
+                   "g09_community_bridges",
+                   // round 16: the calibration sweep's projection
+                   // and the frozen-tokenizer serving path
+                   "t30_merge_calibration", "t31_frozen_tokens")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))

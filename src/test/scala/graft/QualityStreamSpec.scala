@@ -102,6 +102,47 @@ class QualityStreamSpec extends SparkSpec {
     }
   }
 
+  test("frozen-tokenizer stream: per-batch counts equal the store's serving read") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val name = "qs_frozen_tok"
+    graft.sources.TokenizerStore.drop(spark, name)
+    val base = Files.createTempDirectory("ftokstream").toString
+    try {
+      // the shipped TRAINED merge table (t28 run over the corpus)
+      graft.sources.TokenizerStore.freeze(docs, name)
+      docs.filter($"doc_id" % 2 === 0).coalesce(1)
+        .write.parquet(s"$base/in/p=0")
+      docs.filter($"doc_id" % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/in/p=1")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
+      val q = QualityStream.frozenTokenizerStream(stream, name,
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      val outs = new java.io.File(s"$base/out").listFiles()
+        .filter(_.getName.startsWith("batch="))
+      assert(outs.length == 2, s"one result set per micro-batch: ${outs.length}")
+      val streamed = spark.read.parquet(s"$base/out")
+        .drop("batch").collect().map(_.toString).sorted.toSeq
+      // per-doc tokenization is independent given the frozen table,
+      // so the batch serving read over the full corpus is the twin
+      val want = graft.sources.TokenizerStore
+        .tokenCountsFrozen(spark, docs, name)
+        .collect().map(_.toString).sorted.toSeq
+      assert(want.nonEmpty && streamed == want,
+        s"streamed frozen counts != serving read (${streamed.length} vs ${want.length})")
+      // non-degenerate: every doc tokenized to a positive count
+      assert(spark.read.parquet(s"$base/out")
+        .filter(col("n_bpe_trained") <= 0 || col("n_ws_tokens") <= 0)
+        .count() == 0)
+    } finally {
+      graft.sources.TokenizerStore.drop(spark, name)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("streaming CMS counters: two-checkpoint replay equals the batch counter table") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")

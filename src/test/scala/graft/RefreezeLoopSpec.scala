@@ -258,6 +258,120 @@ class RefreezeLoopSpec extends SparkSpec {
     } finally graft.sources.ClassifierStore.drop(spark, name)
   }
 
+  // ---- tokenizer leg (round 16, VERDICT r15 #1): t28 trains, the
+  // store freezes, arrivals grade by compression, the loop retrains ----
+
+  /** Merge-dense prose: repeated bigrams everywhere, so 12 learned
+    * merges compress it well below ratio 1. */
+  private def tokenizerCorpus = {
+    import spark.implicits._
+    (0 until 16).map(i =>
+      (i.toLong,
+        s"the then they them there these that than the the doc$i"))
+      .toDF("doc_id", "text")
+  }
+
+  /** Arrivals whose pair distribution the frozen rules never saw:
+    * every word is two characters drawn from an alphabet (mostly)
+    * disjoint from the corpus's — the frozen merges fire (almost)
+    * never, so the arrival compression ratio sits near 1. Only SIX
+    * distinct pairs, each repeated, so a retrain on corpus ∪
+    * arrivals provably absorbs all of them into its top-12 table
+    * (each at freq 48, above every corpus pair except the first two
+    * chain merges) and the absorbed regime compresses again. */
+  private def junkArrivals = {
+    import spark.implicits._
+    (0 until 16).map(i =>
+      (3000L + i, s"qz wx kv pj gq fb qz wx kv pj gq fb qz wx kv pj gq fb u$i"))
+      .toDF("doc_id", "text")
+  }
+
+  test("tokenizer freeze serves exactly the trained merge fold") {
+    val name = "refreeze_tok1"
+    graft.sources.TokenizerStore.drop(spark, name)
+    try {
+      val docs = tokenizerCorpus
+      assert(graft.sources.TokenizerStore.freeze(docs, name) == 1L)
+      assert(graft.sources.TokenizerStore.liveGen(spark, name).contains(1L))
+      // re-derive the table (training is deterministic) — the frozen
+      // rows must be the identical ranked sequence
+      val retrained = graft.operators.Quality.trainBpeMerges(spark, docs,
+        graft.operators.Quality.BpeTrainRounds)
+      assert(graft.sources.TokenizerStore.mergesFrozen(spark, name)
+        == retrained)
+      // and serving folds exactly like the storeless t29 path
+      val expected = docs.select(col("doc_id"),
+          graft.operators.Quality.bpeTokenCountWith(retrained)(col("text"))
+            .as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val served = graft.sources.TokenizerStore
+        .tokenCountsFrozen(spark, docs, name)
+        .select("doc_id", "n_bpe_trained")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == expected)
+    } finally graft.sources.TokenizerStore.drop(spark, name)
+  }
+
+  test("tokenizer loop: familiar arrivals no-op; drifted arrivals retrain and re-pin") {
+    val name = "refreeze_tok2"
+    graft.sources.TokenizerStore.drop(spark, name)
+    try {
+      val docs = tokenizerCorpus
+      graft.sources.TokenizerStore.freeze(docs, name)
+      // re-uploads of known text compress exactly like the corpus:
+      // drift 0 — never a retrain
+      val familiar = docs.select((col("doc_id") + 1000L).as("doc_id"),
+        col("text"))
+      assert(graft.sources.TokenizerStore.refreezeIfStale(
+        spark, docs, familiar, name).isEmpty)
+      // empty arrival batches are a no-op, not a divide-by-zero
+      assert(graft.sources.TokenizerStore.refreezeIfStale(
+        spark, docs, familiar.filter(lit(false)), name).isEmpty)
+      assert(graft.sources.TokenizerStore.liveGen(spark, name).contains(1L))
+
+      // the frozen rules barely fire on the junk regime: its ratio
+      // sits near 1 while the corpus compressed well under them
+      val stale = graft.sources.TokenizerStore
+        .staleness(spark, junkArrivals, name).collect()(0)
+      assert(stale.getAs[Double]("ratio_drift") > 0.10,
+        s"junk regime must read as compression drift, got $stale")
+
+      // the loop fires: retrain on corpus ∪ arrivals, pointer flips
+      val fired = graft.sources.TokenizerStore.refreezeIfStale(
+        spark, docs, junkArrivals, name)
+      assert(fired.contains(2L), s"drifted arrivals must trigger gen 2, got $fired")
+      assert(graft.sources.TokenizerStore.liveGen(spark, name).contains(2L))
+
+      // the retrained table absorbed the junk pairs: the arrivals now
+      // compress below 1 under the live rules and read fresh
+      val after = graft.sources.TokenizerStore
+        .staleness(spark, junkArrivals, name).collect()(0)
+      assert(after.getAs[Double]("arrival_ratio") <
+        stale.getAs[Double]("arrival_ratio"),
+        s"absorbed arrivals must compress better: $stale -> $after")
+      assert(graft.sources.TokenizerStore.refreezeIfStale(
+        spark, docs, junkArrivals, name).isEmpty,
+        "absorbed arrivals must no longer trip the loop")
+    } finally graft.sources.TokenizerStore.drop(spark, name)
+  }
+
+  test("the tokenizer loop is reachable through the api facade") {
+    val g = new graft.api.Graft(spark, sf)
+    val name = "refreeze_tok_api"
+    graft.sources.TokenizerStore.drop(spark, name)
+    try {
+      val docs = tokenizerCorpus
+      assert(g.freezeTokenizer(docs, name) == 1L)
+      assert(g.tokenizeFrozen(docs, name).count() == docs.count())
+      assert(g.tokenizerStaleness(docs, name).count() == 1L)
+      val familiar = docs.select((col("doc_id") + 1000L).as("doc_id"),
+        col("text"))
+      assert(g.refreezeTokenizerIfStale(docs, familiar, name).isEmpty)
+      assert(g.refreezeTokenizerIfStale(docs, junkArrivals, name)
+        .contains(2L))
+    } finally graft.sources.TokenizerStore.drop(spark, name)
+  }
+
   test("a reader bound before the automated flip survives it (retention)") {
     val name = "refreeze_loop3"
     MediaIndexStore.drop(spark, name)

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Consolidate the serving-latency ops cards into ONE per-round
+artifact (VERDICT r15 #6): the four latency mains (daemon, sparse
+BM25, hybrid, classifier) each print a single JSON line, but as
+separate runs their numbers were only comparable by reading PLANS
+prose. This runs them sequentially (one sbt/Spark at a time — a
+concurrent run would contaminate the very latencies being measured),
+collects each card line, and writes docs/ops_cards_r{N}.json so
+round-over-round serving-latency drift is machine-comparable the way
+bench bands are.
+
+Usage:
+    python3 tools/ops_cards.py --round 16            # all four cards
+    python3 tools/ops_cards.py --round 16 --only daemon,bm25
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# card key -> (main class, the "metric" its JSON line carries)
+CARDS = {
+    "daemon": ("graft.DaemonLatency", "daemon_latency"),
+    "bm25": ("graft.Bm25Latency", "bm25_latency"),
+    "hybrid": ("graft.HybridLatency", "hybrid_latency"),
+    "classifier": ("graft.ClassifierLatency", "classifier_latency"),
+    "tokenizer": ("graft.TokenizerLatency", "tokenizer_latency"),
+}
+
+
+def run_card(main_class, metric):
+    t0 = time.time()
+    proc = subprocess.run(
+        ["sbt", "-batch", f"runMain {main_class}"],
+        cwd=REPO, capture_output=True, text=True, timeout=1800)
+    wall = time.time() - t0
+    line = None
+    for m in re.finditer(r'\{"metric":"%s".*?\}' % re.escape(metric),
+                         proc.stdout):
+        line = m.group(0)
+    if line is None:
+        return {"err": f"no {metric} line (rc={proc.returncode}, "
+                       f"wall={wall:.0f}s)",
+                "tail": proc.stdout[-400:]}
+    card = json.loads(line)
+    card["runner_wall_sec"] = round(wall, 1)
+    return card
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated card keys (default: all)")
+    args = ap.parse_args()
+    keys = args.only.split(",") if args.only else list(CARDS)
+    out = {"round": args.round, "cards": {}}
+    for k in keys:
+        main_class, metric = CARDS[k]
+        print(f"[ops_cards] running {k} ({main_class}) ...", flush=True)
+        out["cards"][k] = run_card(main_class, metric)
+        print(f"[ops_cards] {k}: {json.dumps(out['cards'][k])}", flush=True)
+    path = os.path.join(REPO, "docs", f"ops_cards_r{args.round}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
