@@ -682,7 +682,18 @@ object Multimodal {
                     maxHamming: Int = 3, maxBandOccupancy: Long = 0L,
                     idCol: String = "doc_id",
                     binCol: String = "media"): DataFrame =
-    phashPairs(mediaHashes(media, tw, th, idCol, binCol),
+    // decode ONCE per call (round 16 — the mm11 dual-decode finding's
+    // bigger sibling, root-caused by a ProfilePasses read: phashPairs
+    // references its hash frame FIVE times — the band self-join's two
+    // sides plus both exact-verify joins — and exchange reuse does
+    // not reliably dedup them, so the 5000-image imageio decode ran
+    // multiple times per invocation, ~2.0s vs the 1.37s band. The
+    // lazy local checkpoint materializes the three-longs-per-image
+    // hash frame on the first action and every branch reads the
+    // blocks; each CALL still pays exactly one decode, keeping the
+    // entry's E2E attribution honest.)
+    phashPairs(mediaHashes(media, tw, th, idCol, binCol)
+        .localCheckpoint(false),
       maxHamming, maxBandOccupancy)
 
   /** The normalize→hash front half of [[mediaPipeline]] factored out

@@ -166,6 +166,30 @@ object Pipeline {
       contextLen).orderBy("doc_id")
   }
 
+  /** p28: SEQUENCE PACKING UNDER THE FROZEN TOKENIZER (round 16 —
+    * p27's serving twin, the VERDICT r15 #1 frozen variant: p27
+    * retrains the merge table on every invocation; this freezes it
+    * through [[graft.sources.TokenizerStore]] and packs under the
+    * FROZEN generation — what a production pipeline runs between
+    * tokenizer refreshes). The key runs freeze→serve (the
+    * Verify-fresh g06/g07 rule); the counts fold through the one
+    * literal bpeTokenCountWith definition with the frozen table
+    * collected as bounded control state, and packing is the p02/p14
+    * bucketed two-phase prefix sum. Oracle: training is
+    * deterministic, so frozen == retrained on the same corpus —
+    * p27's oracle verbatim, routed through the persisted artifact. */
+  def p28FrozenPack(spark: SparkSession, dir: String,
+                    contextLen: Long = 2048L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.sources.TokenizerStore.freeze(
+      docs.select("doc_id", "text"), "p28_frozen")
+    val m = graft.sources.TokenizerStore.mergesFrozen(spark, "p28_frozen")
+    packTokens(docs
+      .select(col("doc_id"), col("source"),
+        Quality.bpeTokenCountWith(m)(col("text")).as("n_tokens")),
+      contextLen).orderBy("doc_id")
+  }
+
   /** p03: token-budget selection — keep the highest-quality documents
     * of each source until that source's running token count exceeds
     * the budget (the mixture-construction step: every source gets a
@@ -1751,6 +1775,24 @@ object Pipeline {
     // p02's packing with the budget column swapped for the generated
     // mini-BPE count (same merge table as t16's oracle)
     "p27_trained_pack" ->
+      raw"""WITH ${Quality.BpeTrainW0},
+         |${Quality.bpeTrainCtes(withTokensAfter = false)},
+         |d AS (SELECT doc_id, source,
+         |    CAST(length(regexp_replace(${Quality.bpeTrainedFoldSql("lower(text)")}, '\s+', '', 'g')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens,
+         |  start_tok // 2048 AS bin_id,
+         |  start_tok % 2048 AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // p28's oracle is p27's VERBATIM (round 16): training is
+    // deterministic, so the frozen table == the retrained one on the
+    // same corpus -- the hash gate pins the store round-trip
+    "p28_frozen_pack" ->
       raw"""WITH ${Quality.BpeTrainW0},
          |${Quality.bpeTrainCtes(withTokensAfter = false)},
          |d AS (SELECT doc_id, source,

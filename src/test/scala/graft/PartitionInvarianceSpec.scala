@@ -88,7 +88,8 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "g09_community_bridges",
                    // round 16: the calibration sweep's projection
                    // and the frozen-tokenizer serving path
-                   "t30_merge_calibration", "t31_frozen_tokens")) {
+                   "t30_merge_calibration", "t31_frozen_tokens",
+                   "p28_frozen_pack")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
