@@ -38,10 +38,14 @@ def run_card(main_class, metric):
         ["sbt", "-batch", f"runMain {main_class}"],
         cwd=REPO, capture_output=True, text=True, timeout=1800)
     wall = time.time() - t0
+    # whole-line parse (the daemon card nests per-table objects, so a
+    # non-greedy brace match truncates); sbt prefixes stdout lines
     line = None
-    for m in re.finditer(r'\{"metric":"%s".*?\}' % re.escape(metric),
-                         proc.stdout):
-        line = m.group(0)
+    prefix = '{"metric":"%s"' % metric
+    for raw in proc.stdout.splitlines():
+        cand = raw.split("] ", 1)[-1].strip() if raw.startswith("[") else raw.strip()
+        if cand.startswith(prefix):
+            line = cand
     if line is None:
         return {"err": f"no {metric} line (rc={proc.returncode}, "
                        f"wall={wall:.0f}s)",
