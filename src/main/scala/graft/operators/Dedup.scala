@@ -785,10 +785,12 @@ object Dedup {
     // not O(diameter) — same (node → min reachable id) contract,
     // equivalence-tested in ComponentsSpec
     val labels = Components.starContraction(pairs)
-    // the contraction loop localCheckpoints eagerly, so nothing lazy
-    // references e/assign anymore — release their executor storage
-    // (a long-lived session calling this repeatedly must not pin one
-    // corpus copy per call)
+    // the contraction loop checkpoints its node and edge frames and
+    // materializes both before returning (the round-16 shape: lazy
+    // checkpoints forced by the loop's own count actions), so nothing
+    // lazy references e/assign anymore — release their executor
+    // storage (a long-lived session calling this repeatedly must not
+    // pin one corpus copy per call)
     assign.unpersist()
     e.unpersist()
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
