@@ -59,11 +59,20 @@ object MetastoreDemo {
     val name = "ms_text"
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select("doc_id", "text")
+    // a second family on the same persistent catalog (round 16): the
+    // trained-tokenizer artifact freezes in JVM 1 and SERVES from JVM
+    // 3 — the control-state-collect read path (mergesFrozen) across a
+    // process boundary, beside the text index's posting-scan path.
+    // 4 training rounds keep the forked freeze fast; determinism is
+    // what the spec pins it against.
+    val tokName = "ms_tok"
     mode match {
       case "ship" =>
         graft.sources.Bm25IndexStore.freeze(
           graft.operators.Pipeline.chunkFrame(docs), name, buckets = 4)
         printPtr(spark, name)
+        graft.sources.TokenizerStore.freeze(docs, tokName, rounds = 4)
+        printTok(spark, tokName, docs)
       case "absorb" =>
         graft.sources.Bm25IndexStore.append(
           graft.operators.Pipeline.chunkFrame(
@@ -73,6 +82,7 @@ object MetastoreDemo {
       case "search" =>
         printPtr(spark, name)
         printSearch(spark, name)
+        printTok(spark, tokName, docs)
       case other =>
         System.err.println(s"unknown mode $other"); Runtime.getRuntime.halt(2)
     }
@@ -93,4 +103,12 @@ object MetastoreDemo {
     graft.sources.Bm25IndexStore.searchFrozen(spark, name,
       graft.operators.TextAnalysis.Bm25Queries)
       .collect().foreach(r => println("ROW|" + r.mkString("|")))
+
+  private def printTok(spark: org.apache.spark.sql.SparkSession,
+                       name: String,
+                       docs: org.apache.spark.sql.DataFrame): Unit =
+    graft.sources.TokenizerStore.tokenCountsFrozen(spark,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 5), name)
+      .orderBy("doc_id")
+      .collect().foreach(r => println("TOK|" + r.mkString("|")))
 }

@@ -86,6 +86,29 @@ class MetastoreSpec extends SparkSpec {
       assert(rows3 == want,
         s"cross-process search must equal the p22 key " +
           s"(${rows3.length} vs ${want.length} rows)")
+
+      // the tokenizer family on the same persistent catalog (round
+      // 16): frozen in JVM 1, SERVED from JVM 3 — and pinned against
+      // the deterministic retrain computed live in THIS session (the
+      // p22 rule: the cross-process read is tied to a re-derivable
+      // answer, not just to itself)
+      val tok1 = s1.filter(_.startsWith("TOK|"))
+      val tok3 = s3.filter(_.startsWith("TOK|"))
+      assert(tok1.nonEmpty && tok3 == tok1,
+        "tokenizer serve must agree between the freezer and a later JVM")
+      import org.apache.spark.sql.functions._
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .select("doc_id", "text")
+      val merges = graft.operators.Quality.trainBpeMerges(spark, docs, 4)
+      val wantTok = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long"),
+          graft.operators.Quality.bpeTokenCountWith(merges)(col("text")))
+        .orderBy("doc_id")
+        .collect().map(r => "TOK|" + r.mkString("|")).toSeq
+      assert(tok3 == wantTok,
+        s"cross-process tokenizer serve must equal the re-derived fold " +
+          s"($tok3 vs $wantTok)")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
 }
