@@ -231,6 +231,7 @@ object SparkEntry {
     "t29_trained_tokens" -> (Quality.t29TrainedTokens _),
     "t30_merge_calibration" -> (Quality.t30MergeCalibration _),
     "t31_frozen_tokens" -> (Quality.t31FrozenTokens _),
+    "t32_compression_drift" -> (Quality.t32CompressionDrift _),
     "g08_communities" -> (Graph.g08Communities _),
     "g09_community_bridges" -> (Graph.g09CommunityBridges _),
     "p27_trained_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p27TrainedPack(s, d)),

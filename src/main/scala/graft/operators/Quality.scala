@@ -1249,6 +1249,63 @@ object Quality {
       .orderBy("merge_round")
   }
 
+  /** The tokenizer-drift mass aggregate — ONE definition for the
+    * hash-gated t32 monitor and the store-backed staleness read
+    * ([[graft.sources.TokenizerStore.staleness]]), so the serving
+    * monitor cannot drift from the oracle-checked algebra: per
+    * frame, the doc count, the pre-merge symbol mass (every
+    * non-whitespace character of lower(text) = one symbol) and the
+    * post-fold token mass under the given merge table. One
+    * arrival-scaled aggregate; the fold is per-row codegen algebra. */
+  private[graft] def compressionMasses(df: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(length(regexp_replace(lower(col("text")), "\\s+", ""))
+        .cast("long")), lit(0L)).as("tok_before"),
+      coalesce(sum(bpeTokenCountWith(merges)(col("text"))), lit(0L))
+        .as("tok_after"))
+
+  /** t32: TOKENIZER COMPRESSION DRIFT (round 16 — the tokenizer
+    * family's monitor as a HASH-GATED key, closing the last
+    * monitor-lattice asymmetry: qa04/mm12/t20/t26/g05/g09 are all
+    * full-oracle keys while the tokenizer's staleness was spec-gated
+    * only): per derived arrival regime — t26's inject (known text
+    * plus one novel token per doc) and reverse (drifted domain) —
+    * the exact symbol masses before/after folding the TRAINED merge
+    * table, the compression ratio, and its drift vs the corpus's own
+    * ratio. The signal a deployment alerts on: the inject regime
+    * drifts ~0.005 (rules still fire — no retrain), the reverse
+    * regime ~0.18 (the learned pairs stop matching — retrain). Both
+    * ratios are divisions of identical exact integers and the drift
+    * a difference of two such doubles, so the hash gate pins the
+    * whole monitor cross-engine. ONE definition with the store's
+    * staleness read ([[compressionMasses]]). Plan: the t28 training
+    * chain (vocab-scaled) + three bounded aggregates — never a
+    * second corpus pass beyond the folds. */
+  def t32CompressionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val m = trainBpeMerges(spark, docs, BpeTrainRounds)
+    val baseline = compressionMasses(docs, m)
+      .select((col("tok_after").cast("double") / col("tok_before"))
+        .as("corpus_ratio"))
+    val inject = graft.operators.TextAnalysis.injectArrivals(docs)
+    val reversed = docs.filter(col("doc_id") % 10 === 9)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        reverse(col("text")).as("text"))
+    def regimeRow(arr: DataFrame, regime: String): DataFrame =
+      compressionMasses(arr, m)
+        .crossJoin(broadcast(baseline))
+        .select(lit(regime).as("regime"), col("n_docs"),
+          col("tok_before"), col("tok_after"),
+          (col("tok_after").cast("double") / col("tok_before"))
+            .as("arrival_ratio"),
+          col("corpus_ratio"),
+          (col("tok_after").cast("double") / col("tok_before") -
+            col("corpus_ratio")).as("ratio_drift"))
+    regimeRow(inject, "inject").unionByName(regimeRow(reversed, "reverse"))
+      .orderBy("regime")
+  }
+
   /** t31: TRAINED TOKENS OFF THE FROZEN ARTIFACT (VERDICT r15 #1 —
     * the serving read path t29 lacked): freeze the trained merge
     * table through [[graft.sources.TokenizerStore]], then tokenize
@@ -1394,6 +1451,35 @@ object Quality {
          |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
          |  CAST(length(regexp_replace($trainedFold, '\s+', '', 'g')) AS BIGINT) AS n_bpe_trained
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "t32_compression_drift" -> {
+      // the t28 chain + the t26 regime construction + per-regime
+      // folds via scalar subqueries over the chain — ratios divide
+      // identical exact integers on both engines
+      val foldT = bpeTrainedFoldSql("lower(text)")
+      raw"""WITH $BpeTrainW0,
+         |${bpeTrainCtes(withTokensAfter = false)},
+         |cb AS MATERIALIZED (SELECT
+         |    CAST(SUM(length(regexp_replace(lower(text), '\s+', '', 'g'))) AS BIGINT) AS c_before,
+         |    CAST(SUM(length(regexp_replace($foldT, '\s+', '', 'g'))) AS BIGINT) AS c_after
+         |  FROM documents),
+         |base AS (SELECT CAST(c_after AS DOUBLE) / c_before AS corpus_ratio FROM cb),
+         |arr AS (
+         |  SELECT 'inject' AS regime, 'nv' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+         |  FROM documents WHERE doc_id % 10 = 8
+         |  UNION ALL
+         |  SELECT 'reverse' AS regime, reverse(text) AS text
+         |  FROM documents WHERE doc_id % 10 = 9),
+         |ag AS (SELECT regime, COUNT(*) AS n_docs,
+         |    CAST(SUM(length(regexp_replace(lower(text), '\s+', '', 'g'))) AS BIGINT) AS tok_before,
+         |    CAST(SUM(length(regexp_replace($foldT, '\s+', '', 'g'))) AS BIGINT) AS tok_after
+         |  FROM arr GROUP BY 1)
+         |SELECT regime, n_docs, tok_before, tok_after,
+         |  CAST(tok_after AS DOUBLE) / tok_before AS arrival_ratio,
+         |  corpus_ratio,
+         |  CAST(tok_after AS DOUBLE) / tok_before - corpus_ratio AS ratio_drift
+         |FROM ag CROSS JOIN base ORDER BY regime""".stripMargin
     },
 
     "t29_trained_tokens" -> {

@@ -153,12 +153,9 @@ object TokenizerStore {
                 name: String): DataFrame = {
     val (gen, batches) = livePtr(spark, name)
     val m = mergesFrozen(spark, name)
-    val arr = arrivals.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(length(regexp_replace(lower(col("text")), "\\s+", ""))
-        .cast("long")), lit(0L)).as("tok_before"),
-      coalesce(sum(graft.operators.Quality.bpeTokenCountWith(m)(col("text"))),
-        lit(0L)).as("tok_after"))
+    // the LITERAL t32 mass aggregate (one definition — the
+    // oracle-gated monitor and this serving read cannot drift)
+    val arr = graft.operators.Quality.compressionMasses(arrivals, m)
     val base = part(spark, name, gen, batches, "stats")
       .select(col("tokens_before").as("c_before"),
         col("tokens_after").as("c_after"))

@@ -114,6 +114,17 @@ class BpeTrainSpec extends SparkSpec {
       after < before && ratio == after.toDouble / before })
   }
 
+  test("t32: the reverse regime drifts, the inject regime stays fresh") {
+    // the monitor's discriminating property: known text plus a novel
+    // token still compresses (rules fire), a reversed domain does not
+    val rows = Quality.t32CompressionDrift(spark, sf)
+      .collect().map(r => (r.getString(0), r.getAs[Double]("ratio_drift"))).toMap
+    assert(rows("reverse") > 0.05,
+      s"the drifted domain must read as compression loss: $rows")
+    assert(rows("inject") < rows("reverse") / 2,
+      s"in-distribution arrivals must read far fresher: $rows")
+  }
+
   test("fixed table: literal fold == t16's regex fold on the fixture corpus") {
     val docs = graft.sources.Tables.documents(spark, sf)
     // compare via the public t16 key so the regex fold is the real one

@@ -89,7 +89,7 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // round 16: the calibration sweep's projection
                    // and the frozen-tokenizer serving path
                    "t30_merge_calibration", "t31_frozen_tokens",
-                   "p28_frozen_pack")) {
+                   "p28_frozen_pack", "t32_compression_drift")) {
     test(s"$name: identical results under 7 shuffle partitions") {
       val fn = SparkEntry.queries(name)
       val default = rows(fn(spark, sf))
