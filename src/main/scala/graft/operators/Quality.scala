@@ -412,10 +412,14 @@ object Quality {
     * only that table: one pair explode (≤ word-length fan-out) + one
     * map-side-combinable pair groupBy + a 1-row argmax collect
     * (bounded control state, the t27 rule) + one per-row literal
-    * replace. Round frames persist and the previous round unpersists
-    * (the t27 literal-reset rule — an unpersisted chain would re-run
-    * every earlier round's replace per argmax action). Nothing
-    * re-scans the corpus after the first groupBy. */
+    * replace. Round frames LOCALLY CHECKPOINT (lazy — the round's
+    * own argmax/curve action materializes them) and the superseded
+    * round releases eagerly: an uncached chain would re-run every
+    * earlier round's replace per argmax action, and a merely-
+    * PERSISTED chain (round 15's shape) kept accreting one plan
+    * layer per round — Spark renders the full lineage per executed
+    * query, which OOM'd t30's 24-round run before the round-16 fix.
+    * Nothing re-scans the corpus after the first groupBy. */
   def t28TrainBpe(spark: SparkSession, dir: String): DataFrame =
     trainBpeFrom(spark, Tables.documents(spark, dir), BpeTrainRounds)
 

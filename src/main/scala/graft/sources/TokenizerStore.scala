@@ -151,8 +151,18 @@ object TokenizerStore {
     * pass. */
   def staleness(spark: SparkSession, arrivals: DataFrame,
                 name: String): DataFrame = {
+    // resolve the pointer ONCE and read BOTH components off that
+    // generation (round-16 self-review: the first cut called
+    // mergesFrozen, whose own resolve could see a generation newer
+    // than the stats row if a refreeze landed between the two reads
+    // — mixed-generation drift, exactly what wholly-one-generation
+    // forbids; harmless under refreezeIfStale's lease but wrong for
+    // a standalone monitor call)
     val (gen, batches) = livePtr(spark, name)
-    val m = mergesFrozen(spark, name)
+    val m = part(spark, name, gen, batches, "merges")
+      .orderBy("merge_round")
+      .select("pair", "merged_sym")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     // the LITERAL t32 mass aggregate (one definition — the
     // oracle-gated monitor and this serving read cannot drift)
     val arr = graft.operators.Quality.compressionMasses(arrivals, m)

@@ -248,11 +248,12 @@ object MaillogStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/snap=$batchId")
         coverageSnapIds(outDir).sorted.dropRight(2).foreach { old =>
-          val dir = new java.io.File(outDir, s"snap=$old")
-          dir.listFiles() match {
-            case null => ()
-            case fs => fs.foreach(_.delete()); dir.delete(); ()
-          }
+          // recursive delete (round-16 self-review: a crashed write's
+          // leftover _temporary subdirectory would make a flat
+          // file-then-dir delete fail forever)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(outDir, s"snap=$old"))
+          ()
         }
       }
       .start()
