@@ -72,6 +72,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(ws.forall(_.partitionSpec.nonEmpty), "window must be partitioned")
   }
 
+  test("t31 serving fold: map-only — zero shuffles, pruned scan") {
+    // the Explain-audited shape pinned as a regression test (round
+    // 16): the frozen-tokenizer serve is ONE codegen span — a
+    // two-column pruned scan + the merge fold inlined in a Project;
+    // at 100 TB its cost is exactly the scan
+    val name = "ps_tok31"
+    graft.sources.TokenizerStore.drop(spark, name)
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .select("doc_id", "text")
+      graft.sources.TokenizerStore.freeze(docs, name)
+      val served = graft.sources.TokenizerStore.tokenCountsFrozen(spark,
+        graft.sources.Tables.documents(spark, sf), name)
+      assert(shuffles(served) == 0, "the serving fold must be map-only")
+      val scans = physical(served).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty && scans.forall(
+        _.requiredSchema.fieldNames.toSet == Set("doc_id", "text")),
+        "column pruning must reach the scan")
+    } finally graft.sources.TokenizerStore.drop(spark, name)
+  }
+
   test("p06/t12/mm03: narrow plans — no shuffle before the final sort") {
     for ((name, df) <- Seq(
         "p06" -> Pipeline.p06MixtureResample(spark, sf),
