@@ -350,8 +350,9 @@ object MaillogDaemon {
       .start()
 
     // the optional 5th stream: the m10 coverage monitor (Complete-
-    // mode bounded aggregate; cumulative snapshot overwritten per
-    // micro-batch — an ops view, parquet regardless of DB config)
+    // mode bounded aggregate; one cumulative snapshot dir per
+    // micro-batch, read via MaillogStream.latestCoverage — an ops
+    // view, parquet regardless of DB config)
     val coverage =
       if (c.coverage)
         Seq(MaillogStream.coverageStream(parsed,
