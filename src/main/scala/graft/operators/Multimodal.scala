@@ -691,7 +691,15 @@ object Multimodal {
     // lazy local checkpoint materializes the three-longs-per-image
     // hash frame on the first action and every branch reads the
     // blocks; each CALL still pays exactly one decode, keeping the
-    // entry's E2E attribution honest.)
+    // entry's E2E attribution honest. Block lifetime: nothing
+    // downstream can release this frame eagerly — the pair frame is
+    // returned lazily — so the blocks stay pinned until the driver
+    // GCs the plan and ContextCleaner unpersists asynchronously;
+    // they are count-scaled (three longs per image, never bytes), so
+    // a long-lived session tolerates that. A caller that fully
+    // materializes the pairs and wants the blocks back NOW can run
+    // the two stages itself and pass the checkpointed hash frame to
+    // Components.releaseCheckpoint after the action.)
     phashPairs(mediaHashes(media, tw, th, idCol, binCol)
         .localCheckpoint(false),
       maxHamming, maxBandOccupancy)

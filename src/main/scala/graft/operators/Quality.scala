@@ -461,10 +461,12 @@ object Quality {
     // logical plan still accretes one replace+groupBy layer per
     // round, and Spark renders the full lineage per executed query;
     // the checkpoint truncates it, so plan size is O(1) in rounds).
-    // Lazy checkpoints: the round's first action (argmax / curve agg
-    // / the explicit foreachPartition below) materializes the blocks,
-    // no extra job; superseded rounds release eagerly (the
-    // Components.starContraction rule).
+    // Lazy checkpoints: on the withCurve=true path the round's own
+    // curve aggregate materializes the blocks — no extra job; the
+    // merges-only path has no such action, so it pays one explicit
+    // foreachPartition materialization job per round (still cheaper
+    // than the O(rounds) corpus re-scans it prevents). Superseded
+    // rounds release eagerly (the Components.starContraction rule).
     var cur = docs
       .select(explode(tokens(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -1389,33 +1391,44 @@ object Quality {
     * MATERIALIZED (the t27 rule: each w_r is referenced by several
     * later CTEs and DuckDB's default inlining re-evaluates the whole
     * prefix per reference). */
-  private[operators] val BpeTrainW0: String =
-    raw"""w0 AS MATERIALIZED (
+  /** The word-frequency base CTE, parameterized by source relation
+    * and CTE-name prefix (round 17: p29 composes this chain NEXT TO
+    * the t27 epoch chain in one oracle — both use w0..wN names, so
+    * the composition prefixes the BPE side; and p29 trains on the
+    * corpus slice, so the relation is a filtered subquery). The
+    * defaults reproduce the t28/t29/p27/p28 oracles byte-for-byte. */
+  private[operators] def bpeTrainW0Of(rel: String = "documents",
+                                      pfx: String = ""): String =
+    raw"""${pfx}w0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-       |    FROM documents) tw
+       |    FROM $rel) tw
        |  GROUP BY w)""".stripMargin
 
+  private[operators] val BpeTrainW0: String = bpeTrainW0Of()
+
   private[operators] def bpeTrainCtes(withTokensAfter: Boolean,
-                                      rounds: Int = BpeTrainRounds): String =
+                                      rounds: Int = BpeTrainRounds,
+                                      pfx: String = ""): String =
     (1 to rounds).map { r =>
       val sym = bpeTrainSym(r)
       val base =
-        s"""p$r AS MATERIALIZED (SELECT substr(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS c
+        s"""${pfx}p$r AS MATERIALIZED (SELECT substr(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS c
            |  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
-           |        FROM w${r - 1} WHERE length(w) >= 2) x$r GROUP BY 1),
-           |a$r AS MATERIALIZED (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
-           |w$r AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM a$r), '$sym') AS w, freq FROM w${r - 1})""".stripMargin
+           |        FROM ${pfx}w${r - 1} WHERE length(w) >= 2) ${pfx}x$r GROUP BY 1),
+           |${pfx}a$r AS MATERIALIZED (SELECT pair, c FROM ${pfx}p$r ORDER BY c DESC, pair LIMIT 1),
+           |${pfx}w$r AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM ${pfx}a$r), '$sym') AS w, freq FROM ${pfx}w${r - 1})""".stripMargin
       if (withTokensAfter)
-        base + s",\nn$r AS MATERIALIZED (SELECT CAST(SUM(freq * length(w)) AS BIGINT) AS tokens_after FROM w$r)"
+        base + s",\n${pfx}n$r AS MATERIALIZED (SELECT CAST(SUM(freq * length(w)) AS BIGINT) AS tokens_after FROM ${pfx}w$r)"
       else base
     }.mkString(",\n")
 
   /** The trained-table fold of `inner`, each round's pair applied
     * via a scalar subquery over the chain above. */
-  private[operators] def bpeTrainedFoldSql(inner: String): String =
+  private[operators] def bpeTrainedFoldSql(inner: String,
+                                           pfx: String = ""): String =
     (1 to BpeTrainRounds).foldLeft(inner) { case (acc, r) =>
-      s"replace($acc, (SELECT pair FROM a$r), '${bpeTrainSym(r)}')"
+      s"replace($acc, (SELECT pair FROM ${pfx}a$r), '${bpeTrainSym(r)}')"
     }
 
   val oracles: Map[String, String] = Map(

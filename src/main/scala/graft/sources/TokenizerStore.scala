@@ -150,7 +150,21 @@ object TokenizerStore {
     * a broadcast of the 1-row stored baseline — never a corpus
     * pass. */
   def staleness(spark: SparkSession, arrivals: DataFrame,
-                name: String): DataFrame = {
+                name: String): DataFrame =
+    stalenessWithBase(spark, arrivals, name)._1
+
+  /** [[staleness]] plus the eagerly-read stored baseline masses —
+    * the one-read path [[refreezeIfStale]] compares against (ADVICE
+    * r16 / VERDICT r17 #6: the first cut read the 1-row stats table
+    * once inside staleness and AGAIN for the BigInt compare — two
+    * catalog round-trips per monitor poll). Both bounded components
+    * (the `rounds`-row merge table and the 1-row stats baseline) are
+    * collected EAGERLY here, so the returned frame is arrival-only
+    * lineage, fully decoupled from later `retain` prunes (ADVICE
+    * r16: a lazy stats read executed after two refreezes hit a
+    * dropped table — half the result was pinned, half was not). */
+  private def stalenessWithBase(spark: SparkSession, arrivals: DataFrame,
+                                name: String): (DataFrame, Long, Long) = {
     // resolve the pointer ONCE and read BOTH components off that
     // generation (round-16 self-review: the first cut called
     // mergesFrozen, whose own resolve could see a generation newer
@@ -163,24 +177,25 @@ object TokenizerStore {
       .orderBy("merge_round")
       .select("pair", "merged_sym")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val b = part(spark, name, gen, batches, "stats")
+      .select("tokens_before", "tokens_after").head()
+    val (cBefore, cAfter) = (b.getLong(0), b.getLong(1))
     // the LITERAL t32 mass aggregate (one definition — the
     // oracle-gated monitor and this serving read cannot drift)
     val arr = graft.operators.Quality.compressionMasses(arrivals, m)
-    val base = part(spark, name, gen, batches, "stats")
-      .select(col("tokens_before").as("c_before"),
-        col("tokens_after").as("c_after"))
-    arr.crossJoin(broadcast(base))
+    val out = arr
       .select(col("n_docs"), col("tok_before"), col("tok_after"),
         when(col("tok_before") > 0,
           col("tok_after").cast("double") / col("tok_before"))
           .as("arrival_ratio"),
-        when(col("c_before") > 0,
-          col("c_after").cast("double") / col("c_before"))
+        when(lit(cBefore) > 0,
+          lit(cAfter).cast("double") / lit(cBefore))
           .as("corpus_ratio"),
-        when(col("tok_before") > 0 && col("c_before") > 0,
+        when(col("tok_before") > 0 && lit(cBefore) > 0,
           col("tok_after").cast("double") / col("tok_before") -
-            col("c_after").cast("double") / col("c_before"))
+            lit(cAfter).cast("double") / lit(cBefore))
           .as("ratio_drift"))
+    (out, cBefore, cAfter)
   }
 
   /** CLOSE THE DRIFT→REFREEZE LOOP for the tokenizer: when the
@@ -203,14 +218,14 @@ object TokenizerStore {
     // ONE lease hold across staleness read → retrain → freeze (the
     // r13 lost-update rule); the nested freeze re-enters the hold
     FreezeStore.withFamilyLease(spark, name) {
-      val r = staleness(spark, arrivals, name).head()
+      // one stats read per poll (VERDICT r17 #6): the staleness frame
+      // and the exact baseline operands come off the SAME read
+      val (stale, cBefore, cAfter) = stalenessWithBase(spark, arrivals, name)
+      val r = stale.head()
       val aB = BigInt(r.getAs[Long]("tok_before"))
       val aA = BigInt(r.getAs[Long]("tok_after"))
-      val (gen, batches) = livePtr(spark, name)
-      val b = part(spark, name, gen, batches, "stats")
-        .select("tokens_before", "tokens_after").head()
-      val cB = BigInt(b.getLong(0))
-      val cA = BigInt(b.getLong(1))
+      val cB = BigInt(cBefore)
+      val cA = BigInt(cAfter)
       val bp = BigInt(math.round(maxRatioDrift * 10000))
       // drift = aA/aB − cA/cB > bp/10000  ⟺  (aA·cB − cA·aB)·10000 > bp·aB·cB
       if (aB == 0 || cB == 0 ||

@@ -143,6 +143,113 @@ class QualityStreamSpec extends SparkSpec {
     }
   }
 
+  test("classifier drift stream: per-batch rows equal batch staleness across a mid-stream refreeze") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val name = "qs_drift_cls"
+    graft.sources.ClassifierStore.drop(spark, name)
+    val base = Files.createTempDirectory("clsdrift").toString
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    try {
+      // gen 1 trains on HALF the corpus — the baseline the first
+      // micro-batch must be graded against
+      graft.sources.ClassifierStore.freeze(
+        docs.filter($"doc_id" % 2 === 0), name)
+      val slice0 = docs.filter($"doc_id" % 2 =!= 0)
+      val slice1 = docs.filter($"doc_id" % 2 === 0)
+      slice0.coalesce(1).write.parquet(s"$base/in/p=0")
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
+        QualityStream.classifierDriftStream(stream, name,
+          s"$base/out", s"$base/ckpt").awaitTermination()
+      }
+      runOnce()
+      // the batch twin MUST collect now — it reads the LIVE pointer
+      val want0 = rowsOf(graft.sources.ClassifierStore
+        .staleness(spark, slice0, name))
+      // MID-STREAM REFREEZE: gen 2 trains on the FULL corpus, so its
+      // stored baseline (corpus_score) provably differs from gen 1's
+      graft.sources.ClassifierStore.freeze(docs, name)
+      slice1.coalesce(1).write.mode("append").parquet(s"$base/in/p=1")
+      runOnce()
+      val want1 = rowsOf(graft.sources.ClassifierStore
+        .staleness(spark, slice1, name))
+      val got0 = rowsOf(spark.read.parquet(s"$base/out/batch=0"))
+      val got1 = rowsOf(spark.read.parquet(s"$base/out/batch=1"))
+      assert(got0 == want0,
+        s"batch 0 drift must equal gen-1 staleness: $got0 vs $want0")
+      assert(got1 == want1,
+        s"batch 1 drift must equal gen-2 staleness: $got1 vs $want1")
+      // the pointer RE-BOUND: the two batches read different stored
+      // baselines (half-corpus vs full-corpus training)
+      val c0 = spark.read.parquet(s"$base/out/batch=0")
+        .select("corpus_score").head().getDouble(0)
+      val c1 = spark.read.parquet(s"$base/out/batch=1")
+        .select("corpus_score").head().getDouble(0)
+      assert(c0 != c1,
+        s"per-batch pointer re-bind must surface the gen-2 baseline ($c0 vs $c1)")
+    } finally {
+      graft.sources.ClassifierStore.drop(spark, name)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
+  test("tokenizer drift stream: per-batch rows equal batch staleness across a mid-stream refreeze") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val name = "qs_drift_tok"
+    graft.sources.TokenizerStore.drop(spark, name)
+    val base = Files.createTempDirectory("tokdrift").toString
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    try {
+      // gen 1 trains on HALF the corpus
+      graft.sources.TokenizerStore.freeze(
+        docs.filter($"doc_id" % 2 === 0), name)
+      val slice0 = docs.filter($"doc_id" % 2 =!= 0)
+      val slice1 = docs.filter($"doc_id" % 2 === 0)
+      slice0.coalesce(1).write.parquet(s"$base/in/p=0")
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
+        QualityStream.tokenizerDriftStream(stream, name,
+          s"$base/out", s"$base/ckpt").awaitTermination()
+      }
+      runOnce()
+      val want0 = rowsOf(graft.sources.TokenizerStore
+        .staleness(spark, slice0, name))
+      // MID-STREAM REFREEZE: gen 2 retrains on the FULL corpus — a
+      // different merge table AND a different stored baseline
+      graft.sources.TokenizerStore.freeze(docs, name)
+      slice1.coalesce(1).write.mode("append").parquet(s"$base/in/p=1")
+      runOnce()
+      val want1 = rowsOf(graft.sources.TokenizerStore
+        .staleness(spark, slice1, name))
+      val got0 = rowsOf(spark.read.parquet(s"$base/out/batch=0"))
+      val got1 = rowsOf(spark.read.parquet(s"$base/out/batch=1"))
+      assert(got0 == want0,
+        s"batch 0 drift must equal gen-1 staleness: $got0 vs $want0")
+      assert(got1 == want1,
+        s"batch 1 drift must equal gen-2 staleness: $got1 vs $want1")
+      // the pointer RE-BOUND: different stored compression baselines
+      val r0 = spark.read.parquet(s"$base/out/batch=0")
+        .select("corpus_ratio").head().getDouble(0)
+      val r1 = spark.read.parquet(s"$base/out/batch=1")
+        .select("corpus_ratio").head().getDouble(0)
+      assert(r0 != r1,
+        s"per-batch pointer re-bind must surface the gen-2 baseline ($r0 vs $r1)")
+      // non-degenerate: the monitor carries real mass in both batches
+      assert(spark.read.parquet(s"$base/out")
+        .filter(org.apache.spark.sql.functions.col("tok_before") <= 0L)
+        .count() == 0)
+    } finally {
+      graft.sources.TokenizerStore.drop(spark, name)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("streaming CMS counters: two-checkpoint replay equals the batch counter table") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
