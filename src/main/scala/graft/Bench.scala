@@ -133,7 +133,13 @@ object Bench {
     // inside the scan's codegen stage; training ran at prepare,
     // untimed): the tokenizer family's sibling of s13_frozen_search /
     // p21_frozen_search / mm11_frozen_match
-    "t31_frozen_serve")
+    "t31_frozen_serve",
+    // round 17: the ALL-FROZEN curation nightly (p29's serve path —
+    // classifier gate + bloom exact screen + banded near screen +
+    // frozen-tokenizer pack, every stage off a SHIPPED artifact; the
+    // four freezes run at prepare, untimed): the composed read path
+    // a 100 TB deployment executes per arrival batch
+    "p29_frozen_serve")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
@@ -220,7 +226,14 @@ object Bench {
           graft.operators.Multimodal.mediaHashes(
             s.read.parquet(pngCorpus(dir))
               .filter(org.apache.spark.sql.functions.col("doc_id") % 8 >= 6)),
-          "bench_media")))
+          "bench_media")),
+      // the all-frozen curation nightly: the timed work is the
+      // arrival-scaled serve only — gate scoring (arrival-token ⋈
+      // 64-row weights), bloom word probes, the banded near probe
+      // against the frozen buckets, and the survivor pack; all four
+      // artifacts froze at prepare
+      "p29_frozen_serve" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.operators.Pipeline.p29ServeFrozen(s, dir, ns = "bench_p29")))
 
   /** Land the UNTIMED fixture an entry reads — shared by the bench
     * sweep/retries AND [[Explain]] (ADVICE round 14: Explain carried
@@ -277,6 +290,11 @@ object Bench {
           "bench_hybrid_text")
         graft.operators.Similarity.shipIvfpqIndex(spark, sfDir, "bench_hybrid_ann")
       }
+      // freeze all four curation artifacts (classifier, bloom,
+      // near-dup bands, tokenizer), UNTIMED — the p29 serve entry
+      // times the composed arrival-scaled read path only
+      if (name == "p29_frozen_serve")
+        graft.operators.Pipeline.p29Prepare(spark, sfDir, ns = "bench_p29")
       // train + freeze the tokenizer artifact, UNTIMED (the one
       // corpus word-frequency groupBy + 12 vocab-scaled argmax
       // rounds per freeze — the serving entry times the per-doc

@@ -235,7 +235,8 @@ object SparkEntry {
     "g08_communities" -> (Graph.g08Communities _),
     "g09_community_bridges" -> (Graph.g09CommunityBridges _),
     "p27_trained_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p27TrainedPack(s, d)),
-    "p28_frozen_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p28FrozenPack(s, d))
+    "p28_frozen_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p28FrozenPack(s, d)),
+    "p29_frozen_curation" -> (Pipeline.p29FrozenCuration _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

@@ -343,12 +343,7 @@ object Dedup {
     val incDocs = docs.filter(isInc)
     val corpHash = docs.filter(!isInc)
       .groupBy("h").agg(min(col("doc_id")).as("exact_match"))
-    val bands = bandsOf(signaturesFrom(OpCache.cached(docShingles(documents))))
-    val incBands = bands.filter(isInc)
-    val corpBands = bands.filter(!isInc)
-      .select(col("doc_id").as("corp_doc"), col("band"), col("bandkey"))
-    val nearMatch = incBands.join(corpBands, Seq("band", "bandkey"))
-      .groupBy("doc_id").agg(min(col("corp_doc")).as("near_match"))
+    val nearMatch = d15NearMatches(documents)
     incDocs.join(corpHash, Seq("h"), "left")
       .join(nearMatch, Seq("doc_id"), "left")
       .select(col("doc_id"), col("exact_match"), col("near_match"),
@@ -356,6 +351,92 @@ object Dedup {
           .when(col("near_match").isNotNull, "drop_near")
           .otherwise("keep").as("verdict"))
       .orderBy("doc_id")
+  }
+
+  /** d15's NEAR screen alone — one (doc_id, near_match) row per
+    * arrival document that shares a MinHash band bucket with a corpus
+    * document (d02's 8×2 banding; the match is the smallest colliding
+    * corpus doc_id). The shingle→signature pipeline is the shared
+    * OpCache entry; the band join is an equi-join — cost
+    * O(increment + collisions), never corpus×increment. NOTE: these
+    * rank-vocabulary ids are arrival-dependent (the tid ranking
+    * shifts as arrivals add shingles), so this screen re-bands the
+    * corpus per call — the frozen serving variant is
+    * [[nearMatchesFrozen]] on the production md5-prefix path. */
+  private[graft] def d15NearMatches(documents: DataFrame): DataFrame = {
+    val isInc = col("doc_id") % 10 >= 8
+    val bands = bandsOf(signaturesFrom(OpCache.cached(docShingles(documents))))
+    bands.filter(isInc)
+      .join(bands.filter(!isInc)
+        .select(col("doc_id").as("corp_doc"), col("band"), col("bandkey")),
+        Seq("band", "bandkey"))
+      .groupBy("doc_id").agg(min(col("corp_doc")).as("near_match"))
+  }
+
+  /** SHIP the frozen NEAR-DUP band index (round 17, for p29's
+    * all-frozen nightly): the corpus slice's MinHash band buckets on
+    * the PRODUCTION id path (d02_production / stream_neardup's
+    * algebra — term ids are the vocab-free 60-bit md5-prefix hash,
+    * so a corpus row's signature NEVER moves as arrivals land; the
+    * rank-vocabulary ids d02/d15 use for oracle smallness are
+    * arrival-DEPENDENT and cannot freeze). One (band, bandkey) →
+    * min corpus doc_id row per occupied bucket, saved under the
+    * [[shipBloomIndex]] versioning mechanism (atomic pointer flip,
+    * superseded generation retained one freeze). The serving probe
+    * ([[nearMatchesFrozen]]) is then ARRIVAL-scaled end-to-end:
+    * per-row signature algebra + one hint-free equi-join against the
+    * frozen buckets — the corpus is never re-banded per nightly. */
+  private val NearParts = Seq("bands")
+
+  def shipNearDupIndex(spark: SparkSession, dir: String, name: String): Unit = {
+    import graft.sources.{Bucketing, FreezeStore}
+    val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
+    val gen = prev + 1
+    val corpus = Tables.documents(spark, dir)
+      .filter(!bloomArrival).select("doc_id", "text")
+    val bands = graft.streaming.NearDupStream
+      .banded(graft.streaming.NearDupStream.withSignatures(corpus)).toDF()
+      .groupBy("band", "bandkey").agg(min(col("doc_id")).as("corp_doc"))
+    Bucketing.resetTable(spark, FreezeStore.genTable(name, gen, "bands"))
+    bands.withColumn("gen", lit(gen)).write.mode("overwrite").format("parquet")
+      .saveAsTable(FreezeStore.genTable(name, gen, "bands"))
+    FreezeStore.flipPtr(spark, name, gen, Seq(0L))
+    if (prev - 1 >= 1) NearParts.foreach(p =>
+      Bucketing.resetTable(spark, FreezeStore.genTable(name, prev - 1, p)))
+  }
+
+  /** Drop a shipped near-dup index — pointer and all generations. */
+  def dropNearDupIndex(spark: SparkSession, name: String): Unit =
+    graft.sources.FreezeStore.dropAll(spark, name)
+
+  /** The near screen off the FROZEN band index: arriving (doc_id,
+    * text) rows band through the literal production signature
+    * algebra (per-row Column algebra, no corpus dependence) and
+    * probe the shipped buckets — one (doc_id, near_match) row per
+    * arrival that shares a bucket with a corpus document (the match
+    * is the smallest colliding corpus doc_id, d15's evidence rule).
+    * Pointer resolved ONCE per call (wholly-one-generation). */
+  def nearMatchesFrozen(spark: SparkSession, arrivals: DataFrame,
+                        name: String): DataFrame = {
+    import graft.sources.FreezeStore
+    val (gen, _) = FreezeStore.readPtr(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen near-dup index named $name"))
+    val corpBands = spark.table(FreezeStore.genTable(name, gen, "bands"))
+      .drop("gen")
+    // cost note (round-17 ProfilePasses read): ~1.5s of this probe's
+    // ~1.9s wall at sf0.1 is QUERY PLANNING on the 16-lambda
+    // signature expression tree (measured: .rdd conversion alone
+    // costs the same as the executed count, and the wall is invariant
+    // to both data size and partitioning) — per-invocation driver
+    // overhead the d02_production/stream_neardup family already pays,
+    // amortized to nothing at real batch sizes. A spreadSmallScan on
+    // the arrival side was A/B-measured to buy nothing here for the
+    // same reason (the map stage is not the cost).
+    graft.streaming.NearDupStream
+      .banded(graft.streaming.NearDupStream.withSignatures(arrivals)).toDF()
+      .select("band", "bandkey", "doc_id")
+      .join(corpBands, Seq("band", "bandkey"))
+      .groupBy("doc_id").agg(min(col("corp_doc")).as("near_match"))
   }
 
   /** Bloom hash family: k = 3 pairwise-independent (a·x + b) mod p

@@ -107,17 +107,21 @@ object Pipeline {
       contextLen)
 
   /** The packing over any (doc_id, source, n_tokens) frame — also
-    * driven at replicated single-source scale by [[graft.Stress]]. */
-  private[graft] def packTokens(docs: DataFrame, contextLen: Long): DataFrame =
+    * driven at replicated single-source scale by [[graft.Stress]].
+    * `extra` names pass-through payload columns (p29 carries the
+    * gate's score beside the bin coordinates). */
+  private[graft] def packTokens(docs: DataFrame, contextLen: Long,
+                                extra: Seq[String] = Nil): DataFrame =
     bucketedPrefixSum(docs, expr(s"doc_id div $PrefixBucketWidth"),
         Seq(col("doc_id")), "n_tokens", includeCurrent = false, "start_tok")
-      .select(col("doc_id"), col("source"), col("n_tokens"),
+      .select(Seq(col("doc_id"), col("source")) ++ extra.map(col) ++ Seq(
+        col("n_tokens"),
         // integer division (`div`), not double-divide-then-cast:
         // exact at any magnitude, and identical to DuckDB's `//` for
         // the NON-NEGATIVE token offsets here (div truncates, //
         // floors — they differ on negatives)
         expr(s"start_tok div $contextLen").as("bin_id"),
-        (col("start_tok") % contextLen).as("bin_offset"))
+        (col("start_tok") % contextLen).as("bin_offset")): _*)
 
   def p02SequencePack(spark: SparkSession, dir: String,
                       contextLen: Long = 2048L): DataFrame =
@@ -188,6 +192,101 @@ object Pipeline {
       .select(col("doc_id"), col("source"),
         Quality.bpeTokenCountWith(m)(col("text")).as("n_tokens")),
       contextLen).orderBy("doc_id")
+  }
+
+  /** p29: THE ALL-FROZEN CURATION PIPELINE (round 17, VERDICT r16 #3)
+    * — the production nightly composed as ONE read-path key whose
+    * every screening stage reads a SHIPPED artifact (p26/p09
+    * re-derive their gates in-key; a 100 TB deployment trains once
+    * and serves):
+    *
+    *  1. learned gate — arrivals score against the FROZEN pocket
+    *     classifier ([[graft.sources.ClassifierStore.scoreFrozen]],
+    *     trained on the corpus slice), keep = the trained sign rule;
+    *  2. exact screen — the FROZEN Bloom filter + corpus-hash table
+    *     ([[Dedup.d19ScreenFrozen]]) drops arrivals the corpus
+    *     already carries (no false negatives — spec-pinned);
+    *  3. near screen — the FROZEN MinHash band index
+    *     ([[Dedup.nearMatchesFrozen]], d02_production's md5-prefix
+    *     id path — the one signature family whose corpus rows are
+    *     arrival-independent and can therefore freeze);
+    *  4. pack — survivors lay head-to-tail under the FROZEN merge
+    *     table ([[graft.sources.TokenizerStore]], p28's fold) via
+    *     the p02 bucketed two-phase prefix sum.
+    *
+    * The corpus/arrival split is the d15/d19 fixture convention
+    * (doc_id % 10 ≥ 8 arrives); all three artifacts freeze on the
+    * CORPUS slice — arrivals only read them. Oracle: every stage's
+    * CTE chain is already hash-gated standalone (t27 training ⟹
+    * frozen == re-derived, the p28 precedent; d15/d19 screens; p02
+    * packing arithmetic) — p29's oracle is their literal composition
+    * over the corpus-trained relations.
+    *
+    * Scale shape: freezes are one corpus pass each, amortized into
+    * prepare (the bench times [[p29ServeFrozen]] alone); the serving
+    * path is ARRIVAL-scaled end-to-end — gate = arrival-token ⋈
+    * 64-row weights, exact = 3 word-keyed probes + a hit-only hash
+    * join, near = banded equi-join (collisions only), pack = the
+    * two-phase prefix sum over survivors. No stage rescans the
+    * corpus; no global sort (the PlanShapeSpec ban). */
+  def p29FrozenCuration(spark: SparkSession, dir: String): DataFrame = {
+    p29Prepare(spark, dir)
+    p29ServeFrozen(spark, dir)
+  }
+
+  /** Freeze the three artifacts the nightly serves from — the
+    * classifier gate and the tokenizer train on the CORPUS slice,
+    * the Bloom screen folds the corpus-slice hashes (its fixed
+    * convention). One corpus pass each; runs untimed at bench
+    * prepare (the t31/s13 freeze-amortization rule). */
+  def p29Prepare(spark: SparkSession, dir: String,
+                 ns: String = "p29"): Unit = {
+    val corpus = Tables.documents(spark, dir)
+      .filter(!Dedup.bloomArrival).select("doc_id", "text")
+    graft.sources.ClassifierStore.freeze(corpus, s"${ns}_cls")
+    Dedup.shipBloomIndex(spark, dir, s"${ns}_bloom")
+    Dedup.shipNearDupIndex(spark, dir, s"${ns}_near")
+    graft.sources.TokenizerStore.freeze(corpus, s"${ns}_tok")
+    ()
+  }
+
+  /** The served nightly over the arrival slice — every stage reads
+    * the generation [[p29Prepare]] shipped. Survivors carry the
+    * gate's exact score beside the frozen-tokenizer budget and their
+    * packed bin coordinates. */
+  def p29ServeFrozen(spark: SparkSession, dir: String,
+                     contextLen: Long = 256L,
+                     ns: String = "p29"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val arrivals = docs.filter(Dedup.bloomArrival)
+    val gated = graft.sources.ClassifierStore
+      .scoreFrozen(spark, arrivals.select("doc_id", "text"), s"${ns}_cls")
+      .filter(col("keep")).select("doc_id", "score")
+    val exactDups = Dedup.d19ScreenFrozen(spark, dir, s"${ns}_bloom")
+      .filter(col("outcome") === "dup").select("doc_id")
+    val nearDups = Dedup.nearMatchesFrozen(spark,
+      arrivals.select("doc_id", "text"), s"${ns}_near").select("doc_id")
+    val m = graft.sources.TokenizerStore.mergesFrozen(spark, s"${ns}_tok")
+    // the pack's two-phase prefix sum references its input TWICE (the
+    // within-bucket window and the offsets aggregate), and exchange
+    // reuse across branches is unreliable (the mm10/mm11 lesson) —
+    // the lazy checkpoint guarantees the gate+screen+fold subtree
+    // runs once per serve. (At sf0.1 the serve wall is dominated by
+    // per-invocation planning overhead, so this is a scale guard,
+    // not a local bench win — the subtree it de-duplicates grows
+    // with arrivals.) Blocks are survivor-count-scaled (four scalars
+    // + source per row) and stay pinned until ContextCleaner
+    // collects the plan — the mediaPipeline trade, acceptable for a
+    // per-nightly call.
+    val survivors = arrivals.select(col("doc_id"), col("source"),
+        Quality.bpeTokenCountWith(m)(col("text")).as("n_tokens"))
+      .join(gated, "doc_id")
+      .join(exactDups, Seq("doc_id"), "left_anti")
+      .join(nearDups, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    packTokens(survivors, contextLen, extra = Seq("score"))
+      .select("doc_id", "source", "score", "n_tokens", "bin_id", "bin_offset")
+      .orderBy("doc_id")
   }
 
   /** p03: token-budget selection — keep the highest-quality documents
@@ -1806,6 +1905,61 @@ object Pipeline {
          |  start_tok // 2048 AS bin_id,
          |  start_tok % 2048 AS bin_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // p29's oracle is the literal COMPOSITION of the already-gated
+    // chains (round 17): the t27 pocket training over the CORPUS
+    // slice (frozen == re-derived, the p28 precedent) + the
+    // frozen-scores serving algebra + d19's exact screen +
+    // d02_production's md5-prefix banding (the freezable near
+    // screen) + the b-prefixed corpus-trained BPE chain + p02's
+    // packing arithmetic over the survivors
+    "p29_frozen_curation" -> {
+      val corpusRel =
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8) corp29"
+      val bfold = Quality.bpeTrainedFoldSql("lower(text)", pfx = "b")
+      raw"""WITH ${Quality.pocketTrainCtes(corpusRel)},
+         |wp29 AS MATERIALIZED (SELECT f, w FROM rows27 CROSS JOIN p27 WHERE epoch = pe),
+         |${Quality.bpeTrainW0Of(corpusRel, pfx = "b")},
+         |${Quality.bpeTrainCtes(withTokensAfter = false, pfx = "b")},
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+         |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents) d0
+         |        WHERE len(t) >= 3) d),
+         |st AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647 AS tid FROM sh),
+         |${Dedup.sigCte},
+         |${Dedup.candCte},
+         |ad29 AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t, text
+         |  FROM documents WHERE doc_id % 10 >= 8),
+         |ant29 AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt FROM ad29),
+         |atok29 AS (SELECT doc_id, unnest(t) AS term FROM ad29),
+         |afeat29 AS (SELECT atok29.doc_id, tid % ${Quality.ClassifierDim} AS f, COUNT(*) AS cnt
+         |  FROM atok29 JOIN v27 USING (term) GROUP BY 1, 2),
+         |ax29 AS (SELECT afeat29.doc_id, f, (cnt * 1000000) // nt AS x
+         |  FROM afeat29 JOIN ant29 ON ant29.doc_id = afeat29.doc_id),
+         |as29 AS (SELECT ax29.doc_id, CAST(SUM(x * w) AS BIGINT) AS s
+         |  FROM ax29 JOIN wp29 USING (f) GROUP BY 1),
+         |gate29 AS (SELECT ant29.doc_id, CAST(COALESCE(s, 0) AS BIGINT) AS score
+         |  FROM ant29 LEFT JOIN as29 USING (doc_id) WHERE COALESCE(s, 0) >= 0),
+         |dh29 AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |corph29 AS (SELECT h FROM dh29 WHERE doc_id % 10 < 8 GROUP BY h),
+         |ex29 AS (SELECT dh29.doc_id FROM dh29 JOIN corph29 USING (h) WHERE doc_id % 10 >= 8),
+         |nearm29 AS (SELECT a.doc_id FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bandkey = b.bandkey
+         |  AND a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8 GROUP BY a.doc_id),
+         |surv29 AS (SELECT ad29.doc_id, source, score,
+         |    CAST(length(regexp_replace($bfold, '\s+', '', 'g')) AS BIGINT) AS n_tokens
+         |  FROM ad29 JOIN gate29 USING (doc_id)
+         |  WHERE ad29.doc_id NOT IN (SELECT doc_id FROM ex29)
+         |    AND ad29.doc_id NOT IN (SELECT doc_id FROM nearm29)),
+         |pk29 AS (SELECT doc_id, source, score, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM surv29)
+         |SELECT doc_id, source, score, n_tokens,
+         |  start_tok // 256 AS bin_id,
+         |  start_tok % 256 AS bin_offset
+         |FROM pk29 ORDER BY doc_id""".stripMargin
+    },
 
     "p14_bpe_pack" ->
       raw"""WITH d AS (SELECT doc_id, source,

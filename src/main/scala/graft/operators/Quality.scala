@@ -1431,6 +1431,56 @@ object Quality {
       s"replace($acc, (SELECT pair FROM ${pfx}a$r), '${bpeTrainSym(r)}')"
     }
 
+  /** The full t27 pocket-training run as oracle CTEs, parameterized
+    * by the training relation (round 17: p29 trains the gate on the
+    * corpus slice and serves the arrival slice; t27 trains on the
+    * whole table — ONE generator, the bpeTrainW0Of rule, so the two
+    * keys cannot drift). Produces dq27 … rows27 / m27 / p27; the
+    * pocket epoch's weights are `SELECT f, w FROM rows27 CROSS JOIN
+    * p27 WHERE epoch = pe`. Every chain CTE is AS MATERIALIZED: each
+    * w_e is referenced by THREE later CTEs (s_{e+1}, w_{e+1}, its
+    * epoch row), and DuckDB's default inlining re-evaluates the
+    * whole prefix per reference — the un-materialized 8-epoch chain
+    * ran for minutes; materialized it reads in ~0.6s (measured). */
+  private[operators] def pocketTrainCtes(rel: String = "documents"): String = {
+    val epochCtes = (1 to PerceptronEpochs).map { e =>
+      s"""s$e AS MATERIALIZED (SELECT feat27.doc_id, CAST(SUM(x * w) AS BIGINT) AS s
+         |  FROM feat27 JOIN w${e - 1} USING (f) GROUP BY 1),
+         |er$e AS MATERIALIZED (SELECT s$e.doc_id, y FROM s$e JOIN lab27 USING (doc_id)
+         |  WHERE (y = 1 AND s < 0) OR (y = -1 AND s >= 0)),
+         |u$e AS MATERIALIZED (SELECT f, CAST(SUM(y * x) AS BIGINT) AS dd
+         |  FROM feat27 JOIN er$e USING (doc_id) GROUP BY 1),
+         |w$e AS MATERIALIZED (SELECT f, w + COALESCE(dd, 0) AS w FROM w${e - 1} LEFT JOIN u$e USING (f)),
+         |n$e AS MATERIALIZED (SELECT COUNT(*) AS n_err FROM er$e)""".stripMargin
+    }.mkString(",\n")
+    // epoch e reports the weights it EVALUATED (w_{e-1}) beside its
+    // error count — matching the pocket semantics
+    val epochRows = (1 to PerceptronEpochs).map { e =>
+      s"SELECT CAST($e AS BIGINT) AS epoch, f, w, n_err FROM w${e - 1} CROSS JOIN n$e"
+    }.mkString("\nUNION ALL\n")
+    raw"""dq27 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM $rel),
+      |meta27 AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+      |  CAST(len(list_filter(t, q -> list_contains(['the','a','of','and','to','in','is'], q))) AS BIGINT) AS nstop
+      |  FROM dq27),
+      |lab27 AS MATERIALIZED (SELECT doc_id,
+      |  CASE WHEN nstop * 12 >= nt THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+      |  FROM meta27),
+      |tok27 AS (SELECT doc_id, unnest(t) AS term FROM dq27),
+      |v27 AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
+      |  FROM (SELECT DISTINCT term FROM tok27) x),
+      |feat27 AS MATERIALIZED (SELECT f0.doc_id, f, (cnt * 1000000) // nt AS x FROM
+      |  (SELECT doc_id, tid % $ClassifierDim AS f, COUNT(*) AS cnt
+      |   FROM tok27 JOIN v27 USING (term) GROUP BY 1, 2) f0
+      |  JOIN meta27 ON meta27.doc_id = f0.doc_id),
+      |w0 AS (SELECT CAST(unnest(generate_series(0, ${ClassifierDim - 1})) AS BIGINT) AS f,
+      |  CAST(0 AS BIGINT) AS w),
+      |$epochCtes,
+      |rows27 AS MATERIALIZED (
+      |$epochRows),
+      |m27 AS (SELECT MIN(n_err) AS me FROM (SELECT DISTINCT epoch, n_err FROM rows27) z),
+      |p27 AS (SELECT MIN(epoch) AS pe FROM rows27, m27 WHERE n_err = me)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "t28_train_bpe" -> {
       val roundRows = (1 to BpeTrainRounds).map { r =>
@@ -1516,52 +1566,11 @@ object Quality {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
-    "t27_train_classifier" -> {
-      // every chain CTE is AS MATERIALIZED: each w_e is referenced by
-      // THREE later CTEs (s_{e+1}, w_{e+1}, its epoch row), and
-      // DuckDB's default inlining re-evaluates the whole prefix per
-      // reference — the un-materialized 8-epoch chain ran for
-      // minutes; materialized it reads in ~0.6s (measured)
-      val epochCtes = (1 to PerceptronEpochs).map { e =>
-        s"""s$e AS MATERIALIZED (SELECT feat27.doc_id, CAST(SUM(x * w) AS BIGINT) AS s
-           |  FROM feat27 JOIN w${e - 1} USING (f) GROUP BY 1),
-           |er$e AS MATERIALIZED (SELECT s$e.doc_id, y FROM s$e JOIN lab27 USING (doc_id)
-           |  WHERE (y = 1 AND s < 0) OR (y = -1 AND s >= 0)),
-           |u$e AS MATERIALIZED (SELECT f, CAST(SUM(y * x) AS BIGINT) AS dd
-           |  FROM feat27 JOIN er$e USING (doc_id) GROUP BY 1),
-           |w$e AS MATERIALIZED (SELECT f, w + COALESCE(dd, 0) AS w FROM w${e - 1} LEFT JOIN u$e USING (f)),
-           |n$e AS MATERIALIZED (SELECT COUNT(*) AS n_err FROM er$e)""".stripMargin
-      }.mkString(",\n")
-      // epoch e reports the weights it EVALUATED (w_{e-1}) beside its
-      // error count — matching the pocket semantics
-      val epochRows = (1 to PerceptronEpochs).map { e =>
-        s"SELECT CAST($e AS BIGINT) AS epoch, f, w, n_err FROM w${e - 1} CROSS JOIN n$e"
-      }.mkString("\n|UNION ALL\n|")
-      raw"""WITH dq27 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |meta27 AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
-        |  CAST(len(list_filter(t, q -> list_contains(['the','a','of','and','to','in','is'], q))) AS BIGINT) AS nstop
-        |  FROM dq27),
-        |lab27 AS MATERIALIZED (SELECT doc_id,
-        |  CASE WHEN nstop * 12 >= nt THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
-        |  FROM meta27),
-        |tok27 AS (SELECT doc_id, unnest(t) AS term FROM dq27),
-        |v27 AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
-        |  FROM (SELECT DISTINCT term FROM tok27) x),
-        |feat27 AS MATERIALIZED (SELECT f0.doc_id, f, (cnt * 1000000) // nt AS x FROM
-        |  (SELECT doc_id, tid % $ClassifierDim AS f, COUNT(*) AS cnt
-        |   FROM tok27 JOIN v27 USING (term) GROUP BY 1, 2) f0
-        |  JOIN meta27 ON meta27.doc_id = f0.doc_id),
-        |w0 AS (SELECT CAST(unnest(generate_series(0, ${ClassifierDim - 1})) AS BIGINT) AS f,
-        |  CAST(0 AS BIGINT) AS w),
-        |$epochCtes,
-        |rows27 AS MATERIALIZED (
-        |$epochRows),
-        |m27 AS (SELECT MIN(n_err) AS me FROM (SELECT DISTINCT epoch, n_err FROM rows27) z),
-        |p27 AS (SELECT MIN(epoch) AS pe FROM rows27, m27 WHERE n_err = me)
+    "t27_train_classifier" ->
+      raw"""WITH ${pocketTrainCtes()}
         |SELECT epoch, f, w, n_err, epoch = pe AS is_pocket
         |FROM rows27 CROSS JOIN p27
-        |ORDER BY epoch, f""".stripMargin
-    },
+        |ORDER BY epoch, f""".stripMargin,
 
     "t26_score_drift" ->
       raw"""WITH d AS (SELECT doc_id, text FROM documents),
