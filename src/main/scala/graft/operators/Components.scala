@@ -100,6 +100,41 @@ object Components {
       case _ => ()
     }
 
+  /** Advance an iterative driver loop's frame under the ONE
+    * checkpoint discipline (VERDICT r16 #4 — [[starContraction]] and
+    * Quality.trainLoop each hand-rolled it, and both halves are
+    * subtle enough to have produced real bugs: plan accretion OOM'd
+    * t30's 24-round run building explain strings in round 16, and
+    * releasing the superseded frame BEFORE materializing the next
+    * recomputes the full lineage back to the corpus scan every round,
+    * ADVICE r15):
+    *  1. LAZILY localCheckpoint `next` — the plan truncates (O(1) in
+    *     rounds) and no extra job runs when the round's own action
+    *     materializes it;
+    *  2. run `materialize` over the checkpointed frame — the round's
+    *     own action(s): argmax, count, convergence probe, or an
+    *     explicit foreachPartition for rounds with no action of
+    *     their own. It may still read the SUPERSEDED frame (the
+    *     contraction's membership probe does) — release has not
+    *     happened yet;
+    *  3. eagerly release the superseded frame's blocks (the
+    *     [[releaseCheckpoint]] contract: nothing may read it after).
+    * Returns the checkpointed frame and materialize's result.
+    *
+    * The OTHER two driver loops deliberately do NOT use this: the
+    * PageRank fixed point runs a compile-time-constant 4 rounds
+    * (plan depth is bounded — checkpoint blocks would cost more than
+    * the lineage), and p25's MMR feeds each round's ≤k picks back as
+    * a COLLECTED literal (bounded control state — the lineage resets
+    * by construction, no executor-side frame to checkpoint). */
+  private[graft] def advance[A](superseded: DataFrame, next: DataFrame)
+      (materialize: DataFrame => A): (DataFrame, A) = {
+    val ck = next.localCheckpoint(false)
+    val out = materialize(ck)
+    releaseCheckpoint(superseded)
+    (ck, out)
+  }
+
   /** Alternating large-star/small-star contraction to a fixpoint.
     * At convergence the edge set is a forest of depth-1 stars rooted
     * at each component's min node; labels read straight off it.
@@ -125,12 +160,16 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      val nextCount = next.count()
-      val changed = nextCount != edgeCount ||
-        next.except(edges).limit(1).count() > 0
-      releaseCheckpoint(edges) // superseded round — nothing reads it again
-      edges = next
+      val prev = edges
+      val prevCount = edgeCount
+      val (ck, (nextCount, changed)) =
+        advance(prev, smallStar(largeStar(prev))) { n =>
+          val c = n.count()
+          // the membership probe reads the superseded frame — legal
+          // inside materialize (release happens after)
+          (c, c != prevCount || n.except(prev).limit(1).count() > 0)
+        }
+      edges = ck
       edgeCount = nextCount
       converged = !changed
       iter += 1

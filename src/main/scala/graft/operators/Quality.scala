@@ -455,18 +455,15 @@ object Quality {
 
   private def trainLoop(docs: DataFrame, rounds: Int, withCurve: Boolean)
       : (Seq[(Long, String, String, Long, Long)], Long) = {
-    // each round's word-frequency frame is LOCALLY CHECKPOINTED, not
-    // merely persisted (round 16: t30's 24-round run OOM'd the test
-    // JVM building EXPLAIN STRINGS — persist caches the data but the
-    // logical plan still accretes one replace+groupBy layer per
-    // round, and Spark renders the full lineage per executed query;
-    // the checkpoint truncates it, so plan size is O(1) in rounds).
-    // Lazy checkpoints: on the withCurve=true path the round's own
-    // curve aggregate materializes the blocks — no extra job; the
-    // merges-only path has no such action, so it pays one explicit
-    // foreachPartition materialization job per round (still cheaper
-    // than the O(rounds) corpus re-scans it prevents). Superseded
-    // rounds release eagerly (the Components.starContraction rule).
+    // each round advances through the ONE iterative-loop checkpoint
+    // discipline (Components.advance — lazy localCheckpoint,
+    // materialize-before-release, eager release; see its scaladoc
+    // for the two real bugs the ordering prevents). On the
+    // withCurve=true path the round's own curve aggregate
+    // materializes the blocks — no extra job; the merges-only path
+    // has no such action, so it pays one explicit foreachPartition
+    // materialization job per round (still cheaper than the
+    // O(rounds) corpus re-scans it prevents).
     var cur = docs
       .select(explode(tokens(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -494,27 +491,21 @@ object Quality {
       // replacement with a FRESH symbol is injective on the word set
       // (the symbol occurs nowhere yet, so the original word is
       // recoverable), hence no re-aggregation is needed
-      val next = cur
-        .select(replace(col("w"), lit(pair), lit(sym)).as("w"), col("freq"))
-        .localCheckpoint(false)
-      val tokensAfter =
+      val (ck, tokensAfter) = Components.advance(cur,
+        cur.select(replace(col("w"), lit(pair), lit(sym)).as("w"),
+          col("freq"))) { n =>
         if (withCurve)
-          next.agg(sum(col("freq") * length(col("w"))).as("t"))
+          n.agg(sum(col("freq") * length(col("w"))).as("t"))
             .collect()(0).getLong(0)
         else {
-          // materialize next BEFORE releasing cur (ADVICE r15): on
-          // the withCurve=false path nothing else forces next into
-          // the cache before cur's release, so each round's argmax
-          // would recompute the full replace-chain lineage back to
-          // the corpus scan — O(rounds) corpus re-scans instead of
-          // the documented "one groupBy, then vocab-scaled rounds".
-          // (withCurve=true gets this for free from the tokens_after
-          // action above.)
-          next.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+          // the merges-only path has no action of its own — one
+          // explicit pass materializes the blocks before the
+          // superseded frame releases (the advance contract)
+          n.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
           -1L
         }
-      Components.releaseCheckpoint(cur)
-      cur = next
+      }
+      cur = ck
       (r.toLong, pair, sym, cnt, tokensAfter)
     }
     Components.releaseCheckpoint(cur)
