@@ -780,6 +780,55 @@ class Graft(val spark: SparkSession, dir: String) {
     graft.streaming.QualityStream.frozenClassifierStream(docStream, name,
       outDir, checkpoint)
 
+  /** Streaming serving of the TRAINED frozen tokenizer artifact:
+    * each micro-batch tokenizes through the store's serving read,
+    * pointer re-bound per batch. */
+  def streamingTokenizerFrozen(docStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.QualityStream.frozenTokenizerStream(docStream, name,
+      outDir, checkpoint)
+
+  /** CONTINUOUS drift monitor for the frozen classifier (round 17):
+    * one staleness row per arriving micro-batch, graded against the
+    * live generation's stored baseline. */
+  def streamingClassifierDrift(docStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.QualityStream.classifierDriftStream(docStream, name,
+      outDir, checkpoint)
+
+  /** CONTINUOUS drift monitor for the frozen tokenizer (round 17):
+    * one compression-drift row per arriving micro-batch. */
+  def streamingTokenizerDrift(docStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.QualityStream.tokenizerDriftStream(docStream, name,
+      outDir, checkpoint)
+
+  /** Ship the corpus slice's MinHash band buckets on the production
+    * md5-prefix id path (round 17) — the freezable near-dup screen
+    * p29's nightly probes. */
+  def shipNearDupBands(name: String): Unit =
+    Dedup.shipNearDupIndex(spark, dir, name)
+
+  /** Near matches of arriving (doc_id, text) rows against a frozen
+    * band index — arrival-scaled, collisions only. */
+  def nearMatchesAgainstFrozen(arrivals: DataFrame, name: String): DataFrame =
+    Dedup.nearMatchesFrozen(spark, arrivals, name)
+
+  /** The ALL-FROZEN curation nightly (p29, round 17): freeze the
+    * gate/screen/tokenizer artifacts on the corpus slice, then run
+    * arrivals through gate → exact screen → near screen → pack with
+    * every stage reading a shipped artifact. */
+  def frozenCuration: DataFrame = Pipeline.p29FrozenCuration(spark, dir)
+
+  /** p29's freeze step alone (the amortized prepare). */
+  def frozenCurationPrepare(ns: String = "p29"): Unit =
+    Pipeline.p29Prepare(spark, dir, ns)
+
+  /** p29's serve step alone — the arrival-scaled nightly read path. */
+  def frozenCurationServe(contextLen: Long = 256L,
+                          ns: String = "p29"): DataFrame =
+    Pipeline.p29ServeFrozen(spark, dir, contextLen, ns)
+
   /** Maximal-marginal-relevance context selection over the ranked
     * chunks (p25) — graded diversity between ranking and assembly. */
   def mmrContext(window: Long = 32L, stride: Long = 24L): DataFrame =

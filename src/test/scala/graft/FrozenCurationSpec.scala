@@ -72,6 +72,14 @@ class FrozenCurationSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(out.forall(r => scores(r.getLong(0)) == r.getLong(2)),
         "survivor scores must equal the store's serving scores")
+      // the facade serves the same nightly off the just-shipped gens
+      val api = new graft.api.Graft(spark, sf)
+      assert(api.frozenCurationServe().collect().map(_.toString).toSeq ==
+        out.map(_.toString).toSeq, "facade serve must equal the key's rows")
+      assert(api.nearMatchesAgainstFrozen(
+          arrivals.select("doc_id", "text"), "p29_near")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == nearDups,
+        "facade near probe must equal the live band self-join")
     } finally {
       graft.sources.ClassifierStore.drop(spark, "p29_cls")
       graft.operators.Dedup.dropBloomIndex(spark, "p29_bloom")
