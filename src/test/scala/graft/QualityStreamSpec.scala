@@ -118,8 +118,9 @@ class QualityStreamSpec extends SparkSpec {
         .write.mode("append").parquet(s"$base/in/p=1")
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
-      val q = QualityStream.frozenTokenizerStream(stream, name,
-        s"$base/out", s"$base/ckpt")
+      // through the facade — pure delegation, covered here
+      val q = new graft.api.Graft(spark, sf).streamingTokenizerFrozen(
+        stream, name, s"$base/out", s"$base/ckpt")
       q.awaitTermination()
       val outs = new java.io.File(s"$base/out").listFiles()
         .filter(_.getName.startsWith("batch="))
@@ -162,8 +163,9 @@ class QualityStreamSpec extends SparkSpec {
       def runOnce(): Unit = {
         val stream = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
-        QualityStream.classifierDriftStream(stream, name,
-          s"$base/out", s"$base/ckpt").awaitTermination()
+        // through the facade — pure delegation, covered here
+        new graft.api.Graft(spark, sf).streamingClassifierDrift(stream,
+          name, s"$base/out", s"$base/ckpt").awaitTermination()
       }
       runOnce()
       // the batch twin MUST collect now — it reads the LIVE pointer
@@ -214,8 +216,9 @@ class QualityStreamSpec extends SparkSpec {
       def runOnce(): Unit = {
         val stream = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
-        QualityStream.tokenizerDriftStream(stream, name,
-          s"$base/out", s"$base/ckpt").awaitTermination()
+        // through the facade — pure delegation, covered here
+        new graft.api.Graft(spark, sf).streamingTokenizerDrift(stream,
+          name, s"$base/out", s"$base/ckpt").awaitTermination()
       }
       runOnce()
       val want0 = rowsOf(graft.sources.TokenizerStore
