@@ -144,6 +144,7 @@ object SparkEntry {
     "d18_incremental_semdedup" -> (Dedup.d18IncrementalSemdedup _),
     "d19_bloom_screen" -> (Dedup.d19BloomScreen _),
     "d20_containment" -> (Dedup.d20Containment _),
+    "d21_band_drift" -> (Dedup.d21BandDrift _),
     "p15_cluster_split" -> (Pipeline.p15ClusterSplit _),
     "s18_kmeans_refine" -> (Similarity.s18KmeansRefine _),
     "qa05_bloom_curve" -> (Dedup.qa05BloomCurve _),

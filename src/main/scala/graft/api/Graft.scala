@@ -814,6 +814,32 @@ class Graft(val spark: SparkSession, dir: String) {
   def nearMatchesAgainstFrozen(arrivals: DataFrame, name: String): DataFrame =
     Dedup.nearMatchesFrozen(spark, arrivals, name)
 
+  /** Band-drift staleness of a frozen near-dup index against an
+    * arriving batch — the d21 aggregate off the shipped buckets. */
+  def nearDupStaleness(arrivals: DataFrame, name: String): DataFrame =
+    Dedup.nearDupStaleness(spark, arrivals, name)
+
+  /** The automated drift→refreeze loop for the band index: absorb
+    * the arrivals by ONE bucket-table merge (band state is mergeable
+    * — no corpus re-read) when their unseen-bucket share trips.
+    * Returns the new generation when it fired. */
+  def refreezeNearDupIfStale(arrivals: DataFrame, name: String,
+      maxNewShare: Double = 0.2): Option[Long] =
+    Dedup.refreezeNearDupIfStale(spark, arrivals, name, maxNewShare)
+
+  /** Streaming serving of the frozen near-dup screen: per-batch
+    * probes of the shipped buckets, pointer re-bound per batch. */
+  def streamingNearMatch(docStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.NearDupStream.matchFrozenStream(docStream, name,
+      outDir, checkpoint)
+
+  /** CONTINUOUS drift monitor for the frozen near-dup index. */
+  def streamingNearDupDrift(docStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.NearDupStream.indexDriftStream(docStream, name,
+      outDir, checkpoint)
+
   /** The ALL-FROZEN curation nightly (p29, round 17): freeze the
     * gate/screen/tokenizer artifacts on the corpus slice, then run
     * arrivals through gate → exact screen → near screen → pack with

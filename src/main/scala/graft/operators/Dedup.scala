@@ -386,24 +386,50 @@ object Dedup {
     * ([[nearMatchesFrozen]]) is then ARRIVAL-scaled end-to-end:
     * per-row signature algebra + one hint-free equi-join against the
     * frozen buckets — the corpus is never re-banded per nightly. */
-  private val NearParts = Seq("bands")
+  private val NearParts = Seq("bands", "members")
 
-  def shipNearDupIndex(spark: SparkSession, dir: String, name: String): Unit = {
+  /** Band rows of a (doc_id, text) frame on the production id path —
+    * ONE definition for the freeze, the frozen probe, the staleness
+    * monitor and the absorb (per-row Column algebra; no corpus
+    * dependence, so frozen and arriving rows band identically by
+    * construction). */
+  private[graft] def prodBandRows(docs: DataFrame): DataFrame =
+    graft.streaming.NearDupStream
+      .banded(graft.streaming.NearDupStream.withSignatures(docs)).toDF()
+      .select("band", "bandkey", "doc_id")
+
+  /** One generation's bucket table from member band rows: per
+    * occupied (band, bandkey), the smallest member doc (the probe's
+    * evidence row) and the occupancy (the staleness monitor's
+    * hot-bucket signal — the mm12 `max_corp_occ` role). */
+  private def nearBuckets(bandRows: DataFrame): DataFrame =
+    bandRows.groupBy("band", "bandkey")
+      .agg(min(col("doc_id")).as("corp_doc"), count(lit(1)).as("occ"))
+
+  private def writeNearGen(spark: SparkSession, name: String, gen: Long,
+                           buckets: DataFrame, members: DataFrame): Unit = {
     import graft.sources.{Bucketing, FreezeStore}
-    val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
-    val gen = prev + 1
-    val corpus = Tables.documents(spark, dir)
-      .filter(!bloomArrival).select("doc_id", "text")
-    val bands = graft.streaming.NearDupStream
-      .banded(graft.streaming.NearDupStream.withSignatures(corpus)).toDF()
-      .groupBy("band", "bandkey").agg(min(col("doc_id")).as("corp_doc"))
     Bucketing.resetTable(spark, FreezeStore.genTable(name, gen, "bands"))
-    bands.withColumn("gen", lit(gen)).write.mode("overwrite").format("parquet")
-      .saveAsTable(FreezeStore.genTable(name, gen, "bands"))
+    buckets.withColumn("gen", lit(gen)).write.mode("overwrite")
+      .format("parquet").saveAsTable(FreezeStore.genTable(name, gen, "bands"))
+    Bucketing.resetTable(spark, FreezeStore.genTable(name, gen, "members"))
+    members.withColumn("gen", lit(gen)).write.mode("overwrite")
+      .format("parquet").saveAsTable(FreezeStore.genTable(name, gen, "members"))
     FreezeStore.flipPtr(spark, name, gen, Seq(0L))
+    val prev = gen - 1
     if (prev - 1 >= 1) NearParts.foreach(p =>
       Bucketing.resetTable(spark, FreezeStore.genTable(name, prev - 1, p)))
   }
+
+  def shipNearDupIndex(spark: SparkSession, dir: String, name: String): Unit =
+    graft.sources.FreezeStore.withFamilyLease(spark, name) {
+      val prev = graft.sources.FreezeStore.readPtr(spark, name)
+        .map(_._1).getOrElse(0L)
+      val corpus = Tables.documents(spark, dir)
+        .filter(!bloomArrival).select("doc_id", "text")
+      writeNearGen(spark, name, prev + 1,
+        nearBuckets(prodBandRows(corpus)), corpus.select("doc_id"))
+    }
 
   /** Drop a shipped near-dup index — pointer and all generations. */
   def dropNearDupIndex(spark: SparkSession, name: String): Unit =
@@ -422,7 +448,7 @@ object Dedup {
     val (gen, _) = FreezeStore.readPtr(spark, name).getOrElse(
       throw new IllegalStateException(s"no frozen near-dup index named $name"))
     val corpBands = spark.table(FreezeStore.genTable(name, gen, "bands"))
-      .drop("gen")
+      .select("band", "bandkey", "corp_doc")
     // cost note (round-17 ProfilePasses read): ~1.5s of this probe's
     // ~1.9s wall at sf0.1 is QUERY PLANNING on the 16-lambda
     // signature expression tree (measured: .rdd conversion alone
@@ -432,11 +458,121 @@ object Dedup {
     // amortized to nothing at real batch sizes. A spreadSmallScan on
     // the arrival side was A/B-measured to buy nothing here for the
     // same reason (the map stage is not the cost).
-    graft.streaming.NearDupStream
-      .banded(graft.streaming.NearDupStream.withSignatures(arrivals)).toDF()
-      .select("band", "bandkey", "doc_id")
+    prodBandRows(arrivals)
       .join(corpBands, Seq("band", "bandkey"))
       .groupBy("doc_id").agg(min(col("corp_doc")).as("near_match"))
+  }
+
+  /** The band-drift aggregate — ONE definition for the hash-gated
+    * d21 monitor key and the store-backed staleness read
+    * ([[nearDupStaleness]]), the mm12 algebra on text bands: per band
+    * of the 8×2 banding, the corpus bucket population (count + the
+    * hottest bucket — the degenerate-text flood signal), the arrival
+    * bucket counts, how many arrival buckets the corpus has never
+    * seen (those arrivals cannot candidate-join at all — the probe's
+    * recall proxy WITHOUT ground truth), and the arrival-row hit
+    * share (ONE division of exact counts). Two map-side-combinable
+    * bucket aggregates + one bucket-bounded left join → 8 rows at
+    * any corpus size. */
+  private[graft] def bandDriftFrom(arrBands: DataFrame,
+                                   corpBuckets: DataFrame): DataFrame = {
+    val cbo = corpBuckets.select("band", "bandkey", "occ")
+    val abo = arrBands.groupBy("band", "bandkey").agg(count(lit(1)).as("n"))
+    val cagg = cbo.groupBy("band")
+      .agg(count(lit(1)).as("n_corp_buckets"), max(col("occ")).as("max_corp_occ"))
+    val aagg = abo
+      .join(cbo.select(col("band"), col("bandkey"), lit(1L).as("hit")),
+        Seq("band", "bandkey"), "left")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_arr_buckets"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_new_buckets"),
+        sum(col("n")).as("n_arr_rows"),
+        sum(when(col("hit").isNotNull, col("n")).otherwise(0L)).as("n_arr_hit"))
+    cagg.join(aagg, "band")
+      .select(col("band").cast("long").as("band"),
+        col("n_corp_buckets"), col("max_corp_occ"),
+        col("n_arr_buckets"), col("n_new_buckets"),
+        col("n_arr_rows"), col("n_arr_hit"),
+        (col("n_arr_hit").cast("double") / col("n_arr_rows")).as("hit_share"))
+      .orderBy("band")
+  }
+
+  /** d21: NEAR-DUP BAND DRIFT (round 17 — the text band index's
+    * member of the hash-gated monitor lattice, mm12's role for the
+    * d02_production banding: qa04 watches the semantic cells, mm12
+    * the media bands, t20 the sparse vocabulary, t32 the tokenizer,
+    * g05/g09 the graph — the near-dup screen's frozen buckets were
+    * the one frozen artifact graded only inside p29's composition):
+    * the arrival slice's band rows vs the corpus slice's bucket
+    * population, [[bandDriftFrom]] per band. A deployment schedules
+    * [[refreezeNearDupIfStale]] on rising `n_new_buckets` /falling
+    * `hit_share`. All decision columns exact counts; the banding is
+    * the production md5-prefix path, so the oracle replays every
+    * signature verbatim. */
+  def d21BandDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val bands = OpCache.cached(prodBandRows(docs))
+    bandDriftFrom(bands.filter(bloomArrival),
+      nearBuckets(bands.filter(!bloomArrival)))
+  }
+
+  /** STALENESS of the frozen near-dup band index against an arriving
+    * (doc_id, text) batch — the LITERAL d21 aggregate with the
+    * corpus side read from the SHIPPED bucket table (occupancy was
+    * baked at freeze, so the monitor never re-bands the corpus).
+    * Arrival-scaled: per-row banding + one bucket-bounded join. */
+  def nearDupStaleness(spark: SparkSession, arrivals: DataFrame,
+                       name: String): DataFrame = {
+    import graft.sources.FreezeStore
+    val (gen, _) = FreezeStore.readPtr(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen near-dup index named $name"))
+    bandDriftFrom(prodBandRows(arrivals),
+      spark.table(FreezeStore.genTable(name, gen, "bands")).drop("gen"))
+  }
+
+  /** CLOSE THE DRIFT→REFREEZE LOOP for the band index: when the
+    * arrivals' unseen-bucket share exceeds `maxNewShare` (exact
+    * cross-multiplied integers over the per-band sums — no float
+    * edge), ABSORB the arrivals and flip the pointer. UNLIKE the
+    * tokenizer/classifier (whose state chains and must fully
+    * retrain), band state is MERGEABLE: each document's band rows
+    * depend only on its own text (the md5-prefix id property), so
+    * the absorb is one bucket-table merge — old buckets ∪ the FRESH
+    * arrivals' buckets, min(corp_doc) + occupancy addition — plus a
+    * members append; the corpus text is NEVER re-read. Already-
+    * absorbed arrivals drop at the members anti-join (the
+    * Bm25IndexStore double-submission guard), so a replayed batch
+    * cannot inflate occupancy. ONE lease hold across staleness read
+    * → merge → flip (the r13 lost-update rule). Returns the new
+    * generation when it fired. */
+  def refreezeNearDupIfStale(spark: SparkSession, arrivals: DataFrame,
+                             name: String,
+                             maxNewShare: Double = 0.2): Option[Long] = {
+    import graft.sources.FreezeStore
+    FreezeStore.withFamilyLease(spark, name) {
+      val s = nearDupStaleness(spark, arrivals, name)
+        .agg(coalesce(sum(col("n_new_buckets")), lit(0L)).as("nb"),
+          coalesce(sum(col("n_arr_buckets")), lit(0L)).as("ab")).head()
+      val (nb, ab) = (s.getLong(0), s.getLong(1))
+      val bp = math.round(maxNewShare * 10000)
+      if (ab == 0 || nb * 10000 <= bp * ab) None
+      else {
+        val (gen, _) = FreezeStore.readPtr(spark, name).get
+        val members = spark.table(FreezeStore.genTable(name, gen, "members"))
+          .select("doc_id")
+        val fresh = arrivals.select("doc_id", "text")
+          .join(members, Seq("doc_id"), "left_anti")
+        val merged = spark.table(FreezeStore.genTable(name, gen, "bands"))
+          .select("band", "bandkey", "corp_doc", "occ")
+          .unionByName(nearBuckets(prodBandRows(fresh))
+            .select("band", "bandkey", "corp_doc", "occ"))
+          .groupBy("band", "bandkey")
+          .agg(min(col("corp_doc")).as("corp_doc"), sum(col("occ")).as("occ"))
+        writeNearGen(spark, name, gen + 1, merged,
+          members.unionByName(fresh.select("doc_id")))
+        Some(gen + 1)
+      }
+    }
   }
 
   /** Bloom hash family: k = 3 pairwise-independent (a·x + b) mod p
@@ -1709,6 +1845,35 @@ object Dedup {
           |st AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647 AS tid FROM sh),
           |""".stripMargin + sigCte + ",\n" + candCte + """
           |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin),
+
+      // d21: the mm12 band-drift aggregate over d02_production's
+      // banding — corpus-slice buckets (count + occupancy) vs the
+      // arrival slice's band rows
+      "d21_band_drift" ->
+        (raw"""WITH sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+          |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents) d0
+          |        WHERE len(t) >= 3) d),
+          |st AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647 AS tid FROM sh),
+          |""".stripMargin + sigCte + ",\n" + candCte + """,
+          |cbo AS (SELECT band, bandkey, COUNT(*) AS occ FROM bands
+          |        WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+          |abo AS (SELECT band, bandkey, COUNT(*) AS n FROM bands
+          |        WHERE doc_id % 10 >= 8 GROUP BY 1, 2),
+          |cagg AS (SELECT band, COUNT(*) AS n_corp_buckets,
+          |           CAST(MAX(occ) AS BIGINT) AS max_corp_occ
+          |         FROM cbo GROUP BY 1),
+          |aagg AS (SELECT a.band, COUNT(*) AS n_arr_buckets,
+          |           CAST(SUM(CASE WHEN c.bandkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_buckets,
+          |           CAST(SUM(a.n) AS BIGINT) AS n_arr_rows,
+          |           CAST(SUM(CASE WHEN c.bandkey IS NOT NULL THEN a.n ELSE 0 END) AS BIGINT) AS n_arr_hit
+          |         FROM abo a LEFT JOIN cbo c
+          |           ON a.band = c.band AND a.bandkey = c.bandkey
+          |         GROUP BY 1)
+          |SELECT CAST(band AS BIGINT) AS band, n_corp_buckets, max_corp_occ,
+          |  n_arr_buckets, n_new_buckets, n_arr_rows, n_arr_hit,
+          |  CAST(n_arr_hit AS DOUBLE) / n_arr_rows AS hit_share
+          |FROM cagg JOIN aagg USING (band) ORDER BY band""".stripMargin),
 
       // reachability closure over the candidate-pair graph; MIN over
       // the reachable set = the same min-label fixpoint the Spark

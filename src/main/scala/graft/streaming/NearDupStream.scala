@@ -192,6 +192,60 @@ object NearDupStream {
       .dropDuplicatesWithinWatermark("h")
   }
 
+  /** Streaming twin of the FROZEN-index near screen (round 17 — the
+    * band store's serving twin, the frozenTokenizerStream decision
+    * record verbatim): arriving (doc_id, text) micro-batches band
+    * through the literal production signature algebra and probe the
+    * SHIPPED bucket table ([[graft.operators.Dedup.nearMatchesFrozen]]
+    * — one definition with the batch probe and p29's nightly).
+    * Pointer re-bound per trigger (a mid-stream
+    * refreezeNearDupIfStale lands between batches — every probed
+    * batch wholly one generation); per-batch-id overwrite sinks keep
+    * checkpoint replays idempotent. */
+  def matchFrozenStream(docStream: DataFrame, name: String, outDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .queryName(s"neardup_match_$name")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup
+            .nearMatchesFrozen(batch.sparkSession, batch, name)
+            .write.mode("overwrite").format("parquet")
+            .save(s"$outDir/batch=$batchId")
+      }
+      .start()
+
+  /** CONTINUOUS drift monitor for the frozen band index (round 17 —
+    * the stream_band_drift/stream_text_drift sibling for the
+    * near-dup screen): per micro-batch, the arrivals' band rows
+    * graded against the shipped bucket population through the ONE
+    * d21 aggregate ([[graft.operators.Dedup.nearDupStaleness]]).
+    * Pointer re-bound per trigger; per-batch-id idempotent sinks. */
+  def indexDriftStream(docStream: DataFrame, name: String, outDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .queryName(s"neardup_drift_$name")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup
+            .nearDupStaleness(batch.sparkSession, batch, name)
+            .write.mode("overwrite").format("parquet")
+            .save(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** The previous call's persisted banding, released on the next
     * call: an internal persist with no caller-visible handle would
     * otherwise pin one cached copy PER CALL for the session lifetime
