@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("long_array_sum"),
       new ExpressionInfo(classOf[LongArraySum].getName, "long_array_sum"),
       GraftExtensions.arraySumBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      GraftExtensions.minhashBuilder))
     ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }
@@ -46,6 +50,11 @@ object GraftExtensions {
     LongArraySum(children.head).toAggregateExpression()
   }
 
+  private val minhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "minhash_sigs(array<string>)")
+    MinhashSigs(children.head)
+  }
+
   /** Register into an already-built session (the extensions conf only
     * applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -55,6 +64,8 @@ object GraftExtensions {
       "long_array_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_array_sum", arraySumBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", minhashBuilder, "built-in")
     // injectOptimizerRule only applies at session construction; the
     // experimental hook is the supported live-session equivalent
     if (!spark.experimental.extraOptimizations.contains(DotProductRewrite)) {

@@ -45,23 +45,24 @@ object NearDupStream {
   case class DocSig(doc_id: Long, sigs: Seq[Long])
   case class CandPair(doc_a: Long, doc_b: Long, band: Int, est_jaccard: Double)
 
-  /** (doc_id, sig_0..sig_15) from (doc_id, text) — pure per-row
-    * Column algebra on the production hash path. */
-  def withSignatures(docs: DataFrame): DataFrame = {
-    val sigCols = (0 until Sigs).map { i =>
-      array_min(transform(col("ids"),
-        x => TextFns.affineHash(lit(i), x))).as(s"sig_$i")
-    }
+  /** (doc_id, sig_0..sig_15) from (doc_id, text) — per-row signature
+    * computation on the production hash path. Round 17: the md5-id +
+    * 16-affine-min work runs in ONE native expression
+    * ([[graft.plans.MinhashSigs]] — bit-identical to the previous
+    * 16-lambda Column spelling, spec-pinned) instead of 16
+    * interpreted higher-order columns whose planning alone cost
+    * ~1.5s per invocation; the 16 element_at projections below read
+    * the ONCE-computed array (element_at of an attribute is cheap —
+    * CollapseProject will not inline a non-cheap expression into 16
+    * references). */
+  def withSignatures(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .select(col("doc_id"), TextFns.shingleArray(col("t"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        array_distinct(transform(col("sh"),
-          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
-            % lit(TextFns.HashP))).as("ids"))
-      .select(col("doc_id") +: sigCols: _*)
-  }
+      .select(col("doc_id"), graft.plans.MinhashSigs(col("sh")).as("sigs"))
+      .select(col("doc_id") +: (0 until Sigs).map(i =>
+        element_at(col("sigs"), i + 1).as(s"sig_$i")): _*)
 
   /** Explode the wide signature row into its 8 band rows. */
   def banded(sigs: DataFrame): Dataset[BandedDoc] = {

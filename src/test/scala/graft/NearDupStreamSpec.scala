@@ -74,6 +74,48 @@ class NearDupStreamSpec extends SparkSpec {
     }
   }
 
+  test("native MinhashSigs equals the 16-lambda Column spelling bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    // the legacy Column spelling (rounds 9–16) as the reference:
+    // md5-prefix ids + 16 interpreted affine array-mins
+    val legacySigCols = (0 until 16).map { i =>
+      array_min(transform(col("ids"),
+        x => TextFns.affineHash(lit(i), x))).as(s"sig_$i")
+    }
+    val legacy = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), TextFns.shingleArray(col("t"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+            % lit(TextFns.HashP))).as("ids"))
+      .select(col("doc_id") +: legacySigCols: _*)
+      .collect().map(_.toString).sorted.toSeq
+    val native = NearDupStream.withSignatures(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(native.nonEmpty && native == legacy,
+      "the native expression must reproduce every signature bit-for-bit")
+    // and through the SQL registration
+    docs.createOrReplaceTempView("mh_docs")
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_sigs(filter(transform(sequence(1, size(t) - 2),
+        |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))),
+        |  x -> true)) AS sigs
+        |FROM (SELECT doc_id, split(trim(text), '\\s+') AS t FROM mh_docs)
+        |WHERE size(t) >= 3""".stripMargin)
+      .selectExpr("doc_id", "element_at(sigs, 1) AS sig_0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nativeS0 = NearDupStream.withSignatures(docs)
+      .select("doc_id", "sig_0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == nativeS0, "the SQL registration must serve the same values")
+  }
+
   test("state TTL evicts bucket history between increments") {
     val dir = Files.createTempDirectory("ttl-in").toFile
     val ckpt = Files.createTempDirectory("ttl-ckpt").toString
