@@ -145,6 +145,7 @@ object SparkEntry {
     "d19_bloom_screen" -> (Dedup.d19BloomScreen _),
     "d20_containment" -> (Dedup.d20Containment _),
     "d21_band_drift" -> (Dedup.d21BandDrift _),
+    "d22_bloom_saturation" -> (Dedup.d22BloomSaturation _),
     "p15_cluster_split" -> (Pipeline.p15ClusterSplit _),
     "s18_kmeans_refine" -> (Similarity.s18KmeansRefine _),
     "qa05_bloom_curve" -> (Dedup.qa05BloomCurve _),

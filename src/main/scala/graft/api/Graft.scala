@@ -1044,6 +1044,30 @@ class Graft(val spark: SparkSession, dir: String) {
   def screenAgainstFrozenBloom(name: String): DataFrame =
     Dedup.d19ScreenFrozen(spark, dir, name)
 
+  /** Saturation of the frozen Bloom filter — the d22 aggregate off
+    * the shipped components (fill share + predicted FP rate). */
+  def bloomSaturation(name: String): DataFrame =
+    Dedup.bloomSaturationFrozen(spark, name)
+
+  /** Absorb accepted arrivals into the frozen filter by ONE
+    * word-OR merge + hash append under the frozen geometry. */
+  def absorbIntoBloom(arrivals: DataFrame, name: String): Option[Long] =
+    Dedup.absorbBloomArrivals(spark, arrivals, name)
+
+  /** Rebuild the filter geometry from the shipped hash part when the
+    * fill share trips — never a corpus re-read. */
+  def refreezeBloomIfSaturated(name: String, maxFill: Double = 0.35,
+      bitsPerElem: Long = 10L): Option[Long] =
+    Dedup.refreezeBloomIfSaturated(spark, name, maxFill, bitsPerElem)
+
+  /** Streaming absorb-and-monitor loop for the frozen filter: each
+    * micro-batch absorbs (replay-exact via the hash guard) and lands
+    * its post-absorb saturation row. */
+  def streamingBloomAbsorb(docStream: DataFrame, name: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.BloomStream.absorbStream(docStream, name,
+      outDir, checkpoint)
+
   /** Horizon-windowed event dedup — batch twin of the stream's
     * watermark-bounded exact dedup (q34). */
   def windowedDedup: DataFrame = Analytics3.q34WindowedDedup(spark, dir)

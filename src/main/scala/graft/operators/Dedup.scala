@@ -746,29 +746,168 @@ object Dedup {
   private val BloomParts = Seq("geom", "words", "hash")
 
   def shipBloomIndex(spark: SparkSession, dir: String, name: String,
-                     bitsPerElem: Long = 10L): Unit = {
-    import graft.sources.{Bucketing, FreezeStore}
-    val prev = FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
-    val gen = prev + 1
-    val base = bloomBase(Tables.documents(spark, dir)).filter(!bloomArrival)
-    val geom = bloomGeom(base, bitsPerElem)
-    def save(df: DataFrame, part: String): Unit = {
-      // orphaned-location guard (see Bucketing.resetTable)
-      Bucketing.resetTable(spark, FreezeStore.genTable(name, gen, part))
-      df.withColumn("gen", lit(gen)).write.mode("overwrite").format("parquet")
-        .saveAsTable(FreezeStore.genTable(name, gen, part))
+                     bitsPerElem: Long = 10L): Unit =
+    graft.sources.FreezeStore.withFamilyLease(spark, name) {
+      val prev = graft.sources.FreezeStore.readPtr(spark, name)
+        .map(_._1).getOrElse(0L)
+      val base = bloomBase(Tables.documents(spark, dir)).filter(!bloomArrival)
+      val geom = bloomGeom(base, bitsPerElem)
+      writeBloomGen(spark, name, prev + 1, geom,
+        bloomWords(bloomPosed(base.crossJoin(broadcast(geom)))),
+        base.groupBy("h").agg(min(col("doc_id")).as("exact_match")))
     }
-    save(geom, "geom")
-    save(bloomWords(bloomPosed(base.crossJoin(broadcast(geom)))), "words")
-    save(base.groupBy("h").agg(min(col("doc_id")).as("exact_match")), "hash")
-    FreezeStore.flipPtr(spark, name, gen, Seq(0L))
-    if (prev - 1 >= 1) BloomParts.foreach(p =>
-      Bucketing.resetTable(spark, FreezeStore.genTable(name, prev - 1, p)))
-  }
 
   /** Drop a shipped Bloom screen — pointer and all generations. */
   def dropBloomIndex(spark: SparkSession, name: String): Unit =
     graft.sources.FreezeStore.dropAll(spark, name)
+
+  /** The saturation aggregate — ONE definition for the hash-gated
+    * d22 monitor key and the store-backed read
+    * ([[bloomSaturationFrozen]]): given the filter's word table, its
+    * geometry and the loaded distinct-hash count, ONE row — occupied
+    * words, exact set-bit mass (`bit_count` — identical two's-
+    * complement semantics on both engines for these nonnegative
+    * sub-2⁶⁰ payloads), the fill share (one division of exact
+    * integers) and the k=3 predicted false-positive rate (fill³ — a
+    * product of three identical doubles, so the hash gate holds).
+    * Word-table-scaled: never a corpus pass. */
+  private[graft] def bloomSaturationFrom(words: DataFrame, geom: DataFrame,
+                                         nHashes: DataFrame): DataFrame =
+    words.agg(count(lit(1)).as("n_words"),
+        coalesce(sum(bit_count(col("bits")).cast("long")), lit(0L))
+          .as("bits_set"))
+      .crossJoin(broadcast(geom))
+      .crossJoin(broadcast(nHashes))
+      .select(col("n_hashes"), col("mbits"), col("n_words"), col("bits_set"),
+        (col("bits_set").cast("double") / col("mbits")).as("fill_share"),
+        (col("bits_set").cast("double") / col("mbits") *
+          (col("bits_set").cast("double") / col("mbits")) *
+          (col("bits_set").cast("double") / col("mbits"))).as("est_fp_rate"))
+
+  /** d22: BLOOM-FILTER SATURATION (round 17 — the membership
+    * screen's member of the hash-gated monitor lattice; qa05 grades
+    * filter SIZING before a freeze, THIS grades the live filter's
+    * remaining headroom as absorbs accumulate): the corpus-slice
+    * filter's fill share and the k=3 predicted FP rate it implies.
+    * The WHEN-to-rebuild signal for a geometry that was sized at
+    * freeze time: absorbed arrivals keep OR-ing bits into a FIXED
+    * mbits, fill climbs, and past the design point (10 bits/doc ⟹
+    * fill ≈ 0.26, FP ≈ 1.8%) every additional absorb degrades the
+    * screen quadratically — a deployment rebuilds the geometry
+    * ([[refreezeBloomIfSaturated]]) before that. */
+  def d22BloomSaturation(spark: SparkSession, dir: String): DataFrame = {
+    val base = bloomBase(Tables.documents(spark, dir)).filter(!bloomArrival)
+    val geom = bloomGeom(base, 10L)
+    bloomSaturationFrom(
+      bloomWords(bloomPosed(base.crossJoin(broadcast(geom)))),
+      geom,
+      base.select("h").distinct().agg(count(lit(1)).as("n_hashes")))
+  }
+
+  /** STALENESS of the frozen Bloom screen — the LITERAL d22
+    * aggregate over the SHIPPED components (geometry, words, hash
+    * table): word-table-scaled, no corpus pass, the pointer resolved
+    * once. */
+  def bloomSaturationFrozen(spark: SparkSession, name: String): DataFrame = {
+    import graft.sources.FreezeStore
+    val (gen, _) = FreezeStore.readPtr(spark, name).getOrElse(
+      throw new IllegalStateException(s"no frozen bloom screen named $name"))
+    def part(p: String) = spark.table(FreezeStore.genTable(name, gen, p))
+      .drop("gen")
+    bloomSaturationFrom(part("words"), part("geom"),
+      part("hash").agg(count(lit(1)).as("n_hashes")))
+  }
+
+  /** ABSORB accepted arrivals into the frozen Bloom screen — the
+    * band store's mergeable-absorb story for the membership filter:
+    * Bloom words are bit_or-MERGEABLE and the hash table unions, so
+    * the absorb is one word-table merge + a hash append under the
+    * FROZEN geometry — never a corpus re-read. The hash part IS the
+    * membership list, so the double-submission guard is a plain h
+    * anti-join (a replayed batch adds nothing). Returns the new
+    * generation (no-op None when nothing fresh arrived). */
+  def absorbBloomArrivals(spark: SparkSession, arrivals: DataFrame,
+                          name: String): Option[Long] = {
+    import graft.sources.FreezeStore
+    FreezeStore.withFamilyLease(spark, name) {
+      val (gen, _) = FreezeStore.readPtr(spark, name).getOrElse(
+        throw new IllegalStateException(s"no frozen bloom screen named $name"))
+      def part(p: String) = spark.table(FreezeStore.genTable(name, gen, p))
+        .drop("gen")
+      val fresh = bloomBase(arrivals)
+        .groupBy("h").agg(min(col("doc_id")).as("exact_match"))
+        .join(part("hash").select("h"), Seq("h"), "left_anti")
+      if (fresh.isEmpty) None
+      else {
+        val geom = part("geom")
+        val freshWords = bloomWords(bloomPosed(
+          fresh.select(col("exact_match").as("doc_id"), col("h"),
+              (conv(substring(col("h"), 1, 15), 16, 10).cast("long") % BloomP)
+                .as("xm"))
+            .crossJoin(broadcast(geom))))
+        val mergedWords = part("words").unionByName(freshWords)
+          .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+        val mergedHash = part("hash")
+          .unionByName(fresh.select("h", "exact_match"))
+        writeBloomGen(spark, name, gen + 1, geom, mergedWords, mergedHash)
+        Some(gen + 1)
+      }
+    }
+  }
+
+  /** CLOSE THE SATURATION→REBUILD LOOP: when the live filter's fill
+    * share exceeds `maxFill` (exact cross-multiplied integers —
+    * bits_set·10⁴ vs bp·mbits, no float edge), rebuild the geometry
+    * sized to the GROWN hash count and re-position every stored hash
+    * — entirely from the shipped hash part (xm re-derives from h),
+    * so even the full rebuild never touches corpus text: the whole
+    * lifecycle is hash-part-scaled. ONE lease hold across read →
+    * rebuild → flip. Returns the new generation when it fired. */
+  def refreezeBloomIfSaturated(spark: SparkSession, name: String,
+                               maxFill: Double = 0.35,
+                               bitsPerElem: Long = 10L): Option[Long] = {
+    import graft.sources.FreezeStore
+    FreezeStore.withFamilyLease(spark, name) {
+      val s = bloomSaturationFrozen(spark, name)
+        .select("bits_set", "mbits").head()
+      val bp = math.round(maxFill * 10000)
+      if (s.getLong(0) * 10000 <= bp * s.getLong(1)) None
+      else {
+        val (gen, _) = FreezeStore.readPtr(spark, name).get
+        val hash = spark.table(FreezeStore.genTable(name, gen, "hash"))
+          .drop("gen")
+        import graft.functions.Fns.floorDiv
+        val geom = hash.agg(floorDiv(count(lit(1)) * bitsPerElem, 60L)
+            .as("mwm1"))
+          .select(((col("mwm1") + 1L) * 60L).as("mbits"))
+        val words = bloomWords(bloomPosed(
+          hash.select(col("exact_match").as("doc_id"), col("h"),
+              (conv(substring(col("h"), 1, 15), 16, 10).cast("long") % BloomP)
+                .as("xm"))
+            .crossJoin(broadcast(geom))))
+        writeBloomGen(spark, name, gen + 1, geom, words, hash)
+        Some(gen + 1)
+      }
+    }
+  }
+
+  private def writeBloomGen(spark: SparkSession, name: String, gen: Long,
+      geom: DataFrame, words: DataFrame, hash: DataFrame): Unit = {
+    import graft.sources.{Bucketing, FreezeStore}
+    def save(df: DataFrame, p: String): Unit = {
+      Bucketing.resetTable(spark, FreezeStore.genTable(name, gen, p))
+      df.withColumn("gen", lit(gen)).write.mode("overwrite").format("parquet")
+        .saveAsTable(FreezeStore.genTable(name, gen, p))
+    }
+    // materialize merged parts BEFORE any reset could touch inputs:
+    // all three read the SUPERSEDED generation's tables, which stay
+    // in place (only gen-2-back retires), so plain writes are safe
+    save(geom, "geom"); save(words, "words"); save(hash, "hash")
+    FreezeStore.flipPtr(spark, name, gen, Seq(0L))
+    val prev = gen - 1
+    if (prev - 1 >= 1) BloomParts.foreach(p =>
+      Bucketing.resetTable(spark, FreezeStore.genTable(name, prev - 1, p)))
+  }
 
   /** d19's screen over the arrival slice against a FROZEN filter
     * shipped by [[shipBloomIndex]] — the literal bloomPosed/
@@ -1523,6 +1662,21 @@ object Dedup {
       "qa05_bloom_curve" ->
         ("WITH " + BloomBitsGrid.map(b => bloomCtes(b, s"_$b")).mkString(",\n") + "\n" +
           qa05Branches + "\nORDER BY bits_per_elem"),
+
+      // d22: the filter's saturation read off the same builder — the
+      // probe/screen CTEs go unreferenced and prune away
+      "d22_bloom_saturation" ->
+        ("WITH " + bloomCtes(10L, "") + """,
+          |sat AS (SELECT
+          |    (SELECT COUNT(DISTINCT h) FROM x WHERE doc_id % 10 < 8) AS n_hashes,
+          |    (SELECT mbits FROM par) AS mbits,
+          |    (SELECT COUNT(*) FROM cb) AS n_words,
+          |    (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) FROM cb) AS bits_set)
+          |SELECT n_hashes, mbits, n_words, bits_set,
+          |  CAST(bits_set AS DOUBLE) / mbits AS fill_share,
+          |  (CAST(bits_set AS DOUBLE) / mbits) * (CAST(bits_set AS DOUBLE) / mbits)
+          |    * (CAST(bits_set AS DOUBLE) / mbits) AS est_fp_rate
+          |FROM sat""".stripMargin),
       // d08's quantization CTEs split corpus/increment on the d15
       // arrival rule; the centroid stride derives from the CORPUS id
       // range only (frozen-index rule)

@@ -50,4 +50,35 @@ object BloomStream {
     Dedup.bloomVerdicts(
       Dedup.bloomPosed(Dedup.bloomBase(stream).withColumn("mbits", lit(mbits))),
       words, corpHash)
+
+  /** CONTINUOUS absorb-and-monitor loop for the frozen Bloom screen
+    * (round 17 — the store-backed twin the stateless [[verdicts]]
+    * screen lacked): each arriving (doc_id, text) micro-batch is
+    * ABSORBED into the live generation (the mergeable word-OR +
+    * hash-append — [[Dedup.absorbBloomArrivals]]; a replayed batch
+    * drops whole at the hash anti-join, so checkpoint replays leave
+    * the filter state exact) and the post-absorb saturation row
+    * (the literal d22 aggregate) lands under the batch id — the
+    * fill-share trend a deployment tails before calling
+    * [[Dedup.refreezeBloomIfSaturated]]. Pointer re-binds per
+    * trigger inside the absorb's lease. */
+  def absorbStream(docStream: DataFrame, name: String, outDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .queryName(s"bloom_absorb_$name")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Dedup.absorbBloomArrivals(batch.sparkSession, batch, name)
+          Dedup.bloomSaturationFrozen(batch.sparkSession, name)
+            .write.mode("overwrite").format("parquet")
+            .save(s"$outDir/batch=$batchId")
+        }
+      }
+      .start()
 }
