@@ -84,11 +84,28 @@ object TextFns {
       .select(col("term"), (col("off") + col("r")).cast("long").as("tid"))
   }
 
+  /** The affine family's LCG seeds — named ONCE so the Column form
+    * below and the native expression's precomputed coefficient
+    * tables ([[graft.plans.MinhashSigs]]) derive from the same
+    * constants (round-17 review: the expression restated the
+    * literals). */
+  private[graft] val AffineMulSeed = 1103515245L
+  private[graft] val AffineMulOff = 12345L
+  private[graft] val AffineAddSeed = 69069L
+  private[graft] val AffineAddOff = 1234567L
+
+  /** The i-th family member's exact scalar coefficients (the native
+    * expression's precompute path). */
+  private[graft] def affineA(i: Int): Long =
+    (AffineMulSeed * (i + 1) + AffineMulOff) % HashP
+  private[graft] def affineB(i: Int): Long =
+    (AffineAddSeed * (i + 1) + AffineAddOff) % HashP
+
   /** i-th member of the affine hash family applied to id x:
     * ((1103515245(i+1)+12345 mod P) · x + (69069(i+1)+1234567 mod P)) mod P */
   def affineHash(i: Column, x: Column): Column =
-    (((lit(1103515245L) * (i + 1) + 12345L) % HashP) * x +
-      ((lit(69069L) * (i + 1) + 1234567L) % HashP)) % HashP
+    (((lit(AffineMulSeed) * (i + 1) + AffineMulOff) % HashP) * x +
+      ((lit(AffineAddSeed) * (i + 1) + AffineAddOff) % HashP)) % HashP
 
   /** Embedding quantization: float array → exact int64 array at 1e4
     * scale. Float is cast to double *before* scaling so both engines

@@ -560,8 +560,19 @@ object Dedup {
         val (gen, _) = FreezeStore.readPtr(spark, name).get
         val members = spark.table(FreezeStore.genTable(name, gen, "members"))
           .select("doc_id")
+        // one row per FRESH doc (round-17 review): the members
+        // anti-join only guards against PRIOR generations, so an
+        // at-least-once batch carrying the same row twice would bake
+        // doubled occupancy into every later generation — the
+        // groupBy collapses intra-batch replays deterministically
+        // (min over a replayed identical text is that text). The
+        // lazy checkpoint stops the anti-join re-running for each of
+        // its two consumers (the bucket merge and the members
+        // append) — the absorbBloomArrivals rule.
         val fresh = arrivals.select("doc_id", "text")
           .join(members, Seq("doc_id"), "left_anti")
+          .groupBy("doc_id").agg(min(col("text")).as("text"))
+          .localCheckpoint(false)
         val merged = spark.table(FreezeStore.genTable(name, gen, "bands"))
           .select("band", "bandkey", "corp_doc", "occ")
           .unionByName(nearBuckets(prodBandRows(fresh))
@@ -660,11 +671,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** xm from a content hash — the ONE definition of the 60-bit
+    * hex-prefix parse (round-17 review: the absorb and the geometry
+    * rebuild re-derive xm from STORED hashes, and each restated the
+    * formula; a drifted copy would silently desynchronize rebuilt
+    * bit positions from the probe's). */
+  private[graft] def xmOf(h: Column): Column =
+    conv(substring(h, 1, 15), 16, 10).cast("long") % BloomP
+
   /** (doc_id, h = md5, xm = 60-bit hex-parsed prefix mod p). */
   private[graft] def bloomBase(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), md5(col("text")).as("h"))
-      .withColumn("xm",
-        conv(substring(col("h"), 1, 15), 16, 10).cast("long") % BloomP)
+      .withColumn("xm", xmOf(col("h")))
 
   /** The k = 3 bit positions; expects an `mbits` column (batch: a
     * broadcast 1-row cross join; stream: a shipped literal). */
@@ -834,16 +852,22 @@ object Dedup {
         throw new IllegalStateException(s"no frozen bloom screen named $name"))
       def part(p: String) = spark.table(FreezeStore.genTable(name, gen, p))
         .drop("gen")
+      // checkpoint the anti-joined batch (round-17 review): THREE
+      // actions read it (the isEmpty probe and both part writes) —
+      // re-evaluating a membership-scaled anti-join per action is
+      // 3× the absorb's cost, and a source that changed between the
+      // jobs could compute the words and hash parts from DIFFERENT
+      // row sets, breaking the no-false-negative guarantee
       val fresh = bloomBase(arrivals)
         .groupBy("h").agg(min(col("doc_id")).as("exact_match"))
         .join(part("hash").select("h"), Seq("h"), "left_anti")
+        .localCheckpoint(false)
       if (fresh.isEmpty) None
       else {
         val geom = part("geom")
         val freshWords = bloomWords(bloomPosed(
           fresh.select(col("exact_match").as("doc_id"), col("h"),
-              (conv(substring(col("h"), 1, 15), 16, 10).cast("long") % BloomP)
-                .as("xm"))
+              xmOf(col("h")).as("xm"))
             .crossJoin(broadcast(geom))))
         val mergedWords = part("words").unionByName(freshWords)
           .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
@@ -882,8 +906,7 @@ object Dedup {
           .select(((col("mwm1") + 1L) * 60L).as("mbits"))
         val words = bloomWords(bloomPosed(
           hash.select(col("exact_match").as("doc_id"), col("h"),
-              (conv(substring(col("h"), 1, 15), 16, 10).cast("long") % BloomP)
-                .as("xm"))
+              xmOf(col("h")).as("xm"))
             .crossJoin(broadcast(geom))))
         writeBloomGen(spark, name, gen + 1, geom, words, hash)
         Some(gen + 1)

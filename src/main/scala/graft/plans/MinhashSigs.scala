@@ -52,11 +52,11 @@ case class MinhashSigs(child: Expression) extends UnaryExpression {
 object MinhashSigs {
 
   private val P = graft.functions.TextFns.HashP
-  private val NumSigs = 16
+  private val NumSigs = graft.streaming.NearDupStream.Sigs
   private val A: Array[Long] =
-    Array.tabulate(NumSigs)(i => (1103515245L * (i + 1) + 12345L) % P)
+    Array.tabulate(NumSigs)(graft.functions.TextFns.affineA)
   private val B: Array[Long] =
-    Array.tabulate(NumSigs)(i => (69069L * (i + 1) + 1234567L) % P)
+    Array.tabulate(NumSigs)(graft.functions.TextFns.affineB)
 
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -73,12 +73,17 @@ object BloomStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          Dedup.absorbBloomArrivals(batch.sparkSession, batch, name)
-          Dedup.bloomSaturationFrozen(batch.sparkSession, name)
-            .write.mode("overwrite").format("parquet")
-            .save(s"$outDir/batch=$batchId")
-        }
+        if (!batch.isEmpty)
+          // ONE lease hold across absorb → saturation read (round-17
+          // review: read outside it and a concurrent writer's flip
+          // makes batch N's "post-absorb" row reflect a different
+          // generation; the nested absorb re-enters the hold)
+          graft.sources.FreezeStore.withFamilyLease(batch.sparkSession, name) {
+            Dedup.absorbBloomArrivals(batch.sparkSession, batch, name)
+            Dedup.bloomSaturationFrozen(batch.sparkSession, name)
+              .write.mode("overwrite").format("parquet")
+              .save(s"$outDir/batch=$batchId")
+          }
       }
       .start()
 }

@@ -39,7 +39,7 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
 object NearDupStream {
 
   private val Bands = 8
-  private val Sigs = 16
+  private[graft] val Sigs = 16
 
   case class BandedDoc(band: Int, bandkey: String, doc_id: Long, sigs: Seq[Long])
   case class DocSig(doc_id: Long, sigs: Seq[Long])

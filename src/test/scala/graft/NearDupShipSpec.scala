@@ -49,8 +49,17 @@ class NearDupShipSpec extends SparkSpec {
       val drift = Dedup.nearDupStaleness(spark, nv, name)
         .agg(sum("n_new_buckets"), sum("n_arr_buckets")).head()
       assert(drift.getLong(0) > 0, "reversed text must open unseen buckets")
-      // trips and absorbs by ONE bucket merge
-      assert(Dedup.refreezeNearDupIfStale(spark, nv, name).contains(2L))
+      val occ1 = spark.table(graft.sources.FreezeStore.genTable(name, 1, "bands"))
+        .agg(sum("occ")).head().getLong(0)
+      // trips and absorbs by ONE bucket merge — the batch carries
+      // every row TWICE (the at-least-once shape): the intra-batch
+      // dedup must keep occupancy exact
+      assert(Dedup.refreezeNearDupIfStale(spark, nv.unionByName(nv), name)
+        .contains(2L))
+      assert(spark.table(graft.sources.FreezeStore.genTable(name, 2, "bands"))
+        .agg(sum("occ")).head().getLong(0) ==
+        occ1 + graft.operators.Dedup.prodBandRows(nv).count(),
+        "a doubled batch must add each document's band rows ONCE")
       // absorbed arrivals: every bucket now known, nothing re-trips
       val after = Dedup.nearDupStaleness(spark, nv, name)
       assert(after.filter(col("n_new_buckets") =!= 0L).count() == 0,

@@ -48,9 +48,13 @@ def main():
         if proc.returncode != 0:
             out["err"] = f"rc={proc.returncode}"
             out["tail"] = proc.stdout[-400:] + proc.stderr[-200:]
+        probe_re = re.compile(r"\[stress\] (.+?)\s+([0-9.]+)s\s*$")
         for raw in proc.stdout.splitlines():
+            # try the raw line FIRST: an unprefixed '[stress] ...'
+            # line (forked-JVM stdout) would be MANGLED by the sbt
+            # prefix strip ('] '-split removes '[stress] ' itself)
+            m = probe_re.search(raw)
             line = raw.split("] ", 1)[-1] if raw.startswith("[") else raw
-            m = re.match(r"\[stress\] (.+?)\s+([0-9.]+)s\s*$", line)
             if m:
                 out["probes"][m.group(1).strip()] = float(m.group(2))
             elif line.startswith('{"docs":'):
