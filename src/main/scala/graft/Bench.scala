@@ -139,7 +139,12 @@ object Bench {
     // frozen-tokenizer pack, every stage off a SHIPPED artifact; the
     // four freezes run at prepare, untimed): the composed read path
     // a 100 TB deployment executes per arrival batch
-    "p29_frozen_serve")
+    "p29_frozen_serve",
+    // round 18: night 2 of the absorb-composed nightly (p30) — the
+    // same serve path AGAINST THE ABSORBED generation (prepare +
+    // night 1 + the survivor absorb run untimed): the steady-state
+    // read a deployment executes every night after the first
+    "p30_night2_serve")
 
   /** Bench-local entries — NOT driver correctness keys: compositions
     * whose COST ATTRIBUTION differs from a SparkEntry query while
@@ -233,7 +238,14 @@ object Bench {
       // against the frozen buckets, and the survivor pack; all four
       // artifacts froze at prepare
       "p29_frozen_serve" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
-        graft.operators.Pipeline.p29ServeFrozen(s, dir, ns = "bench_p29")))
+        graft.operators.Pipeline.p29ServeFrozen(s, dir, ns = "bench_p29")),
+      // night 2 of the absorb-composed nightly: the timed work is
+      // the night-2 serve alone — gate + both screens against the
+      // ABSORBED (corpus ∪ night-1 survivors) generation + the pack;
+      // prepare, night 1's serve and the survivor absorb all ran
+      // untimed at fixture time
+      "p30_night2_serve" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.operators.Pipeline.p30Night2Serve(s, dir, ns = "bench_p30")))
 
   /** Land the UNTIMED fixture an entry reads — shared by the bench
     * sweep/retries AND [[Explain]] (ADVICE round 14: Explain carried
@@ -295,6 +307,13 @@ object Bench {
       // times the composed arrival-scaled read path only
       if (name == "p29_frozen_serve")
         graft.operators.Pipeline.p29Prepare(spark, sfDir, ns = "bench_p29")
+      // freeze the four artifacts, serve night 1 and ABSORB its
+      // survivors, all UNTIMED — the p30 entry times night 2's
+      // serve against the absorbed generation only
+      if (name == "p30_night2_serve") {
+        graft.operators.Pipeline.p29Prepare(spark, sfDir, ns = "bench_p30")
+        graft.operators.Pipeline.p30Night1Absorb(spark, sfDir, ns = "bench_p30")
+      }
       // train + freeze the tokenizer artifact, UNTIMED (the one
       // corpus word-frequency groupBy + 12 vocab-scaled argmax
       // rounds per freeze — the serving entry times the per-doc

@@ -66,6 +66,56 @@ object Profile {
   * shoulder" vs genuine growth. Usage:
   * `runMain graft.ProfilePasses <query> [passes]` with
   * SPARK_GRAFT_SF_DIR set. Not part of the driver contract. */
+/** Planning-vs-execution split for named queries — the round-17
+  * diagnostic (a sub-second wall invariant to data size AND
+  * partitioning is QUERY PLANNING, not execution) swept as a tool
+  * (VERDICT r17 #3). Per query, after one warm pass:
+  *  - `build`: constructing the DataFrame (includes any bounded
+  *    control-state collects — t29's 12 merge rows, etc.);
+  *  - `plan`: bare `.rdd` conversion on a fresh frame — full
+  *    analysis/optimization/physical planning + RDD DAG, NO job;
+  *  - `count`: a fresh frame executed end-to-end (re-plans, so
+  *    exec-only ≈ count − plan).
+  * Medians over `reps` fresh frames (each `count()` builds a NEW
+  * plan — instance-level queryExecution caching never helps).
+  * Usage: `runMain graft.PlanSplit <query> [query ...]` with
+  * SPARK_GRAFT_SF_DIR set. Not part of the driver contract. */
+object PlanSplit {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("qa07_hll_distinct", "d03_simhash", "mm09_phash",
+        "t29_trained_tokens", "t31_frozen_tokens")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(cores = 32, appName = "graft-plansplit")
+    val reps = 5
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    names.foreach { name =>
+      Bench.prepareFixture(spark, dir, name)
+      val fn = Bench.benchOnly.getOrElse(name, SparkEntry.queries(name))
+      fn(spark, dir).count() // warm: JIT, codegen cache, file listing
+      val builds = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val plans = (1 to reps).map { _ =>
+        val df = fn(spark, dir)
+        val t0 = System.nanoTime(); df.rdd
+        (System.nanoTime() - t0) / 1e9
+      }
+      val counts = (1 to reps).map { _ =>
+        val df = fn(spark, dir)
+        val t0 = System.nanoTime(); df.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"metric":"plan_split","query":"$name","sf":"$dir",${""
+        }"build":${med(builds)}%.3f,"plan":${med(plans)}%.3f,${""
+        }"count":${med(counts)}%.3f,"exec_est":${
+        math.max(0.0, med(counts) - med(plans))}%.3f}""")
+    }
+    spark.stop()
+  }
+}
+
 object ProfilePasses {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("p21_context_assembly")

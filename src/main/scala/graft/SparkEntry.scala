@@ -238,7 +238,8 @@ object SparkEntry {
     "g09_community_bridges" -> (Graph.g09CommunityBridges _),
     "p27_trained_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p27TrainedPack(s, d)),
     "p28_frozen_pack" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Pipeline.p28FrozenPack(s, d)),
-    "p29_frozen_curation" -> (Pipeline.p29FrozenCuration _)
+    "p29_frozen_curation" -> (Pipeline.p29FrozenCuration _),
+    "p30_nightly_absorb" -> (Pipeline.p30NightlyAbsorb _)
   )
 
   /** EVERY key carries oracle SQL (QueriesSpec enforces it). The

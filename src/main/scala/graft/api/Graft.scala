@@ -855,6 +855,30 @@ class Graft(val spark: SparkSession, dir: String) {
                           ns: String = "p29"): DataFrame =
     Pipeline.p29ServeFrozen(spark, dir, contextLen, ns)
 
+  /** The nightly's serve over an explicit arrival batch (round 18 —
+    * consecutive nightlies serve different batches). */
+  def frozenCurationServeBatch(batch: DataFrame, contextLen: Long = 256L,
+                               ns: String = "p29"): DataFrame =
+    Pipeline.p29ServeBatch(spark, batch, contextLen, ns)
+
+  /** ADMIT a served batch's accepted survivors into the nightly's
+    * two mergeable stores (Bloom screen + band index) — the
+    * serve → absorb → serve loop's middle edge (round 18). Input:
+    * the survivors' (doc_id, text). */
+  def frozenCurationAbsorb(survivors: DataFrame,
+                           ns: String = "p29"): (Option[Long], Option[Long]) =
+    Pipeline.p29Absorb(spark, survivors, ns)
+
+  /** TWO consecutive nightlies with the absorb between (p30): night
+    * 2's screens drop replays and near-dups of night 1's accepted
+    * survivors. Returns night 2's packed output. */
+  def nightlyAbsorb: DataFrame = Pipeline.p30NightlyAbsorb(spark, dir)
+
+  /** Unconditional band-index absorb of arriving documents (the
+    * mergeable-absorb step without the staleness gate). */
+  def absorbNearDupIndex(arrivals: DataFrame, name: String): Option[Long] =
+    Dedup.absorbNearDupArrivals(spark, arrivals, name)
+
   /** Maximal-marginal-relevance context selection over the ranked
     * chunks (p25) — graded diversity between ranking and assembly. */
   def mmrContext(window: Long = 32L, stride: Long = 24L): DataFrame =

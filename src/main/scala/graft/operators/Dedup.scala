@@ -555,24 +555,60 @@ object Dedup {
           coalesce(sum(col("n_arr_buckets")), lit(0L)).as("ab")).head()
       val (nb, ab) = (s.getLong(0), s.getLong(1))
       val bp = math.round(maxNewShare * 10000)
-      if (ab == 0 || nb * 10000 <= bp * ab) None
+      // ab == 0 is ambiguous (ADVICE r17): the drift aggregate
+      // inner-joins corpus-band and arrival-band rows, so it is empty
+      // BOTH when the arrivals band to nothing (nothing to absorb —
+      // stay None) AND when the shipped bucket table itself is empty
+      // (index shipped from an empty/bandless corpus — every arrival
+      // bucket is unseen, i.e. MAXIMALLY stale; without this branch
+      // the index stayed permanently empty because the guard could
+      // never fire). One arrival-scaled banding pass disambiguates.
+      val stale =
+        if (ab > 0) nb * 10000 > bp * ab
+        else !prodBandRows(arrivals).isEmpty
+      if (!stale) None
+      else absorbNearDupArrivals(spark, arrivals, name)
+    }
+  }
+
+  /** ABSORB arrivals into the frozen band index UNCONDITIONALLY —
+    * the mergeable-absorb step alone, factored out of
+    * [[refreezeNearDupIfStale]] (round 18: the p29 nightly composes
+    * serve → absorb SURVIVORS → serve, and the nightly admits what
+    * it accepted regardless of any drift threshold — the staleness
+    * guard is the MONITOR-driven refreeze policy, not the admission
+    * path). Band state is MERGEABLE (each document's band rows
+    * depend only on its own text — the md5-prefix id property), so
+    * the absorb is one bucket-table merge (min corp_doc + occupancy
+    * addition) plus a members append; the corpus text is NEVER
+    * re-read. Already-absorbed docs drop at the members anti-join
+    * (the Bm25IndexStore double-submission guard), so a replayed
+    * batch cannot inflate occupancy; when NOTHING fresh remains the
+    * absorb is a no-op None (no pointless generation). ONE lease
+    * hold across read → merge → flip. */
+  def absorbNearDupArrivals(spark: SparkSession, arrivals: DataFrame,
+                            name: String): Option[Long] = {
+    import graft.sources.FreezeStore
+    FreezeStore.withFamilyLease(spark, name) {
+      val (gen, _) = FreezeStore.readPtr(spark, name).getOrElse(
+        throw new IllegalStateException(s"no frozen near-dup index named $name"))
+      val members = spark.table(FreezeStore.genTable(name, gen, "members"))
+        .select("doc_id")
+      // one row per FRESH doc (round-17 review): the members
+      // anti-join only guards against PRIOR generations, so an
+      // at-least-once batch carrying the same row twice would bake
+      // doubled occupancy into every later generation — the
+      // groupBy collapses intra-batch replays deterministically
+      // (min over a replayed identical text is that text). The
+      // lazy checkpoint stops the anti-join re-running for each of
+      // its THREE consumers (the isEmpty probe, the bucket merge and
+      // the members append) — the absorbBloomArrivals rule.
+      val fresh = arrivals.select("doc_id", "text")
+        .join(members, Seq("doc_id"), "left_anti")
+        .groupBy("doc_id").agg(min(col("text")).as("text"))
+        .localCheckpoint(false)
+      if (fresh.isEmpty) None
       else {
-        val (gen, _) = FreezeStore.readPtr(spark, name).get
-        val members = spark.table(FreezeStore.genTable(name, gen, "members"))
-          .select("doc_id")
-        // one row per FRESH doc (round-17 review): the members
-        // anti-join only guards against PRIOR generations, so an
-        // at-least-once batch carrying the same row twice would bake
-        // doubled occupancy into every later generation — the
-        // groupBy collapses intra-batch replays deterministically
-        // (min over a replayed identical text is that text). The
-        // lazy checkpoint stops the anti-join re-running for each of
-        // its two consumers (the bucket merge and the members
-        // append) — the absorbBloomArrivals rule.
-        val fresh = arrivals.select("doc_id", "text")
-          .join(members, Seq("doc_id"), "left_anti")
-          .groupBy("doc_id").agg(min(col("text")).as("text"))
-          .localCheckpoint(false)
         val merged = spark.table(FreezeStore.genTable(name, gen, "bands"))
           .select("band", "bandkey", "corp_doc", "occ")
           .unionByName(nearBuckets(prodBandRows(fresh))
@@ -647,13 +683,21 @@ object Dedup {
     * verdicts equal d19's only while these stay in lockstep). */
   private[graft] def bloomArrival: Column = col("doc_id") % 10 >= 8
 
-  /** Filter geometry from the corpus count alone (frozen-index rule:
-    * nothing about the filter shifts as increments arrive) — shared
-    * by the live screen and the ship path for the same reason. */
+  /** Filter geometry from the corpus's DISTINCT-hash count alone
+    * (frozen-index rule: nothing about the filter shifts as
+    * increments arrive) — shared by the live screen, the ship path
+    * AND the saturation rebuild, so every generation sits at the same
+    * bits-per-element design point. Per distinct hash is the textbook
+    * convention (ADVICE r17: the first cut sized the ship per corpus
+    * DOC but the rebuild per stored hash — on a corpus with many
+    * exact-duplicate texts the rebuilt filter came out denser than a
+    * fresh ship at the same bitsPerElem; inserting a duplicate hash
+    * sets no new bits, so the element count that determines fill IS
+    * the distinct-hash count). */
   private[graft] def bloomGeom(corpusBase: DataFrame,
                                bitsPerElem: Long): DataFrame = {
     import graft.functions.Fns.floorDiv
-    corpusBase
+    corpusBase.select("h").distinct()
       .agg(floorDiv(count(lit(1)) * bitsPerElem, 60L).as("mwm1"))
       .select(((col("mwm1") + 1L) * 60L).as("mbits"))
   }
@@ -900,10 +944,11 @@ object Dedup {
         val (gen, _) = FreezeStore.readPtr(spark, name).get
         val hash = spark.table(FreezeStore.genTable(name, gen, "hash"))
           .drop("gen")
-        import graft.functions.Fns.floorDiv
-        val geom = hash.agg(floorDiv(count(lit(1)) * bitsPerElem, 60L)
-            .as("mwm1"))
-          .select(((col("mwm1") + 1L) * 60L).as("mbits"))
+        // the ONE sizing definition (ADVICE r17): the hash part's
+        // rows are already distinct, so bloomGeom's distinct pass is
+        // a no-op semantically — the rebuild and a fresh ship land on
+        // identical geometry for the same membership set
+        val geom = bloomGeom(hash, bitsPerElem)
         val words = bloomWords(bloomPosed(
           hash.select(col("exact_match").as("doc_id"), col("h"),
               xmOf(col("h")).as("xm"))
@@ -940,16 +985,26 @@ object Dedup {
     * resolved ONCE here, so all three components come from one
     * generation. */
   def d19ScreenFrozen(spark: SparkSession, dir: String,
-                      name: String): DataFrame = {
+                      name: String): DataFrame =
+    bloomScreenFrozen(spark,
+      Tables.documents(spark, dir).filter(bloomArrival), name)
+      .orderBy("doc_id")
+
+  /** The frozen screen over ANY arriving (doc_id, text) frame —
+    * [[d19ScreenFrozen]] with the arrival batch as a parameter
+    * (round 18: the p29 nightly serves per-night batches, not the
+    * fixture slice). Same wholly-one-generation read: the pointer
+    * resolves ONCE and all three components come off it. */
+  def bloomScreenFrozen(spark: SparkSession, arrivals: DataFrame,
+                        name: String): DataFrame = {
     import graft.sources.FreezeStore
     val (gen, _) = FreezeStore.readPtr(spark, name).getOrElse(
       throw new IllegalStateException(s"no frozen bloom screen named $name"))
     def part(p: String) = spark.table(FreezeStore.genTable(name, gen, p))
       .drop("gen")
-    val inc = bloomBase(Tables.documents(spark, dir)).filter(bloomArrival)
+    val inc = bloomBase(arrivals)
     bloomVerdicts(bloomPosed(inc.crossJoin(broadcast(part("geom")))),
-        part("words"), part("hash"))
-      .orderBy("doc_id")
+      part("words"), part("hash"))
   }
 
   /** qa05's swept filter sizes (bits per corpus element). Also
@@ -1640,7 +1695,7 @@ object Dedup {
       s"""x$s AS (SELECT doc_id, md5(text) AS h,
          |    ('0x' || substr(md5(text), 1, 15))::BIGINT % $BloomP AS xm
          |  FROM documents),
-         |par$s AS (SELECT (((SELECT COUNT(*) FROM x$s WHERE doc_id % 10 < 8) * $bits) // 60 + 1) * 60 AS mbits),
+         |par$s AS (SELECT (((SELECT COUNT(DISTINCT h) FROM x$s WHERE doc_id % 10 < 8) * $bits) // 60 + 1) * 60 AS mbits),
          |pos$s AS (SELECT doc_id, h,
          |    (($ba1 * xm + $bb1) % $BloomP) % mbits AS p1,
          |    (($ba2 * xm + $bb2) % $BloomP) % mbits AS p2,

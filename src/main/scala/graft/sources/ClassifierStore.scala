@@ -151,8 +151,13 @@ object ClassifierStore {
     // masses and the score mass all fall out of the scored frame —
     // n_docs_scored counts docs with ≥1 frozen-vocabulary token (the
     // feature-coverage view; a fully-novel doc serves as keep@0 but
-    // carries no signal)
-    val scored = scoreFrozen(spark, arrivals, name)
+    // carries no signal). The pointer resolves ONCE here and BOTH
+    // generation components (vocab+weights for the scoring join, the
+    // 1-row stats baseline) come off that generation — wholly one
+    // generation even for a standalone monitor call.
+    val scored = graft.operators.Quality.frozenScores(arrivals,
+        part(spark, name, gen, batches, "vocab"),
+        part(spark, name, gen, batches, "weights"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(when(col("n_tokens_seen") > 0, 1L)), lit(0L))
           .as("n_docs_scored"),
@@ -160,9 +165,19 @@ object ClassifierStore {
         coalesce(sum(col("n_tokens")), lit(0L)).as("n_tok_arr"),
         coalesce(sum(col("n_tokens_seen")), lit(0L)).as("n_tok_seen"),
         coalesce(sum(col("score")), lit(0L)).as("sum_score"))
-    val base = part(spark, name, gen, batches, "stats")
-      .select(col("n_docs").as("c_docs"), col("sum_score").as("c_score"))
-    scored.crossJoin(broadcast(base))
+    // the 1-row stats baseline collected EAGERLY (ADVICE r17: the
+    // lazy crossJoin(broadcast(stats)) executed per micro-batch under
+    // the 24/7 drift stream could hit a dropped table — or mix
+    // generations — across two quick refreezes with retain=1;
+    // TokenizerStore.stalenessWithBase got this exact fix in r17).
+    // The returned frame's corpus operands are literals: arrival-only
+    // lineage, decoupled from later retain prunes.
+    val b = part(spark, name, gen, batches, "stats")
+      .select(col("n_docs"), col("sum_score")).head()
+    val (cDocs, cScore) = (b.getLong(0), b.getLong(1))
+    scored
+      .withColumn("c_docs", lit(cDocs))
+      .withColumn("c_score", lit(cScore))
       .select(col("n_docs"), col("n_docs_scored"), col("n_keep"),
         col("n_tok_arr"), col("n_tok_seen"),
         when(col("n_tok_arr") > 0,

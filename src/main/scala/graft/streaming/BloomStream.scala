@@ -30,12 +30,11 @@ object BloomStream {
     * streaming algebra stay literal-only. */
   def frozenFilter(corpus: DataFrame, bitsPerElem: Long = 10L)
       : (DataFrame, DataFrame, Long) = {
-    import graft.functions.Fns.floorDiv
     val base = Dedup.bloomBase(corpus)
-    val mbits = base
-      .agg(floorDiv(count(lit(1)) * bitsPerElem, 60L).as("mwm1"))
-      .select(((col("mwm1") + 1L) * 60L).as("mbits"))
-      .head().getLong(0)
+    // the ONE sizing definition (ADVICE r18 convention change: per
+    // DISTINCT hash — a restated per-doc formula here would silently
+    // desynchronize the twin's geometry from batch d19's)
+    val mbits = Dedup.bloomGeom(base, bitsPerElem).head().getLong(0)
     val posed = Dedup.bloomPosed(base.withColumn("mbits", lit(mbits)))
     val words = Dedup.bloomWords(posed)
     val corpHash = base.groupBy("h").agg(min(col("doc_id")).as("exact_match"))

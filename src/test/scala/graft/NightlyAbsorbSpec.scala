@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline}
+import graft.sources.{FreezeStore, Tables}
+import org.apache.spark.sql.functions._
+
+/** p30 — two consecutive nightlies with the absorb between (round
+  * 18, VERDICT r17 #1: the serve → absorb survivors → serve loop).
+  * Pins, each against an INDEPENDENT formulation:
+  *
+  *  1. night 1's absorb advances exactly the two MERGEABLE stores
+  *     (bloom, near) one generation; classifier/tokenizer stay put;
+  *  2. a REPLAY of night 1's survivors is dropped WHOLE by night 2's
+  *     exact screen, each with exact_match naming the survivor
+  *     itself (the d15 evidence rule) — yesterday's admission is
+  *     today's screen;
+  *  3. a CLONE of a night-1 survivor under a fresh night-2 doc_id is
+  *     dropped with exact_match naming the night-1 survivor;
+  *  4. night 2's served rows equal the independent set algebra:
+  *     gate-keeps minus exact(corpus ∪ s1) minus near(corpus ∪ s1),
+  *     with the near side cross-checked against the oracle-gated
+  *     LIVE band pipeline (batchCandidates), not the store;
+  *  5. re-absorbing the same survivors is a no-op (None, None) —
+  *     an at-least-once nightly scheduler cannot double-admit.
+  *
+  * The DuckDB hash gate (p30_nightly_absorb) pins the same two-night
+  * composition cross-engine at three SFs; this spec pins it against
+  * the engine's own independent operators plus the store lifecycle
+  * facts the SQL cannot see (generations, no-op absorbs, evidence
+  * columns). */
+class NightlyAbsorbSpec extends SparkSpec {
+
+  private def gen(name: String): Long =
+    FreezeStore.readPtr(spark, name).map(_._1).getOrElse(0L)
+
+  test("p30: night 2 screens against night 1's absorbed survivors") {
+    val ns = "p30t"
+    val docs = Tables.documents(spark, sf)
+    try {
+      Pipeline.p29Prepare(spark, sf, ns = ns)
+      assert(gen(s"${ns}_bloom") == 1L && gen(s"${ns}_near") == 1L)
+
+      val night1 = docs.filter(col("doc_id") % 10 === 8)
+        .select("doc_id", "source", "text")
+      val s1 = Pipeline.p29ServeBatch(spark, night1, ns = ns).collect()
+      assert(s1.nonEmpty, "night 1 must ship survivors")
+      val s1Ids = s1.map(_.getLong(0)).toSet
+      val s1Docs = night1.select("doc_id", "text")
+        .filter(col("doc_id").isin(s1Ids.toSeq: _*))
+
+      // 1. absorb advances bloom + near one generation each; the
+      //    chaining-state stores are untouched by admission
+      val (clsG, tokG) = (gen(s"${ns}_cls"), gen(s"${ns}_tok"))
+      val (bg, ng) = Pipeline.p29Absorb(spark, s1Docs, ns)
+      assert(bg.contains(2L) && ng.contains(2L),
+        s"absorb must land generation 2 on both mergeable stores ($bg, $ng)")
+      assert(gen(s"${ns}_cls") == clsG && gen(s"${ns}_tok") == tokG,
+        "admission must not move the classifier/tokenizer")
+
+      // 2. a replayed survivor batch is dropped WHOLE by the exact
+      //    screen, each row carrying itself as the evidence match
+      val replay = Dedup.bloomScreenFrozen(spark, s1Docs, s"${ns}_bloom")
+        .collect()
+      assert(replay.map(_.getLong(0)).toSet == s1Ids)
+      replay.foreach { r =>
+        assert(r.getString(3) == "dup",
+          s"replayed survivor ${r.getLong(0)} must screen as dup")
+        // the evidence names an ADMITTED survivor (itself, unless an
+        // identical-text survivor with a smaller id was admitted —
+        // the absorb keeps min(doc_id) per hash)
+        assert(s1Ids(r.getLong(2)) && r.getLong(2) <= r.getLong(0),
+          s"evidence ${r.getLong(2)} must be an admitted survivor")
+      }
+      assert(Pipeline.p29ServeBatch(spark,
+          night1.filter(col("doc_id").isin(s1Ids.toSeq: _*)), ns = ns)
+        .isEmpty, "a full replay nightly must ship zero survivors")
+
+      // 3. a fresh-id clone of a night-1 survivor is dropped with the
+      //    survivor as evidence
+      import spark.implicits._
+      val sv = s1Docs.orderBy("doc_id").head()
+      val cloneId = 1000000009L
+      val clone = Seq((cloneId, sv.getString(1))).toDF("doc_id", "text")
+      val cloneRow = Dedup.bloomScreenFrozen(spark, clone, s"${ns}_bloom")
+        .head()
+      assert(cloneRow.getString(3) == "dup" &&
+        cloneRow.getLong(2) == sv.getLong(0),
+        s"clone must screen as dup of survivor ${sv.getLong(0)}")
+
+      // 4. night 2's rows == the independent set algebra over
+      //    corpus ∪ s1
+      val night2 = docs.filter(col("doc_id") % 10 === 9)
+        .select("doc_id", "source", "text")
+      val out = Pipeline.p30Night2Serve(spark, sf, ns = ns).collect()
+      val keep = graft.sources.ClassifierStore
+        .scoreFrozen(spark, night2.select("doc_id", "text"), s"${ns}_cls")
+        .filter(col("keep")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val admitted = (c: org.apache.spark.sql.Column) =>
+        c % 10 < 8 || c.isin(s1Ids.toSeq: _*)
+      val exactDups = hashed.filter(col("doc_id") % 10 === 9)
+        .join(hashed.filter(admitted(col("doc_id")))
+          .select(col("h")).distinct(), Seq("h"), "left_semi")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val nearDups = graft.streaming.NearDupStream
+        .batchCandidates(docs.select("doc_id", "text"))
+        .collect().flatMap { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          def adm(x: Long) = x % 10 < 8 || s1Ids(x)
+          if (a % 10 == 9 && adm(b)) Some(a)
+          else if (b % 10 == 9 && adm(a)) Some(b)
+          else None
+        }.toSet
+      assert(out.map(_.getLong(0)).toSet == (keep -- exactDups -- nearDups),
+        "night-2 survivors must equal gate-keeps minus the absorbed screens")
+
+      // 5. replay-exact absorb: nothing fresh → no new generation
+      assert(Pipeline.p29Absorb(spark, s1Docs, ns) == (None, None),
+        "re-absorbing the same survivors must be a no-op")
+      assert(gen(s"${ns}_bloom") == 2L && gen(s"${ns}_near") == 2L)
+    } finally {
+      graft.sources.ClassifierStore.drop(spark, s"${ns}_cls")
+      Dedup.dropBloomIndex(spark, s"${ns}_bloom")
+      Dedup.dropNearDupIndex(spark, s"${ns}_near")
+      graft.sources.TokenizerStore.drop(spark, s"${ns}_tok")
+    }
+  }
+}

@@ -237,7 +237,11 @@ class PropertySpec extends SparkSpec {
     def xm(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16) % P
     val corpus = all.filter(_._1 % 10 < 8)
     val inc = all.filter(_._1 % 10 >= 8)
-    val mbits = ((corpus.size.toLong * 10L) / 60L + 1L) * 60L
+    // sized per DISTINCT corpus hash (the r18 convention — one
+    // sizing definition across ship/rebuild/live screen); this
+    // corpus has no planted dups so the counts coincide, but the
+    // simulation states the convention it verifies
+    val mbits = ((corpus.map(t => md5hex(t._2)).distinct.size.toLong * 10L) / 60L + 1L) * 60L
     def positions(s: String): Seq[Long] =
       Dedup.BloomHashes.map { case (a, b) => ((a * xm(s) + b) % P) % mbits }
     val bits = scala.collection.mutable.Set[Long]()
