@@ -874,6 +874,15 @@ class Graft(val spark: SparkSession, dir: String) {
     * survivors. Returns night 2's packed output. */
   def nightlyAbsorb: DataFrame = Pipeline.p30NightlyAbsorb(spark, dir)
 
+  /** The nightly loop as a CONTINUOUS stream: per micro-batch,
+    * serve → pack under the batch id → absorb survivors, with
+    * exactly-once admission under checkpoint replays (the committed
+    * pack is the canonical survivor set). */
+  def streamingNightly(docStream: DataFrame, ns: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.NightlyStream.nightlyStream(docStream, ns, outDir,
+      checkpoint)
+
   /** Unconditional band-index absorb of arriving documents (the
     * mergeable-absorb step without the staleness gate). */
   def absorbNearDupIndex(arrivals: DataFrame, name: String): Option[Long] =

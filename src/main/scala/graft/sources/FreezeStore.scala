@@ -535,6 +535,16 @@ object FreezeStore {
       val p = ptr(name)
       if (!exists(spark, p)) None
       else {
+        // cross-SESSION staleness guard (round 18, found by the
+        // nightly-stream spec): flipPtr refreshes the FLIPPING
+        // session's relation cache, but a foreachBatch absorb flips
+        // from Structured Streaming's cloned session — the main
+        // session's cached listing then points at renamed-away part
+        // files and the next pointer read dies FILE_NOT_EXIST. The
+        // pointer is the one hot mutable table in the store; a
+        // reader must never trust a cached listing for it (1-row
+        // table — the re-list is a single directory stat).
+        spark.catalog.refreshTable(p)
         val rows = spark.table(p).select("gen", "batch", "hwm").collect()
         // a pointer table that exists but holds no rows is damage this
         // module never produces (flips always write ≥ 1 row) — name the

@@ -126,4 +126,90 @@ class NightlyAbsorbSpec extends SparkSpec {
       graft.sources.TokenizerStore.drop(spark, s"${ns}_tok")
     }
   }
+
+  test("nightly stream: per-batch serve+absorb, exactly-once under replay") {
+    import spark.implicits._
+    val ns = "p30s"
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("nightly").toString
+    try {
+      Pipeline.p29Prepare(spark, sf, ns = ns)
+      val night1 = docs.filter(col("doc_id") % 10 === 8)
+        .select("doc_id", "source", "text")
+      // batch-0 expectation collected BEFORE the stream absorbs (the
+      // mid-stream-refreeze spec rule: observe gen-1 answers first)
+      val want0Rows = Pipeline.p29ServeBatch(spark, night1, ns = ns).collect()
+      val want0 = want0Rows.map(_.toString).sorted
+      val s1Ids = want0Rows.map(_.getLong(0)).toSet
+      // batch 1 = the night-2 slice PLUS a fresh-id clone of a
+      // night-1 survivor — the stream must drop the clone because
+      // batch 0's absorb admitted its text
+      val sv = night1.filter(col("doc_id").isin(s1Ids.toSeq: _*))
+        .orderBy("doc_id").head()
+      val cloneId = 1000000009L
+      val night2 = docs.filter(col("doc_id") % 10 === 9)
+        .select("doc_id", "source", "text")
+        .unionByName(Seq((cloneId, sv.getString(1), sv.getString(2)))
+          .toDF("doc_id", "source", "text"))
+      night1.coalesce(1).write.parquet(s"$base/in/p=0")
+      night2.coalesce(1).write.parquet(s"$base/in/p=1")
+      val api = new graft.api.Graft(spark, sf)
+      def runOnce(ckpt: String): Unit = {
+        val stream = spark.readStream.schema(night1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in/p=*")
+        api.streamingNightly(stream, ns, s"$base/out", ckpt)
+          .awaitTermination()
+      }
+      // ONE AvailableNow run: batch 0 serves gen 1 and absorbs,
+      // batch 1 then serves the absorbed generation
+      runOnce(s"$base/ckpt1")
+      val got0 = spark.read.parquet(s"$base/out/batch=0")
+        .collect().map(_.toString).sorted
+      assert(got0.toSeq == want0.toSeq,
+        "batch 0 must equal the pre-absorb batch serve")
+      val got1 = spark.read.parquet(s"$base/out/batch=1")
+        .collect().map(_.toString).sorted
+      // the batch twin CANNOT be re-evaluated on this family (batch
+      // 1's own absorb admitted its survivors — a re-serve screens
+      // them as dups of themselves); the twin is the p30 key run on
+      // an INDEPENDENT family: training is deterministic, the clone
+      // is dropped pre-pack, so night 2's packed rows must match
+      // bit-for-bit across families
+      val want1 =
+        try Pipeline.p30NightlyAbsorb(spark, sf)
+          .collect().map(_.toString).sorted
+        finally {
+          graft.sources.ClassifierStore.drop(spark, "p30_cls")
+          Dedup.dropBloomIndex(spark, "p30_bloom")
+          Dedup.dropNearDupIndex(spark, "p30_near")
+          graft.sources.TokenizerStore.drop(spark, "p30_tok")
+        }
+      assert(got1.toSeq == want1.toSeq,
+        "batch 1 must equal the independent two-night key's night-2 rows")
+      assert(!got1.exists(_.contains(cloneId.toString)),
+        "the survivor clone must be screened by batch 0's admission")
+      val gens = (FreezeStore.readPtr(spark, s"${ns}_bloom").get._1,
+        FreezeStore.readPtr(spark, s"${ns}_near").get._1)
+      // REPLAY: a fresh checkpoint re-runs both batches against the
+      // already-committed outputs — without the canonical-survivor
+      // replay path, batch 0's recomputed serve would screen its own
+      // admissions and overwrite the correct rows with zero survivors
+      runOnce(s"$base/ckpt2")
+      assert(spark.read.parquet(s"$base/out/batch=0")
+        .collect().map(_.toString).sorted.toSeq == want0.toSeq,
+        "replay must not disturb batch 0's committed pack")
+      assert(spark.read.parquet(s"$base/out/batch=1")
+        .collect().map(_.toString).sorted.toSeq == want1.toSeq,
+        "replay must not disturb batch 1's committed pack")
+      assert((FreezeStore.readPtr(spark, s"${ns}_bloom").get._1,
+        FreezeStore.readPtr(spark, s"${ns}_near").get._1) == gens,
+        "replayed absorbs must be no-ops (no new generations)")
+    } finally {
+      graft.sources.ClassifierStore.drop(spark, s"${ns}_cls")
+      Dedup.dropBloomIndex(spark, s"${ns}_bloom")
+      Dedup.dropNearDupIndex(spark, s"${ns}_near")
+      graft.sources.TokenizerStore.drop(spark, s"${ns}_tok")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
 }
