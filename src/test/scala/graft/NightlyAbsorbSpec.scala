@@ -37,12 +37,14 @@ class NightlyAbsorbSpec extends SparkSpec {
     val ns = "p30t"
     val docs = Tables.documents(spark, sf)
     try {
+      val api = new graft.api.Graft(spark, sf)
       Pipeline.p29Prepare(spark, sf, ns = ns)
       assert(gen(s"${ns}_bloom") == 1L && gen(s"${ns}_near") == 1L)
 
       val night1 = docs.filter(col("doc_id") % 10 === 8)
         .select("doc_id", "source", "text")
-      val s1 = Pipeline.p29ServeBatch(spark, night1, ns = ns).collect()
+      // the per-batch serve routed through the facade (parity leg)
+      val s1 = api.frozenCurationServeBatch(night1, ns = ns).collect()
       assert(s1.nonEmpty, "night 1 must ship survivors")
       val s1Ids = s1.map(_.getLong(0)).toSet
       val s1Docs = night1.select("doc_id", "text")
@@ -51,7 +53,8 @@ class NightlyAbsorbSpec extends SparkSpec {
       // 1. absorb advances bloom + near one generation each; the
       //    chaining-state stores are untouched by admission
       val (clsG, tokG) = (gen(s"${ns}_cls"), gen(s"${ns}_tok"))
-      val (bg, ng) = Pipeline.p29Absorb(spark, s1Docs, ns)
+      // the admission routed through the facade (parity leg)
+      val (bg, ng) = api.frozenCurationAbsorb(s1Docs, ns)
       assert(bg.contains(2L) && ng.contains(2L),
         s"absorb must land generation 2 on both mergeable stores ($bg, $ng)")
       assert(gen(s"${ns}_cls") == clsG && gen(s"${ns}_tok") == tokG,
@@ -118,6 +121,8 @@ class NightlyAbsorbSpec extends SparkSpec {
       // 5. replay-exact absorb: nothing fresh → no new generation
       assert(Pipeline.p29Absorb(spark, s1Docs, ns) == (None, None),
         "re-absorbing the same survivors must be a no-op")
+      assert(api.absorbNearDupIndex(s1Docs, s"${ns}_near").isEmpty,
+        "the facade's unconditional band absorb must no-op too")
       assert(gen(s"${ns}_bloom") == 2L && gen(s"${ns}_near") == 2L)
     } finally {
       graft.sources.ClassifierStore.drop(spark, s"${ns}_cls")
