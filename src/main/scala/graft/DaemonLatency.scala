@@ -102,7 +102,11 @@ object DaemonLatency {
     }
     def block(f: Double) = tables.map(t =>
       f""""$t":${q(lat(t).toSeq, f)}%.3f""").mkString("{", ",", "}")
-    println(s"""{"metric":"daemon_latency","trigger":"ProcessingTime(${trigSec}s)","unit":"sec","waves":$waves,"median":${block(0.5)},"p90":${block(0.9)}}""")
+    // "min" strips the per-wave trigger-phase alignment term — the
+    // phase-robust round-over-round reading (see ClassifierLatency)
+    val minBlock = tables.map(t =>
+      f""""$t":${lat(t).min}%.3f""").mkString("{", ",", "}")
+    println(s"""{"metric":"daemon_latency","trigger":"ProcessingTime(${trigSec}s)","unit":"sec","waves":$waves,"min":$minBlock,"median":${block(0.5)},"p90":${block(0.9)}}""")
 
     System.out.flush()
     qs.foreach(sq => try sq.stop() catch { case _: Throwable => () })

@@ -91,7 +91,16 @@ object TokenizerLatency {
       val s = v.sorted
       s(math.min(s.size - 1, (f * s.size).toInt))
     }
-    println(f"""{"metric":"tokenizer_latency","trigger":"ProcessingTime(${trigSec}s)","unit":"sec","sf":"$sfDir","waves":$waves,"freeze_sec":$freezeSec%.2f,"cold":$cold%.2f,"median":${q(lats.toSeq, 0.5)}%.3f,"p90":${q(lats.toSeq, 0.9)}%.3f}""")
+    // "min" is the PHASE-ROBUST reading (round 18): each wave lands
+    // its file at a random phase of the ProcessingTime trigger, so
+    // every latency carries a uniform 0..trigger alignment term and
+    // the MEDIAN of 8 waves bounces inside [proc, proc+trigger] —
+    // the r17->r18 classifier "doubling" was two runs sampling
+    // opposite ends of that band on IDENTICAL code (bisected to
+    // prove it). min over the waves strips the alignment to
+    // E[min of n uniforms] ~ trigger/(n+1); compare THAT
+    // round-over-round, and the median only for end-to-end feel.
+    println(f"""{"metric":"tokenizer_latency","trigger":"ProcessingTime(${trigSec}s)","unit":"sec","sf":"$sfDir","waves":$waves,"freeze_sec":$freezeSec%.2f,"cold":$cold%.2f,"min":${lats.min}%.3f,"median":${q(lats.toSeq, 0.5)}%.3f,"p90":${q(lats.toSeq, 0.9)}%.3f}""")
 
     System.out.flush()
     try sq.stop() catch { case _: Throwable => () }
