@@ -26,7 +26,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * on the same path; a crash mid-write (no marker) recomputes
   * against a store the absorb never touched, which is exactly the
   * original serve. NightlyAbsorbSpec pins all three legs.
-  */
+  *
+  * Contract scope (round-18 self-review): the guarantee is per
+  * (checkpoint, outDir, store family) TRIPLE — the checkpoint is the
+  * batch-id authority, so restarting on the SAME checkpoint (or a
+  * fresh one over the SAME input set, which re-derives the same
+  * ids — the spec's replay leg) is exactly-once, but discarding the
+  * checkpoint after the input set drifted re-maps batch ids onto
+  * committed directories of DIFFERENT content: already-served docs
+  * still cannot double-admit (the absorb's membership anti-joins),
+  * but a new doc that lands in a re-mapped, already-committed id is
+  * skipped rather than served. Run ONE nightly stream per family;
+  * concurrent streams on one outDir are outside the contract. */
 object NightlyStream {
 
   private def committed(spark: org.apache.spark.sql.SparkSession,
