@@ -217,4 +217,55 @@ class NightlyAbsorbSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
   }
+
+  test("nightly stream: a crash between write and absorb recovers") {
+    // the scaladoc's middle crash window, pinned: the pack committed
+    // but the process died BEFORE the absorb — on restart the
+    // handler must take the canonical-survivor path (no re-serve, no
+    // overwrite) and complete ONLY the admission
+    val ns = "p30c"
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("nightlyc").toString
+    try {
+      Pipeline.p29Prepare(spark, sf, ns = ns)
+      val night1 = docs.filter(col("doc_id") % 10 === 8)
+        .select("doc_id", "source", "text")
+      // simulate the crashed nightly: the serve's pack lands under
+      // batch=0 exactly as the stream would write it, but no absorb
+      val packed = Pipeline.p29ServeBatch(spark, night1, ns = ns)
+      packed.write.mode("overwrite").format("parquet")
+        .save(s"$base/out/batch=0")
+      val want0 = spark.read.parquet(s"$base/out/batch=0")
+        .collect().map(_.toString).sorted
+      assert(gen(s"${ns}_bloom") == 1L && gen(s"${ns}_near") == 1L,
+        "the crash left the stores un-admitted")
+      // restart: the stream re-processes the batch over the
+      // committed directory
+      night1.coalesce(1).write.parquet(s"$base/in/p=0")
+      val stream = spark.readStream.schema(night1.schema)
+        .parquet(s"$base/in/p=*")
+      new graft.api.Graft(spark, sf)
+        .streamingNightly(stream, ns, s"$base/out", s"$base/ckpt")
+        .awaitTermination()
+      assert(spark.read.parquet(s"$base/out/batch=0")
+        .collect().map(_.toString).sorted.toSeq == want0.toSeq,
+        "recovery must not disturb the committed pack")
+      assert(gen(s"${ns}_bloom") == 2L && gen(s"${ns}_near") == 2L,
+        "recovery must complete the missing admission")
+      // and the admission is real: a replayed survivor screens dup
+      val sIds = spark.read.parquet(s"$base/out/batch=0")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val replay = Dedup.bloomScreenFrozen(spark,
+        night1.filter(col("doc_id").isin(sIds.toSeq: _*))
+          .select("doc_id", "text"), s"${ns}_bloom")
+      assert(replay.filter(col("outcome") =!= "dup").count() == 0,
+        "recovered admission must screen a survivor replay whole")
+    } finally {
+      graft.sources.ClassifierStore.drop(spark, s"${ns}_cls")
+      Dedup.dropBloomIndex(spark, s"${ns}_bloom")
+      Dedup.dropNearDupIndex(spark, s"${ns}_near")
+      graft.sources.TokenizerStore.drop(spark, s"${ns}_tok")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
 }
