@@ -888,6 +888,14 @@ class Graft(val spark: SparkSession, dir: String) {
   def absorbNearDupIndex(arrivals: DataFrame, name: String): Option[Long] =
     Dedup.absorbNearDupArrivals(spark, arrivals, name)
 
+  /** MAINTAIN the nightly's four frozen families — run each
+    * family's own drift→refreeze policy against the arrivals and
+    * refreeze exactly the stale ones; one log row per family. The
+    * ops loop's third verb (serve → admit → maintain). */
+  def frozenCurationMaintain(arrivals: DataFrame,
+                             ns: String = "p29"): DataFrame =
+    Pipeline.p29Maintain(spark, dir, arrivals, ns)
+
   /** Maximal-marginal-relevance context selection over the ranked
     * chunks (p25) — graded diversity between ranking and assembly. */
   def mmrContext(window: Long = 32L, stride: Long = 24L): DataFrame =

@@ -323,6 +323,49 @@ object Pipeline {
     (Dedup.absorbBloomArrivals(spark, survivors, s"${ns}_bloom"),
       Dedup.absorbNearDupArrivals(spark, survivors, s"${ns}_near"))
 
+  /** MAINTAIN the nightly's four frozen families — the ops loop's
+    * third verb (round 18; SERVE = [[p29ServeBatch]], ADMIT =
+    * [[p29Absorb]], MAINTAIN = this): run each family's OWN
+    * staleness policy — the four drift→refreeze loops the monitor
+    * lattice already ships — and refreeze exactly the stale ones.
+    * Per family the policy is the audited one, unchanged:
+    * classifier unseen-token share → full retrain (state chains);
+    * tokenizer compression drift → full retrain (state chains);
+    * Bloom fill share → geometry rebuild from the hash part;
+    * band-index unseen-bucket share → mergeable absorb. Each runs
+    * under its own family lease — the families are independent
+    * artifacts and a global lock would serialize four unrelated
+    * freezes (a reader is wholly-one-generation PER FAMILY either
+    * way, the store contract).
+    *
+    * Returns the deployment's log row per family: (family, refroze,
+    * new_gen — null when the policy held). Control-plane frame (4
+    * driver-built rows); every data-plane pass inside the policies
+    * is arrival- or artifact-scaled, never a corpus read outside a
+    * fired retrain. */
+  def p29Maintain(spark: SparkSession, dir: String, arrivals: DataFrame,
+                  ns: String = "p29",
+                  maxUnseenShare: Double = 0.2,
+                  maxRatioDrift: Double = 0.10,
+                  maxFill: Double = 0.35,
+                  maxNewShare: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, dir)
+      .filter(!Dedup.bloomArrival).select("doc_id", "text")
+    val a = arrivals.select("doc_id", "text")
+    val report = Seq(
+      ("classifier", graft.sources.ClassifierStore.refreezeIfStale(
+        spark, corpus, a, s"${ns}_cls", maxUnseenShare)),
+      ("tokenizer", graft.sources.TokenizerStore.refreezeIfStale(
+        spark, corpus, a, s"${ns}_tok", maxRatioDrift)),
+      ("bloom", Dedup.refreezeBloomIfSaturated(
+        spark, s"${ns}_bloom", maxFill)),
+      ("neardup", Dedup.refreezeNearDupIfStale(
+        spark, a, s"${ns}_near", maxNewShare)))
+    report.map { case (f, g) => (f, g.isDefined, g) }
+      .toDF("family", "refroze", "new_gen")
+  }
+
   /** p30: TWO CONSECUTIVE NIGHTLIES with the absorb between — the
     * full production loop p29 serves one night of: prepare freezes
     * the four artifacts on the corpus slice; NIGHT 1 (the

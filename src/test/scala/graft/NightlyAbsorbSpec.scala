@@ -218,6 +218,62 @@ class NightlyAbsorbSpec extends SparkSpec {
     }
   }
 
+  test("p29 maintain: each family's own policy fires independently") {
+    val ns = "p30m"
+    val docs = Tables.documents(spark, sf)
+    try {
+      Pipeline.p29Prepare(spark, sf, ns = ns)
+      val corpus = docs.filter(col("doc_id") % 10 < 8)
+        .select("doc_id", "text")
+      val api = new graft.api.Graft(spark, sf)
+      // CALM leg: the corpus re-presented as arrivals — zero unseen
+      // tokens, zero compression drift, all band buckets known, and
+      // the fresh 10-bits/elem filter sits at ~0.26 fill < 0.35 —
+      // every policy must HOLD and no generation may move
+      val calm = api.frozenCurationMaintain(corpus, ns).collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(calm == Map("classifier" -> false, "tokenizer" -> false,
+        "bloom" -> false, "neardup" -> false),
+        s"familiar arrivals must not trip any policy ($calm)")
+      assert(Seq("cls", "tok", "bloom", "near")
+        .forall(p => gen(s"${ns}_$p") == 1L))
+      // FORCED leg: reversed-text arrivals under fresh ids — novel
+      // vocabulary (classifier/tokenizer retrain), novel buckets
+      // (band absorb); the Bloom fill is untouched by a
+      // monitor-only pass, so even a tight threshold holds it
+      val novel = corpus
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          reverse(col("text")).as("text"))
+      val rep = Pipeline.p29Maintain(spark, sf, novel, ns,
+          maxUnseenShare = 0.0001, maxRatioDrift = 0.0001,
+          maxNewShare = 0.0001).collect()
+      val fired = rep.map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(fired == Map("classifier" -> true, "tokenizer" -> true,
+        "bloom" -> false, "neardup" -> true),
+        s"novel arrivals must trip exactly the vocabulary/band " +
+          s"policies ($fired)")
+      rep.foreach { r =>
+        if (r.getBoolean(1)) assert(r.getLong(2) == 2L,
+          s"${r.getString(0)} must report its new generation")
+        else assert(r.isNullAt(2),
+          s"${r.getString(0)} held — new_gen must be null")
+      }
+      // serving continuity: the nightly serves straight through the
+      // refrozen generations (wholly-one-generation per family)
+      val night2 = docs.filter(col("doc_id") % 10 === 9)
+        .select("doc_id", "source", "text")
+      val served = Pipeline.p29ServeBatch(spark, night2, ns = ns)
+        .collect()
+      assert(served.forall(_.getLong(0) % 10 == 9),
+        "the post-maintain serve must run against the new generations")
+    } finally {
+      graft.sources.ClassifierStore.drop(spark, s"${ns}_cls")
+      Dedup.dropBloomIndex(spark, s"${ns}_bloom")
+      Dedup.dropNearDupIndex(spark, s"${ns}_near")
+      graft.sources.TokenizerStore.drop(spark, s"${ns}_tok")
+    }
+  }
+
   test("nightly stream: a crash between write and absorb recovers") {
     // the scaladoc's middle crash window, pinned: the pack committed
     // but the process died BEFORE the absorb — on restart the
