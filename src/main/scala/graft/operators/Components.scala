@@ -74,11 +74,19 @@ object Components {
   }
 
   /** One small-star round: every node connects its smaller neighbors
-    * (and itself) to the smallest of them. */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val o = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+    * (and itself) to the smallest of them.
+    *
+    * Input contract: a (u > v)-canonical DISTINCT edge frame —
+    * exactly [[largeStar]]'s output invariant (it emits (old_v, m)
+    * with m ≤ old_u < old_v, then distincts), and the loop only ever
+    * composes smallStar(largeStar(_)). The re-canonicalization +
+    * distinct this used to open with (greatest/least + filter +
+    * distinct) was therefore an IDENTITY that cost one corpus-scale
+    * exchange + aggregate per contraction round (r18 opt pass, guide
+    * §2.4: "a distinct on data that is already unique") — at 10
+    * rounds, 10 shuffles of the full working edge set. Rows are
+    * bit-identical with or without it. */
+  private def smallStar(o: DataFrame): DataFrame = {
     val m = o.groupBy("u").agg(min(col("v")).as("m"))
     val rewired = o.join(m, "u")
       .filter(col("v") =!= col("m"))

@@ -203,7 +203,19 @@ object Graph {
   private[graft] def closedByCorpus(probe: DataFrame, corpus: DataFrame): DataFrame = {
     val inc = corpus.select(col("x").as("u"), col("y").as("w"))
       .unionAll(corpus.select(col("y").as("u"), col("x").as("w")))
-    probe
+    // broadcast the PROBE, stream the corpus incidence (r18 opt pass,
+    // guide §3.1): the probe is batch-sized by contract (the scaladoc
+    // above), the incidence is corpus-scale — yet Catalyst's size
+    // estimate of the probe subtree (a self-join fan-out behind an
+    // anti-join) overstated it, so the plan broadcast the CORPUS both
+    // directions and streamed the probe through the 2 partitions AQE's
+    // byte-sized coalesce left it (sf0.1: a 2-task stage carrying 10.4
+    // CPU-seconds — the whole entry's wall). Probe-side broadcast is
+    // the shape that survives 100 TB (a corpus broadcast cannot) and
+    // spreads the wedge fan-out across the incidence scan's
+    // partitions (bucketed: every bucket in parallel). Rows are
+    // join-strategy-invariant (NoBroadcastSpec's contract).
+    broadcast(probe)
       .join(inc, col("x") === col("u"))
       .select(col("x"), col("y"), col("w"))
       .join(corpus.select(col("x").as("ox"), col("y").as("oy")),
@@ -362,7 +374,11 @@ object Graph {
         .unionAll(cw.select(col("y").as("u"), col("x").as("v"), col("w"))))
     val wu = OpCache.cached(
       e.groupBy("u").agg(sum(col("w")).as("wt"), count(lit(1)).as("n_nbrs")))
-    val ew = e.join(wu.select("u", "wt"), "u")
+    // the iteration operand is cached PRE-JOINED (r18 opt pass): every
+    // rank round scans ew once, and without this cache each round's
+    // map stage re-ran the e ⋈ wu broadcast join — 4 redundant join
+    // evaluations of an invocation-invariant frame per chain
+    val ew = OpCache.cached(e.join(wu.select("u", "wt"), "u"))
     var r = wu.select(col("u").as("part"), lit(1000000L).as("r"))
     for (_ <- 1 to PageRankIters) {
       r = ew.join(r.withColumnRenamed("part", "u"), "u")

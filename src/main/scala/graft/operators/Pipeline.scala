@@ -1427,18 +1427,26 @@ object Pipeline {
                               q: DataFrame, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qdf = dfreq.join(broadcast(q), "term").crossJoin(broadcast(stats))
+    // dl rides THROUGH the aggregate (max of a per-ck constant —
+    // dl is one row per chunk in every consumer: the live per-ck
+    // aggregate, the store's lens table, p22's merged lens) instead
+    // of re-joining the length frame onto the ≤ k·|queries| winners
+    // at the end (r18 opt pass): the old tail join re-derived /
+    // re-read the CORPUS-scale length frame — one full postings
+    // shuffle at 100 TB — to attach one column to a bounded result.
+    // Rows are identical; only the attachment path changed.
     val scored = tf.join(broadcast(qdf), Seq("term"))
       .join(dl, "ck")
-      .select(col("query_id"), col("ck"), bm25Micro.as("micro"))
+      .select(col("query_id"), col("ck"), col("dl"), bm25Micro.as("micro"))
       .groupBy("query_id", "ck")
-      .agg(count(lit(1)).as("n_terms_hit"), sum(col("micro")).as("score_micro"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("micro")).as("score_micro"),
+        max(col("dl")).as("n_tok"))
     val ord = Seq(col("score_micro").desc, col("ck").asc)
     val w1 = Window.partitionBy(col("query_id"), col("p")).orderBy(ord: _*)
     val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
     scored.withColumn("p", pmod(xxhash64(col("ck")), lit(32)).cast("int"))
       .withColumn("r1", row_number().over(w1)).filter(col("r1") <= topK)
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= topK)
-      .join(dl.select(col("ck"), col("dl").as("n_tok")), "ck")
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("ck"), col("n_tok"), col("n_terms_hit"), col("score_micro"))
       .orderBy("query_id", "rank")

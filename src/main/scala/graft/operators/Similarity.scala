@@ -101,12 +101,17 @@ object Similarity {
     * the rule stays one distributed plan, no driver-side count. */
   private[graft] def boundedSeeds(e: DataFrame, k: Long = ProductionK): DataFrame = {
     // integer `div`, not double-divide-then-cast: exact at any id
-    // magnitude, identical to DuckDB's `//` for non-negative ids
-    val stride = e.agg(max(col("vec_id")).as("mx"))
-      .select((expr(s"mx div $k") + lit(1L)).as("stride"))
-    e.crossJoin(broadcast(stride))
-      .filter(col("vec_id") % col("stride") === 0)
-      .drop("stride")
+    // magnitude, identical to DuckDB's `//` for non-negative ids.
+    // The broadcast side is the BARE max aggregate — the k-division
+    // happens after the crossJoin — so two boundedSeeds calls over
+    // the same frame with different k (ivf2Index's 8/64 pair) carry
+    // IDENTICAL broadcast subtrees and ReuseExchange runs the max
+    // job once per plan instead of once per k (r18 opt pass: the
+    // search ladder's sequential broadcast builds).
+    val mx = e.agg(max(col("vec_id")).as("mx"))
+    e.crossJoin(broadcast(mx))
+      .filter(col("vec_id") % (expr(s"mx div $k") + lit(1L)) === 0)
+      .drop("mx")
   }
 
   private[graft] def boundedCents(e: DataFrame, k: Long = ProductionK): DataFrame =

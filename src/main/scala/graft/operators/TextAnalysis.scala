@@ -598,8 +598,16 @@ object TextAnalysis {
       .filter(col("u") =!= col("v"))
     val und = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
     val e = OpCache.cached(und.groupBy("u", "v").agg(count(lit(1)).as("w")))
-    val wu = e.groupBy("u").agg(sum(col("w")).as("wt"), count(lit(1)).as("n_nbrs"))
-    val ew = e.join(wu.select("u", "wt"), "u")
+    // cached like g03's pagerankFrom caches its degree frame (r18 opt
+    // pass): `ew` and the final rank join both read wu, and without
+    // the cache each evaluation re-scans e and re-aggregates — one
+    // extra edge-set shuffle per invocation
+    val wu = OpCache.cached(
+      e.groupBy("u").agg(sum(col("w")).as("wt"), count(lit(1)).as("n_nbrs")))
+    // pre-joined and cached like g03's chain (r18 opt pass): each of
+    // the 4 rank rounds reads ew; uncached, every round re-ran the
+    // e ⋈ wu join on an invocation-invariant frame
+    val ew = OpCache.cached(e.join(wu.select("u", "wt"), "u"))
     var r = wu.select(col("u").as("term"), lit(1000000L).as("r"))
     for (_ <- 1 to TextRankIters) {
       r = ew.join(broadcast(r.withColumnRenamed("term", "u")), "u")
