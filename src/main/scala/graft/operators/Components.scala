@@ -170,6 +170,14 @@ object Components {
     while (!converged && iter < maxIter) {
       val prev = edges
       val prevCount = edgeCount
+      // ONE alternation round per advance — A/B-measured in the r18
+      // opt pass: composing TWO rounds per checkpoint (halving the
+      // driver barriers) read 12.3 s vs 5.6 s at sf0.1, because both
+      // star steps reference their input 2–3× (sym's union, the
+      // m/rewired/parent branches) and only the checkpoint stops
+      // that fan-out from re-executing the whole uncheckpointed
+      // subtree multiplicatively. The per-round barrier IS the
+      // cheaper side of that trade.
       val (ck, (nextCount, changed)) =
         advance(prev, smallStar(largeStar(prev))) { n =>
           val c = n.count()

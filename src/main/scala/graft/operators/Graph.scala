@@ -201,27 +201,36 @@ object Graph {
     * O(deg_corpus(x)) per probe edge — the corpus wedge space is
     * never rescanned. */
   private[graft] def closedByCorpus(probe: DataFrame, corpus: DataFrame): DataFrame = {
+    // ADJACENCY-INTERSECTION closure (r18 opt pass — the g01
+    // edge-iterator shape applied to the probe path): the closing
+    // w's of probe edge (x, y) are exactly adj(x) ∩ adj(y) over the
+    // undirected corpus neighbor arrays, intersected IN-CORE per
+    // probe row. The previous wedge-then-semi-join spelling
+    // (probe ⋈ incidence on x, then a (least, greatest) semi-join
+    // back into the corpus) materialized Σ deg_corpus(x) wedge ROWS
+    // through join machinery — measured at sf0.1: 22.8 M wedges to
+    // keep 109,795 closures, ~2 μs of hashed-relation probe per
+    // wedge ≈ 30–45 CPU-seconds and a 3.4–6.4 s wall in every join
+    // strategy; this shape reads 2.1–2.5 s wall / ~8 CPU-s — the
+    // same Σ deg element work, but as primitive long compares inside
+    // one codegen stage instead of per-row join probes. The probe
+    // side is batch-sized by contract and broadcasts (the corpus
+    // side never does — the shape that survives 100 TB); adj is
+    // node-scaled and hint-free. Known cost honestly carried: a
+    // corpus hub's neighbor array is its full undirected degree (no
+    // g01 orientation cap here — closure needs ALL common
+    // neighbors), so the per-row width is degree-bounded, and the
+    // g05 degree-drift monitor is the guard that says when hub
+    // growth warrants a refreeze.
     val inc = corpus.select(col("x").as("u"), col("y").as("w"))
       .unionAll(corpus.select(col("y").as("u"), col("x").as("w")))
-    // broadcast the PROBE, stream the corpus incidence (r18 opt pass,
-    // guide §3.1): the probe is batch-sized by contract (the scaladoc
-    // above), the incidence is corpus-scale — yet Catalyst's size
-    // estimate of the probe subtree (a self-join fan-out behind an
-    // anti-join) overstated it, so the plan broadcast the CORPUS both
-    // directions and streamed the probe through the 2 partitions AQE's
-    // byte-sized coalesce left it (sf0.1: a 2-task stage carrying 10.4
-    // CPU-seconds — the whole entry's wall). Probe-side broadcast is
-    // the shape that survives 100 TB (a corpus broadcast cannot) and
-    // spreads the wedge fan-out across the incidence scan's
-    // partitions (bucketed: every bucket in parallel). Rows are
-    // join-strategy-invariant (NoBroadcastSpec's contract).
+    val adj = inc.groupBy("u")
+      .agg(sort_array(collect_list(col("w"))).as("nbrs"))
     broadcast(probe)
-      .join(inc, col("x") === col("u"))
-      .select(col("x"), col("y"), col("w"))
-      .join(corpus.select(col("x").as("ox"), col("y").as("oy")),
-        least(col("y"), col("w")) === col("ox") &&
-          greatest(col("y"), col("w")) === col("oy"),
-        "left_semi")
+      .join(adj.select(col("u").as("x"), col("nbrs").as("na")), "x")
+      .join(adj.select(col("u").as("y"), col("nbrs").as("nb")), "y")
+      .select(col("x"), col("y"),
+        explode(array_intersect(col("na"), col("nb"))).as("w"))
   }
 
   /** Frozen co-purchase corpus edges (orders % 10 < 8) — the static
