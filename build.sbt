@@ -28,3 +28,35 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Run the test suites in CONCURRENT forked groups (round 19: the
+// serial 654-test suite outgrew the driver's test window — VERDICT
+// r18 #2 — and every suite but the streaming ones idles most of a
+// 32-core box on a 4-core local session). Suites are round-robined
+// over the groups by sorted name; each group's JVM gets its OWN
+// warehouse + derby home so catalogs, FreezeStore leases and derby
+// logs never cross groups (suites were already independent — every
+// fixture path is createTempDirectory- or nanoTime-scoped).
+val testForkCount = sys.env.getOrElse("SPARK_GRAFT_TEST_FORKS", "6").toInt
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  tests.zipWithIndex.groupBy(_._2 % testForkCount).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      // derby boots only into an EXISTING system home
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"/tmp/graft-test-derby-$i"))
+      Tests.Group(
+        name = s"fork-$i",
+        tests = ts.map(_._1),
+        runPolicy = Tests.SubProcess(ForkOptions().withRunJVMOptions(
+          opts ++ Vector(
+            s"-Dspark.sql.warehouse.dir=/tmp/graft-test-wh-$i",
+            s"-Dderby.system.home=/tmp/graft-test-derby-$i"))))
+    }
+}
+// sbt caps concurrent forked test groups at 1 by default — lift it to
+// the group count (each group is a 4-core local session; 6 × 4 fits
+// the 32-core box), and keep everything else at the default limit.
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testForkCount),
+  Tags.limitAll(math.max(testForkCount, 4)))

@@ -709,12 +709,34 @@ object Bench {
     // the first 18 entries — this line is small enough to survive any
     // truncation window, and carries the flags SPARSELY (only flagged
     // queries appear in "flagged") so growth in the suite can't push
-    // it past the capture)
-    val flagged = results.collect {
+    // it past the capture).
+    // SIZE BUDGET (VERDICT r18 #1: at 48 entries × 9-decimal doubles
+    // + full-word flags + valued retries the line grew to ~2.4 KB and
+    // fell out of the driver's 2000-char tail capture TWO ROUNDS
+    // RUNNING — r17 and r18 both parsed null): medians print as %.3f
+    // (ms precision — the audit line above keeps full precision),
+    // `retried` carries KEYS ONLY (the displaced medians live in the
+    // audit line), and flag tags compress to first letters
+    // (c=contended, u=unstable, s=starved, o=overband, "+"-joined).
+    // The flagged map is additionally CAPPED at 12 entries (worst
+    // band-deviation first, `nflags` carries the true total — a
+    // 23-flag loaded-box run measured this session still printed a
+    // 1.92 KB line uncapped, 7 chars from the cliff; capped it reads
+    // ~1.65 KB). The full flag detail always lives in the audit line
+    // and the committed run logs.
+    val flaggedAll = results.collect {
       case (k, a, _, _) if a.flagged =>
-        "\"" + k + "\":\"" + a.tags + "\""
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","kind":"final","value":$total,"unit":"sec","queries":$qs,"flagged":$flagged,"retried":$retr,"errors":$errors,"sf":"$sfDir"}""")
+        (k, a.tags.split("\\+").map(_.take(1)).mkString("+"),
+          bands.get(k).map(b => a.median / b).getOrElse(2.0))
+    }
+    val flagged = flaggedAll.sortBy(-_._3).take(12)
+      .map { case (k, t, _) => "\"" + k + "\":\"" + t + "\"" }
+      .mkString("{", ",", "}")
+    val qs3 = results.map { case (k, a, _, _) =>
+      "\"" + k + "\":" + f"${a.median}%.3f" }.mkString("{", ",", "}")
+    val retrKeys = results.collect { case (k, _, _, Some(_)) =>
+      "\"" + k + "\"" }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","kind":"final","value":${f"$total%.3f"},"unit":"sec","queries":$qs3,"flagged":$flagged,"nflags":${flaggedAll.length},"retried":$retrKeys,"errors":$errors,"sf":"$sfDir"}""")
     // the artifact lines are printed; nothing after this point may
     // flip the exit code. One observed run SIGABRTed (exit 134)
     // during JVM shutdown AFTER a clean 9-minute pass — a streaming

@@ -38,50 +38,37 @@ object OptProbe {
 
     time("probe alone (anti-joined)")(probe().count())
     time("inc scan alone")(inc().count())
-    // A: probe broadcast (current shape)
-    def wedgesA() = broadcast(probe()).join(inc(), col("x") === col("u"))
-      .select(col("x"), col("y"), col("w"))
-    time("wedges: broadcast(probe) x inc")(wedgesA().count())
-    // B: hint-free (the old shape — Catalyst picks)
-    def wedgesB() = probe().join(inc(), col("x") === col("u"))
-      .select(col("x"), col("y"), col("w"))
-    time("wedges: hint-free")(wedgesB().count())
-    // C: probe repartitioned by x, hint-free
-    def wedgesC() = probe().repartition(col("x"))
-      .join(inc(), col("x") === col("u"))
-      .select(col("x"), col("y"), col("w"))
-    time("wedges: repartition(probe) hint-free")(wedgesC().count())
-    // full closure, both shapes
-    def semi(w: org.apache.spark.sql.DataFrame) =
-      w.join(corpus.select(col("x").as("ox"), col("y").as("oy")),
-        least(col("y"), col("w")) === col("ox") &&
-          greatest(col("y"), col("w")) === col("oy"), "left_semi")
-    time("closure: broadcast(probe)")(semi(wedgesA()).count())
-    time("closure: hint-free")(semi(wedgesB()).count())
-    time("closure: repartition hint-free")(semi(wedgesC()).count())
-    // D: adjacency-intersection (the g01 triangle shape): corpus
-    // neighbor arrays once, then per probe edge adj(x) ∩ adj(y)
-    def closureD() = {
-      val adj = inc().groupBy("u")
-        .agg(sort_array(collect_list(col("w"))).as("nbrs"))
-      probe()
-        .join(adj.select(col("u").as("x"), col("nbrs").as("na")), "x")
-        .join(adj.select(col("u").as("y"), col("nbrs").as("nb")), "y")
-        .select(col("x"), col("y"),
-          explode(array_intersect(col("na"), col("nb"))).as("w"))
-    }
-    time("closure: adjacency intersect")(closureD().count())
-    // E: same but the probe side broadcast through both joins
-    def closureE() = {
-      val adj = inc().groupBy("u")
-        .agg(sort_array(collect_list(col("w"))).as("nbrs"))
-      broadcast(broadcast(probe())
-          .join(adj.select(col("u").as("x"), col("nbrs").as("na")), "x"))
-        .join(adj.select(col("u").as("y"), col("nbrs").as("nb")), "y")
-        .select(col("x"), col("y"),
-          explode(array_intersect(col("na"), col("nb"))).as("w"))
-    }
-    time("closure: adjacency bcast-probe")(closureE().count())
+    // r19: probe-SIDE strategy A/B over the CACHED adjacency (the
+    // adj aggregate is materialized once up front so every variant
+    // measures join shape, not cache build — the shipped operator
+    // caches it identically)
+    val adj = graft.operators.OpCache.cached(inc().groupBy("u")
+      .agg(sort_array(collect_list(col("w"))).as("nbrs")))
+    adj.count() // warm the cache outside every variant's timing
+    def closure(p: org.apache.spark.sql.DataFrame) = p
+      .join(adj.select(col("u").as("x"), col("nbrs").as("na")), "x")
+      .join(adj.select(col("u").as("y"), col("nbrs").as("nb")), "y")
+      .select(col("x"), col("y"),
+        explode(array_intersect(col("na"), col("nb"))).as("w"))
+    time("adjX: broadcast(probe)")(closure(broadcast(probe())).count())
+    time("adjX: repartition(probe,x)")(
+      closure(probe().repartition(col("x"))).count())
+    time("adjX: hint-free")(closure(probe()).count())
+    graft.operators.OpCache.release(spark)
+    // the r18 shipped shape (uncached adj, probe broadcast) for the
+    // same-session reference
+    def adjU() = inc().groupBy("u")
+      .agg(sort_array(collect_list(col("w"))).as("nbrs"))
+    def closureU(p: org.apache.spark.sql.DataFrame) = p
+      .join(adjU().select(col("u").as("x"), col("nbrs").as("na")), "x")
+      .join(adjU().select(col("u").as("y"), col("nbrs").as("nb")), "y")
+      .select(col("x"), col("y"),
+        explode(array_intersect(col("na"), col("nb"))).as("w"))
+    time("adjX uncached: broadcast(probe)")(
+      closureU(broadcast(probe())).count())
+    time("adjX uncached: repartition(probe,x)")(
+      closureU(probe().repartition(col("x"))).count())
+    time("adjX uncached: hint-free")(closureU(probe()).count())
     spark.stop()
   }
 }

@@ -95,6 +95,16 @@ object Components {
     rewired.union(parent).filter(col("u") =!= col("v")).distinct()
   }
 
+  /** The ONE legal composition (ADVICE r18): [[smallStar]]'s input
+    * contract — (u > v)-canonical and distinct — is exactly
+    * [[largeStar]]'s output invariant, and nothing else may call
+    * smallStar directly. Keeping the pair fused in one private
+    * method is the structural tie that stops a future caller (or a
+    * largeStar edit that drops the trailing distinct) from silently
+    * breaking component labels. */
+  private def smallStarOfLargeStar(e: DataFrame): DataFrame =
+    smallStar(largeStar(e))
+
   /** Release a superseded round's localCheckpoint blocks eagerly
     * (g08 cost pass, VERDICT r15 #3/#4: every round's blocks used to
     * stay pinned until the loop's frames were garbage-collected).
@@ -179,7 +189,7 @@ object Components {
       // subtree multiplicatively. The per-round barrier IS the
       // cheaper side of that trade.
       val (ck, (nextCount, changed)) =
-        advance(prev, smallStar(largeStar(prev))) { n =>
+        advance(prev, smallStarOfLargeStar(prev)) { n =>
           val c = n.count()
           // the membership probe reads the superseded frame — legal
           // inside materialize (release happens after)

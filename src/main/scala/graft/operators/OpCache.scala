@@ -74,6 +74,43 @@ private[graft] object OpCache {
     }
   }
 
+  /** Collect-once SCALAR control state (round 19, VERDICT r18 #6 —
+    * the s13 ladder's stride aggregates): the single row of a bounded
+    * 1-row aggregate, memoized per (session, canonical plan) exactly
+    * like [[cached]] frames and swept by the same [[release]]. The
+    * p25 precedent: a ≤1-row collect is bounded control state, legal
+    * to feed back into plan construction as a LITERAL — which is what
+    * erases the broadcast-subtree job ladders a per-consumer scalar
+    * subquery costs. Same cap/LRU discipline as the frame registry;
+    * entries are one Row each, so eviction is bookkeeping only. */
+  def scalarRow(df: DataFrame): org.apache.spark.sql.Row = {
+    val key = (df.sparkSession, df.queryExecution.logical.canonicalized)
+    val hit = synchronized {
+      scalars.get(key).map { case (r, _) =>
+        scalars.update(key, (r, tick.incrementAndGet())); r
+      }
+    }
+    hit.getOrElse {
+      // collect OUTSIDE the lock (a miss runs a Spark job; holding the
+      // registry lock across it would serialize unrelated operators)
+      val row = df.head()
+      synchronized {
+        scalars.get(key) match {
+          case Some((prev, _)) => prev
+          case None =>
+            scalars.update(key, (row, tick.incrementAndGet()))
+            if (scalars.size > MaxEntries)
+              scalars.toSeq.sortBy(_._2._2).dropRight(MaxEntries)
+                .foreach { case (k, _) => scalars.remove(k) }
+            row
+        }
+      }
+    }
+  }
+
+  private val scalars = scala.collection.mutable.LinkedHashMap
+    .empty[(SparkSession, LogicalPlan), (org.apache.spark.sql.Row, Long)]
+
   /** Unpersist and forget every entry owned by `spark`. */
   def release(spark: SparkSession): Unit = synchronized {
     entries.filterInPlace { case ((owner, _), (old, _)) =>
@@ -81,6 +118,7 @@ private[graft] object OpCache {
       if (mine) unpersistQuietly(old)
       !mine
     }
+    scalars.filterInPlace { case ((owner, _), _) => !(owner eq spark) }
   }
 
   /** Live entry count for `spark` (spec hook). */

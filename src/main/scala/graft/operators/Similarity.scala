@@ -102,16 +102,24 @@ object Similarity {
   private[graft] def boundedSeeds(e: DataFrame, k: Long = ProductionK): DataFrame = {
     // integer `div`, not double-divide-then-cast: exact at any id
     // magnitude, identical to DuckDB's `//` for non-negative ids.
-    // The broadcast side is the BARE max aggregate — the k-division
-    // happens after the crossJoin — so two boundedSeeds calls over
-    // the same frame with different k (ivf2Index's 8/64 pair) carry
-    // IDENTICAL broadcast subtrees and ReuseExchange runs the max
-    // job once per plan instead of once per k (r18 opt pass: the
-    // search ladder's sequential broadcast builds).
-    val mx = e.agg(max(col("vec_id")).as("mx"))
-    e.crossJoin(broadcast(mx))
-      .filter(col("vec_id") % (expr(s"mx div $k") + lit(1L)) === 0)
-      .drop("mx")
+    // The stride is now a LITERAL from a collect-once 1-row max
+    // (r19 opt pass, VERDICT r18 #4/#6): the previous spelling cross-
+    // joined a broadcast max-aggregate subtree into EVERY consumer
+    // plan — the committed r18 plans showed the 8/64-seed strides as
+    // two SEPARATE single-task aggregate jobs (the claimed
+    // ReuseExchange never appeared in a static plan), and every seed
+    // consumer in the s13 ladder hung one more sequential broadcast
+    // build off it. One bounded collect per invocation (the p25
+    // collected-literal precedent; memoized per plan in OpCache,
+    // released with the frame registry) turns the stride into a plain
+    // pushable filter: no crossJoin, no broadcast, no per-consumer
+    // max job — ladder DEPTH shrinks by one level everywhere a seed
+    // frame appears. Cost model unchanged at 100 TB: the max is one
+    // map-side-combinable aggregate over the vector frame, paid once
+    // per invocation instead of ≥ once per consumer subtree.
+    val mx = OpCache.scalarRow(e.agg(max(col("vec_id")).as("mx")))
+    if (mx.isNullAt(0)) e.filter(lit(false)) // empty frame: no seeds
+    else e.filter(col("vec_id") % lit(mx.getLong(0) / k + 1L) === 0)
   }
 
   private[graft] def boundedCents(e: DataFrame, k: Long = ProductionK): DataFrame =

@@ -11,13 +11,19 @@ import org.apache.spark.sql.DataFrame
   * pattern), and every arriving edge probes it with per-arrival cost
   * O(deg_corpus(x)) — the corpus wedge space is never rescanned.
   *
-  * The plan is fully STATELESS (the BloomStream class): two chained
-  * stream-static joins against the frozen edge set — incidence probe
-  * from the arriving edge's lower endpoint, then the closing-edge
-  * left-semi verify — running the LITERAL shared
-  * [[Graph.closedByCorpus]] Column algebra, so the stream and batch
-  * g04's tri_1_new cannot drift. No state store, no watermark;
-  * checkpointed AvailableNow replays terminate normally.
+  * The plan is fully STATELESS (the BloomStream class): the arriving
+  * batch joins the corpus's undirected neighbor arrays on each
+  * endpoint and intersects them in-core (`explode(array_intersect)`)
+  * — the LITERAL shared [[Graph.closedByCorpus]] Column algebra (its
+  * r18 adjacency-intersection shape), so the stream and batch g04's
+  * tri_1_new cannot drift. The arrival side broadcasts
+  * (`probeBounded = true` — micro-batches are bounded by contract);
+  * the corpus-side adjacency aggregate is OpCache'd, so the frozen
+  * generation's collect_list runs once per session, not once per
+  * micro-batch (ADVICE r18 — per-batch cost is O(deg_corpus(x)) per
+  * arriving edge again, plus one cached-columnar scan). No state
+  * store, no watermark; checkpointed AvailableNow replays terminate
+  * normally.
   *
   * Scope is the arrival-vs-corpus category ONLY (the SpanStream /
   * SemStream contract): triangles among the arrivals themselves
@@ -35,5 +41,6 @@ object TriStream {
     * the frozen corpus edge frame — one output row per closed
     * triangle (x, y, w). */
   def closedTriangles(edges: DataFrame, corpusEdges: DataFrame): DataFrame =
-    Graph.closedByCorpus(edges, corpusEdges)
+    Graph.closedByCorpus(edges, corpusEdges,
+      probeBounded = true, cacheAdj = true)
 }
