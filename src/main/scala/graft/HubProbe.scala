@@ -82,51 +82,57 @@ object HubProbe {
     }
     graft.operators.OpCache.release(spark)
 
-    // SYNTHETIC HUB: one fresh node H adjacent to HALF the corpus's
-    // nodes (u % 2 == 0). H is above every replica id, so (u, H) is
-    // canonical and cannot collide with any replicated edge.
+    // SYNTHETIC HUBS at two degrees: one fresh node H adjacent to
+    // every `stride`-th corpus node. H is above every replica id, so
+    // (u, H) is canonical and cannot collide with a replicated edge.
+    // Two hub sizes separate the marginal hub-arrival cost's
+    // dependence on HUB DEGREE (the hazard: pre-mitigation each
+    // hub-touching arrival copied and scanned the hub's whole array)
+    // from the fixed cost of hubby-mode routing.
     val hubId = (mult.toLong + 1L) * 10000000L
     val nodes = corpusRep.select(col("x").as("u"))
       .unionAll(corpusRep.select(col("y").as("u"))).distinct().persist()
     val nNodes = nodes.count()
-    val hubEdges = nodes.filter(col("u") % 2 === 0)
-      .select(col("u").as("x"), lit(hubId).as("y"))
-    val corpusHub = corpusRep.unionByName(hubEdges).persist()
-    val nEdgesHub = corpusHub.count()
-    val hubDeg = nEdgesHub - nEdges
 
     // arrivals that TOUCH the hub: every 97th odd node gains an edge
-    // to H — absent from corpusHub by parity, so the closedByCorpus
-    // anti-join precondition holds
+    // to H — absent from every hub corpus by parity, so the
+    // closedByCorpus anti-join precondition holds
     val hubArr = nodes.filter(col("u") % 2 === 1 && col("u") % 97 === 1)
       .select(col("u").as("x"), lit(hubId).as("y"))
     val incHub = incBase.unionByName(hubArr).persist()
     val nArrHub = incHub.count()
 
-    // warm, then the hub measurement
-    Graph.closedByCorpus(incHub, corpusHub).count()
-    var nClosedHub = 0L
-    val tHub = time("closure, hub corpus + hub arrivals") {
-      nClosedHub = Graph.closedByCorpus(incHub, corpusHub).count()
+    def hubRun(evenStride: Long, label: String): (Long, Long, Double, Double) = {
+      val hubEdges = nodes.filter(col("u") % 2 === 0 &&
+          col("u") % evenStride === 0)
+        .select(col("u").as("x"), lit(hubId).as("y"))
+      val corpusHub = corpusRep.unionByName(hubEdges).persist()
+      val hubDeg = corpusHub.count() - nEdges
+      Graph.closedByCorpus(incBase, corpusHub).count() // warm
+      val tFixed = time(s"closure, $label hub, base arrivals")(
+        Graph.closedByCorpus(incBase, corpusHub).count())
+      var nClosedHub = 0L
+      Graph.closedByCorpus(incHub, corpusHub).count() // warm
+      val tHub = time(s"closure, $label hub + hub arrivals") {
+        nClosedHub = Graph.closedByCorpus(incHub, corpusHub).count()
+      }
+      val ref = wedgeRef(incHub, corpusHub).count()
+      require(ref == nClosedHub,
+        s"$label hub closure diverged from the wedge reference: $nClosedHub vs $ref")
+      graft.operators.OpCache.release(spark)
+      corpusHub.unpersist()
+      (hubDeg, nClosedHub, tFixed, tHub)
     }
-    graft.operators.OpCache.release(spark)
+    val (deg10, closed10, fixed10, hub10) = hubRun(20L, "10K-degree")
+    val (deg100, closed100, fixed100, hub100) = hubRun(2L, "100K-degree")
 
-    // row-equality vs the wedge reference on BOTH corpora
+    // row-equality vs the wedge reference on the hub-free corpus too
     val refBase = wedgeRef(incBase, corpusRep).count()
-    val refHub = wedgeRef(incHub, corpusHub).count()
     require(refBase == nClosedBase,
       s"hub-free closure diverged from the wedge reference: $nClosedBase vs $refBase")
-    require(refHub == nClosedHub,
-      s"hub closure diverged from the wedge reference: $nClosedHub vs $refHub")
 
-    // the hub row's width through the literal adj aggregate
-    val inc2 = corpusHub.select(col("x").as("u"), col("y").as("w"))
-      .unionAll(corpusHub.select(col("y").as("u"), col("x").as("w")))
-    val widths = inc2.groupBy("u").agg(count(lit(1)).as("d"))
-      .agg(max(col("d")).as("max_d"),
-        sum(when(col("u") === hubId, col("d"))).as("hub_d")).head()
-
-    println(s"""{"metric":"hub_probe","mult":$mult,"edges":$nEdges,"nodes":$nNodes,"hub_degree":$hubDeg,"edges_hub":$nEdgesHub,"arrivals":$nArr,"arrivals_hub":$nArrHub,"closed_base":$nClosedBase,"closed_hub":$nClosedHub,"wall_base":${f"$tBase%.3f"},"wall_hub":${f"$tHub%.3f"},"per_arrival_base_ms":${f"${tBase * 1000 / nArr}%.4f"},"per_arrival_hub_ms":${f"${tHub * 1000 / nArrHub}%.4f"},"max_width":${widths.getLong(0)},"hub_width":${widths.getLong(1)},"sf":"$dir"}""")
+    val nHubArr = nArrHub - nArr
+    println(s"""{"metric":"hub_probe","mult":$mult,"edges":$nEdges,"nodes":$nNodes,"arrivals":$nArr,"hub_arrivals":$nHubArr,"closed_base":$nClosedBase,"wall_base":${f"$tBase%.3f"},"hubs":[{"degree":$deg10,"closed":$closed10,"wall_fixed":${f"$fixed10%.3f"},"wall_hub_arrivals":${f"$hub10%.3f"},"marginal_ms_per_hub_arrival":${f"${(hub10 - fixed10) * 1000 / nHubArr}%.4f"}},{"degree":$deg100,"closed":$closed100,"wall_fixed":${f"$fixed100%.3f"},"wall_hub_arrivals":${f"$hub100%.3f"},"marginal_ms_per_hub_arrival":${f"${(hub100 - fixed100) * 1000 / nHubArr}%.4f"}}],"sf":"$dir"}""")
     spark.stop()
   }
 }

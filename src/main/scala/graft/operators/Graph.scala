@@ -228,12 +228,22 @@ object Graph {
     // satisfies it (orderPairs/corpusEdgeIndex end in distinct();
     // GraphIndexStore's UNWEIGHTED families anti-join appends).
     //
-    // Known cost honestly carried: a corpus hub's neighbor array is
-    // its full undirected degree (no g01 orientation cap here —
-    // closure needs ALL common neighbors), so the per-row width is
-    // degree-bounded; graft.HubProbe measures the shape under a
-    // synthetic hot key and the g05 degree-drift monitor is the
-    // deployment guard that says when hub growth warrants a refreeze.
+    // HUB SKEW (VERDICT r18 #5 / ADVICE r18, measured by
+    // graft.HubProbe): a corpus hub's neighbor array is its full
+    // undirected degree (no g01 orientation cap here — closure needs
+    // ALL common neighbors). Pure intersection COPIES that array into
+    // every probe row touching the hub and scans all of it per row —
+    // at 10× replication with a 100K-degree synthetic hub, +8.8 ms
+    // per hub-touching arrival, 3.8× the flat per-arrival cost. The
+    // split below keeps per-probe cost O(min deg): rows whose
+    // endpoint degrees are within [[HubRatio]] of each other take the
+    // intersect (the cheap uniform case); degree-skewed rows instead
+    // EXPLODE the smaller endpoint's array and verify each wedge
+    // against the corpus edge set (w ∈ adj(lo) with (w, hi) a
+    // canonical corpus edge ⟺ w ∈ adj(lo) ∩ adj(hi) — identical
+    // rows, HubProbe cross-checks both corpora against the wedge
+    // reference). The hub's array is then never materialized per
+    // probe row, and per-arrival cost stays flat under hub growth.
     val inc = corpus.select(col("x").as("u"), col("y").as("w"))
       .unionAll(corpus.select(col("y").as("u"), col("x").as("w")))
     // `cacheAdj` — ONE adjacency aggregate per invocation instead of
@@ -279,11 +289,81 @@ object Graph {
       else probe.repartition(
         probe.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
         col("x"))
-    p.join(adj.select(col("u").as("x"), col("nbrs").as("na")), "x")
-      .join(adj.select(col("u").as("y"), col("nbrs").as("nb")), "y")
-      .select(col("x"), col("y"),
-        explode(array_intersect(col("na"), col("nb"))).as("w"))
+    // THE SPLIT COMPILES IN ONLY WHEN THE CORPUS HAS A HUB — one
+    // narrow degree aggregate collected as a scalar (memoized per
+    // corpus plan, the boundedSeeds discipline) reads max vs mean
+    // degree; a hub-free corpus (every bench/oracle corpus: max 222
+    // vs mean 120 at sf0.1) takes the plain two-join intersect with
+    // ZERO added plan cost. An always-on split was measured first
+    // and rejected: its two filter branches re-ran the probe
+    // pipeline and the corpus aggregates once each (hub-free 10×
+    // wall 3.2 → 11.1 s).
+    val degBare = inc.groupBy("u").agg(count(lit(1)).as("d"))
+    val ds = OpCache.scalarRow(degBare.agg(max(col("d")).as("mx"),
+      sum(col("d")).as("sm"), count(lit(1)).as("n")))
+    val hubby = !ds.isNullAt(0) &&
+      ds.getLong(0) * ds.getLong(2) > HubRatio * ds.getLong(1)
+    if (!hubby)
+      p.join(adj.select(col("u").as("x"), col("nbrs").as("na")), "x")
+        .join(adj.select(col("u").as("y"), col("nbrs").as("nb")), "y")
+        .select(col("x"), col("y"),
+          explode(array_intersect(col("na"), col("nb"))).as("w"))
+    else {
+      // degree-skewed corpus: route each probe row by its endpoint
+      // degrees. The deg joins are narrow and also drop corpus-unseen
+      // endpoints before any array is joined (the inner adj joins did
+      // the same). The batch path checkpoints the routed probe so the
+      // two filter branches share one probe evaluation (the p29
+      // two-phase precedent); the streaming path cannot checkpoint —
+      // its branches re-read the micro-batch, which is bounded.
+      val deg = if (cacheAdj) OpCache.cached(degBare) else degBare
+      val pd0 = p
+        .join(deg.select(col("u").as("x"), col("d").as("dx")), "x")
+        .join(deg.select(col("u").as("y"), col("d").as("dy")), "y")
+      val pd = if (probeBounded) pd0 else pd0.localCheckpoint(false)
+      val skewed = col("dx") > lit(HubRatio) * col("dy") ||
+        col("dy") > lit(HubRatio) * col("dx")
+      val balanced = pd.filter(!skewed)
+        .join(adj.select(col("u").as("x"), col("nbrs").as("na")), "x")
+        .join(adj.select(col("u").as("y"), col("nbrs").as("nb")), "y")
+        .select(col("x"), col("y"),
+          explode(array_intersect(col("na"), col("nb"))).as("w"))
+      // the residual wedge path reads the RAW incidence (no arrays,
+      // no aggregate): wedge rows = Σ deg(lo) over the few skewed
+      // probe rows, each verified by membership in the HI side's
+      // incidence. The verify set pre-filters the incidence to the
+      // skewed rows' hi endpoints (a first-cut semi-join against the
+      // whole canonical edge set sort-merged the full corpus: 10×
+      // hub wall 10.3 s) — the hi set is hub-count-sized and
+      // broadcast, so both corpus passes here are shuffle-free scans
+      // and every join among wedge-scale frames is size-decided.
+      val sk = pd.filter(skewed)
+        .select(col("x"), col("y"),
+          when(col("dx") <= col("dy"), col("x")).otherwise(col("y")).as("lo"),
+          when(col("dx") <= col("dy"), col("y")).otherwise(col("x")).as("hi"))
+      val hiInc = inc.join(broadcast(sk.select(col("hi").as("u")).distinct()),
+        "u")
+      val viaWedge = sk
+        .join(inc.withColumnRenamed("u", "lo"), "lo")
+        .join(hiInc.select(col("u").as("hi"), col("w")),
+          Seq("hi", "w"), "left_semi")
+        .select(col("x"), col("y"), col("w"))
+      balanced.unionByName(viaWedge)
+    }
   }
+
+  /** Degree-skew crossover for [[closedByCorpus]]'s hub hybrid, used
+    * twice: a corpus is HUBBY when its max degree exceeds HubRatio ×
+    * its mean, and a probe row then takes the residual wedge path
+    * when one endpoint's degree exceeds the other's by the same
+    * factor. Derived from the measured machinery ratio, not from any
+    * dataset: per ELEMENT, the explode+semi-join path costs ~30× a
+    * primitive in-core array compare (r18 OptProbe: 22.8 M wedges ≈
+    * 30–45 CPU-s vs the same element mass intersected in ~8 CPU-s
+    * down one codegen stage), so iterating the small side wins once
+    * the big side is ≳32× wider — and only then. Uniform-degree
+    * corpora never cross it. */
+  private[graft] val HubRatio = 32L
 
   /** Frozen co-purchase corpus edges (orders % 10 < 8) — the static
     * side [[graft.streaming.TriStream]] joins against; built once
